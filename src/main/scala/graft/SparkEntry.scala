@@ -1,13 +1,47 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.queries._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each entry in [[queries]] is one operator from SURVEY §2 (or a
+  * scale-suite addition: dedup / ANN / text analysis), expressed as a
+  * declarative Spark plan; [[oracleSql]] carries the exact DuckDB
+  * equivalent for the driver's hash-compare gate.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def registry: Seq[Q] =
+    RetrievalQueries.all ++
+    IngestQueries.all ++
+    DedupQueries.all ++
+    AnnQueries.all ++
+    TextQueries.all ++
+    RelationalQueries.all
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * the full hybrid-search pipeline (KNN + keyword + RRF fusion). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    queries("d7_rrf_fusion")(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map(q => q.name -> q.fn).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    * the same parquet tables. Omitted for non-SQL-expressible ops. */
+  def oracleSql: Map[String, String] =
+    registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
+
+  /** Headline subset timed by [[Bench]] (the rest still run in Verify). */
+  def benchQueries: Seq[String] = Seq(
+    "d2_knn_topk", "d4_keyword_search", "d7_rrf_fusion", "d13_context_window",
+    "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
+    "text_quality_score", "text_langid",
+    "q1_pricing_summary", "q3_topk_revenue_join", "b12_section_concat")
+    .filter(queries.contains)
 }

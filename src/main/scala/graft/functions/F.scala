@@ -1,0 +1,53 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level helpers shared by the query library.
+  *
+  * Everything here composes codegen'd built-ins only (no UDFs), and each
+  * helper has an exact ANSI-SQL equivalent runnable by DuckDB — that parity
+  * is what makes the oracle gate exact rather than tolerance-based. In
+  * particular all hashing is md5-based (not xxhash64/murmur) because md5 is
+  * the one hash both engines share bit-for-bit.
+  */
+object F {
+
+  /** Lowercased alnum tokens. DuckDB: regexp_extract_all(lower(x), '[a-z0-9]+') */
+  def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
+
+  def tokens(name: String): Column = tokens(col(name))
+
+  /** Occurrence count of `term` as a whole token.
+    * DuckDB: len(list_filter(tokens, t -> t = 'term')) */
+  def termCount(toks: Column, term: String): Column =
+    size(filter(toks, t => t === lit(term)))
+
+  /** Portable 60-bit positive hash: first 15 hex chars of md5 → long.
+    * DuckDB: ('0x' || substr(md5(x), 1, 15))::BIGINT */
+  def hash60(c: Column): Column = conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Word n-gram shingles from a token array.
+    * DuckDB: list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1], ' '))
+    * Guarded against size<n: Spark's `sequence` would otherwise run descending. */
+  def shingles(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+
+  /** One MinHash value: lexicographic min of md5(shingle || ':' || seed).
+    * A keyed md5 is a uniform permutation of the shingle space, so the
+    * string-min is a valid MinHash; being a hex string it compares
+    * identically in the JVM and DuckDB. */
+  def minhash(shinglesCol: Column, seed: Int): Column =
+    array_min(transform(shinglesCol, s => md5(concat(s, lit(":" + seed)))))
+
+  /** Sigmoid, shared by MMR lambda + rerank calibration. */
+  def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))
+
+  /** Trust/recency score of the reference engine (vector_store.cpp:221-225):
+    * boost × max(0.5, 1 − ageSeconds/30days). */
+  def trustScore(boost: Column, ageSeconds: Column): Column =
+    boost * greatest(lit(0.5), lit(1.0) - ageSeconds / lit(2592000.0))
+}

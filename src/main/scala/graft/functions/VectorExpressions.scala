@@ -1,0 +1,173 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.SparkSession
+
+/** Cosine similarity over two `array<float>` columns, computed with double
+  * accumulation, as a native Catalyst expression with whole-stage codegen.
+  *
+  * Semantics mirror the reference engine's `cosineSimilarity`
+  * (/root/reference/vector_store.cpp:750-762): returns 0.0 on dimension
+  * mismatch, empty input, or zero norm — never NaN. This is the single hot
+  * scalar op of the whole engine (SURVEY §2 D1); a codegen expression keeps
+  * it inside WholeStageCodegen instead of breaking the pipeline at a UDF.
+  */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"cosine_sim expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0 || y.numElements() != n) 0.0d
+    else {
+      var dot = 0.0d; var na = 0.0d; var nb = 0.0d; var i = 0
+      while (i < n) {
+        val xi = x.getFloat(i).toDouble
+        val yi = y.getFloat(i).toDouble
+        dot += xi * yi; na += xi * xi; nb += yi * yi; i += 1
+      }
+      if (na == 0.0d || nb == 0.0d) 0.0d else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val xi = ctx.freshName("xi"); val yi = ctx.freshName("yi")
+      s"""
+        |int $n = $a.numElements();
+        |if ($n == 0 || $b.numElements() != $n) { ${ev.value} = 0.0; } else {
+        |  double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $xi = $a.getFloat($i); double $yi = $b.getFloat($i);
+        |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
+        |  }
+        |  ${ev.value} = ($na == 0.0 || $nb == 0.0)
+        |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Dot product over two `array<float>` columns (double accumulation, codegen).
+  * 0.0 on dimension mismatch / empty, matching [[CosineSimilarity]]. Used by
+  * sign-LSH bucketing and as the cheap kernel when norms are precomputed. */
+case class DotProduct(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(FloatType, _)) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"dot_product expects (array<float>, array<float>), got (${left.dataType.sql}, ${right.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n == 0 || y.numElements() != n) 0.0d
+    else {
+      var dot = 0.0d; var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      dot
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      s"""
+        |int $n = $a.numElements();
+        |if ($n == 0 || $b.numElements() != $n) { ${ev.value} = 0.0; } else {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) { $dot += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)); }
+        |  ${ev.value} = $dot;
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** L2 norm of an `array<float>` column (double accumulation, codegen). Stored
+  * as a precomputed column so cosine degrades to dot/const at scan time. */
+case class L2Norm(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "l2_norm"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"l2_norm expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var s = 0.0d; var i = 0
+    val n = x.numElements()
+    while (i < n) { val v = x.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val v = ctx.freshName("v")
+      s"""
+        |int $n = $a.numElements();
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) { double $v = $a.getFloat($i); $s += $v * $v; }
+        |${ev.value} = java.lang.Math.sqrt($s);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Column wrappers + SQL registration for the vector expressions. */
+object VectorFunctions {
+  private def floatArr(c: Column): Column = c.cast(ArrayType(FloatType))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarity(
+      ColumnBridge.expression(floatArr(a)), ColumnBridge.expression(floatArr(b))))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnBridge.column(DotProduct(
+      ColumnBridge.expression(floatArr(a)), ColumnBridge.expression(floatArr(b))))
+
+  def l2Norm(a: Column): Column =
+    ColumnBridge.column(L2Norm(ColumnBridge.expression(floatArr(a))))
+
+  /** Registers `cosine_sim`, `dot_product`, `l2_norm` for `spark.sql(...)`. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("cosine_sim", es => CosineSimilarity(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("dot_product", es => DotProduct(es.head, es(1)), "built-in")
+    reg.createOrReplaceTempFunction("l2_norm", es => L2Norm(es.head), "built-in")
+  }
+}

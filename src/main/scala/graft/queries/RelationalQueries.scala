@@ -1,0 +1,162 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Generic relational coverage (SURVEY §2 coverage checklist: projection,
+  * filter, joins incl. broadcast/semi/anti, aggregation, window, sort/top-k,
+  * set ops, scalar functions, event-time windowing).
+  *
+  * Float discipline: every double SUM is quantized to integer units
+  * (round(x·10⁴) summed as BIGINT, divided back) so partial-aggregation
+  * order — Spark's map-side combine vs DuckDB's sequential scan — cannot
+  * produce last-bit drift. The quantized product is computed from identical
+  * double inputs in both engines, so the intermediate is bit-identical.
+  */
+object RelationalQueries {
+
+  /** revenue in 1e-4 units, exact under reordering. */
+  private val revInt = "CAST(round(l_extendedprice * (1 - l_discount) * 10000, 0) AS BIGINT)"
+
+  val all: Seq[Q] = Seq(
+
+    // TPC-H Q1-style pricing summary: scan-local partial agg, 4-way shuffle.
+    Q("q1_pricing_summary",
+      s"""SELECT l_returnflag, l_linestatus,
+         |       round(sum(CAST(round(l_quantity * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_qty,
+         |       round(sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) / 100.0, 2) AS sum_base,
+         |       round(sum($revInt) / 10000.0, 4) AS sum_disc_price,
+         |       count(*) AS n
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY l_returnflag, l_linestatus
+         |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0, 2).as("sum_qty"),
+          round(sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2).as("sum_base"),
+          round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0, 4).as("sum_disc_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // TPC-H Q3-style top-k revenue: 3-way join, group, TakeOrderedAndProject.
+    Q("q3_topk_revenue_join",
+      s"""SELECT o.o_orderkey, c.c_mktsegment,
+         |       round(sum($revInt) / 10000.0, 4) AS revenue
+         |FROM customer c
+         |JOIN orders o ON o.o_custkey = c.c_custkey
+         |JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+         |GROUP BY o.o_orderkey, c.c_mktsegment
+         |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin) { (spark, dir) =>
+      val c = table(spark, dir, "customer")
+      val o = table(spark, dir, "orders")
+      val l = table(spark, dir, "lineitem")
+      c.join(o, o("o_custkey") === c("c_custkey"))
+        .join(l, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderkey"), col("c_mktsegment"))
+        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0, 4).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderkey"))
+        .limit(10)
+    },
+
+    // Broadcast dimension join: part is the small side, explicitly broadcast.
+    Q("q5_broadcast_brand_agg",
+      s"""SELECT p.p_brand,
+         |       round(sum($revInt) / 10000.0, 4) AS revenue,
+         |       count(*) AS n
+         |FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+         |GROUP BY p.p_brand ORDER BY p.p_brand""".stripMargin) { (spark, dir) =>
+      val l = table(spark, dir, "lineitem")
+      val p = table(spark, dir, "part")
+      l.join(broadcast(p), p("p_partkey") === l("l_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0, 4).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // Window ranking: top-3 suppliers by balance per nation.
+    Q("q_window_rank",
+      """SELECT s_nationkey, s_suppkey, rnk FROM (
+        |  SELECT s_nationkey, s_suppkey,
+        |         row_number() OVER (PARTITION BY s_nationkey ORDER BY s_acctbal DESC, s_suppkey) AS rnk
+        |  FROM supplier) t
+        |WHERE rnk <= 3 ORDER BY s_nationkey, rnk""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "supplier")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy(col("s_nationkey")).orderBy(col("s_acctbal").desc, col("s_suppkey"))))
+        .filter(col("rnk") <= 3)
+        .select(col("s_nationkey"), col("s_suppkey"), col("rnk").cast("long").as("rnk"))
+        .orderBy("s_nationkey", "rnk")
+    },
+
+    // Anti join: customers with no orders (NOT EXISTS).
+    Q("q_anti_join",
+      """SELECT c_custkey FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val c = table(spark, dir, "customer")
+      val o = table(spark, dir, "orders").filter(col("o_totalprice") > 300000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"))
+        .orderBy("c_custkey")
+    },
+
+    // Semi join: nations having at least one high-balance supplier (EXISTS).
+    Q("q_semi_join",
+      """SELECT n_nationkey, n_name FROM nation n
+        |WHERE EXISTS (SELECT 1 FROM supplier s WHERE s.s_nationkey = n.n_nationkey AND s.s_acctbal > 0)
+        |ORDER BY n_nationkey""".stripMargin) { (spark, dir) =>
+      val n = table(spark, dir, "nation")
+      val s = table(spark, dir, "supplier").filter(col("s_acctbal") > 0)
+      n.join(s, n("n_nationkey") === s("s_nationkey"), "left_semi")
+        .select(col("n_nationkey"), col("n_name"))
+        .orderBy("n_nationkey")
+    },
+
+    // Set ops: distinct union of two label domains.
+    Q("q_setops_union",
+      """SELECT DISTINCT c_mktsegment AS v FROM customer
+        |UNION
+        |SELECT DISTINCT o_orderpriority AS v FROM orders
+        |ORDER BY v""".stripMargin) { (spark, dir) =>
+      val a = table(spark, dir, "customer").select(col("c_mktsegment").as("v"))
+      val b = table(spark, dir, "orders").select(col("o_orderpriority").as("v"))
+      a.union(b).distinct().orderBy("v")
+    },
+
+    // Event-time tumbling window aggregation (the batch form of the
+    // Structured Streaming windowed agg; same plan shape as readStream).
+    Q("q_event_window_agg",
+      """SELECT date_trunc('hour', ts) AS win, event_type,
+        |       count(*) AS n,
+        |       round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total
+        |FROM events GROUP BY win, event_type
+        |ORDER BY win, event_type""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .groupBy(date_trunc("hour", col("ts")).as("win"), col("event_type"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(sum(round(col("value") * 100, 0).cast("long")) / 100.0, 2).as("total"))
+        .orderBy("win", "event_type")
+    },
+
+    // JSON/scalar extraction from the props payload.
+    Q("q_json_extract",
+      """SELECT event_type,
+        |       round(avg(regexp_extract(props, '([0-9]+)', 1)::BIGINT), 6) AS avg_k,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .groupBy(col("event_type"))
+        .agg(
+          round(avg(regexp_extract(col("props"), "([0-9]+)", 1).cast("long")), 6).as("avg_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")
+    }
+  )
+}

@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.F
+import graft.functions.VectorFunctions.cosineSim
+
+/** The retrieval operator family of SURVEY §2 (D1–D13, G1), re-expressed as
+  * declarative Spark plans over the driver test tables. Each query has an
+  * exact DuckDB oracle.
+  *
+  * Scale posture: the semantic side is a single scan + TakeOrderedAndProject
+  * (per-partition top-k, no full sort — already beats the reference's
+  * full-sort-then-truncate at vector_store.cpp:231-235); the keyword side is
+  * scan-local token matching; fusion joins only the two tiny top-N lists.
+  */
+object RetrievalQueries {
+
+  /** Fixed keyword query used by D4/D7 (tokens present in the synthetic corpus). */
+  private val terms = Seq("merge", "window", "hash")
+
+  private def termScore(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = F.tokens(text)
+    terms.map(t => F.termCount(toks, t)).reduce(_ + _)
+  }
+
+  private val termScoreSql = terms
+    .map(t => s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = '$t'))")
+    .mkString(" + ")
+
+  /** Intent regexes, in the reference's check order (vector_store.cpp:239-246). */
+  private val intentCases: Seq[(String, String)] = Seq(
+    "Definition" -> "(what is|define|meaning of|definition|theorem)",
+    "Procedure"  -> "(how to|steps|procedure|process)",
+    "Summary"    -> "(summary|summarize|overview)",
+    "Example"    -> "(example|case study|instance)")
+
+  private val intentFixture = Seq(
+    "What is a repo rate?",
+    "How to compute CRR: steps",
+    "Summarize chapter on RBI objectives",
+    "Example of deposit insurance payout",
+    "banking regulation india",
+    "define cosine similarity",
+    "overview of the pipeline process") // 'overview' precedes 'process': Summary
+
+  private def intentCol(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    intentCases.foldRight(lit("General")) { case ((name, re), els) =>
+      when(lower(q).rlike(re), name).otherwise(els)
+    }
+
+  private val intentSqlCase: String =
+    intentCases.map { case (n, re) => s"WHEN regexp_matches(lower(query), '$re') THEN '$n'" }
+      .mkString("CASE ", " ", " ELSE 'General' END")
+
+  private val intentValuesSql =
+    intentFixture.map(s => s"('${s.replace("'", "''")}')").mkString("(VALUES ", ", ", ") AS q(query)")
+
+  /** Semantic candidates: cosine vs the vec_id=0 query vector, ranked.
+    * The 1-row query side is broadcast; candidate generation is a single
+    * scan feeding TakeOrderedAndProject — no shuffle of the fact table. */
+  private def semRanked(spark: SparkSession, dir: String, depth: Int): DataFrame = {
+    val e = table(spark, dir, "embeddings")
+    val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+    e.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id").as("id"), cosineSim(col("embedding"), col("qv")).as("s"))
+      .withColumn("sem_rank", row_number().over(Window.orderBy(col("s").desc, col("id"))).cast("long"))
+      .filter(col("sem_rank") <= depth)
+  }
+
+  private def semRankedSql(depth: Int): String =
+    s"""SELECT e.vec_id AS id,
+       |       list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) AS s,
+       |       row_number() OVER (ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, e.vec_id) AS sem_rank
+       |FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |WHERE e.vec_id <> 0 QUALIFY sem_rank <= $depth""".stripMargin
+
+  /** Keyword candidates: whole-token term frequency, ranked. */
+  private def kwRanked(spark: SparkSession, dir: String, depth: Int): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id").as("id"), termScore(col("text")).as("k"))
+      .filter(col("k") > 0)
+      .withColumn("kw_rank", row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+      .filter(col("kw_rank") <= depth)
+
+  private def kwRankedSql(depth: Int): String =
+    s"""SELECT doc_id AS id, $termScoreSql AS k,
+       |       row_number() OVER (ORDER BY ($termScoreSql) DESC, doc_id) AS kw_rank
+       |FROM documents WHERE ($termScoreSql) > 0 QUALIFY kw_rank <= $depth""".stripMargin
+
+  /** Weighted RRF, K=60 (vector_store.cpp:390-427): absent list contributes 0. */
+  private def rrfFused(spark: SparkSession, dir: String, depth: Int): DataFrame = {
+    val sem = semRanked(spark, dir, depth).select(col("id"), col("sem_rank"))
+    val kw = kwRanked(spark, dir, depth).select(col("id"), col("kw_rank"))
+    sem.join(kw, Seq("id"), "full_outer")
+      .select(
+        col("id"),
+        col("sem_rank"),
+        col("kw_rank"),
+        round(
+          coalesce(lit(0.5) / (lit(60.0) + col("sem_rank")), lit(0.0)) +
+          coalesce(lit(0.5) / (lit(60.0) + col("kw_rank")), lit(0.0)), 6).as("rrf"))
+  }
+
+  private def rrfFusedSql(depth: Int): String =
+    s"""WITH sem AS (${semRankedSql(depth)}), kw AS (${kwRankedSql(depth)})
+       |SELECT coalesce(sem.id, kw.id) AS id, sem.sem_rank AS sem_rank, kw.kw_rank AS kw_rank,
+       |       round(coalesce(0.5 / (60.0 + sem.sem_rank), 0.0) + coalesce(0.5 / (60.0 + kw.kw_rank), 0.0), 6) AS rrf
+       |FROM sem FULL OUTER JOIN kw ON sem.id = kw.id""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    // D1 — cosine similarity as a native codegen expression, checked pairwise
+    // against DuckDB's double-precision list_cosine_similarity.
+    Q("d1_cosine_pairs",
+      """SELECT a.vec_id AS vec_id,
+        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos_sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1
+        |ORDER BY vec_id""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val a = e.select(col("vec_id"), col("embedding").as("ea"))
+      val b = e.select((col("vec_id") - 1).as("vec_id"), col("embedding").as("eb"))
+      a.join(b, Seq("vec_id"))
+        .select(col("vec_id"), round(cosineSim(col("ea"), col("eb")), 6).as("cos_sim"))
+        .orderBy("vec_id")
+    },
+
+    // D2 + D12 — brute-force semantic KNN, top-10. Plans as a single scan +
+    // TakeOrderedAndProject (per-partition top-k, merge on driver).
+    Q("d2_knn_topk",
+      """SELECT e.vec_id AS vec_id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+        |FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      e.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // D3 — trust/recency: boost × max(0.5, 1 − age/30d) (vector_store.cpp:221-225),
+    // age measured back from the corpus max timestamp.
+    Q("d3_trust_recency",
+      """SELECT event_id,
+        |       round(greatest(0.5, 1.0 - (m.max_ms - epoch_ms(ts)) / 1000.0 / 2592000.0), 6) AS trust
+        |FROM events CROSS JOIN (SELECT max(epoch_ms(ts)) AS max_ms FROM events) m
+        |ORDER BY event_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+      val m = ev.agg(max(unix_millis(col("ts"))).as("max_ms"))
+      ev.crossJoin(broadcast(m))
+        .select(
+          col("event_id"),
+          round(F.trustScore(lit(1.0), (col("max_ms") - unix_millis(col("ts"))) / 1000.0), 6).as("trust"))
+        .orderBy("event_id")
+        .limit(1000)
+    },
+
+    // D4 — keyword search over the derived token view (the FTS5 analog):
+    // whole-token term-frequency scoring, top-20.
+    Q("d4_keyword_search",
+      s"""SELECT doc_id, $termScoreSql AS score
+         |FROM documents
+         |WHERE ($termScoreSql) > 0
+         |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(col("doc_id"), termScore(col("text")).cast("long").as("score"))
+        .filter(col("score") > 0)
+        .orderBy(col("score").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // D5 — intent detection (regex cascade, reference check order).
+    Q("d5_intent_detect",
+      s"""SELECT query, $intentSqlCase AS intent
+         |FROM $intentValuesSql
+         |ORDER BY query""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      intentFixture.toDF("query")
+        .select(col("query"), intentCol(col("query")).as("intent"))
+        .orderBy("query")
+    },
+
+    // D6 — intent-weighted retrieval sizing (vector_store.cpp:306-319).
+    Q("d6_intent_weights",
+      s"""SELECT query, intent,
+         |       (CASE WHEN intent IN ('Definition','Procedure') THEN 0.35
+         |             WHEN intent = 'Summary' THEN 0.7 ELSE 0.5 END)::DOUBLE AS sem_w,
+         |       (CASE WHEN intent IN ('Definition','Procedure') THEN 0.65
+         |             WHEN intent = 'Summary' THEN 0.3 ELSE 0.5 END)::DOUBLE AS kw_w,
+         |       CASE WHEN intent IN ('Definition','Procedure') THEN 15
+         |            WHEN intent = 'Summary' THEN 30 ELSE 20 END AS depth
+         |FROM (SELECT query, $intentSqlCase AS intent FROM $intentValuesSql)
+         |ORDER BY query""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val base = intentFixture.toDF("query")
+        .select(col("query"), intentCol(col("query")).as("intent"))
+      base.select(
+          col("query"), col("intent"),
+          when(col("intent").isin("Definition", "Procedure"), 0.35)
+            .when(col("intent") === "Summary", 0.7).otherwise(0.5).as("sem_w"),
+          when(col("intent").isin("Definition", "Procedure"), 0.65)
+            .when(col("intent") === "Summary", 0.3).otherwise(0.5).as("kw_w"),
+          when(col("intent").isin("Definition", "Procedure"), 15)
+            .when(col("intent") === "Summary", 30).otherwise(20).as("depth"))
+        .orderBy("query")
+    },
+
+    // D7 — weighted Reciprocal Rank Fusion (K=60) of the semantic and keyword
+    // candidate lists: two tiny ranked sides, full-outer joined.
+    Q("d7_rrf_fusion",
+      s"""${rrfFusedSql(40)}
+         |ORDER BY rrf DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
+      rrfFused(spark, dir, 40).orderBy(col("rrf").desc, col("id")).limit(20)
+    },
+
+    // D8 — intent×chunk-type additive boost (vector_store.cpp:402-409) on top
+    // of the fused list; chunk_type is derived deterministically for testdata.
+    Q("d8_intent_boost",
+      s"""WITH fused AS (${rrfFusedSql(40)})
+         |SELECT id,
+         |       CASE id % 5 WHEN 0 THEN 'text' WHEN 1 THEN 'definition' WHEN 2 THEN 'list'
+         |                   WHEN 3 THEN 'example' ELSE 'summary' END AS chunk_type,
+         |       round(rrf + CASE id % 5 WHEN 1 THEN 0.5 WHEN 2 THEN 0.3 WHEN 3 THEN 0.0 ELSE 0.0 END, 6) AS boosted
+         |FROM fused
+         |ORDER BY boosted DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val fused = rrfFused(spark, dir, 40)
+      val ctype = col("id") % 5
+      fused.select(
+          col("id"),
+          when(ctype === 0, "text").when(ctype === 1, "definition").when(ctype === 2, "list")
+            .when(ctype === 3, "example").otherwise("summary").as("chunk_type"),
+          round(col("rrf") +
+            when(ctype === 1, 0.5).when(ctype === 2, 0.3).otherwise(0.0), 6).as("boosted"))
+        .orderBy(col("boosted").desc, col("id"))
+        .limit(20)
+    },
+
+    // D9 — rank-stability regulation: historical AVG(ABS(delta)) per query,
+    // exploration rows excluded (vector_store.cpp:430-458); events stand in
+    // for retrieval_logs (user_id≈query, value/50≈rank_delta, click≈probe).
+    Q("d9_stability",
+      """SELECT user_id,
+        |       round(greatest(0.0, 1.0 - avg(abs(value / 50.0)) / 5.0), 6) AS stability,
+        |       count(*) AS n
+        |FROM events WHERE event_type <> 'click'
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .filter(col("event_type") =!= "click")
+        .groupBy(col("user_id"))
+        .agg(
+          round(greatest(lit(0.0), lit(1.0) - avg(abs(col("value") / 50.0)) / 5.0), 6).as("stability"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    },
+
+    // D13 — context window: neighbors of each row within its partition,
+    // Window.rowsBetween(-1, 1) ≡ the reference's chunk_idx range fetch
+    // (vector_store.cpp:687-702).
+    Q("d13_context_window",
+      """SELECT event_id,
+        |       string_agg(event_id::VARCHAR, ',') OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                       ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS ctx
+        |FROM events
+        |ORDER BY event_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-1, 1)
+      events(spark, dir)
+        .select(
+          col("event_id"),
+          concat_ws(",", collect_list(col("event_id").cast("string")).over(w)).as("ctx"))
+        .orderBy("event_id")
+        .limit(1000)
+    },
+
+    // G1 — provenance labeling from which rank fields are present
+    // (mainwindow.cpp:687-691).
+    Q("g1_provenance",
+      s"""WITH fused AS (${rrfFusedSql(40)})
+         |SELECT id,
+         |       CASE WHEN sem_rank IS NOT NULL AND kw_rank IS NOT NULL THEN 'Hybrid'
+         |            WHEN kw_rank IS NOT NULL THEN 'Keyword' ELSE 'Vector' END AS provenance
+         |FROM fused
+         |ORDER BY id""".stripMargin) { (spark, dir) =>
+      rrfFused(spark, dir, 40)
+        .select(
+          col("id"),
+          when(col("sem_rank").isNotNull && col("kw_rank").isNotNull, "Hybrid")
+            .when(col("kw_rank").isNotNull, "Keyword").otherwise("Vector").as("provenance"))
+        .orderBy("id")
+    }
+  )
+}

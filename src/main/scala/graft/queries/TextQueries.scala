@@ -1,0 +1,125 @@
+package graft.queries
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+
+/** Text-analysis suite for the training-data pipeline: language ID, quality
+  * scoring, token statistics, document fingerprinting. All scan-local (no
+  * shuffle except the final order/limit), so they scale linearly with
+  * corpus size.
+  */
+object TextQueries {
+
+  private val langStopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "to", "a"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "es" -> Seq("el", "la", "que", "de", "y"))
+
+  private val enStops = langStopwords.head._2
+
+  private def stopScore(toks: Column, words: Seq[String]): Column =
+    words.map(w => F.termCount(toks, w)).reduce(_ + _)
+
+  private def stopScoreSql(words: Seq[String]): String =
+    words.map(w => s"len(list_filter(toks, t -> t = '$w'))").mkString(" + ")
+
+  private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+  val all: Seq[Q] = Seq(
+
+    // Language ID: stopword-hit scoring per language, deterministic argmax.
+    Q("text_langid", {
+      val scores = langStopwords.map { case (l, ws) => s"${stopScoreSql(ws)} AS sc_$l" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, $scores FROM t)
+         |SELECT doc_id, sc_en, sc_de, sc_es,
+         |       CASE WHEN sc_en >= sc_de AND sc_en >= sc_es THEN 'en'
+         |            WHEN sc_de >= sc_es THEN 'de' ELSE 'es' END AS predicted
+         |FROM s ORDER BY doc_id LIMIT 1000""".stripMargin
+    }) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+      val s = langStopwords.foldLeft(t) { case (df, (l, ws)) =>
+        df.withColumn(s"sc_$l", stopScore(col("toks"), ws).cast("long"))
+      }
+      s.select(col("doc_id"), col("sc_en"), col("sc_de"), col("sc_es"),
+          when(col("sc_en") >= col("sc_de") && col("sc_en") >= col("sc_es"), "en")
+            .when(col("sc_de") >= col("sc_es"), "de").otherwise("es").as("predicted"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // Quality scoring: length / punctuation / stopword / word-length mix.
+    Q("text_quality_score",
+      s"""WITH t AS (
+         |  SELECT doc_id, text, $toksSql AS toks,
+         |         length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(length(text), 1) AS punct_ratio
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id,
+         |         len(toks) AS n_tokens,
+         |         punct_ratio,
+         |         (${stopScoreSql(enStops)})::DOUBLE / greatest(len(toks), 1) AS stop_ratio,
+         |         list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / greatest(len(toks), 1) AS avg_tok_len
+         |  FROM t)
+         |SELECT doc_id,
+         |       CAST(floor((0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
+         |             + 0.2 * least(stop_ratio * 5.0, 1.0) + 0.2 * least(avg_tok_len / 8.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
+         |FROM m ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), F.tokens(col("text")).as("toks"),
+          (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
+            greatest(length(col("text")), lit(1))).as("punct_ratio"))
+      val m = t.select(col("doc_id"),
+        size(col("toks")).as("n_tokens"),
+        col("punct_ratio"),
+        (stopScore(col("toks"), enStops).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("stop_ratio"),
+        (aggregate(transform(col("toks"), x => length(x)), lit(0), (a, x) => a + x).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("avg_tok_len"))
+      m.select(col("doc_id"),
+          floor((lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
+                lit(0.3) * (lit(1.0) - col("punct_ratio")) +
+                lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0)) +
+                lit(0.2) * least(col("avg_tok_len") / 8.0, lit(1.0))) * 1000000).cast("long").as("quality_micro"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // Token statistics: whitespace/regex token count + a BPE-ish subword
+    // count (≈ ceil(len/4) pieces per token) + distinct count.
+    Q("text_token_stats",
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents)
+         |SELECT doc_id,
+         |       len(toks) AS n_tokens,
+         |       len(list_distinct(toks)) AS n_distinct,
+         |       list_aggregate(list_transform(toks, x -> (length(x) + 3) // 4), 'sum')::BIGINT AS n_subwords
+         |FROM t ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          size(col("toks")).cast("long").as("n_tokens"),
+          size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+          aggregate(transform(col("toks"),
+            x => floor((length(x) + 3) / 4).cast("int")), lit(0), (a, x) => a + x).cast("long").as("n_subwords"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // Document fingerprinting: min-hash of strided character 8-grams
+    // (rolling-hash winnowing, simplified to stride-4 sampling).
+    Q("text_fingerprint",
+      """SELECT doc_id,
+        |       list_aggregate(list_transform(range(1, greatest(length(lower(text)) - 6, 2), 4),
+        |                                     i -> md5(substr(lower(text), i, 8))), 'min') AS fingerprint
+        |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(col("doc_id"),
+          expr("array_min(transform(sequence(1, greatest(length(lower(text)) - 7, 1), 4), i -> md5(substring(lower(text), i, 8))))").as("fingerprint"))
+        .orderBy("doc_id")
+        .limit(1000)
+    }
+  )
+}
