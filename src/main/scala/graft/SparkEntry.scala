@@ -20,12 +20,13 @@ object SparkEntry {
     DedupQueries.all ++
     AnnQueries.all ++
     TextQueries.all ++
-    RelationalQueries.all
+    RelationalQueries.all ++
+    EngineQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
-    * the full hybrid-search pipeline (KNN + keyword + RRF fusion). */
+    * the full ingest→embed→hybrid-search pipeline. */
   def entry(spark: SparkSession): DataFrame =
-    queries("d7_rrf_fusion")(spark, "/root/testdata/sf0.001")
+    queries("hybrid_search_e2e")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -57,7 +57,9 @@ object TextChunker {
       }
       if (acc.length >= p.target) emit()
     }
-    if (acc.toString.trim.length > p.minTail) emit()
+    // trailing chunk kept if > minTail chars — or unconditionally when the
+    // whole document is shorter than that (never drop a document entirely)
+    if (acc.toString.trim.length > p.minTail || (idx == 0 && acc.toString.trim.nonEmpty)) emit()
     out.result()
   }
 }

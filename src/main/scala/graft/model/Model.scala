@@ -1,0 +1,98 @@
+package graft.model
+
+import java.sql.Timestamp
+
+/** Core record types of the engine (SURVEY §1.3), as Spark-encodable case
+  * classes. */
+
+/** One embedded text chunk — the fact-table row (embeddings v15 schema,
+  * vector_store.cpp:67-141). */
+final case class Chunk(
+    id: Long,
+    docId: String,
+    sourceFile: String,
+    chunkIdx: Int,
+    pageNum: Int,
+    textChunk: String,
+    embedding: Array[Float],
+    modelSig: String,
+    modelDim: Int,
+    headingPath: String,
+    headingLevel: Int,
+    chunkType: String,
+    sentenceCount: Int,
+    listType: String,
+    listLength: Int,
+    boostFactor: Float,
+    createdAt: Timestamp)
+
+/** A scored search hit (VectorEntry with query-time fields,
+  * vector_store.h:13-35). */
+final case class ScoredChunk(
+    id: Long,
+    docId: String,
+    headingPath: String,
+    chunkType: String,
+    text: String,
+    score: Double,
+    semanticRank: Int,
+    keywordRank: Int,
+    trustScore: Double,
+    isExploration: Boolean)
+
+/** Query intent classes (vector_store.h:70). */
+sealed abstract class Intent(val name: String)
+object Intent {
+  case object General extends Intent("General")
+  case object Definition extends Intent("Definition")
+  case object Summary extends Intent("Summary")
+  case object Procedure extends Intent("Procedure")
+  case object Example extends Intent("Example")
+
+  /** Regex cascade in the reference's check order (vector_store.cpp:239-246). */
+  def detect(query: String): Intent = {
+    val q = query.toLowerCase
+    if (q.matches(".*(what is|define|meaning of|definition|theorem).*")) Definition
+    else if (q.matches(".*(how to|steps|procedure|process).*")) Procedure
+    else if (q.matches(".*(summary|summarize|overview).*")) Summary
+    else if (q.matches(".*(example|case study|instance).*")) Example
+    else General
+  }
+
+  /** Intent-weighted retrieval sizing (vector_store.cpp:306-319):
+    * (semanticWeight, keywordWeight, overfetchFactor). */
+  def weights(i: Intent): (Double, Double, Int) = i match {
+    case Definition | Procedure => (0.35, 0.65, 3)
+    case Summary                => (0.7, 0.3, 6)
+    case _                      => (0.5, 0.5, 4)
+  }
+
+  /** Intent×chunk-type additive boost (vector_store.cpp:402-409). */
+  def typeBoost(i: Intent, chunkType: String, headingLevel: Int): Double = {
+    val base = (i, chunkType) match {
+      case (Definition, "definition") => 0.5
+      case (Summary, "summary")       => 0.5
+      case (Procedure, "list")        => 0.3
+      case (Example, "example")       => 0.4
+      case _                          => 0.0
+    }
+    base + (if (i == Summary && headingLevel == 1) 0.2 else 0.0)
+  }
+
+  /** Stability multiplier (vector_store.cpp:443-446). */
+  def stabilityMultiplier(i: Intent): Double = i match {
+    case Definition => 2.0
+    case Procedure  => 1.5
+    case Summary    => 1.0
+    case _          => 0.5
+  }
+}
+
+/** Search configuration (SearchOptions, vector_store.h:82-91). */
+final case class SearchOptions(
+    limit: Int = 5,
+    semanticThreshold: Double = 0.95,
+    deterministic: Boolean = true,
+    experimentalMmr: Boolean = false,
+    enableExploration: Boolean = false,
+    useRerank: Boolean = false)

@@ -1,0 +1,167 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.embed.Embedder
+import graft.functions.F
+import graft.functions.VectorFunctions.cosineSim
+import graft.model.{Intent, ScoredChunk, SearchOptions}
+
+/** The hybrid search orchestrator (SURVEY §3.2): the engine's "SELECT".
+  *
+  * Distributed part (everything until ~depth·2 rows): two independent DAG
+  * branches over the chunk table — semantic (cosine vs broadcast query
+  * vector, TakeOrderedAndProject) and keyword (token-overlap score) — fused
+  * by weighted RRF (K=60) with intent-dependent weights and chunk-type
+  * boosts, trust/recency scoring, and stability bias from the retrieval log.
+  *
+  * Driver part (≤ ~30 rows, exactly where the reference collapses to
+  * in-memory vectors): MMR diversification, exploration injection, caching,
+  * retrieval logging.
+  */
+final class HybridEngine(
+    spark: SparkSession,
+    chunks: DataFrame,
+    opts: SearchOptions = SearchOptions()) {
+
+  import spark.implicits._
+
+  private val cache = new QueryCache[Seq[ScoredChunk]](
+    capacity = 100, semanticThreshold = opts.semanticThreshold,
+    enabled = !opts.deterministic)
+
+  /** Retrieval log (SURVEY §2 A6/D9): append-only, drives stability. */
+  private var logRows = Vector.empty[(String, Int, Boolean)] // (canonQuery, rankDelta, isExploration)
+  private var searchCount = 0L
+  private var entropyEma: Option[Double] = None
+
+  def logRetrieval(query: String, rankDelta: Int, isExploration: Boolean): Unit =
+    logRows :+= ((cache.canonical(query), rankDelta, isExploration))
+
+  /** Rank-stability for a query from its history: 1 − avg|Δrank|/5, clamped
+    * to [0,1], exploration rows excluded (vector_store.cpp:430-439). */
+  def stability(query: String): Double = {
+    val canon = cache.canonical(query)
+    val hist = logRows.filter(r => r._1 == canon && !r._3).map(_._2)
+    if (hist.isEmpty) 0.0
+    else math.max(0.0, math.min(1.0, 1.0 - hist.map(math.abs(_)).sum.toDouble / hist.size / 5.0))
+  }
+
+  def search(query: String, embedder: Embedder, k: Int = 5): Seq[ScoredChunk] = {
+    cache.getExact(query) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+    val qv = embedder.embed(query)
+    cache.getSemantic(qv) match {
+      case Some(hit) => return hit
+      case None =>
+    }
+
+    val intent = Intent.detect(query)
+    val (semW, kwW, factor) = Intent.weights(intent)
+    val depth = factor * k
+
+    val qvLit = typedLit(qv)
+
+    // semantic branch: single scan + top-depth (ids + ranks only; metadata
+    // re-joined once the candidate set is tiny)
+    val sem = chunks
+      .select(col("id"), cosineSim(col("embedding"), qvLit).as("sem_score"))
+      .withColumn("sem_rank", row_number().over(Window.orderBy(col("sem_score").desc, col("id"))))
+      .filter(col("sem_rank") <= depth)
+
+    // keyword branch: query-token overlap count
+    val qToks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    val kw =
+      if (qToks.isEmpty) Seq.empty[(Long, Int, Int)].toDF("id", "kw_score", "kw_rank")
+      else {
+        val toks = F.tokens(col("text_chunk"))
+        val score = qToks.map(t => F.termCount(toks, t)).reduce(_ + _)
+        chunks.select(col("id"), score.as("kw_score"))
+          .filter(col("kw_score") > 0)
+          .withColumn("kw_rank", row_number().over(Window.orderBy(col("kw_score").desc, col("id"))))
+          .filter(col("kw_rank") <= depth)
+      }
+
+    // weighted RRF fusion, K=60 + intent×type boost + trust/recency
+    val stab = stability(query)
+    val stabBias = stab * Intent.stabilityMultiplier(intent) * 0.1
+    val typeBoost = {
+      val base = intent match {
+        case Intent.Definition => when(col("chunk_type") === "definition", 0.5).otherwise(0.0)
+        case Intent.Summary    => when(col("chunk_type") === "summary", 0.5).otherwise(0.0)
+        case Intent.Procedure  => when(col("chunk_type") === "list", 0.3).otherwise(0.0)
+        case Intent.Example    => when(col("chunk_type") === "example", 0.4).otherwise(0.0)
+        case _                 => lit(0.0)
+      }
+      if (intent == Intent.Summary) base + when(col("heading_level") === 1, 0.2).otherwise(0.0)
+      else base
+    }
+    val ageSec = unix_timestamp(current_timestamp()) - unix_timestamp(col("created_at"))
+    val fusedIds = sem.select("id", "sem_rank")
+      .join(kw.select("id", "kw_rank"), Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(semW) / (lit(60.0) + col("sem_rank")), lit(0.0)) +
+        coalesce(lit(kwW) / (lit(60.0) + col("kw_rank")), lit(0.0)))
+    // candidate set is ≤ 2·depth rows — broadcast it back onto the chunk
+    // table once for metadata, then score
+    val fused = chunks
+      .join(broadcast(fusedIds), Seq("id"))
+      .withColumn("trust", F.trustScore(col("boost_factor"), ageSec))
+      .withColumn("score", col("rrf") + typeBoost + lit(stabBias))
+      .orderBy(col("score").desc, col("id"))
+      .limit(depth * 2)
+
+    val collected = fused.collect().toSeq.map { r =>
+      ScoredChunk(
+        id = r.getAs[Long]("id"),
+        docId = Option(r.getAs[String]("doc_id")).getOrElse(""),
+        headingPath = r.getAs[String]("heading_path"),
+        chunkType = Option(r.getAs[String]("chunk_type")).getOrElse("text"),
+        text = Option(r.getAs[String]("text_chunk")).getOrElse(""),
+        score = r.getAs[Double]("score"),
+        semanticRank = Option(r.getAs[Any]("sem_rank")).map(_.toString.toInt).getOrElse(0),
+        keywordRank = Option(r.getAs[Any]("kw_rank")).map(_.toString.toInt).getOrElse(0),
+        trustScore = Option(r.getAs[Any]("trust")).map(_.toString.toDouble).getOrElse(1.0),
+        isExploration = false)
+    }
+
+    // driver-side tail: MMR → exploration → truncate (reference collapses to
+    // memory at the same point, SURVEY §3.2)
+    val diversified =
+      if (opts.experimentalMmr) {
+        val lam = Mmr.lambda(query, intent)
+        val rawEntropy = Mmr.docEntropy(collected)
+        val ent = Mmr.smoothEntropy(entropyEma, rawEntropy, searchCount)
+        entropyEma = Some(ent)
+        Mmr.select(collected, k, lam, ent)
+      } else collected.take(k)
+
+    val withExploration =
+      if (opts.enableExploration)
+        Mmr.injectExploration(diversified, collected.drop(k), stab, intent).take(k)
+      else diversified
+
+    searchCount += 1
+    withExploration.zipWithIndex.foreach { case (c, finalRank) =>
+      val delta = if (c.semanticRank > 0) c.semanticRank - (finalRank + 1) else 0
+      logRetrieval(query, delta, c.isExploration)
+    }
+    cache.put(query, qv, withExploration)
+    withExploration
+  }
+
+  /** Context-window expansion around a hit (SURVEY §2 D13/D14). */
+  def context(chunkId: Long, offset: Int): DataFrame = {
+    val target = chunks.filter(col("id") === chunkId)
+      .select(col("doc_id").as("t_doc"), col("chunk_idx").as("t_idx"))
+    chunks.join(broadcast(target),
+        col("doc_id") === col("t_doc") &&
+        col("chunk_idx").between(col("t_idx") - offset, col("t_idx") + offset))
+      .orderBy(col("chunk_idx"))
+      .select(col("id"), col("doc_id"), col("chunk_idx"), col("text_chunk"))
+  }
+}

