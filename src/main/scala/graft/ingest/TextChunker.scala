@@ -25,6 +25,9 @@ object TextChunker {
     var idx = 0
     val acc = new StringBuilder
     var accSentences = 0
+    // acc content beyond pure overlap-carry: an overlap tail alone must
+    // never be emitted as its own chunk (it would duplicate content)
+    var freshContent = false
 
     def emit(): Unit = {
       val t = acc.toString
@@ -37,6 +40,7 @@ object TextChunker {
       acc.clear()
       acc.append(tail)
       accSentences = 0
+      freshContent = false
     }
 
     sentences.foreach { s =>
@@ -47,6 +51,7 @@ object TextChunker {
         if (acc.nonEmpty) acc.append(' ')
         acc.append(sent.substring(0, math.min(room, sent.length)))
         accSentences += 1
+        freshContent = true
         sent = sent.substring(math.min(room, sent.length))
         emit()
       }
@@ -54,12 +59,15 @@ object TextChunker {
         if (acc.nonEmpty) acc.append(' ')
         acc.append(sent)
         accSentences += 1
+        freshContent = true
       }
       if (acc.length >= p.target) emit()
     }
-    // trailing chunk kept if > minTail chars — or unconditionally when the
-    // whole document is shorter than that (never drop a document entirely)
-    if (acc.toString.trim.length > p.minTail || (idx == 0 && acc.toString.trim.nonEmpty)) emit()
+    // trailing chunk: only if it holds fresh content (not bare overlap),
+    // kept if > minTail chars — or unconditionally when the whole document
+    // produced nothing yet (never drop a document entirely)
+    if (freshContent &&
+        (acc.toString.trim.length > p.minTail || (idx == 0 && acc.toString.trim.nonEmpty))) emit()
     out.result()
   }
 }

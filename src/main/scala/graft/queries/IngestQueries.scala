@@ -96,6 +96,40 @@ object IngestQueries {
         .orderBy("source", "chunk_idx")
     },
 
+    // B2–B8 — layout-aware chunking: synthetic page models built
+    // deterministically from the corpus (each source = one document, each
+    // doc = one page, lines laid out at 14pt pitch with a heading line per
+    // page), run through the full per-document layout pipeline as a flatMap.
+    // Rows-only check; LayoutChunkerSpec pins each heuristic.
+    Q.noOracle("b2_b8_layout_chunk") { (spark, dir) =>
+      import spark.implicits._
+      import graft.ingest.LayoutChunker
+      val docs = table(spark, dir, "documents")
+        .groupBy("source")
+        .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
+        .as[(String, Seq[(Long, String)])]
+      docs.flatMap { case (source, ds) =>
+        val pages = ds.sortBy(_._1).zipWithIndex.map { case ((docId, text), pi) =>
+          // one chapter heading every 5 pages (a heading repeated on every
+          // page would be — correctly — dropped by the B4 noise filter)
+          val heading =
+            if (pi % 5 == 0)
+              Seq(LayoutChunker.Line(s"Chapter ${pi / 5 + 1} $source", 50, 40, 350, 60, 20, 700))
+            else Seq.empty
+          val body = (if (text == null) "" else text).grouped(80).zipWithIndex.map { case (seg, i) =>
+            LayoutChunker.Line(seg, 50, 100 + i * 14.0, 550, 112 + i * 14.0, 12, 400)
+          }.toSeq
+          LayoutChunker.Page(pi + 1, 600, 2000, heading ++ body)
+        }
+        LayoutChunker.chunkDocument(pages).zipWithIndex.map { case (c, i) =>
+          (source, i, c.pageNum, c.headingPath, c.headingLevel, c.chunkType,
+            c.text.length, c.sentenceCount)
+        }
+      }.toDF("source", "chunk_idx", "page_num", "heading_path", "heading_level",
+          "chunk_type", "chunk_len", "sentence_count")
+        .orderBy("source", "chunk_idx")
+    },
+
     // C1 — embedding boundary: deterministic local embedder (dim 64), the
     // hermetic stand-in for the reference's HTTP embedders
     // (gemini_api.cpp:238-273). Rows-only check; unit specs pin values.
