@@ -20,10 +20,12 @@ object TextQueries {
   private val enStops = langStopwords.head._2
 
   private def stopScore(toks: Column, words: Seq[String]): Column =
-    words.map(w => F.termCount(toks, w)).reduce(_ + _)
+    size(filter(toks, t => t.isin(words: _*)))
 
-  private def stopScoreSql(words: Seq[String]): String =
-    words.map(w => s"len(list_filter(toks, t -> t = '$w'))").mkString(" + ")
+  private def stopScoreSql(words: Seq[String]): String = {
+    val inList = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(toks, t -> t IN ($inList)))"
+  }
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 

@@ -70,20 +70,23 @@ final class HybridEngine(
     // re-joined once the candidate set is tiny)
     val sem = chunks
       .select(col("id"), cosineSim(col("embedding"), qvLit).as("sem_score"))
+      // top-depth first (TakeOrderedAndProject — per-partition top-k, no
+      // global-window shuffle); rank the <=depth survivors
+      .orderBy(col("sem_score").desc, col("id"))
+      .limit(depth)
       .withColumn("sem_rank", row_number().over(Window.orderBy(col("sem_score").desc, col("id"))))
-      .filter(col("sem_rank") <= depth)
 
     // keyword branch: query-token overlap count
     val qToks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
     val kw =
       if (qToks.isEmpty) Seq.empty[(Long, Int, Int)].toDF("id", "kw_score", "kw_rank")
       else {
-        val toks = F.tokens(col("text_chunk"))
-        val score = qToks.map(t => F.termCount(toks, t)).reduce(_ + _)
+        val score = size(filter(F.tokens(col("text_chunk")), t => t.isin(qToks: _*)))
         chunks.select(col("id"), score.as("kw_score"))
           .filter(col("kw_score") > 0)
+          .orderBy(col("kw_score").desc, col("id"))
+          .limit(depth)
           .withColumn("kw_rank", row_number().over(Window.orderBy(col("kw_score").desc, col("id"))))
-          .filter(col("kw_rank") <= depth)
       }
 
     // weighted RRF fusion, K=60 + intent×type boost + trust/recency
