@@ -21,7 +21,8 @@ object SparkEntry {
     AnnQueries.all ++
     TextQueries.all ++
     RelationalQueries.all ++
-    EngineQueries.all
+    EngineQueries.all ++
+    PostQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ingest→embed→hybrid-search pipeline. */

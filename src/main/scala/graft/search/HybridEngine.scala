@@ -8,6 +8,7 @@ import graft.embed.Embedder
 import graft.functions.F
 import graft.functions.VectorFunctions.cosineSim
 import graft.model.{Intent, ScoredChunk, SearchOptions}
+import graft.post.{Calibration, LexicalOverlapModel, Reranker, RerankModel}
 
 /** The hybrid search orchestrator (SURVEY §3.2): the engine's "SELECT".
   *
@@ -24,7 +25,8 @@ import graft.model.{Intent, ScoredChunk, SearchOptions}
 final class HybridEngine(
     spark: SparkSession,
     chunks: DataFrame,
-    opts: SearchOptions = SearchOptions()) {
+    opts: SearchOptions = SearchOptions(),
+    rerankModel: RerankModel = LexicalOverlapModel()) {
 
   import spark.implicits._
 
@@ -36,6 +38,12 @@ final class HybridEngine(
   private var logRows = Vector.empty[(String, Int, Boolean)] // (canonQuery, rankDelta, isExploration)
   private var searchCount = 0L
   private var entropyEma: Option[Double] = None
+  private var calibStats = Calibration.initial
+
+  /** Per-stage latency audit of the last search (SURVEY §2 G4,
+    * SearchAudit vector_store.h:72-80). */
+  final case class SearchAudit(embedMs: Double, planMs: Double, execMs: Double)
+  @volatile var lastAudit: SearchAudit = SearchAudit(0, 0, 0)
 
   def logRetrieval(query: String, rankDelta: Int, isExploration: Boolean): Unit =
     logRows :+= ((cache.canonical(query), rankDelta, isExploration))
@@ -54,7 +62,9 @@ final class HybridEngine(
       case Some(hit) => return hit
       case None =>
     }
+    val t0 = System.nanoTime()
     val qv = embedder.embed(query)
+    val tEmbed = System.nanoTime()
     cache.getSemantic(qv) match {
       case Some(hit) => return hit
       case None =>
@@ -118,7 +128,10 @@ final class HybridEngine(
       .orderBy(col("score").desc, col("id"))
       .limit(depth * 2)
 
-    val collected = fused.collect().toSeq.map { r =>
+    val tPlan = System.nanoTime()
+    val collectedRows = fused.collect()
+    val tExec = System.nanoTime()
+    val collected = collectedRows.toSeq.map { r =>
       ScoredChunk(
         id = r.getAs[Long]("id"),
         docId = Option(r.getAs[String]("doc_id")).getOrElse(""),
@@ -148,13 +161,23 @@ final class HybridEngine(
         Mmr.injectExploration(diversified, collected.drop(k), stab, intent).take(k)
       else diversified
 
+    // E1: optional cross-encoder rerank of the final batch (cap 10,
+    // 500-char texts), scores calibrated (E2) with frozen-model guard (E3)
+    val reranked =
+      if (opts.useRerank) {
+        val res = Reranker.rerank(query, withExploration, k, rerankModel, calibStats)
+        calibStats = res.stats
+        res.reranked
+      } else withExploration
+
     searchCount += 1
-    withExploration.zipWithIndex.foreach { case (c, finalRank) =>
+    reranked.zipWithIndex.foreach { case (c, finalRank) =>
       val delta = if (c.semanticRank > 0) c.semanticRank - (finalRank + 1) else 0
       logRetrieval(query, delta, c.isExploration)
     }
-    cache.put(query, qv, withExploration)
-    withExploration
+    cache.put(query, qv, reranked)
+    lastAudit = SearchAudit((tEmbed - t0) / 1e6, (tPlan - tEmbed) / 1e6, (tExec - tPlan) / 1e6)
+    reranked
   }
 
   /** Context-window expansion around a hit (SURVEY §2 D13/D14). */

@@ -1,0 +1,129 @@
+package graft.store
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Workspace layout + auxiliary sinks (SURVEY §2 A4–A8, D20, D21).
+  *
+  * A workspace = a directory holding the chunk table, the retrieval log,
+  * and a metadata KV sidecar — the Spark analog of the reference's
+  * one-sqlite-file-per-workspace layout (mainwindow.cpp:936-952). At
+  * cluster scale the root becomes a bucket/catalog prefix; the layout and
+  * operations are unchanged.
+  */
+final class Workspace(val spark: SparkSession, val root: String) {
+
+  private def p(parts: String*): String = (root +: parts).mkString("/")
+
+  // ---- A8: workspace scan/switch
+
+  def chunksPath: String = p("chunks")
+  def logPath: String = p("retrieval_logs")
+  private def metaPath: Path = Paths.get(root, "workspace_metadata.json")
+
+  // ---- A3: chunk sink
+
+  def writeChunks(chunks: DataFrame): Unit = {
+    // first write registers the embedding dimension (vector_store.cpp:186-189)
+    val dim = registeredDim match {
+      case Some(d) => d
+      case None =>
+        val d = chunks.select(size(col("embedding"))).head().getInt(0)
+        setMeta("model_dim", d.toString)
+        d
+    }
+    val bad = ChunkStore.checkDim(chunks, dim)
+    require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
+    ChunkStore.write(chunks, chunksPath)
+  }
+
+  def readChunks(): DataFrame = spark.read.parquet(chunksPath)
+
+  // ---- A6: retrieval-log sink (append-only observability table)
+
+  def appendLog(rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).parquet(logPath)
+
+  def readLog(): DataFrame = spark.read.parquet(logPath)
+
+  // ---- A7: metadata KV (JSON sidecar — the workspace_metadata table)
+
+  def setMeta(key: String, value: String): Unit = {
+    val m = allMeta + (key -> value)
+    val json = m.toSeq.sortBy(_._1)
+      .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
+      .mkString("{", ", ", "}")
+    Files.createDirectories(metaPath.getParent)
+    Files.write(metaPath, json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def getMeta(key: String): Option[String] = allMeta.get(key)
+
+  def registeredDim: Option[Int] = getMeta("model_dim").map(_.toInt)
+
+  private def esc(s: String): String = s.replace("\\", "\\\\").replace("\"", "\\\"")
+
+  private def allMeta: Map[String, String] =
+    if (!Files.exists(metaPath)) Map.empty
+    else {
+      val json = new String(Files.readAllBytes(metaPath), StandardCharsets.UTF_8)
+      """"((?:[^"\\]|\\.)*)"\s*:\s*"((?:[^"\\]|\\.)*)"""".r
+        .findAllMatchIn(json)
+        .map(m => unesc(m.group(1)) -> unesc(m.group(2)))
+        .toMap
+    }
+
+  private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
+
+  // ---- A4: CSV export (vector_store.cpp:657-671)
+
+  def exportCsv(path: String): Unit =
+    readChunks()
+      .select(col("id"), col("source_file"), col("text_chunk"))
+      .coalesce(1)
+      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  // ---- A5: matrix export (texts + N×D float matrix, export_for_training.py)
+
+  def exportMatrix(path: String): Unit =
+    readChunks()
+      .select(col("id"), col("text_chunk"), col("embedding"))
+      .write.mode(SaveMode.Overwrite).parquet(path)
+
+  // ---- D20: warmup; D21: count/clear
+
+  def warmup(): Long = readChunks().cache().count()
+
+  def count(): Long = readChunks().count()
+
+  def clear(): Unit = {
+    def rm(dir: Path): Unit =
+      if (Files.exists(dir))
+        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    rm(Paths.get(chunksPath))
+    // dropping the table also drops the dimension registration
+    if (Files.exists(metaPath)) {
+      val m = allMeta - "model_dim"
+      Files.delete(metaPath)
+      m.foreach { case (k, v) => setMeta(k, v) }
+    }
+  }
+}
+
+object Workspace {
+  /** A8: discover workspaces = subdirectories holding a chunks table. */
+  def discover(spark: SparkSession, appRoot: String): Seq[String] = {
+    val root = Paths.get(appRoot)
+    if (!Files.exists(root)) return Seq.empty
+    Files.list(root).iterator().asScala
+      .filter(d => Files.isDirectory(d) && Files.exists(d.resolve("chunks")))
+      .map(_.getFileName.toString).toSeq.sorted
+  }
+
+  def open(spark: SparkSession, appRoot: String, name: String): Workspace =
+    new Workspace(spark, s"$appRoot/$name")
+}
