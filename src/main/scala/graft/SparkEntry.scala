@@ -22,7 +22,8 @@ object SparkEntry {
     TextQueries.all ++
     RelationalQueries.all ++
     EngineQueries.all ++
-    PostQueries.all
+    PostQueries.all ++
+    StreamMultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ingest→embed→hybrid-search pipeline. */

@@ -1,0 +1,87 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.embed.HashNgramEmbedder
+import graft.multimodal.Multimodal
+import graft.streaming.StreamingIngest
+
+/** Structured Streaming + multimodal operator queries. Streaming queries
+  * run bounded (Trigger.AvailableNow into a memory sink) so the driver's
+  * batch harness can hash-check them like any other query. */
+object StreamMultimodalQueries {
+
+  private val embedder = HashNgramEmbedder(dim = 64)
+
+  val all: Seq[Q] = Seq(
+
+    // Streaming ingest: file-source documents → chunk+embed → append.
+    // Same transform as the batch path; rows-only (chunker not in SQL).
+    Q.noOracle("stream_ingest") { (spark, dir) =>
+      val out = StreamingIngest.runToMemory(spark,
+        StreamingIngest.chunkStream(spark, StreamingIngest.stageAsDir(s"$dir/documents.parquet"), embedder),
+        s"stream_ingest_${System.nanoTime()}")
+      out.select(col("doc_id"), col("chunk_idx"), length(col("text_chunk")).as("len"),
+          size(col("embedding")).as("dim"))
+        .orderBy(col("doc_id").cast("long"), col("chunk_idx"))
+        .limit(1000)
+    },
+
+    // Streaming windowed aggregation with watermark — checked against the
+    // same aggregate computed by DuckDB in batch (bounded stream ≡ batch).
+    Q("stream_window_agg",
+      """SELECT date_trunc('hour', ts) AS win, event_type, count(*) AS n
+        |FROM events GROUP BY win, event_type
+        |ORDER BY win, event_type""".stripMargin) { (spark, dir) =>
+      // complete mode: a bounded run must emit ALL windows (append would
+      // withhold windows newer than the final watermark)
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.windowedEventCounts(spark, StreamingIngest.stageAsDir(s"$dir/events.parquet")),
+        s"stream_win_${System.nanoTime()}", outputMode = "complete")
+        .select(col("win"), col("event_type"), col("n"))
+        .orderBy("win", "event_type")
+    },
+
+    // Multimodal: partition-local feature extraction (decode stubbed; the
+    // batch shape and fixed-dim output contract are the real test).
+    Q.noOracle("mm_feature_extract") { (spark, dir) =>
+      val media = Multimodal.asMediaTable(table(spark, dir, "documents"))
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), size(col("features")).as("n_features"),
+          round(expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 4).as("l1"))
+        .orderBy("media_id")
+        .limit(1000)
+    },
+
+    // Multimodal frame sampling: byte-window signatures — exact oracle via
+    // string substr (ASCII corpus: byte and char offsets coincide).
+    Q("mm_frame_sample",
+      """SELECT doc_id AS media_id, i - 1 AS frame_idx,
+        |       md5(substr(text, ((i - 1) * 16 + 1)::INT, 32)) AS frame_sig
+        |FROM documents, unnest(range(1, greatest((length(text) - 31 + 15) // 16, 0) + 1)) AS u(i)
+        |WHERE doc_id % 10 = 0
+        |ORDER BY media_id, frame_idx LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val media = Multimodal.asMediaTable(
+        table(spark, dir, "documents").filter(col("doc_id") % 10 === 0))
+      Multimodal.sampleFrames(media, frameBytes = 32, stride = 16)
+        .select(col("media_id"), (col("frame_idx")).as("frame_idx"), col("frame_sig"))
+        .orderBy("media_id", "frame_idx")
+        .limit(1000)
+    },
+
+    // Multimodal resize metadata math (codec-free part of the resize op).
+    Q("mm_resize_meta",
+      """SELECT doc_id AS media_id,
+        |       ((doc_id % 640) + 1)::INT AS meta_width,
+        |       ((doc_id % 480) + 1)::INT AS meta_height,
+        |       CAST(ceil(((doc_id % 640) + 1) * least(256.0 / ((doc_id % 640) + 1), 256.0 / ((doc_id % 480) + 1), 1.0)) AS INT) AS resized_width,
+        |       CAST(ceil(((doc_id % 480) + 1) * least(256.0 / ((doc_id % 640) + 1), 256.0 / ((doc_id % 480) + 1), 1.0)) AS INT) AS resized_height
+        |FROM documents ORDER BY media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      Multimodal.resizeMeta(Multimodal.asMediaTable(table(spark, dir, "documents")), 256)
+        .select(col("media_id"), col("meta_width"), col("meta_height"),
+          col("resized_width"), col("resized_height"))
+        .orderBy("media_id")
+        .limit(1000)
+    }
+  )
+}
