@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Little-endian float32 BLOB ↔ `array<float>` decoding — the reference's
+  * on-disk vector format (vector_store.cpp:673-685; verified against
+  * export_for_training.py:27 `np.frombuffer(blob, dtype=np.float32)` and
+  * the shipped vectors.db artifact: 3072-dim → 12,288-byte blobs).
+  * Lets the engine ingest legacy stores and any float32-packed binary
+  * column (multimodal embeddings in payload form).
+  */
+case class Float32Decode(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "float32_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"float32_decode expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val n = bytes.length / 4
+    val out = new Array[Float](n)
+    val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { out(i) = buf.getFloat(i * 4); i += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val out = ctx.freshName("out"); val buf = ctx.freshName("buf")
+      s"""
+        |int $n = $b.length / 4;
+        |float[] $out = new float[$n];
+        |java.nio.ByteBuffer $buf = java.nio.ByteBuffer.wrap($b)
+        |  .order(java.nio.ByteOrder.LITTLE_ENDIAN);
+        |for (int $i = 0; $i < $n; $i++) { $out[$i] = $buf.getFloat($i * 4); }
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Inverse: `array<float>` → little-endian float32 blob (the A5 export
+  * format). Interpreted eval only (cold path: export, not scans). */
+case class Float32Encode(child: Expression) extends UnaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "float32_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"float32_encode expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    val buf = java.nio.ByteBuffer.allocate(n * 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var i = 0
+    while (i < n) { buf.putFloat(i * 4, arr.getFloat(i)); i += 1 }
+    buf.array()
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object BlobFunctions {
+  def float32Decode(c: Column): Column =
+    ColumnBridge.column(Float32Decode(ColumnBridge.expression(c)))
+  def float32Encode(c: Column): Column =
+    ColumnBridge.column(Float32Encode(ColumnBridge.expression(c.cast(ArrayType(FloatType)))))
+}

@@ -1,0 +1,71 @@
+package graft.ingest
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document-file source (SURVEY §2 A1): `binaryFile` scan over a directory
+  * of documents → pluggable page extraction → the layout pipeline — one row
+  * per chunk, parallel across files.
+  *
+  * The reference drives PDFium per character (pdf_processor.cpp:88-95);
+  * a JVM deployment plugs a PDF library into [[PageExtractor]] (this
+  * container ships none, so the default extractor handles plain text:
+  * form-feed-separated pages, newline-separated lines at a 14pt pitch).
+  * Everything downstream of the extractor — noise filtering, headings,
+  * typing, chunking — is the real, tested pipeline.
+  */
+trait PageExtractor extends Serializable {
+  def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page]
+}
+
+/** Plain-text extractor: pages split on form-feed, lines on newline. */
+final case class TextPageExtractor(pageWidth: Double = 600, pageHeight: Double = 800)
+    extends PageExtractor {
+  override def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page] = {
+    val text = new String(content, java.nio.charset.StandardCharsets.UTF_8)
+    text.split("\f").toSeq.zipWithIndex.map { case (pageText, pi) =>
+      val lines = pageText.split("\n").toSeq.zipWithIndex.collect {
+        case (l, li) if l.nonEmpty =>
+          LayoutChunker.Line(l, 50, 50 + li * 14.0, 550, 62 + li * 14.0, 12, 400)
+      }
+      LayoutChunker.Page(pi + 1, pageWidth, pageHeight, lines)
+    }
+  }
+}
+
+object PdfSource {
+
+  /** Scan a directory of document files and run the full ingest pipeline:
+    * one task per file, `Seq[LayoutChunk]` out (the Generator/UDTF role). */
+  def extractChunks(spark: SparkSession, dir: String, glob: String = "*",
+                    extractor: PageExtractor = TextPageExtractor()): DataFrame = {
+    import spark.implicits._
+    val ex = extractor
+    val files = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(col("path"), col("content"), col("length"))
+      .as[(String, Array[Byte], Long)]
+    files.flatMap { case (path, content, length) =>
+      val name = path.substring(path.lastIndexOf('/') + 1)
+      val docId = DocId.generate(name, length)
+      LayoutChunker.chunkDocument(ex.extract(path, content)).zipWithIndex.map {
+        case (c, i) =>
+          (docId, name, i, c.pageNum, c.text, c.headingPath, c.headingLevel,
+            c.chunkType, c.sentenceCount, c.listType, c.listLength)
+      }
+    }.toDF("doc_id", "source_file", "chunk_idx", "page_num", "text_chunk",
+      "heading_path", "heading_level", "chunk_type", "sentence_count",
+      "list_type", "list_length")
+  }
+}
+
+/** Doc identity (SURVEY §2 B10): md5(filename + "_" + filesize),
+  * pdf_processor.cpp:409-416. */
+object DocId {
+  def generate(fileName: String, fileSize: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(s"${fileName}_$fileSize".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+}

@@ -91,7 +91,10 @@ final class HybridEngine(
     val kw =
       if (qToks.isEmpty) Seq.empty[(Long, Int, Int)].toDF("id", "kw_score", "kw_rank")
       else {
-        val score = size(filter(F.tokens(col("text_chunk")), t => t.isin(qToks: _*)))
+        // heading words are keyword-searchable: the FTS mirror indexes
+        // "[CONTEXT: heading] text" (vector_store.cpp:195-201)
+        val indexed = concat_ws(" ", coalesce(col("heading_path"), lit("")), col("text_chunk"))
+        val score = size(filter(F.tokens(indexed), t => t.isin(qToks: _*)))
         chunks.select(col("id"), score.as("kw_score"))
           .filter(col("kw_score") > 0)
           .orderBy(col("kw_score").desc, col("id"))
