@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm}
+
+/** SparkSessionExtensions registration: makes the engine's Catalyst
+  * expressions available to any session (including pure-SQL users) via
+  * `spark.sql.extensions=graft.GraftExtensions` — the supported extension
+  * point, no temp-function setup needed.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((FunctionIdentifier("cosine_sim"),
+      info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - dot product of two float arrays"),
+      (es: Seq[Expression]) => DotProduct(es.head, es(1))))
+    e.injectFunction((FunctionIdentifier("l2_norm"),
+      info("l2_norm", "l2_norm(a) - L2 norm of a float array"),
+      (es: Seq[Expression]) => L2Norm(es.head)))
+    e.injectFunction((FunctionIdentifier("float32_decode"),
+      info("float32_decode", "float32_decode(blob) - little-endian float32 blob to array<float>"),
+      (es: Seq[Expression]) => Float32Decode(es.head)))
+    e.injectFunction((FunctionIdentifier("float32_encode"),
+      info("float32_encode", "float32_encode(arr) - array<float> to little-endian float32 blob"),
+      (es: Seq[Expression]) => Float32Encode(es.head)))
+  }
+}

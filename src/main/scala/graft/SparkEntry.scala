@@ -23,7 +23,8 @@ object SparkEntry {
     RelationalQueries.all ++
     EngineQueries.all ++
     PostQueries.all ++
-    StreamMultimodalQueries.all
+    StreamMultimodalQueries.all ++
+    ScaleQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the full ingest→embed→hybrid-search pipeline. */
@@ -41,10 +42,12 @@ object SparkEntry {
 
   /** Headline subset timed by [[Bench]] (the rest still run in Verify). */
   def benchQueries: Seq[String] = Seq(
-    "d2_knn_topk", "d4_keyword_search", "d7_rrf_fusion", "d13_context_window",
-    "ann_bruteforce_topk", "ann_lsh_bucketed",
+    "d2_knn_topk", "d4_keyword_search", "d4_posting_search", "d7_rrf_fusion",
+    "d13_context_window",
+    "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_cells",
     "dedup_exact", "dedup_minhash_lsh", "dedup_embedding_cosine",
     "text_quality_score", "text_langid",
-    "q1_pricing_summary", "q3_topk_revenue_join", "b12_section_concat")
+    "q1_pricing_summary", "q3_topk_revenue_join", "q_salted_skew_agg",
+    "b12_section_concat")
     .filter(queries.contains)
 }

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.store.TokenIndex
+
+/** Specs for the scale-path modules: posting-list index, extensions
+  * registration, salted aggregation equivalence. */
+class ScaleOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("token index: postings equal the scan-side term frequencies (D4 parity)") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta alpha"), (2L, "beta gamma"), (3L, "delta")).toDF("doc_id", "text")
+    val postings = TokenIndex.build(docs, "doc_id", "text")
+    val got = postings.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("alpha", 1L, 2L), ("beta", 1L, 1L), ("beta", 2L, 1L),
+      ("gamma", 2L, 1L), ("delta", 3L, 1L)))
+    val hits = TokenIndex.search(postings, Seq("alpha", "beta"), 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((1L, 3L), (2L, 1L))) // doc1: 2+1, doc2: 1
+  }
+
+  test("token index write: partitioned by token bucket for pruning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(50)
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-").toString + "/postings"
+    TokenIndex.write(TokenIndex.build(docs, "doc_id", "text"), dir, buckets = 8)
+    val back = spark.read.parquet(dir)
+    assert(back.select("token_bucket").distinct().count() <= 8)
+    // pruned read: one bucket touches a subset of files
+    assert(back.filter(col("token_bucket") === 0).count() < back.count())
+  }
+
+  test("GraftExtensions registers SQL-callable expressions") {
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    val reg = org.apache.spark.sql.graft.ColumnBridge.registerExtensions(
+      ext, FunctionRegistry.builtin.clone())
+    for (fn <- Seq("cosine_sim", "dot_product", "l2_norm", "float32_decode", "float32_encode"))
+      assert(reg.functionExists(FunctionIdentifier(fn)), fn)
+    // build + eval cosine through the registered builder
+    val b = reg.lookupFunctionBuilder(FunctionIdentifier("cosine_sim")).get
+    val e = b(Seq(
+      Literal.create(Array(1.0f, 0.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      Literal.create(Array(1.0f, 0.0f), org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType))))
+    assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
+  }
+
+  test("salted two-phase aggregation equals direct groupBy") {
+    val ev = graft.queries.events(spark, sf)
+    val direct = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = graft.queries.ScaleQueries.all.find(_.name == "q_salted_skew_agg").get
+      .fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(direct == salted)
+  }
+}
