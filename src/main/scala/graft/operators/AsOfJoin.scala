@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join: for each left row, the most recent right row with
+  * `rightTs <= leftTs` on the same key.
+  *
+  * Spark-first composition (preference order (a) of the builder contract):
+  * tag and union both sides, sort within key by (ts, right-first), carry
+  * the right payload forward with `last(_, ignoreNulls)`, keep left rows.
+  * Cost = ONE shuffle of (key, ts) — identical to a sort-merge join's
+  * exchange, with no range-explosion; skew behaves like any keyed window.
+  * This beats a generic range join (O(n·m) per key) and needs no custom
+  * physical operator.
+  */
+object AsOfJoin {
+
+  /** @param payloadCols right-side columns to carry onto each left row
+    *                    (null when no right row precedes the left row). */
+  def join(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String,
+           payloadCols: Seq[String], tieBreak: Option[String] = None): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val payload = payloadCols.map(c => s"__asof_$c")
+
+    val taggedLeft = payload.foldLeft(
+      left.withColumn("__asof_ts", col(leftTs)).withColumn("__asof_is_right", lit(0))
+    ) { case (df, p) => df.withColumn(p, lit(null).cast(right.schema(p.stripPrefix("__asof_")).dataType)) }
+
+    val taggedRight = {
+      val base = right
+        .withColumn("__asof_ts", col(rightTs))
+        .withColumn("__asof_is_right", lit(1))
+      val withPayload = payloadCols.foldLeft(base) {
+        case (df, c) => df.withColumn(s"__asof_$c", col(c))
+      }
+      // align to the left schema: null out left-only columns
+      val aligned = leftCols.foldLeft(withPayload) {
+        case (df, c) if !withPayload.columns.contains(c) =>
+          df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+        case (df, _) => df
+      }
+      aligned.select((leftCols ++ Seq("__asof_ts", "__asof_is_right") ++ payload).map(col): _*)
+    }
+
+    val unioned = taggedLeft
+      .select((leftCols ++ Seq("__asof_ts", "__asof_is_right") ++ payload).map(col): _*)
+      .unionByName(taggedRight)
+
+    // right rows sort BEFORE left rows at equal ts (inclusive <=); a
+    // deterministic tie-break orders duplicate right timestamps
+    val orderCols = Seq(col("__asof_ts").asc, col("__asof_is_right").desc) ++
+      tieBreak.map(c => col(c).asc).toSeq
+    val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+
+    val carried = payload.foldLeft(unioned) {
+      case (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
+    }
+
+    val renamed = payloadCols.foldLeft(carried.filter(col("__asof_is_right") === 0)) {
+      case (df, c) => df.withColumnRenamed(s"__asof_$c", s"asof_$c")
+    }
+    renamed.drop("__asof_ts", "__asof_is_right")
+  }
+}

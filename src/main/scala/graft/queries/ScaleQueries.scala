@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.VectorFunctions.cosineSim
+import graft.functions.VectorFunctions.{cosineSim, dotProduct, l2Norm}
+import graft.operators.AsOfJoin
 import graft.store.TokenIndex
 
 /** Scale-path variants: posting-list keyword search, IVF ANN, salted skew
@@ -102,6 +103,117 @@ object ScaleQueries {
         .agg(sum(col("pn")).as("n"),
           round(sum(col("pv")) / 100.0, 2).as("total"))
         .orderBy("user_id")
+    },
+
+    // KNN on precomputed norms: cosine degrades to dot/(norm·qnorm) — the
+    // stored-norm layout cuts the per-row kernel from 3 FMAs/element to 1
+    // (SURVEY §4 item 3). Bit-identical to the fused cosine.
+    Q("d2b_knn_precomputed_norm",
+      """WITH q AS (SELECT embedding AS qv,
+        |                  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS qn
+        |           FROM embeddings WHERE vec_id = 0)
+        |SELECT e.vec_id AS vec_id,
+        |       round(list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[]) /
+        |             (sqrt(list_aggregate(list_transform(e.embedding::DOUBLE[], x -> x*x), 'sum')) * q.qn), 6) AS score
+        |FROM embeddings e CROSS JOIN q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+        .withColumn("nrm", l2Norm(col("embedding")))
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qv"), col("nrm").as("qn"))
+      e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          round(dotProduct(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(10)
+    },
+
+    // As-of join (events enriched with the latest preceding signup value
+    // per user) — one shuffle of (key, ts), no range explosion; oracle is
+    // DuckDB's native ASOF LEFT JOIN.
+    Q("q_asof_join",
+      """WITH s AS (SELECT user_id, ts, value FROM events WHERE event_type = 'signup')
+        |SELECT e.event_id, s.value AS asof_value
+        |FROM events e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+        |ORDER BY e.event_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+      val right = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("value"))
+      AsOfJoin.join(ev, right, "user_id", "ts", "ts", Seq("value"), tieBreak = Some("event_id"))
+        .select(col("event_id"), col("asof_value"))
+        .orderBy("event_id")
+        .limit(1000)
+    },
+
+    // Sessionization: 30-minute-gap session ids via lag + running sum —
+    // the canonical event-pipeline shape (keyed window, one shuffle).
+    Q("q_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+        |                   OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ms,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |      FROM x)
+        |SELECT user_id, session_id, count(*) AS n, max(ms) - min(ms) AS dur_ms
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ms"), col("event_id"))
+      val x = events(spark, dir)
+        .withColumn("ms", unix_millis(col("ts")))
+        .withColumn("brk",
+          when(col("ms") - lag(col("ms"), 1).over(w) > 1800000 ||
+               lag(col("ms"), 1).over(w).isNull, 1).otherwise(0))
+      x.withColumn("session_id",
+          sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n"), (max(col("ms")) - min(col("ms"))).as("dur_ms"))
+        .orderBy("user_id", "session_id")
+    },
+
+    // Rollup: hierarchical aggregates in one pass.
+    Q("q_rollup",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(asc_nulls_first("l_returnflag"), asc_nulls_first("l_linestatus"))
+    },
+
+    // Exact interpolated quantiles (both engines: linear interpolation over
+    // the sorted set).
+    Q("q_quantiles",
+      """SELECT event_type,
+        |       round(quantile_cont(value::DOUBLE, 0.5), 4) AS p50,
+        |       round(quantile_cont(value::DOUBLE, 0.9), 4) AS p90,
+        |       round(quantile_cont(value::DOUBLE, 0.99), 4) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.9)"), 4).as("p90"),
+          round(expr("percentile(value, 0.99)"), 4).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // Sketch aggregates: HLL distinct-count with its exact reference and
+    // relative error (rows-only — the sketch is engine-specific by nature).
+    Q.noOracle("q_approx_distinct") { (spark, dir) =>
+      events(spark, dir)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("exact"),
+          approx_count_distinct(col("user_id"), 0.02).as("approx"))
+        .withColumn("rel_err_pct",
+          round(abs(col("approx") - col("exact")) * 100.0 / col("exact"), 2))
+        .orderBy("event_type")
     }
   )
 }
