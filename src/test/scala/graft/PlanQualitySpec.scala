@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape regression tests: the scale properties claimed in README
+  * ("candidate generation never shuffles the fact table", "small sides are
+  * broadcast", "filters reach the scan") asserted against the actual
+  * physical plans, so a future edit that silently degrades a plan fails CI.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final physical plan with AQE off — deterministic shape for assertions
+    * (AQE re-plans at runtime but starts from this plan). */
+  private def plan(name: String): String = {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+    finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("d2 KNN: no shuffle exchange — scan + broadcast + TakeOrderedAndProject") {
+    val p = plan("d2_knn_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("d2 KNN: filter pushed to parquet scan") {
+    val p = plan("d2_knn_topk")
+    assert(p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0))]") ||
+      p.contains("PushedFilters: [IsNotNull(vec_id), Not(EqualTo(vec_id,0"), p)
+  }
+
+  test("d4 keyword scan: single pass, no shuffle, top-k") {
+    val p = plan("d4_keyword_search")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    // the single-pass rewrite: one regexp per operator (filter/project/sort
+    // key), NOT one per term — 3 terms would inline 9+ under the old shape
+    val regexCount = "regexp_extract_all".r.findAllIn(p).size
+    assert(regexCount <= 3, s"regex inlined $regexCount times:\n$p")
+  }
+
+  test("q5 dimension join: part side broadcast, no shuffle join") {
+    val p = plan("q5_broadcast_brand_agg")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("column pruning: d2 reads only vec_id + embedding") {
+    val p = plan("d2_knn_topk")
+    assert(p.contains("ReadSchema: struct<vec_id:bigint,embedding:array<float>>"), p)
+  }
+
+  test("semi/anti joins plan as broadcast semi/anti") {
+    assert(plan("q_semi_join").contains("LeftSemi"), plan("q_semi_join"))
+    assert(plan("q_anti_join").contains("LeftAnti"), plan("q_anti_join"))
+  }
+
+  test("dedup exact: partial aggregation before the exchange (map-side combine)") {
+    val p = plan("dedup_exact")
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
+  }
+
+  test("whole-stage codegen covers the cosine kernel (no UDF break)") {
+    val p = plan("d2_knn_topk")
+    // compact tree format marks codegen stages with *(n); the scoring
+    // Project must be inside one
+    assert(p.contains("*(2) Project") || p.contains("*(1) Project"), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+}
