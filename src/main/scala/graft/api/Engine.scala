@@ -1,0 +1,111 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.embed.{Embedder, HashNgramEmbedder}
+import graft.feedback.BoostLedger
+import graft.model.{ScoredChunk, SearchOptions}
+import graft.post.{Calibration, DeepDive, ExtractiveSummaryModel, LexicalOverlapModel, RerankModel, SummaryModel, Summarizer, SynthesisModel, LeadSentenceSynthesis}
+import graft.search.{HybridEngine, LatencyPolicy}
+import graft.store.{ChunkStore, Workspace}
+
+/** The engine facade — the user-visible surface mirroring the reference's
+  * `VectorStore` + `GeminiApi` + driver flow (SURVEY §7.1 `api/`): a user
+  * of the reference maps each call 1:1.
+  *
+  * | reference                              | here                     |
+  * |----------------------------------------|--------------------------|
+  * | select PDFs → extract → embed → insert | [[index]]                |
+  * | hybridSearch(query, opts)              | [[search]]               |
+  * | per-section summaries indexed back     | [[summarizeSections]]    |
+  * | Deep Dive claim synthesis              | [[deepDive]]             |
+  * | result click → boost                   | [[recordClick]]          |
+  * | getContext / context peek              | [[context]]              |
+  * | workspace switch                       | [[Engine.open]]          |
+  * | exportToCsv / training export          | workspace.exportCsv/Matrix |
+  */
+final class Engine(
+    val spark: SparkSession,
+    val workspace: Workspace,
+    val embedder: Embedder = HashNgramEmbedder(dim = 64),
+    opts: SearchOptions = SearchOptions(),
+    rerankModel: RerankModel = LexicalOverlapModel(),
+    summaryModel: SummaryModel = ExtractiveSummaryModel(),
+    synthesisModel: SynthesisModel = LeadSentenceSynthesis()) {
+
+  private val latency = new LatencyPolicy()
+  private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
+  private var hybrid: Option[HybridEngine] = None
+
+  private def engine(): HybridEngine = hybrid.getOrElse {
+    val chunks = BoostLedger.withBoost(
+      workspace.readChunks().drop("boost_factor"), ledger, "id").cache()
+    val e = new HybridEngine(spark, chunks, opts, rerankModel)
+    hybrid = Some(e)
+    e
+  }
+
+  private def invalidate(): Unit = { hybrid = None }
+
+  /** Ingest a documents table into the workspace chunk store (A3+B+C1). */
+  def index(docs: DataFrame): Long = {
+    workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
+    invalidate()
+    workspace.count()
+  }
+
+  /** E1–E4: calibration stats persisted per-model in workspace metadata
+    * (mainwindow.cpp:499-503). */
+  def loadCalibration(modelSig: String): Calibration.Stats =
+    workspace.getMeta(s"calib_$modelSig") match {
+      case Some(s) =>
+        val parts = s.split(",")
+        Calibration.Stats(parts(0).toDouble, parts(1).toDouble, parts(2).toLong)
+      case None => Calibration.initial
+    }
+
+  def saveCalibration(modelSig: String, stats: Calibration.Stats): Unit =
+    workspace.setMeta(s"calib_$modelSig", s"${stats.mean},${stats.std},${stats.n}")
+
+  /** The hybrid SELECT with latency-adaptive depth (D17): measured search
+    * time feeds the EMA; high latency shrinks the candidate depth on the
+    * next query. */
+  def search(query: String, k: Int = opts.limit): Seq[ScoredChunk] = {
+    val t0 = System.nanoTime()
+    val out = engine().search(query, embedder, k)
+    latency.record((System.nanoTime() - t0) / 1e6)
+    out
+  }
+
+  def latencyEmaMs: Double = latency.emaMs
+
+  /** F1/F2: click boosting with exploration quarantine; boosts take effect
+    * on the next engine build (immutable-store ledger design). */
+  def recordClick(chunkId: Long, query: String, isExploration: Boolean = false): Unit = {
+    ledger = BoostLedger.append(ledger, Seq(BoostLedger.Click(chunkId, query, isExploration)))
+    invalidate()
+  }
+
+  /** D13/F3: neighboring chunks of a hit. */
+  def context(chunkId: Long, offset: Int = 1): DataFrame =
+    engine().context(chunkId, offset)
+
+  /** C4: summaries indexed back into the store as summary chunks. */
+  def summarizeSections(): Long = {
+    val rows = Summarizer.summaryRows(workspace.readChunks(), summaryModel, embedder)
+    val n = rows.count()
+    invalidate()
+    n
+  }
+
+  /** E5–E8: deep-dive claim synthesis over the top results. */
+  def deepDive(query: String): Seq[DeepDive.DeepDiveClaim] =
+    DeepDive.run(engine(), query, embedder, synthesisModel)
+}
+
+object Engine {
+  /** A8: open (or switch to) a workspace by name. */
+  def open(spark: SparkSession, appRoot: String, name: String,
+           opts: SearchOptions = SearchOptions()): Engine =
+    new Engine(spark, Workspace.open(spark, appRoot, name), opts = opts)
+}
