@@ -138,6 +138,27 @@ object DedupQueries {
         .limit(50)
     },
 
+    // End-to-end dedup grouping: blocked candidates → Jaccard-verified
+    // edges → connected components by min-label propagation (the exact
+    // component minimum; oracle = recursive-CTE transitive closure).
+    Q("dedup_pipeline_components",
+      """WITH RECURSIVE
+        |d AS (SELECT doc_id, lang, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS s
+        |      FROM documents WHERE doc_id % 4 = 0),
+        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
+        |      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
+        |      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
+        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM d
+        |  UNION
+        |  SELECT e.b, reach.r FROM reach, e WHERE e.a = reach.id)
+        |SELECT id AS doc_id, min(r) AS component
+        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      graft.dedup.DedupPipeline.components(table(spark, dir, "documents"))
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup: pair scan blocked by label + sampling;
     // the native codegen cosine keeps the kernel in WholeStageCodegen.
     Q("dedup_embedding_cosine",
