@@ -53,6 +53,39 @@ object TextQueries {
         .limit(1000)
     },
 
+    // Language ID, char-trigram variant: count occurrences of each
+    // language's characteristic trigrams (the n-gram-profile heuristic;
+    // profiles are tiny so the op is a scan-local regex count).
+    Q("text_langid_ngram", {
+      val profiles = Seq(
+        "en" -> Seq("the", "ing", "and"),
+        "de" -> Seq("der", "sch", "ein"),
+        "es" -> Seq("que", "cio", "ado"))
+      val scores = profiles.map { case (l, gs) =>
+        val re = gs.mkString("|")
+        s"len(regexp_extract_all(lower(text), '($re)')) AS ng_$l"
+      }.mkString(", ")
+      s"""WITH s AS (SELECT doc_id, $scores FROM documents)
+         |SELECT doc_id, ng_en, ng_de, ng_es,
+         |       CASE WHEN ng_en >= ng_de AND ng_en >= ng_es THEN 'en'
+         |            WHEN ng_de >= ng_es THEN 'de' ELSE 'es' END AS predicted
+         |FROM s ORDER BY doc_id LIMIT 1000""".stripMargin
+    }) { (spark, dir) =>
+      val profiles = Seq(
+        "en" -> Seq("the", "ing", "and"),
+        "de" -> Seq("der", "sch", "ein"),
+        "es" -> Seq("que", "cio", "ado"))
+      val s = profiles.foldLeft(table(spark, dir, "documents")) { case (df, (l, gs)) =>
+        df.withColumn(s"ng_$l",
+          size(regexp_extract_all(lower(col("text")), lit(s"(${gs.mkString("|")})"), lit(0))).cast("long"))
+      }
+      s.select(col("doc_id"), col("ng_en"), col("ng_de"), col("ng_es"),
+          when(col("ng_en") >= col("ng_de") && col("ng_en") >= col("ng_es"), "en")
+            .when(col("ng_de") >= col("ng_es"), "de").otherwise("es").as("predicted"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // Quality scoring: length / punctuation / stopword / word-length mix.
     Q("text_quality_score",
       s"""WITH t AS (
