@@ -54,10 +54,19 @@ object RelationalQueries {
       val c = table(spark, dir, "customer")
       val o = table(spark, dir, "orders")
       val l = table(spark, dir, "lineitem")
-      c.join(o, o("o_custkey") === c("c_custkey"))
-        .join(l, l("l_orderkey") === o("o_orderkey"))
-        .groupBy(col("o_orderkey"), col("c_mktsegment"))
-        .agg(round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0, 4).as("revenue"))
+      // pre-aggregate the fact table BEFORE the join: the join input drops
+      // from |lineitem| rows to |orders| groups (the o_orderkey grouping
+      // commutes with the 1:1 orders/customer joins), and the dimension
+      // sides broadcast
+      val rev = l.groupBy(col("l_orderkey"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")).as("rev_i"))
+      rev
+        .join(broadcast(o.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_mktsegment"),
+          round(col("rev_i") / 10000.0, 4).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     },
