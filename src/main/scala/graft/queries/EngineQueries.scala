@@ -19,14 +19,21 @@ object EngineQueries {
 
   private val embedder = HashNgramEmbedder(dim = 64)
 
-  private def chunksFor(spark: SparkSession, dir: String): DataFrame =
-    ChunkStore.buildChunks(table(spark, dir, "documents"), embedder)
+  // one embedded chunk table per (session, sfdir) across all engine
+  // queries — Verify runs 7 of them; re-embedding the corpus each time
+  // would 7x the ingest cost for identical data
+  private val chunkCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[queries] def chunksFor(spark: SparkSession, dir: String): DataFrame =
+    chunkCache.getOrElseUpdate((spark, dir),
+      ChunkStore.buildChunks(table(spark, dir, "documents"), embedder).cache())
 
   /** Full pipeline: chunk + embed + hybrid search, fixed query set. */
   def hybridSearch(spark: SparkSession, dir: String,
                    mmr: Boolean = false, exploration: Boolean = false): DataFrame = {
     import spark.implicits._
-    val engine = new HybridEngine(spark, chunksFor(spark, dir).cache(),
+    val engine = new HybridEngine(spark, chunksFor(spark, dir),
       SearchOptions(experimentalMmr = mmr, enableExploration = exploration))
     val queries = Seq(
       "what is a merge window",
@@ -56,7 +63,7 @@ object EngineQueries {
     // stability 0 so probes appear only after repeated identical queries).
     Q.noOracle("d11_exploration") { (spark, dir) =>
       import spark.implicits._
-      val engine = new HybridEngine(spark, chunksFor(spark, dir).cache(),
+      val engine = new HybridEngine(spark, chunksFor(spark, dir),
         SearchOptions(enableExploration = true))
       val q = "example of a vector batch"
       // repeat the query to build a stable history, then observe injection
@@ -69,7 +76,7 @@ object EngineQueries {
     // D14 — context-window expansion around a hit (self-join on
     // (doc_id, chunk_idx) range; broadcast target).
     Q.noOracle("d14_context_expand") { (spark, dir) =>
-      val engine = new HybridEngine(spark, chunksFor(spark, dir).cache())
+      val engine = new HybridEngine(spark, chunksFor(spark, dir))
       val top = engine.search("what is a merge window", embedder, 1)
       engine.context(top.head.id, offset = 2)
     },

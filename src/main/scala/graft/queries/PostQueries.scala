@@ -22,7 +22,7 @@ object PostQueries {
     // (E3). Rows-only: the scorer runs driver-side on ≤10 rows.
     Q.noOracle("e1_rerank") { (spark, dir) =>
       import spark.implicits._
-      val chunks = ChunkStore.buildChunks(table(spark, dir, "documents"), embedder).cache()
+      val chunks = EngineQueries.chunksFor(spark, dir)
       val engine = new HybridEngine(spark, chunks, SearchOptions(useRerank = true))
       val q = "merge window hash partition"
       engine.search(q, embedder, 5).zipWithIndex.map { case (c, i) =>
@@ -33,7 +33,7 @@ object PostQueries {
     // C4 — section summarization re-indexed as chunk_type='summary' rows
     // (extractive stand-in model; same pipeline shape as the LLM path).
     Q.noOracle("c4_summarize_sections") { (spark, dir) =>
-      val chunks = ChunkStore.buildChunks(table(spark, dir, "documents"), embedder)
+      val chunks = EngineQueries.chunksFor(spark, dir)
       Summarizer.summaryRows(chunks, ExtractiveSummaryModel(), embedder)
         .select(col("doc_id"), col("heading_path"), col("chunk_type"),
           col("heading_level"), length(col("summary")).as("summary_len"),
@@ -46,7 +46,7 @@ object PostQueries {
     // with validated sources and confidence.
     Q.noOracle("e8_deep_dive") { (spark, dir) =>
       import spark.implicits._
-      val chunks = ChunkStore.buildChunks(table(spark, dir, "documents"), embedder).cache()
+      val chunks = EngineQueries.chunksFor(spark, dir)
       val engine = new HybridEngine(spark, chunks)
       DeepDive.run(engine, "what is a merge window", embedder).zipWithIndex.map {
         case (c, i) =>
@@ -105,7 +105,7 @@ object PostQueries {
     // G4 — per-stage latency audit of a live search (engine metrics).
     Q.noOracle("g4_latency_audit") { (spark, dir) =>
       import spark.implicits._
-      val chunks = ChunkStore.buildChunks(table(spark, dir, "documents"), embedder).cache()
+      val chunks = EngineQueries.chunksFor(spark, dir)
       val engine = new HybridEngine(spark, chunks)
       engine.search("what is a merge window", embedder, 5)
       val a = engine.lastAudit

@@ -203,6 +203,25 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
+    // SQL interface: the same KNN through spark.sql with the extension-
+    // registered cosine_sim — SQL users are first-class (same oracle as d2).
+    Q("sql_interface_knn",
+      """SELECT e.vec_id AS vec_id,
+        |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qv::DOUBLE[]), 6) AS score
+        |FROM embeddings e CROSS JOIN (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |WHERE e.vec_id <> 0
+        |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (spark, dir) =>
+      graft.functions.VectorFunctions.register(spark)
+      table(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      spark.sql(
+        """SELECT e.vec_id AS vec_id,
+          |       round(cosine_sim(e.embedding, q.qv), 6) AS score
+          |FROM graft_embeddings e
+          |CROSS JOIN (SELECT embedding AS qv FROM graft_embeddings WHERE vec_id = 0) q
+          |WHERE e.vec_id <> 0
+          |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
+    },
+
     // Sketch aggregates: HLL distinct-count with its exact reference and
     // relative error (rows-only — the sketch is engine-specific by nature).
     Q.noOracle("q_approx_distinct") { (spark, dir) =>

@@ -72,6 +72,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("no query ever plans a CartesianProduct (unbounded pair blowup)") {
+    // BroadcastNestedLoopJoin with a tiny build side is fine (query vectors);
+    // a true CartesianProduct of two large sides is never acceptable
+    val oracleBacked = SparkEntry.oracleSql.keySet
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      oracleBacked.toSeq.sorted.foreach { name =>
+        val p = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"), s"$name plans a CartesianProduct:\n$p")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("whole-stage codegen covers the cosine kernel (no UDF break)") {
     val p = plan("d2_knn_topk")
     // compact tree format marks codegen stages with *(n); the scoring
