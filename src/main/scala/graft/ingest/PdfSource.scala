@@ -60,6 +60,19 @@ object PdfSource {
   }
 }
 
+/** Cloud OCR fallback (SURVEY §2 A2): ship the whole document payload to a
+  * vision model and get text back (gemini_api.cpp:275-314). The transport
+  * is injected like the embedder's; a deployment posts
+  * base64(payload) to `generateContent` with the extraction prompt. Used as
+  * the extractor of last resort when the local parse yields nothing. */
+final case class CloudOcrExtractor(
+    transport: Array[Byte] => String,
+    pageWidth: Double = 600, pageHeight: Double = 800) extends PageExtractor {
+  override def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page] =
+    TextPageExtractor(pageWidth, pageHeight)
+      .extract(path, transport(content).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
+
 /** Doc identity (SURVEY §2 B10): md5(filename + "_" + filesize),
   * pdf_processor.cpp:409-416. */
 object DocId {
