@@ -143,6 +143,31 @@ object TextQueries {
         .limit(1000)
     },
 
+    // Vocabulary building: corpus-wide token frequencies, top-k — the
+    // explode+groupBy shape every tokenizer-training pipeline starts from.
+    Q("text_vocab_topk",
+      """SELECT t AS token, count(*) AS n
+        |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents)
+        |GROUP BY t ORDER BY n DESC, token LIMIT 30""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(explode(F.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30)
+    },
+
+    // Length histogram: document-size distribution in 100-char buckets
+    // (the quality-filter tuning view of a training corpus).
+    Q("text_length_histogram",
+      """SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n
+        |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "documents")
+        .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")
+    },
+
     // Document fingerprinting: min-hash of strided character 8-grams
     // (rolling-hash winnowing, simplified to stride-4 sampling).
     Q("text_fingerprint",
