@@ -72,7 +72,9 @@ final class Engine(
     * next query. */
   def search(query: String, k: Int = opts.limit): Seq[ScoredChunk] = {
     val t0 = System.nanoTime()
-    val out = engine().search(query, embedder, k)
+    // D17: under sustained high latency the overfetch factor caps at 3
+    val out = engine().search(query, embedder, k,
+      maxDepthFactor = latency.depthFactor(Int.MaxValue))
     latency.record((System.nanoTime() - t0) / 1e6)
     out
   }

@@ -57,7 +57,11 @@ final class HybridEngine(
     else math.max(0.0, math.min(1.0, 1.0 - hist.map(math.abs(_)).sum.toDouble / hist.size / 5.0))
   }
 
-  def search(query: String, embedder: Embedder, k: Int = 5): Seq[ScoredChunk] = {
+  /** @param maxDepthFactor D17 degradation hook: caps the intent overfetch
+    *        factor (the facade passes LatencyPolicy.depthFactor under high
+    *        latency, vector_store.cpp:334-337). */
+  def search(query: String, embedder: Embedder, k: Int = 5,
+             maxDepthFactor: Int = Int.MaxValue): Seq[ScoredChunk] = {
     cache.getExact(query) match {
       case Some(hit) => return hit
       case None =>
@@ -72,7 +76,7 @@ final class HybridEngine(
 
     val intent = Intent.detect(query)
     val (semW, kwW, factor) = Intent.weights(intent)
-    val depth = factor * k
+    val depth = math.min(factor, maxDepthFactor) * k
 
     val qvLit = typedLit(qv)
 

@@ -33,6 +33,16 @@ class BucketingSpec extends AnyFunSuite {
     val chunks = ChunkStore.buildChunks(docs, HashNgramEmbedder(dim = 16))
       .select("id", "doc_id", "chunk_idx", "text_chunk")
 
+    // a prior JVM's table location may survive without catalog metadata —
+    // clear both before writing
+    spark.sql("DROP TABLE IF EXISTS chunks_bucketed")
+    val wh = java.nio.file.Paths.get(
+      spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), "chunks_bucketed")
+    if (java.nio.file.Files.exists(wh)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(wh).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
     chunks.write.mode("overwrite")
       .bucketBy(8, "doc_id")
       .sortBy("doc_id", "chunk_idx")
