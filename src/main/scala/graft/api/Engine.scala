@@ -37,15 +37,24 @@ final class Engine(
   private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
   private var hybrid: Option[HybridEngine] = None
 
+  private var cachedChunks: Option[DataFrame] = None
+
   private def engine(): HybridEngine = hybrid.getOrElse {
     val chunks = BoostLedger.withBoost(
       workspace.readChunks().drop("boost_factor"), ledger, "id").cache()
+    cachedChunks = Some(chunks)
     val e = new HybridEngine(spark, chunks, opts, rerankModel)
     hybrid = Some(e)
     e
   }
 
-  private def invalidate(): Unit = { hybrid = None }
+  /** Drops the engine AND unpersists its cached chunk table (a rebuild
+    * would otherwise leak one pinned copy per click/index cycle). */
+  private def invalidate(): Unit = {
+    hybrid = None
+    cachedChunks.foreach(_.unpersist())
+    cachedChunks = None
+  }
 
   /** Ingest a documents table into the workspace chunk store (A3+B+C1). */
   def index(docs: DataFrame): Long = {
@@ -92,10 +101,28 @@ final class Engine(
   def context(chunkId: Long, offset: Int = 1): DataFrame =
     engine().context(chunkId, offset)
 
-  /** C4: summaries indexed back into the store as summary chunks. */
+  /** C4: summaries indexed back into the store as summary chunks
+    * (mainwindow.cpp:783-802: re-embedded, chunk_type='summary', level 1). */
   def summarizeSections(): Long = {
-    val rows = Summarizer.summaryRows(workspace.readChunks(), summaryModel, embedder)
-    val n = rows.count()
+    import org.apache.spark.sql.functions._
+    val chunks = workspace.readChunks()
+    val rows = Summarizer.summaryRows(chunks, summaryModel, embedder)
+    val maxIdx = 999999L // summary rows take the top of the per-doc id range
+    val asChunks = rows.select(
+      (col("doc_id").cast("long") * 1000000L + maxIdx).as("id"),
+      col("doc_id"),
+      col("heading_path").as("source_file"),
+      lit(maxIdx.toInt).as("chunk_idx"),
+      col("summary").as("text_chunk"),
+      col("embedding"), col("model_sig"), col("model_dim"),
+      lit(1).as("sentence_count"), lit(0).as("page_num"),
+      col("heading_path"), col("heading_level"), col("chunk_type"),
+      lit(null).cast("string").as("list_type"), lit(0).as("list_length"),
+      lit(1.0f).as("boost_factor"),
+      to_timestamp(lit("2024-01-01 00:00:00")).as("created_at"))
+    val n = asChunks.count()
+    val unioned = chunks.unionByName(asChunks.select(chunks.columns.map(col): _*))
+    workspace.writeChunks(unioned)
     invalidate()
     n
   }

@@ -18,7 +18,9 @@ import org.apache.spark.sql.functions._
 object AsOfJoin {
 
   /** @param payloadCols right-side columns to carry onto each left row
-    *                    (null when no right row precedes the left row). */
+    *                    (null when no right row precedes the left row).
+    * @param tieBreak right-side column ordering duplicate (key, ts) right
+    *                 rows deterministically (the LAST by this order wins). */
   def join(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            payloadCols: Seq[String], tieBreak: Option[String] = None): DataFrame = {
@@ -34,6 +36,7 @@ object AsOfJoin {
       val base = right
         .withColumn("__asof_ts", col(rightTs))
         .withColumn("__asof_is_right", lit(1))
+        .withColumn("__asof_tb", tieBreak.map(col).getOrElse(lit(0)))
       val withPayload = payloadCols.foldLeft(base) {
         case (df, c) => df.withColumn(s"__asof_$c", col(c))
       }
@@ -43,17 +46,20 @@ object AsOfJoin {
           df.withColumn(c, lit(null).cast(left.schema(c).dataType))
         case (df, _) => df
       }
-      aligned.select((leftCols ++ Seq("__asof_ts", "__asof_is_right") ++ payload).map(col): _*)
+      aligned.select((leftCols ++ Seq("__asof_ts", "__asof_is_right", "__asof_tb") ++ payload).map(col): _*)
     }
 
     val unioned = taggedLeft
-      .select((leftCols ++ Seq("__asof_ts", "__asof_is_right") ++ payload).map(col): _*)
+      .withColumn("__asof_tb", lit(null).cast(
+        tieBreak.map(c => right.schema(c).dataType).getOrElse(org.apache.spark.sql.types.IntegerType)))
+      .select((leftCols ++ Seq("__asof_ts", "__asof_is_right", "__asof_tb") ++ payload).map(col): _*)
       .unionByName(taggedRight)
 
-    // right rows sort BEFORE left rows at equal ts (inclusive <=); a
-    // deterministic tie-break orders duplicate right timestamps
-    val orderCols = Seq(col("__asof_ts").asc, col("__asof_is_right").desc) ++
-      tieBreak.map(c => col(c).asc).toSeq
+    // right rows sort BEFORE left rows at equal ts (inclusive <=); the
+    // tie-break is a RIGHT-side column (null on left rows) so duplicate
+    // right timestamps carry deterministically — last by tie-break wins
+    val orderCols = Seq(col("__asof_ts").asc, col("__asof_is_right").desc,
+      col("__asof_tb").asc_nulls_first)
     val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
@@ -64,6 +70,6 @@ object AsOfJoin {
     val renamed = payloadCols.foldLeft(carried.filter(col("__asof_is_right") === 0)) {
       case (df, c) => df.withColumnRenamed(s"__asof_$c", s"asof_$c")
     }
-    renamed.drop("__asof_ts", "__asof_is_right")
+    renamed.drop("__asof_ts", "__asof_is_right", "__asof_tb")
   }
 }

@@ -31,7 +31,7 @@ object IngestQueries {
         |GROUP BY sig HAVING count(*) > 5
         |ORDER BY n DESC, sig LIMIT 100""".stripMargin) { (spark, dir) =>
       table(spark, dir, "documents")
-        .select(element_at(F.tokens(col("text")), 1).as("sig"))
+        .select(expr("try_element_at(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 1)").as("sig"))
         .groupBy("sig")
         .agg(count(lit(1)).as("n"))
         .filter(col("n") > 5)

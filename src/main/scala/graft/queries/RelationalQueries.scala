@@ -157,13 +157,13 @@ object RelationalQueries {
     // JSON/scalar extraction from the props payload.
     Q("q_json_extract",
       """SELECT event_type,
-        |       round(avg(regexp_extract(props, '([0-9]+)', 1)::BIGINT), 6) AS avg_k,
+        |       round(avg(TRY_CAST(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)), 6) AS avg_k,
         |       count(*) AS n
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
       events(spark, dir)
         .groupBy(col("event_type"))
         .agg(
-          round(avg(regexp_extract(col("props"), "([0-9]+)", 1).cast("long")), 6).as("avg_k"),
+          round(avg(expr("try_cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)")), 6).as("avg_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
     }

@@ -139,8 +139,10 @@ object ScaleQueries {
         |FROM events e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
         |ORDER BY e.event_id LIMIT 1000""".stripMargin) { (spark, dir) =>
       val ev = events(spark, dir)
+      // event_id rides along as the right-side tie-break for duplicate
+      // (user, ts) signups (deterministic: highest event_id wins)
       val right = ev.filter(col("event_type") === "signup")
-        .select(col("user_id"), col("ts"), col("value"))
+        .select(col("user_id"), col("ts"), col("value"), col("event_id"))
       AsOfJoin.join(ev, right, "user_id", "ts", "ts", Seq("value"), tieBreak = Some("event_id"))
         .select(col("event_id"), col("asof_value"))
         .orderBy("event_id")

@@ -58,7 +58,7 @@ object StreamMultimodalQueries {
     Q("mm_frame_sample",
       """SELECT doc_id AS media_id, i - 1 AS frame_idx,
         |       md5(substr(text, ((i - 1) * 16 + 1)::INT, 32)) AS frame_sig
-        |FROM documents, unnest(range(1, greatest((length(text) - 31 + 15) // 16, 0) + 1)) AS u(i)
+        |FROM documents, unnest(range(1, (greatest(length(text) - 31, 1) + 15) // 16 + 1)) AS u(i)
         |WHERE doc_id % 10 = 0
         |ORDER BY media_id, frame_idx LIMIT 1000""".stripMargin) { (spark, dir) =>
       val media = Multimodal.asMediaTable(

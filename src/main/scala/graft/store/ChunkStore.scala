@@ -28,7 +28,11 @@ object ChunkStore {
       .as[(Long, String, String)]
       .flatMap { case (docId, text, source) =>
         TextChunker.chunk(if (text == null) "" else text).map { c =>
-          (docId * 10000L + c.chunkIdx, docId.toString, source, c.chunkIdx,
+          // id = docId·10⁶ + idx: collision-free up to 10⁶ chunks/doc
+          // (~640 MB of text) and 9.2·10¹² docs; (doc_id, chunk_idx)
+          // remains the primary composite identity
+          require(c.chunkIdx < 1000000, s"doc $docId exceeds 1e6 chunks")
+          (docId * 1000000L + c.chunkIdx, docId.toString, source, c.chunkIdx,
             c.text, emb.embed(c.text), emb.modelSig, emb.dim, c.sentenceCount)
         }
       }
