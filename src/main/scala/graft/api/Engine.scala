@@ -121,8 +121,7 @@ final class Engine(
       lit(1.0f).as("boost_factor"),
       to_timestamp(lit("2024-01-01 00:00:00")).as("created_at"))
     val n = asChunks.count()
-    val unioned = chunks.unionByName(asChunks.select(chunks.columns.map(col): _*))
-    workspace.writeChunks(unioned)
+    workspace.appendChunks(asChunks.select(chunks.columns.map(col): _*))
     invalidate()
     n
   }

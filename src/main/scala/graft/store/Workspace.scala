@@ -43,6 +43,18 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def readChunks(): DataFrame = spark.read.parquet(chunksPath)
 
+  /** Append rows to the chunk table (same guardrail; no overwrite, so a
+    * plan derived from the current table can safely feed it — the C4
+    * summary re-index path). */
+  def appendChunks(chunks: DataFrame): Unit = {
+    val dim = registeredDim.getOrElse(
+      chunks.select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0))
+    val bad = ChunkStore.checkDim(chunks, dim)
+    require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
+    chunks.write.mode(SaveMode.Append).parquet(chunksPath)
+  }
+
   // ---- A6: retrieval-log sink (append-only observability table)
 
   def appendLog(rows: DataFrame): Unit =

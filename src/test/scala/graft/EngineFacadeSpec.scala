@@ -48,6 +48,24 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.latencyEmaMs > 0)
   }
 
+  test("summarizeSections writes summary chunks back into the store (C4)") {
+    val root = Files.createTempDirectory("graft-sum-").toString
+    val engine = Engine.open(spark, root, "main")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    val before = engine.index(docs)
+    // baseline: the synthetic corpus already carries some summary-typed chunks
+    val preExisting = engine.workspace.readChunks()
+      .filter(org.apache.spark.sql.functions.col("chunk_type") === "summary").count()
+    val added = engine.summarizeSections()
+    assert(added > 0)
+    val after = engine.workspace.count()
+    assert(after == before + added)
+    val summaries = engine.workspace.readChunks()
+      .filter(org.apache.spark.sql.functions.col("chunk_type") === "summary")
+    assert(summaries.count() == preExisting + added)
+    assert(engine.search("summary of the merge window").nonEmpty)
+  }
+
   test("calibration persistence roundtrip (E4)") {
     val root = Files.createTempDirectory("graft-cal-").toString
     val engine = Engine.open(spark, root, "ws")
