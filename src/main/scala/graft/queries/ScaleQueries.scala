@@ -205,6 +205,57 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
+    // Embedding quantization to int8: per-vector symmetric scale
+    // (127/max|v|), floor quantization — the 4x storage compression step of
+    // a 100 TB vector corpus. Deterministic floor keeps both engines exact.
+    Q("embed_quantize_int8",
+      """WITH q AS (
+        |  SELECT vec_id,
+        |         127.0 / greatest(list_aggregate(list_transform(embedding::DOUBLE[], x -> abs(x)), 'max'), 1e-12) AS scale,
+        |         embedding
+        |  FROM embeddings)
+        |SELECT vec_id,
+        |       round(scale, 4) AS scale_r,
+        |       md5(array_to_string(list_transform(embedding::DOUBLE[], x -> CAST(floor(x * scale) AS BIGINT)::VARCHAR), ',')) AS q_md5
+        |FROM q ORDER BY vec_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val scale = lit(127.0) / greatest(
+        array_max(transform(col("embedding").cast("array<double>"), x => abs(x))), lit(1e-12))
+      table(spark, dir, "embeddings")
+        .withColumn("scale", scale)
+        .select(col("vec_id"),
+          round(col("scale"), 4).as("scale_r"),
+          md5(concat_ws(",",
+            transform(col("embedding").cast("array<double>"),
+              x => floor(x * col("scale")).cast("long").cast("string")))).as("q_md5"))
+        .orderBy("vec_id")
+        .limit(1000)
+    },
+
+    // Random-projection dimensionality reduction: 16 corpus-drawn
+    // projection rows, reduced vector = dots against each (the ANN
+    // preprocessing step; projection rows broadcast, one scan).
+    Q("embed_random_projection",
+      s"""WITH h AS (SELECT vec_id - 32 AS hid, embedding AS he FROM embeddings
+         |           WHERE vec_id BETWEEN 32 AND 47),
+         |d AS (SELECT e.vec_id, h.hid,
+         |             CAST(round(list_dot_product(e.embedding::DOUBLE[], h.he::DOUBLE[]) * 1000000, 0) AS BIGINT) AS dp_micro
+         |      FROM embeddings e CROSS JOIN h)
+         |SELECT vec_id, string_agg(dp_micro::VARCHAR, ',' ORDER BY hid) AS reduced_micro
+         |FROM d GROUP BY vec_id ORDER BY vec_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val h = e.filter(col("vec_id").between(32, 47))
+        .select((col("vec_id") - 32).as("hid"), col("embedding").as("he"))
+      e.crossJoin(broadcast(h))
+        .select(col("vec_id"), col("hid"),
+          round(dotProduct(col("embedding"), col("he")) * 1e6, 0).cast("long").as("dp_micro"))
+        .groupBy("vec_id")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(struct(col("hid"), col("dp_micro")))),
+            p => p.getField("dp_micro").cast("string"))).as("reduced_micro"))
+        .orderBy("vec_id")
+        .limit(1000)
+    },
+
     // SQL interface: the same KNN through spark.sql with the extension-
     // registered cosine_sim — SQL users are first-class (same oracle as d2).
     Q("sql_interface_knn",
