@@ -36,29 +36,52 @@ final class Engine(
   private val latency = new LatencyPolicy()
   private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
   private var hybrid: Option[HybridEngine] = None
-
   private var cachedChunks: Option[DataFrame] = None
+  // state carried across engine rebuilds (the reference persists these in
+  // sqlite: retrieval_logs + calibration metadata)
+  private var carriedLog: Vector[(String, Int, Boolean)] = Vector.empty
+  private var carriedCalib: Calibration.Stats = Calibration.initial
+  private var calibLoaded = false
 
   private def engine(): HybridEngine = hybrid.getOrElse {
+    if (!calibLoaded) { carriedCalib = loadCalibration("rerank"); calibLoaded = true }
     val chunks = BoostLedger.withBoost(
       workspace.readChunks().drop("boost_factor"), ledger, "id").cache()
     cachedChunks = Some(chunks)
-    val e = new HybridEngine(spark, chunks, opts, rerankModel)
+    val e = new HybridEngine(spark, chunks, opts, rerankModel,
+      initialLog = carriedLog, initialCalib = carriedCalib)
     hybrid = Some(e)
     e
   }
 
-  /** Drops the engine AND unpersists its cached chunk table (a rebuild
-    * would otherwise leak one pinned copy per click/index cycle). */
+  /** Drops the engine, carrying its retrieval-log + calibration state into
+    * the next build (A6/E4 persistence), and unpersists the cached chunk
+    * table (a rebuild would otherwise leak one pinned copy per cycle). */
   private def invalidate(): Unit = {
+    hybrid.foreach { e =>
+      carriedLog = e.logSnapshot
+      carriedCalib = e.calibSnapshot
+      saveCalibration("rerank", carriedCalib)
+    }
     hybrid = None
     cachedChunks.foreach(_.unpersist())
     cachedChunks = None
   }
 
+  /** A6: flush the in-memory retrieval log to the workspace's append-only
+    * parquet log table. */
+  def flushRetrievalLog(): Long = {
+    import spark.implicits._
+    val rows = hybrid.map(_.logSnapshot).getOrElse(carriedLog)
+    if (rows.nonEmpty)
+      workspace.appendLog(rows.toDF("query", "rank_delta", "is_exploration"))
+    rows.size.toLong
+  }
+
   /** Ingest a documents table into the workspace chunk store (A3+B+C1). */
   def index(docs: DataFrame): Long = {
     workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
+    workspace.setMeta("summaries_indexed", "false")
     invalidate()
     workspace.count()
   }
@@ -81,9 +104,15 @@ final class Engine(
     * next query. */
   def search(query: String, k: Int = opts.limit): Seq[ScoredChunk] = {
     val t0 = System.nanoTime()
-    // D17: under sustained high latency the overfetch factor caps at 3
+    // D17 policy: >1500ms EMA caps overfetch at 3x; >4000ms bypasses the
+    // vector branch entirely (FTS-only, flat 0.5) — Summary intent exempt
+    // from the bypass (vector_store.cpp:321-337)
+    val isSummary = graft.model.Intent.detect(query) == graft.model.Intent.Summary
+    val decision = latency.decide(isSummary)
+    val depthCap = if (decision == latency.Normal) Int.MaxValue else 3
+    val kwOnly = decision == latency.KeywordOnly
     val out = engine().search(query, embedder, k,
-      maxDepthFactor = latency.depthFactor(Int.MaxValue))
+      maxDepthFactor = depthCap, keywordOnly = kwOnly)
     latency.record((System.nanoTime() - t0) / 1e6)
     out
   }
@@ -105,14 +134,22 @@ final class Engine(
     * (mainwindow.cpp:783-802: re-embedded, chunk_type='summary', level 1). */
   def summarizeSections(): Long = {
     import org.apache.spark.sql.functions._
-    val chunks = workspace.readChunks()
+    if (workspace.getMeta("summaries_indexed").contains("true")) return 0L
+    // summaries never feed summaries (a second pass over an already-
+    // summarized store would re-derive and duplicate them)
+    val chunks = workspace.readChunks().filter(col("chunk_type") =!= "summary")
     val rows = Summarizer.summaryRows(chunks, summaryModel, embedder)
-    val maxIdx = 999999L // summary rows take the top of the per-doc id range
-    val asChunks = rows.select(
-      (col("doc_id").cast("long") * 1000000L + maxIdx).as("id"),
+    // summary rows occupy the reserved 999xxx band of the per-doc id range,
+    // one slot per heading (ordinal within doc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("heading_path"))
+    val withIdx = rows.withColumn("sum_idx",
+      lit(999000) + org.apache.spark.sql.functions.row_number().over(w) - 1)
+    val asChunks = withIdx.select(
+      (ChunkStore.docKeyCol(col("doc_id")) * 1000000L + col("sum_idx")).as("id"),
       col("doc_id"),
       col("heading_path").as("source_file"),
-      lit(maxIdx.toInt).as("chunk_idx"),
+      col("sum_idx").as("chunk_idx"),
       col("summary").as("text_chunk"),
       col("embedding"), col("model_sig"), col("model_dim"),
       lit(1).as("sentence_count"), lit(0).as("page_num"),
@@ -122,6 +159,7 @@ final class Engine(
       to_timestamp(lit("2024-01-01 00:00:00")).as("created_at"))
     val n = asChunks.count()
     workspace.appendChunks(asChunks.select(chunks.columns.map(col): _*))
+    workspace.setMeta("summaries_indexed", "true")
     invalidate()
     n
   }

@@ -35,6 +35,7 @@ final case class ScoredChunk(
     chunkType: String,
     text: String,
     score: Double,
+    semScore: Double, // raw cosine — the D11 exploration gate operates on this
     semanticRank: Int,
     keywordRank: Int,
     trustScore: Double,

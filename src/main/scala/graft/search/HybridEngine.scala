@@ -26,7 +26,9 @@ final class HybridEngine(
     spark: SparkSession,
     chunks: DataFrame,
     opts: SearchOptions = SearchOptions(),
-    rerankModel: RerankModel = LexicalOverlapModel()) {
+    rerankModel: RerankModel = LexicalOverlapModel(),
+    initialLog: Vector[(String, Int, Boolean)] = Vector.empty,
+    initialCalib: Calibration.Stats = Calibration.initial) {
 
   import spark.implicits._
 
@@ -35,10 +37,16 @@ final class HybridEngine(
     enabled = !opts.deterministic)
 
   /** Retrieval log (SURVEY §2 A6/D9): append-only, drives stability. */
-  private var logRows = Vector.empty[(String, Int, Boolean)] // (canonQuery, rankDelta, isExploration)
+  private var logRows = initialLog // (canonQuery, rankDelta, isExploration)
   private var searchCount = 0L
   private var entropyEma: Option[Double] = None
-  private var calibStats = Calibration.initial
+  private var calibStats = initialCalib
+
+  /** Snapshots for carrying state across engine rebuilds (the facade
+    * re-seeds a new instance after click/index invalidation — the analog
+    * of the reference's persistent retrieval_logs + calibration rows). */
+  def logSnapshot: Vector[(String, Int, Boolean)] = logRows
+  def calibSnapshot: Calibration.Stats = calibStats
 
   /** Per-stage latency audit of the last search (SURVEY §2 G4,
     * SearchAudit vector_store.h:72-80). */
@@ -49,19 +57,24 @@ final class HybridEngine(
     logRows :+= ((cache.canonical(query), rankDelta, isExploration))
 
   /** Rank-stability for a query from its history: 1 − avg|Δrank|/5, clamped
-    * to [0,1], exploration rows excluded (vector_store.cpp:430-439). */
+    * to [0,1], exploration rows excluded. A query with NO history is fully
+    * stable (1.0) — the reference's AVG over an empty log is NULL→0, giving
+    * 1 − 0/5 = 1 (vector_store.cpp:430-439). */
   def stability(query: String): Double = {
     val canon = cache.canonical(query)
     val hist = logRows.filter(r => r._1 == canon && !r._3).map(_._2)
-    if (hist.isEmpty) 0.0
+    if (hist.isEmpty) 1.0
     else math.max(0.0, math.min(1.0, 1.0 - hist.map(math.abs(_)).sum.toDouble / hist.size / 5.0))
   }
 
   /** @param maxDepthFactor D17 degradation hook: caps the intent overfetch
     *        factor (the facade passes LatencyPolicy.depthFactor under high
-    *        latency, vector_store.cpp:334-337). */
+    *        latency, vector_store.cpp:334-337).
+    * @param keywordOnly D17 critical bypass: skip the vector branch, flat
+    *        0.5 base scores (vector_store.cpp:324-332). */
   def search(query: String, embedder: Embedder, k: Int = 5,
-             maxDepthFactor: Int = Int.MaxValue): Seq[ScoredChunk] = {
+             maxDepthFactor: Int = Int.MaxValue,
+             keywordOnly: Boolean = false): Seq[ScoredChunk] = {
     cache.getExact(query) match {
       case Some(hit) => return hit
       case None =>
@@ -81,14 +94,17 @@ final class HybridEngine(
     val qvLit = typedLit(qv)
 
     // semantic branch: single scan + top-depth (ids + ranks only; metadata
-    // re-joined once the candidate set is tiny)
-    val sem = chunks
-      .select(col("id"), cosineSim(col("embedding"), qvLit).as("sem_score"))
-      // top-depth first (TakeOrderedAndProject — per-partition top-k, no
-      // global-window shuffle); rank the <=depth survivors
-      .orderBy(col("sem_score").desc, col("id"))
-      .limit(depth)
-      .withColumn("sem_rank", row_number().over(Window.orderBy(col("sem_score").desc, col("id"))))
+    // re-joined once the candidate set is tiny); empty under the D17
+    // critical bypass
+    val sem =
+      if (keywordOnly) Seq.empty[(Long, Double, Int)].toDF("id", "sem_score", "sem_rank")
+      else chunks
+        .select(col("id"), cosineSim(col("embedding"), qvLit).as("sem_score"))
+        // top-depth first (TakeOrderedAndProject — per-partition top-k, no
+        // global-window shuffle); rank the <=depth survivors
+        .orderBy(col("sem_score").desc, col("id"))
+        .limit(depth)
+        .withColumn("sem_rank", row_number().over(Window.orderBy(col("sem_score").desc, col("id"))))
 
     // keyword branch: query-token overlap count
     val qToks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
@@ -121,11 +137,12 @@ final class HybridEngine(
       else base
     }
     val ageSec = unix_timestamp(current_timestamp()) - unix_timestamp(col("created_at"))
-    val fusedIds = sem.select("id", "sem_rank")
+    val fusedIds = sem.select("id", "sem_score", "sem_rank")
       .join(kw.select("id", "kw_rank"), Seq("id"), "full_outer")
       .withColumn("rrf",
-        coalesce(lit(semW) / (lit(60.0) + col("sem_rank")), lit(0.0)) +
-        coalesce(lit(kwW) / (lit(60.0) + col("kw_rank")), lit(0.0)))
+        if (keywordOnly) lit(0.5) // FTS-only emergency: flat baseline score
+        else coalesce(lit(semW) / (lit(60.0) + col("sem_rank")), lit(0.0)) +
+             coalesce(lit(kwW) / (lit(60.0) + col("kw_rank")), lit(0.0)))
     // candidate set is ≤ 2·depth rows — broadcast it back onto the chunk
     // table once for metadata, then score
     val fused = chunks
@@ -146,6 +163,7 @@ final class HybridEngine(
         chunkType = Option(r.getAs[String]("chunk_type")).getOrElse("text"),
         text = Option(r.getAs[String]("text_chunk")).getOrElse(""),
         score = r.getAs[Double]("score"),
+        semScore = Option(r.getAs[Any]("sem_score")).map(_.toString.toDouble).getOrElse(0.0),
         semanticRank = Option(r.getAs[Any]("sem_rank")).map(_.toString.toInt).getOrElse(0),
         keywordRank = Option(r.getAs[Any]("kw_rank")).map(_.toString.toInt).getOrElse(0),
         trustScore = Option(r.getAs[Any]("trust")).map(_.toString.toDouble).getOrElse(1.0),
@@ -164,9 +182,13 @@ final class HybridEngine(
       } else collected.take(k)
 
     val withExploration =
-      if (opts.enableExploration)
-        Mmr.injectExploration(diversified, collected.drop(k), stab, intent).take(k)
-      else diversified
+      if (opts.enableExploration) {
+        // below-cutoff pool excludes anything already selected (MMR may
+        // have reached past rank k, which would otherwise duplicate a row)
+        val selectedIds = diversified.map(_.id).toSet
+        val pool = collected.filterNot(c => selectedIds.contains(c.id))
+        Mmr.injectExploration(diversified, pool, stab, intent).take(k)
+      } else diversified
 
     // E1: optional cross-encoder rerank of the final batch (cap 10,
     // 500-char texts), scores calibrated (E2) with frozen-model guard (E3)

@@ -72,8 +72,10 @@ object Mmr {
 
   /** Exploration injection (vector_store.cpp:533-554): if stability ≥ 0.6 and
     * intent ∉ {Definition, Procedure}, promote the first below-cutoff
-    * candidate that was never clicked (trust ≤ 1.0) and still scores > 0.65,
-    * to rank 2 with score = top×0.95, flagged isExploration. */
+    * candidate that was never clicked (trust ≤ 1.0) and whose RAW COSINE
+    * exceeds 0.65 (the reference gates on semantic similarity, not the
+    * fused score — vector_store.cpp:546), to rank 2 with
+    * score = top×0.95, flagged isExploration. */
   def injectExploration(
       ranked: Seq[ScoredChunk],
       belowCutoff: Seq[ScoredChunk],
@@ -81,7 +83,7 @@ object Mmr {
       intent: Intent): Seq[ScoredChunk] = {
     if (stability < 0.6 || intent == Intent.Definition || intent == Intent.Procedure || ranked.isEmpty)
       return ranked
-    belowCutoff.find(c => c.trustScore <= 1.0 && c.score > 0.65) match {
+    belowCutoff.find(c => c.trustScore <= 1.0 && c.semScore > 0.65) match {
       case None => ranked
       case Some(probe) =>
         val top = ranked.head.score

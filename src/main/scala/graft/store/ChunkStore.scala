@@ -16,6 +16,22 @@ import graft.ingest.TextChunker
   */
 object ChunkStore {
 
+  /** Numeric key for a (possibly non-numeric) doc id: numeric ids keep
+    * their value; strings hash via the portable 60-bit md5 prefix into
+    * [0, 9e12). One definition, two forms (Scala + Column), so chunk rows
+    * and summary rows always agree. */
+  def docKey(docId: String): Long =
+    docId.toLongOption.getOrElse {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Math.floorMod(java.lang.Long.parseLong(hex, 16), 9000000000000L)
+    }
+
+  def docKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.rlike("^[0-9]+$"), c.cast("long"))
+      .otherwise(pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(9000000000000L)))
+
   /** Ingest a documents table (doc_id, text, source, …) into the chunk
     * schema: per-document chunking (sequential within doc, parallel across
     * docs) + embedding at the model boundary. */
@@ -24,15 +40,18 @@ object ChunkStore {
     import spark.implicits._
     val emb = embedder
     val chunked = docs
-      .select(col("doc_id").cast("long"), col("text"), col("source"))
-      .as[(Long, String, String)]
+      .select(col("doc_id").cast("string"), col("text"), col("source"))
+      .as[(String, String, String)]
       .flatMap { case (docId, text, source) =>
+        // id = docKey·10⁶ + idx: collision-free for numeric ids up to
+        // 999000 chunks/doc (the 999xxx band is reserved for summary rows)
+        // and 9.2·10¹² docs; (doc_id, chunk_idx) remains the primary
+        // composite identity (hashed string keys carry a documented
+        // birthday-collision caveat at extreme corpus sizes).
+        val key = ChunkStore.docKey(docId)
         TextChunker.chunk(if (text == null) "" else text).map { c =>
-          // id = docId·10⁶ + idx: collision-free up to 10⁶ chunks/doc
-          // (~640 MB of text) and 9.2·10¹² docs; (doc_id, chunk_idx)
-          // remains the primary composite identity
-          require(c.chunkIdx < 1000000, s"doc $docId exceeds 1e6 chunks")
-          (docId * 1000000L + c.chunkIdx, docId.toString, source, c.chunkIdx,
+          require(c.chunkIdx < 999000, s"doc $docId exceeds chunk-index range")
+          (key * 1000000L + c.chunkIdx, docId, source, c.chunkIdx,
             c.text, emb.embed(c.text), emb.modelSig, emb.dim, c.sentenceCount)
         }
       }
@@ -50,7 +69,9 @@ object ChunkStore {
       .withColumn("list_type", lit(null).cast("string"))
       .withColumn("list_length", lit(0))
       .withColumn("boost_factor", lit(1.0f))
-      .withColumn("created_at", to_timestamp(lit("2024-01-01 00:00:00")))
+      // ingest time: recency starts at ~1.0 so the trust<=1.0 exploration
+      // quarantine behaves like the reference's fresh inserts (D3/D11)
+      .withColumn("created_at", current_timestamp())
   }
 
   /** Dimension guardrail (SURVEY §2 C3): reject rows whose embedding length

@@ -28,17 +28,22 @@ final class Workspace(val spark: SparkSession, val root: String) {
   // ---- A3: chunk sink
 
   def writeChunks(chunks: DataFrame): Unit = {
-    // first write registers the embedding dimension (vector_store.cpp:186-189)
-    val dim = registeredDim match {
-      case Some(d) => d
-      case None =>
-        val d = chunks.select(size(col("embedding"))).head().getInt(0)
-        setMeta("model_dim", d.toString)
-        d
-    }
-    val bad = ChunkStore.checkDim(chunks, dim)
-    require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
-    ChunkStore.write(chunks, chunksPath)
+    // cache for the validate+write double pass — the ingest pipeline
+    // (chunk+embed) would otherwise execute twice
+    val c = chunks.cache()
+    try {
+      // first write registers the embedding dimension (vector_store.cpp:186-189)
+      val dim = registeredDim match {
+        case Some(d) => d
+        case None =>
+          val d = c.select(size(col("embedding"))).head().getInt(0)
+          setMeta("model_dim", d.toString)
+          d
+      }
+      val bad = ChunkStore.checkDim(c, dim)
+      require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
+      ChunkStore.write(c, chunksPath)
+    } finally c.unpersist()
   }
 
   def readChunks(): DataFrame = spark.read.parquet(chunksPath)
@@ -47,12 +52,13 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * plan derived from the current table can safely feed it — the C4
     * summary re-index path). */
   def appendChunks(chunks: DataFrame): Unit = {
-    val dim = registeredDim.getOrElse(
-      chunks.select(org.apache.spark.sql.functions.size(
-        org.apache.spark.sql.functions.col("embedding"))).head().getInt(0))
-    val bad = ChunkStore.checkDim(chunks, dim)
-    require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
-    chunks.write.mode(SaveMode.Append).parquet(chunksPath)
+    val c = chunks.cache()
+    try {
+      val dim = registeredDim.getOrElse(c.select(size(col("embedding"))).head().getInt(0))
+      val bad = ChunkStore.checkDim(c, dim)
+      require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
+      c.write.mode(SaveMode.Append).parquet(chunksPath)
+    } finally c.unpersist()
   }
 
   // ---- A6: retrieval-log sink (append-only observability table)

@@ -46,7 +46,7 @@ object StreamingIngest {
       .as[(Long, String, String)]
       .flatMap { case (docId, text, source) =>
         TextChunker.chunk(if (text == null) "" else text).map { c =>
-          require(c.chunkIdx < 1000000, s"doc $docId exceeds 1e6 chunks")
+          require(c.chunkIdx < 999000, s"doc $docId exceeds chunk-index range")
           (docId * 1000000L + c.chunkIdx, docId.toString, source, c.chunkIdx,
             c.text, e.embed(c.text), e.modelSig, e.dim)
         }

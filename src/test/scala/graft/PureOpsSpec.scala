@@ -106,8 +106,9 @@ class PureOpsSpec extends AnyFunSuite {
   // ---- MMR (D10) + exploration (D11)
 
   private def sc(id: Long, doc: String, score: Double, heading: String = null,
-                 trust: Double = 1.0): ScoredChunk =
-    ScoredChunk(id, doc, heading, "text", s"t$id", score, 0, 0, trust, isExploration = false)
+                 trust: Double = 1.0, semScore: Double = 0.9): ScoredChunk =
+    ScoredChunk(id, doc, heading, "text", s"t$id", score, semScore, 0, 0, trust,
+      isExploration = false)
 
   test("mmr lambda: clamped to [0.2, 0.8], rises with complexity") {
     val short = Mmr.lambda("hi", Intent.General)
@@ -152,6 +153,9 @@ class PureOpsSpec extends AnyFunSuite {
     // trust > 1.0 (already clicked) is never probed
     val clicked = Seq(sc(9, "x", 0.7, trust = 1.5))
     assert(Mmr.injectExploration(ranked, clicked, 0.9, Intent.General) == ranked)
+    // gate is on RAW COSINE (vector_store.cpp:546), not the fused score
+    val lowCosine = Seq(sc(9, "x", 0.7, trust = 0.9, semScore = 0.5))
+    assert(Mmr.injectExploration(ranked, lowCosine, 0.9, Intent.General) == ranked)
   }
 
   // ---- query cache (D15/D16)

@@ -104,7 +104,8 @@ class SparkOpsSpec extends AnyFunSuite {
     val chunks = ChunkStore.buildChunks(docs, embedder).cache()
     val engine = new HybridEngine(spark, chunks, SearchOptions())
     val q = "example of a vector batch"
-    assert(engine.stability(q) == 0.0)
+    // no history => fully stable (reference: AVG over empty log is NULL->0)
+    assert(engine.stability(q) == 1.0)
     engine.search(q, embedder, 5)
     val s1 = engine.stability(q)
     assert(s1 >= 0.0 && s1 <= 1.0)

@@ -81,7 +81,7 @@ class StoreAndPostSpec extends AnyFunSuite {
   test("reranker: caps batch at 10, truncates text, reorders by calibrated score") {
     val cands = (1 to 12).map { i =>
       ScoredChunk(i.toLong, s"d$i", null, "text", if (i == 5) "merge window hash" else s"noise only $i",
-        1.0 - i * 0.01, i, 0, 1.0, isExploration = false)
+        1.0 - i * 0.01, 0.9, i, 0, 1.0, isExploration = false)
     }
     val res = Reranker.rerank("merge window hash", cands, 5, LexicalOverlapModel(), Calibration.initial)
     assert(!res.modelFrozen)
@@ -94,7 +94,7 @@ class StoreAndPostSpec extends AnyFunSuite {
       override def score(q: String, t: Seq[String]): Seq[Double] = t.map(_ => 0.5)
     }
     val cands = (1 to 5).map(i =>
-      ScoredChunk(i.toLong, s"d$i", null, "text", s"text $i", 1.0 - i * 0.1, i, 0, 1.0, isExploration = false))
+      ScoredChunk(i.toLong, s"d$i", null, "text", s"text $i", 1.0 - i * 0.1, 0.9, i, 0, 1.0, isExploration = false))
     val res = Reranker.rerank("q", cands, 3, FrozenModel, Calibration.initial)
     assert(res.modelFrozen)
     assert(res.reranked.map(_.id) == Seq(1L, 2L, 3L))
