@@ -58,6 +58,24 @@ class EngineEdgeSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[String]("heading_path") == "Chapter 1 Scanned"))
   }
 
+  test("exploration injection fires end-to-end for a stable query with similar below-cutoff chunks") {
+    import spark.implicits._
+    // corpus: many near-duplicates of the query → below-cutoff candidates
+    // with raw cosine > 0.65; fresh chunks have trust ≤ 1.0 (never clicked)
+    val docs = (0 until 30).map { i =>
+      (i.toLong, s"merge window hash partition variant $i", "en", s"src$i", 40L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val chunks = ChunkStore.buildChunks(docs, embedder).cache()
+    val engine = new HybridEngine(spark, chunks,
+      SearchOptions(enableExploration = true))
+    // fresh query: stability = 1.0 ≥ 0.6, General intent → gate open
+    val out = engine.search("merge window hash partition", embedder, 5)
+    assert(out.size == 5)
+    assert(out(1).isExploration, s"expected probe at rank 2: $out")
+    assert(out(1).score == out.head.score * 0.95)
+    assert(out.map(_.id).distinct.size == 5) // no duplicates
+  }
+
   test("rerank disabled vs enabled: same candidate set, possibly different order") {
     val plain = new HybridEngine(spark, chunks, SearchOptions())
     val rr = new HybridEngine(spark, chunks, SearchOptions(useRerank = true))
