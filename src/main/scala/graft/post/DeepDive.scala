@@ -1,7 +1,6 @@
 package graft.post
 
 import graft.embed.Embedder
-import graft.model.ScoredChunk
 import graft.search.HybridEngine
 
 /** Deep-dive synthesis orchestration (SURVEY §2 E5–E8, §3.3).

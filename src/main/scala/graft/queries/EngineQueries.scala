@@ -5,9 +5,9 @@ import org.apache.spark.sql.functions._
 
 import graft.embed.HashNgramEmbedder
 import graft.feedback.BoostLedger
-import graft.model.{Intent, SearchOptions}
+import graft.model.SearchOptions
 import graft.post.{Calibration, Synthesis}
-import graft.search.{HybridEngine, Mmr, QueryCache}
+import graft.search.{HybridEngine, QueryCache}
 import graft.store.ChunkStore
 
 /** End-to-end engine operators: the ingest→index→search pipeline plus the

@@ -134,7 +134,7 @@ object IngestQueries {
     // hermetic stand-in for the reference's HTTP embedders
     // (gemini_api.cpp:238-273). Rows-only check; unit specs pin values.
     Q.noOracle("c1_embed_docs") { (spark, dir) =>
-      val emb: Embedder = HashNgramEmbedder(dim = 64)
+      val emb = HashNgramEmbedder(dim = 64)
       Embedder.embedText(table(spark, dir, "documents"), "text", emb)
         .select(
           col("doc_id"),

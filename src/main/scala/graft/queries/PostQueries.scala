@@ -7,7 +7,6 @@ import graft.embed.HashNgramEmbedder
 import graft.model.SearchOptions
 import graft.post.{DeepDive, ExtractiveSummaryModel, Summarizer}
 import graft.search.HybridEngine
-import graft.store.ChunkStore
 
 /** Post-retrieval model operators (SURVEY §2 C4, E1–E8) and the
   * presentation-derived queries (G2–G4). */
