@@ -168,6 +168,66 @@ object TextQueries {
         .orderBy("bucket")
     },
 
+    // Deterministic train/val split: portable hash bucket per doc (the
+    // reproducible-split requirement of any training corpus — no RNG, the
+    // same doc lands in the same split on every engine and every run).
+    Q("text_train_val_split",
+      """SELECT lang,
+        |       CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 100 < 90
+        |            THEN 'train' ELSE 'val' END AS split,
+        |       count(*) AS n
+        |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "documents")
+        .withColumn("split",
+          when(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100)) < 90, "train")
+            .otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("lang", "split")
+    },
+
+    // Key-skew profile: per-key share of the corpus, top offenders first —
+    // the diagnostic that decides when salting/AQE-skew handling is needed.
+    Q("q_skew_profile",
+      """SELECT user_id, count(*) AS n,
+        |       CAST(floor(count(*) * 1000000.0 / (SELECT count(*) FROM events)) AS BIGINT) AS share_ppm
+        |FROM events GROUP BY user_id
+        |ORDER BY n DESC, user_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+      val total = ev.select(count(lit(1)).as("total"))
+      ev.groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+        .crossJoin(broadcast(total))
+        .select(col("user_id"), col("n"),
+          floor(col("n") * 1000000.0 / col("total")).cast("long").as("share_ppm"))
+        .orderBy(col("n").desc, col("user_id"))
+        .limit(20)
+    },
+
+    // Data-quality profile: null/distinct/range statistics per column — the
+    // first pass any corpus QA runs before training.
+    Q("q_data_profile",
+      """SELECT count(*) AS n_rows,
+        |       count(*) - count(l_quantity) AS null_qty,
+        |       count(DISTINCT l_returnflag) AS d_flags,
+        |       count(DISTINCT l_linestatus) AS d_status,
+        |       round(min(l_quantity), 2) AS min_qty,
+        |       round(max(l_quantity), 2) AS max_qty,
+        |       round(min(l_discount), 2) AS min_disc,
+        |       round(max(l_discount), 2) AS max_disc
+        |FROM lineitem""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("l_quantity"))).as("null_qty"),
+          countDistinct(col("l_returnflag")).as("d_flags"),
+          countDistinct(col("l_linestatus")).as("d_status"),
+          round(min(col("l_quantity")), 2).as("min_qty"),
+          round(max(col("l_quantity")), 2).as("max_qty"),
+          round(min(col("l_discount")), 2).as("min_disc"),
+          round(max(col("l_discount")), 2).as("max_disc"))
+    },
+
     // Document fingerprinting: min-hash of strided character 8-grams
     // (rolling-hash winnowing, simplified to stride-4 sampling).
     Q("text_fingerprint",
