@@ -127,6 +127,38 @@ object RelationalQueries {
         .orderBy("n_nationkey")
     },
 
+    // Window-function suite: lead/lag/ntile/percent_rank over one pass
+    // (rank arithmetic → bit-identical doubles in both engines).
+    Q("q_window_suite",
+      """SELECT s_suppkey,
+        |       lag(s_suppkey) OVER w AS prev_k,
+        |       lead(s_suppkey) OVER w AS next_k,
+        |       ntile(3) OVER w AS tile,
+        |       round(percent_rank() OVER w, 6) AS pr
+        |FROM supplier
+        |WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
+        |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
+      val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
+      table(spark, dir, "supplier")
+        .select(col("s_suppkey"),
+          lag(col("s_suppkey"), 1).over(w).as("prev_k"),
+          lead(col("s_suppkey"), 1).over(w).as("next_k"),
+          ntile(3).over(w).cast("long").as("tile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("s_suppkey")
+    },
+
+    // Set ops: EXCEPT (distinct difference).
+    Q("q_setops_except",
+      """SELECT DISTINCT o_orderpriority AS v FROM orders
+        |EXCEPT
+        |SELECT DISTINCT c_mktsegment AS v FROM customer
+        |ORDER BY v""".stripMargin) { (spark, dir) =>
+      val a = table(spark, dir, "orders").select(col("o_orderpriority").as("v")).distinct()
+      val b = table(spark, dir, "customer").select(col("c_mktsegment").as("v")).distinct()
+      a.except(b).orderBy("v")
+    },
+
     // Set ops: distinct union of two label domains.
     Q("q_setops_union",
       """SELECT DISTINCT c_mktsegment AS v FROM customer
