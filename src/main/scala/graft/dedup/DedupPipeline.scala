@@ -5,39 +5,74 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.F
 
-/** End-to-end near-dup grouping: candidates → verify → connected
+/** End-to-end near-dup grouping: LSH candidates → verify → connected
   * components.
   *
-  * Blocking keeps the pair join block-local (lang block here; LSH band
-  * buckets in the general case — see DedupQueries), the Jaccard verify
-  * prunes to real edges, and components form by iterative min-label
-  * propagation — each round is one join + one aggregate, converging in
-  * O(component diameter) rounds. This is the BSP/Pregel shape: no driver
-  * loop over data, only over rounds (bounded, typically < 10).
+  * Candidate generation is MinHash+LSH band bucketing (the SAME buckets the
+  * `dedup_minhash_lsh` statistics query reports): docs sharing a band key
+  * are the only pairs ever compared, so the verify join is bucket-local —
+  * at 100 TB pair cost is Σ|bucket|², never O(n²) over a lang/label block.
+  * The Jaccard verify prunes candidates to real edges, and components form
+  * by iterative min-label propagation — each round one join + one
+  * aggregate, converging in O(component diameter) rounds. This is the
+  * BSP/Pregel shape: no driver loop over data, only over rounds (bounded,
+  * typically < 10).
   */
 object DedupPipeline {
+
+  /** 8 minhashes banded 2-per-band into 4 band keys (rows-per-band = 2). */
+  val NumHashes = 8
+  val Bands = 4
+
+  /** Band rows (id, band, bkey) from the fused MinHash over a set column:
+    * the md5 material is computed once per element ([[F.minhashFulls]]),
+    * the 8 signatures are cheap slices, and each band key is the md5 of
+    * its 2 concatenated signatures. */
+  def bandBuckets(sets: DataFrame, idCol: String, setCol: String): DataFrame = {
+    val withMh = sets
+      .withColumn("__fulls", F.minhashFulls(col(setCol)))
+      .withColumn("__mh", array((0 until NumHashes).map(i => F.minhashSig(col("__fulls"), i)): _*))
+    withMh
+      .select(col(idCol), explode(array((0 until Bands).map { b =>
+        struct(lit(b).as("band"),
+          md5(concat(element_at(col("__mh"), 2 * b + 1), element_at(col("__mh"), 2 * b + 2))).as("bkey"))
+      }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Distinct candidate pairs (a_id < b_id) from band buckets: a self-join
+    * keyed on (band, bkey) — one shuffle of compact signature keys, pair
+    * explosion bounded by bucket sizes; distinct() folds pairs that share
+    * several bands. */
+  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
+    bands.select(col("band"), col("bkey"), col(idCol).as("a_id"))
+      .join(bands.select(col("band"), col("bkey"), col(idCol).as("b_id")), Seq("band", "bkey"))
+      .filter(col("a_id") < col("b_id"))
+      .select("a_id", "b_id")
+      .distinct()
 
   /** Distinct-token sets for sampled docs (the signature input). */
   private def tokenSets(docs: DataFrame, sampleMod: Int): DataFrame =
     docs.filter(col("doc_id") % sampleMod === 0)
-      .select(col("doc_id"), col("lang"),
-        array_distinct(F.tokens(col("text"))).as("s"))
+      .select(col("doc_id"), array_distinct(F.tokens(col("text"))).as("s"))
 
-  /** Verified near-dup edges (symmetric), Jaccard ≥ threshold within
-    * lang blocks. */
+  /** Verified near-dup edges (symmetric): LSH-bucket candidates with
+    * Jaccard ≥ threshold over the full distinct-token sets. */
   def edges(docs: DataFrame, threshold: Double, sampleMod: Int = 4): DataFrame = {
     val d = tokenSets(docs, sampleMod)
-    val a = d.select(col("doc_id").as("a"), col("lang").as("la"), col("s").as("sa"))
-    val b = d.select(col("doc_id").as("b"), col("lang").as("lb"), col("s").as("sb"))
+    val pairs = candidatePairs(bandBuckets(d, "doc_id", "s"), "doc_id")
+    val sa = d.select(col("doc_id").as("a_id"), col("s").as("sa"))
+    val sb = d.select(col("doc_id").as("b_id"), col("s").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
-    a.join(b, col("la") === col("lb") && col("a") =!= col("b"))
+    val verified = pairs.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
       .filter(jac >= threshold)
-      .select(col("a"), col("b"))
+      .select(col("a_id").as("a"), col("b_id").as("b"))
+    verified.union(verified.select(col("b").as("a"), col("a").as("b")))
   }
 
   /** Connected components: label = min doc_id reachable. Converges to the
-    * exact component minimum (fixpoint detected via label-sum delta). */
+    * exact component minimum (fixpoint detected via label-change count). */
   def components(docs: DataFrame, threshold: Double = 0.9, sampleMod: Int = 4,
                  maxIters: Int = 20): DataFrame = {
     val d = tokenSets(docs, sampleMod).select(col("doc_id"))

@@ -36,12 +36,21 @@ object F {
         sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
 
-  /** One MinHash value: lexicographic min of md5(shingle || ':' || seed).
-    * A keyed md5 is a uniform permutation of the shingle space, so the
-    * string-min is a valid MinHash; being a hex string it compares
-    * identically in the JVM and DuckDB. */
-  def minhash(shinglesCol: Column, seed: Int): Column =
-    array_min(transform(shinglesCol, s => md5(concat(s, lit(":" + seed)))))
+  /** Fused MinHash hash material: md5(s) || md5(s || '#') — 64 hex chars
+    * computed ONCE per set element; each of up to 8 signatures is then the
+    * array-min of a cheap 8-hex slice (see [[minhashSig]]). This replaces
+    * n independent keyed-md5 passes (n md5 calls per element) with 2 calls
+    * per element. DuckDB: list_transform(toks, s -> md5(s) || md5(s || '#')) */
+  def minhashFulls(setCol: Column): Column =
+    transform(setCol, s => concat(md5(s), md5(concat(s, lit("#")))))
+
+  /** MinHash signature i (0-based, i < 8) from the fulls array: min of the
+    * 32-bit hex slice [1+8i, 8i+8]. A fixed slice of md5 output is a uniform
+    * permutation key, so the string-min is a valid MinHash; hex strings
+    * compare identically in the JVM and DuckDB.
+    * DuckDB: list_aggregate(list_transform(fulls, f -> substr(f, 1+8i, 8)), 'min') */
+  def minhashSig(fullsCol: Column, i: Int): Column =
+    array_min(transform(fullsCol, f => substring(f, 1 + 8 * i, 8)))
 
   /** Sigmoid, shared by MMR lambda + rerank calibration. */
   def sigmoid(c: Column): Column = lit(1.0) / (lit(1.0) + exp(-c))

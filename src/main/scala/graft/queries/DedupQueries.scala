@@ -3,22 +3,24 @@ package graft.queries
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.dedup.DedupPipeline
 import graft.functions.F
-import graft.functions.VectorFunctions.cosineSim
+import graft.functions.VectorFunctions.{cosineSim, dotProduct}
 
 /** Deduplication suite for the training-data pipeline: exact, MinHash+LSH,
   * SimHash, n-gram Jaccard, and embedding-cosine near-dup — each with a
   * DuckDB oracle.
   *
-  * Scale posture: every variant is block-local (LSH band buckets, lang
-  * blocks, label blocks) so no O(n²) pair join ever crosses the full corpus;
-  * candidate generation is a groupBy on a computed key (one shuffle of
-  * compact signatures, never of full documents).
+  * Scale posture: candidate generation for EVERY pairwise verify is an LSH
+  * bucket (MinHash band buckets for token/shingle Jaccard, sign-LSH buckets
+  * for embedding cosine) — the verify join is always bucket-local, so pair
+  * cost is Σ|bucket|², never O(n²) over the corpus or a coarse lang/label
+  * block. The MinHash signatures themselves are fused: 2 md5 calls per
+  * element ([[F.minhashFulls]]) instead of one pass per hash.
   */
 object DedupQueries {
 
-  private val NumHashes = 8
-  private val Bands = 4 // rows-per-band = 2
+  import DedupPipeline.{Bands, NumHashes}
 
   /** doc_id + distinct-token set, the input of the signature ops. */
   private def tokenSets(spark: SparkSession, dir: String): DataFrame =
@@ -27,6 +29,54 @@ object DedupQueries {
 
   private val tokenSetsSql =
     "SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks FROM documents"
+
+  /** doc_id + distinct word-bigram shingle set (the n-gram verify input). */
+  private def shingleSets(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "documents")
+      .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 2)).as("toks"))
+
+  private val shingleSetsSql =
+    """SELECT doc_id,
+      |       list_distinct(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))),
+      |         i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 1), ' '))) AS toks
+      |FROM documents""".stripMargin
+
+  // ---- DuckDB mirrors of DedupPipeline.bandBuckets / candidatePairs ----
+
+  private val fullsSql = "list_transform(toks, s -> md5(s) || md5(s || '#'))"
+
+  private val mhArrSql = (0 until NumHashes)
+    .map(i => s"list_aggregate(list_transform(fulls, f -> substr(f, ${1 + 8 * i}, 8)), 'min')")
+    .mkString("[", ", ", "]")
+
+  private val bandSql = (0 until Bands)
+    .map(b => s"SELECT doc_id, $b AS band, md5(mh[${2 * b + 1}] || mh[${2 * b + 2}]) AS bkey FROM m")
+    .mkString(" UNION ALL ")
+
+  /** CTE chain source → fulls → minhash array → band rows → candidate
+    * pairs, the exact SQL twin of the Spark band-bucket pipeline. */
+  private def lshCtes(sourceSql: String): String =
+    s"""t AS ($sourceSql),
+       |f AS (SELECT doc_id, $fullsSql AS fulls FROM t),
+       |m AS (SELECT doc_id, $mhArrSql AS mh FROM f),
+       |b AS ($bandSql),
+       |p AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
+       |      FROM b l JOIN b r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+
+  private val jaccardSql =
+    "len(list_intersect(ta.toks, tb.toks))::DOUBLE / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))"
+
+  /** Spark-side Jaccard verify of LSH candidate pairs over a set table. */
+  private def verifiedPairs(sets: DataFrame): DataFrame = {
+    val pairs = DedupPipeline.candidatePairs(
+      DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
+    val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
+    val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
+    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
+    val jac = inter / (size(col("ta")) + size(col("tb")) - inter)
+    pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -44,37 +94,36 @@ object DedupQueries {
           (count(lit(1)) - countDistinct(md5(lower(trim(col("text")))))).as("n_dup_rows"))
     },
 
-    // MinHash + LSH: 8 keyed-md5 min-hashes over the distinct-token set,
-    // banded 2-per-band into 4 band keys; docs sharing a band key are
-    // near-dup candidates. Reported as bucket statistics (bucket explosion
-    // stays bounded; the pairwise verify lives in dedup_ngram_jaccard).
-    Q("dedup_minhash_lsh", {
-      val mh = (0 until NumHashes)
-        .map(i => s"list_aggregate(list_transform(toks, s -> md5(s || ':$i')), 'min')")
-        .mkString("[", ", ", "]")
-      val bandRows = (0 until Bands)
-        .map(b => s"SELECT doc_id, $b AS band, md5(mh[${2 * b + 1}] || mh[${2 * b + 2}]) AS bkey FROM m")
-        .mkString(" UNION ALL ")
-      s"""WITH t AS ($tokenSetsSql),
-         |m AS (SELECT doc_id, $mh AS mh FROM t),
-         |b AS ($bandRows)
+    // MinHash + LSH banding: fused 8-signature MinHash over the
+    // distinct-token set, banded 2-per-band into 4 band keys; docs sharing
+    // a band key are near-dup candidates. Reported as bucket statistics
+    // (the pairwise verify consumes the SAME buckets one query over).
+    Q("dedup_minhash_lsh",
+      s"""WITH ${lshCtes(tokenSetsSql)}
          |SELECT band, bkey, count(*) AS n
          |FROM b GROUP BY band, bkey HAVING count(*) > 1
-         |ORDER BY n DESC, band, bkey LIMIT 100""".stripMargin
-    }) { (spark, dir) =>
-      val withMh = (0 until NumHashes).foldLeft(tokenSets(spark, dir)) {
-        case (df, i) => df.withColumn(s"mh$i", F.minhash(col("toks"), i))
-      }
-      val bands = withMh.select(
-        col("doc_id"),
-        explode(array((0 until Bands).map { b =>
-          struct(lit(b).as("band"), md5(concat(col(s"mh${2 * b}"), col(s"mh${2 * b + 1}"))).as("bkey"))
-        }: _*)).as("bb"))
-      bands.select(col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+         |ORDER BY n DESC, band, bkey LIMIT 100""".stripMargin) { (spark, dir) =>
+      DedupPipeline.bandBuckets(tokenSets(spark, dir), "doc_id", "toks")
         .groupBy("band", "bkey")
         .agg(count(lit(1)).as("n"))
         .filter(col("n") > 1)
         .orderBy(col("n").desc, col("band"), col("bkey"))
+        .limit(100)
+    },
+
+    // The LSH-verified pair list: candidates drawn from the band buckets
+    // above, verified with exact token-set Jaccard. This is THE at-scale
+    // dedup contract — pair joins exist only inside buckets.
+    Q("dedup_lsh_verified_pairs",
+      s"""WITH ${lshCtes(tokenSetsSql)}
+         |SELECT p.a_id, p.b_id, round($jaccardSql, 6) AS jaccard
+         |FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |WHERE $jaccardSql >= 0.5
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin) { (spark, dir) =>
+      verifiedPairs(tokenSets(spark, dir))
+        .filter(col("jaccard") >= 0.5)
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
         .limit(100)
     },
 
@@ -111,69 +160,74 @@ object DedupQueries {
     },
 
     // n-gram Jaccard: pairwise Jaccard over distinct word-bigram shingles,
-    // blocked by lang + deterministic sampling so the pair join is always
-    // block-local (the at-scale contract: pairs only within LSH buckets).
+    // with candidates from MinHash band buckets over the SAME shingle sets
+    // (verify exactly what was hashed) — never a lang-blocked all-pairs.
     Q("dedup_ngram_jaccard",
-      """WITH d AS (
-        |  SELECT doc_id, lang,
-        |         list_distinct(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))),
-        |           i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 1), ' '))) AS sh
-        |  FROM documents WHERE doc_id % 4 = 0)
-        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
-        |       round(len(list_intersect(a.sh, b.sh))::DOUBLE /
-        |             (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
-        |FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id < b.doc_id
-        |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin) { (spark, dir) =>
-      val d = table(spark, dir, "documents")
-        .filter(col("doc_id") % 4 === 0)
-        .select(col("doc_id"), col("lang"),
-          array_distinct(F.shingles(F.tokens(col("text")), 2)).as("sh"))
-      val a = d.select(col("doc_id").as("a_id"), col("lang").as("lang_a"), col("sh").as("sa"))
-      val b = d.select(col("doc_id").as("b_id"), col("lang").as("lang_b"), col("sh").as("sb"))
-      val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
-      a.join(b, col("lang_a") === col("lang_b") && col("a_id") < col("b_id"))
-        .select(col("a_id"), col("b_id"),
-          round(inter / (size(col("sa")) + size(col("sb")) - inter), 6).as("jaccard"))
+      s"""WITH ${lshCtes(shingleSetsSql)}
+         |SELECT p.a_id, p.b_id, round($jaccardSql, 6) AS jaccard
+         |FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin) { (spark, dir) =>
+      verifiedPairs(shingleSets(spark, dir))
+        .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
         .limit(50)
     },
 
-    // End-to-end dedup grouping: blocked candidates → Jaccard-verified
-    // edges → connected components by min-label propagation (the exact
-    // component minimum; oracle = recursive-CTE transitive closure).
+    // End-to-end dedup grouping: LSH band buckets → Jaccard-verified edges
+    // → connected components by min-label propagation (the exact component
+    // minimum; oracle = recursive-CTE transitive closure over the same
+    // bucket-derived edges).
     Q("dedup_pipeline_components",
-      """WITH RECURSIVE
-        |d AS (SELECT doc_id, lang, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS s
-        |      FROM documents WHERE doc_id % 4 = 0),
-        |e AS (SELECT a.doc_id AS a, b.doc_id AS b
-        |      FROM d a JOIN d b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-        |      WHERE len(list_intersect(a.s, b.s))::DOUBLE /
-        |            (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) >= 0.9),
-        |reach(id, r) AS (
-        |  SELECT doc_id, doc_id FROM d
-        |  UNION
-        |  SELECT e.b, reach.r FROM reach, e WHERE e.a = reach.id)
-        |SELECT id AS doc_id, min(r) AS component
-        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
-      graft.dedup.DedupPipeline.components(table(spark, dir, "documents"))
+      s"""WITH RECURSIVE
+         |${lshCtes(tokenSetsSql + " WHERE doc_id % 4 = 0")},
+         |v AS (SELECT p.a_id, p.b_id
+         |      FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |      WHERE $jaccardSql >= 0.9),
+         |e AS (SELECT a_id AS a, b_id AS b FROM v UNION ALL SELECT b_id, a_id FROM v),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach, e WHERE e.a = reach.id)
+         |SELECT id AS doc_id, min(r) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin) { (spark, dir) =>
+      DedupPipeline.components(table(spark, dir, "documents"))
         .orderBy("doc_id")
     },
 
-    // Embedding-cosine near-dup: pair scan blocked by label + sampling;
-    // the native codegen cosine keeps the kernel in WholeStageCodegen.
+    // Embedding-cosine near-dup: candidates from 8-bit sign-LSH buckets
+    // (hyperplanes drawn from the corpus, signature computed scan-local
+    // against ONE broadcast hyperplane-array row), verified with the native
+    // codegen cosine. The bucket id is the only join key — the verify
+    // shuffle is bucket-keyed, exactly the co-location a 1000-executor
+    // cluster needs.
     Q("dedup_embedding_cosine",
-      """WITH e AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id % 5 = 0)
+      """WITH hp AS (SELECT vec_id - 8 AS hid, embedding AS he FROM embeddings
+        |            WHERE vec_id BETWEEN 8 AND 15),
+        |bk AS (SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.he::DOUBLE[]) > 0
+        |                                THEN (1 << hid) ELSE 0 END)::BIGINT AS bucket
+        |       FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id)
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-        |       round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS cos
-        |FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) > 0.2
+        |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
+        |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |JOIN embeddings ea ON ea.vec_id = a.vec_id
+        |JOIN embeddings eb ON eb.vec_id = b.vec_id
+        |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.2
         |ORDER BY cos DESC, a_id, b_id LIMIT 50""".stripMargin) { (spark, dir) =>
-      val e = table(spark, dir, "embeddings").filter(col("vec_id") % 5 === 0)
-      val a = e.select(col("vec_id").as("a_id"), col("label").as("label_a"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("b_id"), col("label").as("label_b"), col("embedding").as("eb"))
+      val e = table(spark, dir, "embeddings")
+      val hpArr = e.filter(col("vec_id").between(8, 15))
+        .agg(collect_list(struct(
+          expr("cast(shiftleft(1, cast(vec_id - 8 as int)) as bigint)").as("bit"),
+          col("embedding").as("he"))).as("hps"))
+      val bucket = aggregate(col("hps"), lit(0L), (acc, h) =>
+        acc + when(dotProduct(col("embedding"), h.getField("he")) > 0, h.getField("bit"))
+          .otherwise(lit(0L)))
+      val bk = e.crossJoin(broadcast(hpArr))
+        .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      val a = bk.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("ea"))
+      val b = bk.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("eb"))
       val cos = cosineSim(col("ea"), col("eb"))
-      a.join(b, col("label_a") === col("label_b") && col("a_id") < col("b_id"))
-        .filter(cos > 0.2)
+      a.join(b, Seq("bucket"))
+        .filter(col("a_id") < col("b_id") && cos > 0.2)
         .select(col("a_id"), col("b_id"), round(cos, 6).as("cos"))
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))
         .limit(50)

@@ -87,8 +87,12 @@ object RetrievalQueries {
     table(spark, dir, "documents")
       .select(col("doc_id").as("id"), termScore(col("text")).as("k"))
       .filter(col("k") > 0)
+      // top-depth FIRST via TakeOrderedAndProject (mirrors semRanked): the
+      // global row_number window then runs over ≤depth rows, not the whole
+      // matching set (which would be a single-partition shuffle at scale)
+      .orderBy(col("k").desc, col("id"))
+      .limit(depth)
       .withColumn("kw_rank", row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
-      .filter(col("kw_rank") <= depth)
 
   private def kwRankedSql(depth: Int): String =
     s"""SELECT doc_id AS id, $termScoreSql AS k,
@@ -226,12 +230,15 @@ object RetrievalQueries {
 
     // D8 — intent×chunk-type additive boost (vector_store.cpp:402-409) on top
     // of the fused list; chunk_type is derived deterministically for testdata.
+    // The boost is gated on semantic-branch membership: the reference adds it
+    // while iterating semantic candidates only, so keyword-only rows get none.
     Q("d8_intent_boost",
       s"""WITH fused AS (${rrfFusedSql(40)})
          |SELECT id,
          |       CASE id % 5 WHEN 0 THEN 'text' WHEN 1 THEN 'definition' WHEN 2 THEN 'list'
          |                   WHEN 3 THEN 'example' ELSE 'summary' END AS chunk_type,
-         |       round(rrf + CASE id % 5 WHEN 1 THEN 0.5 WHEN 2 THEN 0.3 WHEN 3 THEN 0.0 ELSE 0.0 END, 6) AS boosted
+         |       round(rrf + CASE WHEN sem_rank IS NULL THEN 0.0
+         |                        ELSE CASE id % 5 WHEN 1 THEN 0.5 WHEN 2 THEN 0.3 ELSE 0.0 END END, 6) AS boosted
          |FROM fused
          |ORDER BY boosted DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
       val fused = rrfFused(spark, dir, 40)
@@ -241,7 +248,8 @@ object RetrievalQueries {
           when(ctype === 0, "text").when(ctype === 1, "definition").when(ctype === 2, "list")
             .when(ctype === 3, "example").otherwise("summary").as("chunk_type"),
           round(col("rrf") +
-            when(ctype === 1, 0.5).when(ctype === 2, 0.3).otherwise(0.0), 6).as("boosted"))
+            when(col("sem_rank").isNull, 0.0)
+              .otherwise(when(ctype === 1, 0.5).when(ctype === 2, 0.3).otherwise(0.0)), 6).as("boosted"))
         .orderBy(col("boosted").desc, col("id"))
         .limit(20)
     },

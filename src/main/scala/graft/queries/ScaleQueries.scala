@@ -61,24 +61,27 @@ object ScaleQueries {
          |QUALIFY rank <= 5
          |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
       val e = table(spark, dir, "embeddings")
-      val cents = e.filter(col("vec_id").between(CentLo, CentHi))
-        .select((col("vec_id") - CentLo).as("cid"), col("embedding").as("ce"))
-      val cells = e.crossJoin(broadcast(cents))
-        .select(col("vec_id"), col("cid"),
-          row_number().over(Window.partitionBy(col("vec_id"))
-            .orderBy(cosineSim(col("embedding"), col("ce")).desc, col("cid"))).as("rn"))
-        .filter(col("rn") === 1)
-        .select(col("vec_id"), col("cid"))
-      val qs = cells.filter(col("vec_id") < NumQueries)
-        .select(col("vec_id").as("q_id"), col("cid").as("qcid"))
-      val cands = cells.join(broadcast(qs),
+      // the 16 centroids collapse to ONE broadcast row holding an array of
+      // (cid, centroid) structs — cell assignment is then a scan-local
+      // argmax (max struct = max cos, then min cid), so NO exchange ever
+      // carries the corpus or its embedding column for the assignment
+      val centsArr = e.filter(col("vec_id").between(CentLo, CentHi))
+        .agg(collect_list(
+          struct((col("vec_id") - CentLo).as("cid"), col("embedding").as("ce"))).as("cents"))
+      val assigned = e.crossJoin(broadcast(centsArr))
+        .withColumn("best", array_max(transform(col("cents"),
+          c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
+                      (-c.getField("cid")).as("ncid")))))
+        .select(col("vec_id"), col("embedding"),
+          (-col("best").getField("ncid")).as("cid"))
+      // queries keep their embedding through assignment (no re-join with e);
+      // candidate scoring is cell-local via the broadcast query side
+      val qs = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("embedding").as("qv"))
+      assigned.join(broadcast(qs),
           col("cid") === col("qcid") && col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id").as("n_id"))
-      cands
-        .join(e.select(col("vec_id").as("n_id"), col("embedding").as("nv")), Seq("n_id"))
-        .join(broadcast(e.filter(col("vec_id") < NumQueries)
-          .select(col("vec_id").as("q_id"), col("embedding").as("qv"))), Seq("q_id"))
-        .select(col("q_id"), col("n_id"), cosineSim(col("nv"), col("qv")).as("s"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosineSim(col("embedding"), col("qv")).as("s"))
         .withColumn("rank", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("n_id"))))
         .filter(col("rank") <= 5)

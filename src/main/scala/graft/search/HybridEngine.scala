@@ -148,7 +148,11 @@ final class HybridEngine(
     val fused = chunks
       .join(broadcast(fusedIds), Seq("id"))
       .withColumn("trust", F.trustScore(col("boost_factor"), ageSec))
-      .withColumn("score", col("rrf") + typeBoost + lit(stabBias))
+      // intent×type boost applies only to rows the SEMANTIC branch surfaced:
+      // the reference adds intentBoost while iterating semantic candidates
+      // (vector_store.cpp:402-409), so keyword-only hits never receive it
+      .withColumn("score",
+        col("rrf") + when(col("sem_rank").isNotNull, typeBoost).otherwise(lit(0.0)) + lit(stabBias))
       .orderBy(col("score").desc, col("id"))
       .limit(depth * 2)
 

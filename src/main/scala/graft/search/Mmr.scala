@@ -22,32 +22,33 @@ object Mmr {
     math.max(0.2, math.min(0.8, l))
   }
 
-  /** Shannon entropy (base 2, normalized to [0,1]) of the candidates' doc
-    * distribution (vector_store.cpp:470-483). */
+  /** Shannon entropy in raw bits (NOT normalized) of the candidates' doc
+    * distribution — the reference feeds the unnormalized value straight into
+    * the 0.15·(1.1−H) penalty (vector_store.cpp:470-483, :507). */
   def docEntropy(candidates: Seq[ScoredChunk]): Double = {
     if (candidates.isEmpty) return 0.0
     val n = candidates.size.toDouble
     val counts = candidates.groupBy(_.docId).values.map(_.size.toDouble)
-    val h = -counts.map { c => val p = c / n; p * (math.log(p) / math.log(2.0)) }.sum
-    val hMax = math.log(counts.size.toDouble) / math.log(2.0)
-    if (hMax == 0.0) 0.0 else h / hMax
+    -counts.map { c => val p = c / n; p * (math.log(p) / math.log(2.0)) }.sum
   }
 
   /** EMA smoothing of the entropy signal: α=0.3 for the first 10 searches,
-    * 0.1 after (vector_store.cpp:478-483). */
+    * 0.1 after; the EMA state starts at 0.0, so the first search already
+    * blends toward zero (vector_store.h:150, vector_store.cpp:478-483). */
   def smoothEntropy(prev: Option[Double], current: Double, searchCount: Long): Double = {
     val alpha = if (searchCount < 10) 0.3 else 0.1
-    prev.fold(current)(p => (1 - alpha) * p + alpha * current)
+    alpha * current + (1 - alpha) * prev.getOrElse(0.0)
   }
 
-  /** Greedy MMR selection: mmr = λ·score − (1−λ)·penalty, with penalty
-    * 0.15·(1.1−entropy) per repeated doc + 0.1 per repeated heading path
-    * (vector_store.cpp:485-530). */
+  /** Greedy MMR selection: mmr = λ·score − (1−λ)·penalty, with a FLAT
+    * 0.15·(1.1−entropy) penalty on repeated-doc membership (not scaled by
+    * repeat count) + 0.1 per repeated heading path (vector_store.cpp:485-530:
+    * `selectedDocs.contains(candidate.docId)` is a boolean gate). */
   def select(candidates: Seq[ScoredChunk], k: Int, lam: Double, entropy: Double): Seq[ScoredChunk] = {
     val pool = scala.collection.mutable.ArrayBuffer.from(
       candidates.sortBy(c => (-c.score, c.id)))
     val selected = scala.collection.mutable.ArrayBuffer.empty[ScoredChunk]
-    val seenDocs = scala.collection.mutable.Map.empty[String, Int]
+    val seenDocs = scala.collection.mutable.Set.empty[String]
     val seenHeadings = scala.collection.mutable.Set.empty[String]
     while (selected.size < k && pool.nonEmpty) {
       var bestIdx = 0
@@ -55,7 +56,7 @@ object Mmr {
       var i = 0
       while (i < pool.size) {
         val c = pool(i)
-        val docPenalty = seenDocs.getOrElse(c.docId, 0) * 0.15 * (1.1 - entropy)
+        val docPenalty = if (seenDocs.contains(c.docId)) 0.15 * (1.1 - entropy) else 0.0
         val headPenalty = if (c.headingPath != null && seenHeadings.contains(c.headingPath)) 0.1 else 0.0
         val mmr = lam * c.score - (1 - lam) * (docPenalty + headPenalty)
         // strict > keeps the earlier (higher score, lower id) element on ties
@@ -64,7 +65,7 @@ object Mmr {
       }
       val chosen = pool.remove(bestIdx)
       selected += chosen
-      seenDocs.update(chosen.docId, seenDocs.getOrElse(chosen.docId, 0) + 1)
+      seenDocs += chosen.docId
       if (chosen.headingPath != null) seenHeadings += chosen.headingPath
     }
     selected.toSeq

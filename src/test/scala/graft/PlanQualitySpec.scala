@@ -85,6 +85,44 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("dedup pair joins are LSH-bucket-local — keyed on bkey/bucket, never lang/label") {
+    // the at-scale dedup contract: every pairwise verify join's equality key
+    // is an LSH bucket (band/bkey for MinHash, bucket for sign-LSH); a
+    // regression to lang- or label-blocked all-pairs would show those
+    // columns as join keys
+    for (name <- Seq("dedup_lsh_verified_pairs", "dedup_ngram_jaccard", "dedup_pipeline_components")) {
+      val p = plan(name)
+      assert(p.contains("bkey"), s"$name lost its band-bucket join:\n$p")
+      assert(!p.contains("lang"), s"$name joins on lang again:\n$p")
+    }
+    val pe = plan("dedup_embedding_cosine")
+    assert(pe.contains("bucket"), s"sign-LSH bucket key missing:\n$pe")
+    assert(!pe.contains("label"), s"dedup_embedding_cosine joins on label again:\n$pe")
+  }
+
+  test("IVF cell assignment is scan-local — no exchange carries the corpus embedding") {
+    val p = plan("ann_ivf_cells")
+    // assignment = scan + broadcast centroid array + argmax projection; the
+    // only acceptable exchanges are the broadcasts and the tiny final rank
+    // window — a hashpartitioning exchange whose output carries the
+    // embedding column means the expanded corpus is being shuffled again
+    val shuffles = p.split("\n").filter(_.contains("Exchange hashpartitioning"))
+    shuffles.foreach { line =>
+      assert(!line.contains("embedding") && !line.contains("qv"),
+        s"IVF shuffles embeddings:\n$line\n$p")
+    }
+    assert(!p.contains("Window.partitionBy(vec_id)") &&
+      !p.contains("windowspecdefinition(vec_id"), s"per-vector window is back:\n$p")
+  }
+
+  test("keyword candidate rank runs AFTER top-k truncation (no unbounded global window)") {
+    // kwRanked must TakeOrderedAndProject before its row_number window —
+    // the window then sees ≤depth rows, not every keyword match
+    val p = plan("d7_rrf_fusion")
+    assert("TakeOrderedAndProject".r.findAllIn(p).size >= 2,
+      s"expected both sem and kw branches to truncate before ranking:\n$p")
+  }
+
   test("whole-stage codegen covers the cosine kernel (no UDF break)") {
     val p = plan("d2_knn_topk")
     // compact tree format marks codegen stages with *(n); the scoring

@@ -118,20 +118,31 @@ class PureOpsSpec extends AnyFunSuite {
     assert(Mmr.lambda("hi", Intent.Summary) > Mmr.lambda("hi", Intent.General))
   }
 
-  test("mmr entropy: 0 for single doc, 1 for uniform distinct docs") {
+  test("mmr entropy: 0 for single doc, raw log2(n) bits for uniform distinct docs") {
     assert(Mmr.docEntropy(Seq(sc(1, "a", 1), sc(2, "a", 1))) == 0.0)
     val uniform = Seq(sc(1, "a", 1), sc(2, "b", 1), sc(3, "c", 1), sc(4, "d", 1))
-    assert(math.abs(Mmr.docEntropy(uniform) - 1.0) < 1e-9)
+    // RAW bits, not normalized — the reference feeds this straight into
+    // 0.15*(1.1 - H) (vector_store.cpp:507)
+    assert(math.abs(Mmr.docEntropy(uniform) - 2.0) < 1e-9)
   }
 
-  test("mmr greedy: repeated-doc penalty promotes diversity") {
+  test("mmr greedy: flat repeated-doc membership penalty promotes diversity") {
     val cands = Seq(
       sc(1, "docA", 0.90), sc(2, "docA", 0.89), sc(3, "docA", 0.88),
-      sc(4, "docB", 0.60))
-    // low entropy → strong repeat penalty; λ=0.5
+      sc(4, "docB", 0.72))
+    // low entropy → repeat penalty 0.15*1.1 = 0.165 on docA membership; λ=0.5
+    // round 3: docA id=3 → 0.44 - 0.0825 = 0.3575 < docB 0.36 → docB promoted
     val out = Mmr.select(cands, 3, lam = 0.5, entropy = 0.0)
     assert(out.head.id == 1)
     assert(out.map(_.docId).contains("docB")) // docB promoted over 3rd docA
+    // penalty is boolean membership (vector_store.cpp:507): second docA pick
+    // carries the same 0.165, so id=2 (0.3625) still beats docB (0.36)
+    assert(out.map(_.id) == Seq(1, 2, 4))
+  }
+
+  test("mmr entropy EMA: seeded at 0.0, alpha 0.3 early / 0.1 late") {
+    assert(math.abs(Mmr.smoothEntropy(None, 2.0, 0) - 0.6) < 1e-9)
+    assert(math.abs(Mmr.smoothEntropy(Some(1.0), 2.0, 20) - 1.1) < 1e-9)
   }
 
   test("mmr select: deterministic tie-break (score desc, id asc)") {
