@@ -1,13 +1,14 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{abs, coalesce, col, concat_ws, count, lit, sum}
 
 import graft.embed.{Embedder, HashNgramEmbedder}
 import graft.feedback.BoostLedger
-import graft.model.{ScoredChunk, SearchOptions}
+import graft.model.{RetrievalLogRow, ScoredChunk, SearchOptions}
 import graft.post.{Calibration, DeepDive, ExtractiveSummaryModel, LexicalOverlapModel, RerankModel, SummaryModel, Summarizer, SynthesisModel, LeadSentenceSynthesis}
 import graft.search.{HybridEngine, LatencyPolicy}
-import graft.store.{ChunkStore, Workspace}
+import graft.store.{ChunkStore, TokenIndex, Workspace}
 
 /** The engine facade — the user-visible surface mirroring the reference's
   * `VectorStore` + `GeminiApi` + driver flow (SURVEY §7.1 `api/`): a user
@@ -37,9 +38,6 @@ final class Engine(
   private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
   private var hybrid: Option[HybridEngine] = None
   private var cachedChunks: Option[DataFrame] = None
-  // state carried across engine rebuilds (the reference persists these in
-  // sqlite: retrieval_logs + calibration metadata)
-  private var carriedLog: Vector[(String, Int, Boolean)] = Vector.empty
   private var carriedCalib: Calibration.Stats = Calibration.initial
   private var calibLoaded = false
 
@@ -49,17 +47,36 @@ final class Engine(
       workspace.readChunks().drop("boost_factor"), ledger, "id").cache()
     cachedChunks = Some(chunks)
     val e = new HybridEngine(spark, chunks, opts, rerankModel,
-      initialLog = carriedLog, initialCalib = carriedCalib)
+      postings = if (workspace.hasPostings) Some(workspace.readPostings()) else None,
+      initialCalib = carriedCalib,
+      stabilityBase = loadStabilityBase())
     hybrid = Some(e)
     e
   }
 
-  /** Drops the engine, carrying its retrieval-log + calibration state into
-    * the next build (A6/E4 persistence), and unpersists the cached chunk
-    * table (a rebuild would otherwise leak one pinned copy per cycle). */
+  /** Per-query (Σ|rank_delta|, n) from the PERSISTED retrieval log,
+    * exploration rows excluded — the D9 stability history read the way the
+    * reference reads its own retrieval_logs (vector_store.cpp:430-439).
+    * One aggregate over the log table per engine build; per-search cost is
+    * then a map lookup. */
+  private def loadStabilityBase(): Map[String, (Double, Long)] =
+    if (!workspace.hasLog) Map.empty
+    else workspace.readLog()
+      .filter(!col("is_exploration"))
+      .groupBy(col("query"))
+      .agg(sum(abs(col("rank_delta"))).cast("double").as("s"), count(lit(1)).as("n"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
+      .toMap
+
+  /** Drops the engine, flushing its retrieval-log rows to the workspace
+    * parquet log (A6) and persisting calibration (E4); unpersists the
+    * cached chunk table (a rebuild would otherwise leak one pinned copy
+    * per cycle). The next build re-reads both from storage — no in-memory
+    * carry. */
   private def invalidate(): Unit = {
     hybrid.foreach { e =>
-      carriedLog = e.logSnapshot
+      flushRetrievalLog()
       carriedCalib = e.calibSnapshot
       saveCalibration("rerank", carriedCalib)
     }
@@ -68,19 +85,34 @@ final class Engine(
     cachedChunks = None
   }
 
-  /** A6: flush the in-memory retrieval log to the workspace's append-only
-    * parquet log table. */
+  /** A6: flush pending retrieval-log rows (full reference schema) to the
+    * workspace's append-only parquet log table. */
   def flushRetrievalLog(): Long = {
     import spark.implicits._
-    val rows = hybrid.map(_.logSnapshot).getOrElse(carriedLog)
+    val rows = hybrid.map(_.drainLog()).getOrElse(Vector.empty[RetrievalLogRow])
     if (rows.nonEmpty)
-      workspace.appendLog(rows.toDF("query", "rank_delta", "is_exploration"))
+      workspace.appendLog(rows.toDF(
+        "query", "semantic_rank", "keyword_rank", "final_rank",
+        "latency_embed_ms", "latency_search_ms", "latency_fusion_ms", "latency_rerank_ms",
+        "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability",
+        "created_at"))
     rows.size.toLong
   }
 
-  /** Ingest a documents table into the workspace chunk store (A3+B+C1). */
+  /** Rebuild the posting-list index from the current chunk table (the same
+    * job that writes chunks maintains the FTS mirror; at cluster scale the
+    * delta partitions would be appended instead of rewritten). */
+  private def rebuildPostings(): Unit = {
+    val indexed = workspace.readChunks().select(col("id"),
+      concat_ws(" ", coalesce(col("heading_path"), lit("")), col("text_chunk")).as("itext"))
+    workspace.writePostings(TokenIndex.build(indexed, "id", "itext"))
+  }
+
+  /** Ingest a documents table into the workspace chunk store (A3+B+C1),
+    * maintaining the posting index alongside. */
   def index(docs: DataFrame): Long = {
     workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
+    rebuildPostings()
     workspace.setMeta("summaries_indexed", "false")
     invalidate()
     workspace.count()
@@ -131,7 +163,10 @@ final class Engine(
     engine().context(chunkId, offset)
 
   /** C4: summaries indexed back into the store as summary chunks
-    * (mainwindow.cpp:783-802: re-embedded, chunk_type='summary', level 1). */
+    * (mainwindow.cpp:783-802: re-embedded, chunk_type='summary', level 1).
+    * Summary rows are re-inserted with CURRENT_TIMESTAMP like the
+    * reference's addEntry (vector_store.cpp:80), so fresh summaries carry
+    * recency ≈ 1.0 rather than decaying from a pinned epoch. */
   def summarizeSections(): Long = {
     import org.apache.spark.sql.functions._
     if (workspace.getMeta("summaries_indexed").contains("true")) return 0L
@@ -156,12 +191,25 @@ final class Engine(
       col("heading_path"), col("heading_level"), col("chunk_type"),
       lit(null).cast("string").as("list_type"), lit(0).as("list_length"),
       lit(1.0f).as("boost_factor"),
-      to_timestamp(lit("2024-01-01 00:00:00")).as("created_at"))
-    val n = asChunks.count()
-    workspace.appendChunks(asChunks.select(chunks.columns.map(col): _*))
-    workspace.setMeta("summaries_indexed", "true")
-    invalidate()
-    n
+      current_timestamp().as("created_at"))
+      .select(chunks.columns.map(col): _*)
+      .cache() // ONE execution of the summarize+embed pipeline: the guard
+               // count, the returned count, and the append all read this
+    try {
+      // the 999xxx band holds 1000 slots per doc; a doc with more heading
+      // paths would collide with the next docKey's id range (mirror of the
+      // chunkIdx < 999000 require in ChunkStore.buildChunks)
+      val agg = asChunks.agg(
+        count(lit(1)).as("n"),
+        count(when(col("chunk_idx") >= 999000 + 1000, 1)).as("overflow")).head()
+      require(agg.getLong(1) == 0,
+        s"summary band overflow: ${agg.getLong(1)} rows beyond 1000 headings/doc")
+      workspace.appendChunks(asChunks)
+      rebuildPostings()
+      workspace.setMeta("summaries_indexed", "true")
+      invalidate()
+      agg.getLong(0)
+    } finally asChunks.unpersist()
   }
 
   /** E5–E8: deep-dive claim synthesis over the top results. */

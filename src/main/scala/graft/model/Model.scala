@@ -41,6 +41,26 @@ final case class ScoredChunk(
     trustScore: Double,
     isExploration: Boolean)
 
+/** One retrieval-log row (A6) — the reference's full retrieval_logs schema
+  * (vector_store.cpp:90-101 create-table, :581-608 logRetrieval): one row
+  * per search describing the top result, four latency stages, the MMR
+  * penalty spent, and the stability score that regulated the ranking. */
+final case class RetrievalLogRow(
+    query: String,
+    semanticRank: Int,
+    keywordRank: Int,
+    finalRank: Int,
+    latencyEmbedMs: Double,
+    latencySearchMs: Double,
+    latencyFusionMs: Double,
+    latencyRerankMs: Double,
+    topScore: Double,
+    mmrPenalty: Double,
+    isExploration: Boolean,
+    rankDelta: Int,
+    stability: Double,
+    createdAt: Timestamp)
+
 /** Query intent classes (vector_store.h:70). */
 sealed abstract class Intent(val name: String)
 object Intent {

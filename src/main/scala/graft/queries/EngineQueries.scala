@@ -8,7 +8,7 @@ import graft.feedback.BoostLedger
 import graft.model.SearchOptions
 import graft.post.{Calibration, Synthesis}
 import graft.search.{HybridEngine, QueryCache}
-import graft.store.ChunkStore
+import graft.store.{ChunkStore, TokenIndex}
 
 /** End-to-end engine operators: the ingest→index→search pipeline plus the
   * deliberately driver-side ops (MMR, exploration, caches, calibration,
@@ -25,16 +25,31 @@ object EngineQueries {
   private val chunkCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
 
-  private[queries] def chunksFor(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def chunksFor(spark: SparkSession, dir: String): DataFrame =
     chunkCache.getOrElseUpdate((spark, dir),
       ChunkStore.buildChunks(table(spark, dir, "documents"), embedder).cache())
+
+  // posting index over the same indexed text as the chunk cache — the e2e
+  // queries exercise the live engine's posting-join keyword branch
+  private val postingCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+
+  private[graft] def postingsFor(spark: SparkSession, dir: String): DataFrame =
+    postingCache.getOrElseUpdate((spark, dir), {
+      val chunks = chunksFor(spark, dir)
+      TokenIndex.build(
+        chunks.select(col("id"), concat_ws(" ",
+          coalesce(col("heading_path"), lit("")), col("text_chunk")).as("itext")),
+        "id", "itext").cache()
+    })
 
   /** Full pipeline: chunk + embed + hybrid search, fixed query set. */
   def hybridSearch(spark: SparkSession, dir: String,
                    mmr: Boolean = false, exploration: Boolean = false): DataFrame = {
     import spark.implicits._
     val engine = new HybridEngine(spark, chunksFor(spark, dir),
-      SearchOptions(experimentalMmr = mmr, enableExploration = exploration))
+      SearchOptions(experimentalMmr = mmr, enableExploration = exploration),
+      postings = Some(postingsFor(spark, dir)))
     val queries = Seq(
       "what is a merge window",
       "how to hash a partition: steps",

@@ -272,6 +272,48 @@ object RetrievalQueries {
         .orderBy("user_id")
     },
 
+    // D9 over the PERSISTED log table: a full-schema retrieval_logs table
+    // (the reference's 14-column shape, vector_store.cpp:90-101) is
+    // synthesized from events, round-tripped through parquet, and stability
+    // is a groupBy over the stored table — exactly how the engine facade
+    // computes its stability base after a restart.
+    Q("d9_stability_from_log",
+      """WITH log AS (
+        |  SELECT 'q' || user_id AS query,
+        |         CAST(floor(value / 50.0) AS INT) AS rank_delta,
+        |         event_type = 'click' AS is_exploration
+        |  FROM events)
+        |SELECT query,
+        |       round(greatest(0.0, 1.0 - avg(abs(rank_delta)) / 5.0), 6) AS stability,
+        |       count(*) AS n
+        |FROM log WHERE NOT is_exploration
+        |GROUP BY query ORDER BY query""".stripMargin) { (spark, dir) =>
+      val log = events(spark, dir).select(
+        concat(lit("q"), col("user_id").cast("string")).as("query"),
+        (pmod(col("event_id"), lit(10)) + 1).cast("int").as("semantic_rank"),
+        (pmod(col("event_id"), lit(7)) + 1).cast("int").as("keyword_rank"),
+        lit(1).as("final_rank"),
+        col("value").as("latency_embed_ms"),
+        (col("value") * 2).as("latency_search_ms"),
+        (col("value") / 2).as("latency_fusion_ms"),
+        lit(0.0).as("latency_rerank_ms"),
+        (col("value") / 100).as("top_score"),
+        lit(0.0).as("mmr_penalty"),
+        (col("event_type") === "click").as("is_exploration"),
+        floor(col("value") / 50.0).cast("int").as("rank_delta"),
+        lit(1.0).as("stability"),
+        col("ts").as("created_at"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-d9log-").toString
+      log.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp)
+        .filter(!col("is_exploration"))
+        .groupBy("query")
+        .agg(
+          round(greatest(lit(0.0), lit(1.0) - avg(abs(col("rank_delta"))) / 5.0), 6).as("stability"),
+          count(lit(1)).as("n"))
+        .orderBy("query")
+    },
+
     // D13 — context window: neighbors of each row within its partition,
     // Window.rowsBetween(-1, 1) ≡ the reference's chunk_idx range fetch
     // (vector_store.cpp:687-702).

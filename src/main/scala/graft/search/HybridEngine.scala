@@ -7,8 +7,9 @@ import org.apache.spark.sql.expressions.Window
 import graft.embed.Embedder
 import graft.functions.F
 import graft.functions.VectorFunctions.cosineSim
-import graft.model.{Intent, ScoredChunk, SearchOptions}
+import graft.model.{Intent, RetrievalLogRow, ScoredChunk, SearchOptions}
 import graft.post.{Calibration, LexicalOverlapModel, Reranker, RerankModel}
+import graft.store.TokenIndex
 
 /** The hybrid search orchestrator (SURVEY §3.2): the engine's "SELECT".
   *
@@ -27,8 +28,10 @@ final class HybridEngine(
     chunks: DataFrame,
     opts: SearchOptions = SearchOptions(),
     rerankModel: RerankModel = LexicalOverlapModel(),
-    initialLog: Vector[(String, Int, Boolean)] = Vector.empty,
-    initialCalib: Calibration.Stats = Calibration.initial) {
+    postings: Option[DataFrame] = None,
+    initialLog: Vector[RetrievalLogRow] = Vector.empty,
+    initialCalib: Calibration.Stats = Calibration.initial,
+    stabilityBase: Map[String, (Double, Long)] = Map.empty) {
 
   import spark.implicits._
 
@@ -36,35 +39,73 @@ final class HybridEngine(
     capacity = 100, semanticThreshold = opts.semanticThreshold,
     enabled = !opts.deterministic)
 
-  /** Retrieval log (SURVEY §2 A6/D9): append-only, drives stability. */
-  private var logRows = initialLog // (canonQuery, rankDelta, isExploration)
+  /** Retrieval log (SURVEY §2 A6/D9): append-only rows pending flush to the
+    * workspace parquet log table; full reference schema (one row per
+    * search, vector_store.cpp:566-571). */
+  private var logRows = initialLog
   private var searchCount = 0L
   private var entropyEma: Option[Double] = None
   private var calibStats = initialCalib
 
   /** Snapshots for carrying state across engine rebuilds (the facade
-    * re-seeds a new instance after click/index invalidation — the analog
-    * of the reference's persistent retrieval_logs + calibration rows). */
-  def logSnapshot: Vector[(String, Int, Boolean)] = logRows
+    * persists these — the analog of the reference's retrieval_logs +
+    * calibration rows). */
+  def logSnapshot: Vector[RetrievalLogRow] = logRows
   def calibSnapshot: Calibration.Stats = calibStats
+
+  /** Remove and return the pending log rows (the facade appends them to
+    * the persisted parquet log; stability then reads them back via
+    * [[stabilityBase]] on the next engine build). */
+  def drainLog(): Vector[RetrievalLogRow] = {
+    val r = logRows
+    logRows = Vector.empty
+    r
+  }
 
   /** Per-stage latency audit of the last search (SURVEY §2 G4,
     * SearchAudit vector_store.h:72-80). */
   final case class SearchAudit(embedMs: Double, planMs: Double, execMs: Double)
   @volatile var lastAudit: SearchAudit = SearchAudit(0, 0, 0)
 
-  def logRetrieval(query: String, rankDelta: Int, isExploration: Boolean): Unit =
-    logRows :+= ((cache.canonical(query), rankDelta, isExploration))
-
   /** Rank-stability for a query from its history: 1 − avg|Δrank|/5, clamped
-    * to [0,1], exploration rows excluded. A query with NO history is fully
-    * stable (1.0) — the reference's AVG over an empty log is NULL→0, giving
-    * 1 − 0/5 = 1 (vector_store.cpp:430-439). */
+    * to [0,1], exploration rows excluded. History = the persisted log's
+    * per-query aggregate (`stabilityBase`, loaded from the parquet log
+    * table — the reference reads its own retrieval_logs,
+    * vector_store.cpp:430-439) plus this session's pending rows. A query
+    * with NO history is fully stable (1.0). */
   def stability(query: String): Double = {
     val canon = cache.canonical(query)
-    val hist = logRows.filter(r => r._1 == canon && !r._3).map(_._2)
-    if (hist.isEmpty) 1.0
-    else math.max(0.0, math.min(1.0, 1.0 - hist.map(math.abs(_)).sum.toDouble / hist.size / 5.0))
+    val (baseSum, baseN) = stabilityBase.getOrElse(canon, (0.0, 0L))
+    val session = logRows.filter(r => r.query == canon && !r.isExploration)
+    val n = baseN + session.size
+    if (n == 0) 1.0
+    else {
+      val sumAbs = baseSum + session.map(r => math.abs(r.rankDelta)).sum
+      math.max(0.0, math.min(1.0, 1.0 - sumAbs / n / 5.0))
+    }
+  }
+
+  /** Keyword candidate generation: a posting-list join when the workspace
+    * index is present (candidate cost ∝ posting lists, partition-pruned by
+    * token bucket — the 100 TB shape), else the fallback full scan. Both
+    * produce identical (id, kw_score, kw_rank) rows. */
+  private[graft] def keywordCandidates(qToks: Seq[String], depth: Int): DataFrame = {
+    val scored = postings match {
+      case Some(post) =>
+        TokenIndex.search(post, qToks, depth)
+          .select(col("chunk_id").as("id"), col("score").as("kw_score"))
+      case None =>
+        // heading words are keyword-searchable: the FTS mirror indexes
+        // "[CONTEXT: heading] text" (vector_store.cpp:195-201)
+        val indexed = concat_ws(" ", coalesce(col("heading_path"), lit("")), col("text_chunk"))
+        val score = size(filter(F.tokens(indexed), t => t.isin(qToks: _*)))
+        chunks.select(col("id"), score.as("kw_score"))
+          .filter(col("kw_score") > 0)
+          .orderBy(col("kw_score").desc, col("id"))
+          .limit(depth)
+    }
+    scored.withColumn("kw_rank",
+      row_number().over(Window.orderBy(col("kw_score").desc, col("id"))))
   }
 
   /** @param maxDepthFactor D17 degradation hook: caps the intent overfetch
@@ -106,21 +147,12 @@ final class HybridEngine(
         .limit(depth)
         .withColumn("sem_rank", row_number().over(Window.orderBy(col("sem_score").desc, col("id"))))
 
-    // keyword branch: query-token overlap count
+    // keyword branch: query-token overlap via the posting index (or the
+    // fallback scan — see keywordCandidates)
     val qToks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
     val kw =
       if (qToks.isEmpty) Seq.empty[(Long, Int, Int)].toDF("id", "kw_score", "kw_rank")
-      else {
-        // heading words are keyword-searchable: the FTS mirror indexes
-        // "[CONTEXT: heading] text" (vector_store.cpp:195-201)
-        val indexed = concat_ws(" ", coalesce(col("heading_path"), lit("")), col("text_chunk"))
-        val score = size(filter(F.tokens(indexed), t => t.isin(qToks: _*)))
-        chunks.select(col("id"), score.as("kw_score"))
-          .filter(col("kw_score") > 0)
-          .orderBy(col("kw_score").desc, col("id"))
-          .limit(depth)
-          .withColumn("kw_rank", row_number().over(Window.orderBy(col("kw_score").desc, col("id"))))
-      }
+      else keywordCandidates(qToks, depth)
 
     // weighted RRF fusion, K=60 + intent×type boost + trust/recency
     val stab = stability(query)
@@ -176,14 +208,15 @@ final class HybridEngine(
 
     // driver-side tail: MMR → exploration → truncate (reference collapses to
     // memory at the same point, SURVEY §3.2)
-    val diversified =
+    val (diversified, mmrPenalty) =
       if (opts.experimentalMmr) {
         val lam = Mmr.lambda(query, intent)
         val rawEntropy = Mmr.docEntropy(collected)
         val ent = Mmr.smoothEntropy(entropyEma, rawEntropy, searchCount)
         entropyEma = Some(ent)
-        Mmr.select(collected, k, lam, ent)
-      } else collected.take(k)
+        val sel = Mmr.select(collected, k, lam, ent)
+        (sel.selected, sel.penaltyTotal)
+      } else (collected.take(k), 0.0)
 
     val withExploration =
       if (opts.enableExploration) {
@@ -193,6 +226,7 @@ final class HybridEngine(
         val pool = collected.filterNot(c => selectedIds.contains(c.id))
         Mmr.injectExploration(diversified, pool, stab, intent).take(k)
       } else diversified
+    val tMmr = System.nanoTime()
 
     // E1: optional cross-encoder rerank of the final batch (cap 10,
     // 500-char texts), scores calibrated (E2) with frozen-model guard (E3)
@@ -202,11 +236,29 @@ final class HybridEngine(
         calibStats = res.stats
         res.reranked
       } else withExploration
+    val tRerank = System.nanoTime()
 
     searchCount += 1
-    reranked.zipWithIndex.foreach { case (c, finalRank) =>
-      val delta = if (c.semanticRank > 0) c.semanticRank - (finalRank + 1) else 0
-      logRetrieval(query, delta, c.isExploration)
+    // one log row per search, describing the top result — the reference's
+    // exact logRetrieval call shape (vector_store.cpp:566-571)
+    if (reranked.nonEmpty) {
+      val top = reranked.head
+      val delta = if (top.semanticRank > 0) top.semanticRank - 1 else 0
+      logRows :+= RetrievalLogRow(
+        query = cache.canonical(query),
+        semanticRank = top.semanticRank,
+        keywordRank = top.keywordRank,
+        finalRank = 1,
+        latencyEmbedMs = (tEmbed - t0) / 1e6,
+        latencySearchMs = (tExec - tPlan) / 1e6,
+        latencyFusionMs = (tMmr - tExec) / 1e6,
+        latencyRerankMs = (tRerank - tMmr) / 1e6,
+        topScore = top.score,
+        mmrPenalty = mmrPenalty,
+        isExploration = withExploration.exists(_.isExploration),
+        rankDelta = delta,
+        stability = stab,
+        createdAt = new java.sql.Timestamp(System.currentTimeMillis()))
     }
     cache.put(query, qv, reranked)
     lastAudit = SearchAudit((tEmbed - t0) / 1e6, (tPlan - tEmbed) / 1e6, (tExec - tPlan) / 1e6)

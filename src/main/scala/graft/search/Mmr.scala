@@ -40,19 +40,26 @@ object Mmr {
     alpha * current + (1 - alpha) * prev.getOrElse(0.0)
   }
 
+  /** MMR result: the diversified list plus the total diversity penalty
+    * spent — the reference accumulates `mmrPenaltyTotal` and logs it
+    * (vector_store.cpp:461, :527, :570). */
+  final case class Selection(selected: Seq[ScoredChunk], penaltyTotal: Double)
+
   /** Greedy MMR selection: mmr = λ·score − (1−λ)·penalty, with a FLAT
     * 0.15·(1.1−entropy) penalty on repeated-doc membership (not scaled by
     * repeat count) + 0.1 per repeated heading path (vector_store.cpp:485-530:
     * `selectedDocs.contains(candidate.docId)` is a boolean gate). */
-  def select(candidates: Seq[ScoredChunk], k: Int, lam: Double, entropy: Double): Seq[ScoredChunk] = {
+  def select(candidates: Seq[ScoredChunk], k: Int, lam: Double, entropy: Double): Selection = {
     val pool = scala.collection.mutable.ArrayBuffer.from(
       candidates.sortBy(c => (-c.score, c.id)))
     val selected = scala.collection.mutable.ArrayBuffer.empty[ScoredChunk]
     val seenDocs = scala.collection.mutable.Set.empty[String]
     val seenHeadings = scala.collection.mutable.Set.empty[String]
+    var penaltyTotal = 0.0
     while (selected.size < k && pool.nonEmpty) {
       var bestIdx = 0
       var bestMmr = Double.NegativeInfinity
+      var bestPenalty = 0.0
       var i = 0
       while (i < pool.size) {
         val c = pool(i)
@@ -60,15 +67,16 @@ object Mmr {
         val headPenalty = if (c.headingPath != null && seenHeadings.contains(c.headingPath)) 0.1 else 0.0
         val mmr = lam * c.score - (1 - lam) * (docPenalty + headPenalty)
         // strict > keeps the earlier (higher score, lower id) element on ties
-        if (mmr > bestMmr) { bestMmr = mmr; bestIdx = i }
+        if (mmr > bestMmr) { bestMmr = mmr; bestIdx = i; bestPenalty = docPenalty + headPenalty }
         i += 1
       }
       val chosen = pool.remove(bestIdx)
+      penaltyTotal += bestPenalty
       selected += chosen
       seenDocs += chosen.docId
       if (chosen.headingPath != null) seenHeadings += chosen.headingPath
     }
-    selected.toSeq
+    Selection(selected.toSeq, penaltyTotal)
   }
 
   /** Exploration injection (vector_store.cpp:533-554): if stability ≥ 0.6 and

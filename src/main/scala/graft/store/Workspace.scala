@@ -23,6 +23,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def chunksPath: String = p("chunks")
   def logPath: String = p("retrieval_logs")
+  def postingsPath: String = p("postings")
   private def metaPath: Path = Paths.get(root, "workspace_metadata.json")
 
   // ---- A3: chunk sink
@@ -67,6 +68,19 @@ final class Workspace(val spark: SparkSession, val root: String) {
     rows.write.mode(SaveMode.Append).parquet(logPath)
 
   def readLog(): DataFrame = spark.read.parquet(logPath)
+
+  def hasLog: Boolean = Files.exists(Paths.get(logPath))
+
+  // ---- D4 scale path: the posting-list inverted index, maintained by the
+  // same jobs that write the chunk table (TokenIndex is the FTS5 mirror,
+  // vector_store.cpp:195-201)
+
+  def writePostings(postings: DataFrame): Unit =
+    TokenIndex.write(postings, postingsPath)
+
+  def readPostings(): DataFrame = spark.read.parquet(postingsPath)
+
+  def hasPostings: Boolean = Files.exists(Paths.get(postingsPath))
 
   // ---- A7: metadata KV (JSON sidecar — the workspace_metadata table)
 
@@ -123,6 +137,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
       if (Files.exists(dir))
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     rm(Paths.get(chunksPath))
+    rm(Paths.get(postingsPath))
     // dropping the table also drops the dimension registration
     if (Files.exists(metaPath)) {
       val m = allMeta - "model_dim"

@@ -66,6 +66,64 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.search("summary of the merge window").nonEmpty)
   }
 
+  test("retrieval log persists the full reference schema; stability survives a facade restart (A6/D9)") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-log-").toString
+    val engine = Engine.open(spark, root, "main")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    engine.index(docs)
+
+    val q = "what is a merge window"
+    engine.search(q)
+    val flushed = engine.flushRetrievalLog()
+    assert(flushed == 1) // one row per search (vector_store.cpp:566-571)
+
+    val log = engine.workspace.readLog()
+    val expected = Seq("query", "semantic_rank", "keyword_rank", "final_rank",
+      "latency_embed_ms", "latency_search_ms", "latency_fusion_ms", "latency_rerank_ms",
+      "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability", "created_at")
+    assert(log.columns.toSeq == expected)
+    val row = log.head()
+    assert(row.getAs[Int]("final_rank") == 1)
+    assert(row.getAs[Int]("semantic_rank") > 0)
+    assert(row.getAs[Double]("stability") == 1.0) // first search: no history
+
+    // a second search logs the rank_delta history; a BRAND-NEW facade on the
+    // same workspace must see it from the parquet log alone (no in-memory carry)
+    engine.search(q)
+    engine.flushRetrievalLog()
+    val delta = engine.workspace.readLog()
+      .agg(org.apache.spark.sql.functions.sum(org.apache.spark.sql.functions.abs(col("rank_delta"))))
+      .head().getLong(0)
+    val restarted = Engine.open(spark, root, "main")
+    val expectedStab = math.max(0.0, math.min(1.0, 1.0 - delta.toDouble / 2 / 5.0))
+    // trigger an engine build, then compare the restarted facade's stability
+    restarted.search("unrelated warm query")
+    assert(math.abs(stabilityOf(restarted, q) - expectedStab) < 1e-9)
+  }
+
+  /** Stability as the restarted facade computes it (via its HybridEngine). */
+  private def stabilityOf(e: Engine, q: String): Double = {
+    // the facade exposes stability only through search behavior; reach the
+    // engine's stability() directly for the assertion
+    val m = classOf[Engine].getDeclaredField("hybrid")
+    m.setAccessible(true)
+    m.get(e).asInstanceOf[Option[graft.search.HybridEngine]].get.stability(q)
+  }
+
+  test("index() maintains the posting-list index used by the keyword branch (D4 scale path)") {
+    val root = Files.createTempDirectory("graft-post-").toString
+    val engine = Engine.open(spark, root, "main")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    engine.index(docs)
+    assert(engine.workspace.hasPostings)
+    val post = engine.workspace.readPostings()
+    assert(post.columns.contains("token") && post.columns.contains("tf"))
+    assert(post.count() > 0)
+    // search results flow through the posting join and stay non-empty
+    assert(engine.search("merge window hash").nonEmpty)
+  }
+
   test("calibration persistence roundtrip (E4)") {
     val root = Files.createTempDirectory("graft-cal-").toString
     val engine = Engine.open(spark, root, "ws")

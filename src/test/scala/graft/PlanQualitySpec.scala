@@ -123,6 +123,27 @@ class PlanQualitySpec extends AnyFunSuite {
       s"expected both sem and kw branches to truncate before ranking:\n$p")
   }
 
+  test("live engine keyword branch is a posting join, not a corpus regex scan") {
+    import org.apache.spark.sql.functions.{coalesce, col, concat_ws, lit}
+    val chunks = graft.queries.EngineQueries.chunksFor(spark, sf)
+    val postings = graft.queries.EngineQueries.postingsFor(spark, sf)
+    val engine = new graft.search.HybridEngine(spark, chunks,
+      postings = Some(postings))
+    val p = engine.keywordCandidates(Seq("merge", "window"), 20)
+      .queryExecution.executedPlan.toString
+    // the live query section (above the cached postings' build lineage,
+    // which legitimately contains the tokenizing regex) must be a postings
+    // filter + tf-sum, not a text scan
+    val live = p.split("InMemoryRelation").head
+    assert(!live.contains("regexp_extract_all"), s"keyword branch still scans with regex:\n$p")
+    assert(live.contains("token"), s"posting join missing:\n$p")
+    // fallback (no postings) keeps the scan shape with rank-after-topk
+    val scan = new graft.search.HybridEngine(spark, chunks)
+      .keywordCandidates(Seq("merge", "window"), 20)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("TakeOrderedAndProject"), scan)
+  }
+
   test("whole-stage codegen covers the cosine kernel (no UDF break)") {
     val p = plan("d2_knn_topk")
     // compact tree format marks codegen stages with *(n); the scoring

@@ -132,7 +132,7 @@ class PureOpsSpec extends AnyFunSuite {
       sc(4, "docB", 0.72))
     // low entropy → repeat penalty 0.15*1.1 = 0.165 on docA membership; λ=0.5
     // round 3: docA id=3 → 0.44 - 0.0825 = 0.3575 < docB 0.36 → docB promoted
-    val out = Mmr.select(cands, 3, lam = 0.5, entropy = 0.0)
+    val out = Mmr.select(cands, 3, lam = 0.5, entropy = 0.0).selected
     assert(out.head.id == 1)
     assert(out.map(_.docId).contains("docB")) // docB promoted over 3rd docA
     // penalty is boolean membership (vector_store.cpp:507): second docA pick
@@ -147,7 +147,7 @@ class PureOpsSpec extends AnyFunSuite {
 
   test("mmr select: deterministic tie-break (score desc, id asc)") {
     val cands = Seq(sc(2, "a", 0.5), sc(1, "b", 0.5), sc(3, "c", 0.5))
-    val out = Mmr.select(cands, 3, lam = 0.8, entropy = 1.0)
+    val out = Mmr.select(cands, 3, lam = 0.8, entropy = 1.0).selected
     assert(out.map(_.id) == Seq(1, 2, 3))
   }
 
