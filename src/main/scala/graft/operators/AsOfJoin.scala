@@ -63,13 +63,18 @@ object AsOfJoin {
     val w = Window.partitionBy(col(key)).orderBy(orderCols: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
-    val carried = payload.foldLeft(unioned) {
-      case (df, p) => df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-    }
+    // carry ONE struct of all payload columns, tagged non-null exactly on
+    // right rows: every carried value then comes from the SAME (latest)
+    // right row, and a NULL payload value in that row stays NULL instead of
+    // falling back to an older row (which per-column last(ignoreNulls)
+    // would do — and with several payload columns could even mix rows)
+    val payloadStruct = struct(payloadCols.map(c => col(s"__asof_$c").as(c)): _*)
+    val carried = unioned.withColumn("__asof_pl",
+      last(when(col("__asof_is_right") === 1, payloadStruct), ignoreNulls = true).over(w))
 
-    val renamed = payloadCols.foldLeft(carried.filter(col("__asof_is_right") === 0)) {
-      case (df, c) => df.withColumnRenamed(s"__asof_$c", s"asof_$c")
+    val unpacked = payloadCols.foldLeft(carried.filter(col("__asof_is_right") === 0)) {
+      case (df, c) => df.withColumn(s"asof_$c", col("__asof_pl").getField(c))
     }
-    renamed.drop("__asof_ts", "__asof_is_right", "__asof_tb")
+    unpacked.drop((Seq("__asof_ts", "__asof_is_right", "__asof_tb", "__asof_pl") ++ payload): _*)
   }
 }

@@ -24,6 +24,20 @@ final case class LeadSentenceSynthesis() extends SynthesisModel {
     }
 }
 
+/** Adapter for a REAL deployment's LLM boundary: the model returns the raw
+  * reply string (prose + embedded JSON), which flows through the
+  * reference's full validation path (brace balance, answer-array parse,
+  * source-id membership — [[Synthesis.parseClaims]], gemini_api.cpp:496-563)
+  * before any claim reaches the pipeline. */
+final case class RawJsonReplySynthesis(model: Seq[Seq[(Int, String)]] => String)
+    extends SynthesisModel {
+  override def synthesize(clusters: Seq[Seq[(Int, String)]]): Seq[(String, Seq[Int])] = {
+    val memberIds = clusters.flatten.map(_._1).distinct.sorted
+    Synthesis.parseClaims(model(clusters), memberIds.map(i => i -> 0.0))
+      .map(c => (c.statement, c.sourceIndices))
+  }
+}
+
 object DeepDive {
 
   final case class DeepDiveClaim(statement: String, sources: Seq[Int], confidence: Double)

@@ -45,6 +45,47 @@ object Synthesis {
     else 0.0
   }
 
+  /** Parse a raw LLM reply into validated claims — the reference's exact
+    * response path (gemini_api.cpp:496-563): "No grounded answer"
+    * short-circuit, outermost {...} span extraction, brace-balance
+    * validation, "answer" array extraction, per-claim source-id validation
+    * against the prompt-indexed contexts, mean confidence over the validly
+    * cited sources with a top×0.5 fallback for uncited claims, empty
+    * statements dropped. Jackson (shipped with Spark) stands in for Qt's
+    * QJsonDocument; any parse failure yields zero claims, never a throw.
+    *
+    * @param contexts (promptIndex, finalScore) of the retrieved contexts,
+    *                 in rank order (head = top result, the fallback base).
+    */
+  def parseClaims(report: String, contexts: Seq[(Int, Double)]): Seq[Claim] = {
+    if (report.toLowerCase.contains("no grounded answer found")) return Nil
+    val start = report.indexOf('{')
+    val end = report.lastIndexOf('}')
+    if (start < 0 || end <= start) return Nil // no JSON structural wrapper
+    val jsonStr = report.substring(start, end + 1)
+    if (!braceBalanced(jsonStr)) return Nil
+    val scoreOf = contexts.toMap
+    try {
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val arr = mapper.readTree(jsonStr).path("answer")
+      if (!arr.isArray) return Nil
+      (0 until arr.size).flatMap { i =>
+        val item = arr.get(i)
+        val statement = item.path("statement").asText("")
+        val cited =
+          if (item.path("sources").isArray)
+            (0 until item.path("sources").size).map(j => item.path("sources").get(j).asInt)
+          else Seq.empty[Int]
+        val valid = cited.filter(scoreOf.contains)
+        val conf =
+          if (valid.nonEmpty) valid.map(scoreOf).sum / valid.size
+          else if (contexts.nonEmpty) contexts.head._2 * 0.5
+          else 0.0
+        if (statement.isEmpty) None else Some(Claim(statement, valid, conf))
+      }
+    } catch { case _: Exception => Nil }
+  }
+
   /** Brace-balance sanity check used before JSON claim parsing
     * (gemini_api.cpp:510-516). */
   def braceBalanced(s: String): Boolean = {

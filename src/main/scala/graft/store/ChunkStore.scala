@@ -16,20 +16,24 @@ import graft.ingest.TextChunker
   */
 object ChunkStore {
 
-  /** Numeric key for a (possibly non-numeric) doc id: numeric ids keep
-    * their value; strings hash via the portable 60-bit md5 prefix into
-    * [0, 9e12). One definition, two forms (Scala + Column), so chunk rows
-    * and summary rows always agree. */
+  /** Numeric key for a (possibly non-numeric) doc id: unsigned decimal ids
+    * of ≤18 digits (safely inside Long range) keep their value; everything
+    * else — including negatives and overlong digit strings — hashes via
+    * the portable 60-bit md5 prefix into [0, 9e12). One definition, two
+    * forms (Scala + Column) with the SAME ^[0-9]{1,18}$ numeric gate, so
+    * chunk rows and summary rows always agree for every doc id shape. */
   def docKey(docId: String): Long =
-    docId.toLongOption.getOrElse {
+    if (docId != null && docId.length <= 18 && docId.nonEmpty && docId.forall(c => c >= '0' && c <= '9'))
+      docId.toLong
+    else {
       val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(docId.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        .digest(Option(docId).getOrElse("").getBytes(java.nio.charset.StandardCharsets.UTF_8))
         .map("%02x".format(_)).mkString.take(15)
       java.lang.Math.floorMod(java.lang.Long.parseLong(hex, 16), 9000000000000L)
     }
 
   def docKeyCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c.rlike("^[0-9]+$"), c.cast("long"))
+    when(c.rlike("^[0-9]{1,18}$"), c.cast("long"))
       .otherwise(pmod(conv(substring(md5(c), 1, 15), 16, 10).cast("long"), lit(9000000000000L)))
 
   /** Ingest a documents table (doc_id, text, source, …) into the chunk

@@ -31,6 +31,19 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(out("l3").isEmpty)              // key with no right rows
   }
 
+  test("as-of join: NULL payload in the latest right row is carried as NULL, not an older value") {
+    val left = Seq((1L, 30L, "l")).toDF("k", "ts", "tag")
+    val right = Seq(
+      (1L, 5L, Some(100.0), Some("a")),
+      (1L, 20L, None, Some("b"))) // latest preceding row: v is NULL
+      .toDF("k", "rts", "v", "w")
+    val out = AsOfJoin.join(left, right, "k", "ts", "rts", Seq("v", "w")).head()
+    // true as-of semantics (and DuckDB ASOF): ALL payload values come from
+    // the single latest row — v stays NULL, w comes from the same row
+    assert(out.isNullAt(out.fieldIndex("asof_v")))
+    assert(out.getAs[String]("asof_w") == "b")
+  }
+
   test("as-of join: left rows and columns all preserved") {
     val left = Seq((1L, 10L, "x")).toDF("k", "ts", "payload")
     val right = Seq((1L, 5L, 7.0)).toDF("k", "rts", "v")

@@ -251,6 +251,44 @@ class PureOpsSpec extends AnyFunSuite {
     assert(!Synthesis.braceBalanced("""}{"""))
   }
 
+  test("raw LLM reply parse path (E7, gemini_api.cpp:496-563): validation + confidence") {
+    val ctxs = Seq(0 -> 0.8, 1 -> 0.6, 2 -> 0.4)
+    // prose around the JSON wrapper is stripped; source id 9 is invalid and
+    // dropped; confidence = mean of the valid cited scores
+    val good =
+      """Here is the answer you asked for:
+        |{"answer": [
+        |  {"statement": "Claim A.", "sources": [0, 1, 9]},
+        |  {"statement": "Claim B.", "sources": []},
+        |  {"statement": "", "sources": [2]}
+        |]}
+        |Hope this helps!""".stripMargin
+    val claims = Synthesis.parseClaims(good, ctxs)
+    assert(claims.size == 2) // empty statement dropped
+    assert(claims(0).statement == "Claim A." && claims(0).sourceIndices == Seq(0, 1))
+    assert(math.abs(claims(0).confidence - 0.7) < 1e-9)
+    // uncited claim: fallback = top context score × 0.5
+    assert(claims(1).sourceIndices.isEmpty && math.abs(claims(1).confidence - 0.4) < 1e-9)
+
+    // refusal marker short-circuits
+    assert(Synthesis.parseClaims("No grounded answer found in context.", ctxs).isEmpty)
+    // no JSON wrapper at all
+    assert(Synthesis.parseClaims("just prose, no json here", ctxs).isEmpty)
+    // unbalanced braces rejected before parsing
+    assert(Synthesis.parseClaims("""{"answer": [{"statement": "x"}""" + "]", ctxs).isEmpty)
+    // balanced but malformed JSON → parse failure → zero claims, no throw
+    assert(Synthesis.parseClaims("""{"answer": [statement-not-json}]{""" + "}", ctxs).isEmpty)
+    // answer is not an array
+    assert(Synthesis.parseClaims("""{"answer": "scalar"}""", ctxs).isEmpty)
+  }
+
+  test("RawJsonReplySynthesis adapter: claims flow through the same validation") {
+    val model = graft.post.RawJsonReplySynthesis(_ =>
+      """{"answer": [{"statement": "From cluster.", "sources": [1, 42]}]}""")
+    val out = model.synthesize(Seq(Seq((0, "text a")), Seq((1, "text b"))))
+    assert(out == Seq(("From cluster.", Seq(1)))) // 42 is not a member id
+  }
+
   // ---- property-based (seeded-random): cosine on the driver-side implementation
 
   test("cosine properties: symmetry, range, self-similarity (200 random vectors)") {

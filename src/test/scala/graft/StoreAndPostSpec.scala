@@ -32,6 +32,22 @@ class StoreAndPostSpec extends AnyFunSuite {
     new Workspace(spark, s"$root/main")
   }
 
+  test("docKey (Scala) and docKeyCol (Column) agree for every doc-id shape") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val ids = Seq("0", "42", "999999999999999999",      // numeric, 18 digits max
+      "9999999999999999999", "12345678901234567890123", // overlong → hashed
+      "-3", "+5", "3.7", "abc", "a-1", "")              // non-decimal → hashed
+    val fromCol = ids.toDF("doc_id")
+      .select(col("doc_id"), ChunkStore.docKeyCol(col("doc_id")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    ids.foreach { id =>
+      assert(fromCol(id) == ChunkStore.docKey(id),
+        s"docKey mismatch for '$id': col=${fromCol(id)} scala=${ChunkStore.docKey(id)}")
+    }
+    assert(ChunkStore.docKey("42") == 42L) // numeric ids keep their value
+  }
+
   test("workspace: write registers dim, guardrail rejects mismatched batch") {
     val ws = freshWorkspace()
     val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
