@@ -1,0 +1,296 @@
+package graft.ingest
+
+import java.util.zip.Inflater
+
+/** Self-contained PDF page extractor (SURVEY §2 A1): JDK-only parsing of
+  * classic PDF files — object scan, FlateDecode via [[java.util.zip.Inflater]],
+  * a text-operator interpreter producing PER-CHARACTER boxes, and the
+  * reference's exact char→line assembly: 5 pt row tolerance, 4 pt
+  * space-gap inference, per-line char-averaged font size/weight
+  * (pdf_processor.cpp:88-151, which drives PDFium the same way).
+  *
+  * Glyph metrics: standard-14 Courier is fixed-pitch 600/1000 em, so char
+  * advances (and therefore boxes) are EXACT for Courier-family fonts; other
+  * fonts use the configurable `defaultWidthEm` approximation. A
+  * full-width-table library (pdfbox etc.) can plug in behind the same
+  * [[PageExtractor]] trait without touching anything downstream.
+  *
+  * Supported subset (documented contract, pinned by LayoutChunkerSpec):
+  * non-object-stream PDFs; raw or /FlateDecode content streams; text
+  * operators BT ET Tf Tm Td TD TL T* Tj ' TJ; literal `(…)` strings with
+  * escapes and nesting; one content stream per page in document order.
+  */
+final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtractor {
+
+  // def, not val: Charset is not Serializable and would poison the
+  // executor closure of the binaryFile flatMap
+  private def Iso = java.nio.charset.StandardCharsets.ISO_8859_1
+
+  /** One positioned character — the FPDFText_GetCharBox analog
+    * (pdf_processor.cpp:88-95). PDF coords: y grows UP. */
+  private final case class Ch(c: Char, left: Double, top: Double, right: Double,
+                              bottom: Double, size: Double, weight: Int)
+
+  override def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page] = {
+    val raw = new String(content, Iso)
+    val boxes = mediaBoxes(raw)
+    val weights = fontWeights(raw)
+    contentStreams(content, raw).zipWithIndex.map { case (ops, i) =>
+      val (w, h) = boxes.lift(i).orElse(boxes.headOption).getOrElse((612.0, 792.0))
+      LayoutChunker.Page(i + 1, w, h, assembleLines(interpret(ops, weights), h))
+    }
+  }
+
+  /** Resource font name (/F1 …) → weight, resolved through the document's
+    * font objects: /BaseFont names containing "Bold" map to 700 — the
+    * FPDFText_GetFontWeight analog (pdf_processor.cpp:93). */
+  private def fontWeights(raw: String): Map[String, Int] = {
+    val objWeight = """(\d+)\s+0\s+obj\b([\s\S]*?)endobj""".r.findAllMatchIn(raw).flatMap { m =>
+      """/BaseFont\s*/([A-Za-z0-9+-]+)""".r.findFirstMatchIn(m.group(2)).map { bm =>
+        m.group(1) -> (if (bm.group(1).toLowerCase.contains("bold")) 700 else 400)
+      }
+    }.toMap
+    """/Font\s*<<([^>]*)>>""".r.findAllMatchIn(raw).flatMap { fm =>
+      """/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fm.group(1))
+        .map(rm => rm.group(1) -> objWeight.getOrElse(rm.group(2), 400))
+    }.toMap
+  }
+
+  // ---- document structure ----
+
+  private def mediaBoxes(raw: String): Seq[(Double, Double)] =
+    """/MediaBox\s*\[\s*([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s*\]""".r
+      .findAllMatchIn(raw)
+      .map(m => (m.group(3).toDouble - m.group(1).toDouble,
+                 m.group(4).toDouble - m.group(2).toDouble))
+      .toSeq
+
+  /** Decoded content streams (those containing a BT text block), in
+    * document order. */
+  private def contentStreams(content: Array[Byte], raw: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    var from = 0
+    while ({ val s = raw.indexOf("stream", from); s >= 0 && raw.indexOf("endstream", s) >= 0 }) {
+      val s = raw.indexOf("stream", from)
+      val e = raw.indexOf("endstream", s)
+      // data begins after "stream" + EOL (spec: CRLF or LF)
+      var dataStart = s + "stream".length
+      if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+      if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+      var dataEnd = e
+      if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+      if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+      // the owning object's dictionary: between the previous "obj" and "stream"
+      val objStart = math.max(raw.lastIndexOf("obj", s), 0)
+      val dict = raw.substring(objStart, s)
+      val bytes = java.util.Arrays.copyOfRange(content, dataStart, dataEnd)
+      val decoded =
+        if (dict.contains("FlateDecode")) new String(inflate(bytes), Iso)
+        else new String(bytes, Iso)
+      if (decoded.contains("BT")) out += decoded
+      from = e + "endstream".length
+    }
+    out.result()
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    while (!inf.finished() && !inf.needsInput()) {
+      val n = inf.inflate(buf)
+      if (n > 0) out.write(buf, 0, n)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  // ---- content-stream text interpreter ----
+
+  private sealed trait Tok
+  private final case class Num(v: Double) extends Tok
+  private final case class Str(s: String) extends Tok
+  private final case class Name(s: String) extends Tok
+  private case object ArrStart extends Tok
+  private case object ArrEnd extends Tok
+  private final case class Op(s: String) extends Tok
+
+  private def tokenize(s: String): Iterator[Tok] = new Iterator[Tok] {
+    private var i = 0
+    private def skipWs(): Unit = { while (i < s.length && s.charAt(i).isWhitespace) i += 1 }
+    override def hasNext: Boolean = { skipWs(); i < s.length }
+    override def next(): Tok = {
+      skipWs()
+      val c = s.charAt(i)
+      if (c == '(') { i += 1; Str(literalString()) }
+      else if (c == '[') { i += 1; ArrStart }
+      else if (c == ']') { i += 1; ArrEnd }
+      else if (c == '/') {
+        val j = i + 1
+        i = j
+        while (i < s.length && !s.charAt(i).isWhitespace && !"()[]/<>".contains(s.charAt(i))) i += 1
+        Name(s.substring(j, i))
+      } else if (c == '-' || c == '+' || c == '.' || c.isDigit) {
+        val j = i
+        i += 1
+        while (i < s.length && (s.charAt(i).isDigit || s.charAt(i) == '.')) i += 1
+        Num(s.substring(j, i).toDouble)
+      } else {
+        val j = i
+        i += 1
+        while (i < s.length && !s.charAt(i).isWhitespace && !"()[]/<>".contains(s.charAt(i))) i += 1
+        Op(s.substring(j, i))
+      }
+    }
+    /** Literal string body, cursor past '('; handles escapes + nesting. */
+    private def literalString(): String = {
+      val b = new StringBuilder
+      var depth = 1
+      while (i < s.length && depth > 0) {
+        val c = s.charAt(i)
+        if (c == '\\' && i + 1 < s.length) {
+          val n = s.charAt(i + 1)
+          n match {
+            case 'n' => b.append('\n'); i += 2
+            case 'r' => b.append('\r'); i += 2
+            case 't' => b.append('\t'); i += 2
+            case 'b' => b.append('\b'); i += 2
+            case 'f' => b.append('\f'); i += 2
+            case '(' | ')' | '\\' => b.append(n); i += 2
+            case d if d >= '0' && d <= '7' =>
+              val oct = s.substring(i + 1, math.min(i + 4, s.length)).takeWhile(ch => ch >= '0' && ch <= '7')
+              b.append(Integer.parseInt(oct, 8).toChar); i += 1 + oct.length
+            case '\n' => i += 2 // line continuation
+            case _ => b.append(n); i += 2
+          }
+        } else if (c == '(') { depth += 1; b.append(c); i += 1 }
+        else if (c == ')') { depth -= 1; if (depth > 0) b.append(c); i += 1 }
+        else { b.append(c); i += 1 }
+      }
+      b.toString
+    }
+  }
+
+  private def interpret(stream: String, weights: Map[String, Int] = Map.empty): Seq[Ch] = {
+    val chars = Seq.newBuilder[Ch]
+    var fontSize = 12.0
+    var weight = 400
+    var leading = 0.0
+    var lineX = 0.0; var lineY = 0.0 // line-start (Td/Tm/T* target)
+    var curX = 0.0; var textY = 0.0
+    val stack = scala.collection.mutable.ArrayBuffer.empty[Tok]
+    var arr: scala.collection.mutable.ArrayBuffer[Tok] = null
+
+    def nums(n: Int): Seq[Double] = {
+      val vs = stack.takeRight(n).collect { case Num(v) => v }.toSeq
+      stack.clear()
+      vs
+    }
+    def show(str: String): Unit = {
+      val w = defaultWidthEm * fontSize
+      str.foreach { c =>
+        chars += Ch(c, curX, textY + fontSize * 0.8, curX + w, textY - fontSize * 0.2,
+          fontSize, weight)
+        curX += w
+      }
+    }
+
+    tokenize(stream).foreach {
+      case ArrStart => arr = scala.collection.mutable.ArrayBuffer.empty[Tok]
+      case ArrEnd => () // the collected array stays in `arr` for TJ
+      case t: Num if arr != null => arr += t
+      case t: Str if arr != null => arr += t
+      case op: Op =>
+        op.s match {
+          case "BT" => lineX = 0; lineY = 0; curX = 0; textY = 0; stack.clear()
+          case "ET" => stack.clear()
+          case "Tf" =>
+            stack.collectFirst { case Name(n) => n }.foreach { n =>
+              weight = weights.getOrElse(n,
+                if (n.toLowerCase.contains("bold")) 700 else 400)
+            }
+            fontSize = nums(1).headOption.getOrElse(fontSize)
+          case "Tm" =>
+            val v = nums(6)
+            if (v.size == 6) { lineX = v(4); lineY = v(5); curX = lineX; textY = lineY }
+          case "Td" =>
+            val v = nums(2)
+            if (v.size == 2) { lineX += v(0); lineY += v(1); curX = lineX; textY = lineY }
+          case "TD" =>
+            val v = nums(2)
+            if (v.size == 2) {
+              leading = -v(1); lineX += v(0); lineY += v(1); curX = lineX; textY = lineY
+            }
+          case "TL" => leading = nums(1).headOption.getOrElse(leading)
+          case "T*" => lineY -= leading; curX = lineX; textY = lineY; stack.clear()
+          case "Tj" =>
+            stack.collectFirst { case Str(s) => s }.foreach(show); stack.clear()
+          case "'" =>
+            lineY -= leading; curX = lineX; textY = lineY
+            stack.collectFirst { case Str(s) => s }.foreach(show); stack.clear()
+          case "TJ" =>
+            if (arr != null) arr.foreach {
+              case Str(s) => show(s)
+              case Num(k) => curX -= k / 1000.0 * fontSize // kerning adjustment
+              case _ =>
+            }
+            arr = null; stack.clear()
+          case _ => stack.clear() // unsupported operator: drop its operands
+        }
+      case t => stack += t
+    }
+    chars.result()
+  }
+
+  // ---- char → line assembly (pdf_processor.cpp:97-151) ----
+
+  private def assembleLines(chars: Seq[Ch], pageHeight: Double): Seq[LayoutChunker.Line] = {
+    if (chars.isEmpty) return Seq.empty
+    // reference sort: rows top-down (PDF y desc) with 5 pt tolerance,
+    // left→right within a row
+    val sorted = chars.sortWith { (a, b) =>
+      if (math.abs(a.top - b.top) > 5.0) a.top > b.top else a.left < b.left
+    }
+    final case class Acc(var text: StringBuilder, var top: Double, var bottom: Double,
+                         var left: Double, var right: Double,
+                         var sizeSum: Double, var weightSum: Double, var n: Int)
+    val lines = Seq.newBuilder[LayoutChunker.Line]
+    def emit(a: Acc): Unit = lines += LayoutChunker.Line(
+      a.text.toString,
+      a.left, pageHeight - a.top, a.right, pageHeight - a.bottom,
+      a.sizeSum / a.n, (a.weightSum / a.n).round.toInt)
+    val h = sorted.head
+    var acc = Acc(new StringBuilder(h.c.toString), h.top, h.bottom, h.left, h.right, h.size, h.weight, 1)
+    sorted.drop(1).foreach { ch =>
+      if (math.abs(ch.top - acc.top) > 5.0) {
+        emit(acc)
+        acc = Acc(new StringBuilder(ch.c.toString), ch.top, ch.bottom, ch.left, ch.right,
+          ch.size, ch.weight, 1)
+      } else {
+        // space-gap inference: > 4 pt between consecutive boxes
+        if (ch.left - acc.right > 4.0) acc.text.append(' ')
+        acc.text.append(ch.c)
+        acc.right = math.max(acc.right, ch.right)
+        acc.top = math.max(acc.top, ch.top)
+        acc.bottom = math.min(acc.bottom, ch.bottom)
+        acc.sizeSum += ch.size; acc.weightSum += ch.weight; acc.n += 1
+      }
+    }
+    emit(acc)
+    lines.result()
+  }
+}
+
+/** Format-sniffing default extractor: real PDFs (%PDF- magic) go through
+  * [[CharPdfExtractor]]; anything else through [[TextPageExtractor]] —
+  * one `binaryFile` scan ingests a mixed directory. */
+final case class SniffingExtractor(pdf: CharPdfExtractor = CharPdfExtractor(),
+                                   text: TextPageExtractor = TextPageExtractor())
+    extends PageExtractor {
+  override def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page] =
+    if (content.length >= 5 &&
+        new String(content, 0, 5, java.nio.charset.StandardCharsets.ISO_8859_1) == "%PDF-")
+      pdf.extract(path, content)
+    else text.extract(path, content)
+}

@@ -8,11 +8,11 @@ import org.apache.spark.sql.functions._
   * per chunk, parallel across files.
   *
   * The reference drives PDFium per character (pdf_processor.cpp:88-95);
-  * a JVM deployment plugs a PDF library into [[PageExtractor]] (this
-  * container ships none, so the default extractor handles plain text:
-  * form-feed-separated pages, newline-separated lines at a 14pt pitch).
-  * Everything downstream of the extractor — noise filtering, headings,
-  * typing, chunking — is the real, tested pipeline.
+  * here [[CharPdfExtractor]] parses PDF content streams to per-char boxes
+  * with the same line-assembly geometry, [[TextPageExtractor]] handles
+  * plain text, and the default [[SniffingExtractor]] picks by file magic.
+  * A full-metrics PDF library (pdfbox etc.) can replace the built-in
+  * extractor behind the same trait without touching the pipeline.
   */
 trait PageExtractor extends Serializable {
   def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page]
@@ -38,7 +38,7 @@ object PdfSource {
   /** Scan a directory of document files and run the full ingest pipeline:
     * one task per file, `Seq[LayoutChunk]` out (the Generator/UDTF role). */
   def extractChunks(spark: SparkSession, dir: String, glob: String = "*",
-                    extractor: PageExtractor = TextPageExtractor()): DataFrame = {
+                    extractor: PageExtractor = SniffingExtractor()): DataFrame = {
     import spark.implicits._
     val ex = extractor
     val files = spark.read.format("binaryFile")
