@@ -24,32 +24,51 @@ object DedupPipeline {
   val NumHashes = 8
   val Bands = 4
 
-  /** Band rows (id, band, bkey) from the fused MinHash over a set column:
-    * the md5 material is computed once per element ([[F.minhashFulls]]),
-    * the 8 signatures are cheap slices, and each band key is the md5 of
-    * its 2 concatenated signatures. */
+  /** Sorted-neighborhood window inside a bucket: each doc pairs with at
+    * most this many successors in signature order. Buckets of ≤ W+1 docs
+    * get exact all-pairs; a DEGENERATE bucket (thousands of templated
+    * near-identical docs sharing one band key — real corpora have them)
+    * degrades gracefully to W·n pairs instead of n²/2, with near-identical
+    * docs adjacent in sort order so recall stays high. At 100 TB this
+    * bound is the difference between Σ|bucket|·W and an accidental
+    * quadratic blowup on one hot bucket. */
+  val NeighborWindow = 16
+
+  /** Band rows (id, band, bkey, sig) from the fused MinHash over a set
+    * column: the md5 material is computed once per element
+    * ([[F.minhashFulls]]), the 8 signatures are cheap slices, each band key
+    * is the md5 of its 2 concatenated signatures, and `sig` (the full
+    * signature concat) is the sorted-neighborhood sort key. */
   def bandBuckets(sets: DataFrame, idCol: String, setCol: String): DataFrame = {
     val withMh = sets
       .withColumn("__fulls", F.minhashFulls(col(setCol)))
       .withColumn("__mh", array((0 until NumHashes).map(i => F.minhashSig(col("__fulls"), i)): _*))
     withMh
-      .select(col(idCol), explode(array((0 until Bands).map { b =>
-        struct(lit(b).as("band"),
-          md5(concat(element_at(col("__mh"), 2 * b + 1), element_at(col("__mh"), 2 * b + 2))).as("bkey"))
-      }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      .select(col(idCol), concat_ws("", col("__mh")).as("sig"),
+        explode(array((0 until Bands).map { b =>
+          struct(lit(b).as("band"),
+            md5(concat(element_at(col("__mh"), 2 * b + 1), element_at(col("__mh"), 2 * b + 2))).as("bkey"))
+        }: _*)).as("bb"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("sig"))
   }
 
-  /** Distinct candidate pairs (a_id < b_id) from band buckets: a self-join
-    * keyed on (band, bkey) — one shuffle of compact signature keys, pair
-    * explosion bounded by bucket sizes; distinct() folds pairs that share
+  /** Distinct candidate pairs (a_id < b_id) from band buckets, windowed:
+    * rank each bucket by (sig, id), pair each row with its next
+    * [[NeighborWindow]] rows only. One shuffle of compact signature keys;
+    * per-bucket cost min(n²/2, n·W); distinct() folds pairs sharing
     * several bands. */
-  def candidatePairs(bands: DataFrame, idCol: String): DataFrame =
-    bands.select(col("band"), col("bkey"), col(idCol).as("a_id"))
-      .join(bands.select(col("band"), col("bkey"), col(idCol).as("b_id")), Seq("band", "bkey"))
-      .filter(col("a_id") < col("b_id"))
-      .select("a_id", "b_id")
+  def candidatePairs(bands: DataFrame, idCol: String,
+                     window: Int = NeighborWindow): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("bkey")).orderBy(col("sig"), col(idCol))
+    val ranked = bands.withColumn("rn", row_number().over(w))
+    val l = ranked.select(col("band"), col("bkey"), col(idCol).as("x"), col("rn").as("ra"))
+    val r = ranked.select(col("band"), col("bkey"), col(idCol).as("y"), col("rn").as("rb"))
+    l.join(r, Seq("band", "bkey"))
+      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + window)
+      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
       .distinct()
+  }
 
   /** Distinct-token sets for sampled docs (the signature input). */
   private def tokenSets(docs: DataFrame, sampleMod: Int): DataFrame =
@@ -72,12 +91,20 @@ object DedupPipeline {
   }
 
   /** Connected components: label = min doc_id reachable. Converges to the
-    * exact component minimum (fixpoint detected via label-change count). */
+    * exact component minimum (fixpoint detected via label-change count).
+    *
+    * Each round CHECKPOINTS: `next` embeds the previous labels plan plus
+    * the edge plan, so without truncation the logical plan doubles per
+    * round — plan compilation (and even plan stringification) goes
+    * super-linear long before the data does. `localCheckpoint` materializes
+    * and cuts lineage (the standard iterative-algorithm hygiene; a
+    * cluster deployment with fault-tolerance needs would use a reliable
+    * `checkpoint` dir instead). */
   def components(docs: DataFrame, threshold: Double = 0.9, sampleMod: Int = 4,
                  maxIters: Int = 20): DataFrame = {
     val d = tokenSets(docs, sampleMod).select(col("doc_id"))
-    val e = edges(docs, threshold, sampleMod).cache()
-    var labels = d.select(col("doc_id").as("id"), col("doc_id").as("lbl")).cache()
+    val e = edges(docs, threshold, sampleMod).localCheckpoint()
+    var labels = d.select(col("doc_id").as("id"), col("doc_id").as("lbl")).localCheckpoint()
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -86,7 +113,7 @@ object DedupPipeline {
         .agg(min(col("lbl")).as("nlbl"))
       val next = labels.join(fromNeighbors, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-        .cache()
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .filter(col("lbl") < col("old")).count()
       labels.unpersist()

@@ -50,18 +50,23 @@ object DedupQueries {
     .mkString("[", ", ", "]")
 
   private val bandSql = (0 until Bands)
-    .map(b => s"SELECT doc_id, $b AS band, md5(mh[${2 * b + 1}] || mh[${2 * b + 2}]) AS bkey FROM m")
+    .map(b => s"SELECT doc_id, $b AS band, md5(mh[${2 * b + 1}] || mh[${2 * b + 2}]) AS bkey, array_to_string(mh, '') AS sig FROM m")
     .mkString(" UNION ALL ")
 
-  /** CTE chain source → fulls → minhash array → band rows → candidate
-    * pairs, the exact SQL twin of the Spark band-bucket pipeline. */
+  /** CTE chain source → fulls → minhash array → band rows → windowed
+    * candidate pairs, the exact SQL twin of the Spark band-bucket pipeline
+    * (incl. the sorted-neighborhood bound, DedupPipeline.NeighborWindow). */
   private def lshCtes(sourceSql: String): String =
     s"""t AS ($sourceSql),
        |f AS (SELECT doc_id, $fullsSql AS fulls FROM t),
        |m AS (SELECT doc_id, $mhArrSql AS mh FROM f),
        |b AS ($bandSql),
-       |p AS (SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id
-       |      FROM b l JOIN b r ON l.band = r.band AND l.bkey = r.bkey AND l.doc_id < r.doc_id)""".stripMargin
+       |rk AS (SELECT doc_id, band, bkey,
+       |              row_number() OVER (PARTITION BY band, bkey ORDER BY sig, doc_id) AS rn
+       |       FROM b),
+       |p AS (SELECT DISTINCT least(l.doc_id, r.doc_id) AS a_id, greatest(l.doc_id, r.doc_id) AS b_id
+       |      FROM rk l JOIN rk r ON l.band = r.band AND l.bkey = r.bkey
+       |                         AND r.rn > l.rn AND r.rn <= l.rn + ${DedupPipeline.NeighborWindow})""".stripMargin
 
   private val jaccardSql =
     "len(list_intersect(ta.toks, tb.toks))::DOUBLE / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))"

@@ -113,11 +113,14 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   // ---- A4: CSV export (vector_store.cpp:657-671)
 
-  def exportCsv(path: String): Unit =
-    readChunks()
-      .select(col("id"), col("source_file"), col("text_chunk"))
-      .coalesce(1)
-      .write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  /** Reference-parity export writes ONE csv file (the reference emits a
+    * single exportToCsv file); pass numFiles=0 to keep the table's natural
+    * parallelism for bulk exports at scale. */
+  def exportCsv(path: String, numFiles: Int = 1): Unit = {
+    val base = readChunks().select(col("id"), col("source_file"), col("text_chunk"))
+    val shaped = if (numFiles > 0) base.coalesce(numFiles) else base
+    shaped.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
 
   // ---- A5: matrix export (texts + N×D float matrix, export_for_training.py)
 

@@ -90,11 +90,18 @@ class PlanQualitySpec extends AnyFunSuite {
     // is an LSH bucket (band/bkey for MinHash, bucket for sign-LSH); a
     // regression to lang- or label-blocked all-pairs would show those
     // columns as join keys
-    for (name <- Seq("dedup_lsh_verified_pairs", "dedup_ngram_jaccard", "dedup_pipeline_components")) {
+    for (name <- Seq("dedup_lsh_verified_pairs", "dedup_ngram_jaccard")) {
       val p = plan(name)
       assert(p.contains("bkey"), s"$name lost its band-bucket join:\n$p")
       assert(!p.contains("lang"), s"$name joins on lang again:\n$p")
     }
+    // the components query checkpoints away its upstream plan; assert the
+    // edge-generation plan (what the BSP loop consumes) directly
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val pe0 = graft.dedup.DedupPipeline.edges(docs, 0.9)
+      .queryExecution.executedPlan.toString
+    assert(pe0.contains("bkey"), s"DedupPipeline.edges lost its band-bucket join:\n$pe0")
+    assert(!pe0.contains("lang"), s"DedupPipeline.edges joins on lang again:\n$pe0")
     val pe = plan("dedup_embedding_cosine")
     assert(pe.contains("bucket"), s"sign-LSH bucket key missing:\n$pe")
     assert(!pe.contains("label"), s"dedup_embedding_cosine joins on label again:\n$pe")
