@@ -19,6 +19,7 @@ object SparkEntry {
     DedupQueries.all ++
     AnnQueries.all ++
     TextQueries.all ++
+    CurationQueries.all ++
     RelationalQueries.all ++
     EngineQueries.all ++
     PostQueries.all ++

@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.F
+import graft.store.TokenIndex
+
+/** Corpus-curation operators a training-data pipeline layers on top of the
+  * dedup suite: BM25 relevance over the posting index (the ranked-keyword
+  * function a 100 TB corpus search actually ships) and C4/Gopher-style
+  * repetition filters (the "remove boilerplate and degenerate documents"
+  * pass). All plans are explode→groupBy shapes with map-side partial
+  * aggregation; the only broadcast sides are per-term df and global stats.
+  */
+object CurationQueries {
+
+  private val terms = Seq("merge", "window", "hash")
+  private val inList = terms.map(t => s"'$t'").mkString(", ")
+
+  // BM25 constants (Robertson/Lucene defaults)
+  private val K1 = 1.2
+  private val B = 0.75
+
+  val all: Seq[Q] = Seq(
+
+    // BM25 ranked keyword search: idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl))
+    // summed over query terms, Lucene-style idf = ln((N−df+0.5)/(df+0.5)+1).
+    // Candidate cost ∝ posting lists of the query terms; df and corpus
+    // stats are tiny broadcast sides. Scores quantized to 1e-4 for the
+    // cross-engine hash (both engines evaluate the same double formula).
+    Q("text_bm25_rank",
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS token FROM documents),
+         |post AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token),
+         |dl AS (SELECT doc_id, sum(tf) AS dlen FROM post GROUP BY doc_id),
+         |stats AS (SELECT count(*) AS n, avg(dlen) AS avgdl FROM dl),
+         |dfreq AS (SELECT token, count(*) AS df FROM post WHERE token IN ($inList) GROUP BY token)
+         |SELECT p.doc_id,
+         |       CAST(floor(sum(ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+         |                      * p.tf * ${K1 + 1}
+         |                      / (p.tf + $K1 * (${1 - B} + $B * dl.dlen / stats.avgdl))) * 10000) AS BIGINT) AS bm25_q
+         |FROM post p
+         |JOIN dfreq ON dfreq.token = p.token
+         |JOIN dl ON dl.doc_id = p.doc_id
+         |CROSS JOIN stats
+         |GROUP BY p.doc_id
+         |ORDER BY bm25_q DESC, p.doc_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val post = TokenIndex.build(table(spark, dir, "documents"), "doc_id", "text")
+        .withColumnRenamed("chunk_id", "doc_id")
+      val dl = post.groupBy("doc_id").agg(sum("tf").as("dlen"))
+      val stats = dl.agg(count(lit(1)).as("n"), avg("dlen").as("avgdl"))
+      val dfreq = post.filter(col("token").isin(terms: _*))
+        .groupBy("token").agg(count(lit(1)).as("df"))
+      val idf = log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0)
+      val termScore = idf * col("tf") * lit(K1 + 1) /
+        (col("tf") + lit(K1) * (lit(1 - B) + col("dlen") * lit(B) / col("avgdl")))
+      post.filter(col("token").isin(terms: _*))
+        .join(broadcast(dfreq), Seq("token"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .groupBy("doc_id")
+        .agg(floor(sum(termScore) * 10000).cast("long").as("bm25_q"))
+        .orderBy(col("bm25_q").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Repetition profile (C4/Gopher-style degenerate-text filters):
+    // top-bigram mass fraction (most frequent 2-gram · 2 / token count)
+    // and duplicate-3-gram fraction. All-integer inputs → the micro
+    // quantization is exact in both engines.
+    Q("text_repetition_profile",
+      """WITH g2 AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+'))),
+        |                 i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 1), ' '))) AS g
+        |        FROM documents)
+        |  GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, max(c) AS top_c, sum(c)::BIGINT AS n2 FROM g2 GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, count(*) AS n3, count(DISTINCT g) AS d3
+        |  FROM (SELECT doc_id,
+        |               unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 1),
+        |                 i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 2), ' '))) AS g
+        |        FROM documents)
+        |  GROUP BY doc_id)
+        |SELECT top2.doc_id,
+        |       top2.n2 + 1 AS n_tokens,
+        |       top2.top_c AS top_bigram_n,
+        |       CAST(floor(top2.top_c * 2.0 / (top2.n2 + 1) * 1000000) AS BIGINT) AS rep2_micro,
+        |       CAST(floor((g3.n3 - g3.d3) * 1.0 / g3.n3 * 1000000) AS BIGINT) AS dup3_micro
+        |FROM top2 JOIN g3 ON g3.doc_id = top2.doc_id
+        |ORDER BY top2.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val docs = table(spark, dir, "documents")
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+      val g2 = docs.select(col("doc_id"), explode(F.shingles(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val top2 = g2.groupBy("doc_id").agg(max("c").as("top_c"), sum("c").as("n2"))
+      val g3 = docs.select(col("doc_id"), explode(F.shingles(col("toks"), 3)).as("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n3"), countDistinct(col("g")).as("d3"))
+      top2.join(g3, Seq("doc_id"))
+        .select(
+          col("doc_id"),
+          (col("n2") + 1).as("n_tokens"),
+          col("top_c").as("top_bigram_n"),
+          floor(col("top_c") * 2.0 / (col("n2") + 1) * 1000000).cast("long").as("rep2_micro"),
+          floor((col("n3") - col("d3")) * 1.0 / col("n3") * 1000000).cast("long").as("dup3_micro"))
+        .orderBy("doc_id")
+        .limit(1000)
+    }
+  )
+}
