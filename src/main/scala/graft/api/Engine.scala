@@ -49,25 +49,34 @@ final class Engine(
     val e = new HybridEngine(spark, chunks, opts, rerankModel,
       postings = if (workspace.hasPostings) Some(workspace.readPostings()) else None,
       initialCalib = carriedCalib,
-      stabilityBase = loadStabilityBase())
+      stabilityLookup = stabilityHistory)
     hybrid = Some(e)
     e
   }
 
   /** Per-query (Σ|rank_delta|, n) from the PERSISTED retrieval log,
     * exploration rows excluded — the D9 stability history read the way the
-    * reference reads its own retrieval_logs (vector_store.cpp:430-439).
-    * One aggregate over the log table per engine build; per-search cost is
-    * then a map lookup. */
-  private def loadStabilityBase(): Map[String, (Double, Long)] =
-    if (!workspace.hasLog) Map.empty
-    else workspace.readLog()
-      .filter(!col("is_exploration"))
-      .groupBy(col("query"))
-      .agg(sum(abs(col("rank_delta"))).cast("double").as("s"), count(lit(1)).as("n"))
-      .collect()
-      .map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2)))
-      .toMap
+    * reference reads its own retrieval_logs per query
+    * (vector_store.cpp:430-439). The log is partitioned by query-hash
+    * bucket, so each lookup is a one-partition scan; results memoize per
+    * canonical query, and the memo clears on every flush. NO unbounded
+    * driver-side collect: cost is bounded by the queries actually asked. */
+  private val stabilityMemo = scala.collection.mutable.Map.empty[String, (Double, Long)]
+
+  private def stabilityHistory(canonQuery: String): (Double, Long) =
+    stabilityMemo.getOrElseUpdate(canonQuery, {
+      if (!workspace.hasLog) (0.0, 0L)
+      else {
+        val bucket = TokenIndex.tokenBucket(canonQuery) // same md5-60 mod-64 as the writer
+        val r = workspace.readLog()
+          .filter(col("query_bucket") === bucket &&
+            col("query") === canonQuery && !col("is_exploration"))
+          .agg(coalesce(sum(abs(col("rank_delta"))), lit(0L)).cast("double").as("s"),
+            count(lit(1)).as("n"))
+          .head()
+        (r.getDouble(0), r.getLong(1))
+      }
+    })
 
   /** Drops the engine, flushing its retrieval-log rows to the workspace
     * parquet log (A6) and persisting calibration (E4); unpersists the
@@ -90,12 +99,14 @@ final class Engine(
   def flushRetrievalLog(): Long = {
     import spark.implicits._
     val rows = hybrid.map(_.drainLog()).getOrElse(Vector.empty[RetrievalLogRow])
-    if (rows.nonEmpty)
+    if (rows.nonEmpty) {
       workspace.appendLog(rows.toDF(
         "query", "semantic_rank", "keyword_rank", "final_rank",
         "latency_embed_ms", "latency_search_ms", "latency_fusion_ms", "latency_rerank_ms",
         "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability",
         "created_at"))
+      stabilityMemo.clear() // persisted history changed; memoized sums are stale
+    }
     rows.size.toLong
   }
 

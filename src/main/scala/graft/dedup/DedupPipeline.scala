@@ -61,7 +61,11 @@ object DedupPipeline {
                      window: Int = NeighborWindow): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bkey")).orderBy(col("sig"), col(idCol))
-    val ranked = bands.withColumn("rn", row_number().over(w))
+    // materialize the ranked signature table ONCE: it feeds both sides of
+    // the pair self-join, which would otherwise recompute the full
+    // tokenize+minhash pipeline per side (at cluster scale this is the
+    // persisted signature table the dedup job writes between stages)
+    val ranked = bands.withColumn("rn", row_number().over(w)).localCheckpoint()
     val l = ranked.select(col("band"), col("bkey"), col(idCol).as("x"), col("rn").as("ra"))
     val r = ranked.select(col("band"), col("bkey"), col(idCol).as("y"), col("rn").as("rb"))
     l.join(r, Seq("band", "bkey"))

@@ -31,7 +31,7 @@ final class HybridEngine(
     postings: Option[DataFrame] = None,
     initialLog: Vector[RetrievalLogRow] = Vector.empty,
     initialCalib: Calibration.Stats = Calibration.initial,
-    stabilityBase: Map[String, (Double, Long)] = Map.empty) {
+    stabilityLookup: String => (Double, Long) = _ => (0.0, 0L)) {
 
   import spark.implicits._
 
@@ -69,13 +69,13 @@ final class HybridEngine(
 
   /** Rank-stability for a query from its history: 1 − avg|Δrank|/5, clamped
     * to [0,1], exploration rows excluded. History = the persisted log's
-    * per-query aggregate (`stabilityBase`, loaded from the parquet log
-    * table — the reference reads its own retrieval_logs,
-    * vector_store.cpp:430-439) plus this session's pending rows. A query
-    * with NO history is fully stable (1.0). */
+    * per-query aggregate (`stabilityLookup` — a partition-pruned lookup
+    * over the parquet log table, the way the reference queries its own
+    * retrieval_logs, vector_store.cpp:430-439) plus this session's pending
+    * rows. A query with NO history is fully stable (1.0). */
   def stability(query: String): Double = {
     val canon = cache.canonical(query)
-    val (baseSum, baseN) = stabilityBase.getOrElse(canon, (0.0, 0L))
+    val (baseSum, baseN) = stabilityLookup(canon)
     val session = logRows.filter(r => r.query == canon && !r.isExploration)
     val n = baseN + session.size
     if (n == 0) 1.0

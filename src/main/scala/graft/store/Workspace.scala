@@ -62,10 +62,15 @@ final class Workspace(val spark: SparkSession, val root: String) {
     } finally c.unpersist()
   }
 
-  // ---- A6: retrieval-log sink (append-only observability table)
+  // ---- A6: retrieval-log sink (append-only observability table),
+  // partitioned by a 64-way query-hash bucket so the per-query stability
+  // lookup (D9) prunes to one partition instead of scanning the log
 
   def appendLog(rows: DataFrame): Unit =
-    rows.write.mode(SaveMode.Append).parquet(logPath)
+    rows
+      .withColumn("query_bucket",
+        pmod(graft.functions.F.hash60(col("query")), lit(TokenIndex.DefaultBuckets)))
+      .write.partitionBy("query_bucket").mode(SaveMode.Append).parquet(logPath)
 
   def readLog(): DataFrame = spark.read.parquet(logPath)
 

@@ -81,7 +81,8 @@ class EngineFacadeSpec extends AnyFunSuite {
     val log = engine.workspace.readLog()
     val expected = Seq("query", "semantic_rank", "keyword_rank", "final_rank",
       "latency_embed_ms", "latency_search_ms", "latency_fusion_ms", "latency_rerank_ms",
-      "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability", "created_at")
+      "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability", "created_at",
+      "query_bucket") // partition column for pruned per-query stability lookups
     assert(log.columns.toSeq == expected)
     val row = log.head()
     assert(row.getAs[Int]("final_rank") == 1)
