@@ -1,0 +1,73 @@
+package graft.ingest
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+
+/** Deterministic in-memory sample PDF (SURVEY §2 A1 smoke surface): a
+  * structurally valid classic PDF — correct xref offsets, Courier /
+  * Courier-Bold standard-14 fonts, one Flate-compressed page, kerned TJ
+  * runs, a margin footer repeated on every page, bare page numbers —
+  * exercising every code path of [[CharPdfExtractor]] (and, downstream,
+  * the B1–B9 layout pipeline) without shipping a binary fixture. Used by
+  * the `a1_pdf_ingest` registered query and the extractor specs. */
+object PdfSampleDoc {
+
+  val NumPages = 7
+  private val titles = Seq("1 Introduction", "2 Methods", "3 Results", "4 Discussion",
+    "5 Evaluation", "6 Related Work", "7 Conclusion")
+
+  def title(p: Int): String = titles(p - 1)
+
+  private def pageContent(p: Int): String =
+    s"""BT /F2 18 Tf 1 0 0 1 72 700 Tm (${title(p)}) Tj ET
+       |BT /F1 10 Tf 1 0 0 1 72 660 Tm (This is body text on page $p. It explains the topic in detail.) Tj
+       |0 -14 Td (A second line continues the paragraph with more words.) Tj
+       |0 -14 Td [(kerned) -700 (gap)] TJ ET
+       |BT /F1 8 Tf 1 0 0 1 72 24 Tm (Confidential Draft) Tj ET
+       |BT /F1 8 Tf 1 0 0 1 300 24 Tm ($p) Tj ET""".stripMargin
+
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(b); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
+    out.toByteArray
+  }
+
+  /** Assemble the PDF with correct xref offsets. Deterministic bytes. */
+  def bytes: Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size; w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) { w(s"<< /Type /Pages /Kids [${(0 until NumPages).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $NumPages >>\n") }
+    for (i <- 0 until NumPages) obj(3 + i) {
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${10 + i} 0 R " +
+        "/Resources << /Font << /F1 17 0 R /F2 18 0 R >> >> >>\n")
+    }
+    for (i <- 0 until NumPages) {
+      val content = pageContent(i + 1)
+      if (i == 1) { // page 2 exercises the FlateDecode path
+        val z = deflate(content.getBytes(ISO_8859_1))
+        obj(10 + i) {
+          w(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+          out.write(z); w("\nendstream\n")
+        }
+      } else obj(10 + i) {
+        w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\n")
+      }
+    }
+    obj(17) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\n") }
+    obj(18) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Courier-Bold >>\n") }
+    val xref = out.size
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+}

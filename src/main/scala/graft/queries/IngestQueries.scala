@@ -19,6 +19,18 @@ object IngestQueries {
 
   val all: Seq[Q] = Seq(
 
+    // A1 — real PDF ingest, end to end: the deterministic sample PDF
+    // (valid xref, Courier metrics, one Flate-compressed page) is written
+    // to a temp dir, scanned via binaryFile, per-char extracted
+    // (CharPdfExtractor) and layout-chunked (B1–B9). Rows-only: the PDF
+    // byte format is outside the oracle's SQL surface; semantics are
+    // pinned line-by-line in CharPdfExtractorSpec.
+    Q.noOracle("a1_pdf_ingest") { (spark, dir) =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft-a1-")
+      java.nio.file.Files.write(tmp.resolve("sample.pdf"), graft.ingest.PdfSampleDoc.bytes)
+      graft.ingest.PdfSource.extractChunks(spark, tmp.toString)
+    },
+
     // B1 — header/footer frequency pre-pass: normalize a line signature,
     // count corpus-wide, keep the >5-occurrences candidates
     // (pdf_processor.cpp:33-64). Distributed as the classic 2-phase
