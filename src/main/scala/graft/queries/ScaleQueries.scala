@@ -90,6 +90,61 @@ object ScaleQueries {
         .orderBy("q_id", "rank")
     },
 
+    // IVF multi-probe (nprobe=2): queries scan their TWO nearest cells —
+    // the recall knob of IVF search. Corpus assignment stays scan-local
+    // (same broadcast centroid-array argmax as ann_ivf_cells); each query
+    // contributes 2 probe rows to the broadcast side, and a neighbor can
+    // match at most one probe (it lives in exactly one cell), so no
+    // dedup join is needed.
+    Q("ann_ivf_multiprobe",
+      s"""WITH c AS (SELECT vec_id - $CentLo AS cid, embedding AS ce FROM embeddings
+         |           WHERE vec_id BETWEEN $CentLo AND $CentHi),
+         |a AS (SELECT e.vec_id, c.cid,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |                                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+         |      FROM embeddings e CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, cid FROM a WHERE vec_id < $NumQueries AND rn <= 2)
+         |SELECT qs.q_id, n.vec_id AS n_id,
+         |       round(list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score,
+         |       row_number() OVER (PARTITION BY qs.q_id
+         |                          ORDER BY list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, n.vec_id) AS rank
+         |FROM qs
+         |JOIN cells n ON n.cid = qs.cid AND n.vec_id <> qs.q_id
+         |JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |JOIN embeddings qe ON qe.vec_id = qs.q_id
+         |QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val centsArr = e.filter(col("vec_id").between(CentLo, CentHi))
+        .agg(collect_list(
+          struct((col("vec_id") - CentLo).as("cid"), col("embedding").as("ce"))).as("cents"))
+      // scan-local: rank all 16 centroids per vector (ascending by
+      // (-cos, cid) = the oracle's cos DESC, cid ASC), keep best for the
+      // corpus and the top 2 as query probes
+      val rankedCents = array_sort(transform(col("cents"),
+        c => struct((-cosineSim(col("embedding"), c.getField("ce"))).as("ncos"),
+                    c.getField("cid").as("cid"))))
+      val assigned = e.crossJoin(broadcast(centsArr))
+        .withColumn("rc", rankedCents)
+        .select(col("vec_id"), col("embedding"),
+          element_at(col("rc"), 1).getField("cid").as("cid"),
+          element_at(col("rc"), 2).getField("cid").as("cid2"))
+      val qs = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+          explode(array(col("cid"), col("cid2"))).as("qcid"))
+      assigned.join(broadcast(qs),
+          col("cid") === col("qcid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosineSim(col("embedding"), col("qv")).as("s"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), round(col("s"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+
     // Salted two-phase aggregation: partial agg on (key, salt) then final on
     // key — the skew-safe shape (a hot key spreads over 8 salt partitions).
     // Result identical to the direct groupBy, which is the oracle.

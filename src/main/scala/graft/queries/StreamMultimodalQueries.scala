@@ -42,6 +42,19 @@ object StreamMultimodalQueries {
         .orderBy("win", "event_type")
     },
 
+    // Streaming exact dedup: dropDuplicates state over the content hash —
+    // bounded run ≡ batch DISTINCT, which is the exact oracle.
+    Q("stream_dedup",
+      """SELECT DISTINCT md5(lower(trim(text))) AS text_md5
+        |FROM documents ORDER BY text_md5 LIMIT 1000""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.dedupStream(spark, StreamingIngest.stageAsDir(s"$dir/documents.parquet")),
+        s"stream_dedup_${System.nanoTime()}")
+        .select(col("text_md5"))
+        .orderBy("text_md5")
+        .limit(1000)
+    },
+
     // Multimodal: partition-local feature extraction (decode stubbed; the
     // batch shape and fixed-dim output contract are the real test).
     Q.noOracle("mm_feature_extract") { (spark, dir) =>

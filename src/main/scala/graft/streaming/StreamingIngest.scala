@@ -75,6 +75,19 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming exact dedup: md5 of normalized text, first arrival wins —
+    * Structured Streaming keeps the seen-keys state so a continuously
+    * arriving corpus emits each distinct document once (the streaming twin
+    * of `dedup_exact`). A production stream bounds the state with
+    * `dropDuplicatesWithinWatermark`; the bounded harness run needs no
+    * watermark. */
+  def dedupStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(documentsSchema)
+      .parquet(inputDir)
+      .select(md5(lower(trim(col("text")))).as("text_md5"))
+      .dropDuplicates("text_md5")
+
   /** Watermarked tumbling-window aggregation over an events stream — the
     * streaming form of q_event_window_agg (same plan shape; late data
     * beyond 10 minutes dropped by the watermark). */

@@ -107,6 +107,13 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pe.contains("label"), s"dedup_embedding_cosine joins on label again:\n$pe")
   }
 
+  test("BM25: df and corpus stats broadcast; the only corpus shuffle is the posting groupBy") {
+    val p = plan("text_bm25_rank")
+    assert("BroadcastExchange".r.findAllIn(p).size >= 2, s"df/stats not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("IVF cell assignment is scan-local — no exchange carries the corpus embedding") {
     val p = plan("ann_ivf_cells")
     // assignment = scan + broadcast centroid array + argmax projection; the
