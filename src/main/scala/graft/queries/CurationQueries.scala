@@ -63,6 +63,44 @@ object CurationQueries {
         .limit(20)
     },
 
+    // The curation DECISION: combine the cheap per-document signals
+    // (token count, mean token length, top-bigram mass) into keep/drop —
+    // the final output of a filtering pipeline. One scan, exact integer
+    // thresholds on quantized metrics, no shuffle beyond the bigram agg.
+    Q("curation_filter_decision",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+        |             CAST(floor(list_aggregate(list_transform(toks, s -> len(s)), 'sum') * 1000000.0 / len(toks)) AS BIGINT) AS mean_len_micro
+        |      FROM t WHERE len(toks) > 0),
+        |g2 AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |               i -> array_to_string(list_slice(toks, i, i + 1), ' '))) AS g FROM t)
+        |       GROUP BY doc_id, g),
+        |top2 AS (SELECT doc_id, CAST(floor(max(c) * 2.0 * 1000000 / (sum(c)::BIGINT + 1)) AS BIGINT) AS rep2_micro
+        |         FROM g2 GROUP BY doc_id)
+        |SELECT m.doc_id, m.n_tokens, m.mean_len_micro, top2.rep2_micro,
+        |       (m.n_tokens >= 20 AND m.mean_len_micro BETWEEN 2000000 AND 10000000
+        |        AND top2.rep2_micro < 200000) AS keep
+        |FROM m JOIN top2 ON top2.doc_id = m.doc_id
+        |ORDER BY m.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+      val m = t.filter(size(col("toks")) > 0)
+        .select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+          floor(aggregate(transform(col("toks"), s => length(s)), lit(0),
+            (acc, x) => acc + x) * 1000000.0 / size(col("toks"))).cast("long").as("mean_len_micro"))
+      val top2 = t.select(col("doc_id"), explode(F.shingles(col("toks"), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(floor(max("c") * lit(2.0) * 1000000 / (sum("c") + 1)).cast("long").as("rep2_micro"))
+      m.join(top2, Seq("doc_id"))
+        .select(col("doc_id"), col("n_tokens"), col("mean_len_micro"), col("rep2_micro"),
+          (col("n_tokens") >= 20 && col("mean_len_micro").between(2000000, 10000000) &&
+            col("rep2_micro") < 200000).as("keep"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // Repetition profile (C4/Gopher-style degenerate-text filters):
     // top-bigram mass fraction (most frequent 2-gram · 2 / token count)
     // and duplicate-3-gram fraction. All-integer inputs → the micro

@@ -158,6 +158,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(scan.contains("TakeOrderedAndProject"), scan)
   }
 
+  test("keyword branch: posting join and fallback scan return IDENTICAL candidates") {
+    val chunks = graft.queries.EngineQueries.chunksFor(spark, sf)
+    val postings = graft.queries.EngineQueries.postingsFor(spark, sf)
+    val withIndex = new graft.search.HybridEngine(spark, chunks, postings = Some(postings))
+    val scanOnly = new graft.search.HybridEngine(spark, chunks)
+    for (toks <- Seq(Seq("merge", "window"), Seq("hash"), Seq("zzz_no_such_token"))) {
+      val a = withIndex.keywordCandidates(toks, 20).collect().map(_.toSeq).toSeq
+      val b = scanOnly.keywordCandidates(toks, 20).collect().map(_.toSeq).toSeq
+      assert(a.map(_.take(1)) == b.map(_.take(1)), s"ids diverge for $toks: $a vs $b")
+      assert(a.map(_.last) == b.map(_.last), s"ranks diverge for $toks")
+    }
+  }
+
   test("whole-stage codegen covers the cosine kernel (no UDF break)") {
     val p = plan("d2_knn_topk")
     // compact tree format marks codegen stages with *(n); the scoring
