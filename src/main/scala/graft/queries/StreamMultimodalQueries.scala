@@ -55,6 +55,31 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Streaming sessionization via flatMapGroupsWithState (custom state:
+    // open session + emitted-session counter per user); sentinel events
+    // close final sessions, making the bounded run ≡ batch sessionize,
+    // which is the exact oracle (same SQL as q_sessionize).
+    Q("stream_sessionize",
+      """WITH x AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS ms,
+        |         CASE WHEN epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+        |                   OR lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+        |              THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (SELECT user_id, event_id, ms,
+        |             sum(brk) OVER (PARTITION BY user_id ORDER BY ms, event_id ROWS UNBOUNDED PRECEDING)::BIGINT AS session_id
+        |      FROM x)
+        |SELECT user_id, session_id, count(*) AS n, max(ms) - min(ms) AS dur_ms
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.sessionStream(spark,
+          StreamingIngest.stageEventsWithSentinels(spark, s"$dir/events.parquet")),
+        s"stream_sess_${System.nanoTime()}")
+        .select(col("user_id"), col("session_id"), col("n"), col("dur_ms"))
+        .orderBy("user_id", "session_id")
+    },
+
     // Multimodal: partition-local feature extraction (decode stubbed; the
     // batch shape and fixed-dim output contract are the real test).
     Q.noOracle("mm_feature_extract") { (spark, dir) =>

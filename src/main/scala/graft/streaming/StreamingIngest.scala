@@ -75,6 +75,85 @@ object StreamingIngest {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Per-user session state for [[sessionStream]]: sessions emitted so
+    * far (`counter`, = the 1-based ordinal numbering of q_sessionize) and
+    * the currently open session, if any. */
+  final case class SessState(counter: Long, open: Boolean,
+                             startMs: Long, lastMs: Long, n: Long)
+
+  /** Streaming sessionization via `flatMapGroupsWithState` — the
+    * custom-state API for semantics no built-in operator expresses: a
+    * 30-minute-gap session CLOSES (and emits) only when a later event of
+    * the same user proves the gap, so emission is driven purely by data
+    * arrival (NoTimeout; no watermark race in bounded runs). The staged
+    * input carries one far-future sentinel event per user (event_id = −1)
+    * that closes each user's final session without ever emitting itself —
+    * at which point the bounded stream's output equals batch
+    * sessionization exactly (the q_sessionize oracle). */
+  def sessionStream(spark: SparkSession, inputDir: String,
+                    gapMs: Long = 1800000): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(timestamp_micros(ts div 1000))").as("ms"))
+      .as[(Long, Long, Long)]
+    events.groupByKey(_._1)
+      .flatMapGroupsWithState[SessState, (Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (userId: Long, rows: Iterator[(Long, Long, Long)], state: GroupState[SessState]) =>
+          // a group's batch rows arrive unsorted; order by (ms, event_id)
+          // so the fold below is deterministic however the files batch
+          val evs = rows.map(r => (r._3, r._2)).toSeq.sortBy(identity)
+          var st = state.getOption.getOrElse(SessState(0L, open = false, 0L, 0L, 0L))
+          val out = Seq.newBuilder[(Long, Long, Long, Long)]
+          def close(): Unit = if (st.open) {
+            out += ((userId, st.counter + 1, st.n, st.lastMs - st.startMs))
+            st = SessState(st.counter + 1, open = false, 0L, 0L, 0L)
+          }
+          evs.foreach { case (ms, eventId) =>
+            val sentinel = eventId < 0
+            if (st.open && !sentinel && ms - st.lastMs <= gapMs)
+              st = st.copy(lastMs = ms, n = st.n + 1)
+            else {
+              close()
+              if (!sentinel) st = st.copy(open = true, startMs = ms, lastMs = ms, n = 1L)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+      }
+      .toDF("user_id", "session_id", "n", "dur_ms")
+  }
+
+  /** Stage the events table as a stream-source dir PLUS one sentinel event
+    * per user at max(ts)+1h (event_id = −1): ≥ 1h after every user's last
+    * real event, so it closes each final session (see [[sessionStream]]). */
+  def stageEventsWithSentinels(spark: SparkSession, eventsParquet: String): String = {
+    val dir = stageAsDir(eventsParquet)
+    val ev = spark.read.parquet(eventsParquet)
+    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    val sentinels = ev.select(col("user_id")).distinct()
+      .select(
+        lit(-1L).as("event_id"),
+        lit(maxTs + 3600L * 1000 * 1000 * 1000).as("ts"), // +1h in nanos
+        col("user_id"),
+        lit("sentinel").as("event_type"),
+        lit(0.0).as("value"),
+        lit(null).cast("string").as("props"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel-")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = java.nio.file.Files.list(tmp).iterator()
+    while (part.hasNext) {
+      val p = part.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(dir, "zz_sentinel.parquet"))
+    }
+    dir
+  }
+
   /** Streaming exact dedup: md5 of normalized text, first arrival wins —
     * Structured Streaming keeps the seen-keys state so a continuously
     * arriving corpus emits each distinct document once (the streaming twin

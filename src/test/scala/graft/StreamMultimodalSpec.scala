@@ -50,6 +50,17 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(spark.read.parquet(out).count() == n1)
   }
 
+  test("streaming sessionization equals batch sessionize on the same events") {
+    val staged = StreamingIngest.stageEventsWithSentinels(spark, s"$sf/events.parquet")
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.sessionStream(spark, staged), "spec_stream_sess")
+      .select("user_id", "session_id", "n", "dur_ms")
+    val batch = graft.queries.ScaleQueries.all.find(_.name == "q_sessionize").get.fn(spark, sf)
+      .select("user_id", "session_id", "n", "dur_ms")
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("media table: binary payload with typed metadata") {
     val media = Multimodal.asMediaTable(spark.read.parquet(s"$sf/documents.parquet"))
     val r = media.head()
