@@ -61,15 +61,14 @@ object DedupPipeline {
                      window: Int = NeighborWindow): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band"), col("bkey")).orderBy(col("sig"), col(idCol))
-    // materialize the ranked signature table ONCE: it feeds both sides of
-    // the pair self-join, which would otherwise recompute the full
-    // tokenize+minhash pipeline per side (at cluster scale this is the
-    // persisted signature table the dedup job writes between stages)
-    val ranked = bands.withColumn("rn", row_number().over(w)).localCheckpoint()
-    val l = ranked.select(col("band"), col("bkey"), col(idCol).as("x"), col("rn").as("ra"))
-    val r = ranked.select(col("band"), col("bkey"), col(idCol).as("y"), col("rn").as("rb"))
-    l.join(r, Seq("band", "bkey"))
-      .filter(col("rb") > col("ra") && col("rb") <= col("ra") + window)
+    // Pair each bucket row with its next `window` successors DIRECTLY via a
+    // sliding-frame collect_list — n·W pairs are emitted without ever
+    // forming the bucket self-join (which materializes Σ|bucket|² joined
+    // rows BEFORE the rank filter; one degenerate templated-text bucket
+    // makes that quadratic blowup the whole query's cost).
+    bands
+      .withColumn("__next", collect_list(col(idCol)).over(w.rowsBetween(1, window)))
+      .select(col(idCol).as("x"), explode(col("__next")).as("y"))
       .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
       .distinct()
   }
@@ -82,7 +81,9 @@ object DedupPipeline {
   /** Verified near-dup edges (symmetric): LSH-bucket candidates with
     * Jaccard ≥ threshold over the full distinct-token sets. */
   def edges(docs: DataFrame, threshold: Double, sampleMod: Int = 4): DataFrame = {
-    val d = tokenSets(docs, sampleMod)
+    // materialize the token sets once: they feed the signature pipeline
+    // plus both sides of the verify join (three tokenize passes otherwise)
+    val d = tokenSets(docs, sampleMod).localCheckpoint()
     val pairs = candidatePairs(bandBuckets(d, "doc_id", "s"), "doc_id")
     val sa = d.select(col("doc_id").as("a_id"), col("s").as("sa"))
     val sb = d.select(col("doc_id").as("b_id"), col("s").as("sb"))

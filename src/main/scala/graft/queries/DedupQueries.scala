@@ -71,8 +71,13 @@ object DedupQueries {
   private val jaccardSql =
     "len(list_intersect(ta.toks, tb.toks))::DOUBLE / (len(ta.toks) + len(tb.toks) - len(list_intersect(ta.toks, tb.toks)))"
 
-  /** Spark-side Jaccard verify of LSH candidate pairs over a set table. */
-  private def verifiedPairs(sets: DataFrame): DataFrame = {
+  /** Spark-side Jaccard verify of LSH candidate pairs over a set table.
+    * The set table is materialized ONCE (localCheckpoint): it feeds the
+    * signature pipeline plus both sides of the verify join, which would
+    * otherwise tokenize the corpus three times (at cluster scale this is
+    * the persisted token-set table the dedup job stages between passes). */
+  private def verifiedPairs(sets0: DataFrame): DataFrame = {
+    val sets = sets0.localCheckpoint()
     val pairs = DedupPipeline.candidatePairs(
       DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
     val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
