@@ -101,6 +101,65 @@ object CurationQueries {
         .limit(1000)
     },
 
+    // Benchmark decontamination: flag training docs sharing any 5-token
+    // n-gram with a held-out eval split (here: doc_id % 97 — a stand-in
+    // for the benchmark suite). The eval gram set is tiny relative to the
+    // corpus, so it BROADCASTS; the corpus side is one scan + explode and
+    // the join is gram-keyed — the exact production decontamination shape
+    // (eval suites are MBs; the 100 TB side never shuffles whole docs).
+    Q("curation_decontaminate",
+      """WITH t AS (SELECT doc_id,
+        |             list_distinct(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+        |               i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS grams
+        |           FROM documents),
+        |ev AS (SELECT DISTINCT unnest(grams) AS g FROM t WHERE doc_id % 97 = 0),
+        |c AS (SELECT doc_id, unnest(grams) AS g FROM t WHERE doc_id % 97 <> 0)
+        |SELECT c.doc_id, count(*)::BIGINT AS n_shared
+        |FROM c JOIN ev ON ev.g = c.g
+        |GROUP BY c.doc_id
+        |ORDER BY n_shared DESC, doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 5)).as("grams"))
+      val ev = t.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("grams")).as("g")).distinct()
+      val c = t.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), explode(col("grams")).as("g"))
+      c.join(broadcast(ev), Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("n_shared").desc, col("doc_id"))
+        .limit(1000)
+    },
+
+    // Stratified per-language sampling with exact quotas: rank docs inside
+    // each language by md5(doc_id) (reproducible across engines — no RNG)
+    // and keep the first 50. Two-phase ranking: a salted per-partition
+    // top-50 first, then the exact rank over ≤ salts×50 survivors per
+    // language — a handful of language keys would otherwise funnel the
+    // whole corpus through one window partition each at 100 TB.
+    Q("curation_stratified_sample",
+      """WITH r AS (SELECT lang, doc_id,
+        |             row_number() OVER (PARTITION BY lang ORDER BY md5(doc_id::VARCHAR), doc_id) AS rk
+        |           FROM documents)
+        |SELECT lang, doc_id, rk::BIGINT AS rk
+        |FROM r WHERE rk <= 50 ORDER BY lang, rk""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val quota = 50
+      val h = table(spark, dir, "documents")
+        .select(col("lang"), col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("salt", pmod(F.hash60(col("doc_id").cast("string")), lit(8)))
+      // phase 1: every global top-quota row of a language is also in the
+      // top-quota of its salt slice, so the pre-filter is lossless
+      val pre = h.withColumn("r1", row_number().over(
+          Window.partitionBy(col("lang"), col("salt")).orderBy(col("h"), col("doc_id"))))
+        .filter(col("r1") <= quota)
+      pre.withColumn("rk", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+        .filter(col("rk") <= quota)
+        .select(col("lang"), col("doc_id"), col("rk"))
+        .orderBy("lang", "rk")
+    },
+
     // Repetition profile (C4/Gopher-style degenerate-text filters):
     // top-bigram mass fraction (most frequent 2-gram · 2 / token count)
     // and duplicate-3-gram fraction. All-integer inputs → the micro

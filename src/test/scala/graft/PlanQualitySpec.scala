@@ -171,6 +171,28 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("decontamination: eval gram set broadcast, corpus side never shuffles docs") {
+    val p = plan("curation_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("stratified sample: salted two-phase rank equals the direct single window") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val twoPhase = SparkEntry.queries("curation_stratified_sample")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val direct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("doc_id"), md5(col("doc_id").cast("string")).as("h"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      .filter(col("rk") <= 50)
+      .select(col("lang"), col("doc_id"), col("rk"))
+      .orderBy("lang", "rk")
+      .collect().map(_.toSeq).toSeq
+    assert(twoPhase == direct)
+  }
+
   test("whole-stage codegen covers the cosine kernel (no UDF break)") {
     val p = plan("d2_knn_topk")
     // compact tree format marks codegen stages with *(n); the scoring
