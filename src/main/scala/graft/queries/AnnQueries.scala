@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -23,6 +23,13 @@ object AnnQueries {
   private val K = 10
   private val HpLo = 8
   private val HpHi = 15 // 8 hyperplanes → 256 buckets
+
+  // Product quantization geometry: 64-dim vectors → 8 subspaces × 8 dims,
+  // 16 centroids per subspace (codebook rows CbLo..CbHi), 4-bit codes.
+  private val SubSpaces = 8
+  private val SubDim = 8
+  private val CbLo = 16
+  private val CbHi = 31
 
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
@@ -94,6 +101,72 @@ object AnnQueries {
         .filter(col("rank") <= K)
         .select(col("q_id"), col("n_id"), round(col("s"), 6).as("score"), col("rank").cast("long").as("rank"))
         .orderBy(col("q_id"), col("rank"))
+    },
+
+    // Product quantization + asymmetric-distance (ADC) scan — the 100 TB
+    // ANN compression path: each vector collapses to an 8×4-bit code, so
+    // the scan side carries bytes, not floats. Codebook = corpus rows
+    // 16..31 per subspace (deterministic stand-in for a trained k-means
+    // codebook — the encode/ADC machinery is what's pinned); encoding is
+    // SCAN-LOCAL: one broadcast codebook row, a fold-argmin per subspace,
+    // zero exchanges carrying embeddings. Distances are micro-quantized
+    // BEFORE the argmin/sum so both engines compare exact integers.
+    Q("ann_pq_adc", {
+      def sqSql(v: String, c: String, i: String) =
+        s"($v[$i]::DOUBLE - $c[$i]::DOUBLE) * ($v[$i]::DOUBLE - $c[$i]::DOUBLE)"
+      def d2Sql(v: String, c: String) =
+        s"CAST(floor(list_aggregate(list_transform(range($SubDim), k -> ${sqSql(v, c, s"m.m * $SubDim + k + 1")}), 'sum') * 1000000) AS BIGINT)"
+      s"""WITH cb AS (SELECT vec_id - $CbLo AS j, embedding AS c FROM embeddings
+         |            WHERE vec_id BETWEEN $CbLo AND $CbHi),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |m AS (SELECT unnest(range($SubSpaces)) AS m),
+         |d AS (SELECT e.vec_id, m.m, cb.j,
+         |             ${d2Sql("e.embedding", "cb.c")} AS d2,
+         |             ${d2Sql("q.qv", "cb.c")} AS dq
+         |      FROM embeddings e CROSS JOIN cb CROSS JOIN m CROSS JOIN q
+         |      WHERE e.vec_id <> 0),
+         |best AS (SELECT vec_id, m, j, dq,
+         |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+         |         FROM d)
+         |SELECT vec_id, array_to_string(list(j ORDER BY m), '-') AS code,
+         |       sum(dq)::BIGINT AS adc_micro
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id
+         |ORDER BY adc_micro, vec_id LIMIT 50""".stripMargin
+    }) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      // one sorted codebook row (j ascending so the fold's strict < keeps
+      // the lowest j on micro-distance ties, = the oracle's ORDER BY d2, j)
+      val cb = e.filter(col("vec_id").between(CbLo, CbHi))
+        .agg(sort_array(collect_list(struct(
+          (col("vec_id") - CbLo).cast("int").as("j"), col("embedding").as("c")))).as("cbs"))
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // micro-quantized squared L2 between subspace m of two vectors
+      def subD2(a: Column, b: Column, m: Int): Column =
+        floor(aggregate(
+          zip_with(slice(a, m * SubDim + 1, SubDim), slice(b, m * SubDim + 1, SubDim),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (s, v) => s + v) * 1000000).cast("long")
+      def bestJ(m: Int): Column = aggregate(
+        col("cbs"),
+        struct(lit(Long.MaxValue).as("d"), lit(-1).as("j")),
+        (acc, cbj) => {
+          val d = subD2(col("embedding"), cbj.getField("c"), m)
+          when(d < acc.getField("d"), struct(d.as("d"), cbj.getField("j").as("j")))
+            .otherwise(acc)
+        })
+      val enc = e.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
+        .select(Seq(col("vec_id"), col("cbs"), col("qv"), col("embedding")) ++
+          (0 until SubSpaces).map(m => bestJ(m).as(s"b$m")): _*)
+      val code = concat_ws("-", (0 until SubSpaces).map(m => col(s"b$m").getField("j")): _*)
+      val adc = (0 until SubSpaces)
+        .map(m => subD2(col("qv"),
+          element_at(col("cbs"), col(s"b$m").getField("j") + 1).getField("c"), m))
+        .reduce(_ + _)
+      enc.select(col("vec_id"), code.as("code"), adc.as("adc_micro"))
+        .orderBy(col("adc_micro"), col("vec_id"))
+        .limit(50)
     }
   )
 }

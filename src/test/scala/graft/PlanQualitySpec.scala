@@ -171,6 +171,13 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("PQ encode+ADC is scan-local: corpus never hash-shuffles, top-k via TakeOrdered") {
+    val p = plan("ann_pq_adc")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("decontamination: eval gram set broadcast, corpus side never shuffles docs") {
     val p = plan("curation_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
