@@ -29,12 +29,21 @@ object F {
 
   /** Word n-gram shingles from a token array.
     * DuckDB: list_transform(range(1, len(t)-n+2), i -> array_to_string(t[i:i+n-1], ' '))
-    * Guarded against size<n: Spark's `sequence` would otherwise run descending. */
+    * Guarded against size<n: Spark's `sequence` would otherwise run descending.
+    *
+    * `toks` is bound to a lambda variable (via the 1-element array wrap) so
+    * it is evaluated ONCE per row even when callers pass a computed
+    * expression: a raw `slice(toks, i+1, n)` inside the transform lambda
+    * would re-evaluate the whole expression per shingle — measured 60×
+    * slower when `toks` is `regexp_extract_all(text)`. */
   def shingles(toks: Column, n: Int): Column =
-    when(size(toks) < n, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+    element_at(
+      transform(array(toks), t =>
+        when(size(t) < n, array().cast("array<string>"))
+          .otherwise(transform(
+            sequence(lit(0), size(t) - n),
+            i => concat_ws(" ", slice(t, i + 1, lit(n)))))),
+      1)
 
   /** Fused MinHash hash material: md5(s) || md5(s || '#') — 64 hex chars
     * computed ONCE per set element; each of up to 8 signatures is then the

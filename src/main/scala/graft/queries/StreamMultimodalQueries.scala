@@ -80,6 +80,24 @@ object StreamMultimodalQueries {
         .orderBy("user_id", "session_id")
     },
 
+    // Stream-static enrichment: streaming events broadcast-joined to the
+    // static customer dimension, running per-segment totals (complete
+    // mode). Values quantized to cents per row → the bounded run equals
+    // the batch join-aggregate exactly.
+    Q("stream_enrich_join",
+      """SELECT c.c_mktsegment AS segment, count(*) AS n,
+        |       sum(CAST(floor(e.value * 100) AS BIGINT))::BIGINT AS value_cents
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY segment ORDER BY segment""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.enrichStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/events.parquet"),
+          table(spark, dir, "customer")),
+        s"stream_enrich_${System.nanoTime()}", outputMode = "complete")
+        .select(col("segment"), col("n"), col("value_cents"))
+        .orderBy("segment")
+    },
+
     // Multimodal: partition-local feature extraction (decode stubbed; the
     // batch shape and fixed-dim output contract are the real test).
     Q.noOracle("mm_feature_extract") { (spark, dir) =>

@@ -154,6 +154,23 @@ object StreamingIngest {
     dir
   }
 
+  /** Stream-static enrichment: a streaming events source joined to a
+    * static customer dimension (broadcast — the dimension is small and the
+    * stream side never shuffles for the join), aggregated per market
+    * segment. The standard streaming-ETL enrich shape: at 100 TB/day the
+    * stream is unbounded but the dimension still broadcasts. `value` is
+    * quantized to cents PER ROW before the sum so the running aggregate is
+    * exact integers (order-free, restart-safe). */
+  def enrichStream(spark: SparkSession, inputDir: String,
+                   customers: DataFrame): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+      .join(broadcast(customers), col("user_id") === col("c_custkey"))
+      .groupBy(col("c_mktsegment").as("segment"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("value") * 100).cast("long")).as("value_cents"))
+
   /** Streaming exact dedup: md5 of normalized text, first arrival wins —
     * Structured Streaming keeps the seen-keys state so a continuously
     * arriving corpus emits each distinct document once (the streaming twin
