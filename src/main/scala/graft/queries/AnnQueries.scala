@@ -140,7 +140,28 @@ object AnnQueries {
       val cb = e.filter(col("vec_id").between(CbLo, CbHi))
         .agg(sort_array(collect_list(struct(
           (col("vec_id") - CbLo).cast("int").as("j"), col("embedding").as("c")))).as("cbs"))
-      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      // The ADC lookup table — the heart of PQ serving: 8×16 query-to-
+      // centroid micro-distances computed ONCE driver-side (the float→
+      // double subtract/multiply/left-fold is the exact op sequence both
+      // engines run, so the integers are bit-identical) and inlined as a
+      // literal. At cluster scale this is the per-query LUT broadcast; the
+      // scan side then touches only code bytes + 8 array lookups per row.
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val cbVecs = e.filter(col("vec_id").between(CbLo, CbHi))
+        .select((col("vec_id") - CbLo).cast("int").as("j"), col("embedding"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).sortBy(_._1).map(_._2)
+      val lut: Seq[Seq[Long]] = (0 until SubSpaces).map { m =>
+        cbVecs.toSeq.map { c =>
+          var s = 0.0
+          var k = 0
+          while (k < SubDim) {
+            val d = qv(m * SubDim + k).toDouble - c(m * SubDim + k).toDouble
+            s += d * d
+            k += 1
+          }
+          math.floor(s * 1000000).toLong
+        }
+      }
       // micro-quantized squared L2 between subspace m of two vectors
       def subD2(a: Column, b: Column, m: Int): Column =
         floor(aggregate(
@@ -156,13 +177,12 @@ object AnnQueries {
             .otherwise(acc)
         })
       val enc = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(cb)).crossJoin(broadcast(q))
-        .select(Seq(col("vec_id"), col("cbs"), col("qv"), col("embedding")) ++
+        .crossJoin(broadcast(cb))
+        .select(Seq(col("vec_id")) ++
           (0 until SubSpaces).map(m => bestJ(m).as(s"b$m")): _*)
       val code = concat_ws("-", (0 until SubSpaces).map(m => col(s"b$m").getField("j")): _*)
       val adc = (0 until SubSpaces)
-        .map(m => subD2(col("qv"),
-          element_at(col("cbs"), col(s"b$m").getField("j") + 1).getField("c"), m))
+        .map(m => element_at(typedlit(lut(m)), col(s"b$m").getField("j") + 1))
         .reduce(_ + _)
       enc.select(col("vec_id"), code.as("code"), adc.as("adc_micro"))
         .orderBy(col("adc_micro"), col("vec_id"))
