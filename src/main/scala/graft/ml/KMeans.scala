@@ -1,0 +1,74 @@
+package graft.ml
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distributed Lloyd k-means over an embedding column — the codebook
+  * trainer behind the IVF cell map and the PQ codebook (the repo's
+  * ann_ivf_* / ann_pq_adc queries use deterministic untrained stand-ins;
+  * this is how a deployment refines them).
+  *
+  * Shape per iteration: assignment is SCAN-LOCAL (centroids ride along as
+  * one literal array — k·d doubles, always driver-sized), and the update
+  * is a (cluster, dim) partial aggregate: map-side combine reduces each
+  * partition to ≤ k·d rows, so the only shuffle is k·d compact rows per
+  * round regardless of corpus size. Only the k·d centroid means are ever
+  * collected — the classic BSP loop (driver iterates over ROUNDS, never
+  * over data), same hygiene as DedupPipeline.components.
+  */
+object KMeans {
+
+  /** Squared-L2 between the row's vector and one centroid array entry. */
+  private def d2(vec: Column, cent: Column): Column =
+    aggregate(
+      zip_with(vec, cent, (x, y) =>
+        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (s, v) => s + v)
+
+  /** Distance vector to every centroid: argmin = first index achieving
+    * the array_min (ties → lowest index, since the literal is in index
+    * order). */
+  private def distances(vec: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedlit(cents), c => d2(vec, c))
+
+  final case class Result(centroids: Seq[Seq[Double]], inertia: Seq[Double])
+
+  /** Train k-means with deterministic init (the first k rows by id order).
+    * Returns the final centroids plus the per-iteration inertia trace
+    * (total squared distance BEFORE each update — non-increasing). */
+  def train(vectors: DataFrame, vecCol: String, idCol: String,
+            k: Int, iters: Int): Result = {
+    val dim = vectors.select(size(col(vecCol))).head().getInt(0)
+    var cents: Seq[Seq[Double]] = vectors
+      .orderBy(col(idCol)).limit(k)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    val inertia = Seq.newBuilder[Double]
+    for (_ <- 0 until iters) {
+      val dists = distances(col(vecCol), cents)
+      val assigned = vectors.select(
+        (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
+        array_min(dists).as("d"),
+        col(vecCol).as("v"))
+      // one pass: inertia + (cluster, dim) sums/counts via posexplode
+      val sums = assigned
+        .select(col("cluster"), col("d"), posexplode(col("v")).as(Seq("kdim", "x")))
+        .groupBy(col("cluster"), col("kdim"))
+        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"),
+          sum(when(col("kdim") === 0, col("d")).otherwise(0.0)).as("din"))
+        .collect()
+      inertia += sums.map(_.getAs[Double]("din")).sum
+      val byCluster = sums.groupBy(_.getAs[Int]("cluster"))
+      cents = (0 until k).map { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val d = rows.sortBy(_.getAs[Int]("kdim"))
+            d.map(r => r.getAs[Double]("sx") / r.getAs[Long]("n")).toSeq
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }
+      require(cents.forall(_.size == dim))
+    }
+    Result(cents, inertia.result())
+  }
+}

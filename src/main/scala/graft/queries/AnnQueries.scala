@@ -135,7 +135,7 @@ object AnnQueries {
          |ORDER BY adc_micro, vec_id LIMIT 50""".stripMargin
     }) { (spark, dir) =>
       val e = embeddings(spark, dir)
-      // one sorted codebook row (j ascending so the fold's strict < keeps
+      // one sorted codebook row (j ascending so first-match argmin takes
       // the lowest j on micro-distance ties, = the oracle's ORDER BY d2, j)
       val cb = e.filter(col("vec_id").between(CbLo, CbHi))
         .agg(sort_array(collect_list(struct(
@@ -168,25 +168,72 @@ object AnnQueries {
           zip_with(slice(a, m * SubDim + 1, SubDim), slice(b, m * SubDim + 1, SubDim),
             (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
           lit(0.0), (s, v) => s + v) * 1000000).cast("long")
-      def bestJ(m: Int): Column = aggregate(
-        col("cbs"),
-        struct(lit(Long.MaxValue).as("d"), lit(-1).as("j")),
-        (acc, cbj) => {
-          val d = subD2(col("embedding"), cbj.getField("c"), m)
-          when(d < acc.getField("d"), struct(d.as("d"), cbj.getField("j").as("j")))
-            .otherwise(acc)
-        })
+      // argmin per subspace = first index achieving the min over the
+      // sorted codebook (first match = lowest j on ties, matching the
+      // oracle's ORDER BY d2, j)
+      def bestJ(m: Int): Column = {
+        val dists = transform(col("cbs"), cbj => subD2(col("embedding"), cbj.getField("c"), m))
+        (array_position(dists, array_min(dists)) - 1).cast("int")
+      }
       val enc = e.filter(col("vec_id") =!= 0)
         .crossJoin(broadcast(cb))
         .select(Seq(col("vec_id")) ++
           (0 until SubSpaces).map(m => bestJ(m).as(s"b$m")): _*)
-      val code = concat_ws("-", (0 until SubSpaces).map(m => col(s"b$m").getField("j")): _*)
+      val code = concat_ws("-", (0 until SubSpaces).map(m => col(s"b$m")): _*)
       val adc = (0 until SubSpaces)
-        .map(m => element_at(typedlit(lut(m)), col(s"b$m").getField("j") + 1))
+        .map(m => element_at(typedlit(lut(m)), col(s"b$m") + 1))
         .reduce(_ + _)
       enc.select(col("vec_id"), code.as("code"), adc.as("adc_micro"))
         .orderBy(col("adc_micro"), col("vec_id"))
         .limit(50)
+    },
+
+    // One distributed Lloyd k-means step — the codebook trainer behind
+    // the IVF cells / PQ codebook (graft.ml.KMeans runs the full BSP
+    // loop; this pins one step against the oracle). Assignment is
+    // scan-local argmin vs a broadcast centroid array; the update is a
+    // (cluster, dim) partial aggregate — map-side combine reduces every
+    // partition to ≤ k·d rows, so the only shuffle is k·d compact rows
+    // however large the corpus. Sums are per-row micro-quantized BEFORE
+    // aggregation: integer sums are order-free, so the cross-engine hash
+    // is exact (the mean is sum_micro/n, left to the consumer).
+    Q("ml_kmeans_step", {
+      def sq(i: String) =
+        s"(e.embedding[$i]::DOUBLE - c.ce[$i]::DOUBLE) * (e.embedding[$i]::DOUBLE - c.ce[$i]::DOUBLE)"
+      s"""WITH c AS (SELECT vec_id - $CbLo AS cid, embedding AS ce FROM embeddings
+         |           WHERE vec_id BETWEEN $CbLo AND $CbHi),
+         |d AS (SELECT e.vec_id, c.cid,
+         |             CAST(floor(list_aggregate(list_transform(range(64), i -> ${sq("i + 1")}), 'sum') * 1000000) AS BIGINT) AS d2
+         |      FROM embeddings e CROSS JOIN c),
+         |a AS (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d),
+         |x AS (SELECT a.cid, ks.k, CAST(floor(e.embedding[ks.k + 1]::DOUBLE * 1000000) AS BIGINT) AS xm
+         |      FROM a JOIN embeddings e USING (vec_id)
+         |      CROSS JOIN (SELECT unnest(range(64)) AS k) ks
+         |      WHERE a.rn = 1)
+         |SELECT cid::BIGINT AS cluster, k::BIGINT AS k,
+         |       sum(xm)::BIGINT AS sum_micro, count(*) AS n
+         |FROM x GROUP BY cid, k ORDER BY cluster, k""".stripMargin
+    }) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      val cents = e.filter(col("vec_id").between(CbLo, CbHi))
+        .agg(sort_array(collect_list(struct(
+          (col("vec_id") - CbLo).cast("int").as("cid"), col("embedding").as("ce")))).as("cs"))
+      def fullD2(a: Column, b: Column): Column =
+        floor(aggregate(
+          zip_with(a, b, (x, y) =>
+            (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (s, v) => s + v) * 1000000).cast("long")
+      // argmin = first index achieving the min (cs is sorted by cid, so
+      // first match = lowest cid on ties, matching the oracle's ORDER BY)
+      val dists = transform(col("cs"), cs => fullD2(col("embedding"), cs.getField("ce")))
+      val best = array_position(dists, array_min(dists)) - 1
+      e.crossJoin(broadcast(cents))
+        .select(best.cast("long").as("cluster"),
+          posexplode(col("embedding")).as(Seq("k", "x")))
+        .groupBy(col("cluster"), col("k").cast("long").as("k"))
+        .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_micro"),
+          count(lit(1)).as("n"))
+        .orderBy("cluster", "k")
     }
   )
 }

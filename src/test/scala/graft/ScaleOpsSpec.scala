@@ -60,6 +60,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(math.abs(e.eval(null).asInstanceOf[Double] - 1.0) < 1e-12)
   }
 
+  test("k-means BSP trainer: inertia non-increasing, exact centroid count, empty-safe") {
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+    val r = graft.ml.KMeans.train(vecs, "embedding", "vec_id", k = 8, iters = 4)
+    assert(r.centroids.size == 8)
+    assert(r.centroids.forall(_.size == 64))
+    assert(r.inertia.size == 4)
+    r.inertia.sliding(2).foreach { case Seq(a, b) => assert(b <= a + 1e-9, r.inertia) }
+    // training moved the centroids off their init (the first 8 vectors)
+    val init = vecs.orderBy("vec_id").limit(8).select("embedding")
+      .collect().map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
+    assert(r.centroids != init)
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val ev = graft.queries.events(spark, sf)
     val direct = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
