@@ -145,6 +145,38 @@ object ScaleQueries {
         .orderBy("q_id", "rank")
     },
 
+    // IVF with TRAINED cells: centroids refined by the distributed Lloyd
+    // trainer (graft.ml.KMeans, 2 rounds) instead of raw corpus rows, then
+    // the same scan-local assignment + cell-local probe. Rows-only (the
+    // training loop is not one SQL statement); ScaleOpsSpec pins recall
+    // against brute force ≥ the untrained variant's.
+    Q.noOracle("ann_ivf_trained") { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val trained = graft.ml.KMeans.train(e, "embedding", "vec_id", k = Cells, iters = 2)
+      val cents = typedlit(trained.centroids)
+      // k-means cells assign by min L2 (the metric the trainer optimizes);
+      // first-match argmin = lowest cid on ties
+      val dists = transform(cents, c =>
+        aggregate(zip_with(col("embedding"), c, (x, y) =>
+            (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (s, v) => s + v))
+      val assigned = e
+        .select(col("vec_id"), col("embedding"),
+          (array_position(dists, array_min(dists)) - 1).as("cid"))
+      val qs = assigned.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("embedding").as("qv"))
+      assigned.join(broadcast(qs),
+          col("cid") === col("qcid") && col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosineSim(col("embedding"), col("qv")).as("s"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("n_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("n_id"), round(col("s"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+
     // Salted two-phase aggregation: partial agg on (key, salt) then final on
     // key — the skew-safe shape (a hot key spreads over 8 salt partitions).
     // Result identical to the direct groupBy, which is the oracle.

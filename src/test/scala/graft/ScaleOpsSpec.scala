@@ -73,6 +73,24 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(r.centroids != init)
   }
 
+  test("trained IVF cells: recall vs brute force >= untrained IVF cells") {
+    def topSets(name: String): Map[Long, Set[Long]] =
+      graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1))
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exact = graft.queries.AnnQueries.all.find(_.name == "ann_bruteforce_topk").get
+      .fn(spark, sf).filter("rank <= 5")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def recall(approx: Map[Long, Set[Long]]): Double =
+      exact.map { case (q, t) => approx.getOrElse(q, Set.empty).intersect(t).size.toDouble / t.size }
+        .sum / exact.size
+    val untrained = recall(topSets("ann_ivf_cells"))
+    val trained = recall(topSets("ann_ivf_trained"))
+    assert(trained >= untrained, s"trained $trained < untrained $untrained")
+    assert(trained > 0.0)
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val ev = graft.queries.events(spark, sf)
     val direct = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
