@@ -160,6 +160,41 @@ object CurationQueries {
         .orderBy("lang", "rk")
     },
 
+    // The WHOLE curation flow composed end-to-end — exact dedup (keep the
+    // lowest doc_id per content hash) → minimum-length quality gate →
+    // reproducible hash split → per-(lang, split) corpus accounting. One
+    // declarative plan: dedup is one md5-keyed window, the gate and split
+    // are scan-local, the accounting is a partial-agg groupBy — three
+    // narrow shuffles total at any corpus size, each on compact keys.
+    Q("curation_pipeline_e2e",
+      """WITH d AS (SELECT doc_id, lang, text,
+        |                  row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |           FROM documents),
+        |t AS (SELECT doc_id, lang,
+        |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |      FROM d WHERE rn = 1),
+        |s AS (SELECT lang, n_tokens,
+        |             CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR || ':split'), 1, 15))::BIGINT % 100 < 90
+        |                  THEN 'train' ELSE 'val' END AS split
+        |      FROM t WHERE n_tokens >= 20)
+        |SELECT lang, split, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens
+        |FROM s GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(md5(lower(trim(col("text"))))).orderBy(col("doc_id"))
+      table(spark, dir, "documents")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("lang"),
+          size(F.tokens(col("text"))).cast("long").as("n_tokens"))
+        .filter(col("n_tokens") >= 20)
+        .withColumn("split",
+          when(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100)) < 90, "train")
+            .otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+        .orderBy("lang", "split")
+    },
+
     // Repetition profile (C4/Gopher-style degenerate-text filters):
     // top-bigram mass fraction (most frequent 2-gram · 2 / token count)
     // and duplicate-3-gram fraction. All-integer inputs → the micro
