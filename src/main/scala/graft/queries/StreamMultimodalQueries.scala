@@ -98,6 +98,23 @@ object StreamMultimodalQueries {
         .orderBy("segment")
     },
 
+    // Stream-stream time-range self-join (clicks ⋈ same-user views from
+    // the prior 30 min, watermarked both sides) — inner join emits on
+    // match, so the bounded run equals the batch range join exactly.
+    Q("stream_click_view_join",
+      """SELECT c.event_id AS click_id, v.event_id AS view_id,
+        |       epoch_ms(c.ts) - epoch_ms(v.ts) AS lag_ms
+        |FROM events c JOIN events v
+        |  ON c.user_id = v.user_id AND c.event_type = 'click' AND v.event_type = 'view'
+        | AND epoch_ms(v.ts) BETWEEN epoch_ms(c.ts) - 1800000 AND epoch_ms(c.ts)
+        |ORDER BY click_id, view_id""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.clickViewStream(spark, StreamingIngest.stageAsDir(s"$dir/events.parquet")),
+        s"stream_cv_${System.nanoTime()}")
+        .select(col("click_id"), col("view_id"), col("lag_ms"))
+        .orderBy("click_id", "view_id")
+    },
+
     // Multimodal: partition-local feature extraction (decode stubbed; the
     // batch shape and fixed-dim output contract are the real test).
     Q.noOracle("mm_feature_extract") { (spark, dir) =>

@@ -171,6 +171,29 @@ object StreamingIngest {
       .agg(count(lit(1)).as("n"),
         sum(floor(col("value") * 100).cast("long")).as("value_cents"))
 
+  /** Stream-stream time-range self-join: clicks matched to the same
+    * user's views from the preceding 30 minutes. Both sides carry
+    * watermarks (bounding the buffered state to the range + slack — the
+    * thing that makes an unbounded double-stream join feasible at all);
+    * an INNER join emits on match, so a bounded run emits exactly the
+    * batch join's rows. */
+  def clickViewStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val ev = spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
+      .withWatermark("cts", "1 hour")
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("user_id").as("vu"), col("event_id").as("view_id"), col("ts").as("vts"))
+      .withWatermark("vts", "1 hour")
+    clicks.join(views,
+        expr("cu = vu AND vts BETWEEN cts - INTERVAL 30 MINUTES AND cts"))
+      .select(col("click_id"), col("view_id"),
+        (unix_millis(col("cts")) - unix_millis(col("vts"))).as("lag_ms"))
+  }
+
   /** Streaming exact dedup: md5 of normalized text, first arrival wins —
     * Structured Streaming keeps the seen-keys state so a continuously
     * arriving corpus emits each distinct document once (the streaming twin
