@@ -186,6 +186,26 @@ object RelationalQueries {
         .orderBy("win", "event_type")
     },
 
+    // Pivot: per-user event counts spread across one column per event
+    // type. Spark's .pivot() with explicit values plans as conditional
+    // aggregation (one pass, map-side partial agg — NOT a per-value scan),
+    // which is also the portable SQL form the oracle uses.
+    Q("q_pivot",
+      """SELECT user_id,
+        |       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT AS click,
+        |       sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::BIGINT AS error,
+        |       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT AS purchase,
+        |       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)::BIGINT AS signup,
+        |       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(sum(lit(1)), lit(0L)).as("n"))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
     // JSON/scalar extraction from the props payload.
     Q("q_json_extract",
       """SELECT event_type,
