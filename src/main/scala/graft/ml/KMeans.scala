@@ -46,10 +46,14 @@ object KMeans {
     val inertia = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
       val dists = distances(col(vecCol), cents)
+      // materialize the assignment BEFORE the posexplode below: a
+      // projection collapsed above a Generate re-evaluates the k-way
+      // argmin once per exploded dimension (64×)
       val assigned = vectors.select(
         (array_position(dists, array_min(dists)) - 1).cast("int").as("cluster"),
         array_min(dists).as("d"),
         col(vecCol).as("v"))
+        .localCheckpoint()
       // one pass: inertia + (cluster, dim) sums/counts via posexplode
       val sums = assigned
         .select(col("cluster"), col("d"), posexplode(col("v")).as(Seq("kdim", "x")))

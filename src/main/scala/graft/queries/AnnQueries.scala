@@ -227,9 +227,14 @@ object AnnQueries {
       // first match = lowest cid on ties, matching the oracle's ORDER BY)
       val dists = transform(col("cs"), cs => fullD2(col("embedding"), cs.getField("ce")))
       val best = array_position(dists, array_min(dists)) - 1
-      e.crossJoin(broadcast(cents))
-        .select(best.cast("long").as("cluster"),
-          posexplode(col("embedding")).as(Seq("k", "x")))
+      // assign BEFORE the explode (localCheckpoint pins the boundary): a
+      // projection above a Generate is evaluated per exploded row, which
+      // would re-run the 16-way argmin once per dimension (64×)
+      val assigned = e.crossJoin(broadcast(cents))
+        .select(col("vec_id"), best.cast("long").as("cluster"), col("embedding"))
+        .localCheckpoint()
+      assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("k", "x")))
         .groupBy(col("cluster"), col("k").cast("long").as("k"))
         .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_micro"),
           count(lit(1)).as("n"))
