@@ -206,6 +206,36 @@ object RelationalQueries {
         .orderBy("user_id")
     },
 
+    // Cube: all 4 grouping combinations in one pass (partial agg feeds
+    // every grouping set — Spark expands then combines map-side).
+    Q("q_cube",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    },
+
+    // RANGE-frame window: per-user running event total over the trailing
+    // hour — a value-based (interval) frame, not a row count. Values are
+    // per-row cent-quantized so the running sums are exact integers.
+    Q("q_window_range_frame",
+      """SELECT event_id,
+        |       CAST(sum(CAST(floor(value * 100) AS BIGINT))
+        |         OVER (PARTITION BY user_id ORDER BY epoch_ms(ts)
+        |               RANGE BETWEEN 3600000 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_cents
+        |FROM events ORDER BY event_id LIMIT 2000""".stripMargin) { (spark, dir) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(unix_millis(col("ts")))
+        .rangeBetween(-3600000L, Window.currentRow)
+      events(spark, dir)
+        .select(col("event_id"),
+          sum(floor(col("value") * 100).cast("long")).over(w).as("trailing_cents"))
+        .orderBy("event_id")
+        .limit(2000)
+    },
+
     // JSON/scalar extraction from the props payload.
     Q("q_json_extract",
       """SELECT event_type,
