@@ -150,6 +150,90 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Product-quantization encoder: per subspace of `subDim` dims, the index
+  * of the nearest codebook entry by MICRO-QUANTIZED squared L2 (floor of
+  * 1e6× the double sum — the same integers the DuckDB oracle computes, so
+  * ties break identically: strict `<` keeps the lowest index). Returns
+  * `array<int>` of `vec.length / subDim` codes.
+  *
+  * This is the PQ hot loop (SURVEY §4: custom codegen Expression where
+  * built-ins can't express it efficiently): the higher-order-function
+  * formulation (transform + aggregate over sliced arrays) evaluates
+  * interpreted with per-element allocations; this expression is one
+  * generated triple loop inside WholeStageCodegen. */
+case class PqEncode(vec: Expression, codebook: Expression, subDim: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = codebook
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, codebook.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) if subDim > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects (array<float>, array<array<float>>), got (${vec.dataType.sql}, ${codebook.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val m = v.numElements() / subDim
+    val codes = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var bestD = Long.MaxValue; var bestJ = -1; var j = 0
+      while (j < cb.numElements()) {
+        val cj = cb.getArray(j)
+        var s = 0.0d; var k = 0
+        val base = mi * subDim
+        while (k < subDim) {
+          val d = v.getFloat(base + k).toDouble - cj.getFloat(base + k).toDouble
+          s += d * d; k += 1
+        }
+        val dm = math.floor(s * 1000000.0).toLong
+        if (dm < bestD) { bestD = dm; bestJ = j }
+        j += 1
+      }
+      codes(mi) = bestJ; mi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(codes)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val m = ctx.freshName("m"); val mi = ctx.freshName("mi"); val j = ctx.freshName("j")
+      val k = ctx.freshName("k"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val dm = ctx.freshName("dm"); val bestD = ctx.freshName("bestD")
+      val bestJ = ctx.freshName("bestJ"); val codes = ctx.freshName("codes")
+      val cj = ctx.freshName("cj"); val base = ctx.freshName("base")
+      s"""
+        |int $m = $a.numElements() / $subDim;
+        |int[] $codes = new int[$m];
+        |for (int $mi = 0; $mi < $m; $mi++) {
+        |  long $bestD = Long.MAX_VALUE; int $bestJ = -1;
+        |  int $base = $mi * $subDim;
+        |  for (int $j = 0; $j < $b.numElements(); $j++) {
+        |    org.apache.spark.sql.catalyst.util.ArrayData $cj = $b.getArray($j);
+        |    double $s = 0.0;
+        |    for (int $k = 0; $k < $subDim; $k++) {
+        |      double $d = ((double) $a.getFloat($base + $k)) - ((double) $cj.getFloat($base + $k));
+        |      $s += $d * $d;
+        |    }
+        |    long $dm = (long) java.lang.Math.floor($s * 1000000.0);
+        |    if ($dm < $bestD) { $bestD = $dm; $bestJ = $j; }
+        |  }
+        |  $codes[$mi] = $bestJ;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($codes);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, codebook = r)
+}
+
 /** Column wrappers + SQL registration for the vector expressions. */
 object VectorFunctions {
   private def floatArr(c: Column): Column = c.cast(ArrayType(FloatType))
@@ -164,6 +248,11 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(floatArr(a))))
+
+  def pqEncode(vec: Column, codebook: Column, subDim: Int): Column =
+    ColumnBridge.column(PqEncode(
+      ColumnBridge.expression(floatArr(vec)),
+      ColumnBridge.expression(codebook.cast(ArrayType(ArrayType(FloatType)))), subDim))
 
   /** Registers `cosine_sim`, `dot_product`, `l2_norm` for `spark.sql(...)`. */
   def register(spark: SparkSession): Unit = {

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+import graft.functions.VectorFunctions.{cosineSim, dotProduct, pqEncode}
 
 /** Approximate-nearest-neighbor search over the embedding column.
   *
@@ -135,11 +135,6 @@ object AnnQueries {
          |ORDER BY adc_micro, vec_id LIMIT 50""".stripMargin
     }) { (spark, dir) =>
       val e = embeddings(spark, dir)
-      // one sorted codebook row (j ascending so first-match argmin takes
-      // the lowest j on micro-distance ties, = the oracle's ORDER BY d2, j)
-      val cb = e.filter(col("vec_id").between(CbLo, CbHi))
-        .agg(sort_array(collect_list(struct(
-          (col("vec_id") - CbLo).cast("int").as("j"), col("embedding").as("c")))).as("cbs"))
       // The ADC lookup table — the heart of PQ serving: 8×16 query-to-
       // centroid micro-distances computed ONCE driver-side (the float→
       // double subtract/multiply/left-fold is the exact op sequence both
@@ -162,26 +157,16 @@ object AnnQueries {
           math.floor(s * 1000000).toLong
         }
       }
-      // micro-quantized squared L2 between subspace m of two vectors
-      def subD2(a: Column, b: Column, m: Int): Column =
-        floor(aggregate(
-          zip_with(slice(a, m * SubDim + 1, SubDim), slice(b, m * SubDim + 1, SubDim),
-            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-          lit(0.0), (s, v) => s + v) * 1000000).cast("long")
-      // argmin per subspace = first index achieving the min over the
-      // sorted codebook (first match = lowest j on ties, matching the
-      // oracle's ORDER BY d2, j)
-      def bestJ(m: Int): Column = {
-        val dists = transform(col("cbs"), cbj => subD2(col("embedding"), cbj.getField("c"), m))
-        (array_position(dists, array_min(dists)) - 1).cast("int")
-      }
+      // encode = ONE codegen expression (graft.functions.PqEncode): the
+      // whole 16-way × 8-subspace argmin runs as a generated triple loop
+      // against the literal codebook — same micro-quantized integers and
+      // lowest-j tie-break as the oracle's ORDER BY d2, j
       val enc = e.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(cb))
-        .select(Seq(col("vec_id")) ++
-          (0 until SubSpaces).map(m => bestJ(m).as(s"b$m")): _*)
-      val code = concat_ws("-", (0 until SubSpaces).map(m => col(s"b$m")): _*)
+        .select(col("vec_id"),
+          pqEncode(col("embedding"), typedlit(cbVecs.map(_.toSeq).toSeq), SubDim).as("codes"))
+      val code = array_join(transform(col("codes"), c => c.cast("string")), "-")
       val adc = (0 until SubSpaces)
-        .map(m => element_at(typedlit(lut(m)), col(s"b$m") + 1))
+        .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))
         .reduce(_ + _)
       enc.select(col("vec_id"), code.as("code"), adc.as("adc_micro"))
         .orderBy(col("adc_micro"), col("vec_id"))

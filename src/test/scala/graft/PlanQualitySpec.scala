@@ -171,11 +171,11 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
-  test("PQ encode+ADC is scan-local: corpus never hash-shuffles, top-k via TakeOrdered") {
+  test("PQ encode+ADC is scan-local: codegen pq_encode, zero joins/exchanges") {
     val p = plan("ann_pq_adc")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("Exchange hashpartitioning"), p)
-    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("pq_encode"), p)
+    assert(!p.contains("Join") && !p.contains("Exchange"), p)
   }
 
   test("decontamination: eval gram set broadcast, corpus side never shuffles docs") {
