@@ -4,7 +4,10 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm}
+import org.apache.spark.sql.catalyst.expressions.Literal
+import org.apache.spark.sql.types.IntegerType
+
+import graft.functions.{CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm, PqEncode}
 
 /** SparkSessionExtensions registration: makes the engine's Catalyst
   * expressions available to any session (including pure-SQL users) via
@@ -32,5 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("float32_encode"),
       info("float32_encode", "float32_encode(arr) - array<float> to little-endian float32 blob"),
       (es: Seq[Expression]) => Float32Encode(es.head)))
+    e.injectFunction((FunctionIdentifier("pq_encode"),
+      info("pq_encode", "pq_encode(vec, codebook, subDim) - product-quantization codes per subspace"),
+      (es: Seq[Expression]) => es(2) match {
+        case Literal(s: Int, IntegerType) => PqEncode(es.head, es(1), s)
+        case other => throw new IllegalArgumentException(
+          s"pq_encode: subDim must be an integer literal, got $other")
+      }))
   }
 }

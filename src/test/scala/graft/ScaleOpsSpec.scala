@@ -50,8 +50,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     new GraftExtensions().apply(ext)
     val reg = org.apache.spark.sql.graft.ColumnBridge.registerExtensions(
       ext, FunctionRegistry.builtin.clone())
-    for (fn <- Seq("cosine_sim", "dot_product", "l2_norm", "float32_decode", "float32_encode"))
+    for (fn <- Seq("cosine_sim", "dot_product", "l2_norm", "float32_decode",
+        "float32_encode", "pq_encode"))
       assert(reg.functionExists(FunctionIdentifier(fn)), fn)
+    // pq_encode: nearest of two 1-entry-subspace codebook rows
+    val pqb = reg.lookupFunctionBuilder(FunctionIdentifier("pq_encode")).get
+    val fa = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)
+    val pq = pqb(Seq(
+      Literal.create(Array(0.9f, 0.1f), fa),
+      Literal.create(Array(Array(0.0f, 0.0f), Array(1.0f, 0.0f)),
+        org.apache.spark.sql.types.ArrayType(fa)),
+      Literal(2)))
+    val codes = pq.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(codes.toIntArray().toSeq == Seq(1)) // (0.9,0.1) nearer (1,0) than (0,0)
     // build + eval cosine through the registered builder
     val b = reg.lookupFunctionBuilder(FunctionIdentifier("cosine_sim")).get
     val e = b(Seq(
