@@ -61,6 +61,7 @@ object KMeans {
         .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"),
           sum(when(col("kdim") === 0, col("d")).otherwise(0.0)).as("din"))
         .collect()
+      assigned.unpersist() // release this round's checkpoint blocks
       inertia += sums.map(_.getAs[Double]("din")).sum
       val byCluster = sums.groupBy(_.getAs[Int]("cluster"))
       cents = (0 until k).map { c =>
