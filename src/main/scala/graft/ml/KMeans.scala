@@ -33,6 +33,14 @@ object KMeans {
 
   final case class Result(centroids: Seq[Seq[Double]], inertia: Seq[Double])
 
+  /** Scan-local cluster assignment against a trained codebook: argmin L2,
+    * first-match tie-break (lowest cid) — the literal centroid array rides
+    * along with the scan, so assignment never shuffles the vectors. */
+  def assign(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val d = distances(vec, cents)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
   /** Train k-means with deterministic init (the first k rows by id order).
     * Returns the final centroids plus the per-iteration inertia trace
     * (total squared distance BEFORE each update — non-increasing). */

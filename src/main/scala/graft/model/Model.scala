@@ -109,11 +109,21 @@ object Intent {
   }
 }
 
-/** Search configuration (SearchOptions, vector_store.h:82-91). */
+/** Search configuration (SearchOptions, vector_store.h:82-91).
+  *
+  * The `ann*` fields are the Spark-scale extension beyond the reference
+  * struct: the semantic branch's candidate source. "exact" keeps the
+  * reference's full-corpus cosine scan (zero recall loss); "ivf" probes
+  * `annProbes` nearest of `annCells` trained k-means cells, built at
+  * index() time alongside the posting index — the 100 TB path where a
+  * per-query full scan is no longer the plan you'd want. */
 final case class SearchOptions(
     limit: Int = 5,
     semanticThreshold: Double = 0.95,
     deterministic: Boolean = true,
     experimentalMmr: Boolean = false,
     enableExploration: Boolean = false,
-    useRerank: Boolean = false)
+    useRerank: Boolean = false,
+    annMode: String = "exact",
+    annCells: Int = 16,
+    annProbes: Int = 2)

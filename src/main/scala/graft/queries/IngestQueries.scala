@@ -26,7 +26,7 @@ object IngestQueries {
     // byte format is outside the oracle's SQL surface; semantics are
     // pinned line-by-line in CharPdfExtractorSpec.
     Q.noOracle("a1_pdf_ingest") { (spark, dir) =>
-      val tmp = java.nio.file.Files.createTempDirectory("graft-a1-")
+      val tmp = graft.util.TempRoot.dir("a1-")
       java.nio.file.Files.write(tmp.resolve("sample.pdf"), graft.ingest.PdfSampleDoc.bytes)
       graft.ingest.PdfSource.extractChunks(spark, tmp.toString)
     },

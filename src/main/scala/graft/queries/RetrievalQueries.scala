@@ -303,7 +303,7 @@ object RetrievalQueries {
         floor(col("value") / 50.0).cast("int").as("rank_delta"),
         lit(1.0).as("stability"),
         col("ts").as("created_at"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-d9log-").toString
+      val tmp = graft.util.TempRoot.dir("d9log-").toString
       log.write.mode("overwrite").parquet(tmp)
       spark.read.parquet(tmp)
         .filter(!col("is_exploration"))

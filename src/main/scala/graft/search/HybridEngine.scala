@@ -6,7 +6,6 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.embed.Embedder
 import graft.functions.F
-import graft.functions.VectorFunctions.cosineSim
 import graft.model.{Intent, RetrievalLogRow, ScoredChunk, SearchOptions}
 import graft.post.{Calibration, LexicalOverlapModel, Reranker, RerankModel}
 import graft.store.TokenIndex
@@ -31,9 +30,20 @@ final class HybridEngine(
     postings: Option[DataFrame] = None,
     initialLog: Vector[RetrievalLogRow] = Vector.empty,
     initialCalib: Calibration.Stats = Calibration.initial,
-    stabilityLookup: String => (Double, Long) = _ => (0.0, 0L)) {
+    stabilityLookup: String => (Double, Long) = _ => (0.0, 0L),
+    semanticGen: Option[CandidateGenerator] = None) {
 
   import spark.implicits._
+
+  /** The semantic branch's candidate source: exact full scan by default
+    * (reference semantics), or an injected ANN probe (IVF cells) — the
+    * scale seam. Everything downstream (rank, fusion, boosts) is
+    * generator-agnostic. */
+  private val semGen: CandidateGenerator =
+    semanticGen.getOrElse(new ExactScanGenerator(chunks))
+
+  /** Which candidate source this engine searches with (specs/logs). */
+  def semanticMode: String = semGen.mode
 
   private val cache = new QueryCache[Seq[ScoredChunk]](
     capacity = 100, semanticThreshold = opts.semanticThreshold,
@@ -132,15 +142,12 @@ final class HybridEngine(
     val (semW, kwW, factor) = Intent.weights(intent)
     val depth = math.min(factor, maxDepthFactor) * k
 
-    val qvLit = typedLit(qv)
-
-    // semantic branch: single scan + top-depth (ids + ranks only; metadata
-    // re-joined once the candidate set is tiny); empty under the D17
-    // critical bypass
+    // semantic branch: candidate rows from the generator (full scan or ANN
+    // probe) + top-depth (ids + ranks only; metadata re-joined once the
+    // candidate set is tiny); empty under the D17 critical bypass
     val sem =
       if (keywordOnly) Seq.empty[(Long, Double, Int)].toDF("id", "sem_score", "sem_rank")
-      else chunks
-        .select(col("id"), cosineSim(col("embedding"), qvLit).as("sem_score"))
+      else semGen.candidates(qv, depth)
         // top-depth first (TakeOrderedAndProject — per-partition top-k, no
         // global-window shuffle); rank the <=depth survivors
         .orderBy(col("sem_score").desc, col("id"))

@@ -87,6 +87,30 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def hasPostings: Boolean = Files.exists(Paths.get(postingsPath))
 
+  // ---- D2 scale path: the IVF cell index — (id, embedding, cid) vectors
+  // PARTITIONED BY cid (a probe's `cid IN (...)` filter prunes at the
+  // scan, reading nprobe/k of the corpus) plus the trained centroids
+  // (k·d doubles — driver-sized by construction)
+
+  def annVectorsPath: String = p("ann", "vectors")
+  def annCentroidsPath: String = p("ann", "centroids")
+
+  def writeAnn(vectors: DataFrame, centroids: Seq[Seq[Double]]): Unit = {
+    vectors.write.partitionBy("cid").mode(SaveMode.Overwrite).parquet(annVectorsPath)
+    import spark.implicits._
+    centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(annCentroidsPath)
+  }
+
+  def readAnn(): DataFrame = spark.read.parquet(annVectorsPath)
+
+  def readAnnCentroids(): Seq[Seq[Double]] =
+    spark.read.parquet(annCentroidsPath)
+      .orderBy(col("cid")).collect()
+      .map(_.getSeq[Double](1).toSeq).toSeq
+
+  def hasAnn: Boolean = Files.exists(Paths.get(annVectorsPath))
+
   // ---- A7: metadata KV (JSON sidecar — the workspace_metadata table)
 
   def setMeta(key: String, value: String): Unit = {
@@ -146,6 +170,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
         Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
     rm(Paths.get(chunksPath))
     rm(Paths.get(postingsPath))
+    rm(Paths.get(p("ann")))
     // dropping the table also drops the dimension registration
     if (Files.exists(metaPath)) {
       val m = allMeta - "model_dim"

@@ -22,7 +22,7 @@ object StreamingIngest {
   /** The streaming file source requires a directory; testdata tables are
     * single files. Stage the file into a temp dir (driver-side, cheap). */
   def stageAsDir(filePath: String): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft-stream-")
+    val dir = graft.util.TempRoot.dir("stream-")
     val src = java.nio.file.Paths.get(filePath)
     java.nio.file.Files.copy(src, dir.resolve(src.getFileName))
     dir.toString
@@ -143,7 +143,7 @@ object StreamingIngest {
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"),
         lit(null).cast("string").as("props"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sentinel-")
+    val tmp = graft.util.TempRoot.dir("sentinel-")
     sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
     val part = java.nio.file.Files.list(tmp).iterator()
     while (part.hasNext) {
