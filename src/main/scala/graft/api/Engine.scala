@@ -7,7 +7,7 @@ import graft.embed.{Embedder, HashNgramEmbedder}
 import graft.feedback.BoostLedger
 import graft.model.{RetrievalLogRow, ScoredChunk, SearchOptions}
 import graft.post.{Calibration, DeepDive, ExtractiveSummaryModel, LexicalOverlapModel, RerankModel, SummaryModel, Summarizer, SynthesisModel, LeadSentenceSynthesis}
-import graft.search.{HybridEngine, LatencyPolicy}
+import graft.search.{AnnIndex, CandidateGenerator, HybridEngine, IvfGenerator, LatencyPolicy}
 import graft.store.{ChunkStore, TokenIndex, Workspace}
 
 /** The engine facade — the user-visible surface mirroring the reference's
@@ -49,10 +49,22 @@ final class Engine(
     val e = new HybridEngine(spark, chunks, opts, rerankModel,
       postings = if (workspace.hasPostings) Some(workspace.readPostings()) else None,
       initialCalib = carriedCalib,
-      stabilityLookup = stabilityHistory)
+      stabilityLookup = stabilityHistory,
+      semanticGen = semanticGenerator())
     hybrid = Some(e)
     e
   }
+
+  /** The semantic branch's candidate source under the configured annMode:
+    * the IVF probe generator over the PERSISTED cell index (its `cid IN`
+    * filter prunes parquet partitions at the scan — candidate cost ∝
+    * nprobe/cells of the corpus), or None = the exact full scan (reference
+    * semantics, vector_store.cpp:206-237). Falls back to exact when no
+    * index has been built yet — annMode never makes search() fail. */
+  private def semanticGenerator(): Option[CandidateGenerator] =
+    if (opts.annMode == "ivf" && workspace.hasAnn)
+      Some(new IvfGenerator(workspace.readAnn(), workspace.readAnnCentroids(), opts.annProbes))
+    else None
 
   /** Per-query (Σ|rank_delta|, n) from the PERSISTED retrieval log,
     * exploration rows excluded — the D9 stability history read the way the
@@ -119,11 +131,25 @@ final class Engine(
     workspace.writePostings(TokenIndex.build(indexed, "id", "itext"))
   }
 
+  /** Rebuild the IVF cell index from the current chunk table when the
+    * engine is configured for ANN candidates (opts.annMode == "ivf"):
+    * train centroids with the distributed Lloyd trainer, assign every
+    * vector scan-locally, persist partitioned by cid so probes prune at
+    * the parquet scan. A no-op under the default exact mode. */
+  private def rebuildAnn(): Unit =
+    if (opts.annMode == "ivf") {
+      val (vectors, cents) =
+        AnnIndex.build(workspace.readChunks(), "id", "embedding", opts.annCells)
+      workspace.writeAnn(vectors, cents)
+    }
+
   /** Ingest a documents table into the workspace chunk store (A3+B+C1),
-    * maintaining the posting index alongside. */
+    * maintaining the posting index — and, under annMode="ivf", the IVF
+    * cell index — alongside. */
   def index(docs: DataFrame): Long = {
     workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
     rebuildPostings()
+    rebuildAnn()
     workspace.setMeta("summaries_indexed", "false")
     invalidate()
     workspace.count()
@@ -217,6 +243,7 @@ final class Engine(
         s"summary band overflow: ${agg.getLong(1)} rows beyond 1000 headings/doc")
       workspace.appendChunks(asChunks)
       rebuildPostings()
+      rebuildAnn() // summary rows must be probe-visible too, not just FTS-visible
       workspace.setMeta("summaries_indexed", "true")
       invalidate()
       agg.getLong(0)

@@ -69,6 +69,29 @@ object EngineQueries {
     // pipeline (rows-only: the chunker+embedder are not SQL-expressible).
     Q.noOracle("hybrid_search_e2e") { (spark, dir) => hybridSearch(spark, dir) },
 
+    // D2 scale path LIVE: the same hybrid pipeline with the semantic branch
+    // fed by the PERSISTED IVF cell index instead of the exact full scan.
+    // Engine.index() trains + writes the cid-partitioned index (annMode=
+    // "ivf"); each search probes its nprobe nearest cells — the parquet
+    // scan prunes to those cid= partitions (asserted in AnnEngineSpec).
+    Q.noOracle("hybrid_search_ann") { (spark, dir) =>
+      import spark.implicits._
+      val root = graft.util.TempRoot.dir("ann-ws-").toString
+      val engine = graft.api.Engine.open(spark, root, "main",
+        SearchOptions(annMode = "ivf", annCells = 8, annProbes = 3))
+      engine.index(table(spark, dir, "documents"))
+      val queries = Seq(
+        "what is a merge window",
+        "how to hash a partition: steps",
+        "summary of scan and sort",
+        "example of a vector batch")
+      queries.flatMap { q =>
+        engine.search(q, k = 5).zipWithIndex.map { case (c, i) =>
+          (q, i + 1, c.id, c.docId, c.chunkType, math.floor(c.score * 1e6).toLong)
+        }
+      }.toDF("query", "rank", "chunk_id", "doc_id", "chunk_type", "score_micro")
+    },
+
     // D10 — adaptive MMR diversification on the collected top-N.
     Q.noOracle("d10_mmr_diversify") { (spark, dir) =>
       hybridSearch(spark, dir, mmr = true)

@@ -58,13 +58,17 @@ final class IvfGenerator(
 
 object IvfGenerator {
   /** The query's `nprobe` nearest cells by squared L2 (the trainer's
-    * metric), ties broken by lowest cid — k·d doubles of driver work. */
+    * metric), ties broken by lowest cid — k·d doubles of driver work.
+    * A dimension mismatch (embedder changed after the index was built) is
+    * a loud error, not a silent truncation: probe selection against
+    * misaligned centroids would be quietly wrong for every query. */
   def nearestCells(qv: Array[Float], centroids: Seq[Seq[Double]], nprobe: Int): Seq[Int] =
     centroids.zipWithIndex.map { case (c, i) =>
+      require(c.length == qv.length,
+        s"IVF centroid dim ${c.length} != query dim ${qv.length}: index built with a different embedder")
       var s = 0.0
       var j = 0
-      val n = math.min(c.length, qv.length)
-      while (j < n) { val d = qv(j) - c(j); s += d * d; j += 1 }
+      while (j < c.length) { val d = qv(j) - c(j); s += d * d; j += 1 }
       (s, i)
     }.sortBy(identity).take(nprobe).map(_._2)
 }
@@ -84,12 +88,16 @@ object AnnIndex {
     *         source table. */
   def build(vectors: DataFrame, idCol: String, vecCol: String,
             cells: Int = DefaultCells, iters: Int = DefaultIters): (DataFrame, Seq[Seq[Double]]) = {
+    // null embeddings would assign cid=null and silently vanish from every
+    // probe — exclude them up front (they are invisible to the semantic
+    // branch either way; exact cosine scores them null too)
+    val valid = vectors.filter(col(vecCol).isNotNull)
     // a corpus smaller than the requested cell count trains fewer cells
     // (k > n would leave empty init slots)
-    val k = math.min(cells, vectors.count()).toInt
+    val k = math.min(cells, valid.count()).toInt
     require(k >= 1, "cannot build an IVF index over an empty corpus")
-    val trained = KMeans.train(vectors, vecCol, idCol, k, iters)
-    val assigned = vectors.select(
+    val trained = KMeans.train(valid, vecCol, idCol, k, iters)
+    val assigned = valid.select(
       col(idCol).as("id"),
       col(vecCol).as("embedding"),
       KMeans.assign(col(vecCol), trained.centroids).as("cid"))

@@ -106,8 +106,8 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def readAnnCentroids(): Seq[Seq[Double]] =
     spark.read.parquet(annCentroidsPath)
-      .orderBy(col("cid")).collect()
-      .map(_.getSeq[Double](1).toSeq).toSeq
+      .orderBy(col("cid")).select(col("centroid")).collect()
+      .map(_.getSeq[Double](0).toSeq).toSeq
 
   def hasAnn: Boolean = Files.exists(Paths.get(annVectorsPath))
 
