@@ -41,6 +41,58 @@ object KMeans {
     (array_position(d, array_min(d)) - 1).cast("int")
   }
 
+  /** Per-subspace product-quantization codebook trainer: Lloyd iterations
+    * where assignment is the [[graft.functions.PqEncode]] codegen argmin
+    * (micro-quantized squared L2, lowest-j ties) and the update is a
+    * (subspace, code, dim) partial aggregate of MICRO-QUANTIZED sums —
+    * integer sums are order-free, so the trained centroids are
+    * bit-identical across engines and runs (the DuckDB oracle replays the
+    * identical arithmetic). Each round's means are float-cast (the
+    * codebook's serving dtype); shuffle per round is ≤ subspaces·k·subDim
+    * compact rows however large the corpus.
+    *
+    * The codebook is k FULL-dimension rows whose m-th slice is subspace
+    * m's j-th centroid — subspaces train independently (a row's m-slice
+    * only ever aggregates vectors assigned to j in subspace m).
+    */
+  def trainPq(vectors: DataFrame, vecCol: String, subDim: Int,
+              init: Seq[Seq[Float]], iters: Int): Seq[Seq[Float]] = {
+    import graft.functions.VectorFunctions.pqEncode
+    val k = init.size
+    require(k >= 1 && init.forall(_.nonEmpty), "PQ init codebook must be non-empty")
+    var cb = init
+    for (_ <- 0 until iters) {
+      // materialize codes BEFORE the posexplode: a projection collapsed
+      // above a Generate re-evaluates the k-way argmin per exploded dim
+      val assigned = vectors.select(
+        col(vecCol).as("v"),
+        pqEncode(col(vecCol), typedlit(cb.map(_.toSeq)), subDim).as("codes"))
+        .localCheckpoint()
+      val sums = assigned
+        .select(col("codes"), posexplode(col("v")).as(Seq("k64", "x")))
+        .select(
+          (col("k64") / lit(subDim)).cast("int").as("m"),
+          element_at(col("codes"), (col("k64") / lit(subDim)).cast("int") + 1).as("j"),
+          pmod(col("k64"), lit(subDim)).cast("int").as("kk"),
+          floor(col("x").cast("double") * 1000000).cast("long").as("xm"))
+        .groupBy("m", "j", "kk")
+        .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
+        .collect()
+      assigned.unpersist() // release this round's checkpoint blocks
+      val byCell = sums.map(r => (r.getAs[Int]("m"), r.getAs[Int]("j"), r.getAs[Int]("kk")) ->
+        (r.getAs[Long]("sm"), r.getAs[Long]("n"))).toMap
+      cb = (0 until k).map { j =>
+        cb(j).indices.map { i =>
+          byCell.get((i / subDim, j, i % subDim)) match {
+            case Some((sm, n)) => ((sm.toDouble / n) / 1000000.0).toFloat
+            case None => cb(j)(i) // empty (m, j) cell keeps its centroid slice
+          }
+        }.toSeq
+      }
+    }
+    cb
+  }
+
   /** Train k-means with deterministic init (the first k rows by id order).
     * Returns the final centroids plus the per-iteration inertia trace
     * (total squared distance BEFORE each update — non-increasing). */

@@ -34,6 +34,24 @@ object AnnQueries {
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
 
+  /** The deterministic untrained codebook: corpus rows CbLo..CbHi — the
+    * trainer's init (and the recall-improvement baseline in AnnEngineSpec). */
+  private[graft] def standinCodebook(spark: SparkSession, dir: String): Seq[Seq[Float]] =
+    embeddings(spark, dir).filter(col("vec_id").between(CbLo, CbHi))
+      .select((col("vec_id") - CbLo).cast("int").as("j"), col("embedding"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Float](1).toSeq).sortBy(_._1).map(_._2).toSeq
+
+  // trained codebook per (session, sfdir): the query and the recall spec
+  // share one training run — re-training for each caller would duplicate
+  // the 2-iteration Lloyd job on identical data
+  private val cbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Float]]]
+
+  private[graft] def trainedCodebook(spark: SparkSession, dir: String): Seq[Seq[Float]] =
+    cbCache.getOrElseUpdate((spark, dir),
+      graft.ml.KMeans.trainPq(embeddings(spark, dir), "embedding", SubDim,
+        standinCodebook(spark, dir), iters = 2))
+
   val all: Seq[Q] = Seq(
 
     Q("ann_bruteforce_topk",
@@ -105,29 +123,58 @@ object AnnQueries {
 
     // Product quantization + asymmetric-distance (ADC) scan — the 100 TB
     // ANN compression path: each vector collapses to an 8×4-bit code, so
-    // the scan side carries bytes, not floats. Codebook = corpus rows
-    // 16..31 per subspace (deterministic stand-in for a trained k-means
-    // codebook — the encode/ADC machinery is what's pinned); encoding is
-    // SCAN-LOCAL: one broadcast codebook row, a fold-argmin per subspace,
-    // zero exchanges carrying embeddings. Distances are micro-quantized
-    // BEFORE the argmin/sum so both engines compare exact integers.
+    // the scan side carries bytes, not floats. The codebook is TRAINED:
+    // two per-subspace Lloyd iterations (graft.ml.KMeans.trainPq) from
+    // the deterministic rows-16..31 init, with micro-quantized distances
+    // and integer-sum updates so the trained centroids are bit-identical
+    // across engines — the oracle replays the identical training.
+    // Encoding is SCAN-LOCAL: one literal codebook, a codegen triple-loop
+    // argmin per subspace, zero exchanges carrying embeddings.
     Q("ann_pq_adc", {
-      def sqSql(v: String, c: String, i: String) =
-        s"($v[$i]::DOUBLE - $c[$i]::DOUBLE) * ($v[$i]::DOUBLE - $c[$i]::DOUBLE)"
-      def d2Sql(v: String, c: String) =
-        s"CAST(floor(list_aggregate(list_transform(range($SubDim), k -> ${sqSql(v, c, s"m.m * $SubDim + k + 1")}), 'sum') * 1000000) AS BIGINT)"
-      s"""WITH cb AS (SELECT vec_id - $CbLo AS j, embedding AS c FROM embeddings
-         |            WHERE vec_id BETWEEN $CbLo AND $CbHi),
-         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
-         |m AS (SELECT unnest(range($SubSpaces)) AS m),
-         |d AS (SELECT e.vec_id, m.m, cb.j,
-         |             ${d2Sql("e.embedding", "cb.c")} AS d2,
-         |             ${d2Sql("q.qv", "cb.c")} AS dq
-         |      FROM embeddings e CROSS JOIN cb CROSS JOIN m CROSS JOIN q
-         |      WHERE e.vec_id <> 0),
+      // micro-quantized squared L2 between two 1-indexed REAL[8] lists
+      // (the exact left-fold PqEncode generates)
+      def d2l(v: String, c: String) =
+        s"CAST(floor(list_aggregate(list_transform(range($SubDim), i -> " +
+          s"($v[i+1]::DOUBLE - $c[i+1]::DOUBLE) * ($v[i+1]::DOUBLE - $c[i+1]::DOUBLE)), " +
+          s"'sum') * 1000000) AS BIGINT)"
+      // one Lloyd iteration: assign by micro-L2 argmin (lowest-j ties),
+      // update as integer micro-sums, means float-cast; empty cells keep
+      // their centroid slice
+      def iter(cbIn: String, n: Int) =
+        s"""d$n AS (SELECT sl.vec_id, sl.m, cb.j, ${d2l("sl.v", "cb.c")} AS d2
+           |       FROM sl JOIN $cbIn cb ON cb.m = sl.m),
+           |a$n AS (SELECT vec_id, m, j FROM
+           |        (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM d$n)
+           |       WHERE rn = 1),
+           |u$n AS (SELECT a.m, a.j, ks.k,
+           |              sum(CAST(floor(sl.v[ks.k+1]::DOUBLE * 1000000) AS BIGINT)) AS sm,
+           |              count(*) AS n
+           |       FROM a$n a JOIN sl ON sl.vec_id = a.vec_id AND sl.m = a.m CROSS JOIN ks
+           |       GROUP BY a.m, a.j, ks.k),
+           |cbi$n AS (SELECT c0.m, c0.j, coalesce(u.c, c0.c) AS c
+           |       FROM $cbIn c0 LEFT JOIN
+           |         (SELECT m, j, list(CAST((sm::DOUBLE / n) / 1000000.0 AS REAL) ORDER BY k) AS c
+           |          FROM u$n GROUP BY m, j) u ON u.m = c0.m AND u.j = c0.j)""".stripMargin
+      s"""WITH ms AS (SELECT unnest(range($SubSpaces)) AS m),
+         |ks AS (SELECT unnest(range($SubDim)) AS k),
+         |cb0 AS (SELECT ms.m, vec_id - $CbLo AS j,
+         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS c
+         |        FROM embeddings, ms WHERE vec_id BETWEEN $CbLo AND $CbHi),
+         |sl AS (SELECT vec_id, ms.m,
+         |              list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS v
+         |       FROM embeddings, ms),
+         |${iter("cb0", 1)},
+         |${iter("cbi1", 2)},
+         |qsl AS (SELECT ms.m,
+         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
+         |        FROM embeddings, ms WHERE vec_id = 0),
+         |f AS (SELECT sl.vec_id, sl.m, cb.j,
+         |             ${d2l("sl.v", "cb.c")} AS d2, ${d2l("qsl.qv", "cb.c")} AS dq
+         |      FROM sl JOIN cbi2 cb ON cb.m = sl.m JOIN qsl ON qsl.m = sl.m
+         |      WHERE sl.vec_id <> 0),
          |best AS (SELECT vec_id, m, j, dq,
          |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
-         |         FROM d)
+         |         FROM f)
          |SELECT vec_id, array_to_string(list(j ORDER BY m), '-') AS code,
          |       sum(dq)::BIGINT AS adc_micro
          |FROM best WHERE rn = 1
@@ -135,6 +182,7 @@ object AnnQueries {
          |ORDER BY adc_micro, vec_id LIMIT 50""".stripMargin
     }) { (spark, dir) =>
       val e = embeddings(spark, dir)
+      val cb = trainedCodebook(spark, dir)
       // The ADC lookup table — the heart of PQ serving: 8×16 query-to-
       // centroid micro-distances computed ONCE driver-side (the float→
       // double subtract/multiply/left-fold is the exact op sequence both
@@ -142,11 +190,8 @@ object AnnQueries {
       // literal. At cluster scale this is the per-query LUT broadcast; the
       // scan side then touches only code bytes + 8 array lookups per row.
       val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-      val cbVecs = e.filter(col("vec_id").between(CbLo, CbHi))
-        .select((col("vec_id") - CbLo).cast("int").as("j"), col("embedding"))
-        .collect().map(r => r.getInt(0) -> r.getSeq[Float](1)).sortBy(_._1).map(_._2)
       val lut: Seq[Seq[Long]] = (0 until SubSpaces).map { m =>
-        cbVecs.toSeq.map { c =>
+        cb.map { c =>
           var s = 0.0
           var k = 0
           while (k < SubDim) {
@@ -159,11 +204,11 @@ object AnnQueries {
       }
       // encode = ONE codegen expression (graft.functions.PqEncode): the
       // whole 16-way × 8-subspace argmin runs as a generated triple loop
-      // against the literal codebook — same micro-quantized integers and
-      // lowest-j tie-break as the oracle's ORDER BY d2, j
+      // against the literal trained codebook — same micro-quantized
+      // integers and lowest-j tie-break as the oracle's ORDER BY d2, j
       val enc = e.filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          pqEncode(col("embedding"), typedlit(cbVecs.map(_.toSeq).toSeq), SubDim).as("codes"))
+          pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), SubDim).as("codes"))
       val code = array_join(transform(col("codes"), c => c.cast("string")), "-")
       val adc = (0 until SubSpaces)
         .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))

@@ -189,6 +189,54 @@ class AnnEngineSpec extends AnyFunSuite {
     assert(recall >= 0.9, s"mean recall@10 $recall over 20 queries: $recalls")
   }
 
+  // ---- trained PQ codebook: training must buy recall
+
+  test("trained PQ codebook: ADC top-50 recall vs exact L2 improves over the untrained stand-in") {
+    import graft.functions.VectorFunctions.pqEncode
+    val sf = "/root/testdata/sf0.01" // 500 vectors: top-50 is a real subset
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val qv = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+    val subDim = 8
+
+    // ground truth: exact squared-L2 top-50 (the metric ADC approximates)
+    val d2 = aggregate(
+      zip_with(col("embedding"), typedlit(qv.map(_.toDouble)), (x, y) =>
+        (x.cast("double") - y) * (x.cast("double") - y)),
+      lit(0.0), (s, v) => s + v)
+    val truth = e.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), d2.as("d"))
+      .orderBy(col("d"), col("vec_id")).limit(50)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+
+    def adcTop50(cb: Seq[Seq[Float]]): Set[Long] = {
+      val lut: Seq[Seq[Long]] = (0 until 8).map { m =>
+        cb.map { c =>
+          var s = 0.0; var k = 0
+          while (k < subDim) {
+            val d = qv(m * subDim + k).toDouble - c(m * subDim + k).toDouble
+            s += d * d; k += 1
+          }
+          math.floor(s * 1000000).toLong
+        }
+      }
+      val enc = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), subDim).as("codes"))
+      val adc = (0 until 8)
+        .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))
+        .reduce(_ + _)
+      enc.select(col("vec_id"), adc.as("adc"))
+        .orderBy(col("adc"), col("vec_id")).limit(50)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    }
+
+    val standin = graft.queries.AnnQueries.standinCodebook(spark, sf)
+    val trained = graft.queries.AnnQueries.trainedCodebook(spark, sf)
+    val rStandin = (truth & adcTop50(standin)).size / 50.0
+    val rTrained = (truth & adcTop50(trained)).size / 50.0
+    assert(rTrained > rStandin,
+      s"training did not improve ADC recall: trained=$rTrained standin=$rStandin")
+  }
+
   // ---- the at-scale contract: probes prune the parquet scan
 
   test("IVF probe prunes the persisted index scan to its probed cid= partitions") {
