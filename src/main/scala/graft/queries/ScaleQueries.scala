@@ -38,6 +38,26 @@ object ScaleQueries {
       TokenIndex.search(postings, terms, 20)
     },
 
+    // FTS5 MATCH fidelity (vector_store.cpp:252): `"merge window" windo*`
+    // — a positional phrase term AND a prefix term. Phrase occurrences via
+    // positional-posting intersection; prefix via a token-dictionary
+    // range; implicit AND across terms. The oracle sequence-matches the
+    // raw token list with list arithmetic.
+    Q("d4_phrase_search",
+      """WITH toks AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ts
+        |              FROM documents),
+        |sc AS (SELECT doc_id,
+        |              len(list_filter(range(len(ts) - 1),
+        |                    i -> ts[i+1] = 'merge' AND ts[i+2] = 'window'))::BIGINT AS phrase_occ,
+        |              len(list_filter(ts, t -> starts_with(t, 'windo')))::BIGINT AS pref_tf
+        |       FROM toks)
+        |SELECT doc_id AS chunk_id, (phrase_occ + pref_tf)::BIGINT AS score
+        |FROM sc WHERE phrase_occ > 0 AND pref_tf > 0
+        |ORDER BY score DESC, chunk_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val postings = TokenIndex.build(table(spark, dir, "documents"), "doc_id", "text")
+      TokenIndex.searchTerms(postings, TokenIndex.parse("\"merge window\" windo*"), 20)
+    },
+
     // IVF ANN: 16 centroids drawn from the corpus; every vector assigned to
     // its nearest cell; a query scans only its own cell (nprobe=1). The
     // cell id is the shuffle/partition key at scale.

@@ -118,6 +118,30 @@ final class HybridEngine(
       row_number().over(Window.orderBy(col("kw_score").desc, col("id"))))
   }
 
+  /** Keyword candidates for a query using MATCH operators — `"exact
+    * phrase"` / `prefix*` with implicit AND (FTS5 fidelity,
+    * vector_store.cpp:252): positional posting-list search when the index
+    * is present (and carries positions), else the scan-side twin with
+    * identical semantics. Same (id, kw_score, kw_rank) shape as
+    * [[keywordCandidates]]. */
+  private[graft] def keywordTermCandidates(terms: Seq[TokenIndex.Term], depth: Int): DataFrame = {
+    val needsPositions = terms.exists(_.isInstanceOf[TokenIndex.Term.Phrase])
+    val scored = postings match {
+      case Some(post) if !needsPositions || post.columns.contains("positions") =>
+        TokenIndex.searchTerms(post, terms, depth)
+          .select(col("chunk_id").as("id"), col("score").as("kw_score"))
+      case _ =>
+        val indexed = concat_ws(" ", coalesce(col("heading_path"), lit("")), col("text_chunk"))
+        chunks.select(col("id"),
+            TokenIndex.termScore(F.tokens(indexed), terms).as("kw_score"))
+          .filter(col("kw_score") > 0)
+          .orderBy(col("kw_score").desc, col("id"))
+          .limit(depth)
+    }
+    scored.withColumn("kw_rank",
+      row_number().over(Window.orderBy(col("kw_score").desc, col("id"))))
+  }
+
   /** @param maxDepthFactor D17 degradation hook: caps the intent overfetch
     *        factor (the facade passes LatencyPolicy.depthFactor under high
     *        latency, vector_store.cpp:334-337).
@@ -154,11 +178,16 @@ final class HybridEngine(
         .limit(depth)
         .withColumn("sem_rank", row_number().over(Window.orderBy(col("sem_score").desc, col("id"))))
 
-    // keyword branch: query-token overlap via the posting index (or the
-    // fallback scan — see keywordCandidates)
+    // keyword branch: MATCH-operator queries (quotes / trailing *) take
+    // the FTS5-fidelity term path; plain queries keep the historical
+    // bag-of-tokens overlap via the posting index (or the fallback scan)
     val qToks = query.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct.toSeq
+    val emptyKw = Seq.empty[(Long, Int, Int)].toDF("id", "kw_score", "kw_rank")
     val kw =
-      if (qToks.isEmpty) Seq.empty[(Long, Int, Int)].toDF("id", "kw_score", "kw_rank")
+      if (TokenIndex.hasOperators(query)) {
+        val terms = TokenIndex.parse(query)
+        if (terms.isEmpty) emptyKw else keywordTermCandidates(terms, depth)
+      } else if (qToks.isEmpty) emptyKw
       else keywordCandidates(qToks, depth)
 
     // weighted RRF fusion, K=60 + intent×type boost + trust/recency
