@@ -37,20 +37,29 @@ final class Engine(
   private val latency = new LatencyPolicy()
   private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
   private var hybrid: Option[HybridEngine] = None
-  private var cachedChunks: Option[DataFrame] = None
+  private var rawChunks: Option[DataFrame] = None // pinned cache, boost-free
+  private var carriedLog: Vector[RetrievalLogRow] = Vector.empty
   private var carriedCalib: Calibration.Stats = Calibration.initial
   private var calibLoaded = false
 
   private def engine(): HybridEngine = hybrid.getOrElse {
     if (!calibLoaded) { carriedCalib = loadCalibration("rerank"); calibLoaded = true }
-    val chunks = BoostLedger.withBoost(
-      workspace.readChunks().drop("boost_factor"), ledger, "id").cache()
-    cachedChunks = Some(chunks)
+    // the RAW chunk table is cached once per table version; the (tiny)
+    // click-ledger boost is a broadcast join ON TOP of the cache, so
+    // ledger changes never drop or re-read the cached corpus
+    val raw = rawChunks.getOrElse {
+      val r = workspace.readChunks().drop("boost_factor").cache()
+      rawChunks = Some(r)
+      r
+    }
+    val chunks = BoostLedger.withBoost(raw, ledger, "id")
     val e = new HybridEngine(spark, chunks, opts, rerankModel,
       postings = if (workspace.hasPostings) Some(workspace.readPostings()) else None,
+      initialLog = carriedLog,
       initialCalib = carriedCalib,
       stabilityLookup = stabilityHistory,
       semanticGen = semanticGenerator())
+    carriedLog = Vector.empty
     hybrid = Some(e)
     e
   }
@@ -90,11 +99,11 @@ final class Engine(
       }
     })
 
-  /** Drops the engine, flushing its retrieval-log rows to the workspace
-    * parquet log (A6) and persisting calibration (E4); unpersists the
-    * cached chunk table (a rebuild would otherwise leak one pinned copy
-    * per cycle). The next build re-reads both from storage — no in-memory
-    * carry. */
+  /** Full invalidation — the chunk TABLE changed (index/summarize): flush
+    * retrieval-log rows to the workspace parquet log (A6), persist
+    * calibration (E4), drop the engine, and unpersist the raw chunk cache
+    * (a rebuild would otherwise leak one pinned copy per cycle). The next
+    * build re-reads both from storage — no in-memory carry. */
   private def invalidate(): Unit = {
     hybrid.foreach { e =>
       flushRetrievalLog()
@@ -102,15 +111,31 @@ final class Engine(
       saveCalibration("rerank", carriedCalib)
     }
     hybrid = None
-    cachedChunks.foreach(_.unpersist())
-    cachedChunks = None
+    rawChunks.foreach(_.unpersist())
+    rawChunks = None
+  }
+
+  /** Light invalidation — only the click LEDGER changed: drop the derived
+    * engine (its query cache holds pre-boost results) but carry its
+    * pending log rows and calibration in memory and KEEP the pinned raw
+    * chunk cache. N clicks therefore cost zero chunk-table re-reads — the
+    * analog of the reference's one-UPDATE click (vector_store.cpp:789-795)
+    * on immutable storage; log/calibration flush waits for the next batch
+    * boundary (invalidate or explicit flush). */
+  private def refreshBoosts(): Unit = {
+    hybrid.foreach { e =>
+      carriedLog = carriedLog ++ e.drainLog()
+      carriedCalib = e.calibSnapshot
+    }
+    hybrid = None
   }
 
   /** A6: flush pending retrieval-log rows (full reference schema) to the
     * workspace's append-only parquet log table. */
   def flushRetrievalLog(): Long = {
     import spark.implicits._
-    val rows = hybrid.map(_.drainLog()).getOrElse(Vector.empty[RetrievalLogRow])
+    val rows = carriedLog ++ hybrid.map(_.drainLog()).getOrElse(Vector.empty[RetrievalLogRow])
+    carriedLog = Vector.empty
     if (rows.nonEmpty) {
       workspace.appendLog(rows.toDF(
         "query", "semantic_rank", "keyword_rank", "final_rank",
@@ -189,10 +214,12 @@ final class Engine(
   def latencyEmaMs: Double = latency.emaMs
 
   /** F1/F2: click boosting with exploration quarantine; boosts take effect
-    * on the next engine build (immutable-store ledger design). */
+    * on the next search via the ledger's broadcast join over the pinned
+    * chunk cache — no cache drop, no table re-read (immutable-store
+    * ledger design, incremental like the reference's in-place UPDATE). */
   def recordClick(chunkId: Long, query: String, isExploration: Boolean = false): Unit = {
     ledger = BoostLedger.append(ledger, Seq(BoostLedger.Click(chunkId, query, isExploration)))
-    invalidate()
+    refreshBoosts()
   }
 
   /** D13/F3: neighboring chunks of a hit. */

@@ -125,6 +125,38 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.search("merge window hash").nonEmpty)
   }
 
+  test("clicks are incremental: N clicks cost zero chunk-table re-reads and still boost (F1)") {
+    val root = Files.createTempDirectory("graft-click-").toString
+    val engine = Engine.open(spark, root, "main")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    engine.index(docs)
+    val q = "what is a merge window"
+    val first = engine.search(q)
+
+    def raw = {
+      val f = classOf[Engine].getDeclaredField("rawChunks")
+      f.setAccessible(true)
+      f.get(engine).asInstanceOf[Option[org.apache.spark.sql.DataFrame]].get
+    }
+    val pinned = raw
+    assert(pinned.storageLevel.useMemory, "raw chunk cache not pinned after first search")
+
+    (1 to 3).foreach { _ =>
+      engine.recordClick(first.head.id, q)
+      assert(engine.search(q).size == 5)
+    }
+    assert(raw eq pinned, "a click rebuilt the raw chunk cache (full re-read)")
+    assert(raw.storageLevel.useMemory, "a click unpersisted the raw chunk cache")
+
+    // the boosts still land: 3 non-exploration clicks → trust strictly up
+    val boosted = engine.search(q).find(_.id == first.head.id)
+    assert(boosted.exists(_.trustScore > first.head.trustScore))
+
+    // pending log rows carried across the light refreshes all flush at the
+    // next batch boundary: one row per completed search
+    assert(engine.flushRetrievalLog() >= 4)
+  }
+
   test("calibration persistence roundtrip (E4)") {
     val root = Files.createTempDirectory("graft-cal-").toString
     val engine = Engine.open(spark, root, "ws")
