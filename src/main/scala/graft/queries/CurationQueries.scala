@@ -21,6 +21,27 @@ object CurationQueries {
   private val K1 = 1.2
   private val B = 0.75
 
+  /** Gram-keyed decontamination join with an HONEST broadcast decision:
+    * the eval side broadcasts only while its estimated in-memory size fits
+    * `spark.sql.autoBroadcastJoinThreshold`; beyond that it falls back to
+    * a gram-keyed shuffle join (the corpus side still moves only
+    * (doc_id, gram) pairs, never whole docs). An eval set that grows with
+    * the corpus would otherwise be forced onto the driver at 100 TB.
+    * The estimate costs one aggregate over the SMALL side only. */
+  private[graft] def decontaminateJoin(
+      corpusGrams: org.apache.spark.sql.DataFrame,
+      evalGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val spark = corpusGrams.sparkSession
+    val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
+    val est = evalGrams
+      .agg(count(lit(1)).as("n"), coalesce(sum(length(col("g"))), lit(0L)).as("chars"))
+      .head()
+    // UTF-16 chars + per-row object overhead, the usual plan-stats flavor
+    val estBytes = est.getLong(1) * 2L + est.getLong(0) * 40L
+    val evSide = if (threshold >= 0 && estBytes <= threshold) broadcast(evalGrams) else evalGrams
+    corpusGrams.join(evSide, Seq("g"))
+  }
+
   val all: Seq[Q] = Seq(
 
     // BM25 ranked keyword search: idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avgdl))
@@ -103,10 +124,12 @@ object CurationQueries {
 
     // Benchmark decontamination: flag training docs sharing any 5-token
     // n-gram with a held-out eval split (here: doc_id % 97 — a stand-in
-    // for the benchmark suite). The eval gram set is tiny relative to the
-    // corpus, so it BROADCASTS; the corpus side is one scan + explode and
-    // the join is gram-keyed — the exact production decontamination shape
-    // (eval suites are MBs; the 100 TB side never shuffles whole docs).
+    // for the benchmark suite). The join is gram-keyed and the eval side
+    // broadcasts ONLY while it fits the broadcast threshold (eval suites
+    // are MBs in production); past the threshold decontaminateJoin falls
+    // back to a gram-keyed shuffle join automatically — both regimes are
+    // plan-asserted in PlanQualitySpec. The 100 TB side never shuffles
+    // whole docs either way.
     Q("curation_decontaminate",
       """WITH t AS (SELECT doc_id,
         |             list_distinct(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
@@ -124,7 +147,7 @@ object CurationQueries {
         .select(explode(col("grams")).as("g")).distinct()
       val c = t.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), explode(col("grams")).as("g"))
-      c.join(broadcast(ev), Seq("g"))
+      decontaminateJoin(c, ev)
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("doc_id"))

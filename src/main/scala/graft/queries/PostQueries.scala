@@ -77,11 +77,22 @@ object PostQueries {
           size(filter(F.tokens(col("text")),
             t => t.isin("merge", "window", "hash"))).as("kw"),
           col("n_chars"))
-      scored
-        .withColumn("orig_rank", row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
-        .withColumn("rerank_rank", row_number().over(Window.orderBy(col("kw").desc, col("doc_id"))).cast("long"))
-        .filter(col("orig_rank") <= 20)
-        .select(col("doc_id"), col("orig_rank"), col("rerank_rank"),
+      // scale shape: NO full-corpus window. orig_rank comes from a
+      // TakeOrderedAndProject top-20 (the only rows kept) ranked over ≤20
+      // rows; each survivor's GLOBAL rerank_rank is its count-ahead in
+      // (kw desc, doc_id) order — a broadcast of 20 rows against one
+      // corpus scan with map-side partial counts, identical to the
+      // oracle's global row_number.
+      val top = scored.orderBy(col("n_chars").desc, col("doc_id")).limit(20)
+        .withColumn("orig_rank",
+          row_number().over(Window.orderBy(col("n_chars").desc, col("doc_id"))).cast("long"))
+        .select(col("doc_id").as("s_id"), col("kw").as("s_kw"), col("orig_rank"))
+      scored.join(broadcast(top),
+          col("kw") > col("s_kw") ||
+            (col("kw") === col("s_kw") && col("doc_id") <= col("s_id")))
+        .groupBy(col("s_id"), col("orig_rank"))
+        .agg(count(lit(1)).as("rerank_rank"))
+        .select(col("s_id").as("doc_id"), col("orig_rank"), col("rerank_rank"),
           (col("orig_rank") - col("rerank_rank")).as("shift"))
         .orderBy("orig_rank")
     },

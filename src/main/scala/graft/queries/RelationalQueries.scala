@@ -128,18 +128,23 @@ object RelationalQueries {
     },
 
     // Window-function suite: lead/lag/ntile/percent_rank over one pass
-    // (rank arithmetic → bit-identical doubles in both engines).
+    // (rank arithmetic → bit-identical doubles in both engines). The
+    // global-order window is fed by a top-10k TakeOrdered — ntile and
+    // percent_rank NEED a total order, and a bounded top-k feed is the
+    // only shape where that single-partition pass survives scale (the
+    // full supplier table would funnel through one window partition).
     Q("q_window_suite",
       """SELECT s_suppkey,
         |       lag(s_suppkey) OVER w AS prev_k,
         |       lead(s_suppkey) OVER w AS next_k,
         |       ntile(3) OVER w AS tile,
         |       round(percent_rank() OVER w, 6) AS pr
-        |FROM supplier
+        |FROM (SELECT * FROM supplier ORDER BY s_acctbal DESC, s_suppkey LIMIT 10000)
         |WINDOW w AS (ORDER BY s_acctbal DESC, s_suppkey)
         |ORDER BY s_suppkey""".stripMargin) { (spark, dir) =>
       val w = Window.orderBy(col("s_acctbal").desc, col("s_suppkey"))
       table(spark, dir, "supplier")
+        .orderBy(col("s_acctbal").desc, col("s_suppkey")).limit(10000)
         .select(col("s_suppkey"),
           lag(col("s_suppkey"), 1).over(w).as("prev_k"),
           lead(col("s_suppkey"), 1).over(w).as("next_k"),

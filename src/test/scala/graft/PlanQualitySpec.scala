@@ -178,10 +178,31 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Exchange"), p)
   }
 
-  test("decontamination: eval gram set broadcast, corpus side never shuffles docs") {
+  test("decontamination: eval gram set broadcast under the threshold, corpus side never shuffles docs") {
     val p = plan("curation_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("decontamination: above the broadcast threshold the join falls back to a gram-keyed shuffle") {
+    // the honest regime: an eval side too big for the driver must NOT be
+    // broadcast — decontaminateJoin switches to a shuffle join, keyed on
+    // the gram, and results are identical
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("curation_decontaminate")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), s"eval side still broadcast past the threshold:\n$p")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a shuffle join in the fallback regime:\n$p")
+      // the join key stays the gram in both regimes
+      assert(p.contains("[g"), s"join no longer keyed on the gram:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
   }
 
   test("stratified sample: salted two-phase rank equals the direct single window") {
@@ -198,6 +219,29 @@ class PlanQualitySpec extends AnyFunSuite {
       .orderBy("lang", "rk")
       .collect().map(_.toSeq).toSeq
     assert(twoPhase == direct)
+  }
+
+  test("every unpartitioned window sits above a limit-bounded input (the property that makes the WindowExec warnings benign)") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      SparkEntry.oracleSql.keySet.toSeq.sorted.foreach { name =>
+        val plan = SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan
+        plan.foreach {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            val bounded = w.child.exists {
+              case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+                   _: LocalLimitExec | _: LocalTableScanExec => true
+              case _ => false
+            }
+            assert(bounded,
+              s"$name runs an UNPARTITIONED window over unbounded input — " +
+                s"a single-partition funnel at scale:\n${w.treeString}")
+          case _ => ()
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
   test("whole-stage codegen covers the cosine kernel (no UDF break)") {
