@@ -2,6 +2,7 @@ package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{abs, coalesce, col, concat_ws, count, lit, sum}
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.embed.{Embedder, HashNgramEmbedder}
 import graft.feedback.BoostLedger
@@ -178,6 +179,36 @@ final class Engine(
     workspace.setMeta("summaries_indexed", "false")
     invalidate()
     workspace.count()
+  }
+
+  /** Continuous ingest — the reference's incremental index queue
+    * (mainwindow.cpp:713-761) as a Structured Streaming foreachBatch sink:
+    * documents landing in `inputDir` are chunked + embedded by the SAME
+    * batch pipeline as [[index]] and appended to the workspace chunk
+    * table, with the posting (and, under annMode="ivf", ANN) index
+    * refreshed per micro-batch — so [[search]] finds streamed docs
+    * without any manual index() call. The checkpoint lives inside the
+    * workspace, so a restarted stream resumes exactly-once over the
+    * source files. */
+  def startStreamingIngest(inputDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    val docs = spark.readStream
+      .schema(graft.streaming.StreamingIngest.documentsSchema)
+      .parquet(inputDir)
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          workspace.appendChunks(ChunkStore.buildChunks(batch, embedder))
+          rebuildPostings()
+          rebuildAnn()
+          workspace.setMeta("summaries_indexed", "false")
+          invalidate() // table changed: next search() re-reads + re-pins
+        }
+        ()
+      }
+      .option("checkpointLocation", s"${workspace.root}/_ingest_checkpoint")
+      .trigger(trigger)
+      .start()
   }
 
   /** E1–E4: calibration stats persisted per-model in workspace metadata

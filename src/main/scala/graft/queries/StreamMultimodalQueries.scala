@@ -15,13 +15,19 @@ object StreamMultimodalQueries {
 
   val all: Seq[Q] = Seq(
 
-    // Streaming ingest: file-source documents → chunk+embed → append.
-    // Same transform as the batch path; rows-only (chunker not in SQL).
+    // Streaming ingest INTO THE WORKSPACE: file-source documents →
+    // foreachBatch → chunk store + posting index, via the live Engine
+    // facade (the reference's incremental index queue,
+    // mainwindow.cpp:713-761). Rows-only (chunker not in SQL); the
+    // output reads the PERSISTED chunk table the stream fed.
     Q.noOracle("stream_ingest") { (spark, dir) =>
-      val out = StreamingIngest.runToMemory(spark,
-        StreamingIngest.chunkStream(spark, StreamingIngest.stageAsDir(s"$dir/documents.parquet"), embedder),
-        s"stream_ingest_${System.nanoTime()}")
-      out.select(col("doc_id"), col("chunk_idx"), length(col("text_chunk")).as("len"),
+      val root = graft.util.TempRoot.dir("stream-ws-").toString
+      val engine = graft.api.Engine.open(spark, root, "main")
+      engine.startStreamingIngest(
+        StreamingIngest.stageAsDir(s"$dir/documents.parquet"))
+        .awaitTermination()
+      engine.workspace.readChunks()
+        .select(col("doc_id"), col("chunk_idx"), length(col("text_chunk")).as("len"),
           size(col("embedding")).as("dim"))
         .orderBy(col("doc_id").cast("long"), col("chunk_idx"))
         .limit(1000)

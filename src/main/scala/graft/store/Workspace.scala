@@ -55,7 +55,13 @@ final class Workspace(val spark: SparkSession, val root: String) {
   def appendChunks(chunks: DataFrame): Unit = {
     val c = chunks.cache()
     try {
-      val dim = registeredDim.getOrElse(c.select(size(col("embedding"))).head().getInt(0))
+      // an append into a fresh workspace (streaming-first ingest) must
+      // register the dimension exactly like the first batch write
+      val dim = registeredDim.getOrElse {
+        val d = c.select(size(col("embedding"))).head().getInt(0)
+        setMeta("model_dim", d.toString)
+        d
+      }
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
       c.write.mode(SaveMode.Append).parquet(chunksPath)

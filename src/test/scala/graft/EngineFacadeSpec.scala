@@ -157,6 +157,34 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.flushRetrievalLog() >= 4)
   }
 
+  test("streaming ingest feeds the workspace: streamed docs are searchable with no manual index()") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-si-").toString
+    val srcDir = Files.createTempDirectory("graft-si-src-").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") < 40).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val engine = Engine.open(spark, root, "main")
+    engine.startStreamingIngest(srcDir).awaitTermination()
+
+    val afterWave1 = engine.workspace.count()
+    assert(afterWave1 > 0, "stream appended no chunks")
+    assert(engine.workspace.hasPostings, "stream did not maintain the posting index")
+    assert(engine.search("what is a merge window").size == 5)
+
+    // wave 2: new files landing in the source dir; the checkpointed
+    // restart processes ONLY them (exactly-once over source files)
+    docs.filter(col("doc_id") >= 40 && col("doc_id") < 60)
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    engine.startStreamingIngest(srcDir).awaitTermination()
+    val chunks = engine.workspace.readChunks()
+    assert(engine.workspace.count() > afterWave1, "second wave not ingested")
+    assert(chunks.select("id").distinct().count() == chunks.count(),
+      "restart re-ingested wave-1 files (duplicate chunk ids)")
+    // streamed-in wave-2 docs are searchable too
+    assert(engine.search("merge window hash").nonEmpty)
+  }
+
   test("calibration persistence roundtrip (E4)") {
     val root = Files.createTempDirectory("graft-cal-").toString
     val engine = Engine.open(spark, root, "ws")
