@@ -24,24 +24,29 @@ object Bench {
       .foreach(fn => fn(spark, "/root/testdata/sf0.001").count())
 
     // steady-state throughput: first run pays plan compile + codegen; the
-    // reported time is the MIN of two timed runs — the container's CPU
-    // allocation fluctuates, and min-of-n is the standard estimator for
-    // the time the query takes when it actually gets the cores
+    // headline time is the MIN of three timed runs — the container's CPU
+    // allocation fluctuates 30-100% (docs/BENCH_NOTES.md), and min-of-n is
+    // the standard estimator for the time the query takes when it actually
+    // gets the cores. The per-query min/median/max/n spread ships in the
+    // JSON so round-over-round deltas are adjudicable against the jitter.
     val results = SparkEntry.benchQueries.map { name =>
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warm: plan compile + codegen
-        val times = (1 to 2).map { _ =>
+        val times = (1 to 3).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9
-        }
-        name -> times.min
-      } catch { case _: Throwable => name -> -1.0 } // broken query: flagged, not timed
+        }.sorted
+        name -> times
+      } catch { case _: Throwable => name -> Seq(-1.0) } // broken query: flagged, not timed
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
+    val spread = results.map { case (k, ts) =>
+      s""""$k":{"min":${ts.min},"median":${ts(ts.size / 2)},"max":${ts.max},"n":${ts.size}}"""
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
