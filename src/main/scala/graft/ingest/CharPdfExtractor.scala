@@ -9,16 +9,23 @@ import java.util.zip.Inflater
   * space-gap inference, per-line char-averaged font size/weight
   * (pdf_processor.cpp:88-151, which drives PDFium the same way).
   *
-  * Glyph metrics: standard-14 Courier is fixed-pitch 600/1000 em, so char
-  * advances (and therefore boxes) are EXACT for Courier-family fonts; other
-  * fonts use the configurable `defaultWidthEm` approximation. A
-  * full-width-table library (pdfbox etc.) can plug in behind the same
-  * [[PageExtractor]] trait without touching anything downstream.
+  * Glyph metrics: a font's /FirstChar + /Widths array (inline or an
+  * indirect reference) drives per-char advances when present; otherwise
+  * standard-14 Courier is fixed-pitch 600/1000 em, so char advances (and
+  * therefore boxes) are EXACT for Courier-family fonts; everything else
+  * uses the configurable `defaultWidthEm` approximation. A full-AFM
+  * library (pdfbox etc.) can plug in behind the same [[PageExtractor]]
+  * trait without touching anything downstream.
   *
-  * Supported subset (documented contract, pinned by LayoutChunkerSpec):
-  * non-object-stream PDFs; raw or /FlateDecode content streams; text
+  * Supported subset (documented contract, pinned by LayoutChunkerSpec +
+  * CharPdfExtractorSpec): classic AND PDF 1.5+ object-stream documents —
+  * /ObjStm streams are inflated and their packed objects (page dicts,
+  * fonts, …) joined to the object space; /XRef cross-reference streams
+  * are recognized structural streams (never misread as page content; the
+  * extractor scans objects directly and needs no xref table). Content
+  * streams are raw or /FlateDecode, one per page in document order; text
   * operators BT ET Tf Tm Td TD TL T* Tj ' TJ; literal `(…)` strings with
-  * escapes and nesting; one content stream per page in document order.
+  * escapes and nesting.
   */
 final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtractor {
 
@@ -32,27 +39,57 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
                               bottom: Double, size: Double, weight: Int)
 
   override def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page] = {
-    val raw = new String(content, Iso)
+    val raw0 = new String(content, Iso)
+    // PDF 1.5+: packed /ObjStm objects (page dicts, fonts, …) joined into
+    // the scannable object space; content streams stay top-level (the
+    // spec forbids stream objects inside object streams)
+    val raw = expandObjectStreams(content, raw0)
     val boxes = mediaBoxes(raw)
-    val weights = fontWeights(raw)
-    contentStreams(content, raw).zipWithIndex.map { case (ops, i) =>
+    val fonts = fontInfos(raw)
+    contentStreams(content, raw0).zipWithIndex.map { case (ops, i) =>
       val (w, h) = boxes.lift(i).orElse(boxes.headOption).getOrElse((612.0, 792.0))
-      LayoutChunker.Page(i + 1, w, h, assembleLines(interpret(ops, weights), h))
+      LayoutChunker.Page(i + 1, w, h, assembleLines(interpret(ops, fonts), h))
     }
   }
 
-  /** Resource font name (/F1 …) → weight, resolved through the document's
-    * font objects: /BaseFont names containing "Bold" map to 700 — the
-    * FPDFText_GetFontWeight analog (pdf_processor.cpp:93). */
-  private def fontWeights(raw: String): Map[String, Int] = {
-    val objWeight = """(\d+)\s+0\s+obj\b([\s\S]*?)endobj""".r.findAllMatchIn(raw).flatMap { m =>
-      """/BaseFont\s*/([A-Za-z0-9+-]+)""".r.findFirstMatchIn(m.group(2)).map { bm =>
-        m.group(1) -> (if (bm.group(1).toLowerCase.contains("bold")) 700 else 400)
+  /** What the interpreter needs per resource font: the weight
+    * (FPDFText_GetFontWeight analog, pdf_processor.cpp:93) and the
+    * optional /FirstChar-based width table (1/1000-em advances). */
+  private[ingest] final case class FontInfo(weight: Int, firstChar: Int,
+                                            widths: Option[Vector[Double]])
+  private val DefaultFont = FontInfo(400, 0, None)
+
+  /** Resource font name (/F1 …) → [[FontInfo]], resolved through the
+    * document's font objects: /BaseFont names containing "Bold" map to
+    * 700; /Widths is honored inline or as an indirect array reference. */
+  private def fontInfos(raw: String): Map[String, FontInfo] = {
+    val bodies = """(\d+)\s+0\s+obj\b([\s\S]*?)endobj""".r.findAllMatchIn(raw)
+      .map(m => m.group(1) -> m.group(2)).toMap
+    def widthTable(body: String): Option[(Int, Vector[Double])] = {
+      val first = """/FirstChar\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      val inline = """/Widths\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).map(_.group(1))
+      val indirect = """/Widths\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
+        .flatMap(m => bodies.get(m.group(1)))
+        .flatMap(b => """\[([^\]]*)\]""".r.findFirstMatchIn(b).map(_.group(1)))
+      (first, inline.orElse(indirect)) match {
+        case (Some(f), Some(arr)) =>
+          val ws = arr.trim.split("\\s+").filter(_.nonEmpty)
+            .flatMap(s => scala.util.Try(s.toDouble).toOption)
+          if (ws.nonEmpty) Some((f, ws.toVector)) else None
+        case _ => None
       }
-    }.toMap
+    }
+    val objInfo: Map[String, FontInfo] = bodies.flatMap { case (num, body) =>
+      """/BaseFont\s*/([A-Za-z0-9+-]+)""".r.findFirstMatchIn(body).map { bm =>
+        val wt = widthTable(body)
+        num -> FontInfo(
+          if (bm.group(1).toLowerCase.contains("bold")) 700 else 400,
+          wt.map(_._1).getOrElse(0), wt.map(_._2))
+      }
+    }
     """/Font\s*<<([^>]*)>>""".r.findAllMatchIn(raw).flatMap { fm =>
       """/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fm.group(1))
-        .map(rm => rm.group(1) -> objWeight.getOrElse(rm.group(2), 400))
+        .map(rm => rm.group(1) -> objInfo.getOrElse(rm.group(2), DefaultFont))
     }.toMap
   }
 
@@ -65,15 +102,14 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
                  m.group(4).toDouble - m.group(2).toDouble))
       .toSeq
 
-  /** Decoded content streams (those containing a BT text block), in
-    * document order. */
-  private def contentStreams(content: Array[Byte], raw: String): Seq[String] = {
-    val out = Seq.newBuilder[String]
+  /** Every top-level stream object in document order: (owning dictionary,
+    * raw data bytes). Data begins after "stream" + EOL (spec: CRLF/LF). */
+  private def rawStreams(content: Array[Byte], raw: String): Seq[(String, Array[Byte])] = {
+    val out = Seq.newBuilder[(String, Array[Byte])]
     var from = 0
     while ({ val s = raw.indexOf("stream", from); s >= 0 && raw.indexOf("endstream", s) >= 0 }) {
       val s = raw.indexOf("stream", from)
       val e = raw.indexOf("endstream", s)
-      // data begins after "stream" + EOL (spec: CRLF or LF)
       var dataStart = s + "stream".length
       if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
       if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
@@ -82,15 +118,61 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
       if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
       // the owning object's dictionary: between the previous "obj" and "stream"
       val objStart = math.max(raw.lastIndexOf("obj", s), 0)
-      val dict = raw.substring(objStart, s)
-      val bytes = java.util.Arrays.copyOfRange(content, dataStart, dataEnd)
-      val decoded =
-        if (dict.contains("FlateDecode")) new String(inflate(bytes), Iso)
-        else new String(bytes, Iso)
-      if (decoded.contains("BT")) out += decoded
+      out += ((raw.substring(objStart, s),
+        java.util.Arrays.copyOfRange(content, dataStart, dataEnd)))
       from = e + "endstream".length
     }
     out.result()
+  }
+
+  /** Decoded content streams (those containing a BT text block), in
+    * document order. Structural streams — /ObjStm object streams and
+    * /XRef cross-reference streams — are never page content; their decoded
+    * binary could contain accidental "BT" bytes, so they are excluded by
+    * dictionary type. */
+  private def contentStreams(content: Array[Byte], raw: String): Seq[String] =
+    rawStreams(content, raw).flatMap { case (dict, bytes) =>
+      if (dict.contains("/ObjStm") || dict.contains("/XRef")) None
+      else {
+        val decoded =
+          if (dict.contains("FlateDecode")) new String(inflate(bytes), Iso)
+          else new String(bytes, Iso)
+        if (decoded.contains("BT")) Some(decoded) else None
+      }
+    }
+
+  /** PDF 1.5+ object streams: each /ObjStm is inflated and its packed
+    * objects are re-materialized as `n 0 obj … endobj` text appended to
+    * the scannable object space. Layout per spec §7.5.7: /N (objnum,
+    * offset) integer pairs before /First, then the objects back to back
+    * with offsets relative to /First. */
+  private def expandObjectStreams(content: Array[Byte], raw: String): String = {
+    val extra = new StringBuilder
+    rawStreams(content, raw).foreach { case (dict, data) =>
+      if (dict.contains("/ObjStm")) {
+        val decoded = new String(
+          if (dict.contains("FlateDecode")) inflate(data) else data, Iso)
+        val n = """/N\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+        val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
+        if (n > 0 && first > 0 && first <= decoded.length) {
+          val header = decoded.take(first).trim.split("\\s+").filter(_.nonEmpty)
+          val pairs = header.grouped(2).take(n).collect {
+            case Array(num, off) if num.forall(_.isDigit) && off.forall(_.isDigit) =>
+              (num, off.toInt)
+          }.toSeq
+          pairs.zipWithIndex.foreach { case ((num, off), k) =>
+            val start = math.min(first + off, decoded.length)
+            val end =
+              if (k + 1 < pairs.size) math.min(first + pairs(k + 1)._2, decoded.length)
+              else decoded.length
+            if (start < end)
+              extra.append('\n').append(num).append(" 0 obj\n")
+                .append(decoded.substring(start, end)).append("\nendobj\n")
+          }
+        }
+      }
+    }
+    if (extra.isEmpty) raw else raw + extra
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {
@@ -172,10 +254,10 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     }
   }
 
-  private def interpret(stream: String, weights: Map[String, Int] = Map.empty): Seq[Ch] = {
+  private def interpret(stream: String, fonts: Map[String, FontInfo] = Map.empty): Seq[Ch] = {
     val chars = Seq.newBuilder[Ch]
     var fontSize = 12.0
-    var weight = 400
+    var font = DefaultFont
     var leading = 0.0
     var lineX = 0.0; var lineY = 0.0 // line-start (Td/Tm/T* target)
     var curX = 0.0; var textY = 0.0
@@ -187,14 +269,20 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
       stack.clear()
       vs
     }
-    def show(str: String): Unit = {
-      val w = defaultWidthEm * fontSize
+    def show(str: String): Unit =
       str.foreach { c =>
+        // per-char advance from the font's /Widths table when present
+        // (1/1000 em), else the fixed-pitch approximation
+        val em = font.widths match {
+          case Some(ws) if c.toInt >= font.firstChar && c.toInt - font.firstChar < ws.length =>
+            ws(c.toInt - font.firstChar) / 1000.0
+          case _ => defaultWidthEm
+        }
+        val w = em * fontSize
         chars += Ch(c, curX, textY + fontSize * 0.8, curX + w, textY - fontSize * 0.2,
-          fontSize, weight)
+          fontSize, font.weight)
         curX += w
       }
-    }
 
     tokenize(stream).foreach {
       case ArrStart => arr = scala.collection.mutable.ArrayBuffer.empty[Tok]
@@ -207,8 +295,8 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
           case "ET" => stack.clear()
           case "Tf" =>
             stack.collectFirst { case Name(n) => n }.foreach { n =>
-              weight = weights.getOrElse(n,
-                if (n.toLowerCase.contains("bold")) 700 else 400)
+              font = fonts.getOrElse(n, FontInfo(
+                if (n.toLowerCase.contains("bold")) 700 else 400, 0, None))
             }
             fontSize = nums(1).headOption.getOrElse(fontSize)
           case "Tm" =>

@@ -35,6 +35,59 @@ object PdfSampleDoc {
     out.toByteArray
   }
 
+  /** PDF 1.5 variant of [[bytes]]: the catalog, page tree, page dicts and
+    * font objects are packed into one Flate-compressed OBJECT STREAM, and
+    * the classic xref table is replaced with a cross-reference STREAM —
+    * the modern layout arbitrary user PDFs actually ship. The /F1 font
+    * additionally carries an explicit 600/1000 /Widths table (exact
+    * Courier metrics), so the width-table code path must reproduce the
+    * default fixed-pitch advances: extraction output is REQUIRED to be
+    * identical to the classic variant (CharPdfExtractorSpec). */
+  def bytesObjStm: Array[Byte] = {
+    val inner: Seq[(Int, String)] = Seq(
+      1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+      2 -> s"<< /Type /Pages /Kids [${(0 until NumPages).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $NumPages >>") ++
+      (0 until NumPages).map { i =>
+        (3 + i) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${10 + i} 0 R " +
+          "/Resources << /Font << /F1 17 0 R /F2 18 0 R >> >> >>")
+      } ++ Seq(
+      17 -> ("<< /Type /Font /Subtype /Type1 /BaseFont /Courier /FirstChar 32 /LastChar 126 " +
+        s"/Widths [${Seq.fill(95)(600).mkString(" ")}] >>"),
+      18 -> "<< /Type /Font /Subtype /Type1 /BaseFont /Courier-Bold >>")
+    val objBodies = inner.map(_._2 + "\n")
+    val offs = objBodies.scanLeft(0)(_ + _.length).init
+    val header = inner.map(_._1).zip(offs)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + "\n"
+    val payload = (header + objBodies.mkString).getBytes(ISO_8859_1)
+    val zPayload = deflate(payload)
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    w("%PDF-1.5\n")
+    // the object stream (packed structure), then the page content streams
+    w(s"90 0 obj\n<< /Type /ObjStm /N ${inner.size} /First ${header.length} " +
+      s"/Filter /FlateDecode /Length ${zPayload.length} >>\nstream\n")
+    out.write(zPayload); w("\nendstream\nendobj\n")
+    for (i <- 0 until NumPages) {
+      val content = pageContent(i + 1)
+      if (i == 1) {
+        val z = deflate(content.getBytes(ISO_8859_1))
+        w(s"${10 + i} 0 obj\n<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
+        out.write(z); w("\nendstream\nendobj\n")
+      } else
+        w(s"${10 + i} 0 obj\n<< /Length ${content.length} >>\nstream\n$content\nendstream\nendobj\n")
+    }
+    // cross-reference STREAM (PDF 1.5): binary W=[1 2 1] entries; the
+    // extractor never reads it — it must simply not be mistaken for text
+    val xrefData = deflate(Array.fill[Byte](12)(0))
+    val xrefPos = out.size
+    w(s"91 0 obj\n<< /Type /XRef /Size 92 /W [1 2 1] /Root 1 0 R " +
+      s"/Filter /FlateDecode /Length ${xrefData.length} >>\nstream\n")
+    out.write(xrefData); w("\nendstream\nendobj\n")
+    w(s"startxref\n$xrefPos\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Assemble the PDF with correct xref offsets. Deterministic bytes. */
   def bytes: Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

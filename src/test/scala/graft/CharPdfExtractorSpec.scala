@@ -38,6 +38,53 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(pages(1).lines.exists(_.text == "2 Methods"))
   }
 
+  test("PDF 1.5 object-stream + xref-stream layout extracts identically to the classic layout") {
+    val classic = CharPdfExtractor().extract("classic.pdf", PdfSampleDoc.bytes)
+    val modern = CharPdfExtractor().extract("objstm.pdf", PdfSampleDoc.bytesObjStm)
+    // page dicts + fonts live in a compressed /ObjStm, the xref is a
+    // binary /XRef stream, and /F1 carries an explicit Courier /Widths
+    // table — none of which may change a single line, box, or weight
+    assert(modern == classic)
+    assert(modern.size == PdfSampleDoc.NumPages)
+    assert(modern.head.lines.find(_.text == "1 Introduction").exists(_.fontWeight == 700))
+  }
+
+  test("/Widths array drives per-char advances (non-uniform metrics)") {
+    // one page, font widths a=500 b=1000 c=1500 (FirstChar 97), size 10:
+    // advances 5, 10, 15 → line right edge at 72 + 30
+    val widths = "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+      "/FirstChar 97 /LastChar 99 /Widths [500 1000 1500] >>"
+    val content = "BT /F1 10 Tf 1 0 0 1 72 700 Tm (abc) Tj ET"
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >>
+         |endobj
+         |4 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |5 0 obj
+         |$widths
+         |endobj
+         |%%EOF
+         |""".stripMargin
+    val pages = CharPdfExtractor().extract("w.pdf",
+      pdf.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val line = pages.head.lines.head
+    assert(line.text == "abc")
+    assert(math.abs(line.left - 72.0) < 1e-9)
+    assert(math.abs(line.right - 102.0) < 1e-9, s"right = ${line.right}")
+  }
+
   test("end-to-end PDF ingest: binaryFile scan → chunks with breadcrumbs, noise dropped (A1+B1-B9)") {
     val dir = Files.createTempDirectory("graft-pdf-")
     val pdfBytes = PdfSampleDoc.bytes
