@@ -223,6 +223,22 @@ object RelationalQueries {
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     },
 
+    // GROUPING SETS: explicit non-hierarchical grouping combinations —
+    // the third of the multi-grouping trio (rollup = prefixes, cube = all,
+    // grouping sets = chosen). Same one-pass expand+combine plan as cube.
+    Q("q_grouping_sets",
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST, n""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+      spark.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+          |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, n""".stripMargin)
+    },
+
     // RANGE-frame window: per-user running event total over the trailing
     // hour — a value-based (interval) frame, not a row count. Values are
     // per-row cent-quantized so the running sums are exact integers.

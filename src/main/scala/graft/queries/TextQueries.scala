@@ -240,6 +240,81 @@ object TextQueries {
           expr("array_min(transform(sequence(1, greatest(length(lower(text)) - 7, 1), 4), i -> md5(substring(lower(text), i, 8))))").as("fingerprint"))
         .orderBy("doc_id")
         .limit(1000)
+    },
+
+    // C4-style cross-corpus line dedup: a sentence occurring >= 3 times
+    // ACROSS the corpus is boilerplate and is dropped from every doc; the
+    // rebuilt text keeps original sentence order. Two shuffles — the
+    // global line count (map-side partial agg) and the per-doc regroup —
+    // which IS the canonical at-scale shape for corpus-level line dedup
+    // (the count side can't broadcast: it grows with the corpus).
+    Q("text_line_dedup",
+      """WITH t AS (SELECT doc_id, string_split(text, '. ') AS ls FROM documents),
+        |l AS (SELECT doc_id, unnest(range(len(ls))) AS i, unnest(ls) AS line FROM t),
+        |c AS (SELECT line, count(*) AS cnt FROM l GROUP BY line),
+        |k AS (SELECT l.doc_id, l.i, l.line FROM l JOIN c ON c.line = l.line WHERE c.cnt < 3)
+        |SELECT doc_id, count(*) AS n_kept,
+        |       md5(array_to_string(list(line ORDER BY i), '. ')) AS kept_md5
+        |FROM k GROUP BY doc_id
+        |ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val l = table(spark, dir, "documents")
+        .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("i", "line")))
+      val cnt = l.groupBy("line").agg(count(lit(1)).as("cnt"))
+      l.join(cnt, Seq("line")).filter(col("cnt") < 3)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("i"), col("line")))),
+              s => s.getField("line")),
+            ". ")).as("kept_md5"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // PII redaction: emails, phone numbers, IPv4 addresses counted and
+    // replaced with typed placeholders — the scrubbing pass every
+    // training corpus runs before export. The fixture corpus carries no
+    // PII, so deterministic synthetic PII is appended per doc (same
+    // expression in both engines); the md5 of the redacted text pins the
+    // exact replacement semantics. Scan-local: zero shuffles.
+    Q("text_pii_redact", {
+      val email = "[a-z0-9.]+@[a-z0-9.]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      s"""WITH p AS (SELECT doc_id,
+         |             text || ' contact user' || doc_id || '@mail.example.com call 555-' ||
+         |             lpad(((doc_id * 7) % 10000)::VARCHAR, 4, '0') ||
+         |             ' ip 10.0.' || (doc_id % 256) || '.1 end' AS pii
+         |           FROM documents)
+         |SELECT doc_id,
+         |       len(regexp_extract_all(pii, '$email'))::BIGINT AS n_email,
+         |       len(regexp_extract_all(pii, '$phone'))::BIGINT AS n_phone,
+         |       len(regexp_extract_all(pii, '$ip'))::BIGINT AS n_ip,
+         |       md5(regexp_replace(regexp_replace(regexp_replace(pii,
+         |             '$email', '<EMAIL>', 'g'),
+         |             '$ip', '<IP>', 'g'),
+         |             '$phone', '<PHONE>', 'g')) AS redacted_md5
+         |FROM p ORDER BY doc_id LIMIT 1000""".stripMargin
+    }) { (spark, dir) =>
+      val email = "[a-z0-9.]+@[a-z0-9.]+"
+      val phone = "[0-9]{3}-[0-9]{4}"
+      val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val pii = concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com call 555-"),
+        lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
+        lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".1 end"))
+      table(spark, dir, "documents")
+        .select(col("doc_id"), pii.as("pii"))
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("pii"), lit(email), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("pii"), lit(phone), lit(0))).cast("long").as("n_phone"),
+          size(regexp_extract_all(col("pii"), lit(ip), lit(0))).cast("long").as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("pii"),
+            email, "<EMAIL>"),
+            ip, "<IP>"),
+            phone, "<PHONE>")).as("redacted_md5"))
+        .orderBy("doc_id")
+        .limit(1000)
     }
   )
 }
