@@ -31,6 +31,11 @@ object AnnQueries {
   private val CbLo = 16
   private val CbHi = 31
 
+  // IVF coarse-quantizer centroids for ann_ivfpq (16 cells; distinct from
+  // the PQ-init rows so the two quantizers are independent).
+  private val IvfLo = 32
+  private val IvfHi = 47
+
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
 
@@ -51,6 +56,68 @@ object AnnQueries {
     cbCache.getOrElseUpdate((spark, dir),
       graft.ml.KMeans.trainPq(embeddings(spark, dir), "embedding", SubDim,
         standinCodebook(spark, dir), iters = 2))
+
+  /** The per-query ADC lookup table: 8×16 query-to-centroid micro-distances
+    * computed ONCE driver-side (the float→double subtract/multiply/left-fold
+    * is the exact op sequence both engines run, so the integers are
+    * bit-identical) and inlined as a literal. At cluster scale this is the
+    * per-query LUT broadcast; the scan side then touches only code bytes +
+    * 8 array lookups per row. */
+  private def adcLut(qv: Seq[Float], cb: Seq[Seq[Float]]): Seq[Seq[Long]] =
+    (0 until SubSpaces).map { m =>
+      cb.map { c =>
+        var s = 0.0
+        var k = 0
+        while (k < SubDim) {
+          val d = qv(m * SubDim + k).toDouble - c(m * SubDim + k).toDouble
+          s += d * d
+          k += 1
+        }
+        math.floor(s * 1000000).toLong
+      }
+    }
+
+  // ---- DuckDB replay of KMeans.trainPq (shared by ann_pq_adc/ann_ivfpq) ----
+
+  /** Micro-quantized squared L2 between two 1-indexed REAL[SubDim] lists
+    * (the exact left-fold PqEncode generates). */
+  private def pqD2l(v: String, c: String) =
+    s"CAST(floor(list_aggregate(list_transform(range($SubDim), i -> " +
+      s"($v[i+1]::DOUBLE - $c[i+1]::DOUBLE) * ($v[i+1]::DOUBLE - $c[i+1]::DOUBLE)), " +
+      s"'sum') * 1000000) AS BIGINT)"
+
+  /** One Lloyd iteration: assign by micro-L2 argmin (lowest-j ties), update
+    * as integer micro-sums, means float-cast; empty cells keep their
+    * centroid slice. */
+  private def pqIterSql(cbIn: String, n: Int) =
+    s"""d$n AS (SELECT sl.vec_id, sl.m, cb.j, ${pqD2l("sl.v", "cb.c")} AS d2
+       |       FROM sl JOIN $cbIn cb ON cb.m = sl.m),
+       |a$n AS (SELECT vec_id, m, j FROM
+       |        (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM d$n)
+       |       WHERE rn = 1),
+       |u$n AS (SELECT a.m, a.j, ks.k,
+       |              sum(CAST(floor(sl.v[ks.k+1]::DOUBLE * 1000000) AS BIGINT)) AS sm,
+       |              count(*) AS n
+       |       FROM a$n a JOIN sl ON sl.vec_id = a.vec_id AND sl.m = a.m CROSS JOIN ks
+       |       GROUP BY a.m, a.j, ks.k),
+       |cbi$n AS (SELECT c0.m, c0.j, coalesce(u.c, c0.c) AS c
+       |       FROM $cbIn c0 LEFT JOIN
+       |         (SELECT m, j, list(CAST((sm::DOUBLE / n) / 1000000.0 AS REAL) ORDER BY k) AS c
+       |          FROM u$n GROUP BY m, j) u ON u.m = c0.m AND u.j = c0.j)""".stripMargin
+
+  /** CTE chain subspace slices → 2 Lloyd iterations; final codebook = cbi2,
+    * corpus slices = sl, subspace/dim ranges = ms/ks. */
+  private def pqTrainCtes: String =
+    s"""ms AS (SELECT unnest(range($SubSpaces)) AS m),
+       |ks AS (SELECT unnest(range($SubDim)) AS k),
+       |cb0 AS (SELECT ms.m, vec_id - $CbLo AS j,
+       |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS c
+       |        FROM embeddings, ms WHERE vec_id BETWEEN $CbLo AND $CbHi),
+       |sl AS (SELECT vec_id, ms.m,
+       |              list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS v
+       |       FROM embeddings, ms),
+       |${pqIterSql("cb0", 1)},
+       |${pqIterSql("cbi1", 2)}""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -130,46 +197,13 @@ object AnnQueries {
     // across engines — the oracle replays the identical training.
     // Encoding is SCAN-LOCAL: one literal codebook, a codegen triple-loop
     // argmin per subspace, zero exchanges carrying embeddings.
-    Q("ann_pq_adc", {
-      // micro-quantized squared L2 between two 1-indexed REAL[8] lists
-      // (the exact left-fold PqEncode generates)
-      def d2l(v: String, c: String) =
-        s"CAST(floor(list_aggregate(list_transform(range($SubDim), i -> " +
-          s"($v[i+1]::DOUBLE - $c[i+1]::DOUBLE) * ($v[i+1]::DOUBLE - $c[i+1]::DOUBLE)), " +
-          s"'sum') * 1000000) AS BIGINT)"
-      // one Lloyd iteration: assign by micro-L2 argmin (lowest-j ties),
-      // update as integer micro-sums, means float-cast; empty cells keep
-      // their centroid slice
-      def iter(cbIn: String, n: Int) =
-        s"""d$n AS (SELECT sl.vec_id, sl.m, cb.j, ${d2l("sl.v", "cb.c")} AS d2
-           |       FROM sl JOIN $cbIn cb ON cb.m = sl.m),
-           |a$n AS (SELECT vec_id, m, j FROM
-           |        (SELECT vec_id, m, j, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn FROM d$n)
-           |       WHERE rn = 1),
-           |u$n AS (SELECT a.m, a.j, ks.k,
-           |              sum(CAST(floor(sl.v[ks.k+1]::DOUBLE * 1000000) AS BIGINT)) AS sm,
-           |              count(*) AS n
-           |       FROM a$n a JOIN sl ON sl.vec_id = a.vec_id AND sl.m = a.m CROSS JOIN ks
-           |       GROUP BY a.m, a.j, ks.k),
-           |cbi$n AS (SELECT c0.m, c0.j, coalesce(u.c, c0.c) AS c
-           |       FROM $cbIn c0 LEFT JOIN
-           |         (SELECT m, j, list(CAST((sm::DOUBLE / n) / 1000000.0 AS REAL) ORDER BY k) AS c
-           |          FROM u$n GROUP BY m, j) u ON u.m = c0.m AND u.j = c0.j)""".stripMargin
-      s"""WITH ms AS (SELECT unnest(range($SubSpaces)) AS m),
-         |ks AS (SELECT unnest(range($SubDim)) AS k),
-         |cb0 AS (SELECT ms.m, vec_id - $CbLo AS j,
-         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS c
-         |        FROM embeddings, ms WHERE vec_id BETWEEN $CbLo AND $CbHi),
-         |sl AS (SELECT vec_id, ms.m,
-         |              list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS v
-         |       FROM embeddings, ms),
-         |${iter("cb0", 1)},
-         |${iter("cbi1", 2)},
+    Q("ann_pq_adc",
+      s"""WITH $pqTrainCtes,
          |qsl AS (SELECT ms.m,
          |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
          |        FROM embeddings, ms WHERE vec_id = 0),
          |f AS (SELECT sl.vec_id, sl.m, cb.j,
-         |             ${d2l("sl.v", "cb.c")} AS d2, ${d2l("qsl.qv", "cb.c")} AS dq
+         |             ${pqD2l("sl.v", "cb.c")} AS d2, ${pqD2l("qsl.qv", "cb.c")} AS dq
          |      FROM sl JOIN cbi2 cb ON cb.m = sl.m JOIN qsl ON qsl.m = sl.m
          |      WHERE sl.vec_id <> 0),
          |best AS (SELECT vec_id, m, j, dq,
@@ -179,29 +213,11 @@ object AnnQueries {
          |       sum(dq)::BIGINT AS adc_micro
          |FROM best WHERE rn = 1
          |GROUP BY vec_id
-         |ORDER BY adc_micro, vec_id LIMIT 50""".stripMargin
-    }) { (spark, dir) =>
+         |ORDER BY adc_micro, vec_id LIMIT 50""".stripMargin) { (spark, dir) =>
       val e = embeddings(spark, dir)
       val cb = trainedCodebook(spark, dir)
-      // The ADC lookup table — the heart of PQ serving: 8×16 query-to-
-      // centroid micro-distances computed ONCE driver-side (the float→
-      // double subtract/multiply/left-fold is the exact op sequence both
-      // engines run, so the integers are bit-identical) and inlined as a
-      // literal. At cluster scale this is the per-query LUT broadcast; the
-      // scan side then touches only code bytes + 8 array lookups per row.
       val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-      val lut: Seq[Seq[Long]] = (0 until SubSpaces).map { m =>
-        cb.map { c =>
-          var s = 0.0
-          var k = 0
-          while (k < SubDim) {
-            val d = qv(m * SubDim + k).toDouble - c(m * SubDim + k).toDouble
-            s += d * d
-            k += 1
-          }
-          math.floor(s * 1000000).toLong
-        }
-      }
+      val lut = adcLut(qv, cb)
       // encode = ONE codegen expression (graft.functions.PqEncode): the
       // whole 16-way × 8-subspace argmin runs as a generated triple loop
       // against the literal trained codebook — same micro-quantized
@@ -216,6 +232,78 @@ object AnnQueries {
       enc.select(col("vec_id"), code.as("code"), adc.as("adc_micro"))
         .orderBy(col("adc_micro"), col("vec_id"))
         .limit(50)
+    },
+
+    // IVF + PQ serving (the FAISS IVFADC shape): the coarse quantizer
+    // prunes the scan to the query's nprobe=2 nearest cells, then the
+    // trained-PQ ADC ranks ONLY those cells' vectors — compression and
+    // pruning composed, which is how a 100 TB vector corpus actually
+    // serves. Cell assignment is scan-local (broadcast centroid array,
+    // argmax struct); probe cells are picked DRIVER-side from one bounded
+    // row (the IvfGenerator serving pattern), so the candidate filter is
+    // a literal isin that partition-prunes a cid-partitioned store; the
+    // ADC is the same literal-LUT scan as ann_pq_adc. Plan: one corpus
+    // scan → filter → project → TakeOrdered; zero embedding shuffles.
+    Q("ann_ivfpq",
+      s"""WITH $pqTrainCtes,
+         |ivf AS (SELECT vec_id - $IvfLo AS cid, embedding AS ce FROM embeddings
+         |        WHERE vec_id BETWEEN $IvfLo AND $IvfHi),
+         |asn AS (SELECT e.vec_id, ivf.cid,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.ce::DOUBLE[]) DESC, ivf.cid) AS rn
+         |        FROM embeddings e CROSS JOIN ivf),
+         |cells AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+         |probes AS (SELECT cid FROM asn WHERE vec_id = 0 AND rn <= 2),
+         |qsl AS (SELECT ms.m,
+         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
+         |        FROM embeddings, ms WHERE vec_id = 0),
+         |f AS (SELECT sl.vec_id, cells.cid, sl.m, cb.j,
+         |             ${pqD2l("sl.v", "cb.c")} AS d2, ${pqD2l("qsl.qv", "cb.c")} AS dq
+         |      FROM sl JOIN cbi2 cb ON cb.m = sl.m JOIN qsl ON qsl.m = sl.m
+         |      JOIN cells ON cells.vec_id = sl.vec_id
+         |      WHERE sl.vec_id <> 0 AND cells.cid IN (SELECT cid FROM probes)),
+         |best AS (SELECT vec_id, cid, m, dq,
+         |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+         |         FROM f)
+         |SELECT vec_id, cid::BIGINT AS cid, sum(dq)::BIGINT AS adc_micro
+         |FROM best WHERE rn = 1
+         |GROUP BY vec_id, cid
+         |ORDER BY adc_micro, vec_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      val cb = trainedCodebook(spark, dir)
+      val centsArr = e.filter(col("vec_id").between(IvfLo, IvfHi))
+        .agg(collect_list(struct(
+          (col("vec_id") - IvfLo).as("cid"), col("embedding").as("ce"))).as("cents"))
+      // scan-local coarse assignment (max struct = max cos, then min cid)
+      val assigned = e.crossJoin(broadcast(centsArr))
+        .withColumn("best", array_max(transform(col("cents"),
+          c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
+                      (-c.getField("cid")).as("ncid")))))
+        .select(col("vec_id"), col("embedding"),
+          (-col("best").getField("ncid")).as("cid"))
+      // nprobe=2 probe cells for the query, selected driver-side from ONE
+      // bounded row — the per-query planning step of IVF serving
+      val rankedCents = array_sort(transform(col("cents"),
+        c => struct((-cosineSim(col("embedding"), c.getField("ce"))).as("ncos"),
+                    c.getField("cid").as("cid"))))
+      val qProbe = e.filter(col("vec_id") === 0).crossJoin(broadcast(centsArr))
+        .select(rankedCents.as("rc"))
+        .select(element_at(col("rc"), 1).getField("cid").as("c1"),
+          element_at(col("rc"), 2).getField("cid").as("c2"))
+        .head()
+      val probes = Seq(qProbe.getLong(0), qProbe.getLong(1))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val lut = adcLut(qv, cb)
+      val adc = (0 until SubSpaces)
+        .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))
+        .reduce(_ + _)
+      assigned
+        .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"),
+          pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), SubDim).as("codes"))
+        .select(col("vec_id"), col("cid"), adc.as("adc_micro"))
+        .orderBy(col("adc_micro"), col("vec_id"))
+        .limit(20)
     },
 
     // One distributed Lloyd k-means step — the codebook trainer behind

@@ -241,6 +241,56 @@ object DedupQueries {
         .select(col("a_id"), col("b_id"), round(cos, 6).as("cos"))
         .orderBy(col("cos").desc, col("a_id"), col("b_id"))
         .limit(50)
+    },
+
+    // SemDeDup-style semantic dedup: k-means-shaped cells (broadcast
+    // centroid array, scan-local argmax assignment) bucket the corpus;
+    // WITHIN each cell a vector is a duplicate iff a lower-id cell-mate
+    // sits above the cosine threshold. The dominance join is cell-local —
+    // pair cost is Σ|cell|², never corpus², and the cell id is the one
+    // shuffle key (at 1000 executors each cell's pairs build where its
+    // vectors live). Ref semantics: near-dup pruning before indexing;
+    // cf. SemDeDup (Abbas et al., 2023) for the cluster-then-prune shape.
+    Q("dedup_semantic",
+      """WITH c AS (SELECT vec_id - 48 AS cid, embedding AS ce FROM embeddings
+        |           WHERE vec_id BETWEEN 48 AND 55),
+        |a AS (SELECT e.vec_id, c.cid,
+        |             row_number() OVER (PARTITION BY e.vec_id
+        |                                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+        |      FROM embeddings e CROSS JOIN c),
+        |cells AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+        |dup AS (SELECT DISTINCT y.vec_id
+        |        FROM cells x JOIN cells y ON x.cid = y.cid AND x.vec_id < y.vec_id
+        |        JOIN embeddings ex ON ex.vec_id = x.vec_id
+        |        JOIN embeddings ey ON ey.vec_id = y.vec_id
+        |        WHERE list_cosine_similarity(ex.embedding::DOUBLE[], ey.embedding::DOUBLE[]) > 0.35)
+        |SELECT cells.vec_id, cells.cid::BIGINT AS cluster,
+        |       CASE WHEN dup.vec_id IS NULL THEN 0 ELSE 1 END::BIGINT AS is_dup
+        |FROM cells LEFT JOIN dup ON dup.vec_id = cells.vec_id
+        |ORDER BY cells.vec_id""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val centsArr = e.filter(col("vec_id").between(48, 55))
+        .agg(collect_list(struct(
+          (col("vec_id") - 48).as("cid"), col("embedding").as("ce"))).as("cents"))
+      // assignment staged once (localCheckpoint): it feeds both sides of
+      // the cell-local dominance join plus the final flag projection
+      val assigned = e.crossJoin(broadcast(centsArr))
+        .withColumn("best", array_max(transform(col("cents"),
+          c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
+                      (-c.getField("cid")).as("ncid")))))
+        .select(col("vec_id"), col("embedding"),
+          (-col("best").getField("ncid")).as("cid"))
+        .localCheckpoint()
+      val x = assigned.select(col("cid"), col("vec_id").as("a_id"), col("embedding").as("ea"))
+      val y = assigned.select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("eb"))
+      val dups = x.join(y, Seq("cid"))
+        .filter(col("a_id") < col("b_id") && cosineSim(col("ea"), col("eb")) > 0.35)
+        .select(col("b_id").as("vec_id")).distinct()
+      assigned
+        .join(dups.withColumn("flag", lit(1L)), Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cid").cast("long").as("cluster"),
+          coalesce(col("flag"), lit(0L)).as("is_dup"))
+        .orderBy("vec_id")
     }
   )
 }

@@ -269,6 +269,61 @@ object RelationalQueries {
           round(avg(expr("try_cast(regexp_extract(props, '([0-9]+)', 1) AS BIGINT)")), 6).as("avg_k"),
           count(lit(1)).as("n"))
         .orderBy("event_type")
+    },
+
+    // Correlated scalar subquery (TPC-H Q17 shape): lineitems below 20% of
+    // their part's average quantity. Written as SQL so Catalyst's
+    // decorrelation rewrites the per-row subqueries into ONE per-part
+    // aggregate + join — the plan a 100 TB run needs (a re-executed
+    // subquery per row would be quadratic). The avg comparison is
+    // rearranged to integer arithmetic (qty·5·cnt < sum) so the filter
+    // decision is exact in both engines; revenue is per-row-quantized
+    // before the integer sum (order-free).
+    Q("q17_small_qty_revenue",
+      """SELECT count(*) AS n_small,
+        |       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT))::BIGINT AS revenue_cents
+        |FROM lineitem l
+        |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+        |        (SELECT count(*) FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+        |      < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM lineitem l2
+        |         WHERE l2.l_partkey = l.l_partkey)""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "lineitem").createOrReplaceTempView("graft_lineitem")
+      spark.sql(
+        """SELECT count(*) AS n_small,
+          |       sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)) AS revenue_cents
+          |FROM graft_lineitem l
+          |WHERE CAST(l.l_quantity AS BIGINT) * 5 *
+          |        (SELECT count(*) FROM graft_lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+          |      < (SELECT sum(CAST(l_quantity AS BIGINT)) FROM graft_lineitem l2
+          |         WHERE l2.l_partkey = l.l_partkey)""".stripMargin)
+    },
+
+    // Large-volume orders (TPC-H Q18 shape): IN-subquery with HAVING. The
+    // subquery is a pre-aggregation of the fact table — the qualifying
+    // key set joins back left-semi BEFORE the wide customer/detail joins,
+    // so only qualifying orders ever reach them.
+    Q("q18_large_orders",
+      """SELECT c.c_name, o.o_orderkey, sum(CAST(l.l_quantity AS BIGINT))::BIGINT AS total_qty
+        |FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON c.c_custkey = o.o_custkey
+        |WHERE o.o_orderkey IN (SELECT l_orderkey FROM lineitem
+        |                       GROUP BY l_orderkey
+        |                       HAVING sum(CAST(l_quantity AS BIGINT)) > 150)
+        |GROUP BY c.c_name, o.o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey LIMIT 100""".stripMargin) { (spark, dir) =>
+      val li = table(spark, dir, "lineitem")
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("tq"))
+        .filter(col("tq") > 150)
+        .select(col("l_orderkey").as("k"))
+      val o = table(spark, dir, "orders")
+        .join(big, col("o_orderkey") === col("k"), "left_semi")
+      o.join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(table(spark, dir, "customer"), col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_name"), col("o_orderkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey"))
+        .limit(100)
     }
   )
 }

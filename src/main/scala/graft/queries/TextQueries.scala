@@ -123,6 +123,62 @@ object TextQueries {
         .limit(1000)
     },
 
+    // Gopher-style rule filter (Rae et al. 2021 §A.1.1, adapted to this
+    // corpus's 10–99-token docs): word-count bounds, mean-word-length
+    // bounds, alphabetic-word ratio, stopword floor, top-token repetition
+    // cap, symbol-to-word cap — each rule a 0/1 flag plus the conjunctive
+    // verdict, so downstream curation can both filter and diagnose.
+    // Scan-local: every ratio folds over the per-row token list.
+    Q("text_gopher_rules",
+      s"""WITH t AS (SELECT doc_id, text, $toksSql AS toks FROM documents),
+         |m AS (SELECT doc_id,
+         |        len(toks) AS n_words,
+         |        list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / greatest(len(toks), 1) AS mean_len,
+         |        len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE / greatest(len(toks), 1) AS alpha_ratio,
+         |        ${stopScoreSql(enStops)} AS stop_hits,
+         |        list_max(list_transform(list_distinct(toks), t -> len(list_filter(toks, x -> x = t))))::DOUBLE / greatest(len(toks), 1) AS top_ratio,
+         |        ((length(text) - length(replace(text, '#', ''))) + (length(text) - length(replace(text, '...', ''))) // 3)::DOUBLE / greatest(len(toks), 1) AS sym_ratio
+         |      FROM t)
+         |SELECT doc_id,
+         |       (CASE WHEN n_words BETWEEN 30 AND 90 THEN 1 ELSE 0 END)::BIGINT AS f_wordcount,
+         |       (CASE WHEN mean_len >= 3.0 AND mean_len <= 10.0 THEN 1 ELSE 0 END)::BIGINT AS f_meanlen,
+         |       (CASE WHEN alpha_ratio > 0.8 THEN 1 ELSE 0 END)::BIGINT AS f_alpha,
+         |       (CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END)::BIGINT AS f_stop,
+         |       (CASE WHEN top_ratio < 0.2 THEN 1 ELSE 0 END)::BIGINT AS f_rep,
+         |       (CASE WHEN sym_ratio < 0.1 THEN 1 ELSE 0 END)::BIGINT AS f_symbol,
+         |       (CASE WHEN n_words BETWEEN 30 AND 90 AND mean_len >= 3.0 AND mean_len <= 10.0
+         |                  AND alpha_ratio > 0.8 AND stop_hits >= 2
+         |                  AND top_ratio < 0.2 AND sym_ratio < 0.1 THEN 1 ELSE 0 END)::BIGINT AS pass
+         |FROM m ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), F.tokens(col("text")).as("toks"))
+      val nWords = size(col("toks"))
+      val denom = greatest(nWords, lit(1))
+      val m = t.select(col("doc_id"),
+        nWords.as("n_words"),
+        (aggregate(transform(col("toks"), x => length(x)), lit(0), (a, x) => a + x)
+          .cast("double") / denom).as("mean_len"),
+        (size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") / denom).as("alpha_ratio"),
+        stopScore(col("toks"), enStops).as("stop_hits"),
+        (array_max(transform(array_distinct(col("toks")),
+          t => size(filter(col("toks"), x => x === t)))).cast("double") / denom).as("top_ratio"),
+        (((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+          floor((length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", ""))) / 3).cast("int"))
+          .cast("double") / denom).as("sym_ratio"))
+      val fWc = when(col("n_words").between(30, 90), 1L).otherwise(0L)
+      val fMl = when(col("mean_len") >= 3.0 && col("mean_len") <= 10.0, 1L).otherwise(0L)
+      val fAl = when(col("alpha_ratio") > 0.8, 1L).otherwise(0L)
+      val fSt = when(col("stop_hits") >= 2, 1L).otherwise(0L)
+      val fTr = when(col("top_ratio") < 0.2, 1L).otherwise(0L)
+      val fSy = when(col("sym_ratio") < 0.1, 1L).otherwise(0L)
+      m.select(col("doc_id"),
+          fWc.as("f_wordcount"), fMl.as("f_meanlen"), fAl.as("f_alpha"),
+          fSt.as("f_stop"), fTr.as("f_rep"), fSy.as("f_symbol"),
+          (fWc * fMl * fAl * fSt * fTr * fSy).as("pass"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // Token statistics: whitespace/regex token count + a BPE-ish subword
     // count (≈ ceil(len/4) pieces per token) + distinct count.
     Q("text_token_stats",

@@ -178,6 +178,54 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join") && !p.contains("Exchange"), p)
   }
 
+  test("IVFPQ: cell-pruned scan + codegen pq_encode, broadcast-only joins, no embedding shuffle") {
+    val p = plan("ann_ivfpq")
+    assert(p.contains("pq_encode"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // coarse assignment + probe filter must stay scan-local: the only joins
+    // are the broadcast centroid-array cross joins, never a shuffle join
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+    p.split("\n").filter(_.contains("Exchange hashpartitioning")).foreach { line =>
+      assert(!line.contains("embedding"), s"IVFPQ shuffles embeddings:\n$line\n$p")
+    }
+  }
+
+  test("correlated scalar subqueries (q17) are decorrelated into aggregate joins") {
+    // Catalyst must rewrite the per-row subqueries into ONE per-part
+    // aggregate + join; a surviving correlated ScalarSubquery node would
+    // re-execute per row — quadratic at scale
+    val p = plan("q17_small_qty_revenue")
+    assert(!p.contains("ScalarSubquery"), s"correlated subquery not decorrelated:\n$p")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+  }
+
+  test("q18 IN-subquery prunes orders left-semi BEFORE the wide joins") {
+    import org.apache.spark.sql.execution.joins.BaseJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q18_large_orders")(spark, sf).queryExecution.executedPlan
+      // the LeftSemi join must be a DESCENDANT of the customer join — the
+      // qualifying-order filter runs before any wide join fans rows out
+      val custJoin = plan.collect {
+        case j: BaseJoinExec if j.condition.toString.contains("c_custkey") ||
+          j.leftKeys.mkString.contains("custkey") || j.rightKeys.mkString.contains("custkey") => j
+      }
+      assert(custJoin.nonEmpty, s"customer join missing:\n$plan")
+      val semiBelow = custJoin.head.exists {
+        case j: BaseJoinExec => j.joinType.toString == "LeftSemi"
+        case _ => false
+      }
+      assert(semiBelow, s"semi filter not below the customer join:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("dedup_semantic: dominance join is cell-local (cid-keyed), assignment scan-local") {
+    val p = plan("dedup_semantic")
+    assert(p.contains("cid"), s"cell id no longer the join key:\n$p")
+    assert(!p.contains("label"), s"semantic dedup joins on label:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("decontamination: eval gram set broadcast under the threshold, corpus side never shuffles docs") {
     val p = plan("curation_decontaminate")
     assert(p.contains("BroadcastHashJoin"), p)

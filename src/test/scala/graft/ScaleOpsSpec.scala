@@ -102,6 +102,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(trained > 0.0)
   }
 
+  test("IVFPQ: ADC scores equal the full-PQ scan's; candidates confined to <=2 probe cells") {
+    val ivfpq = graft.queries.AnnQueries.all.find(_.name == "ann_ivfpq").get
+      .fn(spark, sf).collect()
+    assert(ivfpq.length == 20)
+    // pruning: every candidate lives in one of the query's nprobe=2 cells
+    val cells = ivfpq.map(_.getLong(1)).toSet
+    assert(cells.size <= 2, s"candidates from ${cells.size} cells: $cells")
+    // the ADC value is the SAME trained-LUT distance the full scan computes:
+    // join on vec_id against ann_pq_adc and compare exactly
+    val full = graft.queries.AnnQueries.all.find(_.name == "ann_pq_adc").get
+      .fn(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    ivfpq.foreach { r =>
+      full.get(r.getLong(0)).foreach { adc =>
+        assert(adc == r.getLong(2), s"ADC diverges for vec ${r.getLong(0)}")
+      }
+    }
+    // results sorted by (adc, vec_id) — the serving contract
+    val pairs = ivfpq.map(r => (r.getLong(2), r.getLong(0))).toSeq
+    assert(pairs == pairs.sorted, "IVFPQ results not in (adc, vec_id) order")
+  }
+
+  test("semantic dedup: every cluster keeps its lowest-id member; every dup has a dominating lower-id cell-mate") {
+    import graft.functions.VectorFunctions.cosineSim
+    val out = graft.queries.DedupQueries.all.find(_.name == "dedup_semantic").get
+      .fn(spark, sf)
+    val rows = out.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    // representative invariant: the minimum vec_id of each cluster is kept
+    rows.groupBy(_._2).foreach { case (cl, members) =>
+      val rep = members.minBy(_._1)
+      assert(rep._3 == 0L, s"cluster $cl flags its representative ${rep._1} as dup")
+    }
+    // soundness: recompute the dominated set with an independent pair join
+    // over the query's own cluster assignment and the same codegen cosine
+    val asg = out.select(col("vec_id"), col("cluster"))
+      .join(spark.read.parquet(s"$sf/embeddings.parquet"), "vec_id")
+    val x = asg.select(col("cluster"), col("vec_id").as("a"), col("embedding").as("ea"))
+    val y = asg.select(col("cluster"), col("vec_id").as("b"), col("embedding").as("eb"))
+    val dominated = x.join(y, "cluster")
+      .filter(col("a") < col("b") && cosineSim(col("ea"), col("eb")) > 0.35)
+      .select(col("b")).distinct().collect().map(_.getLong(0)).toSet
+    val flagged = rows.filter(_._3 == 1L).map(_._1).toSet
+    assert(flagged == dominated,
+      s"flag set diverges: extra=${flagged -- dominated} missing=${dominated -- flagged}")
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val ev = graft.queries.events(spark, sf)
     val direct = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
