@@ -259,6 +259,37 @@ object ScaleQueries {
         .limit(1000)
     },
 
+    // Range (interval-overlap) join, binned: every event joined to the
+    // 30-minute incident windows that contain it. The naive plan is an
+    // inequality-only join — a BroadcastNestedLoopJoin that goes quadratic
+    // at scale. The scale path: quantize time into bins the size of the
+    // window, explode each window into the (≤2) bins it covers, bin each
+    // event, EQUI-join on the bin, then apply the exact range filter —
+    // the join key makes it a hash/merge join, and since an event's bin is
+    // unique, no pair can match twice (no dedup pass). The oracle is the
+    // plain inequality join.
+    Q("q_range_join_binned",
+      """WITH w AS (SELECT event_id AS window_id, epoch_ms(ts) AS ws
+        |           FROM events WHERE event_type = 'error')
+        |SELECT w.window_id, count(*) AS n_events
+        |FROM w JOIN events e ON epoch_ms(e.ts) >= w.ws AND epoch_ms(e.ts) < w.ws + 1800000
+        |GROUP BY w.window_id
+        |ORDER BY n_events DESC, window_id LIMIT 100""".stripMargin) { (spark, dir) =>
+      val B = 1800000L
+      val ev = events(spark, dir).withColumn("ms", unix_millis(col("ts")))
+      val w = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("window_id"), col("ms").as("ws"))
+        .withColumn("bin", explode(array_distinct(array(
+          floor(col("ws") / B), floor((col("ws") + B - 1) / B)))))
+      val e = ev.select(col("ms"), floor(col("ms") / B).as("bin"))
+      e.join(w, Seq("bin"))
+        .filter(col("ms") >= col("ws") && col("ms") < col("ws") + B)
+        .groupBy(col("window_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .orderBy(col("n_events").desc, col("window_id"))
+        .limit(100)
+    },
+
     // Sessionization: 30-minute-gap session ids via lag + running sum —
     // the canonical event-pipeline shape (keyed window, one shuffle).
     Q("q_sessionize",

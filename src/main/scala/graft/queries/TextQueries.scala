@@ -199,6 +199,67 @@ object TextQueries {
         .limit(1000)
     },
 
+    // BPE merge training (3 rounds): the tokenizer-training loop itself.
+    // Round structure is the classic Sennrich et al. 2016 algorithm: count
+    // adjacent symbol pairs over the WORD-FREQUENCY table (not the corpus —
+    // after the first explode+groupBy the working set is the vocabulary,
+    // which is how BPE trainers scale to 100 TB corpora), take the most
+    // frequent pair (count desc, pair asc), merge it everywhere, repeat.
+    // Driver loop = BSP like graft.ml.KMeans: per round one tiny collect
+    // (the argmax pair) + one scan-local merge apply (leftmost
+    // non-overlapping `replace`, identical semantics in both engines);
+    // the oracle unrolls the same 3 rounds as CTEs.
+    Q("text_bpe_train", {
+      def pIter(sIn: String, n: Int) =
+        s"""p$n AS (SELECT pr, sum(freq)::BIGINT AS c FROM (
+           |        SELECT unnest(list_transform(range(len(a) - 1), i -> a[i+1] || ' ' || a[i+2])) AS pr, freq
+           |        FROM (SELECT string_split(s, ' ') AS a, freq FROM $sIn))
+           |       GROUP BY pr),
+           |t$n AS (SELECT pr, c FROM p$n ORDER BY c DESC, pr LIMIT 1)""".stripMargin
+      def sNext(sIn: String, tIn: String, n: Int) =
+        s"""s$n AS (SELECT replace(s, (SELECT pr FROM $tIn),
+           |               replace((SELECT pr FROM $tIn), ' ', '')) AS s, freq FROM $sIn)""".stripMargin
+      s"""WITH tok AS (SELECT unnest($toksSql) AS tk FROM documents),
+         |w AS (SELECT tk, count(*) AS freq FROM tok GROUP BY tk),
+         |s1 AS (SELECT array_to_string(regexp_extract_all(tk, '.'), ' ') AS s, freq FROM w),
+         |${pIter("s1", 1)},
+         |${sNext("s1", "t1", 2)},
+         |${pIter("s2", 2)},
+         |${sNext("s2", "t2", 3)},
+         |${pIter("s3", 3)}
+         |SELECT 1::BIGINT AS step, pr AS pair, replace(pr, ' ', '') AS merged, c FROM t1
+         |UNION ALL SELECT 2::BIGINT, pr, replace(pr, ' ', ''), c FROM t2
+         |UNION ALL SELECT 3::BIGINT, pr, replace(pr, ' ', ''), c FROM t3
+         |ORDER BY step""".stripMargin
+    }) { (spark, dir) =>
+      // word-frequency table staged once; every round reads vocab, not corpus
+      var cur = table(spark, dir, "documents")
+        .select(explode(F.tokens(col("text"))).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("freq"))
+        .select(concat_ws(" ",
+          regexp_extract_all(col("tk"), lit("."), lit(0))).as("s"), col("freq"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (step <- 1 to 3) {
+        val a = split(col("s"), " ")
+        val pairs = cur
+          .select(explode(transform(slice(a, lit(1), size(a) - 1),
+            (x, i) => concat(x, lit(" "), element_at(a, i + 2)))).as("pr"), col("freq"))
+          .groupBy("pr").agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pr")).limit(1)
+          .head()
+        val (pr, c) = (pairs.getString(0), pairs.getLong(1))
+        val merged = pr.replace(" ", "")
+        merges += ((step.toLong, pr, merged, c))
+        // merge apply is scan-local; re-stage so the next round's count
+        // reads the merged table, not a 3-deep replace lineage
+        cur = cur.select(expr(s"replace(s, '$pr', '$merged')").as("s"), col("freq"))
+          .localCheckpoint()
+      }
+      import spark.implicits._
+      merges.result().toDF("step", "pair", "merged", "c").orderBy("step")
+    },
+
     // Vocabulary building: corpus-wide token frequencies, top-k — the
     // explode+groupBy shape every tokenizer-training pipeline starts from.
     Q("text_vocab_topk",

@@ -219,6 +219,13 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("range join: binning turns the inequality join into an equi join (no nested-loop)") {
+    val p = plan("q_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+    assert(p.contains("bin"), s"bin key missing from the join:\n$p")
+  }
+
   test("dedup_semantic: dominance join is cell-local (cid-keyed), assignment scan-local") {
     val p = plan("dedup_semantic")
     assert(p.contains("cid"), s"cell id no longer the join key:\n$p")

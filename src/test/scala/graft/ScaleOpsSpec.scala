@@ -148,6 +148,46 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"flag set diverges: extra=${flagged -- dominated} missing=${dominated -- flagged}")
   }
 
+  test("binned range join equals the naive inequality join") {
+    val B = 1800000L
+    val ev = graft.queries.events(spark, sf).withColumn("ms", unix_millis(col("ts")))
+    val w = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("window_id"), col("ms").as("ws"))
+    val naive = ev.join(w, col("ms") >= col("ws") && col("ms") < col("ws") + B)
+      .groupBy("window_id").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val binned = graft.queries.ScaleQueries.all.find(_.name == "q_range_join_binned").get
+      .fn(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the query truncates to top-100; every returned window must carry the
+    // exact naive count, and the top-1 must agree
+    binned.foreach { case (id, n) => assert(naive(id) == n, s"window $id: $n vs ${naive(id)}") }
+    assert(binned.values.max == naive.values.max)
+  }
+
+  test("BPE merges: counts match a hand-replayed merge on the word table") {
+    val out = graft.queries.TextQueries.all.find(_.name == "text_bpe_train").get
+      .fn(spark, sf).collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(out.length == 3 && out.map(_._1).toSeq == Seq(1L, 2L, 3L))
+    // replay driver-side on the collected word-frequency table
+    val words = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.F.tokens(col("text"))).as("tk"))
+      .groupBy("tk").agg(count(lit(1)).as("freq"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    var table = words.map { case (tk, f) => tk.toCharArray.mkString(" ") -> f }
+    for ((step, pair, merged, c) <- out) {
+      val counts = scala.collection.mutable.Map.empty[String, Long]
+      table.foreach { case (s, f) =>
+        val syms = s.split(" ")
+        syms.sliding(2).filter(_.length == 2)
+          .foreach(p => counts(p.mkString(" ")) = counts.getOrElse(p.mkString(" "), 0L) + f)
+      }
+      val (bestPair, bestC) = counts.toSeq.minBy { case (p, n) => (-n, p) }
+      assert((bestPair, bestC) == (pair, c), s"step $step: got ($pair,$c), replay says ($bestPair,$bestC)")
+      assert(merged == pair.replace(" ", ""))
+      table = table.map { case (s, f) => s.replace(pair, merged) -> f }
+    }
+  }
+
   test("salted two-phase aggregation equals direct groupBy") {
     val ev = graft.queries.events(spark, sf)
     val direct = ev.groupBy("user_id").agg(count(lit(1)).as("n"))
