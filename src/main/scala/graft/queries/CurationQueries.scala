@@ -33,12 +33,17 @@ object CurationQueries {
       evalGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = corpusGrams.sparkSession
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    val est = evalGrams
+    // stage the eval side ONCE (at cluster scale: the eval suite is a
+    // static staged table); the size probe then reads materialized blocks
+    // and the join reuses them — without this the probe would evaluate the
+    // whole eval pipeline a second time
+    val ev = evalGrams.localCheckpoint()
+    val est = ev
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("g"))), lit(0L)).as("chars"))
       .head()
     // UTF-16 chars + per-row object overhead, the usual plan-stats flavor
     val estBytes = est.getLong(1) * 2L + est.getLong(0) * 40L
-    val evSide = if (threshold >= 0 && estBytes <= threshold) broadcast(evalGrams) else evalGrams
+    val evSide = if (threshold >= 0 && estBytes <= threshold) broadcast(ev) else ev
     corpusGrams.join(evSide, Seq("g"))
   }
 

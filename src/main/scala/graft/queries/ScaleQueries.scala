@@ -197,6 +197,31 @@ object ScaleQueries {
         .orderBy("q_id", "rank")
     },
 
+    // Exact per-group top-k via the custom TopKBy TypedImperativeAggregate:
+    // the window-rank formulation shuffles EVERY row to its group before
+    // ranking; the aggregate gets map-side partial reduction, so the
+    // exchange carries ≤ k rows per group per map task however large the
+    // input (plan-asserted: ObjectHashAggregate with partial_topk_by, no
+    // Window). Result identical to the rank window, which is the oracle.
+    Q("q_topk_by_agg",
+      """SELECT event_type, rnk, event_id,
+        |       CAST(floor(value * 1000000) AS BIGINT) AS score_micro
+        |FROM (SELECT event_type, event_id, value,
+        |             row_number() OVER (PARTITION BY event_type
+        |                                ORDER BY value DESC, event_id) AS rnk
+        |      FROM events WHERE value IS NOT NULL)
+        |WHERE rnk <= 3 ORDER BY event_type, rnk""".stripMargin) { (spark, dir) =>
+      events(spark, dir)
+        .filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(graft.functions.TopKFunctions.topkBy(col("event_id"), col("value"), 3).as("top"))
+        .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+        .select(col("event_type"), (col("pos") + 1).cast("long").as("rnk"),
+          col("e.payload").as("event_id"),
+          floor(col("e.score") * 1000000).cast("long").as("score_micro"))
+        .orderBy("event_type", "rnk")
+    },
+
     // Salted two-phase aggregation: partial agg on (key, salt) then final on
     // key — the skew-safe shape (a hot key spreads over 8 salt partitions).
     // Result identical to the direct groupBy, which is the oracle.

@@ -219,6 +219,14 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("topk_by aggregate: map-side partial top-k, no window, filter pushed to scan") {
+    val p = plan("q_topk_by_agg")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("partial_topk_by"), s"partial aggregation missing — every row would shuffle:\n$p")
+    assert(!p.contains("Window"), s"topk_by fell back to a window:\n$p")
+    assert(p.contains("PushedFilters: [IsNotNull(value)]"), p)
+  }
+
   test("range join: binning turns the inequality join into an equi join (no nested-loop)") {
     val p = plan("q_range_join_binned")
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),

@@ -51,7 +51,7 @@ class ScaleOpsSpec extends AnyFunSuite {
     val reg = org.apache.spark.sql.graft.ColumnBridge.registerExtensions(
       ext, FunctionRegistry.builtin.clone())
     for (fn <- Seq("cosine_sim", "dot_product", "l2_norm", "float32_decode",
-        "float32_encode", "pq_encode"))
+        "float32_encode", "pq_encode", "topk_by"))
       assert(reg.functionExists(FunctionIdentifier(fn)), fn)
     // pq_encode: nearest of two 1-entry-subspace codebook rows
     val pqb = reg.lookupFunctionBuilder(FunctionIdentifier("pq_encode")).get
@@ -146,6 +146,52 @@ class ScaleOpsSpec extends AnyFunSuite {
     val flagged = rows.filter(_._3 == 1L).map(_._1).toSet
     assert(flagged == dominated,
       s"flag set diverges: extra=${flagged -- dominated} missing=${dominated -- flagged}")
+  }
+
+  test("TopKBy aggregate: heap semantics, serde round-trip, equivalence with the rank window") {
+    import graft.functions.TopKBy
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val agg = TopKBy(BoundReference(0, LongType, nullable = true),
+      BoundReference(1, DoubleType, nullable = true), k = 2)
+    // insertion order must not matter; ties break by lowest payload
+    def run(rows: Seq[(Long, Double)]): Seq[(Long, Double)] = {
+      val buf = rows.foldLeft(agg.createAggregationBuffer()) { (b, r) =>
+        agg.update(b, InternalRow(r._1, r._2))
+      }
+      val out = agg.eval(agg.deserialize(agg.serialize(buf)))
+        .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      (0 until out.numElements()).map { i =>
+        val r = out.getStruct(i, 2); (r.getLong(0), r.getDouble(1))
+      }
+    }
+    val data = Seq((1L, 5.0), (2L, 7.0), (3L, 7.0), (4L, 1.0))
+    val expect = Seq((2L, 7.0), (3L, 7.0)) // score desc, payload asc
+    assert(run(data) == expect)
+    assert(run(data.reverse) == expect)
+    // merge across partial buffers = same result
+    val (l, r) = data.splitAt(2)
+    val bl = l.foldLeft(agg.createAggregationBuffer())((b, x) => agg.update(b, InternalRow(x._1, x._2)))
+    val br = r.foldLeft(agg.createAggregationBuffer())((b, x) => agg.update(b, InternalRow(x._1, x._2)))
+    val merged = agg.eval(agg.merge(bl, br)).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert((0 until merged.numElements()).map { i =>
+      val row = merged.getStruct(i, 2); (row.getLong(0), row.getDouble(1))
+    } == expect)
+    // DataFrame path vs the window formulation on real data
+    import org.apache.spark.sql.expressions.Window
+    val ev = graft.queries.events(spark, sf).filter(col("value").isNotNull)
+    val viaAgg = ev.groupBy("event_type")
+      .agg(graft.functions.TopKFunctions.topkBy(col("event_id"), col("value"), 3).as("top"))
+      .select(col("event_type"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("event_type"), col("pos"), col("e.payload").as("event_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    val viaWindow = ev.withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))))
+      .filter(col("rnk") <= 3)
+      .select(col("event_type"), (col("rnk") - 1).cast("int").as("pos"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    assert(viaAgg == viaWindow)
   }
 
   test("binned range join equals the naive inequality join") {
