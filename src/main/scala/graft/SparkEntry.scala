@@ -45,11 +45,12 @@ object SparkEntry {
     "d2_knn_topk", "d4_keyword_search", "d4_posting_search", "d7_rrf_fusion",
     "d13_context_window",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_cells", "ann_pq_adc",
-    "ml_kmeans_step",
+    "ann_ivfpq", "ml_kmeans_step",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
-    "dedup_embedding_cosine", "curation_decontaminate",
+    "dedup_embedding_cosine", "dedup_semantic", "curation_decontaminate",
     "text_quality_score", "text_langid",
     "q1_pricing_summary", "q3_topk_revenue_join", "q_salted_skew_agg",
+    "q_topk_by_agg", "q_range_join_binned",
     "b12_section_concat")
     .filter(queries.contains)
 }
