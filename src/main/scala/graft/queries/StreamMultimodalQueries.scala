@@ -61,6 +61,23 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Streaming dedup with BOUNDED state (dropDuplicatesWithinWatermark):
+    // the at-scale variant of stream_dedup — seen-key state is evicted as
+    // the event-time watermark advances instead of growing with distinct
+    // keys forever. The stream replicates each event 3×; duplicates share the
+    // event-time (inside the delay), where single emission is guaranteed,
+    // so the bounded run is exactly the distinct event_id set.
+    Q("stream_dedup_watermark",
+      """SELECT event_id FROM events ORDER BY event_id LIMIT 2000""") { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.dedupWithinWatermarkStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/events.parquet")),
+        s"stream_dedup_wm_${System.nanoTime()}")
+        .select(col("event_id"))
+        .orderBy("event_id")
+        .limit(2000)
+    },
+
     // Streaming sessionization via flatMapGroupsWithState (custom state:
     // open session + emitted-session counter per user); sentinel events
     // close final sessions, making the bounded run ≡ batch sessionize,

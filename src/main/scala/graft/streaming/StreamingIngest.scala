@@ -207,6 +207,24 @@ object StreamingIngest {
       .select(md5(lower(trim(col("text")))).as("text_md5"))
       .dropDuplicates("text_md5")
 
+  /** Streaming dedup with BOUNDED state: duplicates are only tracked
+    * within the event-time watermark, so the seen-keys state is evicted as
+    * the watermark advances — the shape that survives an unbounded stream
+    * (dedupStream's global state grows with distinct keys forever). Input
+    * rows are replicated 3× to make the dedup observable; duplicates of
+    * one event share its event-time, i.e. are always inside the 10-minute
+    * delay, where dropDuplicatesWithinWatermark GUARANTEES single
+    * emission. */
+  def dedupWithinWatermarkStream(spark: SparkSession, inputDir: String): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("event_id"), col("ts"), explode(array(lit(1), lit(2), lit(3))).as("copy"))
+      .drop("copy")
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Watermarked tumbling-window aggregation over an events stream — the
     * streaming form of q_event_window_agg (same plan shape; late data
     * beyond 10 minutes dropped by the watermark). */

@@ -61,6 +61,19 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("watermarked streaming dedup: 3x-replicated input emits once, state is watermark-bounded") {
+    val staged = StreamingIngest.stageAsDir(s"$sf/events.parquet")
+    val stream = StreamingIngest.dedupWithinWatermarkStream(spark, staged)
+    // the bounded-state operator (not the unbounded dropDuplicates) must be
+    // in the plan — this is what evicts seen keys as the watermark advances
+    assert(stream.queryExecution.logical.toString.contains("DeduplicateWithinWatermark"),
+      stream.queryExecution.logical.toString)
+    val out = StreamingIngest.runToMemory(spark, stream, "spec_stream_dedup_wm")
+    val n = spark.read.parquet(s"$sf/events.parquet").count()
+    assert(out.count() == n, s"expected $n distinct events, got ${out.count()}")
+    assert(out.select("event_id").distinct().count() == n)
+  }
+
   test("media table: binary payload with typed metadata") {
     val media = Multimodal.asMediaTable(spark.read.parquet(s"$sf/documents.parquet"))
     val r = media.head()
