@@ -188,6 +188,95 @@ object CurationQueries {
         .orderBy("lang", "rk")
     },
 
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): hashed-unigram LMs
+    // for a target domain (the alphabetically-first source) and the raw
+    // corpus; each doc scores the summed log-ratio of its tokens' bucket
+    // probabilities — positive means target-like. Per-bucket log-ratios
+    // are floored to integer micros BEFORE the per-doc sum (order-free).
+    // Scale: both LMs are 1024-row tables (broadcast); scoring is one
+    // bucket-keyed broadcast join over the token stream — the corpus
+    // shuffles only for the per-doc regroup.
+    Q("curation_dsir_weights",
+      """WITH tgt AS (SELECT min(source) AS ms FROM documents),
+        |tok AS (SELECT doc_id, source,
+        |          ('0x' || substr(md5(tk0), 1, 15))::BIGINT % 1024 AS b
+        |        FROM (SELECT doc_id, source,
+        |                unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tk0
+        |              FROM documents)),
+        |ct AS (SELECT b, count(*)::BIGINT AS c FROM tok WHERE source = (SELECT ms FROM tgt) GROUP BY b),
+        |cc AS (SELECT b, count(*)::BIGINT AS c FROM tok GROUP BY b),
+        |nt AS (SELECT count(*)::BIGINT AS n FROM tok WHERE source = (SELECT ms FROM tgt)),
+        |nc AS (SELECT count(*)::BIGINT AS n FROM tok),
+        |w AS (SELECT cc.b,
+        |        CAST(floor((ln((coalesce(ct.c, 0) + 1)::DOUBLE / ((SELECT n FROM nt) + 1024))
+        |                  - ln((cc.c + 1)::DOUBLE / ((SELECT n FROM nc) + 1024))) * 1000000) AS BIGINT) AS w
+        |      FROM cc LEFT JOIN ct ON ct.b = cc.b),
+        |s AS (SELECT tok.doc_id, sum(w.w)::BIGINT AS score_micro
+        |      FROM tok JOIN w ON w.b = tok.b GROUP BY tok.doc_id)
+        |SELECT doc_id, score_micro,
+        |       (CASE WHEN score_micro > 0 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM s ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val tok = table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(F.tokens(col("text"))).as("tk0"))
+        .select(col("doc_id"), col("source"),
+          pmod(F.hash60(col("tk0")), lit(1024L)).as("b"))
+        .localCheckpoint()
+      val ms = table(spark, dir, "documents").agg(min(col("source"))).head().getString(0)
+      val ct = tok.filter(col("source") === ms).groupBy("b").agg(count(lit(1)).as("ct"))
+      val cc = tok.groupBy("b").agg(count(lit(1)).as("cc"))
+      val nt = tok.filter(col("source") === ms).count()
+      val nc = tok.count()
+      val w = cc.join(ct, Seq("b"), "left")
+        .select(col("b"),
+          floor((log((coalesce(col("ct"), lit(0L)) + 1).cast("double") / lit(nt + 1024.0)) -
+                 log((col("cc") + 1).cast("double") / lit(nc + 1024.0))) * 1000000)
+            .cast("long").as("w"))
+      tok.join(broadcast(w), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum(col("w")).as("score_micro"))
+        .select(col("doc_id"), col("score_micro"),
+          when(col("score_micro") > 0, 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // Domain-mixture sampling: equalize every source's token contribution
+    // to the training mix. Per-source token totals (one tiny agg) set a
+    // deterministic per-source sampling rate in basis points —
+    // rate = min_source_tokens / source_tokens — and a portable hash of
+    // doc_id decides membership (no RNG, same sample on every engine and
+    // every run). At 100 TB the rate table is a handful of rows broadcast
+    // against a scan-local filter; the corpus itself never shuffles.
+    Q("curation_mixture_sample",
+      """WITH t AS (SELECT doc_id, source,
+        |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |           FROM documents),
+        |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM t GROUP BY source),
+        |m AS (SELECT min(tot)::BIGINT AS mn FROM tot),
+        |r AS (SELECT source, ((SELECT mn FROM m) * 10000) // tot AS rate_bp FROM tot),
+        |s AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate_bp
+        |      FROM t JOIN r ON r.source = t.source
+        |      WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000 < r.rate_bp)
+        |SELECT source, rate_bp::BIGINT AS rate_bp, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tok_sampled
+        |FROM s GROUP BY source, rate_bp ORDER BY source LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(F.tokens(col("text"))).cast("long").as("n_tokens"))
+        .localCheckpoint()
+      val tot = t.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
+      val mn = tot.agg(min(col("tot")).as("mn"))
+      val rates = tot.crossJoin(broadcast(mn))
+        .select(col("source"), expr("(mn * 10000) div tot").as("rate_bp"))
+      t.join(broadcast(rates), Seq("source"))
+        .filter(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":mix"))), lit(10000L)) < col("rate_bp"))
+        .groupBy("source", "rate_bp")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sampled"))
+        .orderBy("source")
+        .limit(1000)
+    },
+
     // The WHOLE curation flow composed end-to-end — exact dedup (keep the
     // lowest doc_id per content hash) → minimum-length quality gate →
     // reproducible hash split → per-(lang, split) corpus accounting. One

@@ -243,6 +243,42 @@ object DedupQueries {
         .limit(50)
     },
 
+    // Exact duplicated-span detection (the n-gram-granular sibling of
+    // document dedup — cf. Lee et al. 2022, "Deduplicating Training Data
+    // Makes Language Models Better"): hash strided 10-token spans, count
+    // them corpus-wide, and report each doc's duplicated-span fraction.
+    // Two shuffles — the span-hash count (map-side partial agg) and the
+    // per-doc regroup — the same honest at-scale shape as line dedup: the
+    // count side grows with the corpus, so it can never broadcast.
+    Q("dedup_substring_spans",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 8, 5),
+        |          i -> md5(array_to_string(list_slice(toks, i, i + 9), ' ')))) AS span
+        |      FROM t WHERE len(toks) >= 10),
+        |c AS (SELECT span, count(*) AS cnt FROM s GROUP BY span),
+        |d AS (SELECT s.doc_id, count(*)::BIGINT AS n_spans,
+        |             sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |      FROM s JOIN c ON c.span = s.span GROUP BY s.doc_id)
+        |SELECT doc_id, n_spans, n_dup,
+        |       CAST(floor(n_dup * 1000000.0 / n_spans) AS BIGINT) AS dup_ppm
+        |FROM d ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val s = table(spark, dir, "documents")
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(1), size(col("toks")) - 9, lit(5)),
+          i => md5(array_join(slice(col("toks"), i, lit(10)), " ")))).as("span"))
+      val c = s.groupBy("span").agg(count(lit(1)).as("cnt"))
+      s.join(c, Seq("span"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_spans"), col("n_dup"),
+          floor(col("n_dup") * 1000000.0 / col("n_spans")).cast("long").as("dup_ppm"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // SemDeDup-style semantic dedup: k-means-shaped cells (broadcast
     // centroid array, scan-local argmax assignment) bucket the corpus;
     // WITHIN each cell a vector is a duplicate iff a lower-id cell-mate

@@ -422,6 +422,48 @@ object ScaleQueries {
         .limit(1000)
     },
 
+    // Matryoshka prefix-dim retrieval (Kusupati et al. 2022): score with
+    // only the FIRST 8 of 64 dims (cosine of the truncated vectors — the
+    // renormalization is implicit in the norm product) and report which of
+    // the cheap top-20 also sit in the full-dim top-20. At scale this is
+    // the coarse pass of a two-stage funnel: an 8× narrower scan (and 8×
+    // smaller index) feeds a full-dim rerank of 20 rows; both top-k's are
+    // TakeOrdered per-partition heaps — no global window, no extra shuffle.
+    Q("embed_matryoshka",
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |tr AS (SELECT e.vec_id,
+        |              CAST(floor(list_cosine_similarity(list_slice(e.embedding, 1, 8)::DOUBLE[],
+        |                                                list_slice(q.qe, 1, 8)::DOUBLE[]) * 1000000) AS BIGINT) AS cos8_micro
+        |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0),
+        |top8 AS (SELECT vec_id, cos8_micro FROM tr ORDER BY cos8_micro DESC, vec_id LIMIT 20),
+        |fullk AS (SELECT e.vec_id
+        |          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0
+        |          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, e.vec_id
+        |          LIMIT 20)
+        |SELECT top8.vec_id, top8.cos8_micro,
+        |       CASE WHEN fullk.vec_id IS NULL THEN 0 ELSE 1 END::BIGINT AS in_full_topk
+        |FROM top8 LEFT JOIN fullk ON fullk.vec_id = top8.vec_id
+        |ORDER BY cos8_micro DESC, top8.vec_id""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+      val cand = e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+      val top8 = cand
+        .select(col("vec_id"),
+          floor(cosineSim(slice(col("embedding"), 1, 8), slice(col("qe"), 1, 8)) * 1000000)
+            .cast("long").as("cos8_micro"))
+        .orderBy(col("cos8_micro").desc, col("vec_id"))
+        .limit(20)
+      val fullk = cand
+        .select(col("vec_id"), cosineSim(col("embedding"), col("qe")).as("cf"))
+        .orderBy(col("cf").desc, col("vec_id"))
+        .limit(20)
+        .select(col("vec_id"), lit(1L).as("flag"))
+      top8.join(fullk, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cos8_micro"),
+          coalesce(col("flag"), lit(0L)).as("in_full_topk"))
+        .orderBy(col("cos8_micro").desc, col("vec_id"))
+    },
+
     // SQL interface: the same KNN through spark.sql with the extension-
     // registered cosine_sim — SQL users are first-class (same oracle as d2).
     Q("sql_interface_knn",

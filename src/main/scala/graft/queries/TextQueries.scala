@@ -388,6 +388,86 @@ object TextQueries {
         .limit(1000)
     },
 
+    // Sequence packing (concat-and-chop): assign every document a slot in
+    // a fixed-length training sequence. Docs are hash-bucketed, ordered by
+    // doc_id within the bucket, and the running token count chops the
+    // stream into 512-token sequences — the packing every LM training run
+    // does before batching. The cumulative sum is WINDOWED PER BUCKET, so
+    // at 100 TB each bucket packs independently (one shuffle on the bucket
+    // key, sort within partition); no global order is ever required.
+    Q("text_seq_pack",
+      s"""WITH t AS (SELECT doc_id,
+         |             len($toksSql)::BIGINT AS n_tokens,
+         |             ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % 8 AS bucket
+         |           FROM documents),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |             coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+         |      FROM t)
+         |SELECT doc_id, bucket, bucket * 1000000 + cum // 512 AS seq_id, cum % 512 AS seq_off, n_tokens
+         |FROM c ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(F.tokens(col("text"))).cast("long").as("n_tokens"),
+          pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))), lit(8L)).as("bucket"))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .select(col("doc_id"), col("bucket"),
+          (col("bucket") * 1000000L + expr("cum div 512")).as("seq_id"),
+          (col("cum") % 512).as("seq_off"), col("n_tokens"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // Unigram-LM scoring (the CCNet-style quality signal): train an
+    // add-one-smoothed unigram LM over the corpus (one token-keyed agg —
+    // the vocab table), score every doc as average bits/token, and bucket
+    // head/middle/tail against the corpus mean. Per-token bits are floored
+    // to integer micros BEFORE the per-doc sum, so the aggregation is an
+    // order-free integer sum (bit-identical across engines); the bucket
+    // cutoffs come from ONE tiny global agg (broadcast), never a global
+    // sort — at 100 TB this is vocab-join + scan-local math.
+    Q("text_lm_perplexity",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+         |nv AS (SELECT count(*)::BIGINT AS n, count(DISTINCT tk)::BIGINT AS v FROM tok),
+         |cnt AS (SELECT tk, count(*)::BIGINT AS c FROM tok GROUP BY tk),
+         |sc AS (SELECT tok.doc_id,
+         |              CAST(floor(-ln((cnt.c + 1)::DOUBLE / (nv.n + nv.v)) / ln(2.0) * 1000000) AS BIGINT) AS bits_micro
+         |       FROM tok JOIN cnt ON cnt.tk = tok.tk CROSS JOIN nv),
+         |d AS (SELECT doc_id, sum(bits_micro)::BIGINT AS total_micro, count(*)::BIGINT AS n_tokens
+         |      FROM sc GROUP BY doc_id),
+         |g AS (SELECT sum(total_micro)::DOUBLE / sum(n_tokens) AS mean_bits FROM d)
+         |SELECT doc_id,
+         |       CAST(floor(total_micro::DOUBLE / n_tokens) AS BIGINT) AS avg_bits_micro,
+         |       CASE WHEN total_micro::DOUBLE / n_tokens < 0.98 * mean_bits THEN 'head'
+         |            WHEN total_micro::DOUBLE / n_tokens > 1.02 * mean_bits THEN 'tail'
+         |            ELSE 'middle' END AS bucket
+         |FROM d CROSS JOIN g ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val tok = table(spark, dir, "documents")
+        .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
+        .localCheckpoint()
+      val nv = tok.agg(count(lit(1)).as("n"), countDistinct(col("tk")).as("v"))
+      val cnt = tok.groupBy("tk").agg(count(lit(1)).as("c"))
+      val sc = tok.join(cnt, "tk").crossJoin(broadcast(nv))
+        .select(col("doc_id"),
+          floor(-log((col("c") + 1).cast("double") / (col("n") + col("v"))) / log(lit(2.0)) * 1000000)
+            .cast("long").as("bits_micro"))
+      val d = sc.groupBy("doc_id")
+        .agg(sum(col("bits_micro")).as("total_micro"), count(lit(1)).as("n_tokens"))
+      val g = d.agg((sum(col("total_micro")).cast("double") / sum(col("n_tokens"))).as("mean_bits"))
+      val avg = col("total_micro").cast("double") / col("n_tokens")
+      d.crossJoin(broadcast(g))
+        .select(col("doc_id"),
+          floor(avg).cast("long").as("avg_bits_micro"),
+          when(avg < lit(0.98) * col("mean_bits"), "head")
+            .when(avg > lit(1.02) * col("mean_bits"), "tail")
+            .otherwise("middle").as("bucket"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // PII redaction: emails, phone numbers, IPv4 addresses counted and
     // replaced with typed placeholders — the scrubbing pass every
     // training corpus runs before export. The fixture corpus carries no

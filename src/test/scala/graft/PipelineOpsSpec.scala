@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Semantics pins for the training-pipeline operators added in round 4's
+  * third pass: sequence packing, mixture sampling, unigram-LM scoring,
+  * duplicated-span detection, matryoshka prefix-dim retrieval. Each test
+  * recomputes the operator's defining invariant independently of the query
+  * plan (plain Scala over collected rows — inputs are sf0.001-sized).
+  */
+class PipelineOpsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("text_seq_pack: offsets in [0, 512); per-bucket chop replays exactly") {
+    val rows = run("text_seq_pack").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, off, _) => off >= 0 && off < 512 })
+    // replay the packing per bucket: running token sum in doc_id order
+    rows.groupBy(_._2).foreach { case (bucket, rs) =>
+      var cum = 0L
+      rs.sortBy(_._1).foreach { case (_, _, seqId, off, nTok) =>
+        assert(seqId == bucket * 1000000L + cum / 512, s"seq_id mismatch in bucket $bucket")
+        assert(off == cum % 512, s"offset mismatch in bucket $bucket")
+        cum += nTok
+      }
+    }
+  }
+
+  test("curation_mixture_sample: rates derive from recomputed per-source totals; min source fully kept") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), size(graft.functions.F.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totals = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val mn = totals.values.min
+    val got = run("curation_mixture_sample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.nonEmpty)
+    got.foreach { case (src, rateBp, nDocs, tokSampled) =>
+      assert(rateBp == mn * 10000 / totals(src), s"rate for $src")
+      assert(nDocs > 0 && tokSampled > 0)
+    }
+    // the smallest source keeps everything (rate == 10000 basis points)
+    val minSrc = totals.minBy(_._2)._1
+    assert(got.find(_._1 == minSrc).exists(_._2 == 10000L))
+  }
+
+  test("text_lm_perplexity: buckets split strictly around the corpus mean") {
+    val rows = run("text_lm_perplexity").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    val byBucket = rows.groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    assert(byBucket.keySet.subsetOf(Set("head", "middle", "tail")))
+    // head docs score strictly below every tail doc (floored micros can
+    // only tighten the strict inequality between the two open intervals)
+    for (h <- byBucket.get("head"); t <- byBucket.get("tail"))
+      assert(h.max < t.min, "head/tail overlap")
+    // repeated-common-token docs compress better than average: bits are
+    // positive and bounded by log2(N+V) (the rarest-possible token cost)
+    assert(rows.forall(_._2 > 0))
+  }
+
+  test("dedup_substring_spans: exact-duplicate docs are 100% duplicated spans") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"),
+        size(graft.functions.F.tokens(col("text"))).as("n"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val dupIds = docs.groupBy(_._2).values.filter(_.length > 1)
+      .flatten.filter(_._3 >= 10).map(_._1).toSet
+    val rows = run("dedup_substring_spans").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, nSpans, nDup, ppm) =>
+      assert(nDup <= nSpans)
+      assert(ppm == nDup * 1000000L / nSpans)
+    }
+    val byId = rows.map(r => r._1 -> r._4).toMap
+    dupIds.foreach { id =>
+      assert(byId(id) == 1000000L, s"doc $id is an exact dup but ppm=${byId(id)}")
+    }
+  }
+
+  test("curation_dsir_weights: scores equal a plain-Scala replay of the hashed-unigram log-ratio") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"), lower(col("text")))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    def bucket(tk: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16) % 1024L
+    }
+    val tokRe = "[a-z0-9]+".r
+    val docToks = docs.map { case (id, src, text) =>
+      (id, src, tokRe.findAllIn(text).map(bucket).toSeq)
+    }
+    val target = docs.map(_._2).min
+    val all = docToks.flatMap(_._3)
+    val tgt = docToks.filter(_._2 == target).flatMap(_._3)
+    val cc = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = tgt.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val (nc, nt) = (all.length.toLong, tgt.length.toLong)
+    val w = cc.map { case (b, c) =>
+      b -> math.floor((math.log((ct.getOrElse(b, 0L) + 1).toDouble / (nt + 1024)) -
+                       math.log((c + 1).toDouble / (nc + 1024))) * 1e6).toLong
+    }
+    val want = docToks.map { case (id, _, bs) => id -> bs.map(w).sum }.toMap
+    val rows = run("curation_dsir_weights").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, s, keep) =>
+      assert(s == want(id), s"score mismatch for doc $id")
+      assert(keep == (if (s > 0) 1L else 0L))
+    }
+  }
+
+  test("embed_matryoshka: overlap flags equal a plain-Scala brute-force recompute") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val q = embs(0L)
+    def cos(a: Array[Float], b: Array[Float], d: Int): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- 0 until d) { dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val others = embs.toSeq.filter(_._1 != 0L)
+    val top8 = others.map { case (id, v) => (id, math.floor(cos(v, q, 8) * 1e6).toLong) }
+      .sortBy { case (id, s) => (-s, id) }.take(20)
+    val full20 = others.map { case (id, v) => (id, cos(v, q, q.length)) }
+      .sortBy { case (id, s) => (-s, id) }.take(20).map(_._1).toSet
+    val got = run("embed_matryoshka").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    assert(got.map(g => (g._1, g._2)).toSeq == top8)
+    got.foreach { case (id, _, flag) =>
+      assert(flag == (if (full20(id)) 1L else 0L), s"flag mismatch for $id")
+    }
+  }
+}
