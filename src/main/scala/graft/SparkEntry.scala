@@ -47,8 +47,10 @@ object SparkEntry {
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_cells", "ann_pq_adc",
     "ann_ivfpq", "ml_kmeans_step",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
-    "dedup_embedding_cosine", "dedup_semantic", "curation_decontaminate",
-    "text_quality_score", "text_langid",
+    "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
+    "curation_decontaminate", "curation_dsir_weights",
+    "text_quality_score", "text_langid", "text_lm_perplexity",
+    "mm_av_align",
     "q1_pricing_summary", "q3_topk_revenue_join", "q_salted_skew_agg",
     "q_topk_by_agg", "q_range_join_binned",
     "b12_section_concat")

@@ -165,6 +165,72 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Multimodal frame dedup: duplicate frame signatures ACROSS the media
+    // corpus (intro/outro boilerplate detection in a video corpus). Same
+    // honest two-shuffle shape as dedup_substring_spans — the signature
+    // count grows with the corpus and can never broadcast.
+    Q("mm_frame_dedup",
+      """WITH f AS (SELECT doc_id AS media_id,
+        |             md5(substr(text, ((i - 1) * 16 + 1)::INT, 32)) AS frame_sig
+        |           FROM documents, unnest(range(1, (greatest(length(text) - 31, 1) + 15) // 16 + 1)) AS u(i)
+        |           WHERE doc_id % 5 = 0),
+        |c AS (SELECT frame_sig, count(*) AS cnt FROM f GROUP BY frame_sig),
+        |d AS (SELECT f.media_id, count(*)::BIGINT AS n_frames,
+        |             sum(CASE WHEN c.cnt > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup
+        |      FROM f JOIN c ON c.frame_sig = f.frame_sig GROUP BY f.media_id)
+        |SELECT media_id, n_frames, n_dup,
+        |       CAST(floor(n_dup * 1000000.0 / n_frames) AS BIGINT) AS dup_ppm
+        |FROM d ORDER BY media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val media = Multimodal.asMediaTable(
+        table(spark, dir, "documents").filter(col("doc_id") % 5 === 0))
+      val f = Multimodal.sampleFrames(media, frameBytes = 32, stride = 16)
+        .select(col("media_id"), col("frame_sig"))
+      val c = f.groupBy("frame_sig").agg(count(lit(1)).as("cnt"))
+      f.join(c, Seq("frame_sig"))
+        .groupBy("media_id")
+        .agg(count(lit(1)).as("n_frames"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("media_id"), col("n_frames"), col("n_dup"),
+          floor(col("n_dup") * 1000000.0 / col("n_frames")).cast("long").as("dup_ppm"))
+        .orderBy("media_id")
+        .limit(1000)
+    },
+
+    // Multimodal A/V alignment: every video frame as-of-joined to the
+    // latest audio window at-or-before its offset on the same track
+    // (media_id div 3 pairs each video with its audio sibling in the
+    // synthetic layout). Composes the generic AsOfJoin operator — ONE
+    // (track, offset) shuffle, no range explosion; the oracle is the
+    // argmax inequality join.
+    Q("mm_av_align",
+      """WITH v AS (SELECT doc_id // 3 AS tid, doc_id AS media_id, (i - 1) * 16 + 1 AS off
+        |           FROM documents, unnest(range(1, (greatest(length(text) - 31, 1) + 15) // 16 + 1)) AS u(i)
+        |           WHERE doc_id % 3 = 2),
+        |a AS (SELECT doc_id // 3 AS tid, (j - 1) * 64 + 1 AS aoff
+        |      FROM documents, unnest(range(1, (greatest(length(text) - 31, 1) + 63) // 64 + 1)) AS u(j)
+        |      WHERE doc_id % 3 = 1)
+        |SELECT v.media_id, v.off AS frame_off,
+        |       max(a.aoff) AS audio_off,
+        |       v.off - max(a.aoff) AS lag_bytes
+        |FROM v LEFT JOIN a ON a.tid = v.tid AND a.aoff <= v.off
+        |GROUP BY v.tid, v.media_id, v.off
+        |ORDER BY media_id, frame_off LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val media = Multimodal.asMediaTable(table(spark, dir, "documents"))
+      val v = Multimodal.sampleFrames(media.filter(col("media_type") === "video"),
+          frameBytes = 32, stride = 16)
+        .select(expr("media_id div 3").as("tid"), col("media_id"),
+          col("byte_offset").as("off"))
+      val a = Multimodal.sampleFrames(media.filter(col("media_type") === "audio"),
+          frameBytes = 32, stride = 64)
+        .select(expr("media_id div 3").as("tid"), col("byte_offset").as("aoff"))
+      graft.operators.AsOfJoin.join(v, a, "tid", "off", "aoff", Seq("aoff"))
+        .select(col("media_id"), col("off").as("frame_off"),
+          col("asof_aoff").as("audio_off"),
+          (col("off") - col("asof_aoff")).as("lag_bytes"))
+        .orderBy("media_id", "frame_off")
+        .limit(1000)
+    },
+
     // Multimodal resize metadata math (codec-free part of the resize op).
     Q("mm_resize_meta",
       """SELECT doc_id AS media_id,

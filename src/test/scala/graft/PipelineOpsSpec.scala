@@ -126,6 +126,53 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mm_frame_dedup: per-media dup fractions equal a byte-level replay") {
+    def md5hex(b: Array[Byte]): String =
+      java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 5 === 0).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1).getBytes("UTF-8")))
+    val frames = docs.flatMap { case (id, payload) =>
+      val stop = math.max(payload.length - 31, 1)
+      (1 to stop by 16).map { off =>
+        id -> md5hex(payload.slice(off - 1, math.min(off - 1 + 32, payload.length)))
+      }
+    }
+    val counts = frames.groupBy(_._2).view.mapValues(_.length).toMap
+    val want = frames.groupBy(_._1).map { case (id, fs) =>
+      val dup = fs.count(f => counts(f._2) > 1)
+      id -> ((fs.length.toLong, dup.toLong, dup.toLong * 1000000L / fs.length))
+    }
+    val got = run("mm_frame_dedup").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("mm_av_align: every frame gets the latest audio window at-or-before it (exact replay)") {
+    val rows = run("mm_av_align").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3))))
+    assert(rows.nonEmpty)
+    val lens = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), length(col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    rows.foreach { case (mediaId, frameOff, audioOff, lag) =>
+      assert(mediaId % 3 == 2, "only video media emit frames")
+      val audioId = mediaId - 1 // same track: div-3 sibling with doc_id % 3 == 1
+      lens.get(audioId) match {
+        case Some(alen) =>
+          val lastWin = ((math.max(alen - 31, 1) - 1) / 64) * 64 + 1
+          val wantOff = math.min((frameOff - 1) / 64 * 64 + 1, lastWin.toLong)
+          assert(audioOff.contains(wantOff), s"media $mediaId frame $frameOff: $audioOff != $wantOff")
+          assert(lag.contains(frameOff - wantOff))
+        case None =>
+          assert(audioOff.isEmpty && lag.isEmpty)
+      }
+    }
+  }
+
   test("embed_matryoshka: overlap flags equal a plain-Scala brute-force recompute") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

@@ -314,4 +314,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("*(2) Project") || p.contains("*(1) Project"), p)
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
+
+  test("runtime bloom filter: a selective dim filter injects might_contain into the fact scan side") {
+    // At 100 TB the fact side of a shuffled fact⋈dim join should be
+    // row-pruned BEFORE the exchange when the dim side is selective —
+    // Spark's InjectRuntimeFilter does exactly that; this pins that our
+    // join shapes stay eligible. Thresholds are lowered because the
+    // fixture scan is tiny; a real cluster crosses them naturally.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions._
+      val orders = spark.read.parquet(s"$sf/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val j = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")).as("q"))
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter injected:\n$p")
+      // the bloom probe must sit on the fact (lineitem) scan side
+      assert(p.indexOf("might_contain") < p.indexOf("lineitem.parquet"), p)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
