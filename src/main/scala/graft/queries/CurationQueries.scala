@@ -188,6 +188,32 @@ object CurationQueries {
         .orderBy("lang", "rk")
     },
 
+    // Per-domain quantile gate: keep a doc only if it clears its OWN
+    // source's 25th length percentile — absolute thresholds misfire when
+    // domains have different length profiles, so the gate is relative.
+    // percent_rank inside a source-keyed window (tie-broken by doc_id, so
+    // rank == row_number and the rational (rank-1)/(n-1) is engine-exact).
+    // One source-keyed shuffle; a skewed mega-source takes the salted
+    // two-phase treatment of curation_stratified_sample.
+    Q("curation_quality_quantile",
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |             percent_rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS pr
+        |           FROM documents)
+        |SELECT doc_id, source, n_chars,
+        |       CAST(floor(pr * 1000000) AS BIGINT) AS pr_micro,
+        |       (CASE WHEN pr >= 0.25 THEN 1 ELSE 0 END)::BIGINT AS keep
+        |FROM r ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      table(spark, dir, "documents")
+        .withColumn("pr", percent_rank().over(w))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          floor(col("pr") * 1000000).cast("long").as("pr_micro"),
+          when(col("pr") >= 0.25, 1L).otherwise(0L).as("keep"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
     // for Language Models via Importance Resampling"): hashed-unigram LMs
     // for a target domain (the alphabetically-first source) and the raw

@@ -169,6 +169,73 @@ object DedupQueries {
         .limit(1000)
     },
 
+    // SimHash banded near-dup pairs: the pairing stage the 16-bit
+    // signatures above feed. Hamming distance ≤ 3 over 4 bands of 4 bits —
+    // by pigeonhole any such pair shares at least one untouched band, so
+    // candidates come ONLY from band-bucket collisions (never all-pairs),
+    // with the same sorted-neighborhood bound as the MinHash pipeline on
+    // degenerate buckets. Verify = one codegen'd bit_count(xor) per
+    // candidate.
+    Q("dedup_simhash_pairs", {
+      val bitSums = (0 until 16)
+        .map(j => s"sum(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(", ")
+      val combine = (0 until 16)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1 << j} ELSE 0 END)")
+        .mkString(" + ")
+      val bandSel = (0 until 4)
+        .map(b => s"SELECT doc_id, sh, $b AS band, (sh >> ${4 * b}) & 15 AS bkey FROM s")
+        .mkString(" UNION ALL ")
+      s"""WITH t AS ($tokenSetsSql),
+         |tok AS (SELECT doc_id, unnest(toks) AS tk FROM t),
+         |h AS (SELECT doc_id, ('0x' || substr(md5(tk), 1, 15))::BIGINT AS h FROM tok),
+         |bits AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id),
+         |s AS (SELECT doc_id, $combine AS sh FROM bits),
+         |b AS ($bandSel),
+         |rk AS (SELECT doc_id, sh, band, bkey,
+         |              row_number() OVER (PARTITION BY band, bkey ORDER BY sh, doc_id) AS rn
+         |       FROM b),
+         |p AS (SELECT DISTINCT least(l.doc_id, r.doc_id) AS a_id,
+         |             greatest(l.doc_id, r.doc_id) AS b_id,
+         |             bit_count(xor(l.sh, r.sh))::BIGINT AS hamming
+         |      FROM rk l JOIN rk r ON l.band = r.band AND l.bkey = r.bkey
+         |                         AND r.rn > l.rn AND r.rn <= l.rn + ${DedupPipeline.NeighborWindow})
+         |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 3
+         |ORDER BY hamming, a_id, b_id LIMIT 200""".stripMargin
+    }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val h = tokenSets(spark, dir)
+        .select(col("doc_id"), explode(col("toks")).as("tk"))
+        .select(col("doc_id"), F.hash60(col("tk")).as("h"))
+      val bitSums = (0 until 16).map { j =>
+        sum(when(shiftright(col("h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      }
+      val combine = (0 until 16)
+        .map(j => when(col(s"b$j") > 0, 1 << j).otherwise(0))
+        .reduce[Column](_ + _)
+      val s = h.groupBy("doc_id")
+        .agg(bitSums.head, bitSums.tail: _*)
+        .select(col("doc_id"), combine.as("sh"))
+      val banded = s.select(col("doc_id"), col("sh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("sh"), 4 * b).bitwiseAND(15).as("bkey"))): _*)).as("bb"))
+        .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val w = Window.partitionBy("band", "bkey").orderBy("sh", "doc_id")
+      val rk = banded.withColumn("rn", row_number().over(w)).localCheckpoint()
+      val l = rk.select(col("band"), col("bkey"), col("doc_id").as("la"), col("sh").as("sa"), col("rn").as("rna"))
+      val r = rk.select(col("band"), col("bkey"), col("doc_id").as("lb"), col("sh").as("sb"), col("rn").as("rnb"))
+      l.join(r, Seq("band", "bkey"))
+        .filter(col("rnb") > col("rna") && col("rnb") <= col("rna") + DedupPipeline.NeighborWindow)
+        .select(least(col("la"), col("lb")).as("a_id"),
+          greatest(col("la"), col("lb")).as("b_id"),
+          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 3)
+        .orderBy("hamming", "a_id", "b_id")
+        .limit(200)
+    },
+
     // n-gram Jaccard: pairwise Jaccard over distinct word-bigram shingles,
     // with candidates from MinHash band buckets over the SAME shingle sets
     // (verify exactly what was hashed) — never a lang-blocked all-pairs.

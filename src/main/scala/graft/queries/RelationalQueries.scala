@@ -191,6 +191,46 @@ object RelationalQueries {
         .orderBy("win", "event_type")
     },
 
+    // Funnel analysis: per user, the first view, the first click at or
+    // after that view, the first purchase at or after that click — the
+    // ordered-sequence conversion query every event pipeline ships. Three
+    // user-keyed min-aggregations chained by inequality-filtered joins on
+    // the SAME key: every shuffle is user-keyed and compact (one row per
+    // user per stage); no window over raw events, no cross-stage blowup.
+    Q("q_funnel",
+      """WITH v AS (SELECT user_id, min(epoch_ms(ts)) AS t1 FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t2
+        |      FROM events e JOIN v ON v.user_id = e.user_id
+        |      WHERE e.event_type = 'click' AND epoch_ms(e.ts) >= v.t1 GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(epoch_ms(e.ts)) AS t3
+        |      FROM events e JOIN c ON c.user_id = e.user_id
+        |      WHERE e.event_type = 'purchase' AND epoch_ms(e.ts) >= c.t2 GROUP BY e.user_id)
+        |SELECT v.user_id, v.t1 AS view_ms, c.t2 AS click_ms, p.t3 AS purchase_ms,
+        |       (1 + (CASE WHEN c.t2 IS NULL THEN 0 ELSE 1 END)
+        |          + (CASE WHEN p.t3 IS NULL THEN 0 ELSE 1 END))::BIGINT AS stage,
+        |       p.t3 - v.t1 AS convert_ms
+        |FROM v LEFT JOIN c ON c.user_id = v.user_id LEFT JOIN p ON p.user_id = v.user_id
+        |ORDER BY v.user_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir).withColumn("ms", unix_millis(col("ts")))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ms")).as("t1"))
+      val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+        .filter(col("ms") >= col("t1"))
+        .groupBy("user_id").agg(min(col("ms")).as("t2"))
+      val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+        .filter(col("ms") >= col("t2"))
+        .groupBy("user_id").agg(min(col("ms")).as("t3"))
+      v.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .select(col("user_id"), col("t1").as("view_ms"), col("t2").as("click_ms"),
+          col("t3").as("purchase_ms"),
+          (lit(1L) + when(col("t2").isNull, 0L).otherwise(1L)
+                   + when(col("t3").isNull, 0L).otherwise(1L)).as("stage"),
+          (col("t3") - col("t1")).as("convert_ms"))
+        .orderBy("user_id")
+        .limit(1000)
+    },
+
     // Pivot: per-user event counts spread across one column per event
     // type. Spark's .pivot() with explicit values plans as conditional
     // aggregation (one pass, map-side partial agg — NOT a per-value scan),

@@ -126,6 +126,76 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_funnel: stage assignment equals an ordered-sequence replay over raw events") {
+    val ev = graft.queries.events(spark, sf)
+      .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val byUser = ev.groupBy(_._1)
+    val want = byUser.flatMap { case (u, es) =>
+      es.filter(_._2 == "view").map(_._3).minOption.map { t1 =>
+        val t2 = es.filter(e => e._2 == "click" && e._3 >= t1).map(_._3).minOption
+        val t3 = t2.flatMap(c => es.filter(e => e._2 == "purchase" && e._3 >= c).map(_._3).minOption)
+        u -> ((t1, t2, t3, 1L + t2.size + t3.size))
+      }
+    }
+    val got = run("q_funnel").collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        if (r.isNullAt(3)) None else Some(r.getLong(3)),
+        r.getLong(4)))
+    }.toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+
+  test("curation_quality_quantile: the keep gate is relative to each source's own distribution") {
+    val rows = run("curation_quality_quantile").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r._3, r._1))
+      val n = sorted.length
+      sorted.zipWithIndex.foreach { case ((_, _, _, prMicro, keep), i) =>
+        val pr = if (n == 1) 0.0 else i.toDouble / (n - 1)
+        assert(prMicro == math.floor(pr * 1e6).toLong)
+        assert(keep == (if (pr >= 0.25) 1L else 0L))
+      }
+      // the gate keeps ~75% of EVERY source, regardless of its scale
+      val kept = sorted.count(_._5 == 1L)
+      assert(kept >= (n * 3) / 4 - 1 && kept <= n)
+    }
+  }
+
+  test("dedup_simhash_pairs: hamming values match independently recomputed signatures") {
+    // recompute each doc's 16-bit simhash from its distinct token set
+    def h60(tk: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val tokRe = "[a-z0-9]+".r
+    val sigs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map { r =>
+        val toks = tokRe.findAllIn(r.getString(1)).toSeq.distinct
+        val sig = (0 until 16).map { j =>
+          val bal = toks.map(t => if (((h60(t) >> j) & 1L) == 1L) 1 else -1).sum
+          if (bal > 0) 1 << j else 0
+        }.sum
+        r.getLong(0) -> sig
+      }.toMap
+    val rows = run("dedup_simhash_pairs").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.distinct.length == rows.length, "duplicate pairs emitted")
+    rows.foreach { case (a, b, ham) =>
+      assert(a < b)
+      assert(ham <= 3)
+      assert(ham == java.lang.Integer.bitCount(sigs(a) ^ sigs(b)),
+        s"hamming mismatch for ($a,$b)")
+    }
+  }
+
   test("mm_frame_dedup: per-media dup fractions equal a byte-level replay") {
     def md5hex(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
