@@ -191,6 +191,47 @@ object RelationalQueries {
         .orderBy("win", "event_type")
     },
 
+    // CDC snapshot diff: classify every key across two table versions as
+    // inserted / deleted / updated / unchanged — the maintenance query of
+    // any incrementally-refreshed corpus. One full-outer hash join on the
+    // key (both sides pre-projected to (key, cents)); counts and net value
+    // drift per class. Snapshots are deterministic filters of orders so
+    // the oracle sees byte-identical inputs.
+    Q("q_snapshot_diff",
+      """WITH old AS (SELECT o_orderkey AS k, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS v
+        |             FROM orders WHERE o_orderkey % 5 <> 0),
+        |new AS (SELECT o_orderkey AS k,
+        |               CAST(round(o_totalprice * 100, 0) AS BIGINT)
+        |                 * (CASE WHEN o_orderkey % 3 = 0 THEN 2 ELSE 1 END) AS v
+        |        FROM orders WHERE o_orderkey % 7 <> 0),
+        |d AS (SELECT coalesce(old.k, new.k) AS k,
+        |             CASE WHEN old.k IS NULL THEN 'inserted'
+        |                  WHEN new.k IS NULL THEN 'deleted'
+        |                  WHEN old.v <> new.v THEN 'updated'
+        |                  ELSE 'unchanged' END AS status,
+        |             coalesce(new.v, 0) - coalesce(old.v, 0) AS dv
+        |      FROM old FULL OUTER JOIN new ON old.k = new.k)
+        |SELECT status, count(*) AS n, sum(dv)::BIGINT AS net_cents
+        |FROM d GROUP BY status ORDER BY status""".stripMargin) { (spark, dir) =>
+      val cents = round(col("o_totalprice") * 100, 0).cast("long")
+      val orders = table(spark, dir, "orders")
+      val old = orders.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey").as("k"), cents.as("vo"))
+      val nw = orders.filter(col("o_orderkey") % 7 =!= 0)
+        .select(col("o_orderkey").as("k"),
+          (cents * when(col("o_orderkey") % 3 === 0, 2L).otherwise(1L)).as("vn"))
+      old.join(nw, Seq("k"), "full_outer")
+        .select(
+          when(col("vo").isNull, "inserted")
+            .when(col("vn").isNull, "deleted")
+            .when(col("vo") =!= col("vn"), "updated")
+            .otherwise("unchanged").as("status"),
+          (coalesce(col("vn"), lit(0L)) - coalesce(col("vo"), lit(0L))).as("dv"))
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), sum(col("dv")).as("net_cents"))
+        .orderBy("status")
+    },
+
     // Funnel analysis: per user, the first view, the first click at or
     // after that view, the first purchase at or after that click — the
     // ordered-sequence conversion query every event pipeline ships. Three

@@ -29,6 +29,44 @@ object TextQueries {
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  // one BPE training run per (session, sfdir): text_bpe_train,
+  // text_bpe_encode, and the replay spec share the 3-round BSP loop
+  private val mergeCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), Seq[(Long, String, String, Long)]]
+
+  /** The 3-round BPE merge training loop (BSP like graft.ml.KMeans): the
+    * word-frequency table is staged once, each round collects ONE argmax
+    * pair and applies it scan-local. Returns (step, pair, merged, count). */
+  private[graft] def trainMerges(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, String, String, Long)] =
+    mergeCache.getOrElseUpdate((spark, dir), {
+      // word-frequency table staged once; every round reads vocab, not corpus
+      var cur = table(spark, dir, "documents")
+        .select(explode(F.tokens(col("text"))).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("freq"))
+        .select(concat_ws(" ",
+          regexp_extract_all(col("tk"), lit("."), lit(0))).as("s"), col("freq"))
+        .localCheckpoint()
+      val merges = Seq.newBuilder[(Long, String, String, Long)]
+      for (step <- 1 to 3) {
+        val a = split(col("s"), " ")
+        val pairs = cur
+          .select(explode(transform(slice(a, lit(1), size(a) - 1),
+            (x, i) => concat(x, lit(" "), element_at(a, i + 2)))).as("pr"), col("freq"))
+          .groupBy("pr").agg(sum(col("freq")).as("c"))
+          .orderBy(col("c").desc, col("pr")).limit(1)
+          .head()
+        val (pr, c) = (pairs.getString(0), pairs.getLong(1))
+        val merged = pr.replace(" ", "")
+        merges += ((step.toLong, pr, merged, c))
+        // merge apply is scan-local; re-stage so the next round's count
+        // reads the merged table, not a 3-deep replace lineage
+        cur = cur.select(expr(s"replace(s, '$pr', '$merged')").as("s"), col("freq"))
+          .localCheckpoint()
+      }
+      merges.result()
+    })
+
   val all: Seq[Q] = Seq(
 
     // Language ID: stopword-hit scoring per language, deterministic argmax.
@@ -232,32 +270,64 @@ object TextQueries {
          |UNION ALL SELECT 3::BIGINT, pr, replace(pr, ' ', ''), c FROM t3
          |ORDER BY step""".stripMargin
     }) { (spark, dir) =>
-      // word-frequency table staged once; every round reads vocab, not corpus
-      var cur = table(spark, dir, "documents")
-        .select(explode(F.tokens(col("text"))).as("tk"))
-        .groupBy("tk").agg(count(lit(1)).as("freq"))
-        .select(concat_ws(" ",
-          regexp_extract_all(col("tk"), lit("."), lit(0))).as("s"), col("freq"))
-        .localCheckpoint()
-      val merges = Seq.newBuilder[(Long, String, String, Long)]
-      for (step <- 1 to 3) {
-        val a = split(col("s"), " ")
-        val pairs = cur
-          .select(explode(transform(slice(a, lit(1), size(a) - 1),
-            (x, i) => concat(x, lit(" "), element_at(a, i + 2)))).as("pr"), col("freq"))
-          .groupBy("pr").agg(sum(col("freq")).as("c"))
-          .orderBy(col("c").desc, col("pr")).limit(1)
-          .head()
-        val (pr, c) = (pairs.getString(0), pairs.getLong(1))
-        val merged = pr.replace(" ", "")
-        merges += ((step.toLong, pr, merged, c))
-        // merge apply is scan-local; re-stage so the next round's count
-        // reads the merged table, not a 3-deep replace lineage
-        cur = cur.select(expr(s"replace(s, '$pr', '$merged')").as("s"), col("freq"))
-          .localCheckpoint()
-      }
       import spark.implicits._
-      merges.result().toDF("step", "pair", "merged", "c").orderBy("step")
+      trainMerges(spark, dir).toDF("step", "pair", "merged", "c").orderBy("step")
+    },
+
+    // BPE encoding: apply the 3 trained merges to every document and
+    // report its symbol count before/after — the train→encode round trip
+    // of the tokenizer story. The merge table is 3 driver-held literals
+    // (at any corpus size the merge list is vocabulary-sized and
+    // broadcast); the apply is scan-local string rewriting per token,
+    // identical leftmost-non-overlapping semantics in both engines.
+    Q("text_bpe_encode", {
+      def pIter(sIn: String, n: Int) =
+        s"""p$n AS (SELECT pr, sum(freq)::BIGINT AS c FROM (
+           |        SELECT unnest(list_transform(range(len(a) - 1), i -> a[i+1] || ' ' || a[i+2])) AS pr, freq
+           |        FROM (SELECT string_split(s, ' ') AS a, freq FROM $sIn))
+           |       GROUP BY pr),
+           |t$n AS (SELECT pr, c FROM p$n ORDER BY c DESC, pr LIMIT 1)""".stripMargin
+      def sNext(sIn: String, tIn: String, n: Int) =
+        s"""s$n AS (SELECT replace(s, (SELECT pr FROM $tIn),
+           |               replace((SELECT pr FROM $tIn), ' ', '')) AS s, freq FROM $sIn)""".stripMargin
+      val apply3 =
+        """replace(replace(replace(array_to_string(regexp_extract_all(tk, '.'), ' '),
+          |  (SELECT pr FROM t1), replace((SELECT pr FROM t1), ' ', '')),
+          |  (SELECT pr FROM t2), replace((SELECT pr FROM t2), ' ', '')),
+          |  (SELECT pr FROM t3), replace((SELECT pr FROM t3), ' ', ''))""".stripMargin
+      s"""WITH tok AS (SELECT unnest($toksSql) AS tk FROM documents),
+         |w AS (SELECT tk, count(*) AS freq FROM tok GROUP BY tk),
+         |s1 AS (SELECT array_to_string(regexp_extract_all(tk, '.'), ' ') AS s, freq FROM w),
+         |${pIter("s1", 1)},
+         |${sNext("s1", "t1", 2)},
+         |${pIter("s2", 2)},
+         |${sNext("s2", "t2", 3)},
+         |${pIter("s3", 3)},
+         |d AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+         |e AS (SELECT doc_id, length(tk)::BIGINT AS n_chars,
+         |             len(string_split($apply3, ' '))::BIGINT AS n_sym
+         |      FROM d)
+         |SELECT doc_id, sum(n_chars)::BIGINT AS n_chars, sum(n_sym)::BIGINT AS n_symbols,
+         |       (sum(n_chars) - sum(n_sym))::BIGINT AS n_saved
+         |FROM e GROUP BY doc_id ORDER BY doc_id LIMIT 1000""".stripMargin
+    }) { (spark, dir) =>
+      val merges = trainMerges(spark, dir).map { case (_, pr, m, _) => (pr, m) }
+      val tk = col("tk")
+      val charSplit = concat_ws(" ", regexp_extract_all(tk, lit("."), lit(0)))
+      // merges are [a-z0-9 ]-only: literal and regex forms coincide, and
+      // regexp_replace shares replace()'s leftmost-non-overlapping walk
+      val applied = merges.foldLeft(charSplit) { case (c, (pr, m)) =>
+        regexp_replace(c, pr, m)
+      }
+      table(spark, dir, "documents")
+        .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
+        .select(col("doc_id"), length(tk).cast("long").as("n_chars"),
+          size(split(applied, " ")).cast("long").as("n_sym"))
+        .groupBy("doc_id")
+        .agg(sum(col("n_chars")).as("n_chars"), sum(col("n_sym")).as("n_symbols"),
+          (sum(col("n_chars")) - sum(col("n_sym"))).as("n_saved"))
+        .orderBy("doc_id")
+        .limit(1000)
     },
 
     // Vocabulary building: corpus-wide token frequencies, top-k — the

@@ -196,6 +196,55 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_bpe_encode: symbol counts equal a string-replay of the trained merges") {
+    val merges = graft.queries.TextQueries.trainMerges(spark, sf)
+      .map { case (_, pr, m, _) => (pr, m) }
+    assert(merges.length == 3)
+    val tokRe = "[a-z0-9]+".r
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), lower(col("text"))).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val want = docs.map { case (id, text) =>
+      val toks = tokRe.findAllIn(text).toSeq
+      val nChars = toks.map(_.length.toLong).sum
+      val nSym = toks.map { tk =>
+        val applied = merges.foldLeft(tk.mkString(" ")) { case (s, (pr, m)) => s.replace(pr, m) }
+        applied.split(" ").length.toLong
+      }.sum
+      id -> ((nChars, nSym, nChars - nSym))
+    }.toMap
+    val got = run("text_bpe_encode").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.nonEmpty)
+    assert(got == want)
+    // the merges actually compress: some doc saves at least one symbol
+    assert(got.values.exists(_._3 > 0))
+  }
+
+  test("q_snapshot_diff: classification equals a replay over the two snapshot filters") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey"), round(col("o_totalprice") * 100, 0).cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val old = orders.filter(_._1 % 5 != 0).toMap
+    val nw = orders.filter(_._1 % 7 != 0)
+      .map { case (k, v) => k -> (if (k % 3 == 0) v * 2 else v) }.toMap
+    val classes = (old.keySet ++ nw.keySet).toSeq.map { k =>
+      (old.get(k), nw.get(k)) match {
+        case (None, Some(v))              => ("inserted", v)
+        case (Some(v), None)              => ("deleted", -v)
+        case (Some(a), Some(b)) if a != b => ("updated", b - a)
+        case (Some(_), Some(_))           => ("unchanged", 0L)
+        case (None, None)                 => fail("impossible")
+      }
+    }
+    val want = classes.groupBy(_._1).map { case (s, xs) =>
+      s -> ((xs.length.toLong, xs.map(_._2).sum))
+    }
+    val got = run("q_snapshot_diff").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+  }
+
   test("mm_frame_dedup: per-media dup fractions equal a byte-level replay") {
     def md5hex(b: Array[Byte]): String =
       java.security.MessageDigest.getInstance("MD5").digest(b).map("%02x".format(_)).mkString
