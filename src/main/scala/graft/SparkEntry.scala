@@ -35,6 +35,10 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.map(q => q.name -> q.fn).toMap
 
+  /** Raw registry names BEFORE the map dedups — lets the spec assert no
+    * two modules register the same name (which would silently shadow). */
+  private[graft] def registryNames: Seq[String] = registry.map(_.name)
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =

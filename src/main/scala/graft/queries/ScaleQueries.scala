@@ -422,6 +422,38 @@ object ScaleQueries {
         .limit(1000)
     },
 
+    // Z-order (Morton) layout keys: interleave the bits of two query
+    // dimensions so ONE sort key clusters BOTH — the lakehouse data-layout
+    // trick that lets min/max file stats prune scans on either dimension.
+    // Each 4-bit z-prefix bucket is a 4×4 tile in (user-bucket, value-
+    // bucket) space; the per-tile min/max bounds ARE the pruning property
+    // (asserted in the spec). Scan-local bit math + one compact groupBy.
+    Q("q_zorder_key", {
+      val zBitsSql = (0 until 4).map(j =>
+        s"(((x >> $j) & 1) << ${2 * j}) + (((y >> $j) & 1) << ${2 * j + 1})").mkString(" + ")
+      s"""WITH t AS (SELECT user_id % 16 AS x,
+         |             CAST(floor(value) AS BIGINT) % 16 AS y
+         |           FROM events),
+         |z AS (SELECT x, y, ($zBitsSql) AS zv FROM t)
+         |SELECT (zv >> 4)::BIGINT AS zbucket, count(*) AS n,
+         |       min(x)::BIGINT AS min_x, max(x)::BIGINT AS max_x,
+         |       min(y)::BIGINT AS min_y, max(y)::BIGINT AS max_y
+         |FROM z GROUP BY zbucket ORDER BY zbucket""".stripMargin
+    }) { (spark, dir) =>
+      val zBits = (0 until 4).map(j =>
+        (shiftright(col("x"), j).bitwiseAND(1) * (1 << (2 * j))) +
+        (shiftright(col("y"), j).bitwiseAND(1) * (1 << (2 * j + 1)))).reduce(_ + _)
+      events(spark, dir)
+        .select((col("user_id") % 16).as("x"),
+          (floor(col("value")).cast("long") % 16).as("y"))
+        .withColumn("zv", zBits)
+        .groupBy(shiftright(col("zv"), 4).cast("long").as("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("x")).cast("long").as("min_x"), max(col("x")).cast("long").as("max_x"),
+          min(col("y")).cast("long").as("min_y"), max(col("y")).cast("long").as("max_y"))
+        .orderBy("zbucket")
+    },
+
     // Matryoshka prefix-dim retrieval (Kusupati et al. 2022): score with
     // only the FIRST 8 of 64 dims (cosine of the truncated vectors — the
     // renormalization is implicit in the norm product) and report which of

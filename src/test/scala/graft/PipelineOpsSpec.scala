@@ -292,6 +292,22 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("q_zorder_key: every z-prefix bucket confines BOTH dimensions to a 4x4 tile") {
+    val rows = run("q_zorder_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty && rows.length <= 16)
+    rows.foreach { case (zb, n, minX, maxX, minY, maxY) =>
+      assert(n > 0)
+      // the locality property that makes min/max stats prunable on either
+      // dim: a z-prefix tile spans at most 4 consecutive values per dim,
+      // anchored at the tile origin decoded from the prefix bits
+      val tileX = 4 * (((zb >> 0) & 1) + 2 * ((zb >> 2) & 1))
+      val tileY = 4 * (((zb >> 1) & 1) + 2 * ((zb >> 3) & 1))
+      assert(minX >= tileX && maxX < tileX + 4, s"bucket $zb x-range [$minX,$maxX]")
+      assert(minY >= tileY && maxY < tileY + 4, s"bucket $zb y-range [$minY,$maxY]")
+    }
+  }
+
   test("embed_matryoshka: overlap flags equal a plain-Scala brute-force recompute") {
     val embs = spark.read.parquet(s"$sf/embeddings.parquet")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap

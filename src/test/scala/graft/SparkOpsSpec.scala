@@ -136,4 +136,11 @@ class SparkOpsSpec extends AnyFunSuite {
   test("oracle map: every oracle key has a query; column names match plan output") {
     SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k), k))
   }
+
+  test("registry: query names are unique (a duplicate would silently shadow in the map)") {
+    val names = SparkEntry.registryNames
+    val dups = names.groupBy(identity).filter(_._2.length > 1).keys
+    assert(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
+    assert(names.length == SparkEntry.queries.size)
+  }
 }
