@@ -49,6 +49,7 @@ object SparkEntry {
     "d2_knn_topk", "d4_keyword_search", "d4_posting_search", "d7_rrf_fusion",
     "d13_context_window",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_cells", "ann_pq_adc",
+    "ann_sq8_topk",
     "ann_ivfpq", "ml_kmeans_step",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",

