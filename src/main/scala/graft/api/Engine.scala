@@ -161,13 +161,17 @@ final class Engine(
     * engine is configured for ANN candidates (opts.annMode == "ivf"):
     * train centroids with the distributed Lloyd trainer, assign every
     * vector scan-locally, persist partitioned by cid so probes prune at
-    * the parquet scan. A no-op under the default exact mode. */
+    * the parquet scan. Under the default exact mode it DROPS any index a
+    * previous ivf-mode engine left behind — the chunk table just changed,
+    * so that index now references stale ids and a later ivf engine would
+    * silently probe it (candidates dropped by the id join, degraded
+    * results, no error). */
   private def rebuildAnn(): Unit =
     if (opts.annMode == "ivf") {
       val (vectors, cents) =
         AnnIndex.build(workspace.readChunks(), "id", "embedding", opts.annCells)
       workspace.writeAnn(vectors, cents)
-    }
+    } else if (workspace.hasAnn) workspace.clearAnn()
 
   /** Ingest a documents table into the workspace chunk store (A3+B+C1),
     * maintaining the posting index — and, under annMode="ivf", the IVF

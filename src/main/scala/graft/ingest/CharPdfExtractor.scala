@@ -42,7 +42,13 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     val raw0 = new String(content, Iso)
     // PDF 1.5+: packed /ObjStm objects (page dicts, fonts, …) joined into
     // the scannable object space; content streams stay top-level (the
-    // spec forbids stream objects inside object streams)
+    // spec forbids stream objects inside object streams).
+    // Known limit: re-materialized objects append AFTER the top-level
+    // scan text, so when page dicts are SPLIT between the two (an
+    // incrementally-updated file), MediaBox order can disagree with
+    // content-stream order — such files should use the real-codec
+    // PageExtractor plug-in; fixtures and whole-document ObjStm files
+    // (every page dict packed, the common writer layout) are unaffected.
     val raw = expandObjectStreams(content, raw0)
     val boxes = mediaBoxes(raw)
     val fonts = fontInfos(raw)
@@ -73,9 +79,13 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
         .flatMap(b => """\[([^\]]*)\]""".r.findFirstMatchIn(b).map(_.group(1)))
       (first, inline.orElse(indirect)) match {
         case (Some(f), Some(arr)) =>
+          // positional integrity: silently dropping one unparsable entry
+          // would shift every later width onto the wrong char code — an
+          // array we can't fully parse falls back to default advances
           val ws = arr.trim.split("\\s+").filter(_.nonEmpty)
-            .flatMap(s => scala.util.Try(s.toDouble).toOption)
-          if (ws.nonEmpty) Some((f, ws.toVector)) else None
+            .map(s => scala.util.Try(s.toDouble).toOption)
+          if (ws.nonEmpty && ws.forall(_.isDefined)) Some((f, ws.flatten.toVector))
+          else None
         case _ => None
       }
     }

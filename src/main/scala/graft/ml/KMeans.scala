@@ -78,7 +78,9 @@ object KMeans {
         .groupBy("m", "j", "kk")
         .agg(sum(col("xm")).as("sm"), count(lit(1)).as("n"))
         .collect()
-      assigned.unpersist() // release this round's checkpoint blocks
+      // Dataset.unpersist() would NOT release localCheckpoint blocks
+      // (they are an RDD-level persist behind a LogicalRDD)
+      graft.functions.Checkpoints.release(assigned)
       val byCell = sums.map(r => (r.getAs[Int]("m"), r.getAs[Int]("j"), r.getAs[Int]("kk")) ->
         (r.getAs[Long]("sm"), r.getAs[Long]("n"))).toMap
       cb = (0 until k).map { j =>
@@ -121,7 +123,9 @@ object KMeans {
         .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"),
           sum(when(col("kdim") === 0, col("d")).otherwise(0.0)).as("din"))
         .collect()
-      assigned.unpersist() // release this round's checkpoint blocks
+      // Dataset.unpersist() would NOT release localCheckpoint blocks
+      // (they are an RDD-level persist behind a LogicalRDD)
+      graft.functions.Checkpoints.release(assigned)
       inertia += sums.map(_.getAs[Double]("din")).sum
       val byCluster = sums.groupBy(_.getAs[Int]("cluster"))
       cents = (0 until k).map { c =>

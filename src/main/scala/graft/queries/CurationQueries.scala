@@ -28,6 +28,12 @@ object CurationQueries {
     * (doc_id, gram) pairs, never whole docs). An eval set that grows with
     * the corpus would otherwise be forced onto the driver at 100 TB.
     * The estimate costs one aggregate over the SMALL side only. */
+  // last staged eval gram table per session: repeated runs (bench warm +
+  // timed, oracle gate) would otherwise accumulate one orphaned
+  // localCheckpoint per call until RDD GC
+  private val lastEvalStage = scala.collection.concurrent.TrieMap
+    .empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame]
+
   private[graft] def decontaminateJoin(
       corpusGrams: org.apache.spark.sql.DataFrame,
       evalGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
@@ -38,6 +44,8 @@ object CurationQueries {
     // and the join reuses them — without this the probe would evaluate the
     // whole eval pipeline a second time
     val ev = evalGrams.localCheckpoint()
+    lastEvalStage.put(spark, ev)
+      .foreach(prev => graft.functions.Checkpoints.release(prev))
     val est = ev
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("g"))), lit(0L)).as("chars"))
       .head()

@@ -34,6 +34,35 @@ object TextQueries {
   private val mergeCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), Seq[(Long, String, String, Long)]]
 
+  /** Boundary-correct BPE merge apply, one SQL string valid in BOTH
+    * engines (concat/replace/trim only). A raw substring replace of
+    * `"h e"` also fires where `h` is merely the SUFFIX of a longer symbol
+    * (`"th e"` → `"the"` — merging a pair the count never saw). The fix:
+    * double every separator and pad the ends, so each symbol owns a space
+    * on each side and the pattern `" h  e "` can only match whole
+    * symbols; consecutive pair occurrences stay non-overlapping
+    * (`"h e h e"` merges both), then collapse the doubled separators.
+    * `prSel`/`mergedSel` are SQL expressions (literals or subselects). */
+  private[graft] def applyMergeSql(inner: String, prSel: String, mergedSel: String): String =
+    s"trim(replace(replace(concat(' ', replace($inner, ' ', '  '), ' '), " +
+      s"concat(' ', replace($prSel, ' ', '  '), ' '), " +
+      s"concat(' ', $mergedSel, ' ')), '  ', ' '))"
+
+  // DuckDB oracle builders for the BPE training rounds, shared verbatim
+  // by text_bpe_train and text_bpe_encode so the encode oracle replays
+  // EXACTLY the training the train oracle reports.
+  private def bpePIterSql(sIn: String, n: Int) =
+    s"""p$n AS (SELECT pr, sum(freq)::BIGINT AS c FROM (
+       |        SELECT unnest(list_transform(range(len(a) - 1), i -> a[i+1] || ' ' || a[i+2])) AS pr, freq
+       |        FROM (SELECT string_split(s, ' ') AS a, freq FROM $sIn))
+       |       GROUP BY pr),
+       |t$n AS (SELECT pr, c FROM p$n ORDER BY c DESC, pr LIMIT 1)""".stripMargin
+
+  private def bpeSNextSql(sIn: String, tIn: String, n: Int) =
+    s"""s$n AS (SELECT ${applyMergeSql("s",
+           s"(SELECT pr FROM $tIn)", s"replace((SELECT pr FROM $tIn), ' ', '')")} AS s,
+       |        freq FROM $sIn)""".stripMargin
+
   /** The 3-round BPE merge training loop (BSP like graft.ml.KMeans): the
     * word-frequency table is staged once, each round collects ONE argmax
     * pair and applies it scan-local. Returns (step, pair, merged, count). */
@@ -59,11 +88,20 @@ object TextQueries {
         val (pr, c) = (pairs.getString(0), pairs.getLong(1))
         val merged = pr.replace(" ", "")
         merges += ((step.toLong, pr, merged, c))
-        // merge apply is scan-local; re-stage so the next round's count
-        // reads the merged table, not a 3-deep replace lineage
-        cur = cur.select(expr(s"replace(s, '$pr', '$merged')").as("s"), col("freq"))
-          .localCheckpoint()
+        // merge apply is scan-local (boundary-correct, see applyMergeSql);
+        // re-stage so the next round's count reads the merged table, not
+        // a 3-deep replace lineage — and release the previous round's
+        // checkpoint blocks once the next is materialized (the last round
+        // needs no merged table: its pair is already collected)
+        if (step < 3) {
+          val next = cur
+            .select(expr(applyMergeSql("s", s"'$pr'", s"'$merged'")).as("s"), col("freq"))
+            .localCheckpoint()
+          graft.functions.Checkpoints.release(cur)
+          cur = next
+        }
       }
+      graft.functions.Checkpoints.release(cur)
       merges.result()
     })
 
@@ -247,29 +285,19 @@ object TextQueries {
     // (the argmax pair) + one scan-local merge apply (leftmost
     // non-overlapping `replace`, identical semantics in both engines);
     // the oracle unrolls the same 3 rounds as CTEs.
-    Q("text_bpe_train", {
-      def pIter(sIn: String, n: Int) =
-        s"""p$n AS (SELECT pr, sum(freq)::BIGINT AS c FROM (
-           |        SELECT unnest(list_transform(range(len(a) - 1), i -> a[i+1] || ' ' || a[i+2])) AS pr, freq
-           |        FROM (SELECT string_split(s, ' ') AS a, freq FROM $sIn))
-           |       GROUP BY pr),
-           |t$n AS (SELECT pr, c FROM p$n ORDER BY c DESC, pr LIMIT 1)""".stripMargin
-      def sNext(sIn: String, tIn: String, n: Int) =
-        s"""s$n AS (SELECT replace(s, (SELECT pr FROM $tIn),
-           |               replace((SELECT pr FROM $tIn), ' ', '')) AS s, freq FROM $sIn)""".stripMargin
+    Q("text_bpe_train",
       s"""WITH tok AS (SELECT unnest($toksSql) AS tk FROM documents),
          |w AS (SELECT tk, count(*) AS freq FROM tok GROUP BY tk),
          |s1 AS (SELECT array_to_string(regexp_extract_all(tk, '.'), ' ') AS s, freq FROM w),
-         |${pIter("s1", 1)},
-         |${sNext("s1", "t1", 2)},
-         |${pIter("s2", 2)},
-         |${sNext("s2", "t2", 3)},
-         |${pIter("s3", 3)}
+         |${bpePIterSql("s1", 1)},
+         |${bpeSNextSql("s1", "t1", 2)},
+         |${bpePIterSql("s2", 2)},
+         |${bpeSNextSql("s2", "t2", 3)},
+         |${bpePIterSql("s3", 3)}
          |SELECT 1::BIGINT AS step, pr AS pair, replace(pr, ' ', '') AS merged, c FROM t1
          |UNION ALL SELECT 2::BIGINT, pr, replace(pr, ' ', ''), c FROM t2
          |UNION ALL SELECT 3::BIGINT, pr, replace(pr, ' ', ''), c FROM t3
-         |ORDER BY step""".stripMargin
-    }) { (spark, dir) =>
+         |ORDER BY step""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       trainMerges(spark, dir).toDF("step", "pair", "merged", "c").orderBy("step")
     },
@@ -281,28 +309,19 @@ object TextQueries {
     // broadcast); the apply is scan-local string rewriting per token,
     // identical leftmost-non-overlapping semantics in both engines.
     Q("text_bpe_encode", {
-      def pIter(sIn: String, n: Int) =
-        s"""p$n AS (SELECT pr, sum(freq)::BIGINT AS c FROM (
-           |        SELECT unnest(list_transform(range(len(a) - 1), i -> a[i+1] || ' ' || a[i+2])) AS pr, freq
-           |        FROM (SELECT string_split(s, ' ') AS a, freq FROM $sIn))
-           |       GROUP BY pr),
-           |t$n AS (SELECT pr, c FROM p$n ORDER BY c DESC, pr LIMIT 1)""".stripMargin
-      def sNext(sIn: String, tIn: String, n: Int) =
-        s"""s$n AS (SELECT replace(s, (SELECT pr FROM $tIn),
-           |               replace((SELECT pr FROM $tIn), ' ', '')) AS s, freq FROM $sIn)""".stripMargin
-      val apply3 =
-        """replace(replace(replace(array_to_string(regexp_extract_all(tk, '.'), ' '),
-          |  (SELECT pr FROM t1), replace((SELECT pr FROM t1), ' ', '')),
-          |  (SELECT pr FROM t2), replace((SELECT pr FROM t2), ' ', '')),
-          |  (SELECT pr FROM t3), replace((SELECT pr FROM t3), ' ', ''))""".stripMargin
+      def applyN(tIn: String)(inner: String): String =
+        applyMergeSql(inner,
+          s"(SELECT pr FROM $tIn)", s"replace((SELECT pr FROM $tIn), ' ', '')")
+      val apply3 = applyN("t3")(applyN("t2")(applyN("t1")(
+        "array_to_string(regexp_extract_all(tk, '.'), ' ')")))
       s"""WITH tok AS (SELECT unnest($toksSql) AS tk FROM documents),
          |w AS (SELECT tk, count(*) AS freq FROM tok GROUP BY tk),
          |s1 AS (SELECT array_to_string(regexp_extract_all(tk, '.'), ' ') AS s, freq FROM w),
-         |${pIter("s1", 1)},
-         |${sNext("s1", "t1", 2)},
-         |${pIter("s2", 2)},
-         |${sNext("s2", "t2", 3)},
-         |${pIter("s3", 3)},
+         |${bpePIterSql("s1", 1)},
+         |${bpeSNextSql("s1", "t1", 2)},
+         |${bpePIterSql("s2", 2)},
+         |${bpeSNextSql("s2", "t2", 3)},
+         |${bpePIterSql("s3", 3)},
          |d AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
          |e AS (SELECT doc_id, length(tk)::BIGINT AS n_chars,
          |             len(string_split($apply3, ' '))::BIGINT AS n_sym
@@ -312,17 +331,15 @@ object TextQueries {
          |FROM e GROUP BY doc_id ORDER BY doc_id LIMIT 1000""".stripMargin
     }) { (spark, dir) =>
       val merges = trainMerges(spark, dir).map { case (_, pr, m, _) => (pr, m) }
-      val tk = col("tk")
-      val charSplit = concat_ws(" ", regexp_extract_all(tk, lit("."), lit(0)))
-      // merges are [a-z0-9 ]-only: literal and regex forms coincide, and
-      // regexp_replace shares replace()'s leftmost-non-overlapping walk
-      val applied = merges.foldLeft(charSplit) { case (c, (pr, m)) =>
-        regexp_replace(c, pr, m)
+      // same boundary-correct apply as training (applyMergeSql) with the
+      // collected merges inlined as literals, evaluated per token
+      val appliedExpr = merges.foldLeft("concat_ws(' ', regexp_extract_all(tk, '.', 0))") {
+        case (inner, (pr, m)) => applyMergeSql(inner, s"'$pr'", s"'$m'")
       }
       table(spark, dir, "documents")
         .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
-        .select(col("doc_id"), length(tk).cast("long").as("n_chars"),
-          size(split(applied, " ")).cast("long").as("n_sym"))
+        .select(col("doc_id"), length(col("tk")).cast("long").as("n_chars"),
+          expr(s"size(split($appliedExpr, ' '))").cast("long").as("n_sym"))
         .groupBy("doc_id")
         .agg(sum(col("n_chars")).as("n_chars"), sum(col("n_sym")).as("n_symbols"),
           (sum(col("n_chars")) - sum(col("n_sym"))).as("n_saved"))

@@ -88,10 +88,18 @@ object TokenIndex {
   private def tokensOf(s: String): Seq[String] =
     "[a-z0-9]+".r.findAllIn(s.toLowerCase).toSeq
 
-  /** Does the query use MATCH operators (quotes or a trailing `*`)?
-    * Plain queries keep the engine's historical bag-of-tokens scoring. */
-  def hasOperators(q: String): Boolean =
-    q.contains('"') || q.split("\\s+").exists(_.matches("(?i)[a-z0-9]+\\*"))
+  /** Does the query use WELL-FORMED MATCH operators (balanced quotes or a
+    * trailing `*`)? Plain queries keep the engine's historical
+    * bag-of-tokens scoring — and so does a query with an unbalanced
+    * quote (e.g. `15" laptop`, `said "hello`): FTS5 raises a syntax
+    * error there, and routing it to the implicit-AND term path would
+    * silently flip keyword matching from any-term overlap to
+    * all-terms-required. Graceful degradation beats both. */
+  def hasOperators(q: String): Boolean = {
+    val quotes = q.count(_ == '"')
+    (quotes >= 2 && quotes % 2 == 0) ||
+      q.split("\\s+").exists(_.matches("(?i)[a-z0-9]+\\*"))
+  }
 
   /** Parse an FTS5-ish MATCH query: quoted segments become phrases
     * (single-token quotes collapse to words), a trailing `*` marks a

@@ -55,6 +55,10 @@ final class Workspace(val spark: SparkSession, val root: String) {
   def appendChunks(chunks: DataFrame): Unit = {
     val c = chunks.cache()
     try {
+      // a micro-batch whose documents all chunk to nothing must be a
+      // no-op: registering a dimension off head() would throw here and
+      // kill the streaming query
+      if (c.isEmpty) return
       // an append into a fresh workspace (streaming-first ingest) must
       // register the dimension exactly like the first batch write
       val dim = registeredDim.getOrElse {
@@ -116,6 +120,16 @@ final class Workspace(val spark: SparkSession, val root: String) {
       .map(_.getSeq[Double](0).toSeq).toSeq
 
   def hasAnn: Boolean = Files.exists(Paths.get(annVectorsPath))
+
+  /** Drop the ANN index (both vectors and centroids). Called whenever the
+    * chunk table is rewritten by an engine NOT configured for ANN: the
+    * old index would otherwise survive on disk and a later ivf-mode
+    * engine would silently probe ids that no longer exist. */
+  def clearAnn(): Unit = {
+    val dir = Paths.get(p("ann"))
+    if (Files.exists(dir))
+      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+  }
 
   // ---- A7: metadata KV (JSON sidecar — the workspace_metadata table)
 

@@ -125,6 +125,25 @@ class AnnEngineSpec extends AnyFunSuite {
     assert(partHits.forall(_.score > 0))
   }
 
+  test("re-indexing through a NON-ivf engine drops a previously built ANN index (no stale probes)") {
+    val root = Files.createTempDirectory("graft-annstale-").toString
+    val ivf = Engine.open(spark, root, "ws",
+      SearchOptions(annMode = "ivf", annCells = 8, annProbes = 2))
+    ivf.index(docs100)
+    assert(ivf.workspace.hasAnn)
+    // the same workspace re-indexed by a default (exact) engine: the old
+    // index now references a replaced chunk table — it must not survive
+    // for a later ivf engine to silently probe
+    val exact = Engine.open(spark, root, "ws")
+    exact.index(docs100.limit(50))
+    assert(!exact.workspace.hasAnn, "stale ANN index survived a non-ivf re-index")
+    // and a fresh ivf engine on the re-indexed workspace falls back to the
+    // exact scan (sane results) instead of probing dead ids
+    val again = Engine.open(spark, root, "ws",
+      SearchOptions(annMode = "ivf", annCells = 8, annProbes = 2))
+    assert(again.search("what is a merge window").size == 5)
+  }
+
   test("annMode=ivf on a workspace without an index falls back to the exact scan") {
     val root = Files.createTempDirectory("graft-annfb-").toString
     val exact = Engine.open(spark, root, "ws")

@@ -42,6 +42,12 @@ class FtsMatchSpec extends AnyFunSuite {
     assert(TokenIndex.hasOperators("plain merg* tail"))
     assert(!TokenIndex.hasOperators("plain words only"))
     assert(!TokenIndex.hasOperators("a*b")) // star mid-word is not a prefix op
+    // unbalanced quotes are NOT operators: FTS5 errors on them, and the
+    // term path's implicit AND would silently flip matching semantics —
+    // these degrade gracefully to the plain bag-of-tokens branch
+    assert(!TokenIndex.hasOperators("15\" laptop screen"))
+    assert(!TokenIndex.hasOperators("said \"hello"))
+    assert(!TokenIndex.hasOperators("a \"b c\" d\" e")) // 3 quotes: still unbalanced
   }
 
   // ---- positional posting search on a hand-checked fixture

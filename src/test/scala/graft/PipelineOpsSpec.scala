@@ -196,6 +196,17 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("BPE merge apply is symbol-boundary-correct (no suffix merges, consecutive pairs all merge)") {
+    def apply1(s: String, pr: String): String =
+      spark.sql("SELECT " + graft.queries.TextQueries.applyMergeSql(
+        s"'$s'", s"'$pr'", s"'${pr.replace(" ", "")}'") + " AS r").head().getString(0)
+    assert(apply1("t h e", "h e") == "t he")
+    assert(apply1("th e", "h e") == "th e", "h is only the suffix of th — must not merge")
+    assert(apply1("h e h e", "h e") == "he he", "consecutive non-overlapping pairs all merge")
+    assert(apply1("x h e y h e z", "h e") == "x he y he z")
+    assert(apply1("a", "h e") == "a")
+  }
+
   test("text_bpe_encode: symbol counts equal a string-replay of the trained merges") {
     val merges = graft.queries.TextQueries.trainMerges(spark, sf)
       .map { case (_, pr, m, _) => (pr, m) }
@@ -204,11 +215,18 @@ class PipelineOpsSpec extends AnyFunSuite {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
       .select(col("doc_id"), lower(col("text"))).collect()
       .map(r => (r.getLong(0), r.getString(1)))
+    // boundary-correct apply (see TextQueries.applyMergeSql)
+    def applyMerge(s: String, pr: String, m: String): String =
+      (" " + s.replace(" ", "  ") + " ")
+        .replace(" " + pr.replace(" ", "  ") + " ", " " + m + " ")
+        .replace("  ", " ").trim
     val want = docs.map { case (id, text) =>
       val toks = tokRe.findAllIn(text).toSeq
       val nChars = toks.map(_.length.toLong).sum
       val nSym = toks.map { tk =>
-        val applied = merges.foldLeft(tk.mkString(" ")) { case (s, (pr, m)) => s.replace(pr, m) }
+        val applied = merges.foldLeft(tk.mkString(" ")) {
+          case (s, (pr, m)) => applyMerge(s, pr, m)
+        }
         applied.split(" ").length.toLong
       }.sum
       id -> ((nChars, nSym, nChars - nSym))

@@ -230,7 +230,13 @@ class ScaleOpsSpec extends AnyFunSuite {
       val (bestPair, bestC) = counts.toSeq.minBy { case (p, n) => (-n, p) }
       assert((bestPair, bestC) == (pair, c), s"step $step: got ($pair,$c), replay says ($bestPair,$bestC)")
       assert(merged == pair.replace(" ", ""))
-      table = table.map { case (s, f) => s.replace(pair, merged) -> f }
+      // boundary-correct apply (see TextQueries.applyMergeSql): double the
+      // separators so the pair can only match whole symbols, not suffixes
+      table = table.map { case (s, f) =>
+        (" " + s.replace(" ", "  ") + " ")
+          .replace(" " + pair.replace(" ", "  ") + " ", " " + merged + " ")
+          .replace("  ", " ").trim -> f
+      }
     }
   }
 

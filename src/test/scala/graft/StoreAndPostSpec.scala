@@ -61,6 +61,23 @@ class StoreAndPostSpec extends AnyFunSuite {
     assert(e.getMessage.contains("guardrail"))
   }
 
+  test("workspace: appendChunks with zero rows is a no-op (empty first micro-batch must not kill the stream)") {
+    val ws = freshWorkspace()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    val chunks = ChunkStore.buildChunks(docs, embedder)
+    // empty append into a FRESH workspace: no dim registration off head(),
+    // no exception, nothing written
+    ws.appendChunks(chunks.filter(org.apache.spark.sql.functions.lit(false)))
+    assert(ws.registeredDim.isEmpty)
+    // the real first batch then registers normally
+    ws.appendChunks(chunks)
+    assert(ws.registeredDim.contains(64))
+    assert(ws.count() == chunks.count())
+    // and an empty append onto a populated workspace stays a no-op
+    ws.appendChunks(chunks.filter(org.apache.spark.sql.functions.lit(false)))
+    assert(ws.count() == chunks.count())
+  }
+
   test("workspace: metadata KV roundtrip + clear drops dim registration (D21)") {
     val ws = freshWorkspace()
     ws.setMeta("engine", "ollama")
