@@ -98,6 +98,15 @@ object DedupPipeline {
   /** Connected components: label = min doc_id reachable. Converges to the
     * exact component minimum (fixpoint detected via label-change count).
     *
+    * Each round does neighbor-min propagation PLUS path halving
+    * (label(v) ← label(label(v)), the pointer-doubling shortcut): plain
+    * neighbor propagation needs O(graph diameter) rounds, and LSH
+    * sorted-neighborhood edges form near-path chains whose diameter grows
+    * with the corpus — at sf0.1 they already exceeded a 20-round budget.
+    * Halving makes convergence O(log diameter), which is what survives a
+    * 100× corpus (labels are in-component node ids throughout, so the
+    * shortcut join is labels⋈labels on the label key).
+    *
     * Each round CHECKPOINTS: `next` embeds the previous labels plan plus
     * the edge plan, so without truncation the logical plan doubles per
     * round — plan compilation (and even plan stringification) goes
@@ -116,16 +125,25 @@ object DedupPipeline {
       val fromNeighbors = e.join(labels, e("a") === labels("id"))
         .groupBy(col("b").as("id2"))
         .agg(min(col("lbl")).as("nlbl"))
-      val next = labels.join(fromNeighbors, labels("id") === col("id2"), "left")
+      // staged once: it feeds both sides of the halving self-join
+      val prop = labels.join(fromNeighbors, labels("id") === col("id2"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      // path halving: follow the label one hop (lbl is itself a node id
+      // in the same component, so its label is reachable too)
+      val parents = prop.select(col("id").as("pid"), col("lbl").as("plbl"))
+      val next = prop.join(parents, prop("lbl") === col("pid"), "left")
+        .select(prop("id"), least(prop("lbl"), coalesce(col("plbl"), prop("lbl"))).as("lbl"))
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("lbl", "old"), Seq("id"))
         .filter(col("lbl") < col("old")).count()
-      labels.unpersist()
+      graft.functions.Checkpoints.release(prop)
+      graft.functions.Checkpoints.release(labels)
       labels = next
       converged = changed == 0
       iter += 1
     }
+    graft.functions.Checkpoints.release(e)
     labels.select(col("id").as("doc_id"), col("lbl").as("component"))
   }
 }

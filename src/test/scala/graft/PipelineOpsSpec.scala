@@ -126,6 +126,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("connected components converge on a >20-diameter chain (path halving) and equal a union-find replay") {
+    import spark.implicits._
+    // sliding-window docs: consecutive docs share 19/20 tokens
+    // (jaccard ≈ 0.905 ≥ 0.9), distance-2 share 18/20 (≈ 0.82 < 0.9) —
+    // the verified edge set is a long near-path whose diameter defeats
+    // plain O(diameter) min-label propagation within the round budget
+    val n = 60
+    val docs = (0 until n).map { i =>
+      i.toLong -> (i until i + 20).map(t => s"tok$t").mkString(" ")
+    }.toDF("doc_id", "text")
+    val got = graft.dedup.DedupPipeline.components(docs, threshold = 0.9, sampleMod = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == n)
+    // ground truth: union-find over the pipeline's own verified edges
+    val es = graft.dedup.DedupPipeline.edges(docs, 0.9, sampleMod = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map((0L until n.toLong).map(i => i -> i): _*)
+    def find(x: Long): Long = if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+    es.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = (0L until n.toLong).map(i => i -> find(i)).toMap
+    assert(got == want, "components disagree with union-find over the same edges")
+    // the chain really is long: one component spanning most docs
+    assert(want.values.groupBy(identity).values.map(_.size).max > 20,
+      "fixture failed to build a long chain — the test would not exercise halving")
+  }
+
   test("q_funnel: stage assignment equals an ordered-sequence replay over raw events") {
     val ev = graft.queries.events(spark, sf)
       .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
