@@ -43,7 +43,7 @@ final class Engine(
   private var carriedCalib: Calibration.Stats = Calibration.initial
   private var calibLoaded = false
 
-  private def engine(): HybridEngine = hybrid.getOrElse {
+  private def engine(): HybridEngine = synchronized { hybrid.getOrElse {
     if (!calibLoaded) { carriedCalib = loadCalibration("rerank"); calibLoaded = true }
     // the RAW chunk table is cached once per table version; the (tiny)
     // click-ledger boost is a broadcast join ON TOP of the cache, so
@@ -63,7 +63,7 @@ final class Engine(
     carriedLog = Vector.empty
     hybrid = Some(e)
     e
-  }
+  } }
 
   /** The semantic branch's candidate source under the configured annMode:
     * the IVF probe generator over the PERSISTED cell index (its `cid IN`
@@ -83,7 +83,7 @@ final class Engine(
     * bucket, so each lookup is a one-partition scan; results memoize per
     * canonical query, and the memo clears on every flush. NO unbounded
     * driver-side collect: cost is bounded by the queries actually asked. */
-  private val stabilityMemo = scala.collection.mutable.Map.empty[String, (Double, Long)]
+  private val stabilityMemo = scala.collection.concurrent.TrieMap.empty[String, (Double, Long)]
 
   private def stabilityHistory(canonQuery: String): (Double, Long) =
     stabilityMemo.getOrElseUpdate(canonQuery, {
@@ -105,7 +105,7 @@ final class Engine(
     * calibration (E4), drop the engine, and unpersist the raw chunk cache
     * (a rebuild would otherwise leak one pinned copy per cycle). The next
     * build re-reads both from storage — no in-memory carry. */
-  private def invalidate(): Unit = {
+  private def invalidate(): Unit = synchronized {
     hybrid.foreach { e =>
       flushRetrievalLog()
       carriedCalib = e.calibSnapshot
@@ -123,7 +123,7 @@ final class Engine(
     * analog of the reference's one-UPDATE click (vector_store.cpp:789-795)
     * on immutable storage; log/calibration flush waits for the next batch
     * boundary (invalidate or explicit flush). */
-  private def refreshBoosts(): Unit = {
+  private def refreshBoosts(): Unit = synchronized {
     hybrid.foreach { e =>
       carriedLog = carriedLog ++ e.drainLog()
       carriedCalib = e.calibSnapshot
@@ -135,8 +135,11 @@ final class Engine(
     * workspace's append-only parquet log table. */
   def flushRetrievalLog(): Long = {
     import spark.implicits._
-    val rows = carriedLog ++ hybrid.map(_.drainLog()).getOrElse(Vector.empty[RetrievalLogRow])
-    carriedLog = Vector.empty
+    val rows = synchronized {
+      val r = carriedLog ++ hybrid.map(_.drainLog()).getOrElse(Vector.empty[RetrievalLogRow])
+      carriedLog = Vector.empty
+      r
+    }
     if (rows.nonEmpty) {
       workspace.appendLog(rows.toDF(
         "query", "semantic_rank", "keyword_rank", "final_rank",
@@ -193,7 +196,14 @@ final class Engine(
     * refreshed per micro-batch — so [[search]] finds streamed docs
     * without any manual index() call. The checkpoint lives inside the
     * workspace, so a restarted stream resumes exactly-once over the
-    * source files. */
+    * source files.
+    *
+    * Safe to run CONCURRENTLY with [[search]] (a continuous trigger,
+    * not just AvailableNow): index rebuilds are versioned writes (the
+    * previous version survives one full rebuild cycle for in-flight
+    * readers — [[Workspace.writePostings]]), and every engine-state swap
+    * is synchronized, so a search holds a consistent engine whose files
+    * outlive its query. */
   def startStreamingIngest(inputDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val docs = spark.readStream
@@ -253,7 +263,9 @@ final class Engine(
     * chunk cache — no cache drop, no table re-read (immutable-store
     * ledger design, incremental like the reference's in-place UPDATE). */
   def recordClick(chunkId: Long, query: String, isExploration: Boolean = false): Unit = {
-    ledger = BoostLedger.append(ledger, Seq(BoostLedger.Click(chunkId, query, isExploration)))
+    synchronized {
+      ledger = BoostLedger.append(ledger, Seq(BoostLedger.Click(chunkId, query, isExploration)))
+    }
     refreshBoosts()
   }
 

@@ -271,16 +271,10 @@ object AnnQueries {
          |ORDER BY adc_micro, vec_id LIMIT 20""".stripMargin) { (spark, dir) =>
       val e = embeddings(spark, dir)
       val cb = trainedCodebook(spark, dir)
-      val centsArr = e.filter(col("vec_id").between(IvfLo, IvfHi))
-        .agg(collect_list(struct(
-          (col("vec_id") - IvfLo).as("cid"), col("embedding").as("ce"))).as("cents"))
+      val centsArr = centArray(e.filter(col("vec_id").between(IvfLo, IvfHi))
+        .select((col("vec_id") - IvfLo).as("cid"), col("embedding").as("ce")))
       // scan-local coarse assignment (max struct = max cos, then min cid)
-      val assigned = e.crossJoin(broadcast(centsArr))
-        .withColumn("best", array_max(transform(col("cents"),
-          c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
-                      (-c.getField("cid")).as("ncid")))))
-        .select(col("vec_id"), col("embedding"),
-          (-col("best").getField("ncid")).as("cid"))
+      val assigned = assignCosineCells(e, centsArr)
       // nprobe=2 probe cells for the query, selected driver-side from ONE
       // bounded row — the per-query planning step of IVF serving
       val rankedCents = array_sort(transform(col("cents"),

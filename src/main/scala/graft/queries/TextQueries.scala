@@ -532,9 +532,10 @@ object TextQueries {
          |            WHEN total_micro::DOUBLE / n_tokens > 1.02 * mean_bits THEN 'tail'
          |            ELSE 'middle' END AS bucket
          |FROM d CROSS JOIN g ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val tok = table(spark, dir, "documents")
-        .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
-        .localCheckpoint()
+      val tok = staged(spark, s"$dir#lm_tok") {
+        table(spark, dir, "documents")
+          .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
+      }
       val nv = tok.agg(count(lit(1)).as("n"), countDistinct(col("tk")).as("v"))
       val cnt = tok.groupBy("tk").agg(count(lit(1)).as("c"))
       val sc = tok.join(cnt, "tk").crossJoin(broadcast(nv))

@@ -60,13 +60,13 @@ final class HybridEngine(
   /** Snapshots for carrying state across engine rebuilds (the facade
     * persists these — the analog of the reference's retrieval_logs +
     * calibration rows). */
-  def logSnapshot: Vector[RetrievalLogRow] = logRows
-  def calibSnapshot: Calibration.Stats = calibStats
+  def logSnapshot: Vector[RetrievalLogRow] = synchronized(logRows)
+  def calibSnapshot: Calibration.Stats = synchronized(calibStats)
 
   /** Remove and return the pending log rows (the facade appends them to
     * the persisted parquet log; stability then reads them back via
     * [[stabilityBase]] on the next engine build). */
-  def drainLog(): Vector[RetrievalLogRow] = {
+  def drainLog(): Vector[RetrievalLogRow] = synchronized {
     val r = logRows
     logRows = Vector.empty
     r
@@ -243,7 +243,11 @@ final class HybridEngine(
     }
 
     // driver-side tail: MMR → exploration → truncate (reference collapses to
-    // memory at the same point, SURVEY §3.2)
+    // memory at the same point, SURVEY §3.2). Synchronized: the EMA /
+    // calibration / log-buffer updates must not interleave when searches
+    // run concurrently with a streaming-ingest thread (microseconds over
+    // ≤ depth rows — never held during cluster work).
+    synchronized {
     val (diversified, mmrPenalty) =
       if (opts.experimentalMmr) {
         val lam = Mmr.lambda(query, intent)
@@ -299,6 +303,7 @@ final class HybridEngine(
     cache.put(query, qv, reranked)
     lastAudit = SearchAudit((tEmbed - t0) / 1e6, (tPlan - tEmbed) / 1e6, (tExec - tPlan) / 1e6)
     reranked
+    }
   }
 
   /** Context-window expansion around a hit (SURVEY §2 D13/D14). */

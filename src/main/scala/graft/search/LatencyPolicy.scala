@@ -16,7 +16,7 @@ final class LatencyPolicy(seedMs: Double = 100.0) {
 
   private var ema = seedMs
 
-  def record(measuredMs: Double): Unit = { ema = 0.8 * ema + 0.2 * measuredMs }
+  def record(measuredMs: Double): Unit = synchronized { ema = 0.8 * ema + 0.2 * measuredMs }
   def emaMs: Double = ema
 
   sealed trait Decision

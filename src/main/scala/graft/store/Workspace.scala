@@ -23,7 +23,6 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def chunksPath: String = p("chunks")
   def logPath: String = p("retrieval_logs")
-  def postingsPath: String = p("postings")
   private def metaPath: Path = Paths.get(root, "workspace_metadata.json")
 
   // ---- A3: chunk sink
@@ -89,27 +88,55 @@ final class Workspace(val spark: SparkSession, val root: String) {
   // ---- D4 scale path: the posting-list inverted index, maintained by the
   // same jobs that write the chunk table (TokenIndex is the FTS5 mirror,
   // vector_store.cpp:195-201)
+  //
+  // Index writes are VERSIONED (v1, v2, … under the index dir, pointer in
+  // the metadata KV): a SaveMode.Overwrite of the live dir would delete
+  // part files out from under a concurrently-running search (the
+  // streaming-ingest foreachBatch rebuilds indexes on its own thread).
+  // The writer creates v(n+1), moves the pointer, and deletes v(n−1) —
+  // in-flight readers of v(n) keep their files for one full rebuild
+  // cycle. This is the atomic-swap layout every mutable-index-on-
+  // immutable-files store uses.
 
-  def writePostings(postings: DataFrame): Unit =
-    TokenIndex.write(postings, postingsPath)
+  private def currentVersion(key: String): Option[Int] = getMeta(key).map(_.toInt)
+
+  def writePostings(postings: DataFrame): Unit = {
+    val next = currentVersion("postings_v").getOrElse(0) + 1
+    TokenIndex.write(postings, p("postings", s"v$next"))
+    setMeta("postings_v", next.toString)
+    deleteTree(Paths.get(p("postings", s"v${next - 2}")))
+  }
+
+  def postingsPath: String =
+    p("postings", s"v${currentVersion("postings_v").getOrElse(0)}")
 
   def readPostings(): DataFrame = spark.read.parquet(postingsPath)
 
-  def hasPostings: Boolean = Files.exists(Paths.get(postingsPath))
+  def hasPostings: Boolean =
+    currentVersion("postings_v").isDefined && Files.exists(Paths.get(postingsPath))
 
   // ---- D2 scale path: the IVF cell index — (id, embedding, cid) vectors
   // PARTITIONED BY cid (a probe's `cid IN (...)` filter prunes at the
   // scan, reading nprobe/k of the corpus) plus the trained centroids
   // (k·d doubles — driver-sized by construction)
 
-  def annVectorsPath: String = p("ann", "vectors")
-  def annCentroidsPath: String = p("ann", "centroids")
+  def annVectorsPath: String =
+    p("ann", s"v${currentVersion("ann_v").getOrElse(0)}", "vectors")
+  def annCentroidsPath: String =
+    p("ann", s"v${currentVersion("ann_v").getOrElse(0)}", "centroids")
 
+  /** Versioned like writePostings: v(n+1) written, pointer moved, v(n−1)
+    * dropped — a concurrent probe on v(n) keeps its files. */
   def writeAnn(vectors: DataFrame, centroids: Seq[Seq[Double]]): Unit = {
-    vectors.write.partitionBy("cid").mode(SaveMode.Overwrite).parquet(annVectorsPath)
+    val next = currentVersion("ann_v").getOrElse(0) + 1
+    vectors.write.partitionBy("cid").mode(SaveMode.Overwrite)
+      .parquet(p("ann", s"v$next", "vectors"))
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
-      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(annCentroidsPath)
+      .coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(p("ann", s"v$next", "centroids"))
+    setMeta("ann_v", next.toString)
+    deleteTree(Paths.get(p("ann", s"v${next - 2}")))
   }
 
   def readAnn(): DataFrame = spark.read.parquet(annVectorsPath)
@@ -119,17 +146,26 @@ final class Workspace(val spark: SparkSession, val root: String) {
       .orderBy(col("cid")).select(col("centroid")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
 
-  def hasAnn: Boolean = Files.exists(Paths.get(annVectorsPath))
+  def hasAnn: Boolean =
+    currentVersion("ann_v").isDefined && Files.exists(Paths.get(annVectorsPath))
 
   /** Drop the ANN index (both vectors and centroids). Called whenever the
     * chunk table is rewritten by an engine NOT configured for ANN: the
     * old index would otherwise survive on disk and a later ivf-mode
     * engine would silently probe ids that no longer exist. */
   def clearAnn(): Unit = {
-    val dir = Paths.get(p("ann"))
-    if (Files.exists(dir))
-      Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    deleteTree(Paths.get(p("ann")))
+    removeMeta("ann_v")
   }
+
+  /** Recursive delete with the walk stream CLOSED (Files.walk holds a
+    * directory handle until closed — a leak under repeated clears). */
+  private def deleteTree(dir: Path): Unit =
+    if (Files.exists(dir)) {
+      val walk = Files.walk(dir)
+      try walk.iterator().asScala.toSeq.reverse.foreach(Files.delete)
+      finally walk.close()
+    }
 
   // ---- A7: metadata KV (JSON sidecar — the workspace_metadata table)
 
@@ -140,6 +176,14 @@ final class Workspace(val spark: SparkSession, val root: String) {
       .mkString("{", ", ", "}")
     Files.createDirectories(metaPath.getParent)
     Files.write(metaPath, json.getBytes(StandardCharsets.UTF_8))
+  }
+
+  def removeMeta(key: String): Unit = {
+    val m = allMeta - key
+    if (Files.exists(metaPath)) {
+      Files.delete(metaPath)
+      m.foreach { case (k, v) => setMeta(k, v) }
+    }
   }
 
   def getMeta(key: String): Option[String] = allMeta.get(key)
@@ -185,12 +229,11 @@ final class Workspace(val spark: SparkSession, val root: String) {
   def count(): Long = readChunks().count()
 
   def clear(): Unit = {
-    def rm(dir: Path): Unit =
-      if (Files.exists(dir))
-        Files.walk(dir).iterator().asScala.toSeq.reverse.foreach(Files.delete)
-    rm(Paths.get(chunksPath))
-    rm(Paths.get(postingsPath))
-    rm(Paths.get(p("ann")))
+    deleteTree(Paths.get(chunksPath))
+    deleteTree(Paths.get(p("postings")))
+    deleteTree(Paths.get(p("ann")))
+    removeMeta("postings_v")
+    removeMeta("ann_v")
     // dropping the table also drops the dimension registration
     if (Files.exists(metaPath)) {
       val m = allMeta - "model_dim"

@@ -9,7 +9,7 @@ import graft.embed.{HashNgramEmbedder, ModelDiscovery}
 import graft.model.{ScoredChunk, SearchOptions}
 import graft.post.{DeepDive, ExtractiveSummaryModel, LexicalOverlapModel, Reranker, Summarizer, Calibration}
 import graft.search.{HybridEngine, LatencyPolicy}
-import graft.store.{ChunkStore, Workspace}
+import graft.store.{ChunkStore, TokenIndex, Workspace}
 
 /** Specs for workspace/store ops (A4–A8, D20/D21), reranker (E1–E3),
   * latency policy (D17), model discovery (A9), summarizer (C4), deep dive
@@ -76,6 +76,26 @@ class StoreAndPostSpec extends AnyFunSuite {
     // and an empty append onto a populated workspace stays a no-op
     ws.appendChunks(chunks.filter(org.apache.spark.sql.functions.lit(false)))
     assert(ws.count() == chunks.count())
+  }
+
+  test("workspace: index writes are versioned — the previous version survives one rebuild cycle") {
+    import java.nio.file.{Files, Paths}
+    val ws = freshWorkspace()
+    val docs = spark.read.parquet(s"$sf/documents.parquet").limit(20)
+    ws.writeChunks(ChunkStore.buildChunks(docs, embedder))
+    def postings = TokenIndex.build(
+      ws.readChunks().select(org.apache.spark.sql.functions.col("id"),
+        org.apache.spark.sql.functions.col("text_chunk").as("t")), "id", "t")
+    ws.writePostings(postings)
+    val v1 = ws.postingsPath
+    val readerOnV1 = ws.readPostings() // an in-flight reader's plan
+    ws.writePostings(postings) // v2: pointer moves, v1 must SURVIVE
+    assert(ws.postingsPath != v1)
+    assert(Files.exists(Paths.get(v1)), "previous version deleted under an in-flight reader")
+    assert(readerOnV1.count() > 0, "in-flight reader broken by the rebuild")
+    ws.writePostings(postings) // v3: now v1 is out of the grace window
+    assert(!Files.exists(Paths.get(v1)), "v(n-2) should be reclaimed")
+    assert(ws.readPostings().count() > 0)
   }
 
   test("workspace: metadata KV roundtrip + clear drops dim registration (D21)") {
