@@ -185,6 +185,41 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.search("merge window hash").nonEmpty)
   }
 
+  test("searches run CONCURRENTLY with a continuous-trigger ingest (versioned indexes, synchronized swaps)") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-conc-").toString
+    val srcDir = Files.createTempDirectory("graft-conc-src-").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") < 30).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val engine = Engine.open(spark, root, "main")
+    val stream = engine.startStreamingIngest(srcDir, Trigger.ProcessingTime(200))
+    try {
+      // wait until the first wave is searchable: the chunk dir can exist
+      // mid-write (created, nothing committed), where a read throws
+      // UNABLE_TO_INFER_SCHEMA — treat any failure as not-landed-yet
+      def landed(): Boolean =
+        scala.util.Try(engine.workspace.count() > 0).getOrElse(false)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!landed() && System.nanoTime() < deadline)
+        Thread.sleep(200)
+      assert(landed(), "first wave never landed")
+      // keep landing new files (each triggers a full index rebuild on the
+      // stream's thread) WHILE searching on this thread: with overwrite
+      // indexes this raced FileNotFoundException; versioned writes + the
+      // synchronized engine swap make every search see a consistent view
+      (0 until 4).foreach { w =>
+        docs.filter(col("doc_id") >= 30 + w * 10 && col("doc_id") < 40 + w * 10)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        (0 until 3).foreach { _ =>
+          val hits = engine.search("what is a merge window")
+          assert(hits.nonEmpty, "concurrent search returned nothing")
+        }
+      }
+    } finally stream.stop()
+  }
+
   test("calibration persistence roundtrip (E4)") {
     val root = Files.createTempDirectory("graft-cal-").toString
     val engine = Engine.open(spark, root, "ws")
