@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AsOfJoin
+
+/** Property-based pins for the two subtlest kernels: the BPE
+  * boundary-correct merge apply (vs a direct recursive reference
+  * implementation) and the AsOfJoin composition (vs a brute-force
+  * per-row scan). Examples catch the cases we thought of; these catch
+  * the ones we didn't.
+  */
+class PropertySpec extends AnyFunSuite {
+
+  // seeded generation: deterministic across runs (no RNG flake), broad
+  // enough to hit the boundary cases examples miss
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  // ---- BPE merge apply vs the textbook greedy-left merge
+
+  /** Reference Sennrich merge: walk symbols left to right, replacing each
+    * non-overlapping adjacent (a, b) occurrence with the merged symbol. */
+  private def refMerge(syms: List[String], a: String, b: String, m: String): List[String] =
+    syms match {
+      case x :: y :: rest if x == a && y == b => m :: refMerge(rest, a, b, m)
+      case x :: rest                          => x :: refMerge(rest, a, b, m)
+      case Nil                                => Nil
+    }
+
+  /** The Scala twin of TextQueries.applyMergeSql (identical padded
+    * replace; equality with the SQL form is pinned by example in
+    * PipelineOpsSpec and by the oracle gate). */
+  private def applyMerge(s: String, pr: String, m: String): String =
+    (" " + s.replace(" ", "  ") + " ")
+      .replace(" " + pr.replace(" ", "  ") + " ", " " + m + " ")
+      .replace("  ", " ").trim
+
+  test("BPE merge apply equals the textbook greedy-left merge on random symbol strings") {
+    val r = rng(42)
+    // tiny alphabet on purpose: maximizes suffix collisions ("ab" vs "b")
+    // and consecutive pair runs — the two failure modes of substring merge
+    def symbol() = (1 to (1 + r.nextInt(3))).map(_ => ('a' + r.nextInt(2)).toChar).mkString
+    (1 to 500).foreach { _ =>
+      val syms = List.fill(r.nextInt(13))(symbol())
+      val (a, b) = (symbol(), symbol())
+      val want = refMerge(syms, a, b, a + b)
+      val got = applyMerge(syms.mkString(" "), s"$a $b", a + b)
+      assert(got == want.mkString(" "),
+        s"syms=$syms pair=($a,$b): got '$got', want '${want.mkString(" ")}'")
+    }
+  }
+
+  // ---- AsOfJoin vs brute force
+
+  test("AsOfJoin equals the brute-force latest-at-or-before scan on random tables") {
+    import spark.implicits._
+    val r = rng(7)
+    def rows(n: Int) = List.fill(n)((r.nextInt(4).toLong, r.nextInt(21).toLong))
+    (1 to 12).foreach { _ =>
+      val leftRows = rows(1 + r.nextInt(15))
+      val rightRows = rows(r.nextInt(16))
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "key", "lts")
+      val right = rightRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong * 10 + t) }.toDF("key", "rts", "payload")
+      val got = AsOfJoin.join(left, right, "key", "lts", "rts",
+          Seq("payload"), tieBreak = Some("payload"))
+        .select("lid", "asof_payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      leftRows.zipWithIndex.foreach { case ((k, t), i) =>
+        // latest right at-or-before; duplicate (key, ts) resolved by the
+        // LAST payload in tie-break order
+        val want = rightRows.zipWithIndex
+          .map { case ((rk, rt), j) => (rk, rt, j.toLong * 10 + rt) }
+          .filter { case (rk, rt, _) => rk == k && rt <= t }
+          .sortBy { case (_, rt, p) => (rt, p) }
+          .lastOption.map(_._3)
+        assert(got(i.toLong) == want, s"left row $i (key=$k, ts=$t)")
+      }
+    }
+  }
+}
