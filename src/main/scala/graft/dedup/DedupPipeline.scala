@@ -82,8 +82,11 @@ object DedupPipeline {
     * Jaccard ≥ threshold over the full distinct-token sets. */
   def edges(docs: DataFrame, threshold: Double, sampleMod: Int = 4): DataFrame = {
     // materialize the token sets once: they feed the signature pipeline
-    // plus both sides of the verify join (three tokenize passes otherwise)
-    val d = tokenSets(docs, sampleMod).localCheckpoint()
+    // plus both sides of the verify join (three tokenize passes
+    // otherwise); keyed staging so repeated calls reuse the blocks
+    val d = graft.functions.Staging.staged(docs.sparkSession,
+      s"dedup_edges_sets#${docs.queryExecution.logical.semanticHash()}#$sampleMod")(
+      tokenSets(docs, sampleMod))
     val pairs = candidatePairs(bandBuckets(d, "doc_id", "s"), "doc_id")
     val sa = d.select(col("doc_id").as("a_id"), col("s").as("sa"))
     val sb = d.select(col("doc_id").as("b_id"), col("s").as("sb"))

@@ -23,3 +23,18 @@ object Checkpoints {
       case _              => ()
     }
 }
+
+/** Deterministic staging: ONE eager `localCheckpoint` per (session, key),
+  * reused by every later build with the same key. Raw per-call
+  * checkpoints orphan blocks each invocation (unpersist can't release
+  * them — see [[Checkpoints]]) and can't be released while a prior
+  * result is live (no lineage to recompute from). The key must pin
+  * everything the plan depends on (source dir / plan semantic hash). */
+object Staging {
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  def staged(spark: org.apache.spark.sql.SparkSession, key: String)(
+      build: => DataFrame): DataFrame =
+    cache.getOrElseUpdate((spark, key), build.localCheckpoint())
+}

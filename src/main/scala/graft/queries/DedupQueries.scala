@@ -77,7 +77,8 @@ object DedupQueries {
     * otherwise tokenize the corpus three times (at cluster scale this is
     * the persisted token-set table the dedup job stages between passes). */
   private def verifiedPairs(sets0: DataFrame): DataFrame = {
-    val sets = sets0.localCheckpoint()
+    val sets = staged(sets0.sparkSession,
+      s"dedup_verify_sets#${sets0.queryExecution.logical.semanticHash()}")(sets0)
     val pairs = DedupPipeline.candidatePairs(
       DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
     val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))

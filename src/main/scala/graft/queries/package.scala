@@ -23,19 +23,11 @@ package object queries {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
-  private val stageCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-
-  /** Deterministic staging for a query's intermediate table: ONE eager
-    * `localCheckpoint` per (session, key), reused by every later
-    * invocation with the same key. Repeated runs (bench warm + timed,
-    * the oracle gate) would otherwise orphan one copy of the staged
-    * blocks per call — `Dataset.unpersist` can't release them, and
-    * releasing the previous call's blocks would break a still-live
-    * result (a localCheckpoint has no lineage to recompute from). The
-    * key must pin everything the plan depends on (usually the sf dir). */
+  /** Deterministic staging for a query's intermediate table — see
+    * [[graft.functions.Staging]] (one checkpoint per (session, key),
+    * reused across the bench's warm+timed runs and the oracle gate). */
   def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    stageCache.getOrElseUpdate((spark, key), build.localCheckpoint())
+    graft.functions.Staging.staged(spark, key)(build)
 
   /** The (cid, ce) centroid rows collected into ONE broadcastable
     * array-of-structs row — the driver-sized side of scan-local cell
