@@ -308,6 +308,96 @@ object CurationQueries {
         .limit(1000)
     },
 
+    // The WHOLE pretraining-data pipeline composed end-to-end, ONE
+    // declarative plan: exact dedup (lowest doc_id survives) → Gopher
+    // quality gate (word count, alphabetic ratio, stopword floor) →
+    // benchmark decontamination (any shared 5-gram with the eval set
+    // drops the doc) → domain-mixture sampling (per-source basis-point
+    // rates equalizing token contributions) → sequence packing (bucketed
+    // 512-token concat-and-chop) → per-(source, bucket) accounting.
+    // Catalyst sees all six stages at once and pipelines the scan-local
+    // ones; the only shuffles are the dedup window, the gram join, and
+    // the pack window — each on compact keys at any corpus size.
+    Q("pipeline_pretrain_e2e",
+      """WITH d1 AS (SELECT doc_id, source, text,
+        |             row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
+        |           FROM documents),
+        |d2 AS (SELECT doc_id, source, text,
+        |              regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        |       FROM d1 WHERE rn = 1),
+        |d3 AS (SELECT doc_id, source, toks FROM d2
+        |       WHERE len(toks) BETWEEN 30 AND 90
+        |         AND len(list_filter(toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE / greatest(len(toks), 1) > 0.8
+        |         AND len(list_filter(toks, t -> t IN ('the', 'and', 'of', 'to', 'a'))) >= 2),
+        |eg AS (SELECT DISTINCT unnest(list_transform(range(1, len(toks) - 3), i ->
+        |              md5(array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+        |       FROM d2 WHERE doc_id % 97 = 0 AND len(toks) >= 5),
+        |cg AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3), i ->
+        |              md5(array_to_string(list_slice(toks, i, i + 4), ' ')))) AS g
+        |       FROM d3),
+        |dirty AS (SELECT DISTINCT cg.doc_id FROM cg JOIN eg ON eg.g = cg.g),
+        |d4 AS (SELECT d3.doc_id, d3.source, len(d3.toks)::BIGINT AS n_tokens
+        |       FROM d3 LEFT JOIN dirty ON dirty.doc_id = d3.doc_id
+        |       WHERE dirty.doc_id IS NULL),
+        |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM d4 GROUP BY source),
+        |r AS (SELECT source, ((SELECT min(tot) FROM tot) * 10000) // tot AS rate_bp FROM tot),
+        |d5 AS (SELECT d4.doc_id, d4.source, d4.n_tokens,
+        |              ('0x' || substr(md5(d4.doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % 8 AS bucket
+        |       FROM d4 JOIN r ON r.source = d4.source
+        |       WHERE ('0x' || substr(md5(d4.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000 < r.rate_bp),
+        |d6 AS (SELECT doc_id, source, bucket, n_tokens,
+        |              coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+        |       FROM d5)
+        |SELECT source, bucket, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
+        |       count(DISTINCT cum // 512)::BIGINT AS n_seqs
+        |FROM d6 GROUP BY source, bucket
+        |ORDER BY source, bucket LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val enStopCols = Seq("the", "and", "of", "to", "a")
+      val d1 = table(spark, dir, "documents")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(md5(lower(trim(col("text"))))).orderBy("doc_id")))
+      val d2 = staged(spark, s"$dir#pipe_d2") { // feeds the gate AND the eval gram side
+        d1.filter(col("rn") === 1)
+          .select(col("doc_id"), col("source"), F.tokens(col("text")).as("toks"))
+      }
+      val nToks = size(col("toks"))
+      val d3 = d2.filter(
+        nToks.between(30, 90) &&
+        (size(filter(col("toks"), t => t.rlike("[a-z]"))).cast("double") /
+          greatest(nToks, lit(1))) > 0.8 &&
+        size(filter(col("toks"), t => t.isin(enStopCols: _*))) >= 2)
+      // docs under 5 tokens yield no grams (Spark's sequence() would go
+      // DESCENDING on a negative stop — DuckDB's range is just empty)
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), size(col("toks")) - 4),
+            i => md5(array_join(slice(col("toks"), i, lit(5)), " ")))).as("g"))
+      val eg = grams(d2.filter(col("doc_id") % 97 === 0)).select("g").distinct()
+      val dirty = decontaminateJoin(grams(d3), eg).select("doc_id").distinct()
+      val d4 = staged(spark, s"$dir#pipe_d4") { // feeds the rate table AND the sampled scan
+        d3.join(dirty, Seq("doc_id"), "left_anti")
+          .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_tokens"))
+      }
+      val tot = d4.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
+      val rates = tot.crossJoin(broadcast(tot.agg(min(col("tot")).as("mn"))))
+        .select(col("source"), expr("(mn * 10000) div tot").as("rate_bp"))
+      val d5 = d4.join(broadcast(rates), Seq("source"))
+        .filter(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":mix"))), lit(10000L)) < col("rate_bp"))
+        .withColumn("bucket",
+          pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))), lit(8L)))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d5.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .groupBy("source", "bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
+          countDistinct(expr("cum div 512")).as("n_seqs"))
+        .orderBy("source", "bucket")
+        .limit(1000)
+    },
+
     // The WHOLE curation flow composed end-to-end — exact dedup (keep the
     // lowest doc_id per content hash) → minimum-length quality gate →
     // reproducible hash split → per-(lang, split) corpus accounting. One

@@ -155,6 +155,25 @@ class PipelineOpsSpec extends AnyFunSuite {
       "fixture failed to build a long chain — the test would not exercise halving")
   }
 
+  test("pipeline_pretrain_e2e: stage invariants — shrinkage, gate bounds, packing consistency") {
+    val rows = run("pipeline_pretrain_e2e").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // monotone shrinkage: the pipeline can only DROP docs vs exact dedup
+    val nDistinct = spark.read.parquet(s"$sf/documents.parquet")
+      .select(countDistinct(md5(lower(trim(col("text"))))))
+      .head().getLong(0)
+    assert(rows.map(_._3).sum <= nDistinct)
+    rows.foreach { case (_, _, nDocs, nTokens, nSeqs) =>
+      // the Gopher gate bounds every surviving doc to 30..90 tokens
+      assert(nTokens >= nDocs * 30 && nTokens <= nDocs * 90)
+      // packing: each doc starts in exactly one sequence
+      assert(nSeqs >= 1 && nSeqs <= nDocs)
+    }
+    // every (source, bucket) key is unique — the accounting is a partition
+    assert(rows.map(r => (r._1, r._2)).distinct.length == rows.length)
+  }
+
   test("q_funnel: stage assignment equals an ordered-sequence replay over raw events") {
     val ev = graft.queries.events(spark, sf)
       .select(col("user_id"), col("event_type"), unix_millis(col("ts")).as("ms"))
