@@ -81,24 +81,37 @@ final class Engine(
     * reference reads its own retrieval_logs per query
     * (vector_store.cpp:430-439). The log is partitioned by query-hash
     * bucket, so each lookup is a one-partition scan; results memoize per
-    * canonical query, and the memo clears on every flush. NO unbounded
-    * driver-side collect: cost is bounded by the queries actually asked. */
-  private val stabilityMemo = scala.collection.concurrent.TrieMap.empty[String, (Double, Long)]
+    * canonical query in an LRU capped at 100 entries (the same budget as
+    * QueryCache — the reference's cache size, vector_store.cpp:26), and
+    * the memo clears on every flush. NO unbounded driver-side state. */
+  private val stabilityMemo =
+    new java.util.LinkedHashMap[String, (Double, Long)](16, 0.75f, true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, (Double, Long)]): Boolean =
+        size > 100
+    }
 
-  private def stabilityHistory(canonQuery: String): (Double, Long) =
-    stabilityMemo.getOrElseUpdate(canonQuery, {
-      if (!workspace.hasLog) (0.0, 0L)
-      else {
-        val bucket = TokenIndex.tokenBucket(canonQuery) // same md5-60 mod-64 as the writer
-        val r = workspace.readLog()
-          .filter(col("query_bucket") === bucket &&
-            col("query") === canonQuery && !col("is_exploration"))
-          .agg(coalesce(sum(abs(col("rank_delta"))), lit(0L)).cast("double").as("s"),
-            count(lit(1)).as("n"))
-          .head()
-        (r.getDouble(0), r.getLong(1))
-      }
-    })
+  private[graft] def stabilityMemoSize: Int =
+    stabilityMemo.synchronized(stabilityMemo.size)
+
+  private[graft] def stabilityHistory(canonQuery: String): (Double, Long) = {
+    val hit = stabilityMemo.synchronized(Option(stabilityMemo.get(canonQuery)))
+    hit.getOrElse {
+      val v =
+        if (!workspace.hasLog) (0.0, 0L)
+        else {
+          val bucket = TokenIndex.tokenBucket(canonQuery) // same md5-60 mod-64 as the writer
+          val r = workspace.readLog()
+            .filter(col("query_bucket") === bucket &&
+              col("query") === canonQuery && !col("is_exploration"))
+            .agg(coalesce(sum(abs(col("rank_delta"))), lit(0L)).cast("double").as("s"),
+              count(lit(1)).as("n"))
+            .head()
+          (r.getDouble(0), r.getLong(1))
+        }
+      stabilityMemo.synchronized(stabilityMemo.put(canonQuery, v))
+      v
+    }
+  }
 
   /** Full invalidation — the chunk TABLE changed (index/summarize): flush
     * retrieval-log rows to the workspace parquet log (A6), persist
@@ -146,19 +159,33 @@ final class Engine(
         "latency_embed_ms", "latency_search_ms", "latency_fusion_ms", "latency_rerank_ms",
         "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability",
         "created_at"))
-      stabilityMemo.clear() // persisted history changed; memoized sums are stale
+      stabilityMemo.synchronized(stabilityMemo.clear()) // persisted history changed
     }
     rows.size.toLong
   }
 
-  /** Rebuild the posting-list index from the current chunk table (the same
-    * job that writes chunks maintains the FTS mirror; at cluster scale the
-    * delta partitions would be appended instead of rewritten). */
-  private def rebuildPostings(): Unit = {
-    val indexed = workspace.readChunks().select(col("id"),
+  /** Posting rows for a set of chunk rows — the FTS mirror indexes
+    * "[heading] text" (vector_store.cpp:195-201). */
+  private def postingsOf(chunks: DataFrame): DataFrame = {
+    val indexed = chunks.select(col("id"),
       concat_ws(" ", coalesce(col("heading_path"), lit("")), col("text_chunk")).as("itext"))
-    workspace.writePostings(TokenIndex.build(indexed, "id", "itext"))
+    TokenIndex.build(indexed, "id", "itext")
   }
+
+  /** Full rebuild of the posting-list index from the current chunk table —
+    * the batch path (index()) and the compaction path. The streaming path
+    * uses [[mergePostings]] instead: O(batch), not O(corpus). */
+  private def rebuildPostings(): Unit =
+    workspace.writePostings(postingsOf(workspace.readChunks()))
+
+  /** O(batch) posting maintenance for an appended chunk batch: appended
+    * chunks have strictly-new ids, so their postings are strictly-new rows
+    * — merge-append them into the live version's token buckets. First
+    * batch into an index-less workspace falls through to the full build
+    * (which IS the batch at that point). */
+  private def mergePostings(batch: DataFrame): Unit =
+    if (workspace.hasPostings) workspace.appendPostings(postingsOf(batch))
+    else workspace.writePostings(postingsOf(batch))
 
   /** Rebuild the IVF cell index from the current chunk table when the
     * engine is configured for ANN candidates (opts.annMode == "ivf"):
@@ -176,6 +203,41 @@ final class Engine(
       workspace.writeAnn(vectors, cents)
     } else if (workspace.hasAnn) workspace.clearAnn()
 
+  /** O(batch) ANN maintenance for an appended chunk batch: assign only the
+    * batch's vectors against the FROZEN trained centroids (KMeans.assign
+    * is a scan-local Column expression — the centroid array rides along as
+    * a literal) and append them into the live version's cid= partitions.
+    * Assignment against frozen centroids stays CORRECT indefinitely — a
+    * probe scores appended vectors with the same exact cosine — only cell
+    * BALANCE drifts as the corpus outgrows its training set, so a full
+    * retrain triggers once appended rows exceed the trained base
+    * ([[Workspace.annDriftExceeded]]) or on explicit [[compactIndexes]].
+    * First batch into an index-less workspace trains from scratch (the
+    * corpus IS the batch at that point). */
+  private def appendToAnn(batch: DataFrame): Unit =
+    if (opts.annMode == "ivf") {
+      if (!workspace.hasAnn) rebuildAnn()
+      else {
+        val cents = workspace.readAnnCentroids()
+        workspace.appendAnn(
+          batch.filter(col("embedding").isNotNull).select(
+            col("id"), col("embedding"),
+            graft.ml.KMeans.assign(col("embedding"), cents).as("cid")))
+        if (workspace.annDriftExceeded) rebuildAnn()
+      }
+    } else if (workspace.hasAnn) workspace.clearAnn()
+
+  /** Explicit compaction: full posting + ANN rebuild (retrain) from the
+    * current chunk table — the scheduled counterpart of the O(batch)
+    * streaming maintenance (small per-batch parquet files accumulate;
+    * centroids age). Safe under concurrent searches: both writers are
+    * versioned swaps. */
+  def compactIndexes(): Unit = {
+    rebuildPostings()
+    rebuildAnn()
+    invalidate()
+  }
+
   /** Ingest a documents table into the workspace chunk store (A3+B+C1),
     * maintaining the posting index — and, under annMode="ivf", the IVF
     * cell index — alongside. */
@@ -188,22 +250,46 @@ final class Engine(
     workspace.count()
   }
 
+  /** One streamed micro-batch of documents through the incremental ingest
+    * path: chunk + embed ONCE (localCheckpoint — the append, the posting
+    * merge, and the ANN assignment all read the materialized batch), then
+    * O(batch) index maintenance — [[mergePostings]] appends the batch's
+    * posting rows into the live token buckets and [[appendToAnn]] assigns
+    * the batch against the frozen centroids into the live cid= partitions.
+    * Per-batch work is proportional to the BATCH, never the corpus (the
+    * drift-triggered retrain being the documented exception). */
+  private[graft] def ingestBatch(batch: DataFrame): Unit = {
+    val built = ChunkStore.buildChunks(batch, embedder).localCheckpoint()
+    try {
+      if (!built.isEmpty) {
+        workspace.appendChunks(built)
+        mergePostings(built)
+        appendToAnn(built)
+        workspace.setMeta("summaries_indexed", "false")
+        invalidate() // table changed: next search() re-reads + re-pins
+      }
+    } finally graft.functions.Checkpoints.release(built)
+  }
+
   /** Continuous ingest — the reference's incremental index queue
-    * (mainwindow.cpp:713-761) as a Structured Streaming foreachBatch sink:
-    * documents landing in `inputDir` are chunked + embedded by the SAME
-    * batch pipeline as [[index]] and appended to the workspace chunk
-    * table, with the posting (and, under annMode="ivf", ANN) index
-    * refreshed per micro-batch — so [[search]] finds streamed docs
-    * without any manual index() call. The checkpoint lives inside the
-    * workspace, so a restarted stream resumes exactly-once over the
-    * source files.
+    * (mainwindow.cpp:713-761, one INSERT per chunk plus its FTS mirror
+    * row) as a Structured Streaming foreachBatch sink: documents landing
+    * in `inputDir` are chunked + embedded by the SAME batch pipeline as
+    * [[index]] and appended to the workspace chunk table, with the
+    * posting (and, under annMode="ivf", ANN) index INCREMENTALLY
+    * maintained per micro-batch ([[ingestBatch]] — O(batch) appends, not
+    * full rebuilds) — so [[search]] finds streamed docs without any
+    * manual index() call. The checkpoint lives inside the workspace, so a
+    * restarted stream resumes exactly-once over the source files.
     *
-    * Safe to run CONCURRENTLY with [[search]] (a continuous trigger,
-    * not just AvailableNow): index rebuilds are versioned writes (the
-    * previous version survives one full rebuild cycle for in-flight
-    * readers — [[Workspace.writePostings]]), and every engine-state swap
-    * is synchronized, so a search holds a consistent engine whose files
-    * outlive its query. */
+    * Safe to run CONCURRENTLY with [[search]] (a continuous trigger, not
+    * just AvailableNow): per-batch index maintenance APPENDS files (never
+    * deletes or mutates), the drift-triggered retrain is a versioned swap
+    * whose prior versions survive [[Workspace.RetainPriorVersions]] full
+    * rebuild cycles for in-flight readers, and every engine-state swap is
+    * synchronized — so a search holds a consistent engine whose files
+    * outlive its query up to that retention bound (a query spanning MORE
+    * than that many complete retrain cycles would lose its files). */
   def startStreamingIngest(inputDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     val docs = spark.readStream
@@ -211,13 +297,7 @@ final class Engine(
       .parquet(inputDir)
     docs.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) {
-          workspace.appendChunks(ChunkStore.buildChunks(batch, embedder))
-          rebuildPostings()
-          rebuildAnn()
-          workspace.setMeta("summaries_indexed", "false")
-          invalidate() // table changed: next search() re-reads + re-pins
-        }
+        if (!batch.isEmpty) ingestBatch(batch)
         ()
       }
       .option("checkpointLocation", s"${workspace.root}/_ingest_checkpoint")

@@ -28,13 +28,79 @@ object Checkpoints {
   * reused by every later build with the same key. Raw per-call
   * checkpoints orphan blocks each invocation (unpersist can't release
   * them — see [[Checkpoints]]) and can't be released while a prior
-  * result is live (no lineage to recompute from). The key must pin
-  * everything the plan depends on (source dir / plan semantic hash). */
+  * result is live (no lineage to recompute from).
+  *
+  * Contract: the key must pin everything the plan depends on (source dir /
+  * plan semantic hash) AND the data under it must be immutable while
+  * staged — the cache keys paths, not contents. Code that rewrites a
+  * staged path in-session must call [[invalidate]] with that path (the
+  * Workspace mutation paths do); the cache is also LRU-bounded, and
+  * concurrent first-builds of one key are serialized through a memoizing
+  * holder so exactly one checkpoint is ever created per key (a racing
+  * loser would otherwise orphan its blocks — the leak this class exists
+  * to prevent). */
 object Staging {
-  private val cache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+  import org.apache.spark.sql.SparkSession
 
-  def staged(spark: org.apache.spark.sql.SparkSession, key: String)(
-      build: => DataFrame): DataFrame =
-    cache.getOrElseUpdate((spark, key), build.localCheckpoint())
+  /** Far above any single job's working set of staged inputs; eviction
+    * assumes the evicted (least-recently-STAGED) entry has no live
+    * consumer, which holds when jobs stage what they read in-plan. */
+  private final val MaxEntries = 64
+
+  private final class Holder(build: () => DataFrame) {
+    @volatile private var built: Option[DataFrame] = None
+    // lazy val: concurrent getters block on one evaluation — exactly one
+    // checkpoint per key, the loser reuses it instead of orphaning blocks
+    lazy val value: DataFrame = {
+      val df = build().localCheckpoint()
+      built = Some(df)
+      df
+    }
+    def evaluated: Option[DataFrame] = built
+  }
+
+  // access-order LinkedHashMap = LRU; all structural access synchronized
+  private val cache =
+    new java.util.LinkedHashMap[(SparkSession, String), Holder](16, 0.75f, true)
+
+  def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
+    val holder = cache.synchronized {
+      val k = (spark, key)
+      Option(cache.get(k)).getOrElse {
+        val h = new Holder(() => build)
+        cache.put(k, h)
+        while (cache.size > MaxEntries) {
+          val it = cache.entrySet().iterator()
+          val eldest = it.next()
+          it.remove()
+          eldest.getValue.evaluated.foreach(Checkpoints.release)
+        }
+        h
+      }
+    }
+    holder.value // evaluated OUTSIDE the map lock (runs a Spark job)
+  }
+
+  /** Drop (and release) every staged entry whose key mentions `pathSubstr`
+    * — the hook for table-mutation paths: rewriting data under a staged
+    * path makes its checkpoint silently stale. */
+  def invalidate(pathSubstr: String): Unit = cache.synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._2.contains(pathSubstr)) {
+        e.getValue.evaluated.foreach(Checkpoints.release)
+        it.remove()
+      }
+    }
+  }
+
+  /** Release everything (session teardown / tests). */
+  def clear(): Unit = cache.synchronized {
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) {
+      it.next().getValue.evaluated.foreach(Checkpoints.release)
+      it.remove()
+    }
+  }
 }

@@ -39,7 +39,15 @@ final class ExactScanGenerator(chunks: DataFrame) extends CandidateGenerator {
   * query reads nprobe/k of the corpus). Probe selection is a driver-side
   * k·d loop against the trained centroids — the same "tiny side stays on
   * the driver" contract as the k-means trainer itself.
-  */
+  *
+  * When the index carries the persisted SQ8 columns (the Workspace layout
+  * writes them — `sq_code` int8 array, `sq_scale`, `sq_norm`), the probe
+  * is TWO-PHASE: the full probed-cell pass reads only the byte codes (4×
+  * fewer scan bytes than the float vectors) and approximates cosine from
+  * the rescaled integer dot product; the exact cosine then re-ranks only
+  * the top `depth × 4` survivors, re-read with an `id IN (…)` pushdown on
+  * the same pruned partitions. The bounded driver hop between phases is ≤
+  * 4·depth ids — the same class as the engine's other ≤2·depth collects. */
 final class IvfGenerator(
     ann: DataFrame,
     centroids: Seq[Seq[Double]],
@@ -47,16 +55,61 @@ final class IvfGenerator(
   require(centroids.nonEmpty, "IVF index has no centroids")
   require(nprobe >= 1, "nprobe must be >= 1")
 
-  override val mode: String = s"ivf(cells=${centroids.size},nprobe=$nprobe)"
+  private val useSq8 = IvfGenerator.Sq8Columns.forall(ann.columns.contains)
 
-  override def candidates(qv: Array[Float], depth: Int): DataFrame = {
+  override val mode: String =
+    s"ivf(cells=${centroids.size},nprobe=$nprobe${if (useSq8) ",sq8" else ""})"
+
+  private def probed(qv: Array[Float]): DataFrame = {
     val cells = IvfGenerator.nearestCells(qv, centroids, nprobe)
     ann.filter(col("cid").isin(cells: _*))
-      .select(col("id"), cosineSim(col("embedding"), typedLit(qv)).as("sem_score"))
   }
+
+  /** Phase 1 of the SQ8 probe: approximate cosine from the persisted int8
+    * codes — the ONLY pass over every probed row, and its scan must not
+    * touch the float `embedding` column (plan-asserted in AnnEngineSpec).
+    * cos(x, q) ≈ (Σ code_i·q_i)/scale / (‖x‖·‖q‖); zero-norm rows score
+    * −1 (NaN would sort ABOVE every real score in a descending sort). */
+  private[graft] def approxByCode(qv: Array[Float], depth: Int): DataFrame = {
+    val q = qv.map(_.toDouble).toSeq
+    val qnorm = math.sqrt(q.map(x => x * x).sum)
+    val dot = aggregate(
+      zip_with(col("sq_code").cast("array<double>"), typedlit(q), (x, y) => x * y),
+      lit(0.0), (s, v) => s + v)
+    val approx =
+      if (qnorm == 0.0) lit(-1.0)
+      else when(col("sq_norm") > 0,
+        dot / col("sq_scale") / (col("sq_norm") * lit(qnorm))).otherwise(lit(-1.0))
+    probed(qv)
+      .select(col("id"), approx.as("approx_score"))
+      .orderBy(col("approx_score").desc, col("id"))
+      .limit(math.min(depth.toLong * IvfGenerator.Sq8Overfetch, Int.MaxValue.toLong).toInt)
+  }
+
+  override def candidates(qv: Array[Float], depth: Int): DataFrame =
+    if (!useSq8)
+      probed(qv).select(col("id"), cosineSim(col("embedding"), typedLit(qv)).as("sem_score"))
+    else {
+      val survivors = approxByCode(qv, depth).collect().map(_.getLong(0))
+      // exact re-rank of the survivors: the `id IN` predicate pushes down
+      // to the parquet scan (row-group pruning) on the SAME cid-pruned
+      // partitions, so the float column is read for ~4·depth rows only
+      probed(qv)
+        .filter(col("id").isin(survivors.map(Long.box): _*))
+        .select(col("id"), cosineSim(col("embedding"), typedLit(qv)).as("sem_score"))
+    }
 }
 
 object IvfGenerator {
+
+  /** The persisted SQ8 serving columns ([[AnnIndex.withSq8]]). */
+  final val Sq8Columns = Seq("sq_code", "sq_scale", "sq_norm")
+
+  /** Phase-1 → phase-2 overfetch: the exact re-rank sees 4× the requested
+    * depth, absorbing int8 quantization error in the approximate ordering
+    * (recall floor pinned in AnnEngineSpec). */
+  final val Sq8Overfetch = 4
+
   /** The query's `nprobe` nearest cells by squared L2 (the trainer's
     * metric), ties broken by lowest cid — k·d doubles of driver work.
     * A dimension mismatch (embedder changed after the index was built) is
@@ -81,6 +134,25 @@ object AnnIndex {
 
   final val DefaultCells = 16
   final val DefaultIters = 2
+
+  /** SQ8 serving columns for a vector table: per-vector scale s =
+    * 127/max|x| (ε-floored), codes = floor(x·s) — exact integers in
+    * [−127, 127], so the rescaled dot product is deterministic (the same
+    * scheme as the ann_sq8_topk oracle, FAISS-SQ8 shape) — plus the float
+    * norm, so approximate cosine needs only the byte codes at probe time.
+    * Idempotent on tables that already carry the columns. */
+  def withSq8(vectors: DataFrame, vecCol: String = "embedding"): DataFrame =
+    if (IvfGenerator.Sq8Columns.forall(vectors.columns.contains)) vectors
+    else {
+      val emb = col(vecCol).cast("array<double>")
+      val scale = lit(127.0) / greatest(
+        array_max(transform(emb, x => abs(x))), lit(1e-12))
+      vectors
+        .withColumn("sq_scale", scale)
+        .withColumn("sq_code", transform(emb, x => floor(x * scale).cast("tinyint")))
+        .withColumn("sq_norm",
+          sqrt(aggregate(zip_with(emb, emb, (a, b) => a * b), lit(0.0), (s, v) => s + v)))
+    }
 
   /** @return (vectors (id, embedding, cid), trained centroids). The id
     *         column is renamed to `id` and the vector column to

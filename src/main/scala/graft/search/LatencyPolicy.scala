@@ -14,7 +14,10 @@ final class LatencyPolicy(seedMs: Double = 100.0) {
   val HighMs = 1500.0
   val CriticalMs = 4000.0
 
-  private var ema = seedMs
+  // @volatile: readers (emaMs, decide) are lock-free — without it a
+  // non-volatile Double can be read torn/stale under the JMM when a
+  // streaming-ingest thread records while a search thread decides
+  @volatile private var ema = seedMs
 
   def record(measuredMs: Double): Unit = synchronized { ema = 0.8 * ema + 0.2 * measuredMs }
   def emaMs: Double = ema

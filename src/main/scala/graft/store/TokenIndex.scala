@@ -44,12 +44,22 @@ object TokenIndex {
     * prune to a handful of files (the bucket column uses the same md5-60
     * hash as [[tokenBucket]]). */
   def write(postings: DataFrame, path: String, buckets: Int = DefaultBuckets): Unit =
+    shaped(postings, buckets).write.mode("overwrite")
+      .partitionBy("token_bucket").parquet(path)
+
+  /** Merge-append a batch's postings into an EXISTING index's token-bucket
+    * partitions (same bucketing as [[write]]): each affected bucket gains
+    * one file of new rows; untouched buckets and existing files are never
+    * rewritten — per-batch cost ∝ batch postings, not index size. Only
+    * sound for strictly-new chunk ids (the append-only chunk table). */
+  def append(postings: DataFrame, path: String, buckets: Int = DefaultBuckets): Unit =
+    shaped(postings, buckets).write.mode("append")
+      .partitionBy("token_bucket").parquet(path)
+
+  private def shaped(postings: DataFrame, buckets: Int): DataFrame =
     postings
       .withColumn("token_bucket", pmod(F.hash60(col("token")), lit(buckets)))
       .repartition(col("token_bucket"))
-      .write.mode("overwrite")
-      .partitionBy("token_bucket")
-      .parquet(path)
 
   /** Keyword search as a posting join: filter the index to the query's
     * tokens, sum tf per chunk, top-k. When the postings table carries the

@@ -1,7 +1,7 @@
 package graft.store
 
 import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Path, Paths}
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
@@ -43,6 +43,8 @@ final class Workspace(val spark: SparkSession, val root: String) {
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
       ChunkStore.write(c, chunksPath)
+      // staged plans keyed on this workspace's paths are now stale
+      graft.functions.Staging.invalidate(root)
     } finally c.unpersist()
   }
 
@@ -68,6 +70,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
       c.write.mode(SaveMode.Append).parquet(chunksPath)
+      graft.functions.Staging.invalidate(root)
     } finally c.unpersist()
   }
 
@@ -93,10 +96,13 @@ final class Workspace(val spark: SparkSession, val root: String) {
   // the metadata KV): a SaveMode.Overwrite of the live dir would delete
   // part files out from under a concurrently-running search (the
   // streaming-ingest foreachBatch rebuilds indexes on its own thread).
-  // The writer creates v(n+1), moves the pointer, and deletes v(n−1) —
-  // in-flight readers of v(n) keep their files for one full rebuild
-  // cycle. This is the atomic-swap layout every mutable-index-on-
-  // immutable-files store uses.
+  // The writer creates v(n+1), moves the pointer, and deletes versions
+  // older than [[Workspace.RetainPriorVersions]] rebuild cycles — an
+  // in-flight reader of v(n) keeps its files for that many full cycles
+  // of wall-clock (NOT reader-lifetime leases: a query outliving two
+  // complete rebuilds still loses its files; at cluster scale the
+  // catalog's snapshot-expiry policy takes this job). This is the
+  // atomic-swap layout every mutable-index-on-immutable-files store uses.
 
   private def currentVersion(key: String): Option[Int] = getMeta(key).map(_.toInt)
 
@@ -104,7 +110,20 @@ final class Workspace(val spark: SparkSession, val root: String) {
     val next = currentVersion("postings_v").getOrElse(0) + 1
     TokenIndex.write(postings, p("postings", s"v$next"))
     setMeta("postings_v", next.toString)
-    deleteTree(Paths.get(p("postings", s"v${next - 2}")))
+    deleteTree(Paths.get(p("postings", s"v${next - 1 - Workspace.RetainPriorVersions}")))
+  }
+
+  /** O(batch) posting maintenance: append a batch's posting rows into the
+    * LIVE version's token buckets. Sound because the chunk table is
+    * append-only with fresh ids — a new chunk contributes strictly new
+    * (token, chunk_id) rows, so no existing posting row ever needs a
+    * rewrite, and concurrent readers only ever see a consistent prefix
+    * (parquet appends add files; they never delete or mutate). A caller
+    * replacing existing chunks must use [[writePostings]] (full rebuild)
+    * instead. */
+  def appendPostings(postings: DataFrame): Unit = {
+    require(hasPostings, "appendPostings needs an existing posting index (writePostings first)")
+    TokenIndex.append(postings, postingsPath)
   }
 
   def postingsPath: String =
@@ -125,18 +144,59 @@ final class Workspace(val spark: SparkSession, val root: String) {
   def annCentroidsPath: String =
     p("ann", s"v${currentVersion("ann_v").getOrElse(0)}", "centroids")
 
-  /** Versioned like writePostings: v(n+1) written, pointer moved, v(n−1)
-    * dropped — a concurrent probe on v(n) keeps its files. */
+  /** Versioned like writePostings: v(n+1) written, pointer moved, versions
+    * older than the retention window dropped — a concurrent probe on v(n)
+    * keeps its files for [[Workspace.RetainPriorVersions]] rebuild cycles.
+    *
+    * Alongside each vector the layout persists its SQ8 serving columns
+    * (`sq_code` int8 array + `sq_scale` + `sq_norm`, FAISS-SQ8 shape): the
+    * probe's first pass scores against the byte codes (4× fewer scan bytes
+    * than float32) and only the surviving candidates re-read the float
+    * embedding — see [[graft.search.IvfGenerator]]. */
   def writeAnn(vectors: DataFrame, centroids: Seq[Seq[Double]]): Unit = {
     val next = currentVersion("ann_v").getOrElse(0) + 1
-    vectors.write.partitionBy("cid").mode(SaveMode.Overwrite)
-      .parquet(p("ann", s"v$next", "vectors"))
+    val path = p("ann", s"v$next", "vectors")
+    graft.search.AnnIndex.withSq8(vectors).write
+      .partitionBy("cid").mode(SaveMode.Overwrite).parquet(path)
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(p("ann", s"v$next", "centroids"))
+    // drift baseline for the incremental append path: how many vectors the
+    // centroids were trained over (parquet metadata count — no data read)
+    val baseN = spark.read.parquet(path).count()
     setMeta("ann_v", next.toString)
-    deleteTree(Paths.get(p("ann", s"v${next - 2}")))
+    setMeta("ann_base_n", baseN.toString)
+    setMeta("ann_appended_n", "0")
+    deleteTree(Paths.get(p("ann", s"v${next - 1 - Workspace.RetainPriorVersions}")))
+  }
+
+  /** O(batch) ANN maintenance: append a batch's (id, embedding, cid) rows —
+    * already assigned against the FROZEN centroids — into the live
+    * version's cid= partitions, and advance the drift counter. Appends add
+    * parquet files only, so concurrent probes stay consistent. The caller
+    * owns the retrain decision via [[annDriftExceeded]]. */
+  def appendAnn(assigned: DataFrame): Unit = {
+    require(hasAnn, "appendAnn needs an existing ANN index (writeAnn first)")
+    val batch = graft.search.AnnIndex.withSq8(assigned).localCheckpoint()
+    try {
+      val n = batch.count()
+      if (n > 0) {
+        batch.write.partitionBy("cid").mode(SaveMode.Append).parquet(annVectorsPath)
+        val appended = getMeta("ann_appended_n").map(_.toLong).getOrElse(0L) + n
+        setMeta("ann_appended_n", appended.toString)
+      }
+    } finally graft.functions.Checkpoints.release(batch)
+  }
+
+  /** Has the corpus drifted past the trained centroids' mandate? True once
+    * more rows were appended than the centroids were trained over — the
+    * retrain trigger for the incremental path (assignment against frozen
+    * centroids stays CORRECT forever; only cell balance degrades). */
+  def annDriftExceeded: Boolean = {
+    val base = getMeta("ann_base_n").map(_.toLong).getOrElse(0L)
+    val appended = getMeta("ann_appended_n").map(_.toLong).getOrElse(0L)
+    base > 0 && appended > base
   }
 
   def readAnn(): DataFrame = spark.read.parquet(annVectorsPath)
@@ -155,7 +215,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * engine would silently probe ids that no longer exist. */
   def clearAnn(): Unit = {
     deleteTree(Paths.get(p("ann")))
-    removeMeta("ann_v")
+    removeMeta("ann_v", "ann_base_n", "ann_appended_n")
   }
 
   /** Recursive delete with the walk stream CLOSED (Files.walk holds a
@@ -168,22 +228,35 @@ final class Workspace(val spark: SparkSession, val root: String) {
     }
 
   // ---- A7: metadata KV (JSON sidecar — the workspace_metadata table)
+  //
+  // Writers serialize read-modify-write through `metaLock` and publish via
+  // write-temp-then-ATOMIC_MOVE, so a concurrent reader (a search thread
+  // resolving hasPostings/ann_v while the streaming thread swaps an index
+  // version) sees the old file or the new file, never a torn or empty one
+  // — and two writer threads (index() vs the stream's foreachBatch) can't
+  // lose a key via interleaved read-modify-write. The lock is JVM-wide per
+  // workspace instance; cross-process coordination is the catalog's job at
+  // cluster scale (the reference's analog is sqlite's file lock).
 
-  def setMeta(key: String, value: String): Unit = {
-    val m = allMeta + (key -> value)
+  private val metaLock = new Object
+
+  private def writeAllMeta(m: Map[String, String]): Unit = {
     val json = m.toSeq.sortBy(_._1)
       .map { case (k, v) => s""""${esc(k)}": "${esc(v)}"""" }
       .mkString("{", ", ", "}")
     Files.createDirectories(metaPath.getParent)
-    Files.write(metaPath, json.getBytes(StandardCharsets.UTF_8))
+    val tmp = Files.createTempFile(metaPath.getParent, ".workspace_metadata", ".tmp")
+    Files.write(tmp, json.getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, metaPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def removeMeta(key: String): Unit = {
-    val m = allMeta - key
-    if (Files.exists(metaPath)) {
-      Files.delete(metaPath)
-      m.foreach { case (k, v) => setMeta(k, v) }
-    }
+  def setMeta(key: String, value: String): Unit = metaLock.synchronized {
+    writeAllMeta(allMeta + (key -> value))
+  }
+
+  def removeMeta(keys: String*): Unit = metaLock.synchronized {
+    if (Files.exists(metaPath)) writeAllMeta(allMeta -- keys)
   }
 
   def getMeta(key: String): Option[String] = allMeta.get(key)
@@ -232,18 +305,21 @@ final class Workspace(val spark: SparkSession, val root: String) {
     deleteTree(Paths.get(chunksPath))
     deleteTree(Paths.get(p("postings")))
     deleteTree(Paths.get(p("ann")))
-    removeMeta("postings_v")
-    removeMeta("ann_v")
     // dropping the table also drops the dimension registration
-    if (Files.exists(metaPath)) {
-      val m = allMeta - "model_dim"
-      Files.delete(metaPath)
-      m.foreach { case (k, v) => setMeta(k, v) }
-    }
+    removeMeta("postings_v", "ann_v", "ann_base_n", "ann_appended_n", "model_dim")
+    graft.functions.Staging.invalidate(root)
   }
 }
 
 object Workspace {
+  /** How many PRIOR index versions survive each pointer swap (plus the
+    * live one): an in-flight reader keeps its files for this many full
+    * rebuild cycles of wall-clock. Two cycles covers a query spanning one
+    * swap comfortably even under a continuous 200 ms trigger; a reader
+    * slower than TWO complete rebuilds still loses its files — lease-based
+    * reclamation is a catalog concern at cluster scale. */
+  final val RetainPriorVersions = 2
+
   /** A8: discover workspaces = subdirectories holding a chunks table. */
   def discover(spark: SparkSession, appRoot: String): Seq[String] = {
     val root = Paths.get(appRoot)

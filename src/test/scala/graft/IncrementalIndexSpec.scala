@@ -1,0 +1,219 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.Engine
+import graft.model.SearchOptions
+import graft.search.{AnnIndex, ExactScanGenerator, IvfGenerator}
+import graft.store.Workspace
+
+/** Round-5 incremental index maintenance: the streaming/append path must do
+  * O(batch) work — merge-append postings into live token buckets and
+  * assign-append ANN vectors against frozen centroids — never a
+  * full-corpus rebuild per micro-batch (the round-4 finding,
+  * api/Engine.scala ingestBatch). Plus the SQ8 persisted-code probe and
+  * the Staging cache's bounded/invalidating behavior.
+  */
+class IncrementalIndexSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def docs(n: Int, from: Int = 0) = {
+    import spark.implicits._
+    (from until from + n)
+      .map(i => (i.toString, s"streamed document $i about merge windows and rebasing topic$i", "stream"))
+      .toDF("doc_id", "text", "source")
+  }
+
+  private def ivfEngine(root: String): Engine =
+    Engine.open(spark, root, "main",
+      opts = SearchOptions(annMode = "ivf", annCells = 8, annProbes = 2))
+
+  /** Total records read by Spark tasks while `body` runs. */
+  private def recordsReadDuring(body: => Unit): Long = {
+    val total = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        if (t.taskMetrics != null)
+          total.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      body
+      Thread.sleep(500) // listener bus drains asynchronously
+    } finally spark.sparkContext.removeSparkListener(listener)
+    total.get()
+  }
+
+  test("ingestBatch does O(batch) work: no index version swap, records read bounded by the batch, search sees the docs") {
+    val root = Files.createTempDirectory("graft-incr-").toString
+    val engine = ivfEngine(root)
+    val corpus = 400
+    engine.index(docs(corpus))
+    val ws = engine.workspace
+    val postingsV = ws.getMeta("postings_v").get
+    val annV = ws.getMeta("ann_v").get
+
+    val read = recordsReadDuring {
+      engine.ingestBatch(docs(5, from = corpus))
+    }
+    // the batch pipeline re-reads the 5-doc batch a handful of times
+    // (guardrail, postings, assignment) plus the 8 centroid rows — if any
+    // step re-read the 400-chunk corpus this bound breaks loudly
+    assert(read < corpus,
+      s"incremental ingest read $read records — O(corpus), not O(batch)")
+    // incremental maintenance APPENDS into the live versions; a version
+    // bump would mean a full rebuild ran
+    assert(ws.getMeta("postings_v").get == postingsV, "postings fully rebuilt per batch")
+    assert(ws.getMeta("ann_v").get == annV, "ANN index fully rebuilt per batch")
+
+    // the streamed doc is keyword-findable (merged postings) and
+    // probe-findable (appended cid partitions)
+    val hits = engine.search(s"topic${corpus + 2}")
+    assert(hits.nonEmpty, "streamed doc not findable after incremental ingest")
+    assert(hits.head.docId == (corpus + 2).toString)
+  }
+
+  test("incremental postings equal a full rebuild's postings row-for-row") {
+    val root = Files.createTempDirectory("graft-incrpost-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(60))
+    engine.ingestBatch(docs(15, from = 60))
+    val ws = engine.workspace
+    val incremental = ws.readPostings()
+      .select("token", "chunk_id", "tf").orderBy("token", "chunk_id")
+      .collect().toSeq
+    engine.compactIndexes() // full rebuild over the same 75 docs
+    val rebuilt = ws.readPostings()
+      .select("token", "chunk_id", "tf").orderBy("token", "chunk_id")
+      .collect().toSeq
+    assert(incremental == rebuilt,
+      "merge-appended postings diverge from a full rebuild")
+  }
+
+  test("ANN drift trigger: appending more rows than the trained base forces a retrain (version bump)") {
+    val root = Files.createTempDirectory("graft-drift-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(30))
+    val ws = engine.workspace
+    val v0 = ws.getMeta("ann_v").get.toInt
+    val base = ws.getMeta("ann_base_n").get.toLong
+    engine.ingestBatch(docs(20, from = 30)) // appended <= base: no retrain
+    assert(ws.getMeta("ann_v").get.toInt == v0)
+    engine.ingestBatch(docs(40, from = 50)) // appended > base: retrain
+    assert(ws.getMeta("ann_v").get.toInt > v0,
+      s"no retrain after appending past the trained base of $base")
+    assert(ws.getMeta("ann_appended_n").get == "0", "drift counter not reset by retrain")
+    // the retrained index covers the whole corpus
+    assert(ws.readAnn().count() == ws.count())
+  }
+
+  test("SQ8 probe: phase-1 scan reads codes (not the float embedding) and the re-rank is exact") {
+    val root = Files.createTempDirectory("graft-sq8-").toString
+    val ws = new Workspace(spark, root)
+    val chunks = graft.store.ChunkStore.buildChunks(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100),
+      graft.embed.HashNgramEmbedder(dim = 64))
+    val (vectors, cents) = AnnIndex.build(chunks, "id", "embedding", cells = 8)
+    ws.writeAnn(vectors, cents)
+
+    val gen = new IvfGenerator(ws.readAnn(), ws.readAnnCentroids(), nprobe = 8)
+    assert(gen.mode.contains("sq8"), s"persisted index should enable the SQ8 probe: ${gen.mode}")
+    val qv = graft.embed.HashNgramEmbedder(dim = 64).embed("what is a merge window")
+
+    // phase-1 plan contract: the probed-cell scan reads sq_code/sq_scale/
+    // sq_norm, never the float embedding column
+    val approx = gen.approxByCode(qv, 10)
+    approx.collect()
+    val scan = approx.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols.contains("sq_code"), s"phase-1 scan missing codes: $readCols")
+    assert(!readCols.contains("embedding"),
+      s"phase-1 scan reads the float embedding — SQ8 saved nothing: $readCols")
+
+    // nprobe = cells + exact re-rank ⇒ byte-identical top-k to the exact scan
+    val exact = new ExactScanGenerator(
+      vectors.select(col("id"), col("embedding")))
+    def top10(g: graft.search.CandidateGenerator): Seq[(Long, Double)] =
+      g.candidates(qv, 10).orderBy(col("sem_score").desc, col("id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(top10(gen) == top10(exact),
+      "SQ8 two-phase probe with full nprobe must reproduce the exact top-k")
+  }
+
+  test("Staging: workspace mutation invalidates staged plans keyed on its paths") {
+    import org.apache.spark.sql.functions.lit
+    val root = Files.createTempDirectory("graft-stag-").toString
+    val ws = new Workspace(spark, root)
+    ws.setMeta("probe", "1")
+    var builds = 0
+    def stagedCount(): Long = {
+      val df = graft.functions.Staging.staged(spark, s"$root#test") {
+        builds += 1
+        spark.range(builds).toDF("n").withColumn("tag", lit(builds))
+      }
+      df.count()
+    }
+    assert(stagedCount() == 1 && builds == 1)
+    assert(stagedCount() == 1 && builds == 1) // cached: no rebuild
+    // mutating the workspace drops staged entries keyed under its root
+    ws.clear()
+    assert(stagedCount() == 2 && builds == 2, "stale staged plan survived a workspace clear")
+  }
+
+  test("Staging: cache is LRU-bounded (old entries evicted and released)") {
+    val spark2 = spark
+    val before = spark2.sparkContext.getPersistentRDDs.size
+    (0 until 80).foreach { i =>
+      graft.functions.Staging.staged(spark2, s"/tmp/graft-lru#$i") {
+        spark2.range(2).toDF("n")
+      }.count()
+    }
+    // 80 staged > MaxEntries=64: evicted entries must release their blocks
+    val persisted = spark2.sparkContext.getPersistentRDDs.size
+    assert(persisted - before <= 64,
+      s"staging cache leaked checkpoints past its bound: ${persisted - before}")
+    graft.functions.Staging.invalidate("/tmp/graft-lru")
+  }
+
+  test("stability memo is LRU-capped at 100 queries") {
+    val root = Files.createTempDirectory("graft-memo-").toString
+    val engine = Engine.open(spark, root, "main")
+    engine.index(docs(3))
+    (0 until 130).foreach(i => engine.stabilityHistory(s"query $i"))
+    assert(engine.stabilityMemoSize <= 100,
+      s"stability memo grew past its cap: ${engine.stabilityMemoSize}")
+  }
+
+  test("metadata writes are atomic and lock-serialized under concurrent writers") {
+    val root = Files.createTempDirectory("graft-meta-").toString
+    val ws = new Workspace(spark, root)
+    ws.setMeta("keep", "yes")
+    val threads = (0 until 4).map { t =>
+      new Thread(() => (0 until 50).foreach(i => ws.setMeta(s"k$t", i.toString)))
+    }
+    threads.foreach(_.start())
+    // readers during the write storm must never see a torn/empty file
+    (0 until 200).foreach { _ =>
+      assert(ws.getMeta("keep").contains("yes"), "torn or empty metadata read")
+    }
+    threads.foreach(_.join())
+    // no writer lost its last update to a read-modify-write race
+    (0 until 4).foreach(t => assert(ws.getMeta(s"k$t").contains("49")))
+    assert(ws.getMeta("keep").contains("yes"))
+  }
+}

@@ -93,8 +93,11 @@ class StoreAndPostSpec extends AnyFunSuite {
     assert(ws.postingsPath != v1)
     assert(Files.exists(Paths.get(v1)), "previous version deleted under an in-flight reader")
     assert(readerOnV1.count() > 0, "in-flight reader broken by the rebuild")
-    ws.writePostings(postings) // v3: now v1 is out of the grace window
-    assert(!Files.exists(Paths.get(v1)), "v(n-2) should be reclaimed")
+    ws.writePostings(postings) // v3: v1 still inside the 2-cycle retention
+    assert(Files.exists(Paths.get(v1)), "v(n-2) reclaimed before its retention window")
+    ws.writePostings(postings) // v4: now v1 is out of the grace window
+    assert(!Files.exists(Paths.get(v1)),
+      s"v(n-${graft.store.Workspace.RetainPriorVersions + 1}) should be reclaimed")
     assert(ws.readPostings().count() > 0)
   }
 
