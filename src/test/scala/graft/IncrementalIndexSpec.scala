@@ -190,6 +190,25 @@ class IncrementalIndexSpec extends AnyFunSuite {
     graft.functions.Staging.invalidate("/tmp/graft-lru")
   }
 
+  test("per-batch ingest time stays flat as the corpus grows across waves") {
+    val root = Files.createTempDirectory("graft-waves-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(300)) // base large enough that no drift retrain fires
+    val waves = (0 until 8).map { w =>
+      val t0 = System.nanoTime()
+      engine.ingestBatch(docs(25, from = 300 + w * 25))
+      (System.nanoTime() - t0) / 1e6
+    }
+    info(f"per-wave ingest ms: ${waves.map(w => f"$w%.0f").mkString(", ")}")
+    // O(corpus) maintenance would scale with table size (300→475 rows here,
+    // and unboundedly in production); O(batch) stays flat modulo jitter.
+    // First wave carries JIT/plan warmup, so compare medians of halves.
+    val first = waves.slice(1, 4).sorted.apply(1)
+    val last = waves.slice(5, 8).sorted.apply(1)
+    assert(last < first * 3,
+      s"ingest time grows with corpus size: first-half median $first ms, last-half median $last ms")
+  }
+
   test("stability memo is LRU-capped at 100 queries") {
     val root = Files.createTempDirectory("graft-memo-").toString
     val engine = Engine.open(spark, root, "main")
