@@ -358,8 +358,13 @@ object AnnQueries {
     // codes + one per-vector scale (4× smaller than float32, like FAISS
     // SQ8); queries score against the integer codes and rescale. The
     // codes are exact integers (floor(x·127/max|x|)) so the dot product
-    // is deterministic; at scale the scan reads a byte column instead of
-    // the float vector. Top-k per query = the usual per-partition heap.
+    // is deterministic. This REGISTERED query demonstrates the math
+    // in-plan (it quantizes the float column per run — its scan still
+    // reads floats); the byte-scan saving ships in the Workspace ANN
+    // layout, which PERSISTS sq_code/sq_scale/sq_norm next to each
+    // vector so IvfGenerator's probe pass reads only the code column
+    // (plan-asserted in IncrementalIndexSpec). Top-k per query = the
+    // usual per-partition heap.
     Q("ann_sq8_topk",
       s"""WITH sq AS (SELECT vec_id, embedding,
          |              127.0 / greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))), 1e-12) AS s
