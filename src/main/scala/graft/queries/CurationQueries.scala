@@ -319,7 +319,7 @@ object CurationQueries {
     // ones; the only shuffles are the dedup window, the gram join, and
     // the pack window — each on compact keys at any corpus size.
     Q("pipeline_pretrain_e2e",
-      """WITH d1 AS (SELECT doc_id, source, text,
+      s"""WITH d1 AS (SELECT doc_id, source, text,
         |             row_number() OVER (PARTITION BY md5(lower(trim(text))) ORDER BY doc_id) AS rn
         |           FROM documents),
         |d2 AS (SELECT doc_id, source, text,
@@ -342,7 +342,7 @@ object CurationQueries {
         |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM d4 GROUP BY source),
         |r AS (SELECT source, ((SELECT min(tot) FROM tot) * 10000) // tot AS rate_bp FROM tot),
         |d5 AS (SELECT d4.doc_id, d4.source, d4.n_tokens,
-        |              ('0x' || substr(md5(d4.doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % 8 AS bucket
+        |              ('0x' || substr(md5(d4.doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % ${graft.queries.Packing.Buckets} AS bucket
         |       FROM d4 JOIN r ON r.source = d4.source
         |       WHERE ('0x' || substr(md5(d4.doc_id::VARCHAR || ':mix'), 1, 15))::BIGINT % 10000 < r.rate_bp),
         |d6 AS (SELECT doc_id, source, bucket, n_tokens,
@@ -350,7 +350,7 @@ object CurationQueries {
         |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
         |       FROM d5)
         |SELECT source, bucket, count(*) AS n_docs, sum(n_tokens)::BIGINT AS n_tokens,
-        |       count(DISTINCT cum // 512)::BIGINT AS n_seqs
+        |       count(DISTINCT cum // ${graft.queries.Packing.SeqLen})::BIGINT AS n_seqs
         |FROM d6 GROUP BY source, bucket
         |ORDER BY source, bucket LIMIT 1000""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
@@ -387,13 +387,14 @@ object CurationQueries {
       val d5 = d4.join(broadcast(rates), Seq("source"))
         .filter(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":mix"))), lit(10000L)) < col("rate_bp"))
         .withColumn("bucket",
-          pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))), lit(8L)))
+          pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))),
+            lit(graft.queries.Packing.Buckets.toLong)))
       val w = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       d5.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .groupBy("source", "bucket")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"),
-          countDistinct(expr("cum div 512")).as("n_seqs"))
+          countDistinct(expr(s"cum div ${graft.queries.Packing.SeqLen}")).as("n_seqs"))
         .orderBy("source", "bucket")
         .limit(1000)
     },

@@ -482,28 +482,32 @@ object TextQueries {
     // does before batching. The cumulative sum is WINDOWED PER BUCKET, so
     // at 100 TB each bucket packs independently (one shuffle on the bucket
     // key, sort within partition); no global order is ever required.
+    // Bucket count and the 2⁴⁰ seq-id stride come from [[Packing]] —
+    // parallelism ∝ buckets, ids globally unique to ~10¹² seqs/bucket.
     Q("text_seq_pack",
       s"""WITH t AS (SELECT doc_id,
          |             len($toksSql)::BIGINT AS n_tokens,
-         |             ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % 8 AS bucket
+         |             ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % ${Packing.Buckets} AS bucket
          |           FROM documents),
          |c AS (SELECT doc_id, bucket, n_tokens,
          |             coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
          |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
          |      FROM t)
-         |SELECT doc_id, bucket, bucket * 1000000 + cum // 512 AS seq_id, cum % 512 AS seq_off, n_tokens
+         |SELECT doc_id, bucket, bucket * ${Packing.SeqIdStride} + cum // ${Packing.SeqLen} AS seq_id,
+         |       cum % ${Packing.SeqLen} AS seq_off, n_tokens
          |FROM c ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val t = table(spark, dir, "documents")
         .select(col("doc_id"),
           size(F.tokens(col("text"))).cast("long").as("n_tokens"),
-          pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))), lit(8L)).as("bucket"))
+          pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))),
+            lit(Packing.Buckets.toLong)).as("bucket"))
       val w = Window.partitionBy("bucket").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       t.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
         .select(col("doc_id"), col("bucket"),
-          (col("bucket") * 1000000L + expr("cum div 512")).as("seq_id"),
-          (col("cum") % 512).as("seq_off"), col("n_tokens"))
+          Packing.seqId(col("bucket"), col("cum")).as("seq_id"),
+          (col("cum") % Packing.SeqLen).as("seq_off"), col("n_tokens"))
         .orderBy("doc_id")
         .limit(1000)
     },

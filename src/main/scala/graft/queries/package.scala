@@ -23,6 +23,31 @@ package object queries {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Sequence-packing geometry shared by text_seq_pack and
+    * pipeline_pretrain_e2e's pack stage. Buckets bounds packing
+    * parallelism (each bucket packs independently — one window sort per
+    * bucket), so it scales with the cluster, not a fixture: 32 here
+    * (≥ local[32]); ∝ executor count in production. The packed-sequence
+    * id strides buckets by 2⁴⁰ — up to ~10¹² sequences (≈ 0.5 PB of
+    * 512-token sequences) per bucket and 2²³ buckets before Long
+    * overflow, where the old `bucket·10⁶` stride silently collided past
+    * 10⁶ sequences/bucket (round-4 finding). */
+  object Packing {
+    final val Buckets = 32
+    final val SeqLen = 512
+    final val SeqIdStride = 1L << 40
+
+    /** Globally-unique packed-sequence id from (bucket, running token
+      * count): same arithmetic in Spark and the DuckDB oracle. floor of
+      * double division is exact here — the stride itself caps cum at
+      * 2⁴⁰·512 ≈ 5.6·10¹⁴, inside double's 9·10¹⁵ integer-exact range. */
+    def seqId(bucket: org.apache.spark.sql.Column,
+              cum: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{floor, lit}
+      bucket * lit(SeqIdStride) + floor(cum / lit(SeqLen)).cast("long")
+    }
+  }
+
   /** Deterministic staging for a query's intermediate table — see
     * [[graft.functions.Staging]] (one checkpoint per (session, key),
     * reused across the bench's warm+timed runs and the oracle gate). */

@@ -25,19 +25,43 @@ class PipelineOpsSpec extends AnyFunSuite {
   private def run(name: String) = SparkEntry.queries(name)(spark, sf)
 
   test("text_seq_pack: offsets in [0, 512); per-bucket chop replays exactly") {
+    import graft.queries.Packing
     val rows = run("text_seq_pack").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
     assert(rows.nonEmpty)
-    assert(rows.forall { case (_, _, _, off, _) => off >= 0 && off < 512 })
+    assert(rows.forall { case (_, _, _, off, _) => off >= 0 && off < Packing.SeqLen })
     // replay the packing per bucket: running token sum in doc_id order
     rows.groupBy(_._2).foreach { case (bucket, rs) =>
       var cum = 0L
       rs.sortBy(_._1).foreach { case (_, _, seqId, off, nTok) =>
-        assert(seqId == bucket * 1000000L + cum / 512, s"seq_id mismatch in bucket $bucket")
-        assert(off == cum % 512, s"offset mismatch in bucket $bucket")
+        assert(seqId == bucket * Packing.SeqIdStride + cum / Packing.SeqLen,
+          s"seq_id mismatch in bucket $bucket")
+        assert(off == cum % Packing.SeqLen, s"offset mismatch in bucket $bucket")
         cum += nTok
       }
     }
+  }
+
+  test("Packing.seqId: globally unique across buckets at adversarial token counts") {
+    import spark.implicits._
+    import graft.queries.Packing
+    // cum values straddling the old bucket·10⁶ collision zone: ≥10⁶
+    // sequences per bucket (≈512 M tokens — routine at 100 TB, where a
+    // bucket holds ~750 M sequences)
+    val adversarial = for {
+      bucket <- 0L until Packing.Buckets.toLong
+      seqInBucket <- Seq(0L, 999999L, 1000000L, 1000001L, 750000000L, (1L << 40) - 1)
+    } yield (bucket, seqInBucket * Packing.SeqLen)
+    val df = adversarial.toDF("bucket", "cum")
+      .select(Packing.seqId(org.apache.spark.sql.functions.col("bucket"),
+        org.apache.spark.sql.functions.col("cum")).as("seq_id"))
+    val ids = df.collect().map(_.getLong(0))
+    assert(ids.distinct.length == adversarial.size,
+      "packed-sequence ids collide across buckets")
+    // the OLD stride (bucket·10⁶) collides on exactly this input set
+    val oldIds = adversarial.map { case (b, cum) => b * 1000000L + cum / Packing.SeqLen }
+    assert(oldIds.distinct.length < adversarial.size,
+      "adversarial set no longer exercises the old collision")
   }
 
   test("curation_mixture_sample: rates derive from recomputed per-source totals; min source fully kept") {
