@@ -119,7 +119,125 @@ object RetrievalQueries {
        |       round(coalesce(0.5 / (60.0 + sem.sem_rank), 0.0) + coalesce(0.5 / (60.0 + kw.kw_rank), 0.0), 6) AS rrf
        |FROM sem FULL OUTER JOIN kw ON sem.id = kw.id""".stripMargin
 
+  // ---- the FUSED hybrid scoring path (vector_store.cpp:390-458) ---------
+  // Round-4 finding: every component (D2, D4, D7, D8, D9, F1, D3) had its
+  // own exact oracle but the COMPOSITION inside HybridEngine.search did
+  // not. hybrid_search_fused replays the whole fused block — weighted RRF
+  // + semantic-gated intent×type boost + stability bias from a seeded log
+  // + trust from a seeded click ledger — pre-MMR top-20, with an exact
+  // DuckDB oracle; HybridEngineFusedSpec pins HybridEngine.search (MMR /
+  // exploration / rerank off) to the same ids in the same order over the
+  // same corpus, so "parts proven" becomes "composition proven".
+
+  /** The fixed fused-path query: Definition intent (rlike "define") →
+    * semW 0.35 / kwW 0.65, overfetch factor 3, definition-type boost
+    * +0.5 (vector_store.cpp:306-319, :402-409). */
+  private[graft] val fusedQueryText = "define merge window hash"
+  /** Engine tokenization of [[fusedQueryText]] (lowercase, distinct). */
+  private[graft] val fusedTerms = Seq("define", "merge", "window", "hash")
+  /** Definition overfetch factor 3 × the equivalence spec's k=20 — the
+    * engine's candidate depth for exactly this query. */
+  private[graft] val fusedDepth = 60
+  /** Seeded click ledger: boost = 1 + 0.1·non-exploration clicks (F1). */
+  private[graft] val fusedClicks: Seq[(Long, Boolean)] =
+    Seq((1L, false), (1L, false), (2L, true), (3L, false))
+
+  /** Corpus for the fused path: embedding + text per id (ids present in
+    * BOTH driver tables — the engine searches ONE chunk table carrying
+    * both columns). */
+  private[graft] def fusedCorpus(spark: SparkSession, dir: String): DataFrame =
+    table(spark, dir, "embeddings").filter(col("vec_id") =!= 0)
+      .join(table(spark, dir, "documents").select(col("doc_id"), col("text")),
+        col("vec_id") === col("doc_id"))
+      .select(col("vec_id").as("id"), col("embedding"), col("text"))
+
+  /** Per-query stability from the seeded log (events stand in for
+    * retrieval_logs exactly as in d9): Σ|Δrank| and n for 'q1', giving
+    * stability = clamp(1 − (Σ/n)/5) — the engine's formula
+    * (HybridEngine.stability). */
+  private[graft] def fusedStabilityBase(spark: SparkSession, dir: String): (Double, Long) = {
+    val r = events(spark, dir)
+      .filter(col("user_id") === 1 && col("event_type") =!= "click")
+      .agg(coalesce(sum(abs(floor(col("value") / 50.0).cast("long"))), lit(0L))
+          .cast("double").as("s"),
+        count(lit(1)).as("n"))
+      .head()
+    (r.getDouble(0), r.getLong(1))
+  }
+
+  private val fusedTermsSql = fusedTerms.map(t => s"'$t'").mkString(", ")
+  private val fusedKwSql =
+    s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ($fusedTermsSql)))"
+
   val all: Seq[Q] = Seq(
+
+    Q("hybrid_search_fused",
+      s"""WITH corpus AS (SELECT e.vec_id AS id, e.embedding, d.text
+         |                FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+         |                WHERE e.vec_id <> 0),
+         |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+         |sem AS (SELECT id,
+         |          row_number() OVER (ORDER BY list_cosine_similarity(c.embedding::DOUBLE[], q.qv::DOUBLE[]) DESC, id) AS sem_rank
+         |        FROM corpus c CROSS JOIN q QUALIFY sem_rank <= $fusedDepth),
+         |kw AS (SELECT id,
+         |         row_number() OVER (ORDER BY ($fusedKwSql) DESC, id) AS kw_rank
+         |       FROM corpus WHERE ($fusedKwSql) > 0 QUALIFY kw_rank <= $fusedDepth),
+         |led(chunk_id, is_exploration) AS
+         |  (VALUES ${fusedClicks.map { case (i, e) => s"($i, $e)" }.mkString(", ")}),
+         |boosts AS (SELECT chunk_id, 1.0 + 0.1 * count(*) AS boost
+         |           FROM led WHERE NOT is_exploration GROUP BY chunk_id),
+         |stab AS (SELECT CASE WHEN count(*) = 0 THEN 1.0
+         |                     ELSE greatest(0.0, 1.0 - avg(abs(CAST(floor(value / 50.0) AS BIGINT)))/5.0) END AS st
+         |         FROM events WHERE user_id = 1 AND event_type <> 'click'),
+         |fused AS (SELECT coalesce(sem.id, kw.id) AS id, sem.sem_rank AS sem_rank, kw.kw_rank AS kw_rank
+         |          FROM sem FULL OUTER JOIN kw ON kw.id = sem.id)
+         |SELECT f.id, f.sem_rank, f.kw_rank,
+         |       CASE f.id % 5 WHEN 0 THEN 'text' WHEN 1 THEN 'definition' WHEN 2 THEN 'list'
+         |                     WHEN 3 THEN 'example' ELSE 'summary' END AS chunk_type,
+         |       round(coalesce(0.35 / (60.0 + f.sem_rank), 0.0)
+         |             + coalesce(0.65 / (60.0 + f.kw_rank), 0.0)
+         |             + CASE WHEN f.sem_rank IS NOT NULL AND f.id % 5 = 1 THEN 0.5 ELSE 0.0 END
+         |             + stab.st * 2.0 * 0.1, 6) AS score,
+         |       round(coalesce(b.boost, 1.0), 6) AS trust
+         |FROM fused f CROSS JOIN stab LEFT JOIN boosts b ON b.chunk_id = f.id
+         |ORDER BY score DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val corpus = fusedCorpus(spark, dir)
+      val qv = table(spark, dir, "embeddings")
+        .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val sem = corpus.crossJoin(broadcast(qv))
+        .select(col("id"), cosineSim(col("embedding"), col("qv")).as("s"))
+        .orderBy(col("s").desc, col("id")).limit(fusedDepth)
+        .withColumn("sem_rank",
+          row_number().over(Window.orderBy(col("s").desc, col("id"))).cast("long"))
+        .select("id", "sem_rank")
+      val kscore = size(filter(F.tokens(col("text")), t => t.isin(fusedTerms: _*)))
+      val kw = corpus.select(col("id"), kscore.as("k"))
+        .filter(col("k") > 0)
+        .orderBy(col("k").desc, col("id")).limit(fusedDepth)
+        .withColumn("kw_rank",
+          row_number().over(Window.orderBy(col("k").desc, col("id"))).cast("long"))
+        .select("id", "kw_rank")
+      val (sumAbs, n) = fusedStabilityBase(spark, dir)
+      val stab = if (n == 0) 1.0 else math.max(0.0, math.min(1.0, 1.0 - sumAbs / n / 5.0))
+      import spark.implicits._
+      val boosts = fusedClicks.toDF("chunk_id", "is_exploration")
+        .filter(!col("is_exploration"))
+        .groupBy("chunk_id").agg((lit(1.0) + lit(0.1) * count(lit(1))).as("boost"))
+      val ctype = col("id") % 5
+      sem.join(kw, Seq("id"), "full_outer")
+        .join(broadcast(boosts), col("id") === col("chunk_id"), "left")
+        .select(col("id"), col("sem_rank"), col("kw_rank"),
+          when(ctype === 0, "text").when(ctype === 1, "definition").when(ctype === 2, "list")
+            .when(ctype === 3, "example").otherwise("summary").as("chunk_type"),
+          round(coalesce(lit(0.35) / (lit(60.0) + col("sem_rank")), lit(0.0))
+              + coalesce(lit(0.65) / (lit(60.0) + col("kw_rank")), lit(0.0))
+              + when(col("sem_rank").isNotNull && ctype === 1, 0.5).otherwise(0.0)
+              + lit(stab * 2.0 * 0.1), 6).as("score"),
+          round(coalesce(col("boost"), lit(1.0)), 6).as("trust"))
+        .orderBy(col("score").desc, col("id"))
+        .limit(20)
+    },
+
 
     // D1 — cosine similarity as a native codegen expression, checked pairwise
     // against DuckDB's double-precision list_cosine_similarity.
