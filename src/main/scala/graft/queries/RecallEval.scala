@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+import graft.search.{AnnIndex, IvfGenerator}
+
+/** Recall-at-scale evidence for the approximate-ANN family (round-4
+  * "What's missing #3"): measured recall@k vs the exact scan, per variant,
+  * on a real corpus — the quality side of the speed/quality tradeoff the
+  * ann_* queries only demonstrate the speed of. Run by [[graft.Recall]]
+  * (emits RECALL_r{N}.json next to the bench numbers) and floor-pinned by
+  * RecallSpec so a regression fails loudly.
+  *
+  * Each variant is measured against the metric it targets (cosine for
+  * LSH/IVF/SQ8, squared-L2 for the ADC family) — mixing metrics would
+  * conflate quantizer error with metric mismatch.
+  */
+object RecallEval {
+
+  final case class VariantRecall(
+      variant: String, metric: String, params: String, recallAtK: Double)
+
+  final case class Report(
+      sfDir: String, corpus: Long, numQueries: Int, k: Int,
+      variants: Seq[VariantRecall]) {
+    def json: String = {
+      val vs = variants.map(v =>
+        s"""{"variant":"${v.variant}","metric":"${v.metric}","params":"${v.params}",""" +
+        s""""recall_at_$k":${"%.4f".format(v.recallAtK)}}""").mkString("[", ",", "]")
+      s"""{"sf_dir":"$sfDir","corpus":$corpus,"num_queries":$numQueries,"k":$k,"variants":$vs}"""
+    }
+  }
+
+  private def topkPerQuery(cands: DataFrame, score: Column, asc: Boolean,
+                           k: Int): Map[Long, Seq[Long]] = {
+    val ord = if (asc) score.asc else score.desc
+    val w = Window.partitionBy(col("q_id")).orderBy(ord, col("n_id"))
+    cands.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("q_id", "n_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) => q -> rs.map(_.getLong(1)).toSeq }
+  }
+
+  private def recallOf(truth: Map[Long, Seq[Long]], got: Map[Long, Seq[Long]]): Double = {
+    val per = truth.map { case (q, t) =>
+      (t.toSet & got.getOrElse(q, Seq.empty).toSet).size.toDouble / t.size
+    }
+    per.sum / per.size
+  }
+
+  /** Evaluate recall@k for every ANN variant over `numQueries` corpus
+    * vectors sampled at a fixed stride (deterministic). */
+  def evaluate(spark: SparkSession, dir: String,
+               numQueries: Int = 20, k: Int = 10): Report = {
+    val e = table(spark, dir, "embeddings").select(
+      col("vec_id").cast("long").as("vec_id"), col("embedding"))
+      .localCheckpoint() // every variant re-reads the same materialized corpus
+    try {
+      val n = e.count()
+      val stride = math.max(1L, n / numQueries)
+      val qs = e.filter(pmod(col("vec_id"), lit(stride)) === 0 && col("vec_id") < stride * numQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+        .localCheckpoint()
+      try {
+        // all-pairs (query × corpus) scored candidates — 2000×20 rows at
+        // sf0.1; every variant below restricts this by its own pruning
+        val pairs = e.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
+          .select(col("q_id"), col("qv"), col("vec_id").as("n_id"), col("embedding"))
+
+        val cosTruth = topkPerQuery(
+          pairs.select(col("q_id"), col("n_id"), cosineSim(col("embedding"), col("qv")).as("s")),
+          col("s"), asc = false, k)
+        val d2 = aggregate(zip_with(col("embedding"), col("qv"),
+            (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+          lit(0.0), (s, v) => s + v)
+        val l2Truth = topkPerQuery(
+          pairs.select(col("q_id"), col("n_id"), d2.as("s")), col("s"), asc = true, k)
+
+        // ---- trained IVF (the Workspace index shape), nprobe ∈ {1, 2} ----
+        val (assigned, cents) = AnnIndex.build(e, "vec_id", "embedding", cells = 16)
+        val av = assigned.select(col("id").as("n_id"), col("embedding"), col("cid"))
+          .localCheckpoint()
+        val qRows = qs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+        def ivfRecall(nprobe: Int): Double = {
+          import spark.implicits._
+          val probes = qRows.flatMap { case (qid, qv) =>
+            IvfGenerator.nearestCells(qv, cents, nprobe).map(c => (qid, c))
+          }.toSeq.toDF("q_id", "pcid")
+          val cands = av.join(broadcast(probes), col("cid") === col("pcid"))
+            .join(broadcast(qs), Seq("q_id"))
+            .filter(col("n_id") =!= col("q_id"))
+            .select(col("q_id"), col("n_id"), cosineSim(col("embedding"), col("qv")).as("s"))
+          recallOf(cosTruth, topkPerQuery(cands, col("s"), asc = false, k))
+        }
+        val ivf1 = ivfRecall(1)
+        val ivf2 = ivfRecall(2)
+        val ivf4 = ivfRecall(4)
+
+        // ---- sign-LSH buckets (ann_lsh_bucketed's hyperplane scheme) ----
+        def lshRecall(numHp: Int): Double = {
+          val hp = e.filter(col("vec_id").between(8, 8 + numHp - 1))
+            .agg(collect_list(struct((col("vec_id") - 8).as("hid"), col("embedding").as("he"))).as("hps"))
+          val bucketed = e.crossJoin(broadcast(hp))
+            .select(col("vec_id"), col("embedding"),
+              aggregate(transform(col("hps"), h =>
+                when(dotProduct(col("embedding"), h.getField("he")) > 0,
+                  pow(lit(2.0), h.getField("hid")).cast("long")).otherwise(lit(0L))),
+                lit(0L), (s, v) => s + v).as("bucket"))
+            .localCheckpoint()
+          try {
+            val qb = bucketed.join(broadcast(qs.select(col("q_id"))),
+                col("vec_id") === col("q_id"))
+              .select(col("q_id"), col("bucket").as("qbucket"), col("embedding").as("qv"))
+            val cands = bucketed.join(broadcast(qb),
+                col("bucket") === col("qbucket") && col("vec_id") =!= col("q_id"))
+              .select(col("q_id"), col("vec_id").as("n_id"),
+                cosineSim(col("embedding"), col("qv")).as("s"))
+            recallOf(cosTruth, topkPerQuery(cands, col("s"), asc = false, k))
+          } finally graft.functions.Checkpoints.release(bucketed)
+        }
+        val lsh8 = lshRecall(8)
+        val lsh4 = lshRecall(4)
+
+        // ---- IVFPQ: trained coarse cells (nprobe=2) + trained ADC ranking ----
+        val cb = AnnQueries.trainedCodebook(spark, dir)
+        import graft.functions.VectorFunctions.pqEncode
+        val subDim = 8
+        val ivfpqRecall = {
+          import spark.implicits._
+          val probes = qRows.flatMap { case (qid, qv) =>
+            IvfGenerator.nearestCells(qv, cents, 2).map(c => (qid, c))
+          }.toSeq.toDF("q_id", "pcid")
+          // ADC: per-query LUT of query-to-centroid distances per subspace,
+          // joined as a literal map via the broadcast query rows
+          val enc = av.select(col("n_id"), col("cid"),
+            pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), subDim).as("codes"))
+          val luts = qRows.map { case (qid, qv) =>
+            val lut: Seq[Seq[Double]] = (0 until 8).map { m =>
+              cb.map { c =>
+                var s = 0.0; var kk = 0
+                while (kk < subDim) {
+                  val dd = qv(m * subDim + kk).toDouble - c(m * subDim + kk).toDouble
+                  s += dd * dd; kk += 1
+                }
+                s
+              }
+            }
+            (qid, lut)
+          }.toSeq.toDF("q_id", "lut")
+          val cands = enc.join(broadcast(probes), col("cid") === col("pcid"))
+            .join(broadcast(luts), Seq("q_id"))
+            .filter(col("n_id") =!= col("q_id"))
+            .select(col("q_id"), col("n_id"),
+              (0 until 8).map(m =>
+                element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
+                .reduce(_ + _).as("adc"))
+          recallOf(l2Truth, topkPerQuery(cands, col("adc"), asc = true, k))
+        }
+        graft.functions.Checkpoints.release(av)
+
+        // ---- SQ8 two-phase (the IvfGenerator serving path, full corpus):
+        // select by rescaled int8 cosine (4× overfetch), re-rank exact ----
+        val sq = AnnIndex.withSq8(e)
+        val sqPairs = sq.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
+        val qd = col("qv").cast("array<double>")
+        val qnorm = sqrt(aggregate(zip_with(qd, qd, (a, b) => a * b), lit(0.0), (s, v) => s + v))
+        val approx = when(col("sq_norm") > 0,
+          aggregate(zip_with(col("sq_code").cast("array<double>"), qd, (x, y) => x * y),
+            lit(0.0), (s, v) => s + v) / col("sq_scale") / (col("sq_norm") * qnorm))
+          .otherwise(lit(-1.0))
+        val phase1 = sqPairs.select(col("q_id"), col("vec_id").as("n_id"),
+            col("embedding"), col("qv"), approx.as("a"))
+          .withColumn("rk", row_number().over(
+            Window.partitionBy(col("q_id")).orderBy(col("a").desc, col("n_id"))))
+          .filter(col("rk") <= k * IvfGenerator.Sq8Overfetch)
+        val sq8Cands = phase1.select(col("q_id"), col("n_id"),
+          cosineSim(col("embedding"), col("qv")).as("s"))
+        val sq8 = recallOf(cosTruth, topkPerQuery(sq8Cands, col("s"), asc = false, k))
+
+        Report(dir, n, qRows.length, k, Seq(
+          VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=1", ivf1),
+          VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=2", ivf2),
+          VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=4", ivf4),
+          VariantRecall("lsh", "cosine", "hyperplanes=8,buckets=256", lsh8),
+          VariantRecall("lsh", "cosine", "hyperplanes=4,buckets=16", lsh4),
+          VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained", ivfpqRecall),
+          VariantRecall("sq8_two_phase", "cosine", s"overfetch=${IvfGenerator.Sq8Overfetch}", sq8)))
+      } finally graft.functions.Checkpoints.release(qs)
+    } finally graft.functions.Checkpoints.release(e)
+  }
+}
