@@ -25,7 +25,16 @@ import java.util.zip.Inflater
   * extractor scans objects directly and needs no xref table). Content
   * streams are raw or /FlateDecode, one per page in document order; text
   * operators BT ET Tf Tm Td TD TL T* Tj ' TJ; literal `(…)` strings with
-  * escapes and nesting.
+  * escapes and nesting AND hex strings `<…>`.
+  *
+  * Composite fonts (the layout most modern writers emit): /Type0 fonts
+  * with Identity-H encoding decode 2-byte codes per glyph — code → CID
+  * (identity) → unicode via the /ToUnicode CMap (bfchar + bfrange, single
+  * targets, incremented-range targets, and array targets; Flate or raw),
+  * with per-CID advances from the descendant CIDFontType2's /W array
+  * (both the `c [w…]` consecutive and `cFirst cLast w` range forms) and
+  * /DW default. Other /Encoding CMaps (and vertical Identity-V) are out
+  * of subset — such text falls back to 2-byte identity decoding.
   */
 final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtractor {
 
@@ -60,9 +69,16 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
 
   /** What the interpreter needs per resource font: the weight
     * (FPDFText_GetFontWeight analog, pdf_processor.cpp:93) and the
-    * optional /FirstChar-based width table (1/1000-em advances). */
+    * optional /FirstChar-based width table (1/1000-em advances) for
+    * simple fonts — or, for /Type0 composite fonts, the 2-byte decode
+    * tables: per-CID advances (/W + /DW, in ems) and the code→unicode
+    * map from the /ToUnicode CMap. */
   private[ingest] final case class FontInfo(weight: Int, firstChar: Int,
-                                            widths: Option[Vector[Double]])
+                                            widths: Option[Vector[Double]],
+                                            composite: Boolean = false,
+                                            cidWidths: Map[Int, Double] = Map.empty,
+                                            defaultWEm: Double = 1.0,
+                                            toUnicode: Map[Int, String] = Map.empty)
   private val DefaultFont = FontInfo(400, 0, None)
 
   /** Resource font name (/F1 …) → [[FontInfo]], resolved through the
@@ -91,16 +107,140 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     }
     val objInfo: Map[String, FontInfo] = bodies.flatMap { case (num, body) =>
       """/BaseFont\s*/([A-Za-z0-9+-]+)""".r.findFirstMatchIn(body).map { bm =>
-        val wt = widthTable(body)
-        num -> FontInfo(
-          if (bm.group(1).toLowerCase.contains("bold")) 700 else 400,
-          wt.map(_._1).getOrElse(0), wt.map(_._2))
+        val bold = bm.group(1).toLowerCase.contains("bold")
+        if ("""/Subtype\s*/Type0""".r.findFirstIn(body).isDefined)
+          num -> type0Info(body, bold, bodies)
+        else {
+          val wt = widthTable(body)
+          num -> FontInfo(if (bold) 700 else 400,
+            wt.map(_._1).getOrElse(0), wt.map(_._2))
+        }
       }
     }
     """/Font\s*<<([^>]*)>>""".r.findAllMatchIn(raw).flatMap { fm =>
       """/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fm.group(1))
         .map(rm => rm.group(1) -> objInfo.getOrElse(rm.group(2), DefaultFont))
     }.toMap
+  }
+
+  // ---- composite (/Type0 Identity-H) font resolution ----
+
+  /** Resolve a /Type0 font: descendant CIDFontType2's /W + /DW give
+    * per-CID advances; the /ToUnicode CMap stream gives code → unicode.
+    * pdf_processor.cpp:88-95 gets all of this from PDFium for free — this
+    * is the JDK-only equivalent for the Identity-H subset. */
+  private def type0Info(body: String, bold: Boolean,
+                        bodies: Map[String, String]): FontInfo = {
+    val desc = """/DescendantFonts\s*\[\s*(\d+)\s+0\s+R\s*\]""".r
+      .findFirstMatchIn(body).map(_.group(1))
+      .orElse("""/DescendantFonts\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
+        .flatMap(m => bodies.get(m.group(1)))
+        .flatMap(b => """(\d+)\s+0\s+R""".r.findFirstMatchIn(b).map(_.group(1))))
+      .flatMap(bodies.get)
+    val dw = desc
+      .flatMap(b => """/DW\s+(\d+(?:\.\d+)?)""".r.findFirstMatchIn(b).map(_.group(1).toDouble))
+      .getOrElse(1000.0)
+    val wInner = desc.flatMap { b =>
+      """/W\s*\[""".r.findFirstMatchIn(b)
+        .map(m => balancedArray(b, m.end - 1))
+        .orElse("""/W\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(b)
+          .flatMap(m => bodies.get(m.group(1)))
+          .flatMap(wb => """\[""".r.findFirstMatchIn(wb).map(m => balancedArray(wb, m.start))))
+    }
+    val toUni = """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
+      .flatMap(m => bodies.get(m.group(1)))
+      .map(streamPayload).map(parseToUnicode).getOrElse(Map.empty[Int, String])
+    FontInfo(if (bold) 700 else 400, 0, None,
+      composite = true,
+      cidWidths = wInner.map(parseWArray).getOrElse(Map.empty),
+      defaultWEm = dw / 1000.0,
+      toUnicode = toUni)
+  }
+
+  /** The inner text of a balanced `[ … ]` starting at `open` (which must
+    * index a '['), nested sub-arrays included. */
+  private def balancedArray(s: String, open: Int): String = {
+    var depth = 0
+    var i = open
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '[') depth += 1
+      else if (c == ']') { depth -= 1; if (depth == 0) return s.substring(open + 1, i) }
+      i += 1
+    }
+    s.substring(math.min(open + 1, s.length))
+  }
+
+  /** /W array (PDF §9.7.4.3): `c [w1 w2 …]` assigns consecutive widths
+    * from CID c; `cFirst cLast w` assigns w across the range. Returns
+    * CID → em advance. */
+  private[ingest] def parseWArray(inner: String): Map[Int, Double] = {
+    val toks = """\[[^\]]*\]|-?\d+(?:\.\d+)?""".r.findAllIn(inner).toSeq
+    val out = Map.newBuilder[Int, Double]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (!t.startsWith("[") && i + 1 < toks.length && toks(i + 1).startsWith("[")) {
+        val start = t.toDouble.toInt
+        """-?\d+(?:\.\d+)?""".r.findAllIn(toks(i + 1)).zipWithIndex
+          .foreach { case (w, k) => out += (start + k) -> w.toDouble / 1000.0 }
+        i += 2
+      } else if (!t.startsWith("[") && i + 2 < toks.length &&
+                 !toks(i + 1).startsWith("[") && !toks(i + 2).startsWith("[")) {
+        val lo = t.toDouble.toInt
+        val hi = toks(i + 1).toDouble.toInt
+        val w = toks(i + 2).toDouble / 1000.0
+        var c = lo
+        while (c <= hi) { out += c -> w; c += 1 }
+        i += 3
+      } else i += 1 // malformed tail: skip rather than shift later entries
+    }
+    out.result()
+  }
+
+  /** Decoded payload of a stream OBJECT body (dict + `stream…endstream`),
+    * inflated when /FlateDecode — ISO_8859_1 round-trips bytes exactly. */
+  private def streamPayload(body: String): String = {
+    val s = body.indexOf("stream")
+    val e = body.lastIndexOf("endstream")
+    if (s < 0 || e <= s) return ""
+    var dataStart = s + "stream".length
+    if (dataStart < body.length && body.charAt(dataStart) == '\r') dataStart += 1
+    if (dataStart < body.length && body.charAt(dataStart) == '\n') dataStart += 1
+    var dataEnd = e
+    if (dataEnd > dataStart && body.charAt(dataEnd - 1) == '\n') dataEnd -= 1
+    if (dataEnd > dataStart && body.charAt(dataEnd - 1) == '\r') dataEnd -= 1
+    val bytes = body.substring(dataStart, dataEnd).getBytes(Iso)
+    if (body.substring(0, s).contains("FlateDecode")) new String(inflate(bytes), Iso)
+    else new String(bytes, Iso)
+  }
+
+  /** /ToUnicode CMap: bfchar entries map one code; bfrange entries map a
+    * code range to an incremented base (last UTF-16 unit advances, per
+    * spec) or to an explicit array of targets. Targets are UTF-16BE hex. */
+  private[ingest] def parseToUnicode(cmap: String): Map[Int, String] = {
+    val out = scala.collection.mutable.Map.empty[Int, String]
+    def uniOf(hex: String): String =
+      hex.grouped(4).filter(_.length == 4).map(h => Integer.parseInt(h, 16).toChar).mkString
+    for (sec <- """beginbfrange([\s\S]*?)endbfrange""".r.findAllMatchIn(cmap);
+         m <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s*(\[[\s\S]*?\]|<[0-9A-Fa-f]+>)""".r
+           .findAllMatchIn(sec.group(1))) {
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      val dst = m.group(3)
+      if (dst.startsWith("[")) {
+        """<([0-9A-Fa-f]+)>""".r.findAllMatchIn(dst).map(_.group(1)).zipWithIndex
+          .foreach { case (h, k) => if (lo + k <= hi) out(lo + k) = uniOf(h) }
+      } else {
+        val base = uniOf(dst.drop(1).dropRight(1))
+        if (base.nonEmpty)
+          for (c <- lo to hi) out(c) = base.init + (base.last + (c - lo)).toChar
+      }
+    }
+    for (sec <- """beginbfchar([\s\S]*?)endbfchar""".r.findAllMatchIn(cmap);
+         m <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r.findAllMatchIn(sec.group(1)))
+      out(Integer.parseInt(m.group(1), 16)) = uniOf(m.group(2))
+    out.toMap
   }
 
   // ---- document structure ----
@@ -216,6 +356,26 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
       skipWs()
       val c = s.charAt(i)
       if (c == '(') { i += 1; Str(literalString()) }
+      else if (c == '<' && i + 1 < s.length && s.charAt(i + 1) == '<') {
+        // inline dictionary (BDC property lists …): skip balanced << >>
+        var depth = 0
+        while (i < s.length && (depth > 0 || s.startsWith("<<", i))) {
+          if (s.startsWith("<<", i)) { depth += 1; i += 2 }
+          else if (s.startsWith(">>", i)) { depth -= 1; i += 2 }
+          else i += 1
+        }
+        Op("<<dict>>")
+      } else if (c == '<') {
+        // hex string <…>: whitespace ignored, odd length padded with 0
+        i += 1
+        val j = i
+        while (i < s.length && s.charAt(i) != '>') i += 1
+        val hex = s.substring(j, i).filter(ch =>
+          (ch >= '0' && ch <= '9') || (ch >= 'a' && ch <= 'f') || (ch >= 'A' && ch <= 'F'))
+        if (i < s.length) i += 1 // consume '>'
+        val padded = if (hex.length % 2 == 1) hex + "0" else hex
+        Str(padded.grouped(2).map(h => Integer.parseInt(h, 16).toChar).mkString)
+      }
       else if (c == '[') { i += 1; ArrStart }
       else if (c == ']') { i += 1; ArrEnd }
       else if (c == '/') {
@@ -280,7 +440,26 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
       vs
     }
     def show(str: String): Unit =
-      str.foreach { c =>
+      if (font.composite) {
+        // Type0/Identity-H: 2 bytes per glyph — code = CID; advance from
+        // the /W table (else /DW); unicode from the /ToUnicode CMap (a
+        // multi-char target, e.g. a ligature, splits the glyph advance)
+        var k = 0
+        while (k + 1 < str.length) {
+          val code = ((str.charAt(k) & 0xff) << 8) | (str.charAt(k + 1) & 0xff)
+          val w = font.cidWidths.getOrElse(code, font.defaultWEm) * fontSize
+          val uni = font.toUnicode.getOrElse(code, code.toChar.toString)
+          if (uni.nonEmpty) {
+            val cw = w / uni.length
+            uni.foreach { c =>
+              chars += Ch(c, curX, textY + fontSize * 0.8, curX + cw, textY - fontSize * 0.2,
+                fontSize, font.weight)
+              curX += cw
+            }
+          } else curX += w // mapped to nothing: advance without a glyph
+          k += 2
+        }
+      } else str.foreach { c =>
         // per-char advance from the font's /Widths table when present
         // (1/1000 em), else the fixed-pitch approximation
         val em = font.widths match {

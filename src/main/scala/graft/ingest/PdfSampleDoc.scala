@@ -88,6 +88,85 @@ object PdfSampleDoc {
     out.toByteArray
   }
 
+  /** Composite-font (/Type0, Identity-H) twin of [[bytes]]: the SAME page
+    * text, but the body font /F1 is a Type0/CIDFontType2 pair whose
+    * content-stream strings are 2-byte HEX strings with codes OFFSET from
+    * unicode by +0x100 — so nothing extracts unless the /ToUnicode CMap
+    * (Flate-compressed; bfrange with incremented AND array targets, plus
+    * a bfchar) is actually decoded. Advances come from the descendant's
+    * /W array (both the consecutive `c [w…]` and range `lo hi w` forms)
+    * with /DW 600 backstop — all 600/1000 em, i.e. exact Courier metrics,
+    * so extraction output is REQUIRED to be identical to the simple-font
+    * twin (CharPdfExtractorSpec). The /F2 heading font stays simple:
+    * mixed simple+composite documents are the common real-world layout. */
+  def bytesType0: Array[Byte] = {
+    def hex(s: String): String =
+      s"<${s.map(c => f"${c.toInt + 0x100}%04X").mkString}>"
+    def pageContentType0(p: Int): String =
+      s"""BT /F2 18 Tf 1 0 0 1 72 700 Tm (${title(p)}) Tj ET
+         |BT /F1 10 Tf 1 0 0 1 72 660 Tm ${hex(s"This is body text on page $p. It explains the topic in detail.")} Tj
+         |0 -14 Td ${hex("A second line continues the paragraph with more words.")} Tj
+         |0 -14 Td [${hex("kerned")} -700 ${hex("gap")}] TJ ET
+         |BT /F1 8 Tf 1 0 0 1 72 24 Tm ${hex("Confidential Draft")} Tj ET
+         |BT /F1 8 Tf 1 0 0 1 300 24 Tm ${hex(p.toString)} Tj ET""".stripMargin
+    // ToUnicode CMap: codes 0x120–0x17E → unicode 0x20–0x7E, expressed
+    // through all three target forms (array, incremented range, bfchar)
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfrange
+        |<0120> <0121> [<0020> <0021>]
+        |<0122> <0153> <0022>
+        |endbfrange
+        |2 beginbfchar
+        |<0154> <0054>
+        |endbfchar
+        |1 beginbfrange
+        |<0155> <017E> <0055>
+        |endbfrange
+        |endcmap
+        |end end""".stripMargin
+    val zCmap = deflate(cmap.getBytes(ISO_8859_1))
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size; w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.6\n")
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) { w(s"<< /Type /Pages /Kids [${(0 until NumPages).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $NumPages >>\n") }
+    for (i <- 0 until NumPages) obj(3 + i) {
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${10 + i} 0 R " +
+        "/Resources << /Font << /F1 17 0 R /F2 18 0 R >> >> >>\n")
+    }
+    for (i <- 0 until NumPages) {
+      val content = pageContentType0(i + 1)
+      obj(10 + i) {
+        w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\n")
+      }
+    }
+    obj(17) { w("<< /Type /Font /Subtype /Type0 /BaseFont /GRAFT+Courier " +
+      "/Encoding /Identity-H /DescendantFonts [19 0 R] /ToUnicode 20 0 R >>\n") }
+    obj(18) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Courier-Bold >>\n") }
+    obj(19) { w("<< /Type /Font /Subtype /CIDFontType2 /BaseFont /GRAFT+Courier " +
+      "/DW 600 /W [ 288 [600 600] 290 382 600 ] /CIDToGIDMap /Identity >>\n") }
+    obj(20) {
+      w(s"<< /Filter /FlateDecode /Length ${zCmap.length} >>\nstream\n")
+      out.write(zCmap); w("\nendstream\n")
+    }
+    val xref = out.size
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Assemble the PDF with correct xref offsets. Deterministic bytes. */
   def bytes: Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()

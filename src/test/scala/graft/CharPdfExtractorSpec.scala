@@ -49,6 +49,65 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(modern.head.lines.find(_.text == "1 Introduction").exists(_.fontWeight == 700))
   }
 
+  test("Type0/Identity-H composite-font twin extracts identically to the simple-font layout") {
+    val simple = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val type0 = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesType0)
+    assert(type0.size == simple.size)
+    // codes are unicode+0x100, so ANY extracted text proves the /ToUnicode
+    // CMap (Flate, bfrange incremented + array targets, bfchar) decoded;
+    // /W + /DW at exact Courier 600 em make the boxes identical too, so
+    // full per-line equality (text, boxes, size, weight) is required
+    simple.zip(type0).foreach { case (s, t) =>
+      assert(t.lines == s.lines, s"page ${s.pageNum} diverges under the Type0 layout")
+    }
+  }
+
+  test("/W array drives per-CID advances; hex strings decode in simple fonts too") {
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // minimal Type0 doc: "AB" as 2-byte codes; A has /W 2000 (2.0 em),
+    // B falls back to /DW 600 — at 10 pt the line must span 20 + 6 = 26
+    def mini(content: String, fontObjs: String): Array[Byte] =
+      (s"""%PDF-1.6
+          |1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj
+          |2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj
+          |3 0 obj << /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents 4 0 R /Resources << /Font << /F1 5 0 R >> >> >> endobj
+          |4 0 obj << /Length ${content.length} >>
+          |stream
+          |$content
+          |endstream
+          |endobj
+          |$fontObjs
+          |%%EOF
+          |""".stripMargin).getBytes(ISO_8859_1)
+
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0041> <0042> <0041>
+        |endbfrange""".stripMargin
+    val type0Doc = mini(
+      "BT /F1 10 Tf 1 0 0 1 72 700 Tm <00410042> Tj ET",
+      s"""5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /T /Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >> endobj
+         |6 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /T /DW 600 /W [ 65 [2000] ] >> endobj
+         |7 0 obj << /Length ${cmap.length} >>
+         |stream
+         |$cmap
+         |endstream
+         |endobj""".stripMargin)
+    val line = CharPdfExtractor().extract("w.pdf", type0Doc).head.lines.head
+    assert(line.text == "AB")
+    assert(math.abs((line.right - line.left) - 26.0) < 1e-9,
+      s"/W advance not honored: span ${line.right - line.left}")
+
+    // hex string through a SIMPLE font: one byte per char
+    val simpleDoc = mini(
+      "BT /F1 12 Tf 1 0 0 1 72 700 Tm <48492E> Tj ET",
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj")
+    assert(CharPdfExtractor().extract("h.pdf", simpleDoc).head.lines.head.text == "HI.")
+  }
+
   test("/Widths array drives per-char advances (non-uniform metrics)") {
     // one page, font widths a=500 b=1000 c=1500 (FirstChar 97), size 10:
     // advances 5, 10, 15 → line right edge at 72 + 30
