@@ -47,7 +47,7 @@ object SparkEntry {
   /** Headline subset timed by [[Bench]] (the rest still run in Verify). */
   def benchQueries: Seq[String] = Seq(
     "d2_knn_topk", "d4_keyword_search", "d4_posting_search", "d7_rrf_fusion",
-    "d13_context_window",
+    "hybrid_search_fused", "d13_context_window",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_cells", "ann_pq_adc",
     "ann_sq8_topk",
     "ann_ivfpq", "ml_kmeans_step",
