@@ -308,6 +308,140 @@ object CurationQueries {
         .limit(1000)
     },
 
+    // Temperature-scaled domain mixing (the GPT-3 §2.2 / Pile recipe):
+    // instead of fully equalizing sources (curation_mixture_sample = the
+    // α=0 case), sample source i at rate (min_tokens/tokens_i)^(1−α) so
+    // large sources are only PARTIALLY downweighted — α=0.7 keeps the
+    // head useful without drowning the tail. Same 100 TB shape as the
+    // linear mixer: one tiny per-source agg → broadcast rate table →
+    // scan-local hash filter; the corpus never shuffles.
+    Q("curation_mixture_temperature",
+      """WITH t AS (SELECT doc_id, source,
+        |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |           FROM documents),
+        |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM t GROUP BY source),
+        |m AS (SELECT min(tot)::BIGINT AS mn FROM tot),
+        |r AS (SELECT source,
+        |             CAST(floor(pow((SELECT mn FROM m)::DOUBLE / tot, 0.3) * 10000) AS BIGINT) AS rate_bp
+        |      FROM tot),
+        |s AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate_bp
+        |      FROM t JOIN r ON r.source = t.source
+        |      WHERE ('0x' || substr(md5(t.doc_id::VARCHAR || ':tmp'), 1, 15))::BIGINT % 10000 < r.rate_bp)
+        |SELECT source, rate_bp, count(*) AS n_docs, sum(n_tokens)::BIGINT AS tok_sampled
+        |FROM s GROUP BY source, rate_bp ORDER BY source LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val t = staged(spark, s"$dir#mixture_tokens") {
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(F.tokens(col("text"))).cast("long").as("n_tokens"))
+      }
+      val tot = t.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
+      val mn = tot.agg(min(col("tot")).as("mn"))
+      val rates = tot.crossJoin(broadcast(mn))
+        .select(col("source"),
+          floor(pow(col("mn").cast("double") / col("tot"), 0.3) * 10000)
+            .cast("long").as("rate_bp"))
+      t.join(broadcast(rates), Seq("source"))
+        .filter(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":tmp"))), lit(10000L)) < col("rate_bp"))
+        .groupBy("source", "rate_bp")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("tok_sampled"))
+        .orderBy("source")
+        .limit(1000)
+    },
+
+    // Token-budget corpus selection: keep the best documents that fit a
+    // training-token budget (30% of the corpus here) — the "data diet"
+    // selection every budgeted pretraining run does. Quality = integer
+    // distinct-token-ratio bin (EXACT integer arithmetic — no float
+    // boundary can flip a bin cross-engine). Two-phase at 100 TB: the
+    // per-bin token totals are a 21-row agg; bins wholly inside the
+    // budget select scan-locally; only the single BOUNDARY bin pays a
+    // within-bin ordered cumsum (windowed per bin — the honest cost of
+    // exact budget truncation, confined to one bin's rows).
+    Q("curation_token_budget",
+      """WITH t AS (SELECT doc_id,
+        |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
+        |             len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::BIGINT AS n_uniq
+        |           FROM documents),
+        |d AS (SELECT doc_id, n_tokens, (n_uniq * 20) // greatest(n_tokens, 1) AS bin FROM t),
+        |bt AS (SELECT bin, sum(n_tokens)::BIGINT AS btok FROM d GROUP BY bin),
+        |bud AS (SELECT (sum(n_tokens) * 3) // 10 AS b FROM t),
+        |w AS (SELECT bin, btok,
+        |             coalesce(sum(btok) OVER (ORDER BY bin DESC
+        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
+        |      FROM bt),
+        |sel AS (SELECT d.doc_id, d.bin, d.n_tokens, w.prev,
+        |               coalesce(sum(d.n_tokens) OVER (PARTITION BY d.bin ORDER BY d.doc_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_in_bin
+        |        FROM d JOIN w ON w.bin = d.bin CROSS JOIN bud
+        |        WHERE w.prev < bud.b)
+        |SELECT doc_id, bin, n_tokens
+        |FROM sel CROSS JOIN bud
+        |WHERE prev + cum_in_bin + n_tokens <= bud.b
+        |ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(F.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(F.tokens(col("text")))).cast("long").as("n_uniq"))
+      val d = t.select(col("doc_id"), col("n_tokens"),
+        expr("(n_uniq * 20) div greatest(n_tokens, 1)").as("bin"))
+      val bt = d.groupBy("bin").agg(sum(col("n_tokens")).as("btok"))
+      val bud = t.agg(expr("(sum(n_tokens) * 3) div 10").as("b"))
+      val wBin = Window.orderBy(col("bin").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val w = bt.withColumn("prev", coalesce(sum(col("btok")).over(wBin), lit(0L)))
+      val wDoc = Window.partitionBy(col("bin")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.join(broadcast(w.select(col("bin"), col("prev"))), Seq("bin"))
+        .crossJoin(broadcast(bud))
+        .filter(col("prev") < col("b"))
+        .withColumn("cum_in_bin", coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+        .filter(col("prev") + col("cum_in_bin") + col("n_tokens") <= col("b"))
+        .select(col("doc_id"), col("bin"), col("n_tokens"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // One distributed logistic-regression gradient step for a quality
+    // classifier (the fastText-style gate every curation stack trains):
+    // w=0 start, so sigma(w.x) = 0.5 EXACTLY and the gradient is
+    // sum_i (0.5 - y_i) x_i with no transcendentals; per-doc contributions
+    // are floored to integer micros BEFORE the sum, so the aggregation is
+    // an order-free integer sum (bit-identical cross-engine — the same
+    // BSP discipline as ml_kmeans_step: map-side partials, a k-row
+    // shuffle, driver sees only the k-dim gradient). Label = lang='en';
+    // features = [bias, distinct-token ratio, stopword ratio, tokens/1e3].
+    Q("ml_logreg_grad",
+      """WITH f AS (SELECT doc_id,
+        |             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+        |             [1.0,
+        |              len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE
+        |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
+        |              len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+        |                    t -> t IN ('the', 'and', 'of', 'to', 'a')))::DOUBLE
+        |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
+        |              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE / 1000.0] AS x
+        |           FROM documents),
+        |g AS (SELECT k, CAST(floor((0.5 - y) * x[k + 1] * 1000000) AS BIGINT) AS c
+        |      FROM f CROSS JOIN (SELECT unnest(range(4)) AS k))
+        |SELECT k::BIGINT AS k, sum(c)::BIGINT AS grad_micro, count(*) AS n
+        |FROM g GROUP BY k ORDER BY k""".stripMargin) { (spark, dir) =>
+      val toks = F.tokens(col("text"))
+      val nTok = greatest(size(toks), lit(1)).cast("double")
+      val f = table(spark, dir, "documents").select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        array(
+          lit(1.0),
+          size(array_distinct(toks)).cast("double") / nTok,
+          size(filter(toks, t => t.isin("the", "and", "of", "to", "a"))).cast("double") / nTok,
+          size(toks).cast("double") / 1000.0).as("x"))
+      f.select(col("y"), posexplode(col("x")).as(Seq("k", "xv")))
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(sum(floor((lit(0.5) - col("y")) * col("xv") * 1000000).cast("long")).as("grad_micro"),
+          count(lit(1)).as("n"))
+        .orderBy("k")
+    },
+
     // The WHOLE pretraining-data pipeline composed end-to-end, ONE
     // declarative plan: exact dedup (lowest doc_id survives) → Gopher
     // quality gate (word count, alphabetic ratio, stopword floor) →

@@ -496,6 +496,38 @@ object ScaleQueries {
         .orderBy(col("cos8_micro").desc, col("vec_id"))
     },
 
+    // Hard-negative mining for contrastive / retrieval training: for each
+    // anchor, the most-similar vectors OUTSIDE its class (pseudo-label =
+    // vec_id mod 4 on the synthetic corpus; a real run joins its label
+    // column) — the "hard" negatives a bi-encoder trains against. One
+    // scan against the broadcast anchor side, per-anchor TakeOrdered-style
+    // heap via the tiny partitioned window — at 100 TB the anchor batch
+    // stays broadcast-sized and the corpus never shuffles.
+    Q("embed_hard_negatives",
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qe, vec_id % 4 AS qc
+         |           FROM embeddings WHERE vec_id < $NumQueries)
+         |SELECT q.q_id, e.vec_id AS neg_id,
+         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]), 6) AS score,
+         |       row_number() OVER (PARTITION BY q.q_id
+         |                          ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.qe::DOUBLE[]) DESC, e.vec_id) AS rank
+         |FROM q JOIN embeddings e ON e.vec_id % 4 <> q.qc
+         |QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val q = e.filter(col("vec_id") < NumQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          (col("vec_id") % 4).as("qc"))
+      e.join(broadcast(q), (col("vec_id") % 4) =!= col("qc"))
+        .select(col("q_id"), col("vec_id").as("neg_id"),
+          cosineSim(col("embedding"), col("qe")).as("s"))
+        .withColumn("rank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("neg_id"))))
+        .filter(col("rank") <= 5)
+        .select(col("q_id"), col("neg_id"), round(col("s"), 6).as("score"),
+          col("rank").cast("long").as("rank"))
+        .orderBy("q_id", "rank")
+    },
+
     // SQL interface: the same KNN through spark.sql with the extension-
     // registered cosine_sim — SQL users are first-class (same oracle as d2).
     Q("sql_interface_knn",

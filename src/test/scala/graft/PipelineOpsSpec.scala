@@ -42,6 +42,52 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("curation_token_budget: selection fits the 30% budget and prefers higher-quality bins") {
+    import org.apache.spark.sql.functions._
+    val sel = run("curation_token_budget").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sel.nonEmpty)
+    val total = spark.read.parquet(s"$sf/documents.parquet")
+      .select(size(graft.functions.F.tokens(col("text"))).cast("long").as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    val budget = total * 3 / 10
+    val selected = sel.map(_._3).sum
+    assert(selected <= budget, s"selected $selected tokens > budget $budget")
+    // greedy-by-bin: leftover headroom is smaller than one more document
+    // from the boundary bin would need — i.e. the budget is actually used
+    assert(selected > budget / 2, s"budget underused: $selected of $budget")
+    // bins are the 21-step integer distinct-ratio scale
+    assert(sel.map(_._2).min >= 0 && sel.map(_._2).max <= 20)
+  }
+
+  test("curation_mixture_temperature: rates sit between full equalization and no downsampling") {
+    val tempRates = run("curation_mixture_temperature").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val linRates = run("curation_mixture_sample").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tempRates.keySet == linRates.keySet)
+    tempRates.foreach { case (src, tr) =>
+      val lr = linRates(src)
+      assert(tr >= lr, s"$src: temperature rate $tr below the linear (alpha=0) rate $lr")
+      assert(tr <= 10000, s"$src: rate above 1.0")
+    }
+    // at least one large source is genuinely downsampled
+    assert(tempRates.values.exists(_ < 10000))
+  }
+
+  test("ml_logreg_grad: bias gradient reflects the class balance exactly") {
+    import org.apache.spark.sql.functions._
+    val g = run("ml_logreg_grad").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(g.keySet == Set(0L, 1L, 2L, 3L))
+    // bias feature x=1: gradient_micro = sum(floor((0.5 - y)·1e6)) =
+    // 500000·(n_neg) - 500000·(n_pos)
+    val counts = spark.read.parquet(s"$sf/documents.parquet")
+      .agg(count(when(col("lang") === "en", 1)).as("pos"), count(lit(1)).as("n")).head()
+    val pos = counts.getLong(0); val n = counts.getLong(1)
+    assert(g(0L) == 500000L * (n - pos) - 500000L * pos,
+      s"bias gradient ${g(0L)} disagrees with class balance ($pos/$n)")
+  }
+
   test("Packing.seqId: globally unique across buckets at adversarial token counts") {
     import spark.implicits._
     import graft.queries.Packing
