@@ -365,10 +365,9 @@ object CurationQueries {
         |d AS (SELECT doc_id, n_tokens, (n_uniq * 20) // greatest(n_tokens, 1) AS bin FROM t),
         |bt AS (SELECT bin, sum(n_tokens)::BIGINT AS btok FROM d GROUP BY bin),
         |bud AS (SELECT (sum(n_tokens) * 3) // 10 AS b FROM t),
-        |w AS (SELECT bin, btok,
-        |             coalesce(sum(btok) OVER (ORDER BY bin DESC
-        |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS prev
-        |      FROM bt),
+        |w AS (SELECT a.bin, a.btok, coalesce(sum(hb.btok), 0)::BIGINT AS prev
+        |      FROM bt a LEFT JOIN bt hb ON hb.bin > a.bin
+        |      GROUP BY a.bin, a.btok),
         |sel AS (SELECT d.doc_id, d.bin, d.n_tokens, w.prev,
         |               coalesce(sum(d.n_tokens) OVER (PARTITION BY d.bin ORDER BY d.doc_id
         |                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum_in_bin
@@ -387,9 +386,12 @@ object CurationQueries {
         expr("(n_uniq * 20) div greatest(n_tokens, 1)").as("bin"))
       val bt = d.groupBy("bin").agg(sum(col("n_tokens")).as("btok"))
       val bud = t.agg(expr("(sum(n_tokens) * 3) div 10").as("b"))
-      val wBin = Window.orderBy(col("bin").desc)
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val w = bt.withColumn("prev", coalesce(sum(col("btok")).over(wBin), lit(0L)))
+      // prev (tokens in strictly-better bins) via a 21-row triangular
+      // self-join — no unpartitioned window anywhere in this plan
+      val higher = bt.select(col("bin").as("hbin"), col("btok").as("htok"))
+      val w = bt.join(broadcast(higher), col("hbin") > col("bin"), "left")
+        .groupBy("bin", "btok")
+        .agg(coalesce(sum(col("htok")), lit(0L)).as("prev"))
       val wDoc = Window.partitionBy(col("bin")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, -1)
       d.join(broadcast(w.select(col("bin"), col("prev"))), Seq("bin"))

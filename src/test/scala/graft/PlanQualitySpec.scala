@@ -284,6 +284,57 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(twoPhase == direct)
   }
 
+  test("fused hybrid scoring: corpus-side joins broadcast; the full-outer fusion merges only limit-bounded top-k lists") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("hybrid_search_fused")(spark, sf).queryExecution
+      val p = qe.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // FULL OUTER can't broadcast — but both its inputs must be the
+      // ≤depth ranked lists (limit-bounded), never the corpus
+      qe.executedPlan.foreach {
+        case j: SortMergeJoinExec =>
+          Seq(j.left, j.right).foreach { side =>
+            val bounded = side.exists {
+              case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
+              case _ => false
+            }
+            assert(bounded, s"fusion SMJ side is unbounded (corpus shuffle):\n${side.treeString}")
+          }
+        case _ => ()
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("token-budget selection: bin stats broadcast, boundary cumsum partitioned by bin") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("curation_token_budget")(spark, sf).queryExecution
+      val p = qe.executedPlan.toString
+      assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+      // the per-doc cumsum window must be keyed by bin (parallel across
+      // bins), never a global single-partition sort of the corpus
+      val docWindows = qe.executedPlan.collect {
+        case w: WindowExec if w.partitionSpec.isEmpty => w
+      }
+      docWindows.foreach { w =>
+        // unpartitioned windows allowed only over the tiny bin table
+        assert(w.treeString.contains("btok") || w.treeString.contains("LocalTableScan"),
+          s"unpartitioned window over the corpus:\n${w.treeString}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("logreg gradient: partial aggregation before the exchange (k-row shuffle)") {
+    val p = plan("ml_logreg_grad")
+    assert(p.contains("partial_sum") || p.contains("partial"), s"no map-side combine:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("every unpartitioned window sits above a limit-bounded input (the property that makes the WindowExec warnings benign)") {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.window.WindowExec
