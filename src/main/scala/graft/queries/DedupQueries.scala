@@ -274,6 +274,56 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // One PageRank iteration over the verified near-dup graph (damping
+    // 0.85, uniform start, dangling mass redistributed evenly) — the
+    // centrality signal that ranks canonical documents inside dup
+    // clusters. The BSP shape is the one that survives scale: out-degrees
+    // are a keyed aggregate of the edge list, each edge's contribution is
+    // a scan-local expression, and the gather is ONE groupBy on the
+    // destination id; the scalar N/dangling/base terms live in broadcast
+    // one-row aggregates, never on the driver. Per-edge contributions are
+    // pico-floored BEFORE the gather sum (order-free integers — the
+    // ml_kmeans_step discipline), so ranks hash exactly cross-engine.
+    Q("graph_pagerank_step",
+      s"""WITH ${lshCtes(tokenSetsSql + " WHERE doc_id % 4 = 0")},
+         |v AS (SELECT p.a_id, p.b_id
+         |      FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |      WHERE $jaccardSql >= 0.9),
+         |e AS (SELECT a_id AS a, b_id AS b FROM v UNION ALL SELECT b_id, a_id FROM v),
+         |nn AS (SELECT count(*) AS n FROM t),
+         |od AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+         |base AS (SELECT CAST(floor((0.15 + 0.85 * ((SELECT n FROM nn) - (SELECT count(*) FROM od))
+         |                            / (SELECT n FROM nn))
+         |                           / (SELECT n FROM nn) * 1000000000000) AS BIGINT) AS bp),
+         |contrib AS (SELECT e.b AS doc_id,
+         |                   sum(CAST(floor(850000000000 / ((SELECT n FROM nn) * od.deg)) AS BIGINT))::BIGINT AS cm,
+         |                   count(*) AS in_deg
+         |            FROM e JOIN od ON od.a = e.a GROUP BY e.b)
+         |SELECT t.doc_id,
+         |       (SELECT bp FROM base) + coalesce(c.cm, 0) AS rank_pico,
+         |       coalesce(c.in_deg, 0) AS in_deg
+         |FROM t LEFT JOIN contrib c ON c.doc_id = t.doc_id
+         |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+      val docs = table(spark, dir, "documents")
+      val e = DedupPipeline.edges(docs, 0.9, sampleMod = 4)
+      val nodes = docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+      val n = nodes.agg(count(lit(1)).as("n"))
+      val od = e.groupBy("a").agg(count(lit(1)).as("deg"))
+      val base = n.crossJoin(od.agg(count(lit(1)).as("nd0")))
+        .select(floor((lit(0.15) + lit(0.85) * (col("n") - col("nd0")) / col("n"))
+          / col("n") * lit(1000000000000L)).cast("long").as("bp"))
+      val contrib = e.join(od, Seq("a")).crossJoin(broadcast(n))
+        .select(col("b").as("doc_id"),
+          floor(lit(850000000000L) / (col("n") * col("deg"))).cast("long").as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("cm"), count(lit(1)).as("in_deg"))
+      nodes.join(contrib, Seq("doc_id"), "left").crossJoin(broadcast(base))
+        .select(col("doc_id"),
+          (col("bp") + coalesce(col("cm"), lit(0L))).as("rank_pico"),
+          coalesce(col("in_deg"), lit(0L)).as("in_deg"))
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup: candidates from 8-bit sign-LSH buckets
     // (hyperplanes drawn from the corpus, signature computed scan-local
     // against ONE broadcast hyperplane-array row), verified with the native

@@ -1,8 +1,10 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
+import graft.functions.F
 import graft.functions.VectorFunctions.{cosineSim, dotProduct, l2Norm}
 import graft.operators.AsOfJoin
 import graft.store.TokenIndex
@@ -558,6 +560,135 @@ object ScaleQueries {
         .withColumn("rel_err_pct",
           round(abs(col("approx") - col("exact")) * 100.0 / col("exact"), 2))
         .orderBy("event_type")
+    },
+
+    // Count-Min sketch over the corpus term-frequency stream: CmsRows
+    // seeded md5 hash rows × CmsWidth buckets. The sketch build is the
+    // at-scale heavy-hitter primitive — per-token cell assignment is
+    // scan-local, map-side combine collapses every partition to
+    // ≤ CmsRows·CmsWidth counters, and the ONLY shuffle is those compact
+    // (row, bucket) keys regardless of corpus size. Both engines replay
+    // the identical seeded hash, so the cells are oracle-exact.
+    Q("sketch_cms_cells",
+      s"""WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |            FROM documents),
+         |c AS (SELECT r.r,
+         |             ('0x' || substr(md5(r.r::VARCHAR || ':' || tok), 1, 15))::BIGINT % $CmsWidth AS b
+         |      FROM tk CROSS JOIN (SELECT unnest(range($CmsRows)) AS r) r)
+         |SELECT r::BIGINT AS r, b::BIGINT AS b, count(*) AS cnt
+         |FROM c GROUP BY r, b ORDER BY r, b""".stripMargin) { (spark, dir) =>
+      cmsCells(spark, dir).orderBy("r", "b")
+    },
+
+    // CMS point-estimate vs exact for the top heavy hitters: est(tok) =
+    // min over rows of its cell counter — the classic one-sided estimator
+    // (est ≥ exact always; CmsSketchSpec pins the ε·N error bound). The
+    // 1k-cell sketch broadcasts; only the exact-count reference pays a
+    // token-keyed shuffle.
+    Q("sketch_cms_estimate",
+      s"""WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |            FROM documents),
+         |cells AS (SELECT r.r,
+         |                 ('0x' || substr(md5(r.r::VARCHAR || ':' || tok), 1, 15))::BIGINT % $CmsWidth AS b,
+         |                 count(*) AS cnt
+         |          FROM tk CROSS JOIN (SELECT unnest(range($CmsRows)) AS r) r GROUP BY r.r, b),
+         |top AS (SELECT tok, count(*) AS exact FROM tk
+         |        GROUP BY tok ORDER BY exact DESC, tok LIMIT 20),
+         |probe AS (SELECT t.tok, t.exact, r.r,
+         |                 ('0x' || substr(md5(r.r::VARCHAR || ':' || t.tok), 1, 15))::BIGINT % $CmsWidth AS b
+         |          FROM top t CROSS JOIN (SELECT unnest(range($CmsRows)) AS r) r)
+         |SELECT p.tok, p.exact, min(c.cnt)::BIGINT AS est
+         |FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
+         |GROUP BY p.tok, p.exact ORDER BY p.exact DESC, p.tok""".stripMargin) { (spark, dir) =>
+      val tk = docTokens(spark, dir)
+      val top = tk.groupBy("tok").agg(count(lit(1)).as("exact"))
+        .orderBy(col("exact").desc, col("tok")).limit(20)
+      top
+        .select(col("tok"), col("exact"), explode(cmsRowBuckets(col("tok"))).as("rb"))
+        .select(col("tok"), col("exact"), col("rb.r").as("r"), col("rb.b").as("b"))
+        .join(broadcast(cmsCells(spark, dir)), Seq("r", "b"))
+        .groupBy("tok", "exact")
+        .agg(min(col("cnt")).as("est"))
+        .orderBy(col("exact").desc, col("tok"))
+    },
+
+    // Distributed covariance of the embedding corpus — the PCA/whitening
+    // input every embedding-quality pipeline computes. Upper-triangular
+    // Gram entries are emitted scan-local (d·(d+1)/2 per row) and
+    // map-side-combined, so the only shuffles are 64 mean keys then 2080
+    // covariance keys at ANY corpus size. Per-row products are
+    // micro-floored BEFORE aggregation (order-free integer sums — the
+    // same cross-engine discipline as ml_kmeans_step); the mean itself
+    // derives from integer micro-sums, so both engines center on
+    // bit-identical doubles. PcaSpec runs the power iteration on these
+    // cells to the top principal component.
+    Q("ml_pca_covariance",
+      """WITH s AS (SELECT ks.k,
+        |             sum(CAST(floor(embedding[ks.k + 1]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sm,
+        |             count(*) AS n
+        |           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS k) ks GROUP BY ks.k),
+        |m AS (SELECT k, sm::DOUBLE / (n * 1000000) AS mu FROM s),
+        |p AS (SELECT ij.i, ij.j,
+        |             CAST(floor((e.embedding[ij.i + 1]::DOUBLE - mi.mu)
+        |                      * (e.embedding[ij.j + 1]::DOUBLE - mj.mu) * 1000000) AS BIGINT) AS pm
+        |      FROM embeddings e
+        |      CROSS JOIN (SELECT a.i, b.j
+        |                  FROM (SELECT unnest(range(64)) AS i) a
+        |                  CROSS JOIN (SELECT unnest(range(64)) AS j) b
+        |                  WHERE b.j >= a.i) ij
+        |      JOIN m mi ON mi.k = ij.i
+        |      JOIN m mj ON mj.k = ij.j)
+        |SELECT i::BIGINT AS i, j::BIGINT AS j, sum(pm)::BIGINT AS cov_sum_micro, count(*) AS n
+        |FROM p GROUP BY i, j ORDER BY i, j""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val sums = e.select(posexplode(col("embedding")).as(Seq("k", "x")))
+        .groupBy(col("k").cast("long").as("k"))
+        .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+      // one broadcastable row holding mu[0..63]; k-sorted so element_at
+      // (mu, k+1) is the mean of dimension k
+      val mus = sums
+        .agg(sort_array(collect_list(struct(col("k"), col("sm"), col("n")))).as("ks"))
+        .select(transform(col("ks"),
+          s => s.getField("sm").cast("double") / (s.getField("n") * lit(1000000L))).as("mu"))
+      val centered = (i: Column) =>
+        element_at(col("embedding"), (i + 1).cast("int")).cast("double") -
+          element_at(col("mu"), (i + 1).cast("int"))
+      e.crossJoin(broadcast(mus))
+        .select(explode(flatten(transform(sequence(lit(0), lit(63)), i =>
+          transform(sequence(i, lit(63)), j =>
+            struct(i.cast("long").as("i"), j.cast("long").as("j"),
+              floor(centered(i) * centered(j) * lit(1000000)).cast("long").as("pm"))))))
+          .as("p"))
+        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
+        .agg(sum(col("p.pm")).as("cov_sum_micro"), count(lit(1)).as("n"))
+        .orderBy("i", "j")
     }
   )
+
+  // ---- Count-Min sketch geometry (seeded md5 — the one hash both ----
+  // ---- engines share; see F.hash60) ----
+
+  private[graft] final val CmsRows = 4
+  private[graft] final val CmsWidth = 256
+
+  /** Every token occurrence in the corpus (term-frequency stream). */
+  private def docTokens(spark: SparkSession, dir: String) =
+    table(spark, dir, "documents")
+      .select(explode(F.tokens(col("text"))).as("tok"))
+
+  /** The CmsRows (r, bucket) cells of one token: bucket_r = seeded
+    * 60-bit md5 hash mod width — identical arithmetic in the DuckDB
+    * oracle. */
+  private def cmsRowBuckets(tok: Column): Column =
+    array((0 until CmsRows).map(r =>
+      struct(lit(r).cast("long").as("r"),
+        (F.hash60(concat(lit(s"$r:"), tok)) % CmsWidth).as("b"))): _*)
+
+  /** The materialized sketch: ≤ CmsRows·CmsWidth counter rows. */
+  private[graft] def cmsCells(spark: SparkSession, dir: String) =
+    docTokens(spark, dir)
+      .select(explode(cmsRowBuckets(col("tok"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
 }

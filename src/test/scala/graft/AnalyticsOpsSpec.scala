@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariants for the corpus-analytics operators that the oracle gate can
+  * pin only cell-by-cell: the PCA covariance feeds an actual power
+  * iteration here (the oracle proves the cells; this proves they form the
+  * matrix PCA needs), the Count-Min sketch's one-sided error contract is
+  * checked against exact counts, and the PageRank step must conserve
+  * probability mass to within its documented pico-quantization slack. */
+class AnalyticsOpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[8]")
+    .config("spark.sql.shuffle.partitions", "8")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("ml_pca_covariance cells power-iterate to the top principal component") {
+    val cells = SparkEntry.queries("ml_pca_covariance")(spark, sf).collect()
+    val n = cells.head.getLong(3)
+    val d = 64
+    val c = Array.ofDim[Double](d, d)
+    cells.foreach { r =>
+      val (i, j) = (r.getLong(0).toInt, r.getLong(1).toInt)
+      val v = r.getLong(2).toDouble / 1e6 / n
+      c(i)(j) = v; c(j)(i) = v
+    }
+    var v = Array.fill(d)(1.0 / math.sqrt(d))
+    var lambda = 0.0
+    for (_ <- 0 until 200) {
+      val w = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum)
+      lambda = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / lambda)
+    }
+    assert(lambda > 0, s"top eigenvalue $lambda not positive")
+    // converged: C v = lambda v (the iterate is an actual eigenvector)
+    val res = Array.tabulate(d)(i => (0 until d).map(j => c(i)(j) * v(j)).sum - lambda * v(i))
+    val resNorm = math.sqrt(res.map(x => x * x).sum)
+    // the synthetic corpus has a tight eigen-gap, so 200 rounds land at
+    // residual/lambda ~ 1e-7; 1e-5 still pins "this IS an eigenvector"
+    assert(resNorm <= 1e-5 * lambda, s"power iteration residual $resNorm vs lambda $lambda")
+    // the top PC captures at least as much variance as every raw axis
+    val vCv = (0 until d).map(i => (0 until d).map(j => v(i) * c(i)(j) * v(j)).sum).sum
+    val maxDiag = (0 until d).map(i => c(i)(i)).max
+    assert(vCv >= maxDiag - 1e-9, s"top-PC variance $vCv below best axis $maxDiag")
+  }
+
+  test("CMS estimates are one-sided: est >= exact, and within the width-error envelope") {
+    val rows = SparkEntry.queries("sketch_cms_estimate")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.length == 20)
+    val totalTokens = SparkEntry.queries("sketch_cms_cells")(spark, "/root/testdata/sf0.01")
+      .filter("r = 0").agg(org.apache.spark.sql.functions.sum("cnt")).head().getLong(0)
+    rows.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      assert(est >= exact, s"CMS under-estimated ${r.getString(0)}: $est < $exact")
+      // deterministic-practical envelope: min over CmsRows rows keeps the
+      // collision overshoot well under 2N/width (the expected single-row
+      // overshoot is N/width; 4-row min is far tighter)
+      assert(est - exact <= 2L * totalTokens / graft.queries.ScaleQueries.CmsWidth,
+        s"CMS overshoot ${est - exact} outside envelope for ${r.getString(0)}")
+    }
+  }
+
+  test("PageRank step conserves probability mass within pico-quantization slack") {
+    val rows = SparkEntry.queries("graph_pagerank_step")(spark, sf).collect()
+    val n = rows.length
+    assert(n > 0)
+    val base = rows.map(_.getLong(1)).min
+    assert(base > 0, "base rank must be positive")
+    val mass = rows.map(_.getLong(1)).sum
+    val edges = rows.map(_.getLong(2)).sum // each directed edge credited once
+    // every floor() loses < 1 pico-unit: n base terms + `edges` contributions
+    val slack = n + edges + 1
+    assert(mass <= 1000000000000L + 2 && mass >= 1000000000000L - slack,
+      s"rank mass $mass outside [1e12 - $slack, 1e12 + 2] (n=$n, edges=$edges)")
+    rows.foreach(r => assert(r.getLong(1) >= base))
+  }
+}
