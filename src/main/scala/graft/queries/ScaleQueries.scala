@@ -651,17 +651,23 @@ object ScaleQueries {
         .agg(sort_array(collect_list(struct(col("k"), col("sm"), col("n")))).as("ks"))
         .select(transform(col("ks"),
           s => s.getField("sm").cast("double") / (s.getField("n") * lit(1000000L))).as("mu"))
-      val centered = (i: Column) =>
-        element_at(col("embedding"), (i + 1).cast("int")).cast("double") -
-          element_at(col("mu"), (i + 1).cast("int"))
+      // centered vector once per row, then ONE native gram_micro
+      // aggregate: each map task folds its slice into a single tri(64)
+      // long[] buffer (no per-entry rows to generate or hash — the
+      // declarative explode+hashAgg form measured 10× slower), and the
+      // exchange carries one 2080-long buffer per partition. The (i, j)
+      // labels come back from a 2080-entry literal lookup.
+      val triIdx = typedlit(
+        (for (i <- 0 until 64; j <- i until 64) yield (i.toLong, j.toLong)).toSeq)
       e.crossJoin(broadcast(mus))
-        .select(explode(flatten(transform(sequence(lit(0), lit(63)), i =>
-          transform(sequence(i, lit(63)), j =>
-            struct(i.cast("long").as("i"), j.cast("long").as("j"),
-              floor(centered(i) * centered(j) * lit(1000000)).cast("long").as("pm"))))))
-          .as("p"))
-        .groupBy(col("p.i").as("i"), col("p.j").as("j"))
-        .agg(sum(col("p.pm")).as("cov_sum_micro"), count(lit(1)).as("n"))
+        .select(zip_with(col("embedding"), col("mu"),
+          (x, m) => x.cast("double") - m).as("cx"))
+        .agg(graft.functions.GramMicro.gramMicro(col("cx"), 64).as("g"))
+        .select(col("g.n").as("n"), posexplode(col("g.sums")).as(Seq("pos", "cov_sum_micro")))
+        .select(
+          element_at(triIdx, col("pos") + 1).getField("_1").as("i"),
+          element_at(triIdx, col("pos") + 1).getField("_2").as("j"),
+          col("cov_sum_micro"), col("n"))
         .orderBy("i", "j")
     }
   )

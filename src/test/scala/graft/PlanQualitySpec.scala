@@ -335,6 +335,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
   }
 
+  test("PCA covariance: one native gram_micro pass — partial buffers ship, no per-product rows") {
+    val p = plan("ml_pca_covariance")
+    assert(p.contains("gram_micro"), s"native aggregate missing:\n$p")
+    // partial ObjectHashAggregate below the exchange: each map task ships
+    // ONE tri(64) buffer, not 2080 product rows per input vector
+    assert(p.contains("partial_gram_micro"), s"no partial gram aggregation:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("every unpartitioned window sits above a limit-bounded input (the property that makes the WindowExec warnings benign)") {
     import org.apache.spark.sql.execution.{GlobalLimitExec, LocalLimitExec, LocalTableScanExec, TakeOrderedAndProjectExec}
     import org.apache.spark.sql.execution.window.WindowExec
