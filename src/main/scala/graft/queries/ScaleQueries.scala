@@ -678,10 +678,14 @@ object ScaleQueries {
   private[graft] final val CmsRows = 4
   private[graft] final val CmsWidth = 256
 
-  /** Every token occurrence in the corpus (term-frequency stream). */
+  /** Every token occurrence in the corpus (term-frequency stream),
+    * staged once per (session, dir): the sketch build and the exact
+    * heavy-hitter reference both consume it, which would otherwise
+    * tokenize the corpus twice (three times in sketch_cms_estimate). */
   private def docTokens(spark: SparkSession, dir: String) =
-    table(spark, dir, "documents")
-      .select(explode(F.tokens(col("text"))).as("tok"))
+    staged(spark, s"cms_tokens#$dir")(
+      table(spark, dir, "documents")
+        .select(explode(F.tokens(col("text"))).as("tok")))
 
   /** The CmsRows (r, bucket) cells of one token: bucket_r = seeded
     * 60-bit md5 hash mod width — identical arithmetic in the DuckDB
