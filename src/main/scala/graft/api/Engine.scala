@@ -1,7 +1,7 @@
 package graft.api
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{abs, coalesce, col, concat_ws, count, lit, sum}
+import org.apache.spark.sql.functions.{abs, broadcast, coalesce, col, concat_ws, count, lit, sum}
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
 import graft.embed.{Embedder, HashNgramEmbedder}
@@ -36,6 +36,10 @@ final class Engine(
     synthesisModel: SynthesisModel = LeadSentenceSynthesis()) {
 
   private val latency = new LatencyPolicy()
+  // highest foreachBatch epoch seen since open; MinValue = none yet, so
+  // the first streamed batch runs the idempotency probe (the previous
+  // process may have crashed between its append and checkpoint commit)
+  @volatile private var lastSeenBatchId: Long = Long.MinValue
   private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
   private var hybrid: Option[HybridEngine] = None
   private var rawChunks: Option[DataFrame] = None // pinned cache, boost-free
@@ -89,6 +93,11 @@ final class Engine(
       override def removeEldestEntry(e: java.util.Map.Entry[String, (Double, Long)]): Boolean =
         size > 100
     }
+  // bumped on every flush (under the memo lock): a miss that computed its
+  // aggregate BEFORE a concurrent flush must not memoize the pre-flush
+  // value after it — the stale entry would bias ranking until the NEXT
+  // flush happened to clear it
+  private val stabilityGen = new java.util.concurrent.atomic.AtomicLong(0)
 
   private[graft] def stabilityMemoSize: Int =
     stabilityMemo.synchronized(stabilityMemo.size)
@@ -96,6 +105,7 @@ final class Engine(
   private[graft] def stabilityHistory(canonQuery: String): (Double, Long) = {
     val hit = stabilityMemo.synchronized(Option(stabilityMemo.get(canonQuery)))
     hit.getOrElse {
+      val gen = stabilityGen.get()
       val v =
         if (!workspace.hasLog) (0.0, 0L)
         else {
@@ -108,7 +118,9 @@ final class Engine(
             .head()
           (r.getDouble(0), r.getLong(1))
         }
-      stabilityMemo.synchronized(stabilityMemo.put(canonQuery, v))
+      stabilityMemo.synchronized {
+        if (stabilityGen.get() == gen) stabilityMemo.put(canonQuery, v)
+      }
       v
     }
   }
@@ -159,7 +171,10 @@ final class Engine(
         "latency_embed_ms", "latency_search_ms", "latency_fusion_ms", "latency_rerank_ms",
         "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability",
         "created_at"))
-      stabilityMemo.synchronized(stabilityMemo.clear()) // persisted history changed
+      stabilityMemo.synchronized { // persisted history changed
+        stabilityMemo.clear()
+        stabilityGen.incrementAndGet()
+      }
     }
     rows.size.toLong
   }
@@ -257,9 +272,32 @@ final class Engine(
     * posting rows into the live token buckets and [[appendToAnn]] assigns
     * the batch against the frozen centroids into the live cid= partitions.
     * Per-batch work is proportional to the BATCH, never the corpus (the
-    * drift-triggered retrain being the documented exception). */
-  private[graft] def ingestBatch(batch: DataFrame): Unit = {
-    val built = ChunkStore.buildChunks(batch, embedder).localCheckpoint()
+    * drift-triggered retrain being the documented exception).
+    *
+    * IDEMPOTENT under at-least-once delivery: foreachBatch can replay an
+    * epoch after a crash between the chunk append and the stream
+    * checkpoint commit, and chunk ids are deterministic — a naive
+    * re-append would double every replayed chunk's postings and ANN rows
+    * (violating the merge paths' strictly-new-ids precondition). With
+    * `probeExisting` the batch is anti-joined against the chunk ids
+    * already stored for ITS OWN doc_ids. The probe reads the chunk
+    * table, so the streaming path pays it ONLY where a replay is
+    * possible — the first batch after open (the previous process may
+    * have died mid-epoch) and any non-advancing batchId — keeping
+    * steady-state batches at O(batch) records read. */
+  private[graft] def ingestBatch(batch: DataFrame, probeExisting: Boolean = true): Unit = {
+    val built0 = ChunkStore.buildChunks(batch, embedder).localCheckpoint()
+    // materialized BEFORE the append (localCheckpoint): the downstream
+    // consumers re-evaluate `built`, and a lazy anti-join would re-probe
+    // the chunk table AFTER appendChunks added these very rows — seeing
+    // every id as a duplicate and silently skipping the index merges
+    val built = if (!probeExisting || workspace.registeredDim.isEmpty) built0 else {
+      val batchDocs = built0.select("doc_id").distinct()
+      val existing = workspace.readChunks()
+        .join(broadcast(batchDocs), Seq("doc_id"), "leftsemi")
+        .select("id")
+      built0.join(existing, Seq("id"), "leftanti").localCheckpoint()
+    }
     try {
       if (!built.isEmpty) {
         workspace.appendChunks(built)
@@ -268,7 +306,10 @@ final class Engine(
         workspace.setMeta("summaries_indexed", "false")
         invalidate() // table changed: next search() re-reads + re-pins
       }
-    } finally graft.functions.Checkpoints.release(built)
+    } finally {
+      graft.functions.Checkpoints.release(built0)
+      if (built ne built0) graft.functions.Checkpoints.release(built)
+    }
   }
 
   /** Continuous ingest — the reference's incremental index queue
@@ -280,7 +321,10 @@ final class Engine(
     * maintained per micro-batch ([[ingestBatch]] — O(batch) appends, not
     * full rebuilds) — so [[search]] finds streamed docs without any
     * manual index() call. The checkpoint lives inside the workspace, so a
-    * restarted stream resumes exactly-once over the source files.
+    * restarted stream resumes over the source files; delivery into
+    * foreachBatch is AT-LEAST-ONCE, and [[ingestBatch]]'s id anti-join
+    * makes the sink idempotent — together, effectively-once on the
+    * workspace and its indexes.
     *
     * Safe to run CONCURRENTLY with [[search]] (a continuous trigger, not
     * just AvailableNow): per-batch index maintenance APPENDS files (never
@@ -296,8 +340,14 @@ final class Engine(
       .schema(graft.streaming.StreamingIngest.documentsSchema)
       .parquet(inputDir)
     docs.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        if (!batch.isEmpty) ingestBatch(batch)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // replay is possible only on the first epoch after open (a prior
+        // process may have died between append and checkpoint commit) or
+        // when the batchId fails to advance — everywhere else the
+        // anti-join probe would be a wasted corpus read
+        val probe = lastSeenBatchId == Long.MinValue || batchId <= lastSeenBatchId
+        if (!batch.isEmpty) ingestBatch(batch, probeExisting = probe)
+        lastSeenBatchId = math.max(lastSeenBatchId, batchId)
         ()
       }
       .option("checkpointLocation", s"${workspace.root}/_ingest_checkpoint")

@@ -49,11 +49,15 @@ object Staging {
 
   private final class Holder(build: () => DataFrame) {
     @volatile private var built: Option[DataFrame] = None
+    // removed from the map while still building: the finished checkpoint
+    // must not be cached (stale) NOR leaked (no map entry can reach it)
+    @volatile var doomed: Boolean = false
     // lazy val: concurrent getters block on one evaluation — exactly one
     // checkpoint per key, the loser reuses it instead of orphaning blocks
     lazy val value: DataFrame = {
       val df = build().localCheckpoint()
       built = Some(df)
+      if (doomed) deferRelease(df)
       df
     }
     def evaluated: Option[DataFrame] = built
@@ -63,17 +67,55 @@ object Staging {
   private val cache =
     new java.util.LinkedHashMap[(SparkSession, String), Holder](16, 0.75f, true)
 
+  // Checkpoints whose Holder was invalidated mid-build: they can't be
+  // released immediately (the in-flight caller is still consuming them —
+  // a localCheckpoint has no lineage to recompute from), so they drain
+  // with ONE sweep cycle of grace, the same in-flight-reader bound the
+  // versioned index swap gives (Workspace.RetainPriorVersions).
+  private var pendingRelease: List[DataFrame] = Nil
+  private var prevPending: List[DataFrame] = Nil
+
+  private def deferRelease(df: DataFrame): Unit = cache.synchronized {
+    pendingRelease = df :: pendingRelease
+  }
+
+  /** Call under the cache lock: releases the SWEEP-BEFORE-LAST's doomed
+    * checkpoints and ages the last sweep's. */
+  private def drainDeferred(): Unit = {
+    prevPending.foreach(Checkpoints.release)
+    prevPending = pendingRelease
+    pendingRelease = Nil
+  }
+
+  private def dropEntry(h: Holder): Unit = h.evaluated match {
+    case Some(df) => Checkpoints.release(df)
+    case None     => h.doomed = true // release when its build completes
+  }
+
   def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
     val holder = cache.synchronized {
       val k = (spark, key)
       Option(cache.get(k)).getOrElse {
         val h = new Holder(() => build)
         cache.put(k, h)
-        while (cache.size > MaxEntries) {
+        // evict eldest entries down to the bound, preferring EVALUATED
+        // ones: a mid-build holder has a caller attached, and dooming it
+        // discards the checkpoint its next staged() wants — only the
+        // 2×bound backstop dooms builders (pathological: 64+ keys staged
+        // while one build runs)
+        var overBy = cache.size - MaxEntries
+        if (overBy > 0) {
+          val force = cache.size > 2 * MaxEntries
           val it = cache.entrySet().iterator()
-          val eldest = it.next()
-          it.remove()
-          eldest.getValue.evaluated.foreach(Checkpoints.release)
+          while (it.hasNext && overBy > 0) {
+            val eldest = it.next()
+            if ((eldest.getValue ne h) &&
+                (eldest.getValue.evaluated.isDefined || force)) {
+              it.remove()
+              dropEntry(eldest.getValue)
+              overBy -= 1
+            }
+          }
         }
         h
       }
@@ -83,13 +125,17 @@ object Staging {
 
   /** Drop (and release) every staged entry whose key mentions `pathSubstr`
     * — the hook for table-mutation paths: rewriting data under a staged
-    * path makes its checkpoint silently stale. */
+    * path makes its checkpoint silently stale. An entry still mid-build is
+    * doomed instead: its checkpoint joins the deferred-release drain once
+    * the build finishes (its in-flight caller reads pre-mutation data —
+    * unavoidable, the mutation raced the read — but nothing leaks). */
   def invalidate(pathSubstr: String): Unit = cache.synchronized {
+    drainDeferred()
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
       if (e.getKey._2.contains(pathSubstr)) {
-        e.getValue.evaluated.foreach(Checkpoints.release)
+        dropEntry(e.getValue)
         it.remove()
       }
     }
@@ -97,9 +143,11 @@ object Staging {
 
   /** Release everything (session teardown / tests). */
   def clear(): Unit = cache.synchronized {
+    drainDeferred()
+    drainDeferred() // teardown: no in-flight callers left — drain BOTH ages
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
-      it.next().getValue.evaluated.foreach(Checkpoints.release)
+      dropEntry(it.next().getValue)
       it.remove()
     }
   }

@@ -311,10 +311,16 @@ object CurationQueries {
     // Temperature-scaled domain mixing (the GPT-3 §2.2 / Pile recipe):
     // instead of fully equalizing sources (curation_mixture_sample = the
     // α=0 case), sample source i at rate (min_tokens/tokens_i)^(1−α) so
-    // large sources are only PARTIALLY downweighted — α=0.7 keeps the
-    // head useful without drowning the tail. Same 100 TB shape as the
-    // linear mixer: one tiny per-source agg → broadcast rate table →
-    // scan-local hash filter; the corpus never shuffles.
+    // large sources are only PARTIALLY downweighted. Same 100 TB shape
+    // as the linear mixer: one tiny per-source agg → broadcast rate
+    // table → scan-local hash filter; the corpus never shuffles.
+    //
+    // The exponent is 1/2 (temperature T=2, the standard multilingual
+    // setting) deliberately: sqrt is the ONE power IEEE 754 requires to
+    // be correctly rounded, so the JVM and DuckDB produce bit-identical
+    // rates — an arbitrary pow(x, 0.3) is libm-dependent in its last
+    // ulp, and a one-ulp flip of floor(rate·10⁴) would cascade into a
+    // different sampled document set on one engine only.
     Q("curation_mixture_temperature",
       """WITH t AS (SELECT doc_id, source,
         |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
@@ -322,7 +328,7 @@ object CurationQueries {
         |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM t GROUP BY source),
         |m AS (SELECT min(tot)::BIGINT AS mn FROM tot),
         |r AS (SELECT source,
-        |             CAST(floor(pow((SELECT mn FROM m)::DOUBLE / tot, 0.3) * 10000) AS BIGINT) AS rate_bp
+        |             CAST(floor(sqrt((SELECT mn FROM m)::DOUBLE / tot) * 10000) AS BIGINT) AS rate_bp
         |      FROM tot),
         |s AS (SELECT t.doc_id, t.source, t.n_tokens, r.rate_bp
         |      FROM t JOIN r ON r.source = t.source
@@ -338,7 +344,7 @@ object CurationQueries {
       val mn = tot.agg(min(col("tot")).as("mn"))
       val rates = tot.crossJoin(broadcast(mn))
         .select(col("source"),
-          floor(pow(col("mn").cast("double") / col("tot"), 0.3) * 10000)
+          floor(sqrt(col("mn").cast("double") / col("tot")) * 10000)
             .cast("long").as("rate_bp"))
       t.join(broadcast(rates), Seq("source"))
         .filter(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":tmp"))), lit(10000L)) < col("rate_bp"))

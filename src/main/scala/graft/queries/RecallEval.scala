@@ -82,6 +82,7 @@ object RecallEval {
         val (assigned, cents) = AnnIndex.build(e, "vec_id", "embedding", cells = 16)
         val av = assigned.select(col("id").as("n_id"), col("embedding"), col("cid"))
           .localCheckpoint()
+        try {
         val qRows = qs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
         def ivfRecall(nprobe: Int): Double = {
           import spark.implicits._
@@ -158,7 +159,6 @@ object RecallEval {
                 .reduce(_ + _).as("adc"))
           recallOf(l2Truth, topkPerQuery(cands, col("adc"), asc = true, k))
         }
-        graft.functions.Checkpoints.release(av)
 
         // ---- SQ8 two-phase (the IvfGenerator serving path, full corpus):
         // select by rescaled int8 cosine (4× overfetch), re-rank exact ----
@@ -187,6 +187,7 @@ object RecallEval {
           VariantRecall("lsh", "cosine", "hyperplanes=4,buckets=16", lsh4),
           VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained", ivfpqRecall),
           VariantRecall("sq8_two_phase", "cosine", s"overfetch=${IvfGenerator.Sq8Overfetch}", sq8)))
+        } finally graft.functions.Checkpoints.release(av)
       } finally graft.functions.Checkpoints.release(qs)
     } finally graft.functions.Checkpoints.release(e)
   }

@@ -200,7 +200,10 @@ object RetrievalQueries {
          |             + stab.st * 2.0 * 0.1, 6) AS score,
          |       round(coalesce(b.boost, 1.0), 6) AS trust
          |FROM fused f CROSS JOIN stab LEFT JOIN boosts b ON b.chunk_id = f.id
-         |ORDER BY score DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
+         |ORDER BY coalesce(0.35 / (60.0 + f.sem_rank), 0.0)
+         |         + coalesce(0.65 / (60.0 + f.kw_rank), 0.0)
+         |         + CASE WHEN f.sem_rank IS NOT NULL AND f.id % 5 = 1 THEN 0.5 ELSE 0.0 END
+         |         + stab.st * 2.0 * 0.1 DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
       val corpus = fusedCorpus(spark, dir)
       val qv = table(spark, dir, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -224,18 +227,25 @@ object RetrievalQueries {
         .filter(!col("is_exploration"))
         .groupBy("chunk_id").agg((lit(1.0) + lit(0.1) * count(lit(1))).as("boost"))
       val ctype = col("id") % 5
+      // ORDER BY the RAW fused score (rounding only the output column):
+      // the live engine ranks by raw doubles, so ordering the oracle pair
+      // by round(score, 6) would let sub-5e-7 near-ties order differently
+      // between HybridEngineFusedSpec's two paths on an unlucky corpus
+      val rawScore = coalesce(lit(0.35) / (lit(60.0) + col("sem_rank")), lit(0.0)) +
+        coalesce(lit(0.65) / (lit(60.0) + col("kw_rank")), lit(0.0)) +
+        when(col("sem_rank").isNotNull && ctype === 1, 0.5).otherwise(0.0) +
+        lit(stab * 2.0 * 0.1)
       sem.join(kw, Seq("id"), "full_outer")
         .join(broadcast(boosts), col("id") === col("chunk_id"), "left")
         .select(col("id"), col("sem_rank"), col("kw_rank"),
           when(ctype === 0, "text").when(ctype === 1, "definition").when(ctype === 2, "list")
             .when(ctype === 3, "example").otherwise("summary").as("chunk_type"),
-          round(coalesce(lit(0.35) / (lit(60.0) + col("sem_rank")), lit(0.0))
-              + coalesce(lit(0.65) / (lit(60.0) + col("kw_rank")), lit(0.0))
-              + when(col("sem_rank").isNotNull && ctype === 1, 0.5).otherwise(0.0)
-              + lit(stab * 2.0 * 0.1), 6).as("score"),
+          rawScore.as("score_raw"),
           round(coalesce(col("boost"), lit(1.0)), 6).as("trust"))
-        .orderBy(col("score").desc, col("id"))
+        .orderBy(col("score_raw").desc, col("id"))
         .limit(20)
+        .select(col("id"), col("sem_rank"), col("kw_rank"), col("chunk_type"),
+          round(col("score_raw"), 6).as("score"), col("trust"))
     },
 
 

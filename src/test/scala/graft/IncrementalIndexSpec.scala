@@ -66,8 +66,11 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val postingsV = ws.getMeta("postings_v").get
     val annV = ws.getMeta("ann_v").get
 
+    // probeExisting=false mirrors the streaming steady state (epochs
+    // advancing, no restart): the idempotency anti-join runs only on the
+    // first batch after open / a replayed epoch, and IS a corpus probe
     val read = recordsReadDuring {
-      engine.ingestBatch(docs(5, from = corpus))
+      engine.ingestBatch(docs(5, from = corpus), probeExisting = false)
     }
     // the batch pipeline re-reads the 5-doc batch a handful of times
     // (guardrail, postings, assignment) plus the 8 centroid rows — if any
@@ -84,6 +87,35 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val hits = engine.search(s"topic${corpus + 2}")
     assert(hits.nonEmpty, "streamed doc not findable after incremental ingest")
     assert(hits.head.docId == (corpus + 2).toString)
+  }
+
+  test("a replayed micro-batch is a no-op: the id anti-join keeps chunks, postings, ANN rows unique") {
+    val root = Files.createTempDirectory("graft-replay-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(40))
+    val ws = engine.workspace
+    val chunksBase = ws.count()
+    val batch = docs(10, from = 40)
+    engine.ingestBatch(batch) // first delivery (probe on by default)
+    val chunksAfter = ws.count()
+    val perDoc = (chunksAfter - chunksBase) / 10
+    val postingsAfter = ws.readPostings().count()
+    val annAfter = ws.readAnn().count()
+
+    // at-least-once replay of the SAME epoch — e.g. a crash between the
+    // append and the stream checkpoint commit
+    engine.ingestBatch(batch)
+    assert(ws.count() == chunksAfter, "replayed batch duplicated chunks")
+    assert(ws.readPostings().count() == postingsAfter,
+      "replayed batch double-appended postings (inflated tf)")
+    assert(ws.readAnn().count() == annAfter, "replayed batch duplicated ANN rows")
+
+    // a replayed batch CONTAINING new docs still ingests exactly the new part
+    engine.ingestBatch(docs(12, from = 40)) // 10 replayed + 2 new
+    assert(ws.count() == chunksAfter + 2 * perDoc,
+      "partial replay must ingest only the new docs")
+    val hits = engine.search("topic51")
+    assert(hits.nonEmpty && hits.head.docId == "51")
   }
 
   test("incremental postings equal a full rebuild's postings row-for-row") {
