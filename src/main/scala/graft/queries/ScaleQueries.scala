@@ -564,11 +564,12 @@ object ScaleQueries {
 
     // Count-Min sketch over the corpus term-frequency stream: CmsRows
     // seeded md5 hash rows × CmsWidth buckets. The sketch build is the
-    // at-scale heavy-hitter primitive — per-token cell assignment is
-    // scan-local, map-side combine collapses every partition to
-    // ≤ CmsRows·CmsWidth counters, and the ONLY shuffle is those compact
-    // (row, bucket) keys regardless of corpus size. Both engines replay
-    // the identical seeded hash, so the cells are oracle-exact.
+    // at-scale heavy-hitter primitive — tokens pre-aggregate to term
+    // frequencies (map-side combine bounds the shuffle by vocabulary,
+    // not corpus), the seeded hashes run per DISTINCT token, and the
+    // final shuffle is ≤ CmsRows·CmsWidth compact (row, bucket) keys
+    // regardless of corpus size. Both engines replay the identical
+    // seeded hash, so the cells are oracle-exact.
     Q("sketch_cms_cells",
       s"""WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
          |            FROM documents),
@@ -600,8 +601,8 @@ object ScaleQueries {
          |SELECT p.tok, p.exact, min(c.cnt)::BIGINT AS est
          |FROM probe p JOIN cells c ON c.r = p.r AND c.b = p.b
          |GROUP BY p.tok, p.exact ORDER BY p.exact DESC, p.tok""".stripMargin) { (spark, dir) =>
-      val tk = docTokens(spark, dir)
-      val top = tk.groupBy("tok").agg(count(lit(1)).as("exact"))
+      val top = termFreqs(spark, dir)
+        .select(col("tok"), col("tf").as("exact"))
         .orderBy(col("exact").desc, col("tok")).limit(20)
       top
         .select(col("tok"), col("exact"), explode(cmsRowBuckets(col("tok"))).as("rb"))
@@ -678,14 +679,19 @@ object ScaleQueries {
   private[graft] final val CmsRows = 4
   private[graft] final val CmsWidth = 256
 
-  /** Every token occurrence in the corpus (term-frequency stream),
-    * staged once per (session, dir): the sketch build and the exact
-    * heavy-hitter reference both consume it, which would otherwise
-    * tokenize the corpus twice (three times in sketch_cms_estimate). */
-  private def docTokens(spark: SparkSession, dir: String) =
-    staged(spark, s"cms_tokens#$dir")(
+  /** Term frequencies (tok → tf), staged once per (session, dir): the
+    * sketch build and the exact heavy-hitter reference both consume it.
+    * Aggregating FIRST is the at-scale win twice over — map-side combine
+    * collapses each partition to its distinct tokens before the shuffle
+    * (vocabulary-bounded keys, not the occurrence stream), and the
+    * seeded md5 bucket hashes downstream run CmsRows× per DISTINCT
+    * token instead of per occurrence. Cell counts are identical:
+    * sum of tf per bucket = count of occurrences per bucket. */
+  private def termFreqs(spark: SparkSession, dir: String) =
+    staged(spark, s"cms_tf#$dir")(
       table(spark, dir, "documents")
-        .select(explode(F.tokens(col("text"))).as("tok")))
+        .select(explode(F.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("tf")))
 
   /** The CmsRows (r, bucket) cells of one token: bucket_r = seeded
     * 60-bit md5 hash mod width — identical arithmetic in the DuckDB
@@ -697,8 +703,8 @@ object ScaleQueries {
 
   /** The materialized sketch: ≤ CmsRows·CmsWidth counter rows. */
   private[graft] def cmsCells(spark: SparkSession, dir: String) =
-    docTokens(spark, dir)
-      .select(explode(cmsRowBuckets(col("tok"))).as("rb"))
+    termFreqs(spark, dir)
+      .select(col("tf"), explode(cmsRowBuckets(col("tok"))).as("rb"))
       .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
-      .agg(count(lit(1)).as("cnt"))
+      .agg(sum(col("tf")).as("cnt"))
 }
