@@ -54,7 +54,8 @@ object SparkEntry {
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
-    "ml_pca_covariance", "sketch_cms_estimate", "graph_pagerank_step",
+    "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
+    "graph_pagerank_step", "graph_label_prop", "curation_bloom_decontam",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "mm_av_align",
     "q1_pricing_summary", "q3_topk_revenue_join", "q_salted_skew_agg",

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
@@ -20,6 +21,14 @@ object CurationQueries {
   // BM25 constants (Robertson/Lucene defaults)
   private val K1 = 1.2
   private val B = 0.75
+
+  // Bloom decontamination geometry: m = 2¹⁶ bits, k probe positions cut
+  // from one md5 digest (4 hex chars each — partitioned hashing). m is
+  // the FIXED serving budget (64 KB of booleans as an array literal) —
+  // sized for the fixture eval split here; a production eval suite picks
+  // m ≈ −k·n/ln(1−fpr^(1/k)) and the plan shape is unchanged.
+  private[graft] final val BloomBits = 65536
+  private[graft] final val BloomHashes = 3
 
   /** Gram-keyed decontamination join with an HONEST broadcast decision:
     * the eval side broadcasts only while its estimated in-memory size fits
@@ -159,6 +168,71 @@ object CurationQueries {
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("doc_id"))
+        .limit(1000)
+    },
+
+    // Bloom-filter decontamination — the ZERO-SHUFFLE contamination scan.
+    // curation_decontaminate joins corpus grams against the eval grams
+    // (broadcast-or-shuffle); this variant compresses the eval suite into
+    // a fixed m-bit Bloom bitmap instead, and the corpus pays ONE
+    // completely scan-local pass: per document, count grams whose
+    // BloomHashes probe positions are all set (higher-order filter over
+    // the gram array against a 64 KB array literal — no explode, no join,
+    // no shuffle; the only aggregation anywhere is the eval side's
+    // position-set build). The bitmap collect is bounded by the filter
+    // geometry m, NEVER the corpus — the same contract as Spark's own
+    // InjectRuntimeFilter bloom. False positives are possible by design
+    // (CurationBloomSpec pins flags ⊇ the exact join's flags); at 100 TB
+    // this is how decontamination actually ships when the eval suite
+    // outgrows the broadcast threshold but the corpus can't afford a
+    // gram-keyed shuffle.
+    Q("curation_bloom_decontam",
+      s"""WITH t AS (SELECT doc_id,
+         |             list_distinct(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+         |               i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS grams
+         |           FROM documents),
+         |ev AS (SELECT DISTINCT unnest(grams) AS g FROM t WHERE doc_id % 97 = 0),
+         |pos AS (SELECT DISTINCT ('0x' || substr(md5(g), r.i * 4 + 1, 4))::BIGINT AS p
+         |        FROM ev CROSS JOIN (SELECT unnest(range($BloomHashes)) AS i) r),
+         |cg AS (SELECT doc_id, unnest(grams) AS g FROM t WHERE doc_id % 97 <> 0),
+         |pr AS (SELECT doc_id, g,
+         |              ('0x' || substr(md5(g), r.i * 4 + 1, 4))::BIGINT AS p
+         |       FROM cg CROSS JOIN (SELECT unnest(range($BloomHashes)) AS i) r),
+         |hits AS (SELECT pr.doc_id, pr.g, count(*) AS nh
+         |         FROM pr JOIN pos ON pos.p = pr.p
+         |         GROUP BY pr.doc_id, pr.g),
+         |fl AS (SELECT doc_id, count(*)::BIGINT AS n_flagged FROM hits
+         |       WHERE nh = $BloomHashes GROUP BY doc_id)
+         |SELECT t.doc_id, len(t.grams)::BIGINT AS n_grams, fl.n_flagged
+         |FROM t JOIN fl ON fl.doc_id = t.doc_id
+         |ORDER BY n_flagged DESC, t.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 5)).as("grams"))
+      // BloomBits = 2¹⁶, so each 4-hex-char slice of ONE md5 digest IS a
+      // probe position (partitioned hashing, Kirsch–Mitzenmacher style) —
+      // one digest per gram instead of BloomHashes of them
+      def probes(h: Column): Seq[Column] = (0 until BloomHashes).map(i =>
+        conv(substring(h, i * 4 + 1, 4), 16, 10).cast("long"))
+      // eval → bit positions → driver bitmap (≤ m entries by construction)
+      val ps = t.filter(col("doc_id") % 97 === 0)
+        .select(explode(col("grams")).as("g")).distinct()
+        .select(explode(array(probes(md5(col("g"))): _*)).as("p")).distinct()
+        .collect().map(_.getLong(0).toInt)
+      val bloom = new Array[Boolean](BloomBits)
+      ps.foreach(bloom(_) = true)
+      val bloomLit = typedlit(bloom.toSeq)
+      def hit(h: Column): Column = probes(h)
+        .map(p => element_at(bloomLit, p.cast("int") + 1))
+        .reduce(_ && _)
+      t.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          // grams → digests FIRST so md5 runs once per gram (lambda
+          // bodies get no common-subexpression elimination in codegen)
+          size(filter(transform(col("grams"), g => md5(g)), hit _))
+            .cast("long").as("n_flagged"))
+        .filter(col("n_flagged") > 0)
+        .orderBy(col("n_flagged").desc, col("doc_id"))
         .limit(1000)
     },
 

@@ -324,6 +324,58 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // One synchronous label-propagation step over the near-dup graph
+    // (Raghavan et al. 2007 — community detection for topic clustering):
+    // a third of the sampled docs carry seed labels; every node adopts
+    // the most frequent label among its labeled neighbors (ties → the
+    // smallest label — the determinism the async textbook variant lacks),
+    // unlabeled-neighborhood nodes keep their seed. Same BSP shape as
+    // graph_pagerank_step: edge⋈seed is a keyed shuffle with map-side
+    // combine, and the per-node argmax window partitions by doc_id over
+    // ≤ 7 candidate rows — no global window, no driver loop, iterate by
+    // re-feeding `label` as the next round's seeds.
+    Q("graph_label_prop",
+      s"""WITH ${lshCtes(tokenSetsSql + " WHERE doc_id % 4 = 0")},
+         |v AS (SELECT p.a_id, p.b_id
+         |      FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |      WHERE $jaccardSql >= 0.9),
+         |e AS (SELECT a_id AS a, b_id AS b FROM v UNION ALL SELECT b_id, a_id FROM v),
+         |seeds AS (SELECT doc_id, doc_id % 7 AS lbl FROM t WHERE doc_id % 3 = 0),
+         |nbr AS (SELECT e.b AS doc_id, s.lbl, count(*) AS cnt
+         |        FROM e JOIN seeds s ON s.doc_id = e.a GROUP BY e.b, s.lbl),
+         |lrk AS (SELECT doc_id, lbl, cnt,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, lbl) AS rn
+         |        FROM nbr),
+         |w AS (SELECT doc_id, lbl, cnt FROM lrk WHERE rn = 1)
+         |SELECT t.doc_id, coalesce(w.lbl, s0.lbl)::BIGINT AS label,
+         |       coalesce(w.cnt, 0)::BIGINT AS support,
+         |       (w.doc_id IS NOT NULL) AS propagated
+         |FROM t LEFT JOIN w ON w.doc_id = t.doc_id
+         |       LEFT JOIN seeds s0 ON s0.doc_id = t.doc_id
+         |WHERE w.doc_id IS NOT NULL OR s0.doc_id IS NOT NULL
+         |ORDER BY t.doc_id""".stripMargin) { (spark, dir) =>
+      val docs = table(spark, dir, "documents")
+      val e = DedupPipeline.edges(docs, 0.9, sampleMod = 4)
+      val nodes = docs.filter(col("doc_id") % 4 === 0).select("doc_id")
+      val seeds = nodes.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), (col("doc_id") % 7).as("lbl"))
+      val nbr = e.join(seeds.toDF("a", "lbl"), Seq("a"))
+        .groupBy(col("b").as("doc_id"), col("lbl"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy(col("cnt").desc, col("lbl"))
+      val win = nbr.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("doc_id"), col("lbl").as("wl"), col("cnt"))
+      nodes.join(win, Seq("doc_id"), "left")
+        .join(seeds.select(col("doc_id"), col("lbl").as("sl")), Seq("doc_id"), "left")
+        .filter(col("wl").isNotNull || col("sl").isNotNull)
+        .select(col("doc_id"),
+          coalesce(col("wl"), col("sl")).as("label"),
+          coalesce(col("cnt"), lit(0L)).as("support"),
+          col("wl").isNotNull.as("propagated"))
+        .orderBy("doc_id")
+    },
+
     // Embedding-cosine near-dup: candidates from 8-bit sign-LSH buckets
     // (hyperplanes drawn from the corpus, signature computed scan-local
     // against ONE broadcast hyperplane-array row), verified with the native

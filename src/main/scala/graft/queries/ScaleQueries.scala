@@ -613,6 +613,47 @@ object ScaleQueries {
         .orderBy(col("exact").desc, col("tok"))
     },
 
+    // KMV (k-minimum-values) distinct-count sketch over the corpus's
+    // 5-gram shingle universe: keep the k smallest 60-bit gram hashes;
+    // the k-th smallest order statistic estimates the cardinality as
+    // (k−1)·2⁶⁰/h₍ₖ₎ (Bar-Yossef et al. 2002 — the mergeable
+    // bounded-size alternative to exact countDistinct, and the cheap
+    // "how big is the decontamination universe" probe that sizes the
+    // Bloom filter above). At 100 TB: hashes are scan-local, each
+    // partition's hash-distinct prunes to its local k-minimum, and the
+    // global TakeOrdered heap merges k rows per partition; the estimate
+    // arithmetic replays exactly cross-engine (2⁶⁰ is a power of two so
+    // the multiply is exact, and IEEE divide is correctly rounded). The
+    // exact count rides along as the reference, exactly like
+    // sketch_cms_estimate's heavy hitters.
+    Q("sketch_kmv_distinct",
+      s"""WITH gr AS (SELECT DISTINCT unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+         |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
+         |            FROM documents),
+         |h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
+         |km AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+         |s AS (SELECT count(*) AS k, max(h) AS hk FROM km)
+         |SELECT (SELECT count(*) FROM h) AS n_exact,
+         |       CAST(floor((s.k - 1)::DOUBLE * 1152921504606846976 / s.hk::DOUBLE) AS BIGINT) AS kmv_est,
+         |       s.k AS k
+         |FROM s""".stripMargin) { (spark, dir) =>
+      // staged: the k-minimum branch and the exact-count reference both
+      // consume the distinct hash set (cardinality-bounded, tiny)
+      val h = staged(spark, s"kmv_h#$dir")(
+        table(spark, dir, "documents")
+          .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
+          .distinct()
+          .select(F.hash60(col("g")).as("h")))
+      val s = h.orderBy("h").limit(KmvK)
+        .agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+      h.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(s)
+        .select(col("n_exact"),
+          floor((col("k") - 1).cast("double") * lit(1152921504606846976L)
+              / col("hk").cast("double")).cast("long").as("kmv_est"),
+          col("k"))
+    },
+
     // Distributed covariance of the embedding corpus — the PCA/whitening
     // input every embedding-quality pipeline computes. Upper-triangular
     // Gram entries are emitted scan-local (d·(d+1)/2 per row) and
@@ -678,6 +719,9 @@ object ScaleQueries {
 
   private[graft] final val CmsRows = 4
   private[graft] final val CmsWidth = 256
+
+  /** KMV sketch size (k smallest hashes kept). */
+  private[graft] final val KmvK = 256
 
   /** Term frequencies (tok → tf), staged once per (session, dir): the
     * sketch build and the exact heavy-hitter reference both consume it.

@@ -81,4 +81,48 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"rank mass $mass outside [1e12 - $slack, 1e12 + 2] (n=$n, edges=$edges)")
     rows.foreach(r => assert(r.getLong(1) >= base))
   }
+
+  test("KMV estimate lands within the 4-sigma order-statistic envelope of exact") {
+    val r = SparkEntry.queries("sketch_kmv_distinct")(spark, "/root/testdata/sf0.01").head()
+    val (exact, est, k) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(k == graft.queries.ScaleQueries.KmvK, s"sketch not full: k=$k")
+    assert(exact > k, "fixture vocabulary must exceed the sketch size")
+    // KMV relative std error ~ 1/sqrt(k-2) ≈ 6.3% at k=256; 4 sigma
+    val tol = 4.0 / math.sqrt(k - 2.0)
+    assert(math.abs(est - exact) <= tol * exact,
+      s"KMV estimate $est vs exact $exact outside ±${(tol * 100).round}%")
+  }
+
+  test("Bloom decontamination has no false negatives vs the exact gram join") {
+    val bloom = SparkEntry.queries("curation_bloom_decontam")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val exact = SparkEntry.queries("curation_decontaminate")(spark, "/root/testdata/sf0.01")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "exact decontamination found nothing to compare against")
+    // every truly-shared gram hits all its own bloom positions, so each
+    // contaminated doc must be flagged with at least its exact count
+    exact.foreach { case (doc, nShared) =>
+      val flagged = bloom.getOrElse(doc, 0L)
+      assert(flagged >= nShared,
+        s"doc $doc: bloom flagged $flagged < exact shared $nShared (false negative)")
+    }
+  }
+
+  test("label propagation adopts the majority seed label with deterministic ties") {
+    val rows = SparkEntry.queries("graph_label_prop")(spark, "/root/testdata/sf0.01").collect()
+    assert(rows.nonEmpty)
+    val propagated = rows.filter(_.getBoolean(3))
+    assert(propagated.nonEmpty, "graph has no labeled neighborhoods at sf0.01")
+    rows.foreach { r =>
+      val (doc, label, support) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      assert(label >= 0 && label < 7, s"doc $doc: label $label outside seed space")
+      if (r.getBoolean(3)) assert(support >= 1, s"doc $doc propagated without support")
+      else {
+        // unlabeled neighborhood: the node must be a seed keeping its own label
+        assert(doc % 3 == 0 && label == doc % 7,
+          s"doc $doc: non-propagated node must keep its seed label")
+        assert(support == 0)
+      }
+    }
+  }
 }
