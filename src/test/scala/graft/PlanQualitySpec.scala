@@ -367,6 +367,31 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("Bloom decontamination probe is one shuffle-free corpus pass") {
+    // the operator's whole claim: the eval suite rides in as a 64 KB
+    // array literal and the corpus pays scan → higher-order filter →
+    // TakeOrdered — NO exchange of any kind on the probe side
+    val p = plan("curation_bloom_decontam")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("KMV sketch: k-minimum merge is a TakeOrdered heap, not a global sort") {
+    val p = plan("sketch_kmv_distinct")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Sort "), p) // no full sort of the hash set
+  }
+
+  test("label propagation: the argmax window is node-partitioned, never global") {
+    val p = plan("graph_label_prop")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, p)
+    windows.filter(_.contains("row_number")).foreach(w =>
+      assert(w.contains("partitionBy") || w.contains("hashpartitioning") ||
+        w.contains("doc_id"), s"global window in label prop: $w"))
+  }
+
   test("whole-stage codegen covers the cosine kernel (no UDF break)") {
     val p = plan("d2_knn_topk")
     // compact tree format marks codegen stages with *(n); the scoring
