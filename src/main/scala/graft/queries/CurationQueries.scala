@@ -182,7 +182,7 @@ object CurationQueries {
     // position-set build). The bitmap collect is bounded by the filter
     // geometry m, NEVER the corpus — the same contract as Spark's own
     // InjectRuntimeFilter bloom. False positives are possible by design
-    // (CurationBloomSpec pins flags ⊇ the exact join's flags); at 100 TB
+    // (AnalyticsOpsSpec pins flags ⊇ the exact join's flags); at 100 TB
     // this is how decontamination actually ships when the eval suite
     // outgrows the broadcast threshold but the corpus can't afford a
     // gram-keyed shuffle.
