@@ -428,6 +428,60 @@ object CurationQueries {
         .limit(1000)
     },
 
+    // UPSAMPLING mixer (LLaMA §2.1 / Pile epochs): where the two mixers
+    // above throw away documents from large sources, this one REPEATS
+    // small sources — rate_i = min(4, sqrt(max_tokens/tokens_i)) epochs,
+    // materialized as floor(rate) whole copies per doc plus one more for
+    // the hash-selected fractional share (deterministic — no RNG, the
+    // stratified-sample discipline). The 4-epoch cap is the standard
+    // guard against overfitting tiny sources. Same 100 TB shape again:
+    // tiny per-source agg → broadcast rate table → scan-local
+    // explode(sequence) materializes copies with NO corpus shuffle; the
+    // only exchange is the ≤|sources| summary keys. sqrt for the same
+    // bit-identical-rates reason as curation_mixture_temperature.
+    Q("curation_mixture_epochs",
+      """WITH t AS (SELECT doc_id, source,
+        |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |           FROM documents),
+        |tot AS (SELECT source, sum(n_tokens)::BIGINT AS tot FROM t GROUP BY source),
+        |m AS (SELECT max(tot)::BIGINT AS mx FROM tot),
+        |r AS (SELECT source,
+        |             CAST(floor(least(4.0, sqrt((SELECT mx FROM m)::DOUBLE / tot)) * 10000) AS BIGINT) AS rate_bp
+        |      FROM tot),
+        |c AS (SELECT t.doc_id, t.source, t.n_tokens,
+        |             (r.rate_bp // 10000
+        |              + CASE WHEN ('0x' || substr(md5(t.doc_id::VARCHAR || ':ep'), 1, 15))::BIGINT % 10000
+        |                          < r.rate_bp % 10000 THEN 1 ELSE 0 END) AS n_copies
+        |      FROM t JOIN r ON r.source = t.source),
+        |x AS (SELECT doc_id, source, n_tokens, unnest(range(n_copies)) AS i FROM c)
+        |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_rows,
+        |       sum(n_tokens)::BIGINT AS tokens_out
+        |FROM x GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      val t = staged(spark, s"$dir#mixture_tokens") {
+        table(spark, dir, "documents")
+          .select(col("doc_id"), col("source"),
+            size(F.tokens(col("text"))).cast("long").as("n_tokens"))
+      }
+      val tot = t.groupBy("source").agg(sum(col("n_tokens")).as("tot"))
+      val mx = tot.agg(max(col("tot")).as("mx"))
+      val rates = tot.crossJoin(broadcast(mx))
+        .select(col("source"),
+          floor(least(lit(4.0), sqrt(col("mx").cast("double") / col("tot"))) * 10000)
+            .cast("long").as("rate_bp"))
+      t.join(broadcast(rates), Seq("source"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          (floor(col("rate_bp") / 10000).cast("long")
+            + when(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":ep"))), lit(10000L))
+                 < col("rate_bp") % 10000, 1L).otherwise(0L)).as("n_copies"))
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          explode(sequence(lit(1L), col("n_copies"))).as("i"))
+        .groupBy("source")
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_rows"),
+          sum(col("n_tokens")).as("tokens_out"))
+        .orderBy("source")
+    },
+
     // Token-budget corpus selection: keep the best documents that fit a
     // training-token budget (30% of the corpus here) — the "data diet"
     // selection every budgeted pretraining run does. Quality = integer

@@ -75,6 +75,27 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(tempRates.values.exists(_ < 10000))
   }
 
+  test("curation_mixture_epochs: largest source stays at one epoch, upsampling bounded by the cap") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("source"), size(graft.functions.F.tokens(col("text"))).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val totals = docs.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val nBySrc = docs.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val got = run("curation_mixture_epochs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.map(_._1).toSet == totals.keySet, "an upsampling mixer must not drop sources")
+    got.foreach { case (src, nDocs, nRows, tokensOut) =>
+      assert(nDocs == nBySrc(src), s"$src lost documents")
+      assert(nRows >= nDocs, s"$src deflated below one epoch")
+      assert(nRows <= 4 * nDocs, s"$src exceeds the 4-epoch cap")
+      assert(tokensOut >= totals(src), s"$src emitted fewer tokens than one epoch")
+    }
+    val maxSrc = totals.maxBy(_._2)._1
+    assert(got.find(_._1 == maxSrc).exists(g => g._2 == g._3),
+      "the largest source must stay at exactly one epoch")
+    assert(got.exists(g => g._3 > g._2), "no source was upsampled at all")
+  }
+
   test("ml_logreg_grad: bias gradient reflects the class balance exactly") {
     import org.apache.spark.sql.functions._
     val g = run("ml_logreg_grad").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
