@@ -36,6 +36,14 @@ final class Engine(
     synthesisModel: SynthesisModel = LeadSentenceSynthesis()) {
 
   private val latency = new LatencyPolicy()
+  // Serializes every index-MUTATING path: ingestBatch (stream thread) vs
+  // compactIndexes / index / summarizeSections (user threads). A compaction
+  // snapshot-reads the chunk table and then swaps the version pointer — a
+  // micro-batch appending into the version being superseded would have its
+  // posting/ANN rows silently dropped from the live index (they'd land in
+  // a dir the pointer swap just retired). Searches never take this lock:
+  // readers stay lock-free against the versioned files.
+  private val maintenance = new Object
   // highest foreachBatch epoch seen since open; MinValue = none yet, so
   // the first streamed batch runs the idempotency probe (the previous
   // process may have crashed between its append and checkpoint commit)
@@ -195,12 +203,11 @@ final class Engine(
 
   /** O(batch) posting maintenance for an appended chunk batch: appended
     * chunks have strictly-new ids, so their postings are strictly-new rows
-    * — merge-append them into the live version's token buckets. First
-    * batch into an index-less workspace falls through to the full build
-    * (which IS the batch at that point). */
+    * — merge-append them into the live version's token buckets. The caller
+    * ([[ingestBatch]]) owns the no-index fallback (a full build over the
+    * table, which at that point is the batch or a crash remnant). */
   private def mergePostings(batch: DataFrame): Unit =
-    if (workspace.hasPostings) workspace.appendPostings(postingsOf(batch))
-    else workspace.writePostings(postingsOf(batch))
+    workspace.appendPostings(postingsOf(batch))
 
   /** Rebuild the IVF cell index from the current chunk table when the
     * engine is configured for ANN candidates (opts.annMode == "ivf"):
@@ -227,27 +234,27 @@ final class Engine(
     * BALANCE drifts as the corpus outgrows its training set, so a full
     * retrain triggers once appended rows exceed the trained base
     * ([[Workspace.annDriftExceeded]]) or on explicit [[compactIndexes]].
-    * First batch into an index-less workspace trains from scratch (the
-    * corpus IS the batch at that point). */
-  private def appendToAnn(batch: DataFrame): Unit =
-    if (opts.annMode == "ivf") {
-      if (!workspace.hasAnn) rebuildAnn()
-      else {
-        val cents = workspace.readAnnCentroids()
-        workspace.appendAnn(
-          batch.filter(col("embedding").isNotNull).select(
-            col("id"), col("embedding"),
-            graft.ml.KMeans.assign(col("embedding"), cents).as("cid")))
-        if (workspace.annDriftExceeded) rebuildAnn()
-      }
-    } else if (workspace.hasAnn) workspace.clearAnn()
+    * The caller ([[ingestBatch]]) owns the no-index fallback (a full
+    * build, training from whatever the table holds at that point). */
+  private def appendToAnn(batch: DataFrame): Unit = {
+    val cents = workspace.readAnnCentroids()
+    workspace.appendAnn(
+      batch.filter(col("embedding").isNotNull).select(
+        col("id"), col("embedding"),
+        graft.ml.KMeans.assign(col("embedding"), cents).as("cid")))
+    if (workspace.annDriftExceeded) rebuildAnn()
+  }
 
   /** Explicit compaction: full posting + ANN rebuild (retrain) from the
     * current chunk table — the scheduled counterpart of the O(batch)
     * streaming maintenance (small per-batch parquet files accumulate;
-    * centroids age). Safe under concurrent searches: both writers are
-    * versioned swaps. */
-  def compactIndexes(): Unit = {
+    * centroids age). Safe under concurrent searches (both writers are
+    * versioned swaps) and SERIALIZED against the streaming ingest path
+    * (the maintenance lock): an unserialized micro-batch could append its
+    * posting/ANN rows into the very version this rebuild's pointer swap
+    * is about to retire — present in the chunk table, silently absent
+    * from the live index until the next compaction. */
+  def compactIndexes(): Unit = maintenance.synchronized {
     rebuildPostings()
     rebuildAnn()
     invalidate()
@@ -256,7 +263,7 @@ final class Engine(
   /** Ingest a documents table into the workspace chunk store (A3+B+C1),
     * maintaining the posting index — and, under annMode="ivf", the IVF
     * cell index — alongside. */
-  def index(docs: DataFrame): Long = {
+  def index(docs: DataFrame): Long = maintenance.synchronized {
     workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
     rebuildPostings()
     rebuildAnn()
@@ -278,39 +285,76 @@ final class Engine(
     * epoch after a crash between the chunk append and the stream
     * checkpoint commit, and chunk ids are deterministic — a naive
     * re-append would double every replayed chunk's postings and ANN rows
-    * (violating the merge paths' strictly-new-ids precondition). With
-    * `probeExisting` the batch is anti-joined against the chunk ids
-    * already stored for ITS OWN doc_ids. The probe reads the chunk
-    * table, so the streaming path pays it ONLY where a replay is
-    * possible — the first batch after open (the previous process may
-    * have died mid-epoch) and any non-advancing batchId — keeping
+    * (violating the merge paths' strictly-new-ids precondition). A prior
+    * process can die between ANY pair of the three writes (chunk append,
+    * posting merge, ANN append), so a replayed epoch may find SOME targets
+    * already written: with `probeExisting` EACH target is probed
+    * independently — the batch anti-joined against the ids that target
+    * already holds — and only the missing remainder is written. (A single
+    * chunk-table probe would make the whole replay a no-op when the crash
+    * fell after the chunk append, permanently skipping the batch's index
+    * merges.) Each probe is one scan of its target, map-side restricted by
+    * the broadcast batch ids; the streaming path pays them ONLY where a
+    * replay is possible — the first batch after open (the previous process
+    * may have died mid-epoch) and any non-advancing batchId — keeping
     * steady-state batches at O(batch) records read. */
-  private[graft] def ingestBatch(batch: DataFrame, probeExisting: Boolean = true): Unit = {
-    val built0 = ChunkStore.buildChunks(batch, embedder).localCheckpoint()
-    // materialized BEFORE the append (localCheckpoint): the downstream
-    // consumers re-evaluate `built`, and a lazy anti-join would re-probe
-    // the chunk table AFTER appendChunks added these very rows — seeing
-    // every id as a duplicate and silently skipping the index merges
-    val built = if (!probeExisting || workspace.registeredDim.isEmpty) built0 else {
-      val batchDocs = built0.select("doc_id").distinct()
-      val existing = workspace.readChunks()
-        .join(broadcast(batchDocs), Seq("doc_id"), "leftsemi")
-        .select("id")
-      built0.join(existing, Seq("id"), "leftanti").localCheckpoint()
-    }
-    try {
-      if (!built.isEmpty) {
-        workspace.appendChunks(built)
-        mergePostings(built)
-        appendToAnn(built)
-        workspace.setMeta("summaries_indexed", "false")
-        invalidate() // table changed: next search() re-reads + re-pins
+  private[graft] def ingestBatch(batch: DataFrame, probeExisting: Boolean = true): Unit =
+    maintenance.synchronized {
+      // materialized BEFORE the append (localCheckpoint): the downstream
+      // consumers re-evaluate the batch, and a lazy anti-join would
+      // re-probe its target AFTER the write added these very rows —
+      // seeing every id as a duplicate and silently skipping the rest
+      val built0 = ChunkStore.buildChunks(batch, embedder).localCheckpoint()
+      var probed: List[DataFrame] = Nil
+      try {
+        if (built0.isEmpty) return
+        val probe = probeExisting && workspace.registeredDim.nonEmpty
+        val batchIds =
+          if (probe) broadcast(built0.select(col("id").as("probe_id")).distinct())
+          else null
+        // the batch rows whose ids are NOT yet in `target`'s idCol
+        def missingFrom(target: DataFrame, idCol: String): DataFrame = {
+          val existing = target.join(batchIds, col(idCol) === col("probe_id"), "leftsemi")
+            .select(col(idCol).as("id")).distinct()
+          val m = built0.join(existing, Seq("id"), "leftanti").localCheckpoint()
+          probed ::= m
+          m
+        }
+        val newChunks =
+          if (!probe) built0 else missingFrom(workspace.readChunks(), "id")
+        val wroteChunks = !newChunks.isEmpty
+        if (wroteChunks) workspace.appendChunks(newChunks)
+
+        var wroteIndex = false
+        if (!workspace.hasPostings) {
+          // fresh workspace (streaming-first ingest) or a crash remnant
+          // that never got its first posting build: index the whole table
+          rebuildPostings(); wroteIndex = true
+        } else {
+          val newPostings =
+            if (!probe) newChunks
+            else missingFrom(workspace.readPostings(), "chunk_id")
+          if (!newPostings.isEmpty) { mergePostings(newPostings); wroteIndex = true }
+        }
+
+        if (opts.annMode == "ivf") {
+          if (!workspace.hasAnn) { rebuildAnn(); wroteIndex = true }
+          else {
+            val newAnn =
+              if (!probe) newChunks else missingFrom(workspace.readAnn(), "id")
+            if (!newAnn.isEmpty) { appendToAnn(newAnn); wroteIndex = true }
+          }
+        } else if (workspace.hasAnn) workspace.clearAnn()
+
+        if (wroteChunks || wroteIndex) {
+          workspace.setMeta("summaries_indexed", "false")
+          invalidate() // table changed: next search() re-reads + re-pins
+        }
+      } finally {
+        graft.functions.Checkpoints.release(built0)
+        probed.foreach(graft.functions.Checkpoints.release)
       }
-    } finally {
-      graft.functions.Checkpoints.release(built0)
-      if (built ne built0) graft.functions.Checkpoints.release(built)
     }
-  }
 
   /** Continuous ingest — the reference's incremental index queue
     * (mainwindow.cpp:713-761, one INSERT per chunk plus its FTS mirror
@@ -408,7 +452,7 @@ final class Engine(
     * Summary rows are re-inserted with CURRENT_TIMESTAMP like the
     * reference's addEntry (vector_store.cpp:80), so fresh summaries carry
     * recency ≈ 1.0 rather than decaying from a pinned epoch. */
-  def summarizeSections(): Long = {
+  def summarizeSections(): Long = maintenance.synchronized {
     import org.apache.spark.sql.functions._
     if (workspace.getMeta("summaries_indexed").contains("true")) return 0L
     // summaries never feed summaries (a second pass over an already-

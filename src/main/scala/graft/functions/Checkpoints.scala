@@ -42,9 +42,10 @@ object Checkpoints {
 object Staging {
   import org.apache.spark.sql.SparkSession
 
-  /** Far above any single job's working set of staged inputs; eviction
-    * assumes the evicted (least-recently-STAGED) entry has no live
-    * consumer, which holds when jobs stage what they read in-plan. */
+  /** Far above any single job's working set of staged inputs; an evicted
+    * (least-recently-used) entry keeps its blocks for one deferred-release
+    * sweep, so even a consumer that fetched it just before eviction
+    * finishes its in-flight job. */
   private final val MaxEntries = 64
 
   private final class Holder(build: () => DataFrame) {
@@ -67,10 +68,12 @@ object Staging {
   private val cache =
     new java.util.LinkedHashMap[(SparkSession, String), Holder](16, 0.75f, true)
 
-  // Checkpoints whose Holder was invalidated mid-build: they can't be
-  // released immediately (the in-flight caller is still consuming them —
-  // a localCheckpoint has no lineage to recompute from), so they drain
-  // with ONE sweep cycle of grace, the same in-flight-reader bound the
+  // Checkpoints whose Holder was dropped (invalidated or evicted): they
+  // can't be released immediately — a caller that just built or fetched
+  // the entry may still be running its Spark job on it, and a
+  // localCheckpoint has no lineage to recompute from, so an immediate
+  // release fails that job with a lost-block error. ALL drops drain with
+  // ONE sweep cycle of grace, the same in-flight-reader bound the
   // versioned index swap gives (Workspace.RetainPriorVersions).
   private var pendingRelease: List[DataFrame] = Nil
   private var prevPending: List[DataFrame] = Nil
@@ -88,8 +91,8 @@ object Staging {
   }
 
   private def dropEntry(h: Holder): Unit = h.evaluated match {
-    case Some(df) => Checkpoints.release(df)
-    case None     => h.doomed = true // release when its build completes
+    case Some(df) => deferRelease(df) // grace for a consumer mid-job
+    case None     => h.doomed = true  // release when its build completes
   }
 
   def staged(spark: SparkSession, key: String)(build: => DataFrame): DataFrame = {
@@ -105,6 +108,7 @@ object Staging {
         // while one build runs)
         var overBy = cache.size - MaxEntries
         if (overBy > 0) {
+          drainDeferred() // keep the deferred list bounded by sweep events
           val force = cache.size > 2 * MaxEntries
           val it = cache.entrySet().iterator()
           while (it.hasNext && overBy > 0) {
@@ -141,13 +145,19 @@ object Staging {
     }
   }
 
-  /** Release everything (session teardown / tests). */
+  /** Release everything (session teardown / tests). Teardown means no
+    * in-flight callers are left, so evaluated entries release IMMEDIATELY
+    * (deferring here would leak them — no later sweep drains the list). */
   def clear(): Unit = cache.synchronized {
     drainDeferred()
-    drainDeferred() // teardown: no in-flight callers left — drain BOTH ages
+    drainDeferred() // drain BOTH ages
     val it = cache.entrySet().iterator()
     while (it.hasNext) {
-      dropEntry(it.next().getValue)
+      val h = it.next().getValue
+      h.evaluated match {
+        case Some(df) => Checkpoints.release(df)
+        case None     => h.doomed = true
+      }
       it.remove()
     }
   }

@@ -27,7 +27,7 @@ object AnnQueries {
   // Product quantization geometry: 64-dim vectors → 8 subspaces × 8 dims,
   // 16 centroids per subspace (codebook rows CbLo..CbHi), 4-bit codes.
   private val SubSpaces = 8
-  private val SubDim = 8
+  private[queries] val SubDim = 8
   private val CbLo = 16
   private val CbHi = 31
 

@@ -512,10 +512,15 @@ object CurationQueries {
         |WHERE prev + cum_in_bin + n_tokens <= bud.b
         |ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val t = table(spark, dir, "documents")
-        .select(col("doc_id"),
-          size(F.tokens(col("text"))).cast("long").as("n_tokens"),
-          size(array_distinct(F.tokens(col("text")))).cast("long").as("n_uniq"))
+      // staged: t feeds the per-doc join, the bin totals, AND the budget
+      // aggregate — unstaged, the plan evaluates the corpus tokenize three
+      // times (the dominant cost), the same trap the mixers stage around
+      val t = staged(spark, s"$dir#budget_tok") {
+        table(spark, dir, "documents")
+          .select(col("doc_id"),
+            size(F.tokens(col("text"))).cast("long").as("n_tokens"),
+            size(array_distinct(F.tokens(col("text")))).cast("long").as("n_uniq"))
+      }
       val d = t.select(col("doc_id"), col("n_tokens"),
         expr("(n_uniq * 20) div greatest(n_tokens, 1)").as("bin"))
       val bt = d.groupBy("bin").agg(sum(col("n_tokens")).as("btok"))

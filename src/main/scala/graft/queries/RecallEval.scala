@@ -127,7 +127,10 @@ object RecallEval {
         // ---- IVFPQ: trained coarse cells (nprobe=2) + trained ADC ranking ----
         val cb = AnnQueries.trainedCodebook(spark, dir)
         import graft.functions.VectorFunctions.pqEncode
-        val subDim = 8
+        // the SAME geometry the codebook was trained under — a literal here
+        // would silently misindex the centroids if AnnQueries.SubDim moved
+        val subDim = AnnQueries.SubDim
+        val numSub = cb.head.length / subDim
         val ivfpqRecall = {
           import spark.implicits._
           val probes = qRows.flatMap { case (qid, qv) =>
@@ -138,7 +141,7 @@ object RecallEval {
           val enc = av.select(col("n_id"), col("cid"),
             pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), subDim).as("codes"))
           val luts = qRows.map { case (qid, qv) =>
-            val lut: Seq[Seq[Double]] = (0 until 8).map { m =>
+            val lut: Seq[Seq[Double]] = (0 until numSub).map { m =>
               cb.map { c =>
                 var s = 0.0; var kk = 0
                 while (kk < subDim) {
@@ -154,7 +157,7 @@ object RecallEval {
             .join(broadcast(luts), Seq("q_id"))
             .filter(col("n_id") =!= col("q_id"))
             .select(col("q_id"), col("n_id"),
-              (0 until 8).map(m =>
+              (0 until numSub).map(m =>
                 element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
                 .reduce(_ + _).as("adc"))
           recallOf(l2Truth, topkPerQuery(cands, col("adc"), asc = true, k))

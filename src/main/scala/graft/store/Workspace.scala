@@ -183,8 +183,11 @@ final class Workspace(val spark: SparkSession, val root: String) {
       val n = batch.count()
       if (n > 0) {
         batch.write.partitionBy("cid").mode(SaveMode.Append).parquet(annVectorsPath)
-        val appended = getMeta("ann_appended_n").map(_.toLong).getOrElse(0L) + n
-        setMeta("ann_appended_n", appended.toString)
+        // compound RMW under ONE lock hold: a getMeta+setMeta pair would
+        // race a concurrent writeAnn's reset-to-0 (fresh retrain baseline)
+        // and resurrect the stale counter — a spurious full retrain right
+        // after the compaction that was meant to clear it
+        updateMeta("ann_appended_n")(v => (v.map(_.toLong).getOrElse(0L) + n).toString)
       }
     } finally graft.functions.Checkpoints.release(batch)
   }
@@ -257,6 +260,13 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def removeMeta(keys: String*): Unit = metaLock.synchronized {
     if (Files.exists(metaPath)) writeAllMeta(allMeta -- keys)
+  }
+
+  /** Atomic read-modify-write of one key: the read and the write happen
+    * under a single lock hold, so no concurrent setMeta/updateMeta can
+    * interleave between them (getMeta-then-setMeta can). */
+  def updateMeta(key: String)(f: Option[String] => String): Unit = metaLock.synchronized {
+    writeAllMeta(allMeta + (key -> f(allMeta.get(key))))
   }
 
   def getMeta(key: String): Option[String] = allMeta.get(key)

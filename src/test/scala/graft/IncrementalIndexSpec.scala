@@ -118,6 +118,64 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(hits.nonEmpty && hits.head.docId == "51")
   }
 
+  test("replay heals a crash between the chunk append and the index merges (per-target idempotency)") {
+    val root = Files.createTempDirectory("graft-crash-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(40))
+    val ws = engine.workspace
+    val batch = docs(10, from = 40)
+    // simulate a process death AFTER the chunk append but BEFORE the
+    // posting merge and ANN append: the chunk rows land, the indexes don't
+    ws.appendChunks(graft.store.ChunkStore.buildChunks(
+      batch, graft.embed.HashNgramEmbedder(dim = 64)))
+    val chunksAfter = ws.count()
+    val postingsBefore = ws.readPostings().count()
+    val annBefore = ws.readAnn().count()
+
+    // at-least-once redelivery of the same epoch: a chunk-granular probe
+    // would see every id present and skip the index merges forever
+    engine.ingestBatch(batch)
+    assert(ws.count() == chunksAfter, "replay after partial crash duplicated chunks")
+    assert(ws.readPostings().count() > postingsBefore,
+      "replay skipped the posting merge the crash missed")
+    assert(ws.readAnn().count() == ws.count(),
+      s"replay skipped the ANN append the crash missed (was $annBefore)")
+
+    // the healed posting index equals a full rebuild row-for-row
+    val healed = ws.readPostings()
+      .select("token", "chunk_id", "tf").orderBy("token", "chunk_id").collect().toSeq
+    engine.compactIndexes()
+    val rebuilt = ws.readPostings()
+      .select("token", "chunk_id", "tf").orderBy("token", "chunk_id").collect().toSeq
+    assert(healed == rebuilt, "healed postings diverge from a full rebuild")
+    val hits = engine.search("topic45")
+    assert(hits.nonEmpty && hits.head.docId == "45")
+  }
+
+  test("compactIndexes concurrent with ingestBatch never drops a batch from the live index") {
+    val root = Files.createTempDirectory("graft-race-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(100))
+    val ws = engine.workspace
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val ingester = new Thread(() => try {
+      (0 until 5).foreach(w =>
+        engine.ingestBatch(docs(8, from = 100 + w * 8), probeExisting = false))
+    } catch { case t: Throwable => errs.add(t) })
+    val compactor = new Thread(() => try {
+      (0 until 3).foreach { _ => engine.compactIndexes(); Thread.sleep(50) }
+    } catch { case t: Throwable => errs.add(t) })
+    ingester.start(); compactor.start(); ingester.join(); compactor.join()
+    assert(errs.isEmpty, s"concurrent maintenance threw: ${errs.peek()}")
+    // WITHOUT settling: every ingested chunk must be in the LIVE posting
+    // and ANN versions right now — a batch that appended into a version a
+    // concurrent compaction's pointer swap retired would be missing here
+    assert(ws.readPostings().select("chunk_id").distinct().count() == ws.count(),
+      "a concurrent batch's postings landed in a superseded index version")
+    assert(ws.readAnn().count() == ws.count(),
+      "a concurrent batch's ANN rows landed in a superseded index version")
+  }
+
   test("incremental postings equal a full rebuild's postings row-for-row") {
     val root = Files.createTempDirectory("graft-incrpost-").toString
     val engine = ivfEngine(root)
@@ -216,10 +274,30 @@ class IncrementalIndexSpec extends AnyFunSuite {
       }.count()
     }
     // 80 staged > MaxEntries=64: evicted entries must release their blocks
+    // (modulo the two-age deferred-release grace window that protects an
+    // in-flight consumer of a just-evicted entry)
     val persisted = spark2.sparkContext.getPersistentRDDs.size
-    assert(persisted - before <= 64,
+    assert(persisted - before <= 64 + 2,
       s"staging cache leaked checkpoints past its bound: ${persisted - before}")
     graft.functions.Staging.invalidate("/tmp/graft-lru")
+  }
+
+  test("a dropped staged entry survives one sweep for in-flight consumers (deferred release)") {
+    import org.apache.spark.sql.functions.lit
+    val df = graft.functions.Staging.staged(spark, "/tmp/graft-grace#x") {
+      spark.range(5).toDF("n").withColumn("tag", lit("grace"))
+    }
+    assert(df.count() == 5)
+    // the drop an in-flight consumer can race: blocks must still be live
+    graft.functions.Staging.invalidate("/tmp/graft-grace")
+    assert(df.count() == 5, "released while a consumer still held the staged frame")
+    // two more sweeps age it out of the grace window: blocks actually free
+    graft.functions.Staging.invalidate("/tmp/graft-grace")
+    graft.functions.Staging.invalidate("/tmp/graft-grace")
+    val cached = df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.getStorageLevel.useMemory
+    }
+    assert(!cached.exists(identity), "deferred release never actually freed the blocks")
   }
 
   test("per-batch ingest time stays flat as the corpus grows across waves") {
