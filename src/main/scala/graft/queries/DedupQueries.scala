@@ -376,6 +376,76 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Triangle counting over a user co-presence graph (users active in
+    // the same hour × event_type, edges to the next TWO users in sorted
+    // order — the sorted-neighborhood device that bounds per-group pairs
+    // linearly, same as dedup_lsh_verified_pairs) — the clustering-
+    // coefficient numerator of graph-shaped corpus analytics. The count
+    // uses DEGREE ORIENTATION (Chiba–Nishizeki): every edge points from
+    // its lower (deg, id) endpoint to its higher, so each triangle is
+    // found exactly once at its minimum vertex, and wedge fanout is
+    // bounded by graph degeneracy rather than max degree — the hub-skew
+    // fix that keeps the self-join alive at 100 TB (an id-oriented or
+    // undirected wedge join explodes quadratically on one celebrity
+    // node). Plan: two keyed joins (orientation), one src-keyed
+    // self-join (wedges), one (b,c)-keyed closing join — every shuffle
+    // on compact integer keys.
+    Q("graph_triangle_count",
+      """WITH ev AS (SELECT DISTINCT date_trunc('hour', ts) AS hr, event_type, user_id
+        |            FROM events),
+        |rk AS (SELECT user_id,
+        |              lead(user_id, 1) OVER w AS nb1,
+        |              lead(user_id, 2) OVER w AS nb2
+        |       FROM ev WINDOW w AS (PARTITION BY hr, event_type ORDER BY user_id)),
+        |ed AS (SELECT DISTINCT a, b
+        |       FROM (SELECT user_id AS a, unnest([nb1, nb2]) AS b FROM rk)
+        |       WHERE b IS NOT NULL),
+        |und AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
+        |dg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+        |ordv AS (SELECT u, deg * 4294967296 + u AS ord FROM dg),
+        |oe AS (SELECT und.u AS src, und.v AS dst, ov.ord AS dst_ord
+        |       FROM und JOIN ordv ou ON ou.u = und.u JOIN ordv ov ON ov.u = und.v
+        |       WHERE ou.ord < ov.ord),
+        |wedge AS (SELECT e1.dst AS b, e2.dst AS c
+        |          FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord)
+        |SELECT (SELECT count(*) FROM dg)::BIGINT AS n_vertices,
+        |       (SELECT count(*) FROM ed)::BIGINT AS n_edges,
+        |       (SELECT count(*) FROM wedge w JOIN oe ON oe.src = w.b AND oe.dst = w.c)::BIGINT
+        |         AS n_triangles""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+        .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("user_id"))
+        .distinct()
+      val w = Window.partitionBy(col("hr"), col("event_type")).orderBy(col("user_id"))
+      val ed = ev
+        .withColumn("nb1", lead(col("user_id"), 1).over(w))
+        .withColumn("nb2", lead(col("user_id"), 2).over(w))
+        .select(col("user_id").as("a"), explode(array(col("nb1"), col("nb2"))).as("b"))
+        .filter(col("b").isNotNull)
+        .distinct()
+      val und = ed.select(col("a").as("u"), col("b").as("v"))
+        .union(ed.select(col("b").as("u"), col("a").as("v")))
+      val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
+      val ordv = dg.select(col("u"), (col("deg") * lit(4294967296L) + col("u")).as("ord"))
+      val oe = und
+        .join(ordv.select(col("u"), col("ord").as("src_ord")), Seq("u"))
+        .join(ordv.select(col("u").as("v"), col("ord").as("dst_ord")), Seq("v"))
+        .filter(col("src_ord") < col("dst_ord"))
+        .select(col("u").as("src"), col("v").as("dst"), col("dst_ord"))
+      val wedge = oe.select(col("src"), col("dst").as("b"), col("dst_ord").as("b_ord"))
+        .join(oe.select(col("src"), col("dst").as("c"), col("dst_ord").as("c_ord")), Seq("src"))
+        .filter(col("b_ord") < col("c_ord"))
+        .select(col("b"), col("c"))
+      // an inner join on (b, c), not leftsemi: each wedge matches at most
+      // one oriented closing edge, and distinct wedges must each count
+      val triCount = wedge
+        .join(oe.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+        .agg(count(lit(1)).as("n_triangles"))
+      dg.agg(count(lit(1)).as("n_vertices"))
+        .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(triCount)
+    },
+
     // Embedding-cosine near-dup: candidates from 8-bit sign-LSH buckets
     // (hyperplanes drawn from the corpus, signature computed scan-local
     // against ONE broadcast hyperplane-array row), verified with the native

@@ -654,6 +654,66 @@ object ScaleQueries {
           col("k"))
     },
 
+    // HyperLogLog distinct-count sketch over the same 5-gram shingle
+    // universe (Flajolet et al. 2007) — completes the sketch family: CMS
+    // answers "how often", KMV and HLL answer "how many distinct", HLL
+    // with O(m) registers and NO distinct anywhere in the plan (that is
+    // its point — KMV's per-partition heap still touches a hash-distinct
+    // set). Register index = low 10 bits of the 60-bit md5 hash; rho =
+    // leading-zero rank of the remaining 50 bits, via length(ltrim(bin))
+    // in BOTH engines (rem=0 → rho 51 falls out of the ltrim). The 100 TB
+    // shape: hash + rho are scan-local, the ONLY shuffle is 1024 register
+    // keys with map-side partial max. The harmonic sum is EXACT integer
+    // arithmetic — sum of 2^(51-M_j) as BIGINT (≤ 2^61, no float
+    // summation order) — and the estimate pays ONE identically-shaped
+    // double expression cross-engine (correctly-rounded IEEE ops on a
+    // literal constant tree). Empty registers contribute 2^51 each, per
+    // the raw estimator. Exact distinct rides along as the reference via
+    // KMV's staged hash set (shared checkpoint, one tokenize per session).
+    Q("sketch_hll_distinct",
+      """WITH gr AS (SELECT unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+        |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
+        |            FROM documents),
+        |h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
+        |r AS (SELECT h % 1024 AS bucket, 51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM h),
+        |reg AS (SELECT bucket, max(rho) AS mx FROM r GROUP BY bucket),
+        |s AS (SELECT count(*)::BIGINT AS n_hit,
+        |             (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
+        |               + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
+        |      FROM reg),
+        |ex AS (SELECT count(*)::BIGINT AS n_exact FROM (SELECT DISTINCT h FROM h))
+        |SELECT ex.n_exact, s.n_hit, s.s_scaled,
+        |       CAST(floor(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+        |                  * 1048576.0::DOUBLE * 2251799813685248.0::DOUBLE * 1000000.0::DOUBLE
+        |                  / s.s_scaled::DOUBLE) AS BIGINT) AS hll_est_micro
+        |FROM s CROSS JOIN ex""".stripMargin) { (spark, dir) =>
+      val h = table(spark, dir, "documents")
+        .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
+        .select(F.hash60(col("g")).as("h"))
+      val reg = h
+        .select(pmod(col("h"), lit(1024L)).as("bucket"),
+          (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).as("rho"))
+        .groupBy("bucket").agg(max(col("rho")).as("mx"))
+      val s = reg.agg(count(lit(1)).as("n_hit"),
+        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mx AS INT))"))
+          + (lit(1024L) - count(lit(1))) * lit(2251799813685248L)).as("s_scaled"))
+      // exact reference: KMV's staged distinct hash set (same key → same
+      // checkpoint; the two sketches measure the same universe)
+      val hd = staged(spark, s"kmv_h#$dir")(
+        table(spark, dir, "documents")
+          .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
+          .distinct()
+          .select(F.hash60(col("g")).as("h")))
+      // distinct HASHES, not distinct grams, on BOTH sides: a 60-bit
+      // collision between two distinct grams must not skew the compare
+      val ex = hd.agg(countDistinct(col("h")).as("n_exact"))
+      ex.crossJoin(s)
+        .select(col("n_exact"), col("n_hit"), col("s_scaled"),
+          floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
+              * lit(1048576.0) * lit(2251799813685248.0) * lit(1000000.0)
+              / col("s_scaled").cast("double")).cast("long").as("hll_est_micro"))
+    },
+
     // Distributed covariance of the embedding corpus — the PCA/whitening
     // input every embedding-quality pipeline computes. Upper-triangular
     // Gram entries are emitted scan-local (d·(d+1)/2 per row) and

@@ -93,6 +93,49 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"KMV estimate $est vs exact $exact outside ±${(tol * 100).round}%")
   }
 
+  test("HLL estimate lands within the 4-sigma register envelope of exact") {
+    val r = SparkEntry.queries("sketch_hll_distinct")(spark, "/root/testdata/sf0.01").head()
+    val (exact, nHit, sScaled, estMicro) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(nHit <= 1024, s"more registers hit than exist: $nHit")
+    // a corpus far above m should touch (almost) every register
+    assert(nHit >= 1000, s"fixture too small to exercise the sketch: $nHit registers")
+    // s_scaled is bounded by all-empty (1024 * 2^51) and positive
+    assert(sScaled > 0 && sScaled <= 1024L * (1L << 51), s"s_scaled $sScaled out of range")
+    // HLL relative std error = 1.04/sqrt(m) ≈ 3.25% at m=1024; 4 sigma
+    val est = estMicro / 1e6
+    val tol = 4.0 * 1.04 / math.sqrt(1024.0)
+    assert(math.abs(est - exact) <= tol * exact,
+      s"HLL estimate $est vs exact $exact outside ±${(tol * 100).round}%")
+  }
+
+  test("triangle count matches a brute-force count over the same co-presence edges") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val r = SparkEntry.queries("graph_triangle_count")(spark, sf).head()
+    val (nVertices, nEdges, nTriangles) = (r.getLong(0), r.getLong(1), r.getLong(2))
+
+    // independent reference: same W=2 sorted-neighborhood edge rule,
+    // counted by naive common-neighbor intersection on the driver
+    val groups = graft.queries.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("user_id"))
+      .distinct().collect()
+      .groupBy(row => (row.get(0), row.getString(1)))
+    val edges = groups.values.flatMap { rows =>
+      val us = rows.map(_.getLong(2)).distinct.sorted
+      us.indices.flatMap(i => Seq(1, 2).flatMap(o =>
+        if (i + o < us.length) Some((us(i), us(i + o))) else None))
+    }.toSet
+    val adj = edges.foldLeft(Map.empty[Long, Set[Long]]) { case (m, (a, b)) =>
+      m.updated(a, m.getOrElse(a, Set.empty) + b).updated(b, m.getOrElse(b, Set.empty) + a)
+    }
+    val bruteTriangles = edges.toSeq.map { case (a, b) => (adj(a) & adj(b) - a - b).size }.sum / 3
+    assert(nEdges == edges.size, s"edge count $nEdges != reference ${edges.size}")
+    assert(nVertices == adj.size, s"vertex count $nVertices != reference ${adj.size}")
+    assert(nTriangles == bruteTriangles,
+      s"degree-oriented count $nTriangles != brute-force $bruteTriangles")
+    assert(nTriangles > 0, "fixture graph has no triangles — spec is vacuous")
+  }
+
   test("Bloom decontamination has no false negatives vs the exact gram join") {
     val bloom = SparkEntry.queries("curation_bloom_decontam")(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap

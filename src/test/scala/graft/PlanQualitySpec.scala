@@ -383,6 +383,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Sort "), p) // no full sort of the hash set
   }
 
+  test("HLL sketch: register branch aggregates map-side, no distinct before it") {
+    val p = plan("sketch_hll_distinct")
+    // the register agg must run partial (map-side max) before its 1024-key
+    // exchange — the shape that makes HLL an O(m)-state sketch
+    assert(p.contains("partial_max") || p.contains("partial_"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the register branch never sorts or globally de-dups the hash stream
+    // (the exact-reference branch pays its distinct through the SHARED
+    // staged checkpoint, not in this plan)
+    assert(!p.contains("Sort "), p)
+  }
+
+  test("triangle count: every join is a keyed equi-join, no cartesian wedge") {
+    val p = plan("graph_triangle_count")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("label propagation: the argmax window is node-partitioned, never global") {
     val p = plan("graph_label_prop")
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
