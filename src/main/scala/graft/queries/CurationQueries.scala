@@ -583,6 +583,85 @@ object CurationQueries {
         .orderBy("k")
     },
 
+    // Three full gradient-descent steps of a least-squares linear probe
+    // on the same features/label as ml_logreg_grad — the multi-step BSP
+    // training loop (the quality-probe every curation stack fits), where
+    // the single-step queries only show one round. Same iteration shape
+    // as the distributed Lloyd trainer: each step is ONE corpus pass with
+    // map-side partial sums and a 4-key gradient shuffle; the driver sees
+    // exactly 4 numbers per round (the weights), never rows. The linear
+    // model keeps every operation inside IEEE +,*,/ (no transcendental
+    // sigmoid whose libm could differ cross-engine); per-doc gradient
+    // contributions floor to integer micros BEFORE the order-free sum,
+    // and weights re-quantize to micros after each step, so all three
+    // steps replay bit-identically in the oracle's chained CTEs. lr=0.1.
+    // Steps 1–2 collect their 4-long gradient; step 3 stays IN-PLAN (the
+    // returned frame derives the final weights from the live aggregate).
+    Q("ml_linear_probe_train", {
+      val dotSql = (1 to 4).map(k =>
+        s"w.wm[$k]::DOUBLE / 1000000.0 * x[$k]").mkString(" + ")
+      def gradCte(g: String, wPrev: String) =
+        s"""$g AS (SELECT count(*) AS n, ${(1 to 4).map(k =>
+             s"sum(CAST(floor(($dotSql - y) * x[$k] * 1000000) AS BIGINT)) AS gr$k").mkString(", ")}
+           |      FROM f CROSS JOIN $wPrev w)""".stripMargin
+      def stepCte(wNew: String, g: String, wPrev: String) =
+        s"""$wNew AS (SELECT [${(1 to 4).map(k =>
+             s"w.wm[$k] - CAST(floor(gr$k::DOUBLE / (10.0 * n)) AS BIGINT)").mkString(", ")}] AS wm
+           |      FROM $g CROSS JOIN $wPrev w)""".stripMargin
+      s"""WITH f AS (SELECT
+         |             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         |             [1.0,
+         |              len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE
+         |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
+         |              len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+         |                    t -> t IN ('the', 'and', 'of', 'to', 'a')))::DOUBLE
+         |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
+         |              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE / 1000.0] AS x
+         |           FROM documents),
+         |w0 AS (SELECT [CAST(0 AS BIGINT), 0, 0, 0] AS wm),
+         |${gradCte("g1", "w0")},
+         |${stepCte("w1", "g1", "w0")},
+         |${gradCte("g2", "w1")},
+         |${stepCte("w2", "g2", "w1")},
+         |${gradCte("g3", "w2")},
+         |${stepCte("w3", "g3", "w2")}
+         |SELECT k::BIGINT AS k, wm[k + 1]::BIGINT AS w_micro
+         |FROM w3 CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+         |ORDER BY k""".stripMargin
+    }) { (spark, dir) =>
+      val toks = F.tokens(col("text"))
+      val nTok = greatest(size(toks), lit(1)).cast("double")
+      val f = staged(spark, s"$dir#probe_feat") {
+        table(spark, dir, "documents").select(
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          array(
+            lit(1.0),
+            size(array_distinct(toks)).cast("double") / nTok,
+            size(filter(toks, t => t.isin("the", "and", "of", "to", "a"))).cast("double") / nTok,
+            size(toks).cast("double") / 1000.0).as("x"))
+      }
+      // dot product with DRIVER-literal micro weights: the same double
+      // each engine derives (w/1e6 is one correctly-rounded division),
+      // summed in the same fixed k order
+      def dot(w: Seq[Long]) =
+        (0 until 4).map(k => lit(w(k).toDouble / 1e6) * col("x")(k)).reduce(_ + _)
+      def gradAgg(w: Seq[Long]) =
+        f.agg(count(lit(1)).as("n"),
+          (0 until 4).map(k =>
+            sum(floor((dot(w) - col("y")) * col("x")(k) * 1000000).cast("long")).as(s"gr$k")): _*)
+      def step(w: Seq[Long]): Seq[Long] = {
+        val r = gradAgg(w).head()
+        val n = r.getLong(0)
+        (0 until 4).map(k => w(k) - math.floor(r.getLong(k + 1).toDouble / (10.0 * n)).toLong)
+      }
+      val w2 = step(step(Seq(0L, 0L, 0L, 0L)))
+      gradAgg(w2).select(posexplode(array((0 until 4).map(k =>
+          lit(w2(k)) - floor(col(s"gr$k").cast("double") / (lit(10.0) * col("n"))).cast("long")): _*))
+        .as(Seq("k", "w_micro")))
+        .select(col("k").cast("long").as("k"), col("w_micro"))
+        .orderBy("k")
+    },
+
     // The WHOLE pretraining-data pipeline composed end-to-end, ONE
     // declarative plan: exact dedup (lowest doc_id survives) → Gopher
     // quality gate (word count, alphabetic ratio, stopword floor) →

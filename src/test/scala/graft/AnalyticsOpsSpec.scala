@@ -151,6 +151,44 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("linear probe training replays the exact 3-step GD arithmetic and reduces the loss") {
+    import org.apache.spark.sql.functions.{array, array_distinct, col, filter, greatest, lit, size, when}
+    val got = SparkEntry.queries("ml_linear_probe_train")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // independent driver-side replication of the whole trainer from the
+    // raw features: same micro-flooring, same fixed-order dot product
+    val toks = graft.functions.F.tokens(col("text"))
+    val nTok = greatest(size(toks), lit(1)).cast("double")
+    val rows = graft.queries.table(spark, sf, "documents").select(
+      when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+      array(
+        lit(1.0),
+        size(array_distinct(toks)).cast("double") / nTok,
+        size(filter(toks, t => t.isin("the", "and", "of", "to", "a"))).cast("double") / nTok,
+        size(toks).cast("double") / 1000.0).as("x"))
+      .collect().map(r => (r.getDouble(0), r.getSeq[Double](1).toArray))
+    def step(w: Array[Long]): Array[Long] = {
+      val g = Array.fill(4)(0L)
+      rows.foreach { case (y, x) =>
+        val dot = (0 until 4).map(k => w(k).toDouble / 1e6 * x(k)).sum
+        (0 until 4).foreach(k => g(k) += math.floor((dot - y) * x(k) * 1000000).toLong)
+      }
+      Array.tabulate(4)(k => w(k) - math.floor(g(k).toDouble / (10.0 * rows.length)).toLong)
+    }
+    val w3 = step(step(step(Array(0L, 0L, 0L, 0L))))
+    (0 until 4).foreach(k =>
+      assert(got(k.toLong) == w3(k), s"w[$k]: query ${got(k.toLong)} != replication ${w3(k)}"))
+
+    // and the probe actually learns: squared error strictly drops
+    def loss(w: Array[Long]): Double = rows.map { case (y, x) =>
+      val r = (0 until 4).map(k => w(k).toDouble / 1e6 * x(k)).sum - y
+      r * r
+    }.sum
+    assert(loss(w3) < loss(Array(0L, 0L, 0L, 0L)),
+      s"3 GD steps did not reduce the loss: ${loss(w3)} vs ${loss(Array(0L, 0L, 0L, 0L))}")
+  }
+
   test("label propagation adopts the majority seed label with deterministic ties") {
     val rows = SparkEntry.queries("graph_label_prop")(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
