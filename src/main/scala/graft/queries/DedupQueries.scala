@@ -274,6 +274,60 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Canonicalization — the step AFTER clustering that every dedup
+    // pipeline actually ships: keep ONE representative per duplicate
+    // cluster, chosen by quality (distinct-token ratio in exact integer
+    // micros, ties to the lowest doc_id), emit it with the cluster size.
+    // Composes the connected components above with a per-component argmax
+    // window: the window partitions by component (cluster-sized groups,
+    // never a global sort), and the quality score is scan-local integer
+    // arithmetic — no float boundary can flip a representative
+    // cross-engine.
+    Q("dedup_canonical_docs",
+      s"""WITH RECURSIVE
+         |${lshCtes(tokenSetsSql + " WHERE doc_id % 4 = 0")},
+         |v AS (SELECT p.a_id, p.b_id
+         |      FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |      WHERE $jaccardSql >= 0.9),
+         |e AS (SELECT a_id AS a, b_id AS b FROM v UNION ALL SELECT b_id, a_id FROM v),
+         |reach(id, r) AS (
+         |  SELECT doc_id, doc_id FROM t
+         |  UNION
+         |  SELECT e.b, reach.r FROM reach, e WHERE e.a = reach.id),
+         |comp AS (SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id),
+         |q AS (SELECT doc_id,
+         |             (len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) * 1000000)
+         |               // greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1) AS score_micro
+         |      FROM documents WHERE doc_id % 4 = 0),
+         |rr AS (SELECT c.component, c.doc_id, q.score_micro,
+         |              row_number() OVER (PARTITION BY c.component
+         |                                 ORDER BY q.score_micro DESC, c.doc_id) AS rn,
+         |              count(*) OVER (PARTITION BY c.component) AS n_members
+         |       FROM comp c JOIN q ON q.doc_id = c.doc_id)
+         |SELECT component, doc_id AS canonical_doc,
+         |       n_members::BIGINT AS n_members, score_micro::BIGINT AS score_micro
+         |FROM rr WHERE rn = 1 ORDER BY component""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = table(spark, dir, "documents")
+      val comp = DedupPipeline.components(docs)
+      val toks = F.tokens(col("text"))
+      val q = docs.filter(col("doc_id") % 4 === 0)
+        .select(col("doc_id"),
+          size(array_distinct(toks)).cast("long").as("n_uniq"),
+          size(toks).cast("long").as("n_tokens"))
+        .select(col("doc_id"),
+          expr("(n_uniq * 1000000) div greatest(n_tokens, 1)").as("score_micro"))
+      val w = Window.partitionBy(col("component"))
+      val rr = comp.join(q, Seq("doc_id"))
+        .withColumn("rn", row_number().over(
+          w.orderBy(col("score_micro").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+      rr.filter(col("rn") === 1)
+        .select(col("component"), col("doc_id").as("canonical_doc"),
+          col("n_members"), col("score_micro"))
+        .orderBy("component")
+    },
+
     // One PageRank iteration over the verified near-dup graph (damping
     // 0.85, uniform start, dangling mass redistributed evenly) — the
     // centrality signal that ranks canonical documents inside dup

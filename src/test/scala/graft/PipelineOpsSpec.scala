@@ -246,6 +246,37 @@ class PipelineOpsSpec extends AnyFunSuite {
       "fixture failed to build a long chain — the test would not exercise halving")
   }
 
+  test("dedup_canonical_docs: one max-quality representative per component, members conserved") {
+    val comp = SparkEntry.queries("dedup_pipeline_components")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // doc -> component
+    val canon = SparkEntry.queries("dedup_canonical_docs")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+
+    // exactly one row per component, and the member counts conserve nodes
+    assert(canon.map(_._1).distinct.length == canon.length, "component emitted twice")
+    assert(canon.map(_._1).toSet == comp.values.toSet, "component sets diverge")
+    assert(canon.map(_._3).sum == comp.size, "cluster sizes do not sum to the node count")
+    // the representative belongs to its own cluster
+    canon.foreach { case (c, doc, _, _) =>
+      assert(comp(doc) == c, s"canonical doc $doc not in component $c") }
+    // and carries the cluster's maximum score (ties to the lowest doc_id)
+    val score = graft.queries.table(spark, sf, "documents")
+      .filter(org.apache.spark.sql.functions.col("doc_id") % 4 === 0)
+      .collect().map { r =>
+        val toks = r.getString(1).toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        r.getLong(0) -> toks.distinct.length.toLong * 1000000L / math.max(toks.length, 1)
+      }.toMap
+    val byComp = comp.groupBy(_._2)
+    canon.foreach { case (c, doc, n, s) =>
+      val members = byComp(c).keys.toSeq
+      assert(members.length == n, s"component $c: n_members $n != ${members.length}")
+      val best = members.map(d => (score(d), -d)).max
+      assert((s, -doc) == best,
+        s"component $c: chose ($doc, $s), best is (${-best._2}, ${best._1})")
+    }
+  }
+
   test("pipeline_pretrain_e2e: stage invariants — shrinkage, gate bounds, packing consistency") {
     val rows = run("pipeline_pretrain_e2e").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
