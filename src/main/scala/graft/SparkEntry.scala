@@ -55,7 +55,9 @@ object SparkEntry {
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
-    "graph_pagerank_step", "graph_label_prop", "curation_bloom_decontam",
+    "sketch_hll_distinct", "ml_linear_probe_train",
+    "graph_pagerank_step", "graph_label_prop", "graph_triangle_count",
+    "dedup_canonical_docs", "curation_bloom_decontam",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "mm_av_align",
     "q1_pricing_summary", "q3_topk_revenue_join", "q_salted_skew_agg",
