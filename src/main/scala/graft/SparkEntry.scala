@@ -55,7 +55,7 @@ object SparkEntry {
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
-    "sketch_hll_distinct", "ml_linear_probe_train",
+    "sketch_hll_distinct", "sketch_quantile_hist", "ml_linear_probe_train",
     "graph_pagerank_step", "graph_label_prop", "graph_triangle_count",
     "dedup_canonical_docs", "curation_bloom_decontam",
     "text_quality_score", "text_langid", "text_lm_perplexity",

@@ -373,6 +373,63 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
+    // Histogram-sketch quantiles — the mergeable scale path next to
+    // q_quantiles' exact percentile (which sorts every group): bin the
+    // value domain into 1024 fixed integer-cent buckets, count per
+    // (group, bin) with map-side combine (≤ groups×1024 keys shuffle at
+    // ANY corpus size), read quantiles off the cumulative histogram.
+    // Histograms merge by addition, so this is also the incremental /
+    // streaming form (partial histograms union and re-sum). Everything
+    // is integer arithmetic — bin index, bin edge, ceil thresholds — so
+    // both engines agree bit-for-bit; estimate error is bounded by one
+    // bin width (the spec pins it against the exact percentile).
+    Q("sketch_quantile_hist",
+      """WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |            FROM events),
+        |mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM ev),
+        |hb AS (SELECT event_type,
+        |              least(1023, (cents - mn) * 1024 // (mx - mn + 1)) AS bin,
+        |              count(*) AS n
+        |       FROM ev CROSS JOIN mm GROUP BY event_type, bin),
+        |cum AS (SELECT event_type, bin, n,
+        |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |               sum(n) OVER (PARTITION BY event_type) AS tot
+        |        FROM hb),
+        |est AS (SELECT event_type, max(tot) AS n,
+        |               min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN bin END) AS b50,
+        |               min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN bin END) AS b90,
+        |               min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN bin END) AS b99
+        |        FROM cum GROUP BY event_type)
+        |SELECT event_type, n::BIGINT AS n,
+        |       (mn + b50 * (mx - mn + 1) // 1024)::BIGINT AS p50_est_cents,
+        |       (mn + b90 * (mx - mn + 1) // 1024)::BIGINT AS p90_est_cents,
+        |       (mn + b99 * (mx - mn + 1) // 1024)::BIGINT AS p99_est_cents
+        |FROM est CROSS JOIN mm ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+        .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
+      val mm = ev.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
+      val hb = ev.crossJoin(broadcast(mm))
+        .select(col("event_type"),
+          least(lit(1023L), expr("(cents - mn) * 1024 div (mx - mn + 1)")).as("bin"))
+        .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val cum = hb
+        .withColumn("cum", sum(col("n")).over(wOrd))
+        .withColumn("tot", sum(col("n")).over(wAll))
+      def bq(pct: Int) = min(when(
+        col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("bin")))
+      val est = cum.groupBy("event_type")
+        .agg(max(col("tot")).as("n"), bq(50).as("b50"), bq(90).as("b90"), bq(99).as("b99"))
+      est.crossJoin(broadcast(mm))
+        .select(col("event_type"), col("n"),
+          expr("mn + b50 * (mx - mn + 1) div 1024").as("p50_est_cents"),
+          expr("mn + b90 * (mx - mn + 1) div 1024").as("p90_est_cents"),
+          expr("mn + b99 * (mx - mn + 1) div 1024").as("p99_est_cents"))
+        .orderBy("event_type")
+    },
+
     // Embedding quantization to int8: per-vector symmetric scale
     // (127/max|v|), floor quantization — the 4x storage compression step of
     // a 100 TB vector corpus. Deterministic floor keeps both engines exact.

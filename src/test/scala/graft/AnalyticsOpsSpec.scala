@@ -136,6 +136,33 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     assert(nTriangles > 0, "fixture graph has no triangles — spec is vacuous")
   }
 
+  test("histogram quantiles: each estimate's bin CONTAINS the exact ceil-rank order statistic") {
+    val sfDir = "/root/testdata/sf0.01"
+    val est = SparkEntry.queries("sketch_quantile_hist")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+
+    // exact order statistics under the SAME rank convention the sketch
+    // uses (value at 1-based rank ceil(q·n)), replayed driver-side
+    val cents = graft.queries.events(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.expr("CAST(round(value * 100, 0) AS BIGINT)").as("c"))
+      .collect().groupBy(_.getString(0))
+      .map { case (t, rs) => t -> rs.map(_.getLong(1)).sorted }
+    val all = cents.values.flatten
+    val (mn, mx) = (all.min, all.max)
+    val width = (mx - mn + 1) / 1024 + 1 // integer-division bin width, upper bound
+    assert(est.keySet == cents.keySet)
+    est.foreach { case (t, (p50, p90, p99)) =>
+      val vs = cents(t)
+      def rankVal(pct: Int): Long = vs((vs.length * pct + 99) / 100 - 1)
+      Seq((p50, 50), (p90, 90), (p99, 99)).foreach { case (edge, pct) =>
+        val v = rankVal(pct)
+        assert(edge <= v && v < edge + width,
+          s"$t p$pct: order stat $v outside its estimated bin [$edge, ${edge + width})")
+      }
+    }
+  }
+
   test("Bloom decontamination has no false negatives vs the exact gram join") {
     val bloom = SparkEntry.queries("curation_bloom_decontam")(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
