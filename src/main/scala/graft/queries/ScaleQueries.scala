@@ -286,6 +286,42 @@ object ScaleQueries {
         .limit(1000)
     },
 
+    // Forward as-of join WITH tolerance (the pandas merge_asof surface —
+    // direction='forward', tolerance=10min): every view event attributed
+    // to the next purchase by the same user within the window, the
+    // conversion-attribution query of any behavioral pipeline. Same
+    // one-(key, ts)-shuffle plan as q_asof_join — the tolerance is a
+    // scan-local gate on the carried match's own timestamp, never a range
+    // join. The oracle replays with an explicit rank-1 forward match.
+    Q("q_asof_join_forward_tol",
+      """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vts
+        |           FROM events WHERE event_type = 'view'),
+        |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS pts
+        |      FROM events WHERE event_type = 'purchase'),
+        |j AS (SELECT v.view_id, p.purchase_id, p.pts,
+        |             row_number() OVER (PARTITION BY v.view_id
+        |                                ORDER BY p.pts, p.purchase_id) AS rn
+        |      FROM v JOIN p ON p.user_id = v.user_id AND p.pts >= v.vts)
+        |SELECT v.view_id, v.user_id,
+        |       CASE WHEN j.pts - v.vts <= 600000000 THEN j.purchase_id END AS purchase_id,
+        |       CASE WHEN j.pts - v.vts <= 600000000 THEN j.pts - v.vts END AS gap_us
+        |FROM v LEFT JOIN (SELECT * FROM j WHERE rn = 1) j ON j.view_id = v.view_id
+        |ORDER BY v.view_id LIMIT 2000""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir).withColumn("tsu", expr("unix_micros(ts)"))
+      val v = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("tsu"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("tsu").as("ptsu"), col("event_id"))
+      AsOfJoin.join(v, p, "user_id", "tsu", "ptsu",
+          Seq("event_id", "ptsu"), tieBreak = Some("event_id"),
+          direction = "forward", tolerance = Some(600000000L))
+        .select(col("view_id"), col("user_id"),
+          col("asof_event_id").as("purchase_id"),
+          (col("asof_ptsu") - col("tsu")).as("gap_us"))
+        .orderBy("view_id")
+        .limit(2000)
+    },
+
     // Range (interval-overlap) join, binned: every event joined to the
     // 30-minute incident windows that contain it. The naive plan is an
     // inequality-only join — a BroadcastNestedLoopJoin that goes quadratic
