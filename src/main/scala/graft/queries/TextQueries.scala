@@ -361,6 +361,52 @@ object TextQueries {
         .limit(30)
     },
 
+    // Collocation mining: corpus-wide bigram LIFT (the log-free PMI
+    // core, n·c(a,b) / (c(a)·c(b))) over adjacent token pairs — the
+    // phrase/term-extraction signal tokenizer and glossary pipelines
+    // compute. Unigram and bigram counts are explode+groupBy with
+    // map-side combine (vocabulary-bounded shuffles); the two count
+    // joins are token-keyed; the single float division uses an
+    // identical expression tree in both engines and micro-floors (no
+    // transcendental log — rank by lift ≡ rank by PMI). Top-30 via a
+    // TakeOrdered heap.
+    Q("text_bigram_lift",
+      """WITH toks AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ts FROM documents),
+        |uni AS (SELECT t, count(*)::BIGINT AS c
+        |        FROM (SELECT unnest(ts) AS t FROM toks) GROUP BY t),
+        |bi AS (SELECT g, count(*)::BIGINT AS cab
+        |       FROM (SELECT unnest(list_transform(range(1, len(ts)),
+        |                      i -> ts[i] || ' ' || ts[i + 1])) AS g FROM toks)
+        |       GROUP BY g HAVING count(*) >= 5),
+        |nn AS (SELECT sum(c)::BIGINT AS n FROM uni),
+        |j AS (SELECT bi.g, bi.cab, ua.c AS ca, ub.c AS cb
+        |      FROM bi JOIN uni ua ON ua.t = split_part(bi.g, ' ', 1)
+        |              JOIN uni ub ON ub.t = split_part(bi.g, ' ', 2))
+        |SELECT g AS bigram, cab,
+        |       CAST(floor(cab * 1000000.0 * nn.n / (ca * cb)) AS BIGINT) AS lift_micro
+        |FROM j CROSS JOIN nn
+        |ORDER BY lift_micro DESC, bigram LIMIT 30""".stripMargin) { (spark, dir) =>
+      val t = staged(spark, s"$dir#bigram_toks")(
+        table(spark, dir, "documents").select(F.tokens(col("text")).as("ts")))
+      val uni = t.select(explode(col("ts")).as("tk"))
+        .groupBy("tk").agg(count(lit(1)).as("c"))
+      val bi = t.select(explode(F.shingles(col("ts"), 2)).as("g"))
+        .groupBy("g").agg(count(lit(1)).as("cab"))
+        .filter(col("cab") >= 5)
+      val nn = uni.agg(sum(col("c")).as("n"))
+      bi
+        .withColumn("a", split(col("g"), " ").getItem(0))
+        .withColumn("b", split(col("g"), " ").getItem(1))
+        .join(uni.select(col("tk").as("a"), col("c").as("ca")), Seq("a"))
+        .join(uni.select(col("tk").as("b"), col("c").as("cb")), Seq("b"))
+        .crossJoin(broadcast(nn))
+        .select(col("g").as("bigram"), col("cab"),
+          floor(col("cab") * lit(1000000.0) * col("n") / (col("ca") * col("cb")))
+            .cast("long").as("lift_micro"))
+        .orderBy(col("lift_micro").desc, col("bigram"))
+        .limit(30)
+    },
+
     // Length histogram: document-size distribution in 100-char buckets
     // (the quality-filter tuning view of a training corpus).
     Q("text_length_histogram",

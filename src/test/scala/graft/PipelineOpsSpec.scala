@@ -149,6 +149,35 @@ class PipelineOpsSpec extends AnyFunSuite {
     assert(got.find(_._1 == minSrc).exists(_._2 == 10000L))
   }
 
+  test("text_bigram_lift: values equal a plain-Scala count replay; lift ranks association") {
+    val got = SparkEntry.queries("text_bigram_lift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.nonEmpty && got.length <= 30)
+    val docs = graft.queries.table(spark, sf, "documents").collect()
+      .map(_.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq)
+    val uni = docs.flatten.groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    val bi = docs.flatMap(ts => ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" })
+      .groupBy(identity).map { case (g, xs) => g -> xs.length.toLong }
+    val n = uni.values.sum
+    got.foreach { case (g, cab, liftMicro) =>
+      assert(bi(g) == cab, s"$g: cab $cab != replay ${bi(g)}")
+      assert(cab >= 5, s"$g admitted below the min-count floor")
+      val Array(a, b) = g.split(" ")
+      val want = math.floor(cab * 1000000.0 * n / (uni(a) * uni(b))).toLong
+      assert(liftMicro == want, s"$g: lift $liftMicro != replay $want")
+    }
+    // the returned list is the global top by (lift, bigram) — spot-check
+    // it dominates every excluded bigram over the count floor
+    val minGot = got.map(x => (x._3, x._1)).min
+    val excluded = bi.filter { case (g, c) => c >= 5 && !got.exists(_._1 == g) }
+    excluded.foreach { case (g, cab) =>
+      val Array(a, b) = g.split(" ")
+      val lift = math.floor(cab * 1000000.0 * n / (uni(a) * uni(b))).toLong
+      assert(lift < minGot._1 || (lift == minGot._1 && g > minGot._2),
+        s"excluded $g (lift $lift) outranks returned minimum $minGot")
+    }
+  }
+
   test("text_lm_perplexity: buckets split strictly around the corpus mean") {
     val rows = run("text_lm_perplexity").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
