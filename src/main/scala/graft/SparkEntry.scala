@@ -59,7 +59,8 @@ object SparkEntry {
     "graph_pagerank_step", "graph_label_prop", "graph_triangle_count",
     "dedup_canonical_docs", "curation_bloom_decontam",
     "text_quality_score", "text_langid", "text_lm_perplexity",
-    "mm_av_align",
+    "text_bigram_lift",
+    "mm_av_align", "q_asof_join_forward_tol",
     "q1_pricing_summary", "q3_topk_revenue_join", "q_salted_skew_agg",
     "q_topk_by_agg", "q_range_join_binned",
     "b12_section_concat")

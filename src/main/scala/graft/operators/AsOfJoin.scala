@@ -95,13 +95,17 @@ object AsOfJoin {
           .rowsBetween(Window.unboundedPreceding, 0)
         unioned.withColumn("__asof_pl", last(rightOnly, ignoreNulls = true).over(w))
       case _ =>
-        // forward: right rows sort AFTER left rows at equal ts (so the
-        // inclusive >= match sits inside the [current, following] frame);
-        // the FIRST right row by (ts, tie-break) wins
-        val w = keyW.orderBy(col("__asof_ts").asc, col("__asof_is_right").asc,
-            col("__asof_tb").asc_nulls_last)
-          .rowsBetween(0, Window.unboundedFollowing)
-        unioned.withColumn("__asof_pl", first(rightOnly, ignoreNulls = true).over(w))
+        // forward = the backward carry over the MIRRORED sort (ts desc):
+        // the same incremental [unboundedPreceding, current] frame, O(n)
+        // per key — an [current, unboundedFollowing] frame with first()
+        // would be recomputed from scratch per row by Spark's
+        // UnboundedFollowing frame processor, O(n²) on a skewed key.
+        // Right rows sort BEFORE left rows at equal ts (inclusive >=);
+        // tb DESC so last() lands on the FIRST right row by tie-break
+        val w = keyW.orderBy(col("__asof_ts").desc, col("__asof_is_right").desc,
+            col("__asof_tb").desc_nulls_first)
+          .rowsBetween(Window.unboundedPreceding, 0)
+        unioned.withColumn("__asof_pl", last(rightOnly, ignoreNulls = true).over(w))
     }
 
     // the tolerance gate is scan-local: compare the matched right row's

@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.F
@@ -58,6 +58,39 @@ object CurationQueries {
     val evSide = if (threshold >= 0 && estBytes <= threshold) broadcast(ev) else ev
     corpusGrams.join(evSide, Seq("g"))
   }
+
+  /** The quality-classifier training rows — label (lang='en') + 4-feature
+    * vector [bias, distinct-token ratio, stopword ratio, tokens/1e3] —
+    * shared by ml_logreg_grad and ml_linear_probe_train, in BOTH engines'
+    * dialects. ONE definition on purpose (the assignCosineCells rule): a
+    * feature tweak applied to one trainer or one engine's copy but not
+    * the other would silently diverge the models and break oracle parity. */
+  private val FeatSql =
+    """SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+      |             [1.0,
+      |              len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE
+      |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
+      |              len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
+      |                    t -> t IN ('the', 'and', 'of', 'to', 'a')))::DOUBLE
+      |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
+      |              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE / 1000.0] AS x
+      |           FROM documents""".stripMargin
+
+  /** The same rows in Spark, staged once per (session, dir) — the
+    * tokenize runs once however many trainer queries (or GD steps)
+    * consume it. */
+  private def stagedFeatures(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, s"$dir#probe_feat") {
+      val toks = F.tokens(col("text"))
+      val nTok = greatest(size(toks), lit(1)).cast("double")
+      table(spark, dir, "documents").select(
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+        array(
+          lit(1.0),
+          size(array_distinct(toks)).cast("double") / nTok,
+          size(filter(toks, t => t.isin("the", "and", "of", "to", "a"))).cast("double") / nTok,
+          size(toks).cast("double") / 1000.0).as("x"))
+    }
 
   val all: Seq[Q] = Seq(
 
@@ -553,30 +586,12 @@ object CurationQueries {
     // shuffle, driver sees only the k-dim gradient). Label = lang='en';
     // features = [bias, distinct-token ratio, stopword ratio, tokens/1e3].
     Q("ml_logreg_grad",
-      """WITH f AS (SELECT doc_id,
-        |             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-        |             [1.0,
-        |              len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE
-        |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
-        |              len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-        |                    t -> t IN ('the', 'and', 'of', 'to', 'a')))::DOUBLE
-        |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
-        |              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE / 1000.0] AS x
-        |           FROM documents),
+      s"""WITH f AS ($FeatSql),
         |g AS (SELECT k, CAST(floor((0.5 - y) * x[k + 1] * 1000000) AS BIGINT) AS c
         |      FROM f CROSS JOIN (SELECT unnest(range(4)) AS k))
         |SELECT k::BIGINT AS k, sum(c)::BIGINT AS grad_micro, count(*) AS n
         |FROM g GROUP BY k ORDER BY k""".stripMargin) { (spark, dir) =>
-      val toks = F.tokens(col("text"))
-      val nTok = greatest(size(toks), lit(1)).cast("double")
-      val f = table(spark, dir, "documents").select(
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-        array(
-          lit(1.0),
-          size(array_distinct(toks)).cast("double") / nTok,
-          size(filter(toks, t => t.isin("the", "and", "of", "to", "a"))).cast("double") / nTok,
-          size(toks).cast("double") / 1000.0).as("x"))
-      f.select(col("y"), posexplode(col("x")).as(Seq("k", "xv")))
+      stagedFeatures(spark, dir).select(col("y"), posexplode(col("x")).as(Seq("k", "xv")))
         .groupBy(col("k").cast("long").as("k"))
         .agg(sum(floor((lit(0.5) - col("y")) * col("xv") * 1000000).cast("long")).as("grad_micro"),
           count(lit(1)).as("n"))
@@ -608,16 +623,7 @@ object CurationQueries {
         s"""$wNew AS (SELECT [${(1 to 4).map(k =>
              s"w.wm[$k] - CAST(floor(gr$k::DOUBLE / (10.0 * n)) AS BIGINT)").mkString(", ")}] AS wm
            |      FROM $g CROSS JOIN $wPrev w)""".stripMargin
-      s"""WITH f AS (SELECT
-         |             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
-         |             [1.0,
-         |              len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE
-         |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
-         |              len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'),
-         |                    t -> t IN ('the', 'and', 'of', 'to', 'a')))::DOUBLE
-         |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
-         |              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE / 1000.0] AS x
-         |           FROM documents),
+      s"""WITH f AS ($FeatSql),
          |w0 AS (SELECT [CAST(0 AS BIGINT), 0, 0, 0] AS wm),
          |${gradCte("g1", "w0")},
          |${stepCte("w1", "g1", "w0")},
@@ -629,17 +635,7 @@ object CurationQueries {
          |FROM w3 CROSS JOIN (SELECT unnest(range(4)) AS k) ks
          |ORDER BY k""".stripMargin
     }) { (spark, dir) =>
-      val toks = F.tokens(col("text"))
-      val nTok = greatest(size(toks), lit(1)).cast("double")
-      val f = staged(spark, s"$dir#probe_feat") {
-        table(spark, dir, "documents").select(
-          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
-          array(
-            lit(1.0),
-            size(array_distinct(toks)).cast("double") / nTok,
-            size(filter(toks, t => t.isin("the", "and", "of", "to", "a"))).cast("double") / nTok,
-            size(toks).cast("double") / 1000.0).as("x"))
-      }
+      val f = stagedFeatures(spark, dir)
       // dot product with DRIVER-literal micro weights: the same double
       // each engine derives (w/1e6 is one correctly-rounded division),
       // summed in the same fixed k order

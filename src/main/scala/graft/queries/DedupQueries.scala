@@ -464,12 +464,12 @@ object DedupQueries {
         |       WHERE b IS NOT NULL),
         |und AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
         |dg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
-        |ordv AS (SELECT u, deg * 4294967296 + u AS ord FROM dg),
-        |oe AS (SELECT und.u AS src, und.v AS dst, ov.ord AS dst_ord
-        |       FROM und JOIN ordv ou ON ou.u = und.u JOIN ordv ov ON ov.u = und.v
-        |       WHERE ou.ord < ov.ord),
+        |oe AS (SELECT und.u AS src, und.v AS dst, ov.deg AS dst_deg
+        |       FROM und JOIN dg ou ON ou.u = und.u JOIN dg ov ON ov.u = und.v
+        |       WHERE (ou.deg, und.u) < (ov.deg, und.v)),
         |wedge AS (SELECT e1.dst AS b, e2.dst AS c
-        |          FROM oe e1 JOIN oe e2 ON e1.src = e2.src AND e1.dst_ord < e2.dst_ord)
+        |          FROM oe e1 JOIN oe e2 ON e1.src = e2.src
+        |               AND (e1.dst_deg, e1.dst) < (e2.dst_deg, e2.dst))
         |SELECT (SELECT count(*) FROM dg)::BIGINT AS n_vertices,
         |       (SELECT count(*) FROM ed)::BIGINT AS n_edges,
         |       (SELECT count(*) FROM wedge w JOIN oe ON oe.src = w.b AND oe.dst = w.c)::BIGINT
@@ -493,14 +493,17 @@ object DedupQueries {
         val und = ed.select(col("a").as("u"), col("b").as("v"))
           .union(ed.select(col("b").as("u"), col("a").as("v")))
         val dg = und.groupBy("u").agg(count(lit(1)).as("deg"))
-        val ordv = dg.select(col("u"), (col("deg") * lit(4294967296L) + col("u")).as("ord"))
+        // explicit (deg, id) LEXICOGRAPHIC orientation — a packed
+        // deg·2³²+id key would silently collide for 64-bit vertex ids,
+        // dropping edges (and their triangles) with no error
         und
-          .join(ordv.select(col("u"), col("ord").as("src_ord")), Seq("u"))
-          .join(ordv.select(col("u").as("v"), col("ord").as("dst_ord")), Seq("v"))
-          .filter(col("src_ord") < col("dst_ord"))
-          .select(col("u").as("src"), col("v").as("dst"), col("dst_ord"))
+          .join(dg.select(col("u"), col("deg").as("src_deg")), Seq("u"))
+          .join(dg.select(col("u").as("v"), col("deg").as("dst_deg")), Seq("v"))
+          .filter(struct(col("src_deg"), col("u")) < struct(col("dst_deg"), col("v")))
+          .select(col("u").as("src"), col("v").as("dst"),
+            struct(col("dst_deg").as("deg"), col("v").as("id")).as("dst_ord"))
       }
-      val dg = oe.select(col("src").as("u")).union(oe.select(col("dst")))
+      val verts = ed.select(col("a").as("u")).union(ed.select(col("b")))
         .distinct()
       val wedge = oe.select(col("src"), col("dst").as("b"), col("dst_ord").as("b_ord"))
         .join(oe.select(col("src"), col("dst").as("c"), col("dst_ord").as("c_ord")), Seq("src"))
@@ -511,7 +514,7 @@ object DedupQueries {
       val triCount = wedge
         .join(oe.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
         .agg(count(lit(1)).as("n_triangles"))
-      dg.agg(count(lit(1)).as("n_vertices"))
+      verts.agg(count(lit(1)).as("n_vertices"))
         .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
         .crossJoin(triCount)
     },

@@ -732,11 +732,7 @@ object ScaleQueries {
          |FROM s""".stripMargin) { (spark, dir) =>
       // staged: the k-minimum branch and the exact-count reference both
       // consume the distinct hash set (cardinality-bounded, tiny)
-      val h = staged(spark, s"kmv_h#$dir")(
-        table(spark, dir, "documents")
-          .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
-          .distinct()
-          .select(F.hash60(col("g")).as("h")))
+      val h = kmvHashSet(spark, dir)
       val s = h.orderBy("h").limit(KmvK)
         .agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
       h.agg(count(lit(1)).as("n_exact"))
@@ -790,16 +786,11 @@ object ScaleQueries {
       val s = reg.agg(count(lit(1)).as("n_hit"),
         (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mx AS INT))"))
           + (lit(1024L) - count(lit(1))) * lit(2251799813685248L)).as("s_scaled"))
-      // exact reference: KMV's staged distinct hash set (same key → same
-      // checkpoint; the two sketches measure the same universe)
-      val hd = staged(spark, s"kmv_h#$dir")(
-        table(spark, dir, "documents")
-          .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
-          .distinct()
-          .select(F.hash60(col("g")).as("h")))
+      // exact reference: KMV's staged distinct hash set (same key, same
+      // builder — the two sketches measure the same universe).
       // distinct HASHES, not distinct grams, on BOTH sides: a 60-bit
       // collision between two distinct grams must not skew the compare
-      val ex = hd.agg(countDistinct(col("h")).as("n_exact"))
+      val ex = kmvHashSet(spark, dir).agg(countDistinct(col("h")).as("n_exact"))
       ex.crossJoin(s)
         .select(col("n_exact"), col("n_hit"), col("s_scaled"),
           floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
@@ -875,6 +866,18 @@ object ScaleQueries {
 
   /** KMV sketch size (k smallest hashes kept). */
   private[graft] final val KmvK = 256
+
+  /** The corpus's distinct 5-gram-shingle 60-bit hash set, staged once per
+    * (session, dir) — the shared universe both distinct sketches (KMV,
+    * HLL's exact reference) measure. ONE definition on purpose: two
+    * inlined copies under the same cache key would let an edit to one
+    * silently feed the other a stale or mismatched staging. */
+  private def kmvHashSet(spark: SparkSession, dir: String) =
+    staged(spark, s"kmv_h#$dir")(
+      table(spark, dir, "documents")
+        .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
+        .distinct()
+        .select(F.hash60(col("g")).as("h")))
 
   /** Term frequencies (tok → tf), staged once per (session, dir): the
     * sketch build and the exact heavy-hitter reference both consume it.

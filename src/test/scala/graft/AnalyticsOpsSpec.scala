@@ -150,7 +150,10 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       .map { case (t, rs) => t -> rs.map(_.getLong(1)).sorted }
     val all = cents.values.flatten
     val (mn, mx) = (all.min, all.max)
-    val width = (mx - mn + 1) / 1024 + 1 // integer-division bin width, upper bound
+    // integer-division bin width upper bound PLUS the floor/ceil edge
+    // slack: bin b's smallest member is ceil(b·R/1024) while the reported
+    // edge is floor(b·R/1024), so a legit member can sit at edge + R/1024 + 1
+    val width = (mx - mn + 1) / 1024 + 2
     assert(est.keySet == cents.keySet)
     est.foreach { case (t, (p50, p90, p99)) =>
       val vs = cents(t)

@@ -385,9 +385,9 @@ class PlanQualitySpec extends AnyFunSuite {
 
   test("HLL sketch: register branch aggregates map-side, no distinct before it") {
     val p = plan("sketch_hll_distinct")
-    // the register agg must run partial (map-side max) before its 1024-key
-    // exchange — the shape that makes HLL an O(m)-state sketch
-    assert(p.contains("partial_max") || p.contains("partial_"), p)
+    // the register agg must run partial (map-side MAX specifically) before
+    // its 1024-key exchange — the shape that makes HLL an O(m)-state sketch
+    assert(p.contains("partial_max"), p)
     assert(!p.contains("CartesianProduct"), p)
     // the register branch never sorts or globally de-dups the hash stream
     // (the exact-reference branch pays its distinct through the SHARED

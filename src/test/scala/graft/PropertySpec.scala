@@ -88,6 +88,35 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("backward AsOfJoin with tolerance equals the brute-force latest-within-gap scan") {
+    import spark.implicits._
+    val r = rng(23)
+    def rows(n: Int) = List.fill(n)((r.nextInt(4).toLong, r.nextInt(21).toLong))
+    (1 to 12).foreach { _ =>
+      val leftRows = rows(1 + r.nextInt(15))
+      val rightRows = rows(r.nextInt(16))
+      val gap = r.nextInt(8).toLong
+      val left = leftRows.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, k, t) }.toDF("lid", "key", "lts")
+      val right = rightRows.zipWithIndex
+        .map { case ((k, t), i) => (k, t, i.toLong * 100 + t) }.toDF("key", "rts", "payload")
+      val got = AsOfJoin.join(left, right, "key", "lts", "rts",
+          Seq("payload"), tieBreak = Some("payload"), tolerance = Some(gap))
+        .select("lid", "asof_payload").collect()
+        .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+      leftRows.zipWithIndex.foreach { case ((k, t), i) =>
+        // latest right at-or-before within the gap — the gate must use
+        // the ABSOLUTE distance (here the match sits BELOW the left ts)
+        val want = rightRows.zipWithIndex
+          .map { case ((rk, rt), j) => (rk, rt, j.toLong * 100 + rt) }
+          .filter { case (rk, rt, _) => rk == k && rt <= t && t - rt <= gap }
+          .sortBy { case (_, rt, p) => (rt, p) }
+          .lastOption.map(_._3)
+        assert(got(i.toLong) == want, s"left row $i (key=$k, ts=$t, gap=$gap)")
+      }
+    }
+  }
+
   test("forward AsOfJoin with tolerance equals the brute-force earliest-within-gap scan") {
     import spark.implicits._
     val r = rng(19)
