@@ -57,6 +57,7 @@ object SparkEntry {
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
     "sketch_hll_distinct", "sketch_quantile_hist", "ml_linear_probe_train",
     "graph_pagerank_step", "graph_label_prop", "graph_triangle_count",
+    "graph_kcore_peel",
     "dedup_canonical_docs", "curation_bloom_decontam",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",

@@ -97,6 +97,39 @@ object DedupQueries {
     staged(spark, s"$dir#dedup_components")(
       DedupPipeline.components(table(spark, dir, "documents")))
 
+  /** User co-presence edges (same hour × event_type, each user linked to
+    * the next TWO in sorted order — the sorted-neighborhood device that
+    * bounds per-group pairs linearly), staged once per (session, dir) and
+    * shared by every graph query over this fixture. ONE builder on
+    * purpose: duplicated staged builders under one cache key would let an
+    * edit to one silently feed the other. Columns (a, b), a < b. */
+  private def coPresenceEdges(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, s"$dir#tri_edges") {
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+        .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("user_id"))
+        .distinct()
+      val w = Window.partitionBy(col("hr"), col("event_type")).orderBy(col("user_id"))
+      ev.withColumn("nb1", lead(col("user_id"), 1).over(w))
+        .withColumn("nb2", lead(col("user_id"), 2).over(w))
+        .select(col("user_id").as("a"), explode(array(col("nb1"), col("nb2"))).as("b"))
+        .filter(col("b").isNotNull)
+        .distinct()
+    }
+
+  /** The shared DuckDB form of [[coPresenceEdges]] — CTEs `ev`, `rk`,
+    * `ed(a, b)`. */
+  private val coPresenceEdgesSql =
+    """ev AS (SELECT DISTINCT date_trunc('hour', ts) AS hr, event_type, user_id
+      |            FROM events),
+      |rk AS (SELECT user_id,
+      |              lead(user_id, 1) OVER w AS nb1,
+      |              lead(user_id, 2) OVER w AS nb2
+      |       FROM ev WINDOW w AS (PARTITION BY hr, event_type ORDER BY user_id)),
+      |ed AS (SELECT DISTINCT a, b
+      |       FROM (SELECT user_id AS a, unnest([nb1, nb2]) AS b FROM rk)
+      |       WHERE b IS NOT NULL)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Exact dedup: hash-groupBy on normalized text (single shuffle of md5
@@ -453,15 +486,7 @@ object DedupQueries {
     // self-join (wedges), one (b,c)-keyed closing join — every shuffle
     // on compact integer keys.
     Q("graph_triangle_count",
-      """WITH ev AS (SELECT DISTINCT date_trunc('hour', ts) AS hr, event_type, user_id
-        |            FROM events),
-        |rk AS (SELECT user_id,
-        |              lead(user_id, 1) OVER w AS nb1,
-        |              lead(user_id, 2) OVER w AS nb2
-        |       FROM ev WINDOW w AS (PARTITION BY hr, event_type ORDER BY user_id)),
-        |ed AS (SELECT DISTINCT a, b
-        |       FROM (SELECT user_id AS a, unnest([nb1, nb2]) AS b FROM rk)
-        |       WHERE b IS NOT NULL),
+      s"""WITH $coPresenceEdgesSql,
         |und AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
         |dg AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
         |oe AS (SELECT und.u AS src, und.v AS dst, ov.deg AS dst_deg
@@ -474,21 +499,10 @@ object DedupQueries {
         |       (SELECT count(*) FROM ed)::BIGINT AS n_edges,
         |       (SELECT count(*) FROM wedge w JOIN oe ON oe.src = w.b AND oe.dst = w.c)::BIGINT
         |         AS n_triangles""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       // the edge list feeds und (twice), the n_edges count, and — via the
       // oriented list — three join sides: stage both once (materialize the
       // graph, then analyze it — exactly what a cluster would do)
-      val ed = staged(spark, s"$dir#tri_edges") {
-        val ev = events(spark, dir)
-          .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("user_id"))
-          .distinct()
-        val w = Window.partitionBy(col("hr"), col("event_type")).orderBy(col("user_id"))
-        ev.withColumn("nb1", lead(col("user_id"), 1).over(w))
-          .withColumn("nb2", lead(col("user_id"), 2).over(w))
-          .select(col("user_id").as("a"), explode(array(col("nb1"), col("nb2"))).as("b"))
-          .filter(col("b").isNotNull)
-          .distinct()
-      }
+      val ed = coPresenceEdges(spark, dir)
       val oe = staged(spark, s"$dir#tri_oriented") {
         val und = ed.select(col("a").as("u"), col("b").as("v"))
           .union(ed.select(col("b").as("u"), col("a").as("v")))
@@ -517,6 +531,50 @@ object DedupQueries {
       verts.agg(count(lit(1)).as("n_vertices"))
         .crossJoin(ed.agg(count(lit(1)).as("n_edges")))
         .crossJoin(triCount)
+    },
+
+    // Two peel rounds of k-core decomposition (k=3) over the same
+    // co-presence graph — the coreness signal that separates a graph's
+    // dense backbone from its periphery (spam-ring and community-core
+    // detection in corpus link analysis). Each round is one BSP step:
+    // degree = keyed aggregate of the edge list, survivor filter =
+    // broadcast-or-shuffle semi-join of edges against surviving vertices,
+    // re-count — the same iterate-by-refeeding convention as
+    // graph_pagerank_step / ml_kmeans_step (fixpoint = run until the
+    // survivor set stops shrinking). All counts integer; no floats at
+    // all. Output: every vertex alive after round 2 with its original
+    // and post-peel degrees.
+    Q("graph_kcore_peel",
+      s"""WITH $coPresenceEdgesSql,
+        |und AS (SELECT a AS u, b AS v FROM ed UNION ALL SELECT b, a FROM ed),
+        |d0 AS (SELECT u, count(*) AS deg FROM und GROUP BY u),
+        |a1 AS (SELECT u FROM d0 WHERE deg >= 3),
+        |e1 AS (SELECT und.u, und.v FROM und
+        |       JOIN a1 x ON x.u = und.u JOIN a1 y ON y.u = und.v),
+        |d1 AS (SELECT u, count(*) AS deg FROM e1 GROUP BY u),
+        |a2 AS (SELECT u FROM d1 WHERE deg >= 3),
+        |e2 AS (SELECT e1.u, e1.v FROM e1
+        |       JOIN a2 x ON x.u = e1.u JOIN a2 y ON y.u = e1.v),
+        |d2 AS (SELECT u, count(*) AS deg FROM e2 GROUP BY u)
+        |SELECT d2.u AS user_id, d0.deg AS deg0, d2.deg AS deg2
+        |FROM d2 JOIN d0 ON d0.u = d2.u
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val ed = coPresenceEdges(spark, dir)
+      val und = ed.select(col("a").as("u"), col("b").as("v"))
+        .union(ed.select(col("b").as("u"), col("a").as("v")))
+      def degrees(e: DataFrame) = e.groupBy("u").agg(count(lit(1)).as("deg"))
+      def peel(e: DataFrame): DataFrame = {
+        val alive = degrees(e).filter(col("deg") >= 3).select("u")
+        e.join(alive, Seq("u"), "leftsemi")
+          .join(alive.select(col("u").as("v")), Seq("v"), "leftsemi")
+          .select("u", "v")
+      }
+      val d0 = degrees(und)
+      val e2 = peel(peel(und))
+      degrees(e2).select(col("u"), col("deg").as("deg2"))
+        .join(d0.select(col("u"), col("deg").as("deg0")), Seq("u"))
+        .select(col("u").as("user_id"), col("deg0"), col("deg2"))
+        .orderBy("user_id")
     },
 
     // Embedding-cosine near-dup: candidates from 8-bit sign-LSH buckets

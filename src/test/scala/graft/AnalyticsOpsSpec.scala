@@ -166,6 +166,37 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("k-core peel equals a driver-side two-round peel over the same edges") {
+    import org.apache.spark.sql.functions.{col, date_trunc}
+    val got = SparkEntry.queries("graph_kcore_peel")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+
+    val groups = graft.queries.events(spark, sf)
+      .select(date_trunc("hour", col("ts")).as("hr"), col("event_type"), col("user_id"))
+      .distinct().collect()
+      .groupBy(row => (row.get(0), row.getString(1)))
+    val edges = groups.values.flatMap { rows =>
+      val us = rows.map(_.getLong(2)).distinct.sorted
+      us.indices.flatMap(i => Seq(1, 2).flatMap(o =>
+        if (i + o < us.length) Some((us(i), us(i + o))) else None))
+    }.toSet
+    def degs(es: Set[(Long, Long)]): Map[Long, Int] =
+      (es.toSeq.map(_._1) ++ es.toSeq.map(_._2)).groupBy(identity)
+        .map { case (u, xs) => u -> xs.length }
+    def peel(es: Set[(Long, Long)]): Set[(Long, Long)] = {
+      val alive = degs(es).filter(_._2 >= 3).keySet
+      es.filter { case (a, b) => alive(a) && alive(b) }
+    }
+    val d0 = degs(edges)
+    val d2 = degs(peel(peel(edges)))
+    assert(got.keySet == d2.keySet, s"survivor sets diverge: ${got.keySet} vs ${d2.keySet}")
+    assert(d2.nonEmpty, "fixture graph has no 2-round 3-core — spec is vacuous")
+    got.foreach { case (u, (deg0, deg2)) =>
+      assert(deg0 == d0(u) && deg2 == d2(u), s"vertex $u: ($deg0, $deg2) vs (${d0(u)}, ${d2(u)})")
+      assert(deg2 <= deg0, s"vertex $u gained degree while peeling")
+    }
+  }
+
   test("Bloom decontamination has no false negatives vs the exact gram join") {
     val bloom = SparkEntry.queries("curation_bloom_decontam")(spark, "/root/testdata/sf0.01")
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
