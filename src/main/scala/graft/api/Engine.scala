@@ -262,7 +262,11 @@ final class Engine(
 
   /** Ingest a documents table into the workspace chunk store (A3+B+C1),
     * maintaining the posting index — and, under annMode="ivf", the IVF
-    * cell index — alongside. */
+    * cell index — alongside. Safe under concurrent searches: the chunk
+    * table, like both indexes, is a VERSIONED swap (a search mid-flight
+    * over the previous version keeps its files for the retention
+    * window), and the maintenance lock serializes it against the
+    * streaming ingest path. */
   def index(docs: DataFrame): Long = maintenance.synchronized {
     workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
     rebuildPostings()

@@ -21,7 +21,14 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   // ---- A8: workspace scan/switch
 
-  def chunksPath: String = p("chunks")
+  /** The chunk table is VERSIONED exactly like the posting/ANN indexes
+    * (chunks/v1, v2, …, pointer in the metadata KV): writeChunks is a
+    * full rebuild, and an overwrite of the live dir would delete part
+    * files out from under a concurrently-running search — the same
+    * reader-safety contract as [[writePostings]]/[[writeAnn]]. Appends
+    * (the streaming path) go INTO the live version: files only ever
+    * added, never mutated, so in-flight readers stay consistent. */
+  def chunksPath: String = p("chunks", s"v${currentVersion("chunks_v").getOrElse(1)}")
   def logPath: String = p("retrieval_logs")
   private def metaPath: Path = Paths.get(root, "workspace_metadata.json")
 
@@ -42,7 +49,10 @@ final class Workspace(val spark: SparkSession, val root: String) {
       }
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
-      ChunkStore.write(c, chunksPath)
+      val next = currentVersion("chunks_v").getOrElse(0) + 1
+      ChunkStore.write(c, p("chunks", s"v$next"))
+      setMeta("chunks_v", next.toString)
+      deleteTree(Paths.get(p("chunks", s"v${next - 1 - Workspace.RetainPriorVersions}")))
       // staged plans keyed on this workspace's paths are now stale
       graft.functions.Staging.invalidate(root)
     } finally c.unpersist()
@@ -69,6 +79,9 @@ final class Workspace(val spark: SparkSession, val root: String) {
       }
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
+      // streaming-first ingest into a fresh workspace creates v1; the
+      // pointer registers so later writes version past it
+      if (currentVersion("chunks_v").isEmpty) setMeta("chunks_v", "1")
       c.write.mode(SaveMode.Append).parquet(chunksPath)
       graft.functions.Staging.invalidate(root)
     } finally c.unpersist()
@@ -312,11 +325,11 @@ final class Workspace(val spark: SparkSession, val root: String) {
   def count(): Long = readChunks().count()
 
   def clear(): Unit = {
-    deleteTree(Paths.get(chunksPath))
+    deleteTree(Paths.get(p("chunks")))
     deleteTree(Paths.get(p("postings")))
     deleteTree(Paths.get(p("ann")))
     // dropping the table also drops the dimension registration
-    removeMeta("postings_v", "ann_v", "ann_base_n", "ann_appended_n", "model_dim")
+    removeMeta("chunks_v", "postings_v", "ann_v", "ann_base_n", "ann_appended_n", "model_dim")
     graft.functions.Staging.invalidate(root)
   }
 }

@@ -328,6 +328,30 @@ class IncrementalIndexSpec extends AnyFunSuite {
       s"stability memo grew past its cap: ${engine.stabilityMemoSize}")
   }
 
+  test("chunk-table rebuilds are versioned swaps: an in-flight reader keeps its files") {
+    val root = Files.createTempDirectory("graft-chunkver-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(20))
+    val ws = engine.workspace
+    assert(ws.getMeta("chunks_v").contains("1"))
+    // a reader whose plan resolved against v1...
+    val reader = ws.readChunks().select("doc_id")
+    // ...survives a full rebuild (which swaps the pointer to v2)
+    engine.index(docs(25))
+    assert(ws.getMeta("chunks_v").contains("2"))
+    assert(reader.count() == 20, "v1 files vanished under an in-flight reader")
+    assert(ws.count() == 25, "live pointer did not advance to the rebuilt table")
+    // retention: versions beyond RetainPriorVersions prior are reclaimed
+    engine.index(docs(30)); engine.index(docs(35))
+    val versions = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/main/chunks"))
+      .iterator()
+    val names = new scala.collection.mutable.ArrayBuffer[String]
+    while (versions.hasNext) names += versions.next().getFileName.toString
+    assert(names.length <= Workspace.RetainPriorVersions + 1 + 1,
+      s"stale chunk versions never reclaimed: $names")
+    assert(!names.contains("v1"), s"v1 should be past the retention window: $names")
+  }
+
   test("metadata writes are atomic and lock-serialized under concurrent writers") {
     val root = Files.createTempDirectory("graft-meta-").toString
     val ws = new Workspace(spark, root)
