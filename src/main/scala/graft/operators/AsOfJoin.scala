@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   *
   * Spark-first composition (preference order (a) of the builder contract):
   * tag and union both sides, sort within key by (ts, right-first), carry
-  * the right payload forward with `last(_, ignoreNulls)` (backward) or
-  * backward with `first(_, ignoreNulls)` (forward), keep left rows.
+  * the right payload with `last(_, ignoreNulls)` over the incremental
+  * [unboundedPreceding, current] frame — forward direction MIRRORS the
+  * sort (ts desc) and reuses the same frame, never a
+  * [current, unboundedFollowing] frame (Spark recomputes those from
+  * scratch per row: O(n²) on a skewed key). Keep left rows.
   * Cost = ONE shuffle of (key, ts) — identical to a sort-merge join's
   * exchange, with no range-explosion; skew behaves like any keyed window;
   * the tolerance is a scan-local post-filter on the carried match's own

@@ -27,8 +27,27 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * files out from under a concurrently-running search — the same
     * reader-safety contract as [[writePostings]]/[[writeAnn]]. Appends
     * (the streaming path) go INTO the live version: files only ever
-    * added, never mutated, so in-flight readers stay consistent. */
-  def chunksPath: String = p("chunks", s"v${currentVersion("chunks_v").getOrElse(1)}")
+    * added, never mutated, so in-flight readers stay consistent.
+    *
+    * Workspaces written before versioning stored parquet directly under
+    * chunks/ with no pointer — those resolve to the legacy dir (reads
+    * and appends keep working on it) until the next full rebuild
+    * migrates them to v1; the superseded legacy files are reclaimed by
+    * [[clear]], not the per-swap retention. */
+  def chunksPath: String = currentVersion("chunks_v") match {
+    case Some(v)                    => p("chunks", s"v$v")
+    case None if legacyChunkLayout  => p("chunks")
+    case None                       => p("chunks", "v1")
+  }
+
+  private def legacyChunkLayout: Boolean = {
+    val dir = Paths.get(p("chunks"))
+    Files.exists(dir) && {
+      val s = Files.list(dir)
+      try s.iterator().asScala.exists(f => !f.getFileName.toString.startsWith("v"))
+      finally s.close()
+    }
+  }
   def logPath: String = p("retrieval_logs")
   private def metaPath: Path = Paths.get(root, "workspace_metadata.json")
 
@@ -80,8 +99,11 @@ final class Workspace(val spark: SparkSession, val root: String) {
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
       // streaming-first ingest into a fresh workspace creates v1; the
-      // pointer registers so later writes version past it
-      if (currentVersion("chunks_v").isEmpty) setMeta("chunks_v", "1")
+      // pointer registers so later writes version past it. A LEGACY
+      // (pre-versioning) table keeps appending into its unversioned dir
+      // — registering v1 here would strand the legacy rows invisibly
+      if (currentVersion("chunks_v").isEmpty && !legacyChunkLayout)
+        setMeta("chunks_v", "1")
       c.write.mode(SaveMode.Append).parquet(chunksPath)
       graft.functions.Staging.invalidate(root)
     } finally c.unpersist()

@@ -343,13 +343,41 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(ws.count() == 25, "live pointer did not advance to the rebuilt table")
     // retention: versions beyond RetainPriorVersions prior are reclaimed
     engine.index(docs(30)); engine.index(docs(35))
-    val versions = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/main/chunks"))
-      .iterator()
+    val stream = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/main/chunks"))
     val names = new scala.collection.mutable.ArrayBuffer[String]
-    while (versions.hasNext) names += versions.next().getFileName.toString
+    try {
+      val it = stream.iterator()
+      while (it.hasNext) names += it.next().getFileName.toString
+    } finally stream.close() // Files.list holds the dir handle until closed
     assert(names.length <= Workspace.RetainPriorVersions + 1 + 1,
       s"stale chunk versions never reclaimed: $names")
     assert(!names.contains("v1"), s"v1 should be past the retention window: $names")
+  }
+
+  test("a pre-versioning chunk layout keeps reading and appending until a rebuild migrates it") {
+    import org.apache.spark.sql.SaveMode
+    val root = Files.createTempDirectory("graft-legacy-").toString
+    val ws = new Workspace(spark, root)
+    // simulate the old layout: parquet directly under chunks/, no pointer
+    val legacy = graft.store.ChunkStore.buildChunks(
+      docs(8), graft.embed.HashNgramEmbedder(dim = 64))
+    legacy.write.mode(SaveMode.Overwrite).parquet(s"$root/chunks")
+    ws.setMeta("model_dim", "64")
+    assert(ws.getMeta("chunks_v").isEmpty)
+    assert(ws.count() == 8, "legacy unversioned table unreadable after upgrade")
+
+    // appends keep landing in the legacy dir — registering v1 here would
+    // strand the existing rows invisibly
+    ws.appendChunks(graft.store.ChunkStore.buildChunks(
+      docs(3, from = 8), graft.embed.HashNgramEmbedder(dim = 64)))
+    assert(ws.getMeta("chunks_v").isEmpty, "append must not re-point a legacy table")
+    assert(ws.count() == 11, "legacy rows lost after append")
+
+    // a full rebuild migrates to the versioned layout
+    ws.writeChunks(graft.store.ChunkStore.buildChunks(
+      docs(5, from = 20), graft.embed.HashNgramEmbedder(dim = 64)))
+    assert(ws.getMeta("chunks_v").contains("1"))
+    assert(ws.count() == 5)
   }
 
   test("metadata writes are atomic and lock-serialized under concurrent writers") {
