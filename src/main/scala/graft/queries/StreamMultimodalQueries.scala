@@ -48,6 +48,26 @@ object StreamMultimodalQueries {
         .orderBy("win", "event_type")
     },
 
+    // Streaming value histogram — the incremental member of the
+    // histogram family (sketch_quantile_hist is the batch form): fixed
+    // 1024-bin integer-cent domain, so state is BOUNDED at
+    // event_types × 1024 groups however long the stream runs, and
+    // partial histograms merge by addition. Bounded run ≡ the batch
+    // groupBy, which is the exact oracle.
+    Q("stream_value_histogram",
+      """SELECT event_type,
+        |       least(1023, greatest(0, CAST(round(value * 100, 0) AS BIGINT) // 1024)) AS bin,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type, bin
+        |ORDER BY event_type, bin""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.histogramStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/events.parquet")),
+        s"stream_hist_${System.nanoTime()}", outputMode = "complete")
+        .select(col("event_type"), col("bin"), col("n"))
+        .orderBy("event_type", "bin")
+    },
+
     // Streaming exact dedup: dropDuplicates state over the content hash —
     // bounded run ≡ batch DISTINCT, which is the exact oracle.
     Q("stream_dedup",

@@ -225,6 +225,27 @@ object StreamingIngest {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming value histogram — the incremental form of
+    * sketch_quantile_hist: per-(event_type, bin) counts over a FIXED
+    * 1024-bin integer-cent domain (a streaming histogram fixes its bin
+    * edges a priori — a data-dependent min/max would need a second
+    * pass the stream can't make). State is BOUNDED by construction:
+    * ≤ event_types × 1024 groups regardless of stream length, and
+    * partial histograms merge by addition — the mergeable-sketch
+    * property that makes this the 100 TB/continuous shape. */
+  def histogramStream(spark: SparkSession, inputDir: String,
+                      binWidthCents: Long = 1024): DataFrame =
+    spark.readStream
+      .schema(eventsSchema)
+      .parquet(inputDir)
+      .select(col("event_type"),
+        expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
+      // clamp BEFORE comparing engines: div truncates toward zero in
+      // Spark but floors in DuckDB — both land on 0 once clamped
+      .groupBy(col("event_type"),
+        least(lit(1023L), greatest(lit(0L), expr(s"cents div $binWidthCents"))).as("bin"))
+      .agg(count(lit(1)).as("n"))
+
   /** Watermarked tumbling-window aggregation over an events stream — the
     * streaming form of q_event_window_agg (same plan shape; late data
     * beyond 10 minutes dropped by the watermark). */
