@@ -598,6 +598,50 @@ object CurationQueries {
         .orderBy("k")
     },
 
+    // Cross-source contamination matrix: how many distinct 5-gram
+    // shingles each PAIR of sources shares, and the share as a fraction
+    // of the smaller side — the "who overlaps whom" audit run before
+    // mixing sources into one training corpus (inter-source leakage is
+    // dedup's blind spot when runs dedup per source). Scale shape: one
+    // distinct (source, gram-md5) aggregate, then a gram-keyed self-join
+    // whose payload is compact md5 keys — the decontaminate discipline
+    // applied source-pairwise; output is |sources|² rows at any corpus
+    // size. Fraction in exact integer micros.
+    Q("curation_source_overlap",
+      """WITH g AS (SELECT DISTINCT source,
+        |             unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+        |               i -> md5(array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' ')))) AS g
+        |           FROM documents),
+        |tot AS (SELECT source, count(*) AS tot FROM g GROUP BY source),
+        |sh AS (SELECT a.source AS source_a, b.source AS source_b, count(*) AS shared
+        |       FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+        |       GROUP BY a.source, b.source)
+        |SELECT sh.source_a, sh.source_b, sh.shared::BIGINT AS shared,
+        |       ((sh.shared * 1000000) // least(ta.tot, tb.tot))::BIGINT AS frac_micro
+        |FROM sh JOIN tot ta ON ta.source = sh.source_a
+        |        JOIN tot tb ON tb.source = sh.source_b
+        |ORDER BY source_a, source_b""".stripMargin) { (spark, dir) =>
+      val g = staged(spark, s"$dir#src_grams") {
+        table(spark, dir, "documents")
+          .select(col("source"),
+            explode(F.shingles(F.tokens(col("text")), 5)).as("s"))
+          .select(col("source"), md5(col("s")).as("g"))
+          .distinct()
+      }
+      val tot = g.groupBy("source").agg(count(lit(1)).as("tot"))
+      val sh = g.select(col("source").as("source_a"), col("g"))
+        .join(g.select(col("source").as("source_b"), col("g")), Seq("g"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(count(lit(1)).as("shared"))
+      sh
+        .join(tot.select(col("source").as("source_a"), col("tot").as("ta")), Seq("source_a"))
+        .join(tot.select(col("source").as("source_b"), col("tot").as("tb")), Seq("source_b"))
+        .select(col("source_a"), col("source_b"), col("shared"),
+          expr("(shared * 1000000) div least(ta, tb)").as("frac_micro"))
+        .orderBy("source_a", "source_b")
+    },
+
     // Three full gradient-descent steps of a least-squares linear probe
     // on the same features/label as ml_logreg_grad — the multi-step BSP
     // training loop (the quality-probe every curation stack fits), where

@@ -466,6 +466,58 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
+    // Embedding-space outlier detection: distance-to-centroid flags, the
+    // "drop the degenerate embeddings" gate a vector corpus runs before
+    // indexing (encoder failures and empty inputs land far from the
+    // centroid). EXACT integer discipline end-to-end: per-dim micro sums
+    // give the centroid (the ml_pca_covariance convention), each
+    // vector's squared distance floors per-dim to micros before the
+    // order-free integer sum, and the outlier rule is the integer
+    // cross-multiplication d2·n > 4·Σd2 (4× the mean squared distance) —
+    // no float aggregate anywhere, so no summation-order hazard. Two
+    // corpus passes (centroid, then distances), centroid broadcast.
+    Q("embed_outlier_flags",
+      """WITH s AS (SELECT ks.k,
+        |             sum(CAST(floor(embedding[ks.k + 1]::DOUBLE * 1000000) AS BIGINT))::BIGINT AS sm,
+        |             count(*) AS n
+        |           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS k) ks GROUP BY ks.k),
+        |m AS (SELECT k, sm::DOUBLE / (n * 1000000) AS mu FROM s),
+        |ml AS (SELECT list(mu ORDER BY k) AS mu FROM m),
+        |d AS (SELECT vec_id,
+        |             list_aggregate(list_transform(range(64),
+        |               i -> CAST(floor((embedding[i + 1]::DOUBLE - mu[i + 1])
+        |                              * (embedding[i + 1]::DOUBLE - mu[i + 1]) * 1000000) AS BIGINT)),
+        |               'sum')::BIGINT AS d2_micro
+        |      FROM embeddings CROSS JOIN ml),
+        |st AS (SELECT count(*) AS n, sum(d2_micro)::BIGINT AS s1 FROM d)
+        |SELECT vec_id, d2_micro, (d2_micro * st.n > 4 * st.s1) AS is_outlier
+        |FROM d CROSS JOIN st ORDER BY vec_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val sums = e.select(posexplode(col("embedding")).as(Seq("k", "x")))
+        .groupBy("k")
+        .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sm"),
+          count(lit(1)).as("n"))
+      val mu = sums
+        .agg(sort_array(collect_list(struct(col("k"),
+          (col("sm").cast("double") / (col("n") * 1000000)).as("m")))).as("km"))
+        .select(transform(col("km"), x => x.getField("m")).as("mu"))
+      // staged: the stats aggregate AND the flag projection both read the
+      // distance table — unstaged, the centroid join would evaluate twice
+      val d2 = staged(spark, s"$dir#outlier_d2") {
+        e.crossJoin(broadcast(mu))
+          .select(col("vec_id"),
+            aggregate(zip_with(col("embedding"), col("mu"),
+              (x, m) => floor((x.cast("double") - m) * (x.cast("double") - m) * 1000000).cast("long")),
+              lit(0L), (s, v) => s + v).as("d2_micro"))
+      }
+      val st = d2.agg(count(lit(1)).as("n"), sum(col("d2_micro")).as("s1"))
+      d2.crossJoin(broadcast(st))
+        .select(col("vec_id"), col("d2_micro"),
+          (col("d2_micro") * col("n") > lit(4L) * col("s1")).as("is_outlier"))
+        .orderBy("vec_id")
+        .limit(1000)
+    },
+
     // Embedding quantization to int8: per-vector symmetric scale
     // (127/max|v|), floor quantization — the 4x storage compression step of
     // a 100 TB vector corpus. Deterministic floor keeps both engines exact.

@@ -250,6 +250,52 @@ class AnalyticsOpsSpec extends AnyFunSuite {
       s"3 GD steps did not reduce the loss: ${loss(w3)} vs ${loss(Array(0L, 0L, 0L, 0L))}")
   }
 
+  test("source-overlap matrix equals a driver-side shingle-set intersection replay") {
+    val got = SparkEntry.queries("curation_source_overlap")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    val docs = graft.queries.table(spark, sf, "documents").collect()
+      .map(r => r.getString(3) -> r.getString(1)) // (source, text)
+    val bySource = docs.groupBy(_._1).map { case (s, xs) =>
+      s -> xs.flatMap { case (_, text) =>
+        val ts = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+        ts.sliding(5).filter(_.length == 5).map(_.mkString(" "))
+      }.toSet
+    }
+    val sources = bySource.keys.toSeq.sorted
+    for (a <- sources; b <- sources if a < b) {
+      val shared = (bySource(a) & bySource(b)).size.toLong
+      val want =
+        if (shared == 0) None
+        else Some((shared, shared * 1000000L / math.min(bySource(a).size, bySource(b).size)))
+      assert(got.get((a, b)) == want, s"($a, $b): ${got.get((a, b))} vs $want")
+    }
+  }
+
+  test("embedding outlier flags equal a driver-side centroid-distance replay") {
+    val got = SparkEntry.queries("embed_outlier_flags")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val vecs = graft.queries.table(spark, sf, "embeddings").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val n = vecs.length
+    val mu = Array.tabulate(64) { k =>
+      vecs.map(v => math.floor(v._2(k).toDouble * 1000000).toLong).sum.toDouble / (n * 1000000L)
+    }
+    val d2 = vecs.map { case (id, v) =>
+      id -> (0 until 64).map { k =>
+        val d = v(k).toDouble - mu(k)
+        math.floor(d * d * 1000000).toLong
+      }.sum
+    }.toMap
+    val s1 = d2.values.sum
+    assert(got.keySet == d2.keySet)
+    val outliers = got.count(_._2._2)
+    d2.foreach { case (id, dd) =>
+      assert(got(id)._1 == dd, s"vec $id: d2 ${got(id)._1} != replay $dd")
+      assert(got(id)._2 == (dd * n > 4 * s1), s"vec $id: flag mismatch")
+    }
+    info(s"$outliers/$n vectors flagged beyond 4x the mean squared distance")
+  }
+
   test("label propagation adopts the majority seed label with deterministic ties") {
     val rows = SparkEntry.queries("graph_label_prop")(spark, "/root/testdata/sf0.01").collect()
     assert(rows.nonEmpty)
