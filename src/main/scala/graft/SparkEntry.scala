@@ -59,6 +59,7 @@ object SparkEntry {
     "graph_pagerank_step", "graph_label_prop", "graph_triangle_count",
     "graph_kcore_peel",
     "dedup_canonical_docs", "curation_bloom_decontam",
+    "curation_source_overlap", "embed_outlier_flags",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",
     "mm_av_align", "q_asof_join_forward_tol",
