@@ -242,6 +242,37 @@ object ScaleQueries {
         .orderBy("user_id")
     },
 
+    // Salted skew JOIN — the join-side counterpart of q_salted_skew_agg
+    // (AQE's skew-join split automates this; salting is the plan-level
+    // form that works under any engine config): the fact side salts each
+    // row into one of 8 sub-keys, the dimension side replicates 8×, and
+    // the join runs on (key, salt) — a hot key's probe rows spread over
+    // 8 partitions instead of one straggler task. Result identical to
+    // the unsalted join, which is the oracle; the dim replication is
+    // |dim|×8 rows (broadcast-sized here, bounded at scale by
+    // salt ∝ observed skew).
+    Q("q_salted_skew_join",
+      """WITH dim AS (SELECT user_id, count(*) AS user_events,
+        |                    sum(CAST(round(value * 100, 0) AS BIGINT))::BIGINT AS user_cents
+        |             FROM events GROUP BY user_id)
+        |SELECT e.event_id, e.user_id, d.user_events, d.user_cents
+        |FROM events e JOIN dim d ON d.user_id = e.user_id
+        |ORDER BY e.event_id LIMIT 2000""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+      val dim = ev.groupBy("user_id")
+        .agg(count(lit(1)).as("user_events"),
+          sum(round(col("value") * 100, 0).cast("long")).as("user_cents"))
+      val salted = ev
+        .select(col("event_id"), col("user_id"), pmod(col("event_id"), lit(8)).as("salt"))
+      val dimReplicated = dim
+        .select(col("user_id"), col("user_events"), col("user_cents"),
+          explode(sequence(lit(0L), lit(7L))).as("salt"))
+      salted.join(dimReplicated, Seq("user_id", "salt"))
+        .select(col("event_id"), col("user_id"), col("user_events"), col("user_cents"))
+        .orderBy("event_id")
+        .limit(2000)
+    },
+
     // KNN on precomputed norms: cosine degrades to dot/(norm·qnorm) — the
     // stored-norm layout cuts the per-row kernel from 3 FMAs/element to 1
     // (SURVEY §4 item 3). Bit-identical to the fused cosine.

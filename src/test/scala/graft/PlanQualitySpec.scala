@@ -383,6 +383,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Sort "), p) // no full sort of the hash set
   }
 
+  test("salted skew join: the join condition carries the salt sub-key") {
+    val p = plan("q_salted_skew_join")
+    val joinLines = p.linesIterator.filter(l => l.contains("Join") && l.contains("user_id")).toSeq
+    assert(joinLines.nonEmpty, p)
+    assert(joinLines.exists(_.contains("salt")),
+      s"join not salted — a hot key lands on one partition:\n${joinLines.mkString("\n")}")
+  }
+
   test("HLL sketch: register branch aggregates map-side, no distinct before it") {
     val p = plan("sketch_hll_distinct")
     // the register agg must run partial (map-side MAX specifically) before
