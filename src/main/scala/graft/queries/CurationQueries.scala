@@ -605,8 +605,10 @@ object CurationQueries {
     // dedup's blind spot when runs dedup per source). Scale shape: one
     // distinct (source, gram-md5) aggregate, then a gram-keyed self-join
     // whose payload is compact md5 keys — the decontaminate discipline
-    // applied source-pairwise; output is |sources|² rows at any corpus
-    // size. Fraction in exact integer micros.
+    // applied source-pairwise; output is at most the a<b pairs with a
+    // NONZERO overlap (≤ |sources|·(|sources|−1)/2 rows at any corpus
+    // size — disjoint pairs are absent, not zero rows). Fraction in
+    // exact integer micros.
     Q("curation_source_overlap",
       """WITH g AS (SELECT DISTINCT source,
         |             unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),

@@ -523,28 +523,8 @@ object ScaleQueries {
         |st AS (SELECT count(*) AS n, sum(d2_micro)::BIGINT AS s1 FROM d)
         |SELECT vec_id, d2_micro, (d2_micro * st.n > 4 * st.s1) AS is_outlier
         |FROM d CROSS JOIN st ORDER BY vec_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val e = table(spark, dir, "embeddings")
-      val sums = e.select(posexplode(col("embedding")).as(Seq("k", "x")))
-        .groupBy("k")
-        .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sm"),
-          count(lit(1)).as("n"))
-      val mu = sums
-        .agg(sort_array(collect_list(struct(col("k"),
-          (col("sm").cast("double") / (col("n") * 1000000)).as("m")))).as("km"))
-        .select(transform(col("km"), x => x.getField("m")).as("mu"))
-      // staged: the stats aggregate AND the flag projection both read the
-      // distance table — unstaged, the centroid join would evaluate twice
-      val d2 = staged(spark, s"$dir#outlier_d2") {
-        e.crossJoin(broadcast(mu))
-          .select(col("vec_id"),
-            aggregate(zip_with(col("embedding"), col("mu"),
-              (x, m) => floor((x.cast("double") - m) * (x.cast("double") - m) * 1000000).cast("long")),
-              lit(0L), (s, v) => s + v).as("d2_micro"))
-      }
-      val st = d2.agg(count(lit(1)).as("n"), sum(col("d2_micro")).as("s1"))
-      d2.crossJoin(broadcast(st))
-        .select(col("vec_id"), col("d2_micro"),
-          (col("d2_micro") * col("n") > lit(4L) * col("s1")).as("is_outlier"))
+      outlierFlags(table(spark, dir, "embeddings"),
+          stageKey = Some(s"$dir#outlier_d2"))
         .orderBy("vec_id")
         .limit(1000)
     },
@@ -949,6 +929,36 @@ object ScaleQueries {
 
   /** KMV sketch size (k smallest hashes kept). */
   private[graft] final val KmvK = 256
+
+  /** The embed_outlier_flags pipeline over ANY (vec_id, embedding) frame —
+    * extracted so the spec can drive it with a SYNTHETIC far-out vector
+    * (the fixtures' near-uniform embeddings never trip the 4×-mean rule,
+    * which would leave the true branch of the flag permanently untested).
+    * See the registered query for the arithmetic contract. */
+  private[graft] def outlierFlags(e: org.apache.spark.sql.DataFrame,
+                                  stageKey: Option[String] = None): org.apache.spark.sql.DataFrame = {
+    val spark = e.sparkSession
+    val sums = e.select(posexplode(col("embedding")).as(Seq("k", "x")))
+      .groupBy("k")
+      .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sm"),
+        count(lit(1)).as("n"))
+    val mu = sums
+      .agg(sort_array(collect_list(struct(col("k"),
+        (col("sm").cast("double") / (col("n") * 1000000)).as("m")))).as("km"))
+      .select(transform(col("km"), x => x.getField("m")).as("mu"))
+    // staged when keyed: the stats aggregate AND the flag projection both
+    // read the distance table — unstaged, the centroid join evaluates twice
+    def d2Plan = e.crossJoin(broadcast(mu))
+      .select(col("vec_id"),
+        aggregate(zip_with(col("embedding"), col("mu"),
+          (x, m) => floor((x.cast("double") - m) * (x.cast("double") - m) * 1000000).cast("long")),
+          lit(0L), (s, v) => s + v).as("d2_micro"))
+    val d2 = stageKey.map(k => staged(spark, k)(d2Plan)).getOrElse(d2Plan)
+    val st = d2.agg(count(lit(1)).as("n"), sum(col("d2_micro")).as("s1"))
+    d2.crossJoin(broadcast(st))
+      .select(col("vec_id"), col("d2_micro"),
+        (col("d2_micro") * col("n") > lit(4L) * col("s1")).as("is_outlier"))
+  }
 
   /** The corpus's distinct 5-gram-shingle 60-bit hash set, staged once per
     * (session, dir) — the shared universe both distinct sketches (KMV,

@@ -32,8 +32,8 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * Workspaces written before versioning stored parquet directly under
     * chunks/ with no pointer — those resolve to the legacy dir (reads
     * and appends keep working on it) until the next full rebuild
-    * migrates them to v1; the superseded legacy files are reclaimed by
-    * [[clear]], not the per-swap retention. */
+    * migrates them to v1 and reclaims the superseded legacy files at
+    * the pointer-set commit point. */
   def chunksPath: String = currentVersion("chunks_v") match {
     case Some(v)                    => p("chunks", s"v$v")
     case None if legacyChunkLayout  => p("chunks")
@@ -68,10 +68,24 @@ final class Workspace(val spark: SparkSession, val root: String) {
       }
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
+      val wasLegacy = currentVersion("chunks_v").isEmpty && legacyChunkLayout
       val next = currentVersion("chunks_v").getOrElse(0) + 1
       ChunkStore.write(c, p("chunks", s"v$next"))
-      setMeta("chunks_v", next.toString)
+      setMeta("chunks_v", next.toString) // the COMMIT point of the swap
       deleteTree(Paths.get(p("chunks", s"v${next - 1 - Workspace.RetainPriorVersions}")))
+      if (wasLegacy) {
+        // migration committed: reclaim the pre-versioning files so the
+        // dir is unambiguous again. A crash BEFORE the pointer set
+        // leaves a mixed-depth dir whose reads fail LOUDLY (never
+        // silently duplicated) until this write retries — the
+        // overwrite-mode v1 write makes the retry safe.
+        val dir = Paths.get(p("chunks"))
+        val s = Files.list(dir)
+        val legacyFiles =
+          try s.iterator().asScala.filter(f => !f.getFileName.toString.startsWith("v")).toList
+          finally s.close()
+        legacyFiles.foreach(f => if (Files.isDirectory(f)) deleteTree(f) else Files.delete(f))
+      }
       // staged plans keyed on this workspace's paths are now stale
       graft.functions.Staging.invalidate(root)
     } finally c.unpersist()

@@ -233,17 +233,19 @@ object StreamingIngest {
     * ≤ event_types × 1024 groups regardless of stream length, and
     * partial histograms merge by addition — the mergeable-sketch
     * property that makes this the 100 TB/continuous shape. */
-  def histogramStream(spark: SparkSession, inputDir: String,
-                      binWidthCents: Long = 1024): DataFrame =
+  def histogramStream(spark: SparkSession, inputDir: String): DataFrame =
     spark.readStream
       .schema(eventsSchema)
       .parquet(inputDir)
       .select(col("event_type"),
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
-      // clamp BEFORE comparing engines: div truncates toward zero in
-      // Spark but floors in DuckDB — both land on 0 once clamped
+      // bin width 1024 cents is FIXED — the 1023 clamp ceiling and the
+      // registered oracle's `// 1024` encode the same constant, so a
+      // width knob here would be a silent parity trap. Clamp BEFORE
+      // comparing engines: div truncates toward zero in Spark but
+      // floors in DuckDB — both land on 0 once clamped
       .groupBy(col("event_type"),
-        least(lit(1023L), greatest(lit(0L), expr(s"cents div $binWidthCents"))).as("bin"))
+        least(lit(1023L), greatest(lit(0L), expr("cents div 1024"))).as("bin"))
       .agg(count(lit(1)).as("n"))
 
   /** Watermarked tumbling-window aggregation over an events stream — the

@@ -271,6 +271,23 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("a synthetic far-out vector trips the outlier flag (the fixtures never do)") {
+    import spark.implicits._
+    // 40 near-uniform unit-ish vectors plus ONE at 10x the radius: the
+    // fixture corpora are too uniform to ever fire the 4x-mean rule, so
+    // without this the query's true branch would be spec-invisible
+    val r = new scala.util.Random(11)
+    val normal = (0L until 40L).map(i =>
+      (i, Array.fill(8)((r.nextDouble() - 0.5).toFloat)))
+    val far = (99L, Array.fill(8)(5.0f))
+    val flags = graft.queries.ScaleQueries.outlierFlags(
+      (normal :+ far).toDF("vec_id", "embedding")).collect()
+      .map(row => row.getLong(0) -> row.getBoolean(2)).toMap
+    assert(flags(99L), "the far-out vector was not flagged")
+    assert(normal.forall { case (i, _) => !flags(i) },
+      "a near-uniform vector was falsely flagged")
+  }
+
   test("embedding outlier flags equal a driver-side centroid-distance replay") {
     val got = SparkEntry.queries("embed_outlier_flags")(spark, sf).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap

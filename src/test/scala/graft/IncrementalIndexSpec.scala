@@ -373,11 +373,22 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(ws.getMeta("chunks_v").isEmpty, "append must not re-point a legacy table")
     assert(ws.count() == 11, "legacy rows lost after append")
 
-    // a full rebuild migrates to the versioned layout
+    // a full rebuild migrates to the versioned layout and reclaims the
+    // legacy files (a mixed-depth dir would confuse later readers)
     ws.writeChunks(graft.store.ChunkStore.buildChunks(
       docs(5, from = 20), graft.embed.HashNgramEmbedder(dim = 64)))
     assert(ws.getMeta("chunks_v").contains("1"))
     assert(ws.count() == 5)
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/chunks"))
+    val leftover =
+      try {
+        val it = s.iterator()
+        val b = new scala.collection.mutable.ArrayBuffer[String]
+        while (it.hasNext) b += it.next().getFileName.toString
+        b.toSeq
+      } finally s.close()
+    assert(leftover.forall(_.startsWith("v")),
+      s"legacy files survived the migration commit: $leftover")
   }
 
   test("metadata writes are atomic and lock-serialized under concurrent writers") {
