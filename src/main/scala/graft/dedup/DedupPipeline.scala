@@ -29,10 +29,19 @@ object DedupPipeline {
     * get exact all-pairs; a DEGENERATE bucket (thousands of templated
     * near-identical docs sharing one band key — real corpora have them)
     * degrades gracefully to W·n pairs instead of n²/2, with near-identical
-    * docs adjacent in sort order so recall stays high. At 100 TB this
-    * bound is the difference between Σ|bucket|·W and an accidental
-    * quadratic blowup on one hot bucket. */
-  val NeighborWindow = 16
+    * docs adjacent in (rotated) sort order. At 100 TB this bound is the
+    * difference between Σ|bucket|·W and an accidental quadratic blowup on
+    * one hot bucket.
+    *
+    * W trades DIRECT pair-listing recall for cost inside dense cliques
+    * (a k-clique holds k²/2 true pairs but the window emits ≤ k·W) —
+    * what must NOT degrade is dedup GROUPING: every true near-dup pair
+    * must land in one connected component via the chain of window edges.
+    * Measured on sf0.01 (450 true J≥0.9 pairs, two ~78-doc cliques):
+    * W=16 → 432/450 co-component (chains broke where adjacent docs
+    * dipped under the verify threshold); W=32 → 450/450 with pair
+    * recall 0.84. RecallSpec pins both floors. */
+  val NeighborWindow = 32
 
   /** Band rows (id, band, bkey, sig) from the fused MinHash over a set
     * column: the md5 material is computed once per element
@@ -44,12 +53,25 @@ object DedupPipeline {
       .withColumn("__fulls", F.minhashFulls(col(setCol)))
       .withColumn("__mh", array((0 until NumHashes).map(i => F.minhashSig(col("__fulls"), i)): _*))
     withMh
-      .select(col(idCol), concat_ws("", col("__mh")).as("sig"),
+      .select(col(idCol),
         explode(array((0 until Bands).map { b =>
           struct(lit(b).as("band"),
-            md5(concat(element_at(col("__mh"), 2 * b + 1), element_at(col("__mh"), 2 * b + 2))).as("bkey"))
+            md5(concat(element_at(col("__mh"), 2 * b + 1), element_at(col("__mh"), 2 * b + 2))).as("bkey"),
+            // the band's ORDERING signature is the minhash sequence
+            // ROTATED to start at this band's own hashes: everyone in the
+            // bucket shares the leading two, and each further hash agrees
+            // between a true near-dup pair w.p. ≈ J — so similar docs
+            // sort ADJACENTLY in every band's bucket, which is what makes
+            // the sorted-neighborhood window catch them. An unrotated
+            // signature only orders band 0's buckets by similarity; the
+            // other bands' buckets sort on unrelated leading hashes and
+            // the window walks past true pairs (measured: pair recall
+            // 0.47 → see RecallSpec's banding test).
+            concat((0 until NumHashes).map(i =>
+              element_at(col("__mh"), (2 * b + i) % NumHashes + 1)): _*).as("sig"))
         }: _*)).as("bb"))
-      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"), col("sig"))
+      .select(col(idCol), col("bb.band").as("band"), col("bb.bkey").as("bkey"),
+        col("bb.sig").as("sig"))
   }
 
   /** Distinct candidate pairs (a_id < b_id) from band buckets, windowed:

@@ -50,7 +50,12 @@ object DedupQueries {
     .mkString("[", ", ", "]")
 
   private val bandSql = (0 until Bands)
-    .map(b => s"SELECT doc_id, $b AS band, md5(mh[${2 * b + 1}] || mh[${2 * b + 2}]) AS bkey, array_to_string(mh, '') AS sig FROM m")
+    .map { b =>
+      // per-band ROTATED ordering signature — see DedupPipeline.bandBuckets
+      val rot = (0 until NumHashes)
+        .map(i => s"mh[${(2 * b + i) % NumHashes + 1}]").mkString(" || ")
+      s"SELECT doc_id, $b AS band, md5(mh[${2 * b + 1}] || mh[${2 * b + 2}]) AS bkey, $rot AS sig FROM m"
+    }
     .mkString(" UNION ALL ")
 
   /** CTE chain source → fulls → minhash array → band rows → windowed
@@ -387,11 +392,11 @@ object DedupQueries {
          |e AS (SELECT a_id AS a, b_id AS b FROM v UNION ALL SELECT b_id, a_id FROM v),
          |nn AS (SELECT count(*) AS n FROM t),
          |od AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
-         |base AS (SELECT CAST(floor((0.15 + 0.85 * ((SELECT n FROM nn) - (SELECT count(*) FROM od))
-         |                            / (SELECT n FROM nn))
-         |                           / (SELECT n FROM nn) * 1000000000000) AS BIGINT) AS bp),
+         |base AS (SELECT (150000000000 * (SELECT n FROM nn)
+         |                  + 850000000000 * ((SELECT n FROM nn) - (SELECT count(*) FROM od)))
+         |                 // ((SELECT n FROM nn) * (SELECT n FROM nn)) AS bp),
          |contrib AS (SELECT e.b AS doc_id,
-         |                   sum(CAST(floor(850000000000 / ((SELECT n FROM nn) * od.deg)) AS BIGINT))::BIGINT AS cm,
+         |                   sum(850000000000 // ((SELECT n FROM nn) * od.deg))::BIGINT AS cm,
          |                   count(*) AS in_deg
          |            FROM e JOIN od ON od.a = e.a GROUP BY e.b)
          |SELECT t.doc_id,
@@ -405,11 +410,21 @@ object DedupQueries {
       val n = nodes.agg(count(lit(1)).as("n"))
       val od = e.groupBy("a").agg(count(lit(1)).as("deg"))
       val base = n.crossJoin(od.agg(count(lit(1)).as("nd0")))
-        .select(floor((lit(0.15) + lit(0.85) * (col("n") - col("nd0")) / col("n"))
-          / col("n") * lit(1000000000000L)).cast("long").as("bp"))
+        // INTEGER form of floor((0.15 + 0.85·dangling/n)/n · 1e12): the
+        // float route flips a pico on exact-divisor boundaries (and
+        // DuckDB parses 0.15/0.85 as DECIMAL, not DOUBLE — a second
+        // divergence source). Numerator ≤ 1e12·n keeps BIGINT exact to
+        // n ≈ 3·10⁶ sampled nodes — beyond that, re-derive at pico/n
+        // granularity (the step itself is the iterate-by-refeeding demo)
+        .select(expr(
+          "(150000000000L * n + 850000000000L * (n - nd0)) div (n * n)").as("bp"))
       val contrib = e.join(od, Seq("a")).crossJoin(broadcast(n))
         .select(col("b").as("doc_id"),
-          floor(lit(850000000000L) / (col("n") * col("deg"))).cast("long").as("c"))
+          // INTEGER division (positive operands → floor): the double
+          // route floor(8.5e11 / (n·deg)) flips by one pico when n·deg
+          // divides exactly and the IEEE quotient lands a hair under the
+          // integer — it did at sf0.1 once W=32 changed the degrees
+          expr("850000000000 div (n * deg)").as("c"))
         .groupBy("doc_id")
         .agg(sum(col("c")).as("cm"), count(lit(1)).as("in_deg"))
       nodes.join(contrib, Seq("doc_id"), "left").crossJoin(broadcast(base))

@@ -24,6 +24,54 @@ class RecallSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("LSH near-dup pair recall vs brute-force ground truth (the banding guarantee)") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.queries.table(spark, "/root/testdata/sf0.01", "documents")
+    val found = graft.dedup.DedupPipeline.edges(docs, 0.9, sampleMod = 4)
+      .collect().map(r => {
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        (math.min(a, b), math.max(a, b))
+      }).toSet
+
+    // brute-force truth over the SAME sampled distinct-token sets
+    val sets = docs.filter(col("doc_id") % 4 === 0).collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet)
+    val ids = sets.map(_._1).sorted
+    val byId = sets.toMap
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      sa = byId(ids(i)); sb = byId(ids(j))
+      inter = (sa & sb).size.toDouble
+      if inter / (sa.size + sb.size - inter) >= 0.9
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.nonEmpty, "fixture has no >=0.9 near-dup pairs — spec is vacuous")
+
+    // contract 1 — no false positives ever (candidates are Jaccard-VERIFIED)
+    assert(found.subsetOf(truth), s"verified pairs beyond truth: ${found -- truth}")
+
+    // contract 2 — direct pair listing is WINDOW-BOUNDED by design (a
+    // k-clique holds k²/2 pairs, the window emits ≤ k·W), so its floor
+    // is partial; 0.84 measured at W=32 on this fixture
+    val pairRecall = (truth & found).size.toDouble / truth.size
+    info(f"LSH pair recall at J>=0.9: $pairRecall%.3f over ${truth.size} true pairs")
+    assert(pairRecall >= 0.8, f"windowed pair recall regressed: $pairRecall%.3f")
+
+    // contract 3 — the one that defines dedup GROUPING: every true pair
+    // connected through the found edges (1.000 measured at W=32; the
+    // seeded hashes make this deterministic)
+    val parent = scala.collection.mutable.Map(
+      (found.flatMap(p => Seq(p._1, p._2)) ++ truth.flatMap(p => Seq(p._1, p._2)))
+        .map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    found.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val co = truth.count { case (a, b) => find(a) == find(b) }
+    info(s"true pairs co-component: $co/${truth.size}")
+    assert(co.toDouble / truth.size >= 0.99,
+      s"dedup grouping split true near-dup pairs: $co/${truth.size}")
+  }
+
   test("sf0.1 recall floors: IVF beats chance, nprobe is monotone, SQ8 two-phase is exact") {
     val report = RecallEval.evaluate(spark, "/root/testdata/sf0.1")
     def recall(variant: String, params: String): Double =
