@@ -32,22 +32,30 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * Workspaces written before versioning stored parquet directly under
     * chunks/ with no pointer — those resolve to the legacy dir (reads
     * and appends keep working on it) until the next full rebuild
-    * migrates them to v1 and reclaims the superseded legacy files at
-    * the pointer-set commit point. */
+    * migrates them to v1. The superseded legacy files then behave like
+    * any prior version: retained for [[Workspace.RetainPriorVersions]]
+    * swap cycles (an in-flight legacy reader keeps its files), then
+    * reclaimed best-effort on every later swap. */
   def chunksPath: String = currentVersion("chunks_v") match {
     case Some(v)                    => p("chunks", s"v$v")
     case None if legacyChunkLayout  => p("chunks")
     case None                       => p("chunks", "v1")
   }
 
-  private def legacyChunkLayout: Boolean = {
+  /** Entries under chunks/ that are NOT versioned dirs — the ONE place
+    * the "legacy file = non-v-prefixed entry" convention lives (the
+    * detector and the reclaimer must never disagree on it). */
+  private def nonVersionedChunkEntries: List[Path] = {
     val dir = Paths.get(p("chunks"))
-    Files.exists(dir) && {
+    if (!Files.exists(dir)) Nil
+    else {
       val s = Files.list(dir)
-      try s.iterator().asScala.exists(f => !f.getFileName.toString.startsWith("v"))
+      try s.iterator().asScala.filterNot(_.getFileName.toString.startsWith("v")).toList
       finally s.close()
     }
   }
+
+  private def legacyChunkLayout: Boolean = nonVersionedChunkEntries.nonEmpty
   def logPath: String = p("retrieval_logs")
   private def metaPath: Path = Paths.get(root, "workspace_metadata.json")
 
@@ -68,23 +76,20 @@ final class Workspace(val spark: SparkSession, val root: String) {
       }
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
-      val wasLegacy = currentVersion("chunks_v").isEmpty && legacyChunkLayout
       val next = currentVersion("chunks_v").getOrElse(0) + 1
       ChunkStore.write(c, p("chunks", s"v$next"))
       setMeta("chunks_v", next.toString) // the COMMIT point of the swap
       deleteTree(Paths.get(p("chunks", s"v${next - 1 - Workspace.RetainPriorVersions}")))
-      if (wasLegacy) {
-        // migration committed: reclaim the pre-versioning files so the
-        // dir is unambiguous again. A crash BEFORE the pointer set
-        // leaves a mixed-depth dir whose reads fail LOUDLY (never
-        // silently duplicated) until this write retries — the
-        // overwrite-mode v1 write makes the retry safe.
-        val dir = Paths.get(p("chunks"))
-        val s = Files.list(dir)
-        val legacyFiles =
-          try s.iterator().asScala.filter(f => !f.getFileName.toString.startsWith("v")).toList
-          finally s.close()
-        legacyFiles.foreach(f => if (Files.isDirectory(f)) deleteTree(f) else Files.delete(f))
+      if (next - 1 - Workspace.RetainPriorVersions >= 0) {
+        // the legacy (pre-versioning) files are "v0": once v0 would be
+        // past the retention window, reclaim them too — BEST-EFFORT and
+        // re-attempted on EVERY later swap (a crash or IO error here
+        // must neither strand them forever nor skip the staging
+        // invalidation below), never at the migration commit itself (an
+        // in-flight legacy reader gets the same grace as any version)
+        try nonVersionedChunkEntries.foreach(f =>
+          if (Files.isDirectory(f)) deleteTree(f) else Files.delete(f))
+        catch { case scala.util.control.NonFatal(_) => () }
       }
       // staged plans keyed on this workspace's paths are now stale
       graft.functions.Staging.invalidate(root)

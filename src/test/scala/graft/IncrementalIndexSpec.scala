@@ -373,22 +373,34 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(ws.getMeta("chunks_v").isEmpty, "append must not re-point a legacy table")
     assert(ws.count() == 11, "legacy rows lost after append")
 
-    // a full rebuild migrates to the versioned layout and reclaims the
-    // legacy files (a mixed-depth dir would confuse later readers)
+    // a full rebuild migrates to the versioned layout; an in-flight
+    // reader over the LEGACY files keeps them for the same retention
+    // grace as any superseded version
+    val legacyReader = ws.readChunks().select("doc_id") // resolves chunks/ root
     ws.writeChunks(graft.store.ChunkStore.buildChunks(
       docs(5, from = 20), graft.embed.HashNgramEmbedder(dim = 64)))
     assert(ws.getMeta("chunks_v").contains("1"))
     assert(ws.count() == 5)
-    val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/chunks"))
-    val leftover =
+    assert(legacyReader.count() == 11,
+      "legacy files reclaimed with zero reader grace at the migration commit")
+
+    // ...and once the retention window passes, the legacy "v0" reclaims
+    // like any version (re-attempted on every later swap — crash-safe)
+    def files() = {
+      val s = java.nio.file.Files.list(java.nio.file.Paths.get(s"$root/chunks"))
       try {
         val it = s.iterator()
         val b = new scala.collection.mutable.ArrayBuffer[String]
         while (it.hasNext) b += it.next().getFileName.toString
         b.toSeq
       } finally s.close()
-    assert(leftover.forall(_.startsWith("v")),
-      s"legacy files survived the migration commit: $leftover")
+    }
+    ws.writeChunks(graft.store.ChunkStore.buildChunks(
+      docs(5, from = 30), graft.embed.HashNgramEmbedder(dim = 64))) // v2
+    ws.writeChunks(graft.store.ChunkStore.buildChunks(
+      docs(5, from = 40), graft.embed.HashNgramEmbedder(dim = 64))) // v3: v0-legacy past retention
+    assert(files().forall(_.startsWith("v")),
+      s"legacy files survived past the retention window: ${files()}")
   }
 
   test("metadata writes are atomic and lock-serialized under concurrent writers") {
