@@ -48,6 +48,28 @@ final class Engine(
   // the first streamed batch runs the idempotency probe (the previous
   // process may have crashed between its append and checkpoint commit)
   @volatile private var lastSeenBatchId: Long = Long.MinValue
+  // Background maintenance: the drift-triggered ANN retrain and the
+  // chunk-table compaction are O(corpus) jobs — run inline inside a
+  // micro-batch they'd stall ingest for the duration (hours at scale).
+  // One daemon thread runs them against a SNAPSHOT while batches keep
+  // appending to the live versions; only the final catch-up + pointer
+  // swap takes the maintenance lock (O(delta)). Single-threaded, so the
+  // two job kinds also serialize against each other.
+  private val maintExec = java.util.concurrent.Executors.newSingleThreadExecutor(r => {
+    val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
+  })
+  private val annRetrainQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val chunkCompactQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // first background-maintenance failure since open (surfaced to specs and
+  // callers; the job flag resets so a later trigger can retry)
+  @volatile private[graft] var lastMaintenanceError: Option[Throwable] = None
+  // test seam: runs after a background job's snapshot work, before it takes
+  // the maintenance lock to commit — lets a spec hold the job mid-flight
+  private[graft] var maintenanceHook: () => Unit = () => ()
+
+  /** Block until every queued background maintenance job has finished. */
+  private[graft] def awaitMaintenance(): Unit =
+    maintExec.submit(new Runnable { def run(): Unit = () }).get()
   private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
   private var hybrid: Option[HybridEngine] = None
   private var rawChunks: Option[DataFrame] = None // pinned cache, boost-free
@@ -242,19 +264,108 @@ final class Engine(
       batch.filter(col("embedding").isNotNull).select(
         col("id"), col("embedding"),
         graft.ml.KMeans.assign(col("embedding"), cents).as("cid")))
-    if (workspace.annDriftExceeded) rebuildAnn()
+    // the retrain is O(corpus): run it on the maintenance thread against a
+    // snapshot, never inline in the micro-batch (which would stall ingest
+    // behind a full retrain — hours at scale). Assignment against the
+    // frozen centroids stays correct meanwhile; only cell balance lags.
+    if (workspace.annDriftExceeded) scheduleAnnRetrain()
   }
 
-  /** Explicit compaction: full posting + ANN rebuild (retrain) from the
-    * current chunk table — the scheduled counterpart of the O(batch)
-    * streaming maintenance (small per-batch parquet files accumulate;
-    * centroids age). Safe under concurrent searches (both writers are
-    * versioned swaps) and SERIALIZED against the streaming ingest path
-    * (the maintenance lock): an unserialized micro-batch could append its
-    * posting/ANN rows into the very version this rebuild's pointer swap
-    * is about to retire — present in the chunk table, silently absent
-    * from the live index until the next compaction. */
+  private def scheduleAnnRetrain(): Unit =
+    if (annRetrainQueued.compareAndSet(false, true))
+      maintExec.execute { () =>
+        try backgroundAnnRetrain()
+        catch { case scala.util.control.NonFatal(e) => lastMaintenanceError = Some(e) }
+        finally annRetrainQueued.set(false)
+      }
+
+  private def scheduleChunkCompact(): Unit =
+    if (chunkCompactQueued.compareAndSet(false, true))
+      maintExec.execute { () =>
+        try backgroundChunkCompact()
+        catch { case scala.util.control.NonFatal(e) => lastMaintenanceError = Some(e) }
+        finally chunkCompactQueued.set(false)
+      }
+
+  /** Drift-triggered ANN retrain, off the micro-batch critical path: train
+    * new centroids over a SNAPSHOT of the chunk table (the files present at
+    * the start — the live dir only ever gains files) and write the new
+    * index as an uncommitted version, all outside the maintenance lock so
+    * batches keep appending to the LIVE version meanwhile. Then, under the
+    * lock: assign the delta files (rows appended during training) against
+    * the new centroids into the prepared version, and swap the pointer —
+    * O(delta) held-lock work, so no rows vanish from the live index at the
+    * swap. Aborts (discarding its dir) if an inline rebuild superseded its
+    * basis: the chunk pointer moved, or a newer ANN version committed. */
+  private def backgroundAnnRetrain(): Unit = {
+    if (opts.annMode != "ivf") return
+    // pointer FIRST, then the listing: a full rebuild swapping between the
+    // two is then caught by the commit guard (the reverse order could pair
+    // an old-version snapshot with the new pointer and slip through)
+    val chunksV0 = workspace.getMeta("chunks_v")
+    val baseFiles = workspace.chunkDataFiles
+    if (baseFiles.isEmpty) return
+    val snapshot = spark.read.parquet(baseFiles: _*)
+    val (vectors, cents) = AnnIndex.build(snapshot, "id", "embedding", opts.annCells)
+    val v = workspace.prepareAnnVersion(vectors, cents)
+    maintenanceHook()
+    maintenance.synchronized {
+      val superseded = workspace.getMeta("chunks_v") != chunksV0 ||
+        workspace.getMeta("ann_v").exists(_.toInt >= v)
+      if (superseded) { workspace.discardVersion("ann", v); return }
+      val delta = workspace.chunkDataFiles.filterNot(baseFiles.toSet)
+      if (delta.nonEmpty)
+        workspace.appendAnnToVersion(v,
+          spark.read.parquet(delta: _*)
+            .filter(col("embedding").isNotNull)
+            .select(col("id"), col("embedding"),
+              graft.ml.KMeans.assign(col("embedding"), cents).as("cid")))
+      workspace.commitAnnVersion(v)
+      invalidate()
+    }
+  }
+
+  /** Streaming-path chunk-table compaction: appendChunks writes one file
+    * set per micro-batch, and scan planning degrades as they accumulate —
+    * rewrite the table through the SAME versioned swap as a full rebuild,
+    * off the critical path. Snapshot = the live version's files at the
+    * start; the rewrite (outside the lock) collapses them into the shuffle
+    * partition count (AQE coalesces small outputs); under the lock, files
+    * appended since the snapshot are copied into the prepared version and
+    * the pointer swaps. Indexes are untouched: compaction preserves rows
+    * and ids exactly. Aborts if a full rebuild moved the pointer first. */
+  private def backgroundChunkCompact(): Unit = {
+    val chunksV0 = workspace.getMeta("chunks_v") // before the listing (see retrain)
+    val baseFiles = workspace.chunkDataFiles
+    if (baseFiles.isEmpty) return
+    val v = workspace.prepareChunkVersion(spark.read.parquet(baseFiles: _*))
+    maintenanceHook()
+    maintenance.synchronized {
+      if (workspace.getMeta("chunks_v") != chunksV0) {
+        workspace.discardVersion("chunks", v); return
+      }
+      val delta = workspace.chunkDataFiles.filterNot(baseFiles.toSet)
+      if (delta.nonEmpty)
+        workspace.appendChunksToVersion(v, spark.read.parquet(delta: _*))
+      workspace.commitChunkVersion(v)
+      invalidate()
+    }
+  }
+
+  /** Explicit compaction: rewrite the chunk TABLE through its versioned
+    * swap (streaming appends leave one small file set per micro-batch —
+    * scan planning and footer reads degrade as they accumulate), then a
+    * full posting + ANN rebuild (retrain) from it — the scheduled
+    * counterpart of the O(batch) streaming maintenance. Safe under
+    * concurrent searches (all three writers are versioned swaps) and
+    * SERIALIZED against the streaming ingest path (the maintenance lock):
+    * an unserialized micro-batch could append its rows into the very
+    * version this rebuild's pointer swap is about to retire — present in
+    * the chunk table, silently absent from the live index until the next
+    * compaction. The streaming path self-compacts the table without this
+    * blocking call via [[backgroundChunkCompact]] (file-count trigger). */
   def compactIndexes(): Unit = maintenance.synchronized {
+    workspace.writeChunks(workspace.readChunks())
     rebuildPostings()
     rebuildAnn()
     invalidate()
@@ -354,6 +465,11 @@ final class Engine(
           workspace.setMeta("summaries_indexed", "false")
           invalidate() // table changed: next search() re-reads + re-pins
         }
+        // self-compaction trigger: a long-running stream accumulates one
+        // file set per micro-batch forever otherwise (the listing is one
+        // directory LIST — the scan planner pays the same each batch)
+        if (wroteChunks && workspace.chunkFileCount > opts.compactFileThreshold)
+          scheduleChunkCompact()
       } finally {
         graft.functions.Checkpoints.release(built0)
         probed.foreach(graft.functions.Checkpoints.release)

@@ -126,4 +126,9 @@ final case class SearchOptions(
     useRerank: Boolean = false,
     annMode: String = "exact",
     annCells: Int = 16,
-    annProbes: Int = 2)
+    annProbes: Int = 2,
+    // streaming self-compaction: once the live chunk version holds more
+    // data files than this, the engine schedules a background rewrite
+    // (appendChunks adds one file set per micro-batch — unbounded
+    // accumulation degrades scan planning on a long-running stream)
+    compactFileThreshold: Int = 64)

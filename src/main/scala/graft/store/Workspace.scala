@@ -56,6 +56,30 @@ final class Workspace(val spark: SparkSession, val root: String) {
   }
 
   private def legacyChunkLayout: Boolean = nonVersionedChunkEntries.nonEmpty
+
+  /** Data files of the live chunk version (committer sidecars excluded) —
+    * the compaction trigger's input, and the snapshot/delta unit for the
+    * background compactor: the live dir only ever GAINS files (appends
+    * never mutate), so "files added since a listing" is exactly the rows
+    * a snapshot taken at that listing missed. */
+  def chunkDataFiles: Seq[String] = {
+    val dir = Paths.get(chunksPath)
+    if (!Files.exists(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.toString)
+        .filter { full =>
+          val name = full.substring(full.lastIndexOf('/') + 1)
+          !name.startsWith("_") && !name.startsWith(".")
+        }
+        .toList.sorted
+      finally s.close()
+    }
+  }
+
+  def chunkFileCount: Int = chunkDataFiles.size
+
   def logPath: String = p("retrieval_logs")
   private def metaPath: Path = Paths.get(root, "workspace_metadata.json")
 
@@ -76,25 +100,87 @@ final class Workspace(val spark: SparkSession, val root: String) {
       }
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
-      val next = currentVersion("chunks_v").getOrElse(0) + 1
-      ChunkStore.write(c, p("chunks", s"v$next"))
-      setMeta("chunks_v", next.toString) // the COMMIT point of the swap
-      deleteTree(Paths.get(p("chunks", s"v${next - 1 - Workspace.RetainPriorVersions}")))
-      if (next - 1 - Workspace.RetainPriorVersions >= 0) {
-        // the legacy (pre-versioning) files are "v0": once v0 would be
-        // past the retention window, reclaim them too — BEST-EFFORT and
-        // re-attempted on EVERY later swap (a crash or IO error here
-        // must neither strand them forever nor skip the staging
-        // invalidation below), never at the migration commit itself (an
-        // in-flight legacy reader gets the same grace as any version)
-        try nonVersionedChunkEntries.foreach(f =>
-          if (Files.isDirectory(f)) deleteTree(f) else Files.delete(f))
-        catch { case scala.util.control.NonFatal(_) => () }
-      }
-      // staged plans keyed on this workspace's paths are now stale
-      graft.functions.Staging.invalidate(root)
+      commitChunkVersion(prepareChunkVersion(c))
     } finally c.unpersist()
   }
+
+  /** Write `chunks` as a freshly-ALLOCATED next chunk version WITHOUT
+    * moving the live pointer — the background compactor's first half
+    * (runs outside the maintenance lock; readers and appenders never see
+    * the dir until [[commitChunkVersion]]). Allocation is serialized
+    * through the metadata lock, so a concurrent inline rebuild can never
+    * be handed the same version number. */
+  private[graft] def prepareChunkVersion(chunks: DataFrame): Int = {
+    val next = allocateVersion("chunks_v", "chunks_alloc_v")
+    ChunkStore.write(chunks, p("chunks", s"v$next"))
+    next
+  }
+
+  /** Append rows into a PREPARED (uncommitted) chunk version — the
+    * compactor's catch-up for files appended to the live version after
+    * its snapshot listing. Runs before the pointer swap, so no reader
+    * ever observes the version partially caught up. */
+  private[graft] def appendChunksToVersion(version: Int, rows: DataFrame): Unit =
+    rows.write.mode(SaveMode.Append).parquet(p("chunks", s"v$version"))
+
+  /** Move the live chunk pointer to `version` — the COMMIT point of the
+    * swap — then reclaim versions past the retention window. Version
+    * numbers may skip (an aborted background preparation leaves a gap),
+    * so reclamation SWEEPS all committed versions below the window
+    * rather than index-subtracting. */
+  private[graft] def commitChunkVersion(version: Int): Unit = {
+    require(currentVersion("chunks_v").getOrElse(0) < version,
+      s"chunk version pointer may only advance (live=${currentVersion("chunks_v")}, commit=$version)")
+    setMeta("chunks_v", version.toString)
+    versionNumbers("chunks")
+      .filter(_ < version - Workspace.RetainPriorVersions)
+      .foreach(v => deleteTree(Paths.get(p("chunks", s"v$v"))))
+    if (version - 1 - Workspace.RetainPriorVersions >= 0) {
+      // the legacy (pre-versioning) files are "v0": once v0 would be
+      // past the retention window, reclaim them too — BEST-EFFORT and
+      // re-attempted on EVERY later swap (a crash or IO error here
+      // must neither strand them forever nor skip the staging
+      // invalidation below), never at the migration commit itself (an
+      // in-flight legacy reader gets the same grace as any version)
+      try nonVersionedChunkEntries.foreach(f =>
+        if (Files.isDirectory(f)) deleteTree(f) else Files.delete(f))
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+    // staged plans keyed on this workspace's paths are now stale
+    graft.functions.Staging.invalidate(root)
+  }
+
+  /** Drop an uncommitted prepared version (a background job that lost the
+    * commit race — an inline rebuild superseded its basis). */
+  private[graft] def discardVersion(kind: String, version: Int): Unit =
+    deleteTree(Paths.get(p(kind, s"v$version")))
+
+  /** Committed-or-prepared version numbers present on disk under `kind`. */
+  private def versionNumbers(kind: String): Seq[Int] = {
+    val dir = Paths.get(p(kind))
+    if (!Files.exists(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case n if n.matches("v\\d+") => n.drop(1).toInt }
+        .toList
+      finally s.close()
+    }
+  }
+
+  /** Hand out a version number no other writer (inline or background) can
+    * receive: max(live pointer, last allocation) + 1, recorded under ONE
+    * metadata-lock hold — two concurrent preparations can therefore never
+    * write into the same version dir. */
+  private def allocateVersion(pointerKey: String, allocKey: String): Int =
+    metaLock.synchronized {
+      val next = math.max(
+        currentVersion(pointerKey).getOrElse(0),
+        getMeta(allocKey).map(_.toInt).getOrElse(0)) + 1
+      writeAllMeta(allMeta + (allocKey -> next.toString))
+      next
+    }
 
   def readChunks(): DataFrame = spark.read.parquet(chunksPath)
 
@@ -207,22 +293,48 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * probe's first pass scores against the byte codes (4× fewer scan bytes
     * than float32) and only the surviving candidates re-read the float
     * embedding — see [[graft.search.IvfGenerator]]. */
-  def writeAnn(vectors: DataFrame, centroids: Seq[Seq[Double]]): Unit = {
-    val next = currentVersion("ann_v").getOrElse(0) + 1
-    val path = p("ann", s"v$next", "vectors")
+  def writeAnn(vectors: DataFrame, centroids: Seq[Seq[Double]]): Unit =
+    commitAnnVersion(prepareAnnVersion(vectors, centroids))
+
+  /** Write an ANN index as a freshly-allocated next version WITHOUT moving
+    * the live pointer — the background retrainer's first half (runs
+    * outside the maintenance lock while micro-batches keep appending to
+    * the LIVE version; [[commitAnnVersion]] swaps after catch-up). */
+  private[graft] def prepareAnnVersion(vectors: DataFrame, centroids: Seq[Seq[Double]]): Int = {
+    val next = allocateVersion("ann_v", "ann_alloc_v")
     graft.search.AnnIndex.withSq8(vectors).write
-      .partitionBy("cid").mode(SaveMode.Overwrite).parquet(path)
+      .partitionBy("cid").mode(SaveMode.Overwrite)
+      .parquet(p("ann", s"v$next", "vectors"))
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(p("ann", s"v$next", "centroids"))
+    next
+  }
+
+  /** Append assigned (id, embedding, cid) rows into a PREPARED ANN
+    * version — the retrainer's catch-up for chunk rows appended after its
+    * training snapshot. Runs before the pointer swap. */
+  private[graft] def appendAnnToVersion(version: Int, assigned: DataFrame): Unit =
+    graft.search.AnnIndex.withSq8(assigned).write
+      .partitionBy("cid").mode(SaveMode.Append)
+      .parquet(p("ann", s"v$version", "vectors"))
+
+  /** Swap the live ANN pointer to `version` and reset the drift baseline
+    * to the committed row count; sweeps versions past the retention
+    * window (numbers may skip — aborted preparations leave gaps). */
+  private[graft] def commitAnnVersion(version: Int): Unit = {
+    require(currentVersion("ann_v").getOrElse(0) < version,
+      s"ANN version pointer may only advance (live=${currentVersion("ann_v")}, commit=$version)")
     // drift baseline for the incremental append path: how many vectors the
-    // centroids were trained over (parquet metadata count — no data read)
-    val baseN = spark.read.parquet(path).count()
-    setMeta("ann_v", next.toString)
+    // committed version holds (parquet metadata count — no data read)
+    val baseN = spark.read.parquet(p("ann", s"v$version", "vectors")).count()
+    setMeta("ann_v", version.toString)
     setMeta("ann_base_n", baseN.toString)
     setMeta("ann_appended_n", "0")
-    deleteTree(Paths.get(p("ann", s"v${next - 1 - Workspace.RetainPriorVersions}")))
+    versionNumbers("ann")
+      .filter(_ < version - Workspace.RetainPriorVersions)
+      .foreach(v => deleteTree(Paths.get(p("ann", s"v$v"))))
   }
 
   /** O(batch) ANN maintenance: append a batch's (id, embedding, cid) rows —
@@ -272,7 +384,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * engine would silently probe ids that no longer exist. */
   def clearAnn(): Unit = {
     deleteTree(Paths.get(p("ann")))
-    removeMeta("ann_v", "ann_base_n", "ann_appended_n")
+    removeMeta("ann_v", "ann_base_n", "ann_appended_n", "ann_alloc_v")
   }
 
   /** Recursive delete with the walk stream CLOSED (Files.walk holds a
@@ -370,7 +482,8 @@ final class Workspace(val spark: SparkSession, val root: String) {
     deleteTree(Paths.get(p("postings")))
     deleteTree(Paths.get(p("ann")))
     // dropping the table also drops the dimension registration
-    removeMeta("chunks_v", "postings_v", "ann_v", "ann_base_n", "ann_appended_n", "model_dim")
+    removeMeta("chunks_v", "chunks_alloc_v", "postings_v",
+      "ann_v", "ann_alloc_v", "ann_base_n", "ann_appended_n", "model_dim")
     graft.functions.Staging.invalidate(root)
   }
 }

@@ -200,14 +200,94 @@ class IncrementalIndexSpec extends AnyFunSuite {
     val ws = engine.workspace
     val v0 = ws.getMeta("ann_v").get.toInt
     val base = ws.getMeta("ann_base_n").get.toLong
-    engine.ingestBatch(docs(20, from = 30)) // appended <= base: no retrain
+    engine.ingestBatch(docs(20, from = 30))
+    engine.awaitMaintenance() // appended <= base: no retrain even after settling
     assert(ws.getMeta("ann_v").get.toInt == v0)
-    engine.ingestBatch(docs(40, from = 50)) // appended > base: retrain
+    engine.ingestBatch(docs(40, from = 50)) // appended > base: retrain (background)
+    engine.awaitMaintenance()
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"background retrain failed: ${engine.lastMaintenanceError}")
     assert(ws.getMeta("ann_v").get.toInt > v0,
       s"no retrain after appending past the trained base of $base")
     assert(ws.getMeta("ann_appended_n").get == "0", "drift counter not reset by retrain")
     // the retrained index covers the whole corpus
     assert(ws.readAnn().count() == ws.count())
+  }
+
+  test("drift retrain runs in the background: ingest proceeds during it, no rows vanish at the swap") {
+    val root = Files.createTempDirectory("graft-bgretrain-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(30))
+    val ws = engine.workspace
+    val v0 = ws.getMeta("ann_v").get.toInt
+    // hold the retrain between its snapshot work and its commit
+    val reached = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    engine.maintenanceHook = () => { reached.countDown(); gate.await() }
+    try {
+      engine.ingestBatch(docs(40, from = 30)) // appended > base: schedules the retrain
+      assert(reached.await(120, java.util.concurrent.TimeUnit.SECONDS),
+        "drift retrain never reached its commit point")
+      // the retrain holds NO lock while held here: a micro-batch must
+      // ingest to completion meanwhile (the round-5 finding — inline
+      // retrain stalled the unlucky batch for the full O(corpus) cost)
+      engine.ingestBatch(docs(10, from = 70), probeExisting = false)
+      assert(ws.getMeta("ann_v").get.toInt == v0, "pointer moved before the commit")
+    } finally {
+      gate.countDown()
+      engine.maintenanceHook = () => ()
+    }
+    engine.awaitMaintenance()
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"background retrain failed: ${engine.lastMaintenanceError}")
+    assert(ws.getMeta("ann_v").get.toInt > v0, "retrain never committed")
+    // the batch ingested DURING the retrain is in the committed index:
+    // the commit's delta catch-up assigned its files against the new
+    // centroids before the pointer swap
+    assert(ws.readAnn().count() == ws.count(),
+      "rows ingested during the in-flight retrain vanished from the live index")
+    val hits = engine.search("topic75")
+    assert(hits.nonEmpty && hits.head.docId == "75")
+  }
+
+  test("streaming self-compaction: per-batch chunk files collapse, a concurrent reader survives the swap") {
+    val root = Files.createTempDirectory("graft-compact-").toString
+    val engine = Engine.open(spark, root, "main",
+      opts = SearchOptions(compactFileThreshold = 10))
+    engine.index(docs(50))
+    val ws = engine.workspace
+    val baseRows = ws.count()
+    // a reader whose plan resolved against the pre-compaction version...
+    val reader = ws.readChunks().select("doc_id")
+    // append until the trigger condition is reached, then STOP: the run
+    // bounds itself to at most two swap commits, inside the retention
+    // window the concurrent reader below depends on (a reader outliving
+    // RetainPriorVersions full cycles loses its files by contract)
+    var maxFiles = ws.chunkFileCount
+    var waves = 0
+    while (waves < 30 && maxFiles <= 10 && ws.getMeta("chunks_v").get.toInt < 2) {
+      engine.ingestBatch(docs(2, from = 50 + waves * 2), probeExisting = false)
+      waves += 1
+      maxFiles = math.max(maxFiles, ws.chunkFileCount)
+    }
+    assert(maxFiles > 10,
+      s"appends never accumulated past the trigger threshold (max $maxFiles after $waves waves)")
+    engine.awaitMaintenance()
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"background compaction failed: ${engine.lastMaintenanceError}")
+    // the rewrite collapsed the per-batch file sets through a version swap
+    assert(ws.getMeta("chunks_v").get.toInt >= 2, "compaction never committed a new version")
+    assert(ws.chunkFileCount < maxFiles,
+      s"file count did not collapse: $maxFiles -> ${ws.chunkFileCount}")
+    assert(ws.chunkFileCount <= 10,
+      s"post-compaction file count still above the trigger: ${ws.chunkFileCount}")
+    // no rows lost (incl. batches appended after the compaction snapshot:
+    // the commit's delta catch-up copied them into the new version)
+    assert(ws.count() == baseRows + 2L * waves, "compaction lost or duplicated rows")
+    // ...and the reader survives the swap (retention keeps its files)
+    assert(reader.count() == baseRows, "pre-compaction files vanished under an in-flight reader")
+    val hits = engine.search("topic50") // first appended doc — survives the rewrite
+    assert(hits.nonEmpty && hits.head.docId == "50")
   }
 
   test("SQ8 probe: phase-1 scan reads codes (not the float embedding) and the re-rank is exact") {
