@@ -59,6 +59,60 @@ object CurationQueries {
     corpusGrams.join(evSide, Seq("g"))
   }
 
+  /** The two halves of `curation_token_budget`, split so the window's
+    * input is PROVABLY one bin (spec-asserted in PlanQualitySpec):
+    *
+    *  - `interior`: rows of bins that fit the budget WHOLLY
+    *    (prev + btok ≤ b) — selected scan-locally with no window at all,
+    *    since for every such row prev + cum_in_bin + n_tokens ≤
+    *    prev + btok ≤ b holds by construction.
+    *  - `boundary`: rows of THE single bin straddling the budget
+    *    (prev < b < prev + btok; at most one exists because prev is a
+    *    strictly increasing prefix sum over bins) — the only rows that
+    *    pay the within-bin ordered cumsum. At 100 TB the window input is
+    *    one bin's rows, not every candidate bin (window parallelism no
+    *    longer caps at the bin count for the interior mass; the boundary
+    *    bin's ordered scan is the irreducible cost of exact truncation).
+    *
+    * Bins with prev ≥ b are dropped entirely. Union(interior, boundary)
+    * reproduces the single-pass selection row-for-row. */
+  private[graft] def tokenBudgetParts(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import org.apache.spark.sql.expressions.Window
+    // staged: t feeds the per-doc join, the bin totals, AND the budget
+    // aggregate — unstaged, the plan evaluates the corpus tokenize three
+    // times (the dominant cost), the same trap the mixers stage around
+    val t = staged(spark, s"$dir#budget_tok") {
+      table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(F.tokens(col("text"))).cast("long").as("n_tokens"),
+          size(array_distinct(F.tokens(col("text")))).cast("long").as("n_uniq"))
+    }
+    val d = t.select(col("doc_id"), col("n_tokens"),
+      expr("(n_uniq * 20) div greatest(n_tokens, 1)").as("bin"))
+    val bt = d.groupBy("bin").agg(sum(col("n_tokens")).as("btok"))
+    val bud = t.agg(expr("(sum(n_tokens) * 3) div 10").as("b"))
+    // prev (tokens in strictly-better bins) via a 21-row triangular
+    // self-join — no unpartitioned window anywhere in this plan
+    val higher = bt.select(col("bin").as("hbin"), col("btok").as("htok"))
+    val w = bt.join(broadcast(higher), col("hbin") > col("bin"), "left")
+      .groupBy("bin", "btok")
+      .agg(coalesce(sum(col("htok")), lit(0L)).as("prev"))
+      .crossJoin(broadcast(bud))
+    val interiorBins = w.filter(col("prev") + col("btok") <= col("b")).select("bin")
+    val boundaryBin = w.filter(col("prev") < col("b") && col("prev") + col("btok") > col("b"))
+      .select(col("bin"), col("prev"), col("b"))
+    val interior = d.join(broadcast(interiorBins), Seq("bin"))
+      .select(col("doc_id"), col("bin"), col("n_tokens"))
+    val wDoc = Window.partitionBy(col("bin")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boundary = d.join(broadcast(boundaryBin), Seq("bin"))
+      .withColumn("cum_in_bin", coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
+      .filter(col("prev") + col("cum_in_bin") + col("n_tokens") <= col("b"))
+      .select(col("doc_id"), col("bin"), col("n_tokens"))
+    (interior, boundary)
+  }
+
   /** The quality-classifier training rows — label (lang='en') + 4-feature
     * vector [bias, distinct-token ratio, stopword ratio, tokens/1e3] —
     * shared by ml_logreg_grad and ml_linear_probe_train, in BOTH engines'
@@ -521,9 +575,12 @@ object CurationQueries {
     // distinct-token-ratio bin (EXACT integer arithmetic — no float
     // boundary can flip a bin cross-engine). Two-phase at 100 TB: the
     // per-bin token totals are a 21-row agg; bins wholly inside the
-    // budget select scan-locally; only the single BOUNDARY bin pays a
-    // within-bin ordered cumsum (windowed per bin — the honest cost of
-    // exact budget truncation, confined to one bin's rows).
+    // budget select scan-locally (no window — every row of an interior
+    // bin fits by construction); only the SINGLE boundary bin — the one
+    // with prev < budget < prev + btok, at most one exists since prev is
+    // a strictly increasing prefix sum — pays the within-bin ordered
+    // cumsum (the honest cost of exact budget truncation, confined to
+    // that bin's rows). See [[tokenBudgetParts]].
     Q("curation_token_budget",
       """WITH t AS (SELECT doc_id,
         |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens,
@@ -544,34 +601,8 @@ object CurationQueries {
         |FROM sel CROSS JOIN bud
         |WHERE prev + cum_in_bin + n_tokens <= bud.b
         |ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      // staged: t feeds the per-doc join, the bin totals, AND the budget
-      // aggregate — unstaged, the plan evaluates the corpus tokenize three
-      // times (the dominant cost), the same trap the mixers stage around
-      val t = staged(spark, s"$dir#budget_tok") {
-        table(spark, dir, "documents")
-          .select(col("doc_id"),
-            size(F.tokens(col("text"))).cast("long").as("n_tokens"),
-            size(array_distinct(F.tokens(col("text")))).cast("long").as("n_uniq"))
-      }
-      val d = t.select(col("doc_id"), col("n_tokens"),
-        expr("(n_uniq * 20) div greatest(n_tokens, 1)").as("bin"))
-      val bt = d.groupBy("bin").agg(sum(col("n_tokens")).as("btok"))
-      val bud = t.agg(expr("(sum(n_tokens) * 3) div 10").as("b"))
-      // prev (tokens in strictly-better bins) via a 21-row triangular
-      // self-join — no unpartitioned window anywhere in this plan
-      val higher = bt.select(col("bin").as("hbin"), col("btok").as("htok"))
-      val w = bt.join(broadcast(higher), col("hbin") > col("bin"), "left")
-        .groupBy("bin", "btok")
-        .agg(coalesce(sum(col("htok")), lit(0L)).as("prev"))
-      val wDoc = Window.partitionBy(col("bin")).orderBy(col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      d.join(broadcast(w.select(col("bin"), col("prev"))), Seq("bin"))
-        .crossJoin(broadcast(bud))
-        .filter(col("prev") < col("b"))
-        .withColumn("cum_in_bin", coalesce(sum(col("n_tokens")).over(wDoc), lit(0L)))
-        .filter(col("prev") + col("cum_in_bin") + col("n_tokens") <= col("b"))
-        .select(col("doc_id"), col("bin"), col("n_tokens"))
+      val (interior, boundary) = tokenBudgetParts(spark, dir)
+      interior.unionByName(boundary)
         .orderBy("doc_id")
         .limit(1000)
     },

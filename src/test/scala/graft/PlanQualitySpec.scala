@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions.{col, countDistinct}
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Plan-shape regression tests: the scale properties claimed in README
@@ -309,7 +310,7 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
-  test("token-budget selection: bin stats broadcast, boundary cumsum partitioned by bin") {
+  test("token-budget selection: interior bins windowless, the cumsum input filtered to ONE boundary bin") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
@@ -326,6 +327,28 @@ class PlanQualitySpec extends AnyFunSuite {
         assert(w.treeString.contains("btok") || w.treeString.contains("LocalTableScan"),
           s"unpartitioned window over the corpus:\n${w.treeString}")
       }
+
+      // the round-5 finding: the comment promised "only the boundary bin
+      // pays the cumsum" but the window ran over EVERY candidate bin.
+      // Now structural: the interior half has no window at all, and the
+      // boundary half's window input is a join against the ≤1-row
+      // boundary-bin side — so the single-task ordered scan is confined
+      // to one bin's rows, not the interior mass
+      val (interior, boundary) =
+        graft.queries.CurationQueries.tokenBudgetParts(spark, sf)
+      assert(interior.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }.isEmpty, "interior bins must select scan-locally, with no window")
+      val bWindows = boundary.queryExecution.executedPlan.collect {
+        case w: WindowExec => w
+      }
+      assert(bWindows.nonEmpty, "boundary half lost its ordered cumsum")
+      bWindows.foreach(w => assert(
+        w.treeString.contains("BroadcastHashJoin") || w.treeString.contains("BroadcastNestedLoop"),
+        s"boundary window input is not the boundary-bin join:\n${w.treeString}"))
+      // and the boundary predicate admits at most one bin by construction
+      assert(boundary.select(countDistinct(col("bin"))).head().getLong(0) <= 1,
+        "more than one bin reached the ordered cumsum")
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
