@@ -36,6 +36,10 @@ object AnnQueries {
   private val IvfLo = 32
   private val IvfHi = 47
 
+  // ADC-slate size for the refine stage: output k (20) × the FAISS-style
+  // refine overfetch — the exact pass reads this many float vectors.
+  private val RefineSlate = 20 * graft.search.IvfGenerator.PqRefineOverfetch
+
   private def embeddings(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "embeddings")
 
@@ -297,6 +301,90 @@ object AnnQueries {
           pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), SubDim).as("codes"))
         .select(col("vec_id"), col("cid"), adc.as("adc_micro"))
         .orderBy(col("adc_micro"), col("vec_id"))
+        .limit(20)
+    },
+
+    // IVFPQ + refine (the FAISS IndexRefine stage, round-5 "What's
+    // missing #3"): the raw ADC order goes uncorrected for 4-bit
+    // quantization error (measured recall 0.16 — worse than its own
+    // coarse quantizer), so serve the ADC top k·overfetch and RE-RANK
+    // those with the exact distance — the SQ8 two-phase pattern applied
+    // to IVFPQ. The exact pass touches only overfetch·k float vectors
+    // (bounded, id-pushdown on the already-pruned cells at the Workspace
+    // layout); distances are per-subspace micro-floored sums, so the
+    // re-rank order is bit-identical cross-engine. Recall: raw 0.16 →
+    // refined 0.32 vs nprobe ceiling 0.355 (RECALL_r06.json).
+    Q("ann_ivfpq_refined",
+      s"""WITH $pqTrainCtes,
+         |ivf AS (SELECT vec_id - $IvfLo AS cid, embedding AS ce FROM embeddings
+         |        WHERE vec_id BETWEEN $IvfLo AND $IvfHi),
+         |asn AS (SELECT e.vec_id, ivf.cid,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.ce::DOUBLE[]) DESC, ivf.cid) AS rn
+         |        FROM embeddings e CROSS JOIN ivf),
+         |cells AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+         |probes AS (SELECT cid FROM asn WHERE vec_id = 0 AND rn <= 2),
+         |qsl AS (SELECT ms.m,
+         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
+         |        FROM embeddings, ms WHERE vec_id = 0),
+         |f AS (SELECT sl.vec_id, cells.cid, sl.m, cb.j,
+         |             ${pqD2l("sl.v", "cb.c")} AS d2, ${pqD2l("qsl.qv", "cb.c")} AS dq
+         |      FROM sl JOIN cbi2 cb ON cb.m = sl.m JOIN qsl ON qsl.m = sl.m
+         |      JOIN cells ON cells.vec_id = sl.vec_id
+         |      WHERE sl.vec_id <> 0 AND cells.cid IN (SELECT cid FROM probes)),
+         |best AS (SELECT vec_id, cid, m, dq,
+         |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+         |         FROM f),
+         |adc AS (SELECT vec_id, cid, sum(dq)::BIGINT AS adc_micro
+         |        FROM best WHERE rn = 1 GROUP BY vec_id, cid),
+         |cand AS (SELECT vec_id, cid,
+         |                row_number() OVER (ORDER BY adc_micro, vec_id) AS arn
+         |         FROM adc),
+         |ex AS (SELECT c.vec_id, c.cid, sum(${pqD2l("sl.v", "qsl.qv")})::BIGINT AS l2_micro
+         |       FROM cand c JOIN sl ON sl.vec_id = c.vec_id JOIN qsl ON qsl.m = sl.m
+         |       WHERE c.arn <= $RefineSlate
+         |       GROUP BY c.vec_id, c.cid)
+         |SELECT vec_id, cid::BIGINT AS cid, l2_micro
+         |FROM ex ORDER BY l2_micro, vec_id LIMIT 20""".stripMargin) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      val cb = trainedCodebook(spark, dir)
+      val centsArr = centArray(e.filter(col("vec_id").between(IvfLo, IvfHi))
+        .select((col("vec_id") - IvfLo).as("cid"), col("embedding").as("ce")))
+      val assigned = assignCosineCells(e, centsArr)
+      val rankedCents = array_sort(transform(col("cents"),
+        c => struct((-cosineSim(col("embedding"), c.getField("ce"))).as("ncos"),
+                    c.getField("cid").as("cid"))))
+      val qProbe = e.filter(col("vec_id") === 0).crossJoin(broadcast(centsArr))
+        .select(rankedCents.as("rc"))
+        .select(element_at(col("rc"), 1).getField("cid").as("c1"),
+          element_at(col("rc"), 2).getField("cid").as("c2"))
+        .head()
+      val probes = Seq(qProbe.getLong(0), qProbe.getLong(1))
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val lut = adcLut(qv, cb)
+      val adc = (0 until SubSpaces)
+        .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))
+        .reduce(_ + _)
+      // phase 1: ADC slate of RefineSlate candidates (TakeOrdered — the
+      // embedding column rides along for the bounded exact pass)
+      val slate = assigned
+        .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), SubDim).as("codes"))
+        .select(col("vec_id"), col("cid"), col("embedding"), adc.as("adc_micro"))
+        .orderBy(col("adc_micro"), col("vec_id"))
+        .limit(RefineSlate)
+      // phase 2: exact micro-L2, summed per subspace exactly like the
+      // oracle's sum(pqD2l(slice, qslice)) — floor each subspace sum, add
+      val l2Micro = (0 until SubSpaces).map { m =>
+        val qSlice = (0 until SubDim).map(k => qv(m * SubDim + k).toDouble)
+        floor(aggregate(
+          zip_with(slice(col("embedding"), m * SubDim + 1, SubDim), typedlit(qSlice),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (s, v) => s + v) * 1000000).cast("long")
+      }.reduce(_ + _)
+      slate.select(col("vec_id"), col("cid"), l2Micro.as("l2_micro"))
+        .orderBy(col("l2_micro"), col("vec_id"))
         .limit(20)
     },
 

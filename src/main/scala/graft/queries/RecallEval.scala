@@ -50,12 +50,53 @@ object RecallEval {
     per.sum / per.size
   }
 
-  /** Evaluate recall@k for every ANN variant over `numQueries` corpus
-    * vectors sampled at a fixed stride (deterministic). */
+  /** Evaluate recall@k over the driver's embeddings table. The driver
+    * corpus is near-uniform — structurally the WORST case for a coarse
+    * quantizer — so pair it with [[evaluateClustered]] for the
+    * distribution IVF is built for. */
   def evaluate(spark: SparkSession, dir: String,
-               numQueries: Int = 20, k: Int = 10): Report = {
-    val e = table(spark, dir, "embeddings").select(
-      col("vec_id").cast("long").as("vec_id"), col("embedding"))
+               numQueries: Int = 20, k: Int = 10): Report =
+    evaluateOn(spark, dir,
+      table(spark, dir, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"), col("embedding")),
+      numQueries, k)
+
+  /** Deterministic clustered corpus at bench scale: `centers` unit
+    * gaussian directions, each vector = its center (round-robin by id) +
+    * per-dim gaussian noise, all from fixed seeds — the blob distribution
+    * a coarse quantizer exists for (the AnnEngineSpec fixture contract,
+    * scaled to the sf0.1 corpus size so the ≥0.9 clustered claim carries
+    * bench-scale evidence, round-5 task 6). */
+  def clusteredCorpus(spark: SparkSession, n: Int, dim: Int,
+                      centers: Int, noiseSigma: Double): DataFrame = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val cs = Array.fill(centers) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => x / norm)
+    }
+    (0 until n).map { i =>
+      val c = cs(i % centers)
+      val r = new scala.util.Random(1000003L * i + 17)
+      (i.toLong, c.map(x => (x + noiseSigma * r.nextGaussian()).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  def evaluateClustered(spark: SparkSession, n: Int = 2000, dim: Int = 64,
+                        centers: Int = 16, noiseSigma: Double = 0.05,
+                        numQueries: Int = 20, k: Int = 10): Report =
+    evaluateOn(spark,
+      s"clustered(n=$n,dim=$dim,centers=$centers,sigma=$noiseSigma)",
+      clusteredCorpus(spark, n, dim, centers, noiseSigma), numQueries, k)
+
+  /** Evaluate recall@k for every ANN variant over `numQueries` corpus
+    * vectors sampled at a fixed stride (deterministic). Every input —
+    * hyperplanes, PQ codebook init, IVF training — derives from the
+    * corpus itself, so any (vec_id, embedding) frame evaluates. */
+  def evaluateOn(spark: SparkSession, label: String, corpus: DataFrame,
+                 numQueries: Int = 20, k: Int = 10): Report = {
+    val e = corpus
       .localCheckpoint() // every variant re-reads the same materialized corpus
     try {
       val n = e.count()
@@ -125,13 +166,19 @@ object RecallEval {
         val lsh4 = lshRecall(4)
 
         // ---- IVFPQ: trained coarse cells (nprobe=2) + trained ADC ranking ----
-        val cb = AnnQueries.trainedCodebook(spark, dir)
-        import graft.functions.VectorFunctions.pqEncode
-        // the SAME geometry the codebook was trained under — a literal here
-        // would silently misindex the centroids if AnnQueries.SubDim moved
+        // trained from THIS corpus with the ann_pq_adc init convention
+        // (rows 16..31) — identical to AnnQueries.trainedCodebook on the
+        // driver corpus (trainPq is order-free integer arithmetic), and
+        // well-defined on the synthetic clustered corpus too
         val subDim = AnnQueries.SubDim
+        val cbInit = e.filter(col("vec_id").between(16, 31))
+          .select(col("vec_id").cast("int").as("j"), col("embedding"))
+          .collect().map(r => (r.getInt(0) - 16) -> r.getSeq[Float](1).toSeq)
+          .sortBy(_._1).map(_._2).toSeq
+        val cb = graft.ml.KMeans.trainPq(e, "embedding", subDim, cbInit, iters = 2)
+        import graft.functions.VectorFunctions.pqEncode
         val numSub = cb.head.length / subDim
-        val ivfpqRecall = {
+        val (ivfpqRecall, ivfpqRefinedRecall) = {
           import spark.implicits._
           val probes = qRows.flatMap { case (qid, qv) =>
             IvfGenerator.nearestCells(qv, cents, 2).map(c => (qid, c))
@@ -160,7 +207,38 @@ object RecallEval {
               (0 until numSub).map(m =>
                 element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
                 .reduce(_ + _).as("adc"))
-          recallOf(l2Truth, topkPerQuery(cands, col("adc"), asc = true, k))
+          val raw = recallOf(l2Truth, topkPerQuery(cands, col("adc"), asc = true, k))
+
+          // FAISS-refine stage (round-5 "What's missing #3"): the raw ADC
+          // order goes uncorrected for quantization error, so serve the ADC
+          // top k·overfetch and re-rank those with the EXACT distance — the
+          // SQ8 two-phase pattern applied to IVFPQ. Cost: one bounded
+          // re-read of overfetch·k·|Q| float vectors.
+          val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
+          val survivors = cands.withColumn("rk", row_number().over(wAdc))
+            .filter(col("rk") <= k * IvfGenerator.PqRefineOverfetch)
+            .select("q_id", "n_id")
+          val refined = survivors
+            .join(av.select(col("n_id"), col("embedding")), Seq("n_id"))
+            .join(broadcast(qs), Seq("q_id"))
+            .select(col("q_id"), col("n_id"), d2.as("s"))
+          (raw, recallOf(l2Truth, topkPerQuery(refined, col("s"), asc = true, k)))
+        }
+
+        // the nprobe ceiling under the L2 metric: EXACT re-rank of every
+        // probed-cell row — what any in-cell refinement converges to, so
+        // the JSON reads raw ≤ refined ≤ ceiling (the residual gap is
+        // coarse-quantizer loss, not PQ error)
+        val ivfL2Ceiling = {
+          import spark.implicits._
+          val probes = qRows.flatMap { case (qid, qv) =>
+            IvfGenerator.nearestCells(qv, cents, 2).map(c => (qid, c))
+          }.toSeq.toDF("q_id", "pcid")
+          val cands = av.join(broadcast(probes), col("cid") === col("pcid"))
+            .join(broadcast(qs), Seq("q_id"))
+            .filter(col("n_id") =!= col("q_id"))
+            .select(col("q_id"), col("n_id"), d2.as("s"))
+          recallOf(l2Truth, topkPerQuery(cands, col("s"), asc = true, k))
         }
 
         // ---- SQ8 two-phase (the IvfGenerator serving path, full corpus):
@@ -182,13 +260,18 @@ object RecallEval {
           cosineSim(col("embedding"), col("qv")).as("s"))
         val sq8 = recallOf(cosTruth, topkPerQuery(sq8Cands, col("s"), asc = false, k))
 
-        Report(dir, n, qRows.length, k, Seq(
+        Report(label, n, qRows.length, k, Seq(
           VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=1", ivf1),
           VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=2", ivf2),
           VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=4", ivf4),
           VariantRecall("lsh", "cosine", "hyperplanes=8,buckets=256", lsh8),
           VariantRecall("lsh", "cosine", "hyperplanes=4,buckets=16", lsh4),
           VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained", ivfpqRecall),
+          VariantRecall("ivfpq_refined", "l2",
+            s"cells=16,nprobe=2,m=8,k*=16,trained,overfetch=${IvfGenerator.PqRefineOverfetch}",
+            ivfpqRefinedRecall),
+          VariantRecall("ivf_l2_ceiling", "l2", "cells=16,nprobe=2,exact_rerank=all",
+            ivfL2Ceiling),
           VariantRecall("sq8_two_phase", "cosine", s"overfetch=${IvfGenerator.Sq8Overfetch}", sq8)))
         } finally graft.functions.Checkpoints.release(av)
       } finally graft.functions.Checkpoints.release(qs)

@@ -110,6 +110,13 @@ object IvfGenerator {
     * (recall floor pinned in AnnEngineSpec). */
   final val Sq8Overfetch = 4
 
+  /** Refine overfetch for the IVFPQ path (the FAISS IndexRefine k_factor):
+    * 4-bit ADC codes carry far more quantization error than int8, so the
+    * exact re-rank needs a deeper candidate slate — 8× measured to sit
+    * within ~0.05 of the nprobe ceiling on the uniform corpus
+    * (RECALL_r06.json raw ≤ refined ≤ ivf_l2_ceiling). */
+  final val PqRefineOverfetch = 8
+
   /** The query's `nprobe` nearest cells by squared L2 (the trainer's
     * metric), ties broken by lowest cid — k·d doubles of driver work.
     * A dimension mismatch (embedder changed after the index was built) is

@@ -95,5 +95,49 @@ class RecallSpec extends AnyFunSuite {
     // overfetch loses (almost) nothing at full coverage
     assert(recall("sq8_two_phase", "overfetch") >= 0.95,
       "SQ8 two-phase probe lost recall despite exact re-rank")
+
+    // IVFPQ refine (round-5 "What's missing #3"): the exact re-rank of the
+    // ADC top k·overfetch must recover most of the coarse-quantizer
+    // ceiling — measured 0.16 raw / 0.32 refined / 0.355 ceiling (2026-08)
+    val raw = recall("ivfpq", "trained")
+    val refined = recall("ivfpq_refined", "overfetch")
+    val ceiling = recall("ivf_l2_ceiling", "exact_rerank")
+    assert(refined > raw, s"refine stage bought nothing: raw $raw, refined $refined")
+    assert(refined >= 0.25, s"IVFPQ refined recall $refined regressed")
+    assert(refined >= ceiling - 0.1,
+      s"refined $refined far from its nprobe ceiling $ceiling — overfetch too shallow")
+  }
+
+  test("clustered corpus at bench scale: IVF near-exact, refine recovers most of the ADC loss") {
+    // the distribution IVF exists for, at the sf0.1 corpus size — the
+    // ≥0.9 clustered claim with bench-scale evidence, not a 300-row
+    // fixture (round-5 task 6). Measured 2026-08: ivf 1.0 at every
+    // nprobe, ceiling 1.0, ivfpq 0.085 raw / 0.685 refined (tight
+    // clusters collapse 4-bit ADC distances — the residual gap is
+    // in-cluster code degeneracy, visible as refined < ceiling).
+    val report = RecallEval.evaluateClustered(spark, n = 2000, dim = 64)
+    def recall(variant: String): Double =
+      report.variants.find(_.variant == variant)
+        .getOrElse(fail(s"missing variant $variant")).recallAtK
+    assert(recall("ivf") >= 0.9, s"IVF on clustered data: ${recall("ivf")}")
+    assert(recall("ivf_l2_ceiling") >= 0.95)
+    assert(recall("sq8_two_phase") >= 0.95)
+    assert(recall("ivfpq_refined") >= 0.5,
+      s"refined recall on clustered data regressed: ${recall("ivfpq_refined")}")
+    assert(recall("ivfpq_refined") > recall("ivfpq") + 0.2,
+      "refine stage must recover most of the in-cluster ADC collapse")
+  }
+
+  test("clustered fixture with small cells: the refine slate covers the probed rows and recall is near-exact") {
+    // when k·overfetch ≥ the probed-cell population (here 2 cells × ~20
+    // rows ≤ 80), the refine IS the exact re-rank of every probed row, so
+    // refined ≈ ceiling ≥ 0.9 — the AnnEngineSpec fixture contract
+    // carried over to the IVFPQ serving path
+    val report = RecallEval.evaluateClustered(spark, n = 320, dim = 64)
+    def recall(variant: String): Double =
+      report.variants.find(_.variant == variant)
+        .getOrElse(fail(s"missing variant $variant")).recallAtK
+    assert(recall("ivfpq_refined") >= 0.9,
+      s"refined recall on the small-cell fixture: ${recall("ivfpq_refined")}")
   }
 }
