@@ -412,7 +412,17 @@ final class Engine(
     * the broadcast batch ids; the streaming path pays them ONLY where a
     * replay is possible — the first batch after open (the previous process
     * may have died mid-epoch) and any non-advancing batchId — keeping
-    * steady-state batches at O(batch) records read. */
+    * steady-state batches at O(batch) records read.
+    *
+    * The probes are chunk-granular and assume WITHIN-write atomicity: a
+    * target either holds a chunk's rows completely or not at all. Parquet
+    * job commit provides that here — every write lands via a Spark job
+    * whose task output stays under _temporary until job commit — except
+    * for the commit's own rename window, which is a few driver-side
+    * renames, not the write itself. A sink without job-commit atomicity
+    * (or one where that window matters) would need the probe strengthened
+    * to compare per-chunk row counts against the batch; compactIndexes()
+    * rebuilds from the chunk table and heals any such partial target. */
   private[graft] def ingestBatch(batch: DataFrame, probeExisting: Boolean = true): Unit =
     maintenance.synchronized {
       // materialized BEFORE the append (localCheckpoint): the downstream

@@ -75,6 +75,17 @@ object Staging {
   // release fails that job with a lost-block error. ALL drops drain with
   // ONE sweep cycle of grace, the same in-flight-reader bound the
   // versioned index swap gives (Workspace.RetainPriorVersions).
+  //
+  // The grace is counted in drain EVENTS, not wall-clock or job
+  // completion: two invalidate()/staged() calls in quick succession (e.g.
+  // back-to-back micro-batches mutating one workspace) age a doomed
+  // checkpoint through both sweeps and free it while a slow concurrent
+  // consumer could still be scanning it, failing that job with a
+  // lost-block error. Currently latent — no hot path stages keys under
+  // workspace roots, so workspace mutation never invalidates a checkpoint
+  // a concurrent reader holds — but a future caller pairing staged() data
+  // with rapid invalidate() cycles should rate-limit drains per
+  // wall-clock instead.
   private var pendingRelease: List[DataFrame] = Nil
   private var prevPending: List[DataFrame] = Nil
 

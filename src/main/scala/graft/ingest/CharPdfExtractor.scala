@@ -459,6 +459,10 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
           } else curX += w // mapped to nothing: advance without a glyph
           k += 2
         }
+        // a trailing odd byte (malformed/truncated Identity-H string) has
+        // no code to decode — advance by the default width so any text
+        // that follows in the same line isn't visually glued to it
+        if (k < str.length) curX += font.defaultWEm * fontSize
       } else str.foreach { c =>
         // per-char advance from the font's /Widths table when present
         // (1/1000 em), else the fixed-pitch approximation

@@ -43,9 +43,13 @@ object AsOfJoin {
            tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    // both sides checked: a numeric left ts with a timestamp right ts
+    // would otherwise pass here and surface later as an opaque
+    // unionByName analysis error instead of this message
     require(tolerance.isEmpty ||
-        left.schema(leftTs).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
-      "tolerance needs a numeric ts column (cast timestamps to unix micros first)")
+        (left.schema(leftTs).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType] &&
+         right.schema(rightTs).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]),
+      "tolerance needs numeric ts columns on BOTH sides (cast timestamps to unix micros first)")
 
     val leftCols = left.columns.toSeq
     val payload = payloadCols.map(c => s"__asof_$c")

@@ -78,15 +78,21 @@ package object queries {
         (-col("best").getField("ncid")).as("cid"))
   }
 
-  /** events table with `ts` as a proper TimestampType. The driver's parquet
-    * carries TIMESTAMP(NANOS), which Spark only reads as long nanos (under
-    * spark.sql.legacy.parquet.nanosAsLong=true — set in Verify/Bench);
-    * truncate nanos→micros exactly like DuckDB's read path does. */
+  /** events table with `ts` as a proper TimestampType, whatever physical
+    * form the driver's parquet carries: TIMESTAMP(NANOS) reads as long
+    * nanos (under spark.sql.legacy.parquet.nanosAsLong=true — set in
+    * Verify/Bench), truncated nanos→micros exactly like DuckDB's read
+    * path; plain TIMESTAMP(MICROS) without a timezone reads as
+    * TIMESTAMP_NTZ, cast to the session (UTC) instant — the same
+    * naive-as-UTC reading DuckDB's epoch_ms applies, so oracle ms
+    * arithmetic agrees either way. */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     val df = table(spark, sfDir, "events")
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
         df.withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
       case _ => df
     }
   }

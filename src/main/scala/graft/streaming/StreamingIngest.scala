@@ -67,13 +67,22 @@ object StreamingIngest {
       .trigger(Trigger.AvailableNow())
       .start()
 
-  val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType),
-    StructField("ts", LongType), // nanos (driver parquet is TIMESTAMP(NANOS))
-    StructField("user_id", LongType),
-    StructField("event_type", StringType),
-    StructField("value", DoubleType),
-    StructField("props", StringType)))
+  /** Streaming events source with `ts` normalized to a proper
+    * TimestampType — the streaming twin of [[graft.queries.events]]. A
+    * file stream needs an explicit schema, and the driver's physical form
+    * has varied across testdata generations (TIMESTAMP(NANOS) → long
+    * nanos under nanosAsLong; TIMESTAMP(MICROS) without a timezone →
+    * TIMESTAMP_NTZ), so the schema is sniffed from the staged files with
+    * one driver-side batch read and `ts` converted accordingly. */
+  private def eventsStream(spark: SparkSession, inputDir: String): DataFrame = {
+    val schema = spark.read.parquet(inputDir).schema
+    val raw = spark.readStream.schema(schema).parquet(inputDir)
+    schema("ts").dataType match {
+      case LongType => raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   /** Per-user session state for [[sessionStream]]: sessions emitted so
     * far (`counter`, = the 1-based ordinal numbering of q_sessionize) and
@@ -94,11 +103,8 @@ object StreamingIngest {
                     gapMs: Long = 1800000): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .parquet(inputDir)
-      .select(col("user_id"), col("event_id"),
-        expr("unix_millis(timestamp_micros(ts div 1000))").as("ms"))
+    val events = eventsStream(spark, inputDir)
+      .select(col("user_id"), col("event_id"), unix_millis(col("ts")).as("ms"))
       .as[(Long, Long, Long)]
     events.groupByKey(_._1)
       .flatMapGroupsWithState[SessState, (Long, Long, Long, Long)](
@@ -134,11 +140,20 @@ object StreamingIngest {
   def stageEventsWithSentinels(spark: SparkSession, eventsParquet: String): String = {
     val dir = stageAsDir(eventsParquet)
     val ev = spark.read.parquet(eventsParquet)
-    val maxTs = ev.agg(max(col("ts"))).head().getLong(0)
+    // the sentinel file is read by the SAME stream source as the real
+    // file, so its ts must carry the source's physical type: +1h in raw
+    // nanos for the long form, +INTERVAL for the timestamp forms. The
+    // one-row max rides along as a broadcast cross join (type-preserving,
+    // no driver literal to re-encode).
+    val maxPlus1h = ev.schema("ts").dataType match {
+      case LongType => max(col("ts")) + 3600L * 1000 * 1000 * 1000
+      case _ => max(col("ts")) + expr("INTERVAL 1 HOUR")
+    }
     val sentinels = ev.select(col("user_id")).distinct()
+      .crossJoin(broadcast(ev.agg(maxPlus1h.as("ts"))))
       .select(
         lit(-1L).as("event_id"),
-        lit(maxTs + 3600L * 1000 * 1000 * 1000).as("ts"), // +1h in nanos
+        col("ts"),
         col("user_id"),
         lit("sentinel").as("event_type"),
         lit(0.0).as("value"),
@@ -163,9 +178,7 @@ object StreamingIngest {
     * exact integers (order-free, restart-safe). */
   def enrichStream(spark: SparkSession, inputDir: String,
                    customers: DataFrame): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(inputDir)
+    eventsStream(spark, inputDir)
       .join(broadcast(customers), col("user_id") === col("c_custkey"))
       .groupBy(col("c_mktsegment").as("segment"))
       .agg(count(lit(1)).as("n"),
@@ -178,10 +191,7 @@ object StreamingIngest {
     * an INNER join emits on match, so a bounded run emits exactly the
     * batch join's rows. */
   def clickViewStream(spark: SparkSession, inputDir: String): DataFrame = {
-    val ev = spark.readStream
-      .schema(eventsSchema)
-      .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val ev = eventsStream(spark, inputDir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("user_id").as("cu"), col("event_id").as("click_id"), col("ts").as("cts"))
       .withWatermark("cts", "1 hour")
@@ -216,10 +226,7 @@ object StreamingIngest {
     * delay, where dropDuplicatesWithinWatermark GUARANTEES single
     * emission. */
   def dedupWithinWatermarkStream(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, inputDir)
       .select(col("event_id"), col("ts"), explode(array(lit(1), lit(2), lit(3))).as("copy"))
       .drop("copy")
       .withWatermark("ts", "10 minutes")
@@ -234,9 +241,7 @@ object StreamingIngest {
     * partial histograms merge by addition — the mergeable-sketch
     * property that makes this the 100 TB/continuous shape. */
   def histogramStream(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(inputDir)
+    eventsStream(spark, inputDir)
       .select(col("event_type"),
         expr("CAST(round(value * 100, 0) AS BIGINT)").as("cents"))
       // bin width 1024 cents is FIXED — the 1023 clamp ceiling and the
@@ -252,10 +257,7 @@ object StreamingIngest {
     * streaming form of q_event_window_agg (same plan shape; late data
     * beyond 10 minutes dropped by the watermark). */
   def windowedEventCounts(spark: SparkSession, inputDir: String): DataFrame =
-    spark.readStream
-      .schema(eventsSchema)
-      .parquet(inputDir)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    eventsStream(spark, inputDir)
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("total"))
