@@ -95,9 +95,37 @@ object KMeans {
     cb
   }
 
+  /** Micro-floored distance vector to every centroid — the deterministic
+    * assignment metric of [[train]]: floor(d2·10⁶) as a long, so argmin
+    * comparisons and the DuckDB oracle replay are bit-identical (the same
+    * discipline [[trainPq]] and ml_kmeans_step use). */
+  def microDistances(vec: Column, cents: Seq[Seq[Double]]): Column =
+    transform(typedlit(cents), c =>
+      floor(d2(vec, c) * 1000000).cast("long"))
+
+  /** Scan-local cluster assignment by MICRO-FLOORED L2 argmin, first-match
+    * (= lowest cid) tie-break — assignment against [[train]]ed centroids
+    * that an oracle can replay exactly. */
+  def assignMicro(vec: Column, cents: Seq[Seq[Double]]): Column = {
+    val d = microDistances(vec, cents)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
   /** Train k-means with deterministic init (the first k rows by id order).
     * Returns the final centroids plus the per-iteration inertia trace
-    * (total squared distance BEFORE each update — non-increasing). */
+    * (total squared distance BEFORE each update — non-increasing up to
+    * micro-quantization, see below).
+    *
+    * Every engine-affecting number is integer-deterministic so a SQL
+    * oracle can replay the training bit-for-bit (the ann_ivf_trained
+    * gate): assignment compares micro-floored distances (floor(d2·10⁶)
+    * longs, lowest-cid ties), and the update aggregates MICRO-QUANTIZED
+    * coordinate sums — integer sums are order-free across partitions, so
+    * the means (sm/n)/10⁶ come out identical however the shuffle lands.
+    * Inertia is reported in the same micro units (/10⁶); quantizing the
+    * means perturbs each coordinate by < 10⁻⁶, so the trace is
+    * non-increasing only up to that rounding (consumers allow the
+    * epsilon). */
   def train(vectors: DataFrame, vecCol: String, idCol: String,
             k: Int, iters: Int): Result = {
     val dim = vectors.select(size(col(vecCol))).head().getInt(0)
@@ -107,7 +135,7 @@ object KMeans {
       .map(_.getSeq[Float](0).map(_.toDouble).toSeq).toSeq
     val inertia = Seq.newBuilder[Double]
     for (_ <- 0 until iters) {
-      val dists = distances(col(vecCol), cents)
+      val dists = microDistances(col(vecCol), cents)
       // materialize the assignment BEFORE the posexplode below: a
       // projection collapsed above a Generate re-evaluates the k-way
       // argmin once per exploded dimension (64×)
@@ -120,19 +148,20 @@ object KMeans {
       val sums = assigned
         .select(col("cluster"), col("d"), posexplode(col("v")).as(Seq("kdim", "x")))
         .groupBy(col("cluster"), col("kdim"))
-        .agg(sum(col("x").cast("double")).as("sx"), count(lit(1)).as("n"),
-          sum(when(col("kdim") === 0, col("d")).otherwise(0.0)).as("din"))
+        .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sm"),
+          count(lit(1)).as("n"),
+          sum(when(col("kdim") === 0, col("d")).otherwise(0L)).as("din"))
         .collect()
       // Dataset.unpersist() would NOT release localCheckpoint blocks
       // (they are an RDD-level persist behind a LogicalRDD)
       graft.functions.Checkpoints.release(assigned)
-      inertia += sums.map(_.getAs[Double]("din")).sum
+      inertia += sums.map(_.getAs[Long]("din")).sum / 1000000.0
       val byCluster = sums.groupBy(_.getAs[Int]("cluster"))
       cents = (0 until k).map { c =>
         byCluster.get(c) match {
           case Some(rows) =>
             val d = rows.sortBy(_.getAs[Int]("kdim"))
-            d.map(r => r.getAs[Double]("sx") / r.getAs[Long]("n")).toSeq
+            d.map(r => (r.getAs[Long]("sm").toDouble / r.getAs[Long]("n")) / 1000000.0).toSeq
           case None => cents(c) // empty cluster keeps its centroid
         }
       }

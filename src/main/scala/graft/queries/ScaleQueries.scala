@@ -20,6 +20,35 @@ object ScaleQueries {
   private val CentLo = 16
   private val CentHi = 31
 
+  // ---- DuckDB replay of KMeans.train (the ann_ivf_trained oracle) ----
+
+  /** Micro-floored squared L2 between a REAL[64] embedding and a
+    * DOUBLE[64] centroid list — the exact left-fold KMeans.microDistances
+    * generates. */
+  private def ivfD2l(v: String, c: String) =
+    s"CAST(floor(list_aggregate(list_transform(range(64), i -> " +
+      s"($v[i+1]::DOUBLE - $c[i+1]) * ($v[i+1]::DOUBLE - $c[i+1])), " +
+      s"'sum') * 1000000) AS BIGINT)"
+
+  /** One full-vector Lloyd iteration (KMeans.train's loop body): assign
+    * by micro-L2 argmin (lowest-cid ties), update as integer micro-sums
+    * with means (sm/n)/10⁶; an empty cluster keeps its centroid. */
+  private def lloydIterSql(cbIn: String, n: Int) =
+    s"""d$n AS (SELECT e.vec_id, cb.cid, ${ivfD2l("e.embedding", "cb.c")} AS d2
+       |        FROM embeddings e CROSS JOIN $cbIn cb),
+       |a$n AS (SELECT vec_id, cid FROM
+       |        (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d$n)
+       |        WHERE rn = 1),
+       |u$n AS (SELECT a.cid, ks.k,
+       |               sum(CAST(floor(e.embedding[ks.k+1]::DOUBLE * 1000000) AS BIGINT)) AS sm,
+       |               count(*) AS n
+       |        FROM a$n a JOIN embeddings e USING (vec_id) CROSS JOIN ks
+       |        GROUP BY a.cid, ks.k),
+       |cb$n AS (SELECT c0.cid, coalesce(u.c, c0.c) AS c
+       |         FROM $cbIn c0 LEFT JOIN
+       |           (SELECT cid, list((sm::DOUBLE / n) / 1000000.0 ORDER BY k) AS c
+       |            FROM u$n GROUP BY cid) u ON u.cid = c0.cid)""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // Keyword search via the inverted index: same result as the D4 scan,
@@ -169,22 +198,43 @@ object ScaleQueries {
 
     // IVF with TRAINED cells: centroids refined by the distributed Lloyd
     // trainer (graft.ml.KMeans, 2 rounds) instead of raw corpus rows, then
-    // the same scan-local assignment + cell-local probe. Rows-only (the
-    // training loop is not one SQL statement); ScaleOpsSpec pins recall
-    // against brute force ≥ the untrained variant's.
-    Q.noOracle("ann_ivf_trained") { (spark, dir) =>
+    // the same scan-local assignment + cell-local probe. The trainer's
+    // arithmetic is integer-deterministic end to end (micro-floored
+    // distance argmin, micro-quantized coordinate sums, means (sm/n)/10⁶),
+    // so the ORACLE REPLAYS THE FULL TRAINING as two unrolled Lloyd CTE
+    // rounds from the same first-k init and hash-checks the probed
+    // candidates exactly; ScaleOpsSpec additionally pins recall against
+    // brute force ≥ the untrained variant's.
+    Q("ann_ivf_trained",
+      s"""WITH ks AS (SELECT unnest(range(64)) AS k),
+         |cb0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c
+         |        FROM embeddings WHERE vec_id < $Cells),
+         |${lloydIterSql("cb0", 1)},
+         |${lloydIterSql("cb1", 2)},
+         |df AS (SELECT e.vec_id, cb.cid, ${ivfD2l("e.embedding", "cb.c")} AS d2
+         |       FROM embeddings e CROSS JOIN cb2 cb),
+         |cells AS (SELECT vec_id, cid FROM
+         |          (SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM df)
+         |          WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, cid FROM cells WHERE vec_id < $NumQueries)
+         |SELECT qs.q_id, n.vec_id AS n_id,
+         |       round(list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]), 6) AS score,
+         |       row_number() OVER (PARTITION BY qs.q_id
+         |                          ORDER BY list_cosine_similarity(ne.embedding::DOUBLE[], qe.embedding::DOUBLE[]) DESC, n.vec_id) AS rank
+         |FROM qs
+         |JOIN cells n ON n.cid = qs.cid AND n.vec_id <> qs.q_id
+         |JOIN embeddings ne ON ne.vec_id = n.vec_id
+         |JOIN embeddings qe ON qe.vec_id = qs.q_id
+         |QUALIFY rank <= 5
+         |ORDER BY q_id, rank""".stripMargin) { (spark, dir) =>
       val e = table(spark, dir, "embeddings")
       val trained = graft.ml.KMeans.train(e, "embedding", "vec_id", k = Cells, iters = 2)
-      val cents = typedlit(trained.centroids)
-      // k-means cells assign by min L2 (the metric the trainer optimizes);
-      // first-match argmin = lowest cid on ties
-      val dists = transform(cents, c =>
-        aggregate(zip_with(col("embedding"), c, (x, y) =>
-            (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-          lit(0.0), (s, v) => s + v))
+      // assignment by the trainer's own metric: micro-floored L2 argmin,
+      // first-match (= lowest cid) ties — replayable exactly by the oracle
       val assigned = e
         .select(col("vec_id"), col("embedding"),
-          (array_position(dists, array_min(dists)) - 1).as("cid"))
+          graft.ml.KMeans.assignMicro(col("embedding"), trained.centroids)
+            .cast("long").as("cid"))
       val qs = assigned.filter(col("vec_id") < NumQueries)
         .select(col("vec_id").as("q_id"), col("cid").as("qcid"), col("embedding").as("qv"))
       assigned.join(broadcast(qs),
