@@ -23,9 +23,18 @@ import java.util.zip.Inflater
   * fonts, …) joined to the object space; /XRef cross-reference streams
   * are recognized structural streams (never misread as page content; the
   * extractor scans objects directly and needs no xref table). Content
-  * streams are raw or /FlateDecode, one per page in document order; text
-  * operators BT ET Tf Tm Td TD TL T* Tj ' TJ; literal `(…)` strings with
-  * escapes and nesting AND hex strings `<…>`.
+  * streams are raw, /FlateDecode or /LZWDecode, one per page in document
+  * order; text operators BT ET Tf Tm Td TD TL T* Tj ' TJ; literal `(…)`
+  * strings with escapes and nesting AND hex strings `<…>`.
+  *
+  * Encrypted documents (the common "viewer-openable" case): the standard
+  * security handler with an EMPTY user password, RC4 (/V 1–2, /R 2–3)
+  * and AES-128-CBC (/V 4 /AESV2, /R 4) — stream bytes are decrypted
+  * under the [[PdfCrypto]] per-object key before filter decode (xref
+  * streams are never encrypted, per spec). Non-empty passwords, AES-256
+  * (/R 5–6) and non-default crypt filters are out of subset — such
+  * streams fail to decode and their pages extract empty rather than as
+  * garbage (the BT probe rejects ciphertext).
   *
   * Composite fonts (the layout most modern writers emit): /Type0 fonts
   * with Identity-H encoding decode 2-byte codes per glyph — code → CID
@@ -58,14 +67,87 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     // content-stream order — such files should use the real-codec
     // PageExtractor plug-in; fixtures and whole-document ObjStm files
     // (every page dict packed, the common writer layout) are unaffected.
-    val raw = expandObjectStreams(content, raw0)
+    val crypto = cryptoOf(raw0)
+    val raw = expandObjectStreams(content, raw0, crypto)
     val boxes = mediaBoxes(raw)
-    val fonts = fontInfos(raw)
-    contentStreams(content, raw0).zipWithIndex.map { case (ops, i) =>
+    val fonts = fontInfos(raw, crypto)
+    contentStreams(content, raw0, crypto).zipWithIndex.map { case (ops, i) =>
       val (w, h) = boxes.lift(i).orElse(boxes.headOption).getOrElse((612.0, 792.0))
       LayoutChunker.Page(i + 1, w, h, assembleLines(interpret(ops, fonts), h))
     }
   }
+
+  // ---- standard-security-handler decryption (PdfCrypto) ----
+
+  /** Per-document decryption context: the Algorithm-2 file key and the
+    * stream cipher (RC4 vs AES-128). */
+  private[ingest] final case class Crypto(key: Array[Byte], aes: Boolean)
+
+  /** A PDF string value after a dictionary key: hex `<…>` or literal
+    * `(…)` with escapes — /O, /U and /ID carry binary bytes. */
+  private def stringAfter(body: String, key: String): Option[Array[Byte]] = {
+    val at = body.indexOf(key)
+    if (at < 0) return None
+    var i = at + key.length
+    while (i < body.length && body.charAt(i).isWhitespace) i += 1
+    if (i >= body.length) return None
+    body.charAt(i) match {
+      case '<' =>
+        val j = body.indexOf('>', i)
+        if (j < 0) None
+        else Some(body.substring(i + 1, j).filter(c => Character.digit(c, 16) >= 0)
+          .grouped(2).filter(_.length == 2)
+          .map(h => Integer.parseInt(h, 16).toByte).toArray)
+      case '(' =>
+        val out = new java.io.ByteArrayOutputStream()
+        var depth = 1
+        i += 1
+        while (i < body.length && depth > 0) {
+          val c = body.charAt(i)
+          if (c == '\\' && i + 1 < body.length) {
+            val n = body.charAt(i + 1)
+            n match {
+              case 'n' => out.write('\n'); i += 2
+              case 'r' => out.write('\r'); i += 2
+              case 't' => out.write('\t'); i += 2
+              case 'b' => out.write('\b'); i += 2
+              case 'f' => out.write('\f'); i += 2
+              case d if d >= '0' && d <= '7' =>
+                val oct = body.substring(i + 1, math.min(i + 4, body.length))
+                  .takeWhile(ch => ch >= '0' && ch <= '7')
+                out.write(Integer.parseInt(oct, 8)); i += 1 + oct.length
+              case other => out.write(other.toInt); i += 2
+            }
+          } else if (c == '(') { depth += 1; out.write(c.toInt); i += 1 }
+          else if (c == ')') { depth -= 1; if (depth > 0) out.write(c.toInt); i += 1 }
+          else { out.write(c.toInt); i += 1 }
+        }
+        Some(out.toByteArray)
+      case _ => None
+    }
+  }
+
+  /** Resolve the trailer's /Encrypt dictionary to a [[Crypto]], when the
+    * document is encrypted with a supported handler (standard filter,
+    * /V ≤ 4). The /Encrypt dict's own strings are never encrypted. */
+  private[ingest] def cryptoOf(raw: String): Option[Crypto] =
+    for {
+      em <- """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw)
+      body <- (em.group(1) + """\s+\d+\s+obj\b([\s\S]*?)endobj""").r
+        .findFirstMatchIn(raw).map(_.group(1))
+      if body.contains("/Standard")
+      o <- stringAfter(body, "/O")
+      p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      v = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+      if v >= 1 && v <= 4
+      r = """/R\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(2)
+      lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(40)
+      id0 = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(raw)
+        .map(_.group(1).grouped(2).filter(_.length == 2)
+          .map(h => Integer.parseInt(h, 16).toByte).toArray)
+        .getOrElse(Array.emptyByteArray)
+    } yield Crypto(PdfCrypto.fileKey(o, p, id0, r, lenBits),
+      aes = v == 4 && body.contains("/AESV2"))
 
   /** What the interpreter needs per resource font: the weight
     * (FPDFText_GetFontWeight analog, pdf_processor.cpp:93) and the
@@ -84,7 +166,7 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
   /** Resource font name (/F1 …) → [[FontInfo]], resolved through the
     * document's font objects: /BaseFont names containing "Bold" map to
     * 700; /Widths is honored inline or as an indirect array reference. */
-  private def fontInfos(raw: String): Map[String, FontInfo] = {
+  private def fontInfos(raw: String, crypto: Option[Crypto] = None): Map[String, FontInfo] = {
     val bodies = """(\d+)\s+0\s+obj\b([\s\S]*?)endobj""".r.findAllMatchIn(raw)
       .map(m => m.group(1) -> m.group(2)).toMap
     def widthTable(body: String): Option[(Int, Vector[Double])] = {
@@ -109,7 +191,7 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
       """/BaseFont\s*/([A-Za-z0-9+-]+)""".r.findFirstMatchIn(body).map { bm =>
         val bold = bm.group(1).toLowerCase.contains("bold")
         if ("""/Subtype\s*/Type0""".r.findFirstIn(body).isDefined)
-          num -> type0Info(body, bold, bodies)
+          num -> type0Info(body, bold, bodies, crypto)
         else {
           val wt = widthTable(body)
           num -> FontInfo(if (bold) 700 else 400,
@@ -130,7 +212,8 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     * pdf_processor.cpp:88-95 gets all of this from PDFium for free — this
     * is the JDK-only equivalent for the Identity-H subset. */
   private def type0Info(body: String, bold: Boolean,
-                        bodies: Map[String, String]): FontInfo = {
+                        bodies: Map[String, String],
+                        crypto: Option[Crypto] = None): FontInfo = {
     val desc = """/DescendantFonts\s*\[\s*(\d+)\s+0\s+R\s*\]""".r
       .findFirstMatchIn(body).map(_.group(1))
       .orElse("""/DescendantFonts\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
@@ -148,8 +231,9 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
           .flatMap(wb => """\[""".r.findFirstMatchIn(wb).map(m => balancedArray(wb, m.start))))
     }
     val toUni = """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
-      .flatMap(m => bodies.get(m.group(1)))
-      .map(streamPayload).map(parseToUnicode).getOrElse(Map.empty[Int, String])
+      .flatMap(m => bodies.get(m.group(1)).map(b => (m.group(1).toInt, b)))
+      .map { case (num, b) => streamPayload(num, b, crypto) }
+      .map(parseToUnicode).getOrElse(Map.empty[Int, String])
     FontInfo(if (bold) 700 else 400, 0, None,
       composite = true,
       cidWidths = wInner.map(parseWArray).getOrElse(Map.empty),
@@ -199,8 +283,10 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
   }
 
   /** Decoded payload of a stream OBJECT body (dict + `stream…endstream`),
-    * inflated when /FlateDecode — ISO_8859_1 round-trips bytes exactly. */
-  private def streamPayload(body: String): String = {
+    * decrypted under objnum `num` when the document is encrypted, then
+    * inflated/LZW-decoded per filter — ISO_8859_1 round-trips bytes
+    * exactly. (The bodies map only indexes gen-0 objects, so gen = 0.) */
+  private def streamPayload(num: Int, body: String, crypto: Option[Crypto]): String = {
     val s = body.indexOf("stream")
     val e = body.lastIndexOf("endstream")
     if (s < 0 || e <= s) return ""
@@ -210,8 +296,14 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     var dataEnd = e
     if (dataEnd > dataStart && body.charAt(dataEnd - 1) == '\n') dataEnd -= 1
     if (dataEnd > dataStart && body.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-    val bytes = body.substring(dataStart, dataEnd).getBytes(Iso)
-    if (body.substring(0, s).contains("FlateDecode")) new String(inflate(bytes), Iso)
+    val bytes0 = body.substring(dataStart, dataEnd).getBytes(Iso)
+    val bytes = crypto match {
+      case Some(c) => PdfCrypto.decrypt(c.key, num, 0, c.aes, bytes0)
+      case None => bytes0
+    }
+    val dict = body.substring(0, s)
+    if (dict.contains("FlateDecode")) new String(inflate(bytes), Iso)
+    else if (dict.contains("LZWDecode")) new String(lzwDecode(bytes), Iso)
     else new String(bytes, Iso)
   }
 
@@ -252,10 +344,16 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
                  m.group(4).toDouble - m.group(2).toDouble))
       .toSeq
 
-  /** Every top-level stream object in document order: (owning dictionary,
-    * raw data bytes). Data begins after "stream" + EOL (spec: CRLF/LF). */
-  private def rawStreams(content: Array[Byte], raw: String): Seq[(String, Array[Byte])] = {
-    val out = Seq.newBuilder[(String, Array[Byte])]
+  /** One top-level stream object: its (objnum, gen), the owning
+    * dictionary text, and the raw (still encoded/encrypted) data bytes. */
+  private final case class RawStream(num: Int, gen: Int, dict: String, data: Array[Byte])
+
+  /** Every top-level stream object in document order. Data begins after
+    * "stream" + EOL (spec: CRLF/LF); the object id comes from the
+    * `n g obj` header before the dictionary (needed for the per-object
+    * decryption key). */
+  private def rawStreams(content: Array[Byte], raw: String): Seq[RawStream] = {
+    val out = Seq.newBuilder[RawStream]
     var from = 0
     while ({ val s = raw.indexOf("stream", from); s >= 0 && raw.indexOf("endstream", s) >= 0 }) {
       val s = raw.indexOf("stream", from)
@@ -266,13 +364,33 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
       var dataEnd = e
       if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\n') dataEnd -= 1
       if (dataEnd > dataStart && raw.charAt(dataEnd - 1) == '\r') dataEnd -= 1
-      // the owning object's dictionary: between the previous "obj" and "stream"
+      // the owning object's header + dictionary: back up to the previous
+      // "obj" keyword, then to the start of its `n g obj` id
       val objStart = math.max(raw.lastIndexOf("obj", s), 0)
-      out += ((raw.substring(objStart, s),
-        java.util.Arrays.copyOfRange(content, dataStart, dataEnd)))
+      val idStart = math.max(raw.lastIndexOf("endobj", objStart) + "endobj".length, 0)
+      val (num, gen) = """(\d+)\s+(\d+)\s+obj\b""".r
+        .findAllMatchIn(raw.substring(idStart, math.min(objStart + 3, raw.length)))
+        .toSeq.lastOption
+        .map(m => (m.group(1).toInt, m.group(2).toInt)).getOrElse((0, 0))
+      out += RawStream(num, gen, raw.substring(objStart, s),
+        java.util.Arrays.copyOfRange(content, dataStart, dataEnd))
       from = e + "endstream".length
     }
     out.result()
+  }
+
+  /** Decrypt (when the document is encrypted) then filter-decode one
+    * stream's bytes. Xref streams are never encrypted (spec §7.5.8.2);
+    * /FlateDecode and /LZWDecode are the supported filters. */
+  private def decodeStream(st: RawStream, crypto: Option[Crypto]): Array[Byte] = {
+    val dec = crypto match {
+      case Some(c) if !st.dict.contains("/XRef") =>
+        PdfCrypto.decrypt(c.key, st.num, st.gen, c.aes, st.data)
+      case _ => st.data
+    }
+    if (st.dict.contains("FlateDecode")) inflate(dec)
+    else if (st.dict.contains("LZWDecode")) lzwDecode(dec)
+    else dec
   }
 
   /** Decoded content streams (those containing a BT text block), in
@@ -280,13 +398,12 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     * /XRef cross-reference streams — are never page content; their decoded
     * binary could contain accidental "BT" bytes, so they are excluded by
     * dictionary type. */
-  private def contentStreams(content: Array[Byte], raw: String): Seq[String] =
-    rawStreams(content, raw).flatMap { case (dict, bytes) =>
-      if (dict.contains("/ObjStm") || dict.contains("/XRef")) None
+  private def contentStreams(content: Array[Byte], raw: String,
+                             crypto: Option[Crypto]): Seq[String] =
+    rawStreams(content, raw).flatMap { st =>
+      if (st.dict.contains("/ObjStm") || st.dict.contains("/XRef")) None
       else {
-        val decoded =
-          if (dict.contains("FlateDecode")) new String(inflate(bytes), Iso)
-          else new String(bytes, Iso)
+        val decoded = new String(decodeStream(st, crypto), Iso)
         if (decoded.contains("BT")) Some(decoded) else None
       }
     }
@@ -296,12 +413,13 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     * the scannable object space. Layout per spec §7.5.7: /N (objnum,
     * offset) integer pairs before /First, then the objects back to back
     * with offsets relative to /First. */
-  private def expandObjectStreams(content: Array[Byte], raw: String): String = {
+  private def expandObjectStreams(content: Array[Byte], raw: String,
+                                  crypto: Option[Crypto]): String = {
     val extra = new StringBuilder
-    rawStreams(content, raw).foreach { case (dict, data) =>
-      if (dict.contains("/ObjStm")) {
-        val decoded = new String(
-          if (dict.contains("FlateDecode")) inflate(data) else data, Iso)
+    rawStreams(content, raw).foreach { st =>
+      if (st.dict.contains("/ObjStm")) {
+        val dict = st.dict
+        val decoded = new String(decodeStream(st, crypto), Iso)
         val n = """/N\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
         val first = """/First\s+(\d+)""".r.findFirstMatchIn(dict).map(_.group(1).toInt).getOrElse(0)
         if (n > 0 && first > 0 && first <= decoded.length) {
@@ -323,6 +441,52 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
       }
     }
     if (extra.isEmpty) raw else raw + extra
+  }
+
+  /** /LZWDecode (PDF §7.4.4): MSB-first variable-width codes 9→12 bits,
+    * 256 = clear table, 257 = EOD, default EarlyChange = 1 (the width
+    * bumps one code BEFORE the table would overflow — the off-by-one
+    * that distinguishes PDF/TIFF LZW from GIF). */
+  private[ingest] def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    // table entries 0..255 are single bytes; 256/257 reserved
+    var table = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def resetTable(): Unit = {
+      table = scala.collection.mutable.ArrayBuffer.tabulate(258)(i =>
+        if (i < 256) Array(i.toByte) else Array.emptyByteArray)
+    }
+    resetTable()
+    var width = 9
+    var acc = 0L
+    var accBits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      acc = (acc << 8) | (data(i) & 0xff)
+      accBits += 8
+      i += 1
+      while (accBits >= width && !done) {
+        val code = ((acc >> (accBits - width)) & ((1 << width) - 1)).toInt
+        accBits -= width
+        if (code == 257) done = true // EOD
+        else if (code == 256) { resetTable(); width = 9; prev = null }
+        else {
+          val entry =
+            if (code < table.length) table(code)
+            else if (prev != null && code == table.length) prev :+ prev(0) // KwKwK
+            else { done = true; Array.emptyByteArray } // corrupt: stop
+          if (!done) {
+            out.write(entry, 0, entry.length)
+            if (prev != null) table += (prev :+ entry(0))
+            prev = entry
+            // EarlyChange=1: widen one code early (at 511/1023/2047)
+            if (table.length + 1 >= (1 << width) && width < 12) width += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -1,0 +1,118 @@
+package graft.ingest
+
+/** Standard-security-handler crypto for encrypted PDFs (PDF 32000-1
+  * §7.6.3): RC4 (/V 1–2) and AES-128-CBC (/V 4 with /AESV2), for the
+  * common "viewer-openable" case of an EMPTY user password — the file
+  * opens without a prompt, but its streams are still encrypted under a
+  * key derived from /O, /P and the document /ID. The reference gets this
+  * for free from PDFium (pdf_processor.cpp:88-95); this is the JDK-only
+  * equivalent, shared by [[CharPdfExtractor]] (decrypt) and
+  * [[PdfSampleDoc]] (the encrypted fixture twins encrypt with the same
+  * primitives, so a drift in either direction breaks the byte-parity
+  * spec).
+  *
+  * Out of subset: non-empty user passwords (Algorithm 2 would simply pad
+  * the password — the derivation below hardcodes the empty case), the
+  * /R 5/6 AES-256 handlers (SHA-256-based, different derivation), and
+  * crypt filters other than the document-default /StdCF.
+  */
+private[ingest] object PdfCrypto {
+
+  /** The 32-byte password pad (PDF §7.6.3.3, Algorithm 2 step a). An
+    * empty user password IS the pad. */
+  val Pad: Array[Byte] = Array(
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A).map(_.toByte)
+
+  def md5(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** RC4 — symmetric, so this is both encrypt and decrypt. */
+  def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
+    val s = Array.tabulate(256)(_.toByte)
+    var j = 0
+    for (i <- 0 until 256) {
+      j = (j + s(i) + key(i % key.length)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+    }
+    val out = new Array[Byte](data.length)
+    var i = 0; j = 0
+    var n = 0
+    while (n < data.length) {
+      i = (i + 1) & 0xff
+      j = (j + s(i)) & 0xff
+      val t = s(i); s(i) = s(j); s(j) = t
+      out(n) = (data(n) ^ s((s(i) + s(j)) & 0xff)).toByte
+      n += 1
+    }
+    out
+  }
+
+  /** Algorithm 2 file key for the EMPTY user password: MD5(pad ‖ O ‖
+    * P as 4-byte little-endian signed ‖ ID₀), re-hashed 50× over the
+    * first n bytes for /R ≥ 3; n = Length/8 (5 for /R 2). */
+  def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
+              r: Int, lengthBits: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else lengthBits / 8
+    val pLe = Array[Byte](
+      (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+      ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
+    var digest = md5(Pad, o, pLe, id0)
+    if (r >= 3)
+      for (_ <- 0 until 50) digest = md5(digest.take(n))
+    digest.take(n)
+  }
+
+  /** Algorithm 1 per-object key: MD5(fileKey ‖ obj low 3 LE ‖ gen low 2
+    * LE ‖ "sAlT" for AES), truncated to min(n+5, 16). */
+  def objectKey(fileKey: Array[Byte], obj: Int, gen: Int, aes: Boolean): Array[Byte] = {
+    val ext = Array[Byte](
+      (obj & 0xff).toByte, ((obj >> 8) & 0xff).toByte, ((obj >> 16) & 0xff).toByte,
+      (gen & 0xff).toByte, ((gen >> 8) & 0xff).toByte)
+    val salt = if (aes) Array[Byte](0x73, 0x41, 0x6C, 0x54) else Array.emptyByteArray
+    md5(fileKey, ext, salt).take(math.min(fileKey.length + 5, 16))
+  }
+
+  private def aesCipher(mode: Int, key: Array[Byte], iv: Array[Byte]) = {
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(mode, new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    c
+  }
+
+  /** Decrypt one string/stream's bytes under the per-object key. AES
+    * payloads carry their IV as the first 16 bytes and PKCS#7-style
+    * padding (always present, 1–16 bytes). */
+  def decrypt(fileKey: Array[Byte], obj: Int, gen: Int, aes: Boolean,
+              data: Array[Byte]): Array[Byte] = {
+    val k = objectKey(fileKey, obj, gen, aes)
+    if (!aes) rc4(k, data)
+    else if (data.length < 32 || data.length % 16 != 0) data // malformed: pass through
+    else {
+      val plain = aesCipher(javax.crypto.Cipher.DECRYPT_MODE, k, data.take(16))
+        .doFinal(data.drop(16))
+      val pad = plain.last & 0xff
+      if (pad >= 1 && pad <= 16 && pad <= plain.length) plain.dropRight(pad) else plain
+    }
+  }
+
+  /** Encrypt (the fixture direction). The AES IV is derived
+    * deterministically from the object number so fixture bytes are
+    * reproducible run to run. */
+  def encrypt(fileKey: Array[Byte], obj: Int, gen: Int, aes: Boolean,
+              data: Array[Byte]): Array[Byte] = {
+    val k = objectKey(fileKey, obj, gen, aes)
+    if (!aes) rc4(k, data)
+    else {
+      val iv = md5(s"graft-iv-$obj-$gen".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+      val padLen = 16 - (data.length % 16)
+      val padded = data ++ Array.fill(padLen)(padLen.toByte)
+      iv ++ aesCipher(javax.crypto.Cipher.ENCRYPT_MODE, k, iv).doFinal(padded)
+    }
+  }
+}

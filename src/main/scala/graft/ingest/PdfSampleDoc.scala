@@ -167,8 +167,46 @@ object PdfSampleDoc {
     out.toByteArray
   }
 
-  /** Assemble the PDF with correct xref offsets. Deterministic bytes. */
-  def bytes: Array[Byte] = {
+  /** Assemble the classic PDF with correct xref offsets. Deterministic
+    * bytes. Page 2 exercises the FlateDecode path. */
+  def bytes: Array[Byte] =
+    classicDoc(i => if (i == 1) "flate" else "", enc = None)
+
+  /** /LZWDecode twin of [[bytes]]: page 2's content stream is
+    * LZW-compressed (variable-width early-change codes), page 3 stays
+    * Flate for mixed-filter coverage; extraction is REQUIRED to be
+    * byte-identical to the classic variant (CharPdfExtractorSpec). */
+  def bytesLzw: Array[Byte] =
+    classicDoc(i => if (i == 1) "lzw" else if (i == 2) "flate" else "", enc = None)
+
+  // Deterministic standard-security-handler inputs for the encrypted
+  // twins: the extractor never validates passwords — /O, /P and /ID are
+  // simply key-derivation inputs, so fixed arbitrary bytes work.
+  private val OEntry: Array[Byte] = (0 until 32).map(i => ((i * 7 + 13) & 0xff).toByte).toArray
+  private val Id0: Array[Byte] = (0 until 16).map(i => ((i * 31 + 5) & 0xff).toByte).toArray
+  private val PFlag = -44
+
+  /** Encrypted twin of [[bytes]] (empty user password): every stream's
+    * stored bytes are Encrypt(Filter(content)) under the per-object key —
+    * RC4-128 (/V 2 /R 3) or AES-128-CBC (/V 4 /R 4 /AESV2). Extraction is
+    * REQUIRED to be byte-identical to the plain twin
+    * (CharPdfExtractorSpec). */
+  def bytesEncrypted(aes: Boolean): Array[Byte] = {
+    val (v, r) = if (aes) (4, 4) else (2, 3)
+    val key = PdfCrypto.fileKey(OEntry, PFlag, Id0, r, 128)
+    def hex(b: Array[Byte]) = "<" + b.map(x => f"$x%02X").mkString + ">"
+    val cf = if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF" else ""
+    val dict = s"<< /Filter /Standard /V $v /R $r /Length 128 /P $PFlag " +
+      s"/O ${hex(OEntry)} /U ${hex(OEntry.reverse)}$cf >>"
+    classicDoc(i => if (i == 1) "flate" else "",
+      enc = Some((key, aes, dict, hex(Id0))))
+  }
+
+  /** The classic single-file layout, parameterized by per-page stream
+    * filter ("" | "flate" | "lzw") and optional encryption
+    * (fileKey, aes, encrypt-dict body, /ID hex). */
+  private def classicDoc(pageFilter: Int => String,
+                         enc: Option[(Array[Byte], Boolean, String, String)]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -183,23 +221,70 @@ object PdfSampleDoc {
         "/Resources << /Font << /F1 17 0 R /F2 18 0 R >> >> >>\n")
     }
     for (i <- 0 until NumPages) {
-      val content = pageContent(i + 1)
-      if (i == 1) { // page 2 exercises the FlateDecode path
-        val z = deflate(content.getBytes(ISO_8859_1))
-        obj(10 + i) {
-          w(s"<< /Length ${z.length} /Filter /FlateDecode >>\nstream\n")
-          out.write(z); w("\nendstream\n")
-        }
-      } else obj(10 + i) {
-        w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\n")
+      val plain = pageContent(i + 1).getBytes(ISO_8859_1)
+      val (filtered, filterPart) = pageFilter(i) match {
+        case "flate" => (deflate(plain), " /Filter /FlateDecode")
+        case "lzw" => (lzwEncode(plain), " /Filter /LZWDecode")
+        case _ => (plain, "")
+      }
+      val stored = enc match {
+        case Some((key, aes, _, _)) => PdfCrypto.encrypt(key, 10 + i, 0, aes, filtered)
+        case None => filtered
+      }
+      obj(10 + i) {
+        w(s"<< /Length ${stored.length}$filterPart >>\nstream\n")
+        out.write(stored); w("\nendstream\n")
       }
     }
     obj(17) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\n") }
     obj(18) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Courier-Bold >>\n") }
+    enc.foreach { case (_, _, dict, _) => obj(19) { w(dict + "\n") } }
     val xref = out.size
     w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
     offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    val encTrailer = enc.map { case (_, _, _, idHex) =>
+      s" /Encrypt 19 0 R /ID [$idHex $idHex]" }.getOrElse("")
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R$encTrailer >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** PDF LZW encoder (EarlyChange = 1) for the [[bytesLzw]] fixture —
+    * the exact inverse of CharPdfExtractor.lzwDecode: MSB-first codes
+    * widening 9→12 one code early, 256 = clear (emitted once up front),
+    * 257 = EOD. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var acc = 0L; var accBits = 0; var width = 9
+    def emit(code: Int): Unit = {
+      acc = (acc << width) | code; accBits += width
+      while (accBits >= 8) { out.write(((acc >> (accBits - 8)) & 0xff).toInt); accBits -= 8 }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    for (i <- 0 until 256) dict(Seq(i.toByte)) = i
+    var next = 258
+    emit(256)
+    var w = Vector.empty[Byte]
+    for (b <- data) {
+      val wb = w :+ b
+      if (dict.contains(wb)) w = wb
+      else {
+        emit(dict(w))
+        dict(wb) = next; next += 1
+        w = Vector(b)
+        // encoder's `next` runs one ahead of the decoder's table length,
+        // so next == (1<<width) is exactly the decoder's early bump
+        if (next >= (1 << width) && width < 12) width += 1
+      }
+    }
+    if (w.nonEmpty) {
+      emit(dict(w))
+      // the decoder adds a table entry for this final code too (the
+      // encoder just registers nothing), so mirror its width bump before
+      // the EOD code: decoder length is `next` after the final code
+      if (next + 1 >= (1 << width) && width < 12) width += 1
+    }
+    emit(257)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt)
     out.toByteArray
   }
 }

@@ -62,6 +62,30 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("/LZWDecode twin extracts identically to the classic layout") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val lzw = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesLzw)
+    // page 2 is LZW-compressed (variable-width early-change codes), page 3
+    // Flate — the mixed-filter document must not change a single line
+    assert(lzw == classic)
+  }
+
+  test("RC4-encrypted twin (empty user password) extracts identically to the plain layout") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val rc4 = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesEncrypted(aes = false))
+    // every stream is RC4-encrypted under the /V 2 /R 3 per-object key —
+    // including page 2's, where decryption must precede FlateDecode
+    assert(rc4 == classic)
+  }
+
+  test("AES-128-encrypted twin (empty user password) extracts identically to the plain layout") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val aes = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesEncrypted(aes = true))
+    // /V 4 /R 4 /AESV2: per-stream IV prefix, CBC, PKCS#7 padding, and
+    // the 50×MD5 key derivation with the sAlT object-key extension
+    assert(aes == classic)
+  }
+
   test("/W array drives per-CID advances; hex strings decode in simple fonts too") {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     // minimal Type0 doc: "AB" as 2-byte codes; A has /W 2000 (2.0 em),
