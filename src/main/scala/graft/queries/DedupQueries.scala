@@ -27,7 +27,7 @@ object DedupQueries {
     table(spark, dir, "documents")
       .select(col("doc_id"), array_distinct(F.tokens(col("text"))).as("toks"))
 
-  private val tokenSetsSql =
+  private[queries] val tokenSetsSql =
     "SELECT doc_id, list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')) AS toks FROM documents"
 
   /** doc_id + distinct word-bigram shingle set (the n-gram verify input). */
@@ -61,7 +61,7 @@ object DedupQueries {
   /** CTE chain source → fulls → minhash array → band rows → windowed
     * candidate pairs, the exact SQL twin of the Spark band-bucket pipeline
     * (incl. the sorted-neighborhood bound, DedupPipeline.NeighborWindow). */
-  private def lshCtes(sourceSql: String): String =
+  private[queries] def lshCtes(sourceSql: String): String =
     s"""t AS ($sourceSql),
        |f AS (SELECT doc_id, $fullsSql AS fulls FROM t),
        |m AS (SELECT doc_id, $mhArrSql AS mh FROM f),

@@ -68,6 +68,36 @@ object StreamMultimodalQueries {
         .orderBy("event_type", "bin")
     },
 
+    // Streaming NEAR-dup filtering: online MinHash-LSH dedup — each
+    // arriving doc is banded with the SAME DedupPipeline signatures as
+    // dedup_minhash_lsh, and per-bucket state (one long: the smallest id
+    // seen) reports whether an earlier doc already occupies the bucket;
+    // kept = every bucket fresh. The first-in-bucket-wins contract a
+    // production ingest filter applies BEFORE paying embed/index cost for
+    // a near-duplicate; state bounded by occupied buckets, not stream
+    // length. Bounded id-ordered run ≡ the batch min-per-bucket verdicts,
+    // which is the exact oracle.
+    Q("stream_neardup", {
+      val src = s"SELECT * FROM (${DedupQueries.tokenSetsSql}) WHERE len(toks) > 0"
+      s"""WITH ${DedupQueries.lshCtes(src)},
+         |mn AS (SELECT band, bkey, min(doc_id) AS first_id FROM b GROUP BY band, bkey)
+         |SELECT b.doc_id,
+         |       sum(CASE WHEN b.doc_id > mn.first_id THEN 1 ELSE 0 END)::BIGINT AS dup_bands,
+         |       bool_or(b.doc_id > mn.first_id) AS is_dup
+         |FROM b JOIN mn USING (band, bkey)
+         |GROUP BY b.doc_id ORDER BY doc_id LIMIT 1000""".stripMargin
+    }) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.nearDupStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/documents.parquet")),
+        s"stream_neardup_${System.nanoTime()}")
+        .groupBy("doc_id")
+        .agg(sum(when(col("dup"), 1L).otherwise(0L)).as("dup_bands"),
+          max(col("dup")).as("is_dup"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // Streaming exact dedup: dropDuplicates state over the content hash —
     // bounded run ≡ batch DISTINCT, which is the exact oracle.
     Q("stream_dedup",

@@ -232,6 +232,64 @@ object StreamingIngest {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Per-bucket state of [[nearDupStream]]: the smallest doc id this LSH
+    * band bucket has seen so far — one long per occupied bucket, the
+    * whole state an online near-dup filter needs. */
+  final case class BucketMin(min: Long)
+
+  /** Streaming NEAR-dup filtering — online MinHash-LSH dedup, the
+    * streaming twin of dedup_minhash_lsh: each arriving document is
+    * banded with the SAME DedupPipeline signature pipeline, and each of
+    * its band buckets reports whether an earlier document already
+    * occupies it. A document is kept iff ALL its buckets are fresh — the
+    * first-in-bucket-wins contract a production ingest filter applies
+    * before paying embedding/indexing cost for a near-duplicate.
+    *
+    * Emits one (doc_id, band, dup) row per band; the caller aggregates
+    * kept = (no dup band). State is BOUNDED: one long per occupied
+    * bucket, ≤ Bands·distinct-bkeys regardless of stream length.
+    * "Earlier" is by doc id: batches process their bucket groups in
+    * ascending id order, so a bounded run over id-ordered arrivals (a
+    * log-structured source with monotonic ids — batch boundaries may
+    * fall anywhere) emits exactly the batch oracle's verdicts; under
+    * out-of-order arrival the filter is still a correct
+    * first-ARRIVAL-wins dedup, just keyed by arrival rather than id. */
+  def nearDupStream(spark: SparkSession, inputDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    val sets = reader
+      .parquet(inputDir)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.F.tokens(col("text"))).as("toks"))
+      // a token-less doc has no signature (its minhash entries are null):
+      // it can't collide with anything, so it bypasses the filter — and
+      // excluding it keeps bucket keys non-null in both engines (SQL
+      // equi-joins drop null keys; the stream's state map would not)
+      .filter(size(col("toks")) > 0)
+    val bands = graft.dedup.DedupPipeline.bandBuckets(sets, "doc_id", "toks")
+      .select(col("band"), col("bkey"), col("doc_id"))
+      .as[(Int, String, Long)]
+    bands.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[BucketMin, (Long, Int, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: (Int, String), rows: Iterator[(Int, String, Long)],
+         state: GroupState[BucketMin]) =>
+          val ids = rows.map(_._3).toSeq.sorted
+          var mn = state.getOption.map(_.min).getOrElse(Long.MaxValue)
+          val out = ids.map { id =>
+            val dup = id > mn || (id == mn && state.exists)
+            mn = math.min(mn, id)
+            (id, bucket._1, dup)
+          }
+          state.update(BucketMin(mn))
+          out.iterator
+      }
+      .toDF("doc_id", "band", "dup")
+  }
+
   /** Streaming value histogram — the incremental form of
     * sketch_quantile_hist: per-(event_type, bin) counts over a FIXED
     * 1024-bin integer-cent domain (a streaming histogram fixes its bin

@@ -61,6 +61,54 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming near-dup filter equals the batch min-per-bucket verdicts across micro-batches") {
+    import org.apache.spark.sql.functions._
+    // the batch twin: band every doc, a doc is dup iff ANY of its buckets
+    // holds a smaller doc_id (first-in-bucket wins)
+    val sets = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), array_distinct(graft.functions.F.tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val bands = graft.dedup.DedupPipeline.bandBuckets(sets, "doc_id", "toks")
+    val mins = bands.groupBy("band", "bkey").agg(min(col("doc_id")).as("first_id"))
+    val batch = bands.join(mins, Seq("band", "bkey"))
+      .groupBy("doc_id")
+      .agg(max(col("doc_id") > col("first_id")).as("is_dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch.values.exists(identity), "fixture should contain near-dups")
+
+    // stage id-ordered halves as TWO files and force one file per
+    // micro-batch: batch 2's dups are suppressed by batch 1's bucket
+    // STATE, not by same-batch grouping
+    val median = sets.agg(expr("cast(percentile_approx(doc_id, 0.5) as long)")).head().getLong(0)
+    val dir = graft.util.TempRoot.dir("neardup-")
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") <= median)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") > median)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val staged = graft.util.TempRoot.dir("neardup-in-")
+    def copyPart(sub: String, as: String): Unit = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub")).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, staged.resolve(as))
+      }
+    }
+    copyPart("batch_a", "a.parquet")
+    copyPart("batch_b", "b.parquet")
+    // the file source orders micro-batches by modification time — equal
+    // mtimes from back-to-back copies leave the order arbitrary, and the
+    // id-ordered-arrival contract needs a strictly first
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.nearDupStream(spark, staged.toString, maxFilesPerTrigger = Some(1)),
+      "spec_stream_neardup")
+      .groupBy("doc_id").agg(max(col("dup")).as("is_dup"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(streamed == batch)
+  }
+
   test("watermarked streaming dedup: 3x-replicated input emits once, state is watermark-bounded") {
     val staged = StreamingIngest.stageAsDir(s"$sf/events.parquet")
     val stream = StreamingIngest.dedupWithinWatermarkStream(spark, staged)
