@@ -54,15 +54,20 @@ private[ingest] object PdfCrypto {
   }
 
   /** Algorithm 2 file key for the EMPTY user password: MD5(pad ‖ O ‖
-    * P as 4-byte little-endian signed ‖ ID₀), re-hashed 50× over the
-    * first n bytes for /R ≥ 3; n = Length/8 (5 for /R 2). */
+    * P as 4-byte little-endian signed ‖ ID₀ ‖ FFFFFFFF when /R ≥ 4 with
+    * /EncryptMetadata false), re-hashed 50× over the first n bytes for
+    * /R ≥ 3; n = Length/8 (5 for /R 2). */
   def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
-              r: Int, lengthBits: Int): Array[Byte] = {
+              r: Int, lengthBits: Int,
+              encryptMetadata: Boolean = true): Array[Byte] = {
     val n = if (r == 2) 5 else lengthBits / 8
     val pLe = Array[Byte](
       (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
       ((p >> 16) & 0xff).toByte, ((p >> 24) & 0xff).toByte)
-    var digest = md5(Pad, o, pLe, id0)
+    val metaExt =
+      if (r >= 4 && !encryptMetadata) Array.fill[Byte](4)(0xff.toByte)
+      else Array.emptyByteArray
+    var digest = md5(Pad, o, pLe, id0, metaExt)
     if (r >= 3)
       for (_ <- 0 until 50) digest = md5(digest.take(n))
     digest.take(n)
