@@ -25,6 +25,9 @@ object Dev {
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       case "run" :: name :: _ =>
         SparkEntry.queries(name)(spark, sfDir).show(20, truncate = false)
+      case "recall-clustered" :: rest =>
+        val n = rest.headOption.map(_.toInt).getOrElse(2000)
+        println(graft.queries.RecallEval.evaluateClustered(spark, n = n, dim = 64).json)
       case _ =>
         println(s"queries: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")}")
     }

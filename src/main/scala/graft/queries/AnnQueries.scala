@@ -61,6 +61,52 @@ object AnnQueries {
       graft.ml.KMeans.trainPq(embeddings(spark, dir), "embedding", SubDim,
         standinCodebook(spark, dir), iters = 2))
 
+  /** Scan-local cell assignment PLUS the IVFADC residual: each row gets
+    * its argmax-cosine cell (lowest-cid ties, the assignCosineCells
+    * contract) and rv = float32(x⁽ᵈ⁾ − centroid(cell)⁽ᵈ⁾) — the vector the
+    * PQ codebook is trained on and encodes. Subtracting in double and
+    * casting to float is a deterministic IEEE op sequence, so the DuckDB
+    * oracle replays the residuals bit-for-bit (same discipline as the
+    * trainer's REAL-cast means). Still one broadcast + one scan: the
+    * centroid array rides along, nothing shuffles the embeddings. */
+  private def assignResiduals(vectors: DataFrame, centsArr: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions.cosineSim
+    vectors.crossJoin(broadcast(centsArr))
+      .withColumn("best", array_max(transform(col("cents"),
+        c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
+                    (-c.getField("cid")).as("ncid")))))
+      .withColumn("cid", -col("best").getField("ncid"))
+      .withColumn("cent", element_at(
+        filter(col("cents"), c => c.getField("cid") === col("cid")), 1).getField("ce"))
+      .select(col("vec_id"), col("embedding"), col("cid"),
+        zip_with(col("embedding"), col("cent"),
+          (x, y) => (x.cast("double") - y.cast("double")).cast("float")).as("rv"))
+  }
+
+  private def ivfCentRows(e: DataFrame): DataFrame =
+    e.filter(col("vec_id").between(IvfLo, IvfHi))
+      .select((col("vec_id") - IvfLo).as("cid"), col("embedding").as("ce"))
+
+  // residual-PQ codebook per (session, sfdir) — trained on x − centroid
+  // (FAISS IVFADC): within a cell the vectors share their centroid
+  // component, so raw-vector codes degenerate exactly where IVF routes
+  // queries; residual codes spend all 4 bits on the in-cell offsets.
+  private val rcbCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Float]]]
+
+  private[graft] def residualCodebook(spark: SparkSession, dir: String): Seq[Seq[Float]] =
+    rcbCache.getOrElseUpdate((spark, dir), {
+      val rf = assignResiduals(embeddings(spark, dir),
+        centArray(ivfCentRows(embeddings(spark, dir)))).localCheckpoint()
+      try {
+        val init = rf.filter(col("vec_id").between(CbLo, CbHi))
+          .select(col("vec_id").cast("int").as("j"), col("rv"))
+          .collect().map(r => (r.getInt(0) - CbLo) -> r.getSeq[Float](1).toSeq)
+          .sortBy(_._1).map(_._2).toSeq
+        graft.ml.KMeans.trainPq(rf, "rv", SubDim, init, iters = 2)
+      } finally graft.functions.Checkpoints.release(rf)
+    })
+
   /** The per-query ADC lookup table: 8×16 query-to-centroid micro-distances
     * computed ONCE driver-side (the float→double subtract/multiply/left-fold
     * is the exact op sequence both engines run, so the integers are
@@ -80,6 +126,31 @@ object AnnQueries {
         math.floor(s * 1000000).toLong
       }
     }
+
+  /** Per-(query, probe-cell) ADC column for RESIDUAL codes: the query's
+    * residual against EACH probed cell gets its own 8×16 micro-floored LUT
+    * (the same double-subtract/square/floor sequence as the oracle's
+    * pqD2l over qsl), and the row's cid selects its LUT — nprobe tiny
+    * literal arrays riding the scan, a CASE per row. Expects a `codes`
+    * column (pqEncode over `rv`) and a `cid` column in scope. */
+  private def residualAdcColumn(e: DataFrame, qv: Seq[Float],
+                                probes: Seq[Long], rcb: Seq[Seq[Float]]): Column = {
+    val cents: Map[Long, Seq[Float]] = e
+      .filter(col("vec_id").between(IvfLo, IvfHi))
+      .select((col("vec_id") - IvfLo).as("cid"), col("embedding"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
+    def adcOf(cell: Long): Column = {
+      val c = cents(cell)
+      val rq = qv.indices.map(i => (qv(i).toDouble - c(i).toDouble).toFloat)
+      val lut = adcLut(rq, rcb)
+      (0 until SubSpaces)
+        .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))
+        .reduce(_ + _)
+    }
+    probes.init.foldRight(adcOf(probes.last)) { (p, acc) =>
+      when(col("cid") === lit(p), adcOf(p)).otherwise(acc)
+    }
+  }
 
   // ---- DuckDB replay of KMeans.trainPq (shared by ann_pq_adc/ann_ivfpq) ----
 
@@ -122,6 +193,59 @@ object AnnQueries {
        |       FROM embeddings, ms),
        |${pqIterSql("cb0", 1)},
        |${pqIterSql("cbi1", 2)}""".stripMargin
+
+  /** Residual-IVFPQ CTE chain (FAISS IVFADC): coarse cells → per-row
+    * residual x − centroid(cell) (double subtract, REAL cast — the exact
+    * op sequence assignResiduals runs) → the SAME two Lloyd iterations as
+    * [[pqTrainCtes]] but over residual slices (`sl` here IS the residual
+    * slice table, so [[pqIterSql]] replays unchanged) → per-(probe-cell)
+    * query residual slices `qsl` (ADC lookups are asymmetric against the
+    * query's residual IN THAT CELL). */
+  private def pqResidualCtes: String = {
+    val dim = SubSpaces * SubDim
+    s"""ivf AS (SELECT vec_id - $IvfLo AS cid, embedding AS ce FROM embeddings
+       |        WHERE vec_id BETWEEN $IvfLo AND $IvfHi),
+       |asn AS (SELECT e.vec_id, ivf.cid,
+       |               row_number() OVER (PARTITION BY e.vec_id
+       |                                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.ce::DOUBLE[]) DESC, ivf.cid) AS rn
+       |        FROM embeddings e CROSS JOIN ivf),
+       |cells AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+       |probes AS (SELECT cid FROM asn WHERE vec_id = 0 AND rn <= 2),
+       |ms AS (SELECT unnest(range($SubSpaces)) AS m),
+       |ks AS (SELECT unnest(range($SubDim)) AS k),
+       |res AS (SELECT e.vec_id, cells.cid,
+       |               list_transform(range($dim), i ->
+       |                 CAST(e.embedding[i+1]::DOUBLE - ivf.ce[i+1]::DOUBLE AS REAL)) AS rv
+       |        FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id
+       |        JOIN ivf ON ivf.cid = cells.cid),
+       |sl AS (SELECT res.vec_id, res.cid, ms.m,
+       |              list_transform(range($SubDim), k -> rv[ms.m * $SubDim + k + 1]) AS v
+       |       FROM res CROSS JOIN ms),
+       |cb0 AS (SELECT m, vec_id - $CbLo AS j, v AS c FROM sl
+       |        WHERE vec_id BETWEEN $CbLo AND $CbHi),
+       |${pqIterSql("cb0", 1)},
+       |${pqIterSql("cbi1", 2)},
+       |qsl AS (SELECT p.cid, ms.m,
+       |               list_transform(range($SubDim), k ->
+       |                 CAST(q.embedding[ms.m * $SubDim + k + 1]::DOUBLE - ivf.ce[ms.m * $SubDim + k + 1]::DOUBLE AS REAL)) AS qv
+       |        FROM embeddings q CROSS JOIN probes p JOIN ivf ON ivf.cid = p.cid
+       |        CROSS JOIN ms WHERE q.vec_id = 0)""".stripMargin
+  }
+
+  /** The shared ADC tail over [[pqResidualCtes]]: per-row code assignment
+    * (argmin micro-L2 vs the trained residual codebook, lowest-j ties) and
+    * the summed per-(probe-cell) asymmetric lookups. */
+  private def residualAdcCtes: String =
+    s"""f AS (SELECT sl.vec_id, sl.cid, sl.m, cb.j,
+       |             ${pqD2l("sl.v", "cb.c")} AS d2, ${pqD2l("qsl.qv", "cb.c")} AS dq
+       |      FROM sl JOIN cbi2 cb ON cb.m = sl.m
+       |      JOIN qsl ON qsl.m = sl.m AND qsl.cid = sl.cid
+       |      WHERE sl.vec_id <> 0),
+       |best AS (SELECT vec_id, cid, m, dq,
+       |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
+       |         FROM f),
+       |adc AS (SELECT vec_id, cid, sum(dq)::BIGINT AS adc_micro
+       |        FROM best WHERE rn = 1 GROUP BY vec_id, cid)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -239,46 +363,33 @@ object AnnQueries {
     },
 
     // IVF + PQ serving (the FAISS IVFADC shape): the coarse quantizer
-    // prunes the scan to the query's nprobe=2 nearest cells, then the
-    // trained-PQ ADC ranks ONLY those cells' vectors — compression and
-    // pruning composed, which is how a 100 TB vector corpus actually
-    // serves. Cell assignment is scan-local (broadcast centroid array,
-    // argmax struct); probe cells are picked DRIVER-side from one bounded
-    // row (the IvfGenerator serving pattern), so the candidate filter is
-    // a literal isin that partition-prunes a cid-partitioned store; the
-    // ADC is the same literal-LUT scan as ann_pq_adc. Plan: one corpus
-    // scan → filter → project → TakeOrdered; zero embedding shuffles.
+    // prunes the scan to the query's nprobe=2 nearest cells, then a
+    // trained RESIDUAL-PQ ADC ranks ONLY those cells' vectors —
+    // compression and pruning composed, which is how a 100 TB vector
+    // corpus actually serves. The codebook is trained on and encodes
+    // x − centroid(cell) (Jégou et al.; FAISS IVFADC): vectors within a
+    // cell share their centroid component, so raw-vector codes degenerate
+    // exactly where IVF routes queries — residual codes spend all 4 bits
+    // on in-cell offsets (measured: clustered recall@10 raw 0.085 →
+    // residual ≥ uniform, RECALL_r07). Cell assignment + residual are
+    // scan-local (broadcast centroid array); probe cells are picked
+    // DRIVER-side from one bounded row (the IvfGenerator serving
+    // pattern); the ADC LUT is per-(query, probe-cell) against the query
+    // residual — nprobe tiny literal arrays, a CASE on the row's cid.
+    // Plan: one corpus scan → filter → project → TakeOrdered; zero
+    // embedding shuffles.
     Q("ann_ivfpq",
-      s"""WITH $pqTrainCtes,
-         |ivf AS (SELECT vec_id - $IvfLo AS cid, embedding AS ce FROM embeddings
-         |        WHERE vec_id BETWEEN $IvfLo AND $IvfHi),
-         |asn AS (SELECT e.vec_id, ivf.cid,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.ce::DOUBLE[]) DESC, ivf.cid) AS rn
-         |        FROM embeddings e CROSS JOIN ivf),
-         |cells AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
-         |probes AS (SELECT cid FROM asn WHERE vec_id = 0 AND rn <= 2),
-         |qsl AS (SELECT ms.m,
-         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
-         |        FROM embeddings, ms WHERE vec_id = 0),
-         |f AS (SELECT sl.vec_id, cells.cid, sl.m, cb.j,
-         |             ${pqD2l("sl.v", "cb.c")} AS d2, ${pqD2l("qsl.qv", "cb.c")} AS dq
-         |      FROM sl JOIN cbi2 cb ON cb.m = sl.m JOIN qsl ON qsl.m = sl.m
-         |      JOIN cells ON cells.vec_id = sl.vec_id
-         |      WHERE sl.vec_id <> 0 AND cells.cid IN (SELECT cid FROM probes)),
-         |best AS (SELECT vec_id, cid, m, dq,
-         |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
-         |         FROM f)
-         |SELECT vec_id, cid::BIGINT AS cid, sum(dq)::BIGINT AS adc_micro
-         |FROM best WHERE rn = 1
-         |GROUP BY vec_id, cid
+      s"""WITH $pqResidualCtes,
+         |$residualAdcCtes
+         |SELECT vec_id, cid::BIGINT AS cid, adc_micro
+         |FROM adc
          |ORDER BY adc_micro, vec_id LIMIT 20""".stripMargin) { (spark, dir) =>
       val e = embeddings(spark, dir)
-      val cb = trainedCodebook(spark, dir)
-      val centsArr = centArray(e.filter(col("vec_id").between(IvfLo, IvfHi))
-        .select((col("vec_id") - IvfLo).as("cid"), col("embedding").as("ce")))
-      // scan-local coarse assignment (max struct = max cos, then min cid)
-      val assigned = assignCosineCells(e, centsArr)
+      val rcb = residualCodebook(spark, dir)
+      val centsArr = centArray(ivfCentRows(e))
+      // scan-local coarse assignment + residual (max struct = max cos,
+      // then min cid; residual vs the chosen centroid)
+      val assigned = assignResiduals(e, centsArr)
       // nprobe=2 probe cells for the query, selected driver-side from ONE
       // bounded row — the per-query planning step of IVF serving
       val rankedCents = array_sort(transform(col("cents"),
@@ -291,66 +402,46 @@ object AnnQueries {
         .head()
       val probes = Seq(qProbe.getLong(0), qProbe.getLong(1))
       val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-      val lut = adcLut(qv, cb)
-      val adc = (0 until SubSpaces)
-        .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))
-        .reduce(_ + _)
+      val adc = residualAdcColumn(e, qv, probes, rcb)
       assigned
         .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"), col("cid"),
-          pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), SubDim).as("codes"))
+          pqEncode(col("rv"), typedlit(rcb.map(_.toSeq)), SubDim).as("codes"))
         .select(col("vec_id"), col("cid"), adc.as("adc_micro"))
         .orderBy(col("adc_micro"), col("vec_id"))
         .limit(20)
     },
 
-    // IVFPQ + refine (the FAISS IndexRefine stage, round-5 "What's
-    // missing #3"): the raw ADC order goes uncorrected for 4-bit
-    // quantization error (measured recall 0.16 — worse than its own
-    // coarse quantizer), so serve the ADC top k·overfetch and RE-RANK
-    // those with the exact distance — the SQ8 two-phase pattern applied
-    // to IVFPQ. The exact pass touches only overfetch·k float vectors
-    // (bounded, id-pushdown on the already-pruned cells at the Workspace
-    // layout); distances are per-subspace micro-floored sums, so the
-    // re-rank order is bit-identical cross-engine. Recall: raw 0.16 →
-    // refined 0.32 vs nprobe ceiling 0.355 (RECALL_r06.json).
+    // IVFPQ + refine (the FAISS IndexRefine stage): the 4-bit ADC order
+    // still carries quantization error even over residual codes, so serve
+    // the ADC top k·overfetch and RE-RANK those with the exact distance —
+    // the SQ8 two-phase pattern applied to IVFPQ. Phase 1 ranks RESIDUAL
+    // codes (same LUT CASE as ann_ivfpq); phase 2 is the exact raw-vector
+    // micro-L2 (‖x − q‖² is centroid-independent) over only the bounded
+    // slate. Distances are per-subspace micro-floored sums, so the
+    // re-rank order is bit-identical cross-engine.
     Q("ann_ivfpq_refined",
-      s"""WITH $pqTrainCtes,
-         |ivf AS (SELECT vec_id - $IvfLo AS cid, embedding AS ce FROM embeddings
-         |        WHERE vec_id BETWEEN $IvfLo AND $IvfHi),
-         |asn AS (SELECT e.vec_id, ivf.cid,
-         |               row_number() OVER (PARTITION BY e.vec_id
-         |                                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.ce::DOUBLE[]) DESC, ivf.cid) AS rn
-         |        FROM embeddings e CROSS JOIN ivf),
-         |cells AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
-         |probes AS (SELECT cid FROM asn WHERE vec_id = 0 AND rn <= 2),
-         |qsl AS (SELECT ms.m,
-         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
-         |        FROM embeddings, ms WHERE vec_id = 0),
-         |f AS (SELECT sl.vec_id, cells.cid, sl.m, cb.j,
-         |             ${pqD2l("sl.v", "cb.c")} AS d2, ${pqD2l("qsl.qv", "cb.c")} AS dq
-         |      FROM sl JOIN cbi2 cb ON cb.m = sl.m JOIN qsl ON qsl.m = sl.m
-         |      JOIN cells ON cells.vec_id = sl.vec_id
-         |      WHERE sl.vec_id <> 0 AND cells.cid IN (SELECT cid FROM probes)),
-         |best AS (SELECT vec_id, cid, m, dq,
-         |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, j) AS rn
-         |         FROM f),
-         |adc AS (SELECT vec_id, cid, sum(dq)::BIGINT AS adc_micro
-         |        FROM best WHERE rn = 1 GROUP BY vec_id, cid),
+      s"""WITH $pqResidualCtes,
+         |$residualAdcCtes,
          |cand AS (SELECT vec_id, cid,
          |                row_number() OVER (ORDER BY adc_micro, vec_id) AS arn
          |         FROM adc),
-         |ex AS (SELECT c.vec_id, c.cid, sum(${pqD2l("sl.v", "qsl.qv")})::BIGINT AS l2_micro
-         |       FROM cand c JOIN sl ON sl.vec_id = c.vec_id JOIN qsl ON qsl.m = sl.m
+         |fsl AS (SELECT vec_id, ms.m,
+         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS v
+         |        FROM embeddings CROSS JOIN ms),
+         |fq AS (SELECT ms.m,
+         |              list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
+         |       FROM embeddings CROSS JOIN ms WHERE vec_id = 0),
+         |ex AS (SELECT c.vec_id, c.cid, sum(${pqD2l("fsl.v", "fq.qv")})::BIGINT AS l2_micro
+         |       FROM cand c JOIN fsl ON fsl.vec_id = c.vec_id JOIN fq ON fq.m = fsl.m
          |       WHERE c.arn <= $RefineSlate
          |       GROUP BY c.vec_id, c.cid)
          |SELECT vec_id, cid::BIGINT AS cid, l2_micro
          |FROM ex ORDER BY l2_micro, vec_id LIMIT 20""".stripMargin) { (spark, dir) =>
       val e = embeddings(spark, dir)
-      val cb = trainedCodebook(spark, dir)
-      val centsArr = centArray(e.filter(col("vec_id").between(IvfLo, IvfHi))
-        .select((col("vec_id") - IvfLo).as("cid"), col("embedding").as("ce")))
-      val assigned = assignCosineCells(e, centsArr)
+      val rcb = residualCodebook(spark, dir)
+      val centsArr = centArray(ivfCentRows(e))
+      val assigned = assignResiduals(e, centsArr)
       val rankedCents = array_sort(transform(col("cents"),
         c => struct((-cosineSim(col("embedding"), c.getField("ce"))).as("ncos"),
                     c.getField("cid").as("cid"))))
@@ -361,16 +452,13 @@ object AnnQueries {
         .head()
       val probes = Seq(qProbe.getLong(0), qProbe.getLong(1))
       val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
-      val lut = adcLut(qv, cb)
-      val adc = (0 until SubSpaces)
-        .map(m => element_at(typedlit(lut(m)), element_at(col("codes"), m + 1) + 1))
-        .reduce(_ + _)
-      // phase 1: ADC slate of RefineSlate candidates (TakeOrdered — the
-      // embedding column rides along for the bounded exact pass)
+      val adc = residualAdcColumn(e, qv, probes, rcb)
+      // phase 1: residual-ADC slate of RefineSlate candidates (TakeOrdered
+      // — the raw embedding rides along for the bounded exact pass)
       val slate = assigned
         .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
         .select(col("vec_id"), col("cid"), col("embedding"),
-          pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), SubDim).as("codes"))
+          pqEncode(col("rv"), typedlit(rcb.map(_.toSeq)), SubDim).as("codes"))
         .select(col("vec_id"), col("cid"), col("embedding"), adc.as("adc_micro"))
         .orderBy(col("adc_micro"), col("vec_id"))
         .limit(RefineSlate)

@@ -165,43 +165,51 @@ object RecallEval {
         val lsh8 = lshRecall(8)
         val lsh4 = lshRecall(4)
 
-        // ---- IVFPQ: trained coarse cells (nprobe=2) + trained ADC ranking ----
-        // trained from THIS corpus with the ann_pq_adc init convention
-        // (rows 16..31) — identical to AnnQueries.trainedCodebook on the
-        // driver corpus (trainPq is order-free integer arithmetic), and
-        // well-defined on the synthetic clustered corpus too
+        // ---- IVFPQ: trained coarse cells (nprobe=2) + trained RESIDUAL
+        // ADC ranking (FAISS IVFADC, the ann_ivfpq scheme): the codebook
+        // trains on and encodes x − centroid(cell), so the 4 bits per
+        // subspace describe in-cell offsets instead of the shared
+        // centroid component — the fix for the clustered-corpus collapse
+        // (raw codes measured 0.085 recall@10 where residual IVF routes
+        // perfectly). Init = residual rows 16..31 (the ann_pq_adc init
+        // convention applied to residuals).
         val subDim = AnnQueries.SubDim
-        val cbInit = e.filter(col("vec_id").between(16, 31))
-          .select(col("vec_id").cast("int").as("j"), col("embedding"))
+        val centsLit = typedlit(cents.map(_.toSeq))
+        val avr = av.withColumn("rv",
+          zip_with(col("embedding"), element_at(centsLit, col("cid") + 1),
+            (x, y) => (x.cast("double") - y).cast("float")))
+          .localCheckpoint()
+        try {
+        val cbInit = avr.filter(col("n_id").between(16, 31))
+          .select(col("n_id").cast("int").as("j"), col("rv"))
           .collect().map(r => (r.getInt(0) - 16) -> r.getSeq[Float](1).toSeq)
           .sortBy(_._1).map(_._2).toSeq
-        val cb = graft.ml.KMeans.trainPq(e, "embedding", subDim, cbInit, iters = 2)
+        val cb = graft.ml.KMeans.trainPq(avr, "rv", subDim, cbInit, iters = 2)
         import graft.functions.VectorFunctions.pqEncode
         val numSub = cb.head.length / subDim
         val (ivfpqRecall, ivfpqRefinedRecall) = {
           import spark.implicits._
-          val probes = qRows.flatMap { case (qid, qv) =>
-            IvfGenerator.nearestCells(qv, cents, 2).map(c => (qid, c))
-          }.toSeq.toDF("q_id", "pcid")
-          // ADC: per-query LUT of query-to-centroid distances per subspace,
-          // joined as a literal map via the broadcast query rows
-          val enc = av.select(col("n_id"), col("cid"),
-            pqEncode(col("embedding"), typedlit(cb.map(_.toSeq)), subDim).as("codes"))
-          val luts = qRows.map { case (qid, qv) =>
-            val lut: Seq[Seq[Double]] = (0 until numSub).map { m =>
-              cb.map { c =>
-                var s = 0.0; var kk = 0
-                while (kk < subDim) {
-                  val dd = qv(m * subDim + kk).toDouble - c(m * subDim + kk).toDouble
-                  s += dd * dd; kk += 1
+          // ADC: per-(query, probe-cell) LUT of query-RESIDUAL-to-centroid
+          // distances per subspace, joined via the (q_id, cell) probe rows
+          val enc = avr.select(col("n_id"), col("cid"),
+            pqEncode(col("rv"), typedlit(cb.map(_.toSeq)), subDim).as("codes"))
+          val luts = qRows.flatMap { case (qid, qv) =>
+            IvfGenerator.nearestCells(qv, cents, 2).map { pc =>
+              val rq = qv.indices.map(i => (qv(i).toDouble - cents(pc)(i)).toFloat)
+              val lut: Seq[Seq[Double]] = (0 until numSub).map { m =>
+                cb.map { c =>
+                  var s = 0.0; var kk = 0
+                  while (kk < subDim) {
+                    val dd = rq(m * subDim + kk).toDouble - c(m * subDim + kk).toDouble
+                    s += dd * dd; kk += 1
+                  }
+                  s
                 }
-                s
               }
+              (qid, pc, lut)
             }
-            (qid, lut)
-          }.toSeq.toDF("q_id", "lut")
-          val cands = enc.join(broadcast(probes), col("cid") === col("pcid"))
-            .join(broadcast(luts), Seq("q_id"))
+          }.toSeq.toDF("q_id", "pcid", "lut")
+          val cands = enc.join(broadcast(luts), col("cid") === col("pcid"))
             .filter(col("n_id") =!= col("q_id"))
             .select(col("q_id"), col("n_id"),
               (0 until numSub).map(m =>
@@ -266,13 +274,14 @@ object RecallEval {
           VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=4", ivf4),
           VariantRecall("lsh", "cosine", "hyperplanes=8,buckets=256", lsh8),
           VariantRecall("lsh", "cosine", "hyperplanes=4,buckets=16", lsh4),
-          VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained", ivfpqRecall),
+          VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained,residual", ivfpqRecall),
           VariantRecall("ivfpq_refined", "l2",
-            s"cells=16,nprobe=2,m=8,k*=16,trained,overfetch=${IvfGenerator.PqRefineOverfetch}",
+            s"cells=16,nprobe=2,m=8,k*=16,trained,residual,overfetch=${IvfGenerator.PqRefineOverfetch}",
             ivfpqRefinedRecall),
           VariantRecall("ivf_l2_ceiling", "l2", "cells=16,nprobe=2,exact_rerank=all",
             ivfL2Ceiling),
           VariantRecall("sq8_two_phase", "cosine", s"overfetch=${IvfGenerator.Sq8Overfetch}", sq8)))
+        } finally graft.functions.Checkpoints.release(avr)
         } finally graft.functions.Checkpoints.release(av)
       } finally graft.functions.Checkpoints.release(qs)
     } finally graft.functions.Checkpoints.release(e)

@@ -98,7 +98,12 @@ class RecallSpec extends AnyFunSuite {
 
     // IVFPQ refine (round-5 "What's missing #3"): the exact re-rank of the
     // ADC top k·overfetch must recover most of the coarse-quantizer
-    // ceiling — measured 0.16 raw / 0.32 refined / 0.355 ceiling (2026-08)
+    // ceiling — measured with residual codes (round-7) 0.135 raw / 0.32
+    // refined / 0.355 ceiling (2026-08); residual encoding trades a hair
+    // of uniform raw recall (0.16 → 0.135 — no cluster structure to
+    // exploit) for the clustered fix (0.085 → 0.30 raw, 0.685 → 0.97
+    // refined), and the refined figure — the serving number — holds at
+    // the ceiling − 0.035 either way
     val raw = recall("ivfpq", "trained")
     val refined = recall("ivfpq_refined", "overfetch")
     val ceiling = recall("ivf_l2_ceiling", "exact_rerank")
@@ -108,13 +113,15 @@ class RecallSpec extends AnyFunSuite {
       s"refined $refined far from its nprobe ceiling $ceiling — overfetch too shallow")
   }
 
-  test("clustered corpus at bench scale: IVF near-exact, refine recovers most of the ADC loss") {
+  test("clustered corpus at bench scale: IVF near-exact, residual-PQ refine >= 0.9") {
     // the distribution IVF exists for, at the sf0.1 corpus size — the
     // ≥0.9 clustered claim with bench-scale evidence, not a 300-row
-    // fixture (round-5 task 6). Measured 2026-08: ivf 1.0 at every
-    // nprobe, ceiling 1.0, ivfpq 0.085 raw / 0.685 refined (tight
-    // clusters collapse 4-bit ADC distances — the residual gap is
-    // in-cluster code degeneracy, visible as refined < ceiling).
+    // fixture (round-5 task 6). Measured 2026-08 with RESIDUAL PQ codes
+    // (round-7: codebook trained on x − centroid(cell), FAISS IVFADC):
+    // ivf 1.0 at every nprobe, ceiling 1.0, ivfpq 0.30 raw / 0.97
+    // refined — vs 0.085 / 0.685 with raw-vector codes, whose 4-bit ADC
+    // collapsed inside tight clusters because every in-cell vector
+    // shared its centroid component.
     val report = RecallEval.evaluateClustered(spark, n = 2000, dim = 64)
     def recall(variant: String): Double =
       report.variants.find(_.variant == variant)
@@ -122,10 +129,12 @@ class RecallSpec extends AnyFunSuite {
     assert(recall("ivf") >= 0.9, s"IVF on clustered data: ${recall("ivf")}")
     assert(recall("ivf_l2_ceiling") >= 0.95)
     assert(recall("sq8_two_phase") >= 0.95)
-    assert(recall("ivfpq_refined") >= 0.5,
+    assert(recall("ivfpq") >= 0.2,
+      s"raw residual-ADC recall on clustered data regressed: ${recall("ivfpq")}")
+    assert(recall("ivfpq_refined") >= 0.9,
       s"refined recall on clustered data regressed: ${recall("ivfpq_refined")}")
     assert(recall("ivfpq_refined") > recall("ivfpq") + 0.2,
-      "refine stage must recover most of the in-cluster ADC collapse")
+      "refine stage must recover most of the residual-ADC loss")
   }
 
   test("clustered fixture with small cells: the refine slate covers the probed rows and recall is near-exact") {
