@@ -325,20 +325,39 @@ final class Engine(
     }
   }
 
-  /** Streaming-path chunk-table compaction: appendChunks writes one file
-    * set per micro-batch, and scan planning degrades as they accumulate —
-    * rewrite the table through the SAME versioned swap as a full rebuild,
-    * off the critical path. Snapshot = the live version's files at the
-    * start; the rewrite (outside the lock) collapses them into the shuffle
-    * partition count (AQE coalesces small outputs); under the lock, files
-    * appended since the snapshot are copied into the prepared version and
-    * the pointer swaps. Indexes are untouched: compaction preserves rows
-    * and ids exactly. Aborts if a full rebuild moved the pointer first. */
+  /** Streaming-path chunk-table compaction, SIZE-TIERED: appendChunks
+    * writes one file set per micro-batch, and scan planning degrades as
+    * they accumulate — but rewriting the WHOLE table every trigger would
+    * be O(corpus) write amplification per ~threshold batches (at 100 TB,
+    * a recurring full-table write; the round-6 weak finding). So the live
+    * files split by size: the SMALL tier (per-batch appends) is rewritten
+    * into a compact set (AQE coalesces the shuffle outputs); the LARGE
+    * tier (previous compaction outputs) is carried into the new version
+    * as hard links — bytes written per trigger ∝ data appended since the
+    * last one, not corpus. The tier floor is 4× the median file size: on
+    * the first trigger every file is a batch file (nothing clears the
+    * floor → full rewrite, correct); afterwards each compaction output
+    * (≳ threshold batches of rows) towers over the per-batch median.
+    * The large tier grows by ~1 file per trigger; once IT passes the
+    * file-count threshold, one merge rewrite re-tiers everything —
+    * amortized O(corpus/threshold) bytes per trigger, bounding both file
+    * count and cumulative rewrite volume. Same versioned swap + delta
+    * catch-up as a full rebuild; compaction preserves rows and ids
+    * exactly. Aborts if a full rebuild moved the pointer first. */
   private def backgroundChunkCompact(): Unit = {
     val chunksV0 = workspace.getMeta("chunks_v") // before the listing (see retrain)
     val baseFiles = workspace.chunkDataFiles
     if (baseFiles.isEmpty) return
-    val v = workspace.prepareChunkVersion(spark.read.parquet(baseFiles: _*))
+    val sizes = baseFiles.map(f =>
+      f -> java.nio.file.Files.size(java.nio.file.Paths.get(f)))
+    val floor = 4L * sizes.map(_._2).sorted.apply(sizes.size / 2)
+    val (large0, small0) = sizes.partition(_._2 >= floor)
+    val (large, small) =
+      if (large0.size > opts.compactFileThreshold) (Nil, sizes) // re-tier merge
+      else (large0, small0)
+    if (small.size < 2) return // nothing to collapse this trigger
+    val v = workspace.prepareChunkVersion(spark.read.parquet(small.map(_._1): _*))
+    workspace.linkChunkFilesIntoVersion(v, large.map(_._1))
     maintenanceHook()
     maintenance.synchronized {
       if (workspace.getMeta("chunks_v") != chunksV0) {

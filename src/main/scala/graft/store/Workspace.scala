@@ -123,6 +123,28 @@ final class Workspace(val spark: SparkSession, val root: String) {
   private[graft] def appendChunksToVersion(version: Int, rows: DataFrame): Unit =
     rows.write.mode(SaveMode.Append).parquet(p("chunks", s"v$version"))
 
+  /** Carry already-compacted data files into a PREPARED (uncommitted)
+    * chunk version as HARD LINKS — the size-tiered compactor's large-tier
+    * carry: version dirs only ever gain immutable files, so a link is
+    * safe, and reclaiming the source version later merely unlinks its
+    * directory entry. O(1) per file (no bytes rewritten); falls back to a
+    * copy where the filesystem can't link. Basenames are job-UUID-unique,
+    * but a collision degrades to a prefixed name, never an overwrite. */
+  private[graft] def linkChunkFilesIntoVersion(version: Int, files: Seq[String]): Unit = {
+    val dir = Paths.get(p("chunks", s"v$version"))
+    files.zipWithIndex.foreach { case (f, i) =>
+      val src = Paths.get(f)
+      val base = src.getFileName.toString
+      val dst0 = dir.resolve(base)
+      val dst = if (Files.exists(dst0)) dir.resolve(s"tier$i-$base") else dst0
+      try Files.createLink(dst, src)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          Files.copy(src, dst)
+      }
+    }
+  }
+
   /** Move the live chunk pointer to `version` — the COMMIT point of the
     * swap — then reclaim versions past the retention window. Version
     * numbers may skip (an aborted background preparation leaves a gap),
