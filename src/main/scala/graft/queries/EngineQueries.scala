@@ -43,6 +43,96 @@ object EngineQueries {
         "id", "itext").cache()
     })
 
+  private val MmrSlate = 30
+  private val MmrK = 10
+
+  /** DuckDB replay of the d10 greedy MMR selection: 10 unrolled pick/sel
+    * CTE steps (the pqIterSql unrolling technique applied to greedy
+    * selection). λ = σ(5·(5/10 − 0.5)) = 0.5 exactly; relevance is the
+    * micro-floored cosine, identical cross-engine; entropy is summed in
+    * pinned (count, doc) order. */
+  private def mmrOracleSql: String = {
+    val steps = (1 to MmrK).map { i =>
+      val prev = if (i == 1) "sel0" else s"sel${i - 1}"
+      s"""pick$i AS (SELECT c.id, c.doc, c.hp, c.score,
+         |  lam.l * c.score - (1 - lam.l) *
+         |    (CASE WHEN list_contains(s.docs, c.doc) THEN 0.15 * (1.1 - ent.h) ELSE 0 END +
+         |     CASE WHEN list_contains(s.hps, c.hp) THEN 0.1 ELSE 0 END) AS mmr
+         |  FROM cand c, $prev s, ent, lam
+         |  WHERE NOT list_contains(s.ids, c.id)
+         |  ORDER BY mmr DESC, c.score DESC, c.id LIMIT 1),
+         |sel$i AS (SELECT list_append(s.ids, p.id) AS ids,
+         |                 list_append(s.docs, p.doc) AS docs,
+         |                 list_append(s.hps, p.hp) AS hps
+         |          FROM $prev s, pick$i p)""".stripMargin
+    }.mkString(",\n")
+    val out = (1 to MmrK).map(i =>
+      s"SELECT $i::BIGINT AS rank, id AS chunk_id, doc AS doc_key, " +
+        s"CAST(floor(score * 1000000) AS BIGINT) AS score_micro FROM pick$i")
+      .mkString("\nUNION ALL\n")
+    s"""WITH qe AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+       |cand AS (SELECT e.vec_id AS id, (e.vec_id % 7)::VARCHAR AS doc,
+       |                'h' || (e.vec_id % 3)::VARCHAR AS hp,
+       |                floor(list_cosine_similarity(e.embedding::DOUBLE[], qe.embedding::DOUBLE[]) * 1000000) / 1000000.0 AS score
+       |         FROM embeddings e, qe WHERE e.vec_id <> 0
+       |         ORDER BY score DESC, id LIMIT $MmrSlate),
+       |ent AS (SELECT -list_aggregate(list_transform(l, c -> (c / $MmrSlate.0) * (ln(c / $MmrSlate.0) / ln(2.0))), 'sum') AS h
+       |        FROM (SELECT list(cnt ORDER BY cnt, doc) AS l
+       |              FROM (SELECT doc, count(*)::DOUBLE AS cnt FROM cand GROUP BY doc))),
+       |lam AS (SELECT greatest(0.2, least(0.8, 1.0 / (1.0 + exp(-5.0 * (5 / 10.0 - 0.5))))) AS l),
+       |sel0 AS (SELECT CAST([] AS BIGINT[]) AS ids, CAST([] AS VARCHAR[]) AS docs, CAST([] AS VARCHAR[]) AS hps),
+       |$steps
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
+  /** DuckDB replay of the e2 calibration fold: the four fixed batches'
+    * stats chain unrolls as st1..st4 CTEs (EMA / drift-reset / frozen-skip
+    * exactly as Calibration.update — note `(1 - 0.15)`, the same double
+    * the Scala `1 - Alpha` produces, NOT the different literal 0.85), and
+    * each batch's scores normalize against ITS post-update stats. */
+  private def calibrationOracleSql: String = {
+    def step(i: Int) =
+      s"""st$i AS (SELECT
+         |  CASE WHEN a.frozen THEN p.mean
+         |       WHEN p.n = 0 OR abs(a.bmean - p.mean) > 0.4 THEN a.bmean
+         |       ELSE (1 - 0.15) * p.mean + 0.15 * a.bmean END AS mean,
+         |  CASE WHEN a.frozen THEN p.std
+         |       WHEN p.n = 0 OR abs(a.bmean - p.mean) > 0.4 THEN a.bstd
+         |       ELSE greatest((1 - 0.15) * p.std + 0.15 * a.bstd, 0.000001) END AS std,
+         |  CASE WHEN a.frozen THEN p.n
+         |       WHEN p.n = 0 OR abs(a.bmean - p.mean) > 0.4 THEN 1
+         |       ELSE p.n + 1 END AS n
+         |  FROM agg a, st${i - 1} p WHERE a.bi = $i),
+         |out$i AS (SELECT a.batch, t.i AS idx, a.vals[t.i + 1] AS s, a.frozen, st.mean, st.std
+         |          FROM agg a, st$i st, (SELECT unnest(range(4)) AS i) t WHERE a.bi = $i)""".stripMargin
+    val steps = (1 to 4).map(step).mkString(",\n")
+    val union = (1 to 4).map(i => s"SELECT * FROM out$i").mkString("\nUNION ALL\n")
+    s"""WITH batches AS (
+       |  SELECT * FROM (VALUES
+       |    (1, 'normal',  [0.2, 0.4, 0.6, 0.8]),
+       |    (2, 'drifted', [0.9, 0.95, 0.85, 0.92]),
+       |    (3, 'frozen',  [0.5, 0.5, 0.5001, 0.4999]),
+       |    (4, 'outlier', [0.5, 0.5, 0.5, 99.0])) AS t(bi, batch, vals)),
+       |agg0 AS (SELECT bi, batch, vals,
+       |                list_aggregate(vals, 'sum') / len(vals) AS bmean,
+       |                list_aggregate(list_transform(vals, s -> (s - 0.5) * (s - 0.5)), 'sum') / len(vals) < 0.001 AS frozen
+       |         FROM batches),
+       |agg AS (SELECT *, greatest(sqrt(list_aggregate(list_transform(vals, s -> (s - bmean) * (s - bmean)), 'sum') / len(vals)), 0.000001) AS bstd
+       |        FROM agg0),
+       |st0 AS (SELECT 0.5::DOUBLE AS mean, 0.2::DOUBLE AS std, 0::BIGINT AS n),
+       |$steps,
+       |uni AS ($union)
+       |SELECT batch, idx,
+       |       CAST(floor(CASE WHEN abs((s - mean) / greatest(std, 0.000001)) > 5.0 THEN 0.5
+       |                       ELSE 1.0 / (1.0 + exp(-greatest(-3.0, least(3.0, (s - mean) / greatest(std, 0.000001)))))
+       |                  END * 1000000) AS BIGINT) AS calibrated_micro,
+       |       frozen AS is_frozen,
+       |       CAST(floor(mean * 1000000) AS BIGINT) AS mean_micro
+       |FROM uni
+       |ORDER BY batch, idx""".stripMargin
+  }
+
   /** Full pipeline: chunk + embed + hybrid search, fixed query set. */
   def hybridSearch(spark: SparkSession, dir: String,
                    mmr: Boolean = false, exploration: Boolean = false): DataFrame = {
@@ -92,9 +182,47 @@ object EngineQueries {
       }.toDF("query", "rank", "chunk_id", "doc_id", "chunk_type", "score_micro")
     },
 
-    // D10 — adaptive MMR diversification on the collected top-N.
-    Q.noOracle("d10_mmr_diversify") { (spark, dir) =>
-      hybridSearch(spark, dir, mmr = true)
+    // D10 — adaptive MMR diversification (the REAL Mmr.lambda/docEntropy/
+    // select code the engine calls) over a deterministic top-30 slate:
+    // relevance = MICRO-FLOORED cosine to query vector 0 (floor(c·10⁶)/10⁶
+    // is the same double in both engines, so every greedy comparison
+    // replays), doc/heading keys = vec_id mod 7/3 (both penalties fire).
+    // The 5-word query pins λ = σ(0) = 0.5 EXACTLY (no exp-library
+    // dependence in the weights). The oracle unrolls the 10 greedy picks
+    // as CTE steps — the pqIterSql technique applied to selection: each
+    // step takes argmax(mmr) over the un-picked pool with the Scala
+    // tie-break (mmr desc, score desc, id asc — the pool is score-sorted
+    // and the scan keeps the first strict max). Entropy sums in pinned
+    // (count, doc) order; its ulp-level library variance only shifts all
+    // repeated-doc penalties together, never a comparison at the 10⁻⁴
+    // score scale. Greedy-over-top-N is driver-side BY DESIGN (the
+    // reference collapses to in-memory vectors at exactly this point,
+    // vector_store.cpp:460-554); the engine-path MMR (full hybrid search
+    // with experimentalMmr) stays covered by EngineEdgeSpec + Mmr specs.
+    Q("d10_mmr_diversify", mmrOracleSql) { (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorFunctions.cosineSim
+      import graft.model.{Intent, ScoredChunk}
+      import graft.search.Mmr
+      val e = table(spark, dir, "embeddings")
+      val qv = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0)
+      val cands = e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (floor(cosineSim(col("embedding"), typedlit(qv)) * 1e6) / lit(1e6)).as("score"))
+        .orderBy(col("score").desc, col("vec_id"))
+        .limit(MmrSlate)
+        .collect()
+        .map { r =>
+          val id = r.getLong(0)
+          ScoredChunk(id = id, docId = (id % 7).toString, headingPath = "h" + (id % 3),
+            chunkType = "", text = "", score = r.getDouble(1), semScore = r.getDouble(1),
+            semanticRank = 0, keywordRank = 0, trustScore = 1.0, isExploration = false)
+        }.toSeq
+      val lam = Mmr.lambda("diversify the retrieved result set", Intent.General)
+      val sel = Mmr.select(cands, k = MmrK, lam, Mmr.docEntropy(cands))
+      sel.selected.zipWithIndex.map { case (c, i) =>
+        ((i + 1).toLong, c.id, c.docId, math.floor(c.score * 1e6).toLong)
+      }.toDF("rank", "chunk_id", "doc_key", "score_micro")
     },
 
     // D11 — exploration injection (stability-gated on query history; the
@@ -136,8 +264,11 @@ object EngineQueries {
       rows.toDF("case", "hit")
     },
 
-    // E2/E3 — rerank score calibration (EMA, drift reset, z-reject, sigmoid).
-    Q.noOracle("e2_calibration") { (spark, dir) =>
+    // E2/E3 — rerank score calibration (EMA, drift reset, z-reject,
+    // sigmoid) over four fixed batches; the oracle unrolls the stats fold
+    // as CTE steps and normalizes each score against its post-update
+    // stats — bit-for-bit the Calibration.calibrate sequence.
+    Q("e2_calibration", calibrationOracleSql) { (spark, dir) =>
       import spark.implicits._
       val batches = Seq(
         "normal" -> Seq(0.2, 0.4, 0.6, 0.8),
@@ -150,7 +281,7 @@ object EngineQueries {
         val frozen = Calibration.isFrozen(batch)
         stats = next
         calibrated.zipWithIndex.map { case (s, i) =>
-          (name, i, math.floor(s * 1e6).toLong, frozen,
+          (name, i.toLong, math.floor(s * 1e6).toLong, frozen,
             math.floor(next.mean * 1e6).toLong)
         }
       }.toDF("batch", "idx", "calibrated_micro", "is_frozen", "mean_micro")

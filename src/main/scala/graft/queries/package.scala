@@ -16,6 +16,41 @@ package object queries {
   object Q {
     def apply(name: String, oracle: String)(fn: (SparkSession, String) => DataFrame): Q =
       Q(name, fn, Some(oracle))
+
+    /** Register rows-only: the driver checks rows > 0 and the semantics are
+      * pinned by specs instead of a DuckDB replay. Every such registration
+      * has a structural reason — the current 17, one line each:
+      *
+      *  - a1_pdf_ingest       — consumes PDF BYTES via the in-repo extractor;
+      *                          byte-parity pinned by fixture twins
+      *  - b2_b8_layout_chunk  — layout assembly over the extractor's
+      *                          positioned glyphs (upstream A1, not SQL)
+      *  - b9_chunk_docs       — 800/1500/160 accumulator over A1 chunk
+      *                          stream (stateful fold on extractor output)
+      *  - c1_embed_docs       — the pluggable embedder model boundary
+      *  - c4_summarize_sections — summary model boundary over engine state
+      *  - d11_exploration     — needs engine query-HISTORY state (stability
+      *                          memo across repeated searches)
+      *  - d14_context_expand  — anchored on a live engine search hit
+      *                          (embedder boundary upstream)
+      *  - d15_query_cache     — driver-side LRU/semantic cache semantics,
+      *                          an engine-state contract, not a data query
+      *  - e1_rerank           — rerank scoring model boundary
+      *  - e5_fact_clustering  — greedy clustering over embedder output
+      *  - e8_deep_dive        — multi-stage synthesis over engine state
+      *  - g4_latency_audit    — reports measured wall-clock latencies
+      *                          (nondeterministic by nature)
+      *  - hybrid_search_e2e   — full ingest→embed→search pipeline (embedder
+      *                          + fusion over engine state)
+      *  - hybrid_search_ann   — same pipeline served from the persisted IVF
+      *                          index (adds workspace state)
+      *  - mm_feature_extract  — the documented multimodal decode STUB
+      *                          boundary (no image libs in-container)
+      *  - q_approx_distinct   — Spark HLL++ ≠ DuckDB approx sketch; the
+      *                          estimate is algorithm-specific by design
+      *  - stream_ingest       — structured-streaming micro-batch path;
+      *                          equivalence pinned by batch-parity specs
+      */
     def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
       Q(name, fn, None)
   }
