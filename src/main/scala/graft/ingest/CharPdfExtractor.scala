@@ -27,14 +27,17 @@ import java.util.zip.Inflater
   * order; text operators BT ET Tf Tm Td TD TL T* Tj ' TJ; literal `(…)`
   * strings with escapes and nesting AND hex strings `<…>`.
   *
-  * Encrypted documents (the common "viewer-openable" case): the standard
-  * security handler with an EMPTY user password, RC4 (/V 1–2, /R 2–3)
-  * and AES-128-CBC (/V 4 /AESV2, /R 4) — stream bytes are decrypted
+  * Encrypted documents: the standard security handler, RC4 (/V 1–2,
+  * /R 2–3) and AES-128-CBC (/V 4 /AESV2, /R 4) — the common
+  * "viewer-openable" EMPTY user password plus caller-supplied passwords
+  * (the `passwords` parameter; Algorithm 2 padding). Candidate keys are
+  * validated against /U (Algorithm 4/5), and stream bytes are decrypted
   * under the [[PdfCrypto]] per-object key before filter decode (xref
-  * streams are never encrypted, per spec). Non-empty passwords, AES-256
-  * (/R 5–6) and non-default crypt filters are out of subset — such
-  * streams fail to decode and their pages extract empty rather than as
-  * garbage (the BT probe rejects ciphertext).
+  * streams are never encrypted, per spec). AES-256 (/R 5–6) and
+  * non-default crypt filters are out of subset — an unvalidatable or
+  * undecodable document extracts EMPTY rather than as garbage (per-
+  * stream decode is exception-guarded: one bad PDF never fails the
+  * ingest job).
   *
   * Composite fonts (the layout most modern writers emit): /Type0 fonts
   * with Identity-H encoding decode 2-byte codes per glyph — code → CID
@@ -45,7 +48,8 @@ import java.util.zip.Inflater
   * /DW default. Other /Encoding CMaps (and vertical Identity-V) are out
   * of subset — such text falls back to 2-byte identity decoding.
   */
-final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtractor {
+final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
+                                  passwords: Seq[String] = Nil) extends PageExtractor {
 
   // def, not val: Charset is not Serializable and would poison the
   // executor closure of the binaryFile flatMap
@@ -67,7 +71,7 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     // content-stream order — such files should use the real-codec
     // PageExtractor plug-in; fixtures and whole-document ObjStm files
     // (every page dict packed, the common writer layout) are unaffected.
-    val crypto = cryptoOf(raw0)
+    val crypto = cryptoOf(raw0, passwords.map(_.getBytes(Iso)))
     val raw = expandObjectStreams(content, raw0, crypto)
     val boxes = mediaBoxes(raw)
     val fonts = fontInfos(raw, crypto)
@@ -127,27 +131,75 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
     }
   }
 
+  /** The /Encrypt dict body with its /CF crypt-filter SUBDICT removed:
+    * dict keys are unordered, so a /CF << /StdCF << … /Length 16 >> >>
+    * may precede the top-level /Length — a naive first-match /Length
+    * would then derive a short file key (and for AES an invalid
+    * Cipher.init length). Only top-level keys survive this strip. */
+  private def stripCfSubdict(body: String): String = {
+    val at = body.indexOf("/CF")
+    if (at < 0) return body
+    val start = body.indexOf("<<", at)
+    if (start < 0) return body
+    var depth = 0
+    var i = start
+    var end = -1
+    while (i < body.length - 1 && end < 0) {
+      if (body.startsWith("<<", i)) { depth += 1; i += 2 }
+      else if (body.startsWith(">>", i)) { depth -= 1; i += 2; if (depth == 0) end = i }
+      else i += 1
+    }
+    if (end < 0) body else body.substring(0, at) + body.substring(end)
+  }
+
   /** Resolve the trailer's /Encrypt dictionary to a [[Crypto]], when the
     * document is encrypted with a supported handler (standard filter,
-    * /V ≤ 4). The /Encrypt dict's own strings are never encrypted. */
-  private[ingest] def cryptoOf(raw: String): Option[Crypto] =
+    * /V ≤ 4). The /Encrypt dict's own strings are never encrypted.
+    *
+    * Robustness contract (PDF dict keys are unordered, writers vary):
+    * /AESV2 always derives a 16-byte key (128-bit per spec) regardless
+    * of any parsed /Length; RC4's /Length is read only OUTSIDE the /CF
+    * subdict (default 40); /P accepts the unsigned-decimal form some
+    * writers emit (toLong wrap). Candidate keys — the empty password
+    * first, then each caller-supplied password — are validated against
+    * /U (Algorithm 4/5), so a document whose password we don't hold
+    * yields None (pages extract empty) instead of a wrong key whose
+    * garbage plaintext would blow up the filter decoders. A document
+    * without a parseable /U keeps the empty-password key unvalidated
+    * (the legacy tolerant path; per-stream decode is exception-guarded
+    * either way). */
+  private[ingest] def cryptoOf(raw: String,
+                               passwords: Seq[Array[Byte]] = Nil): Option[Crypto] =
     for {
       em <- """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw)
       body <- (em.group(1) + """\s+\d+\s+obj\b([\s\S]*?)endobj""").r
         .findFirstMatchIn(raw).map(_.group(1))
       if body.contains("/Standard")
       o <- stringAfter(body, "/O")
-      p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
+      p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body)
+        .flatMap(m => scala.util.Try(m.group(1).toLong.toInt).toOption)
       v = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
       if v >= 1 && v <= 4
       r = """/R\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(2)
-      lenBits = """/Length\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(40)
+      aes = v == 4 && body.contains("/AESV2")
+      lenBits = if (aes) 128
+        else """/Length\s+(\d+)""".r.findFirstMatchIn(stripCfSubdict(body))
+          .map(_.group(1).toInt).getOrElse(40)
       id0 = """/ID\s*\[\s*<([0-9A-Fa-f]+)>""".r.findFirstMatchIn(raw)
         .map(_.group(1).grouped(2).filter(_.length == 2)
           .map(h => Integer.parseInt(h, 16).toByte).toArray)
         .getOrElse(Array.emptyByteArray)
-    } yield Crypto(PdfCrypto.fileKey(o, p, id0, r, lenBits),
-      aes = v == 4 && body.contains("/AESV2"))
+      key <- {
+        val candidates = Array.emptyByteArray +: passwords
+        stringAfter(body, "/U") match {
+          case Some(u) if u.length >= 16 =>
+            candidates.iterator
+              .map(pw => PdfCrypto.fileKey(o, p, id0, r, lenBits, password = pw))
+              .find(k => PdfCrypto.checkUser(k, id0, r, u))
+          case _ => Some(PdfCrypto.fileKey(o, p, id0, r, lenBits))
+        }
+      }
+    } yield Crypto(key, aes)
 
   /** What the interpreter needs per resource font: the weight
     * (FPDFText_GetFontWeight analog, pdf_processor.cpp:93) and the
@@ -381,17 +433,24 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6) extends PageExtr
 
   /** Decrypt (when the document is encrypted) then filter-decode one
     * stream's bytes. Xref streams are never encrypted (spec §7.5.8.2);
-    * /FlateDecode and /LZWDecode are the supported filters. */
-  private def decodeStream(st: RawStream, crypto: Option[Crypto]): Array[Byte] = {
-    val dec = crypto match {
-      case Some(c) if !st.dict.contains("/XRef") =>
-        PdfCrypto.decrypt(c.key, st.num, st.gen, c.aes, st.data)
-      case _ => st.data
+    * /FlateDecode and /LZWDecode are the supported filters. EXCEPTION-
+    * GUARDED per stream: an undecodable stream (unsupported crypt
+    * filter, corrupt bytes — Inflater and Cipher both throw) degrades to
+    * an empty page instead of failing the whole Spark ingest task; one
+    * bad PDF must never kill the job. */
+  private def decodeStream(st: RawStream, crypto: Option[Crypto]): Array[Byte] =
+    try {
+      val dec = crypto match {
+        case Some(c) if !st.dict.contains("/XRef") =>
+          PdfCrypto.decrypt(c.key, st.num, st.gen, c.aes, st.data)
+        case _ => st.data
+      }
+      if (st.dict.contains("FlateDecode")) inflate(dec)
+      else if (st.dict.contains("LZWDecode")) lzwDecode(dec)
+      else dec
+    } catch {
+      case scala.util.control.NonFatal(_) => Array.emptyByteArray
     }
-    if (st.dict.contains("FlateDecode")) inflate(dec)
-    else if (st.dict.contains("LZWDecode")) lzwDecode(dec)
-    else dec
-  }
 
   /** Decoded content streams (those containing a BT text block), in
     * document order. Structural streams — /ObjStm object streams and

@@ -1,20 +1,21 @@
 package graft.ingest
 
 /** Standard-security-handler crypto for encrypted PDFs (PDF 32000-1
-  * §7.6.3): RC4 (/V 1–2) and AES-128-CBC (/V 4 with /AESV2), for the
-  * common "viewer-openable" case of an EMPTY user password — the file
-  * opens without a prompt, but its streams are still encrypted under a
-  * key derived from /O, /P and the document /ID. The reference gets this
-  * for free from PDFium (pdf_processor.cpp:88-95); this is the JDK-only
-  * equivalent, shared by [[CharPdfExtractor]] (decrypt) and
-  * [[PdfSampleDoc]] (the encrypted fixture twins encrypt with the same
-  * primitives, so a drift in either direction breaks the byte-parity
-  * spec).
+  * §7.6.3): RC4 (/V 1–2) and AES-128-CBC (/V 4 with /AESV2) — the
+  * common "viewer-openable" EMPTY user password (the file opens without
+  * a prompt, but its streams are still encrypted under a key derived
+  * from /O, /P and the document /ID) AND caller-supplied user passwords
+  * (Algorithm 2's padding). Candidate keys are VALIDATED against /U via
+  * Algorithm 4/5, so a wrong or missing password degrades to empty
+  * extraction instead of feeding garbage plaintext to the filter
+  * decoders. The reference gets all of this from PDFium
+  * (pdf_processor.cpp:88-95); this is the JDK-only equivalent, shared by
+  * [[CharPdfExtractor]] (decrypt) and [[PdfSampleDoc]] (the encrypted
+  * fixture twins encrypt with the same primitives, so a drift in either
+  * direction breaks the byte-parity spec).
   *
-  * Out of subset: non-empty user passwords (Algorithm 2 would simply pad
-  * the password — the derivation below hardcodes the empty case), the
-  * /R 5/6 AES-256 handlers (SHA-256-based, different derivation), and
-  * crypt filters other than the document-default /StdCF.
+  * Out of subset: the /R 5/6 AES-256 handlers (SHA-256-based, different
+  * derivation) and crypt filters other than the document-default /StdCF.
   */
 private[ingest] object PdfCrypto {
 
@@ -53,13 +54,20 @@ private[ingest] object PdfCrypto {
     out
   }
 
-  /** Algorithm 2 file key for the EMPTY user password: MD5(pad ‖ O ‖
-    * P as 4-byte little-endian signed ‖ ID₀ ‖ FFFFFFFF when /R ≥ 4 with
+  /** Algorithm 2 step a: the user password padded/truncated to exactly
+    * 32 bytes — an empty password IS the pad. */
+  def paddedPassword(password: Array[Byte]): Array[Byte] =
+    (password.take(32) ++ Pad).take(32)
+
+  /** Algorithm 2 file key: MD5(padded password ‖ O ‖ P as 4-byte
+    * little-endian signed ‖ ID₀ ‖ FFFFFFFF when /R ≥ 4 with
     * /EncryptMetadata false), re-hashed 50× over the first n bytes for
-    * /R ≥ 3; n = Length/8 (5 for /R 2). */
+    * /R ≥ 3; n = Length/8 (5 for /R 2). Default password = empty (the
+    * viewer-openable case). */
   def fileKey(o: Array[Byte], p: Int, id0: Array[Byte],
               r: Int, lengthBits: Int,
-              encryptMetadata: Boolean = true): Array[Byte] = {
+              encryptMetadata: Boolean = true,
+              password: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
     val n = if (r == 2) 5 else lengthBits / 8
     val pLe = Array[Byte](
       (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
@@ -67,10 +75,30 @@ private[ingest] object PdfCrypto {
     val metaExt =
       if (r >= 4 && !encryptMetadata) Array.fill[Byte](4)(0xff.toByte)
       else Array.emptyByteArray
-    var digest = md5(Pad, o, pLe, id0, metaExt)
+    var digest = md5(paddedPassword(password), o, pLe, id0, metaExt)
     if (r >= 3)
       for (_ <- 0 until 50) digest = md5(digest.take(n))
     digest.take(n)
+  }
+
+  /** The /U value a candidate file key implies: Algorithm 4 (/R 2,
+    * RC4(key, pad)) or Algorithm 5 (/R ≥ 3, RC4 chain over MD5(pad ‖
+    * ID₀) with per-round XORed keys; 16 significant bytes). */
+  def userValue(fileKey: Array[Byte], id0: Array[Byte], r: Int): Array[Byte] =
+    if (r == 2) rc4(fileKey, Pad)
+    else {
+      var u = rc4(fileKey, md5(Pad, id0))
+      for (i <- 1 to 19) u = rc4(fileKey.map(b => (b ^ i).toByte), u)
+      u
+    }
+
+  /** Validate a candidate file key against the stored /U (Algorithm 4/5
+    * comparison: full 32 bytes for /R 2, first 16 for /R ≥ 3). */
+  def checkUser(fileKey: Array[Byte], id0: Array[Byte], r: Int,
+                stored: Array[Byte]): Boolean = {
+    val n = if (r == 2) 32 else 16
+    val expect = userValue(fileKey, id0, r)
+    stored.length >= n && java.util.Arrays.equals(expect.take(n), stored.take(n))
   }
 
   /** Algorithm 1 per-object key: MD5(fileKey ‖ obj low 3 LE ‖ gen low 2

@@ -180,11 +180,22 @@ object PdfSampleDoc {
     classicDoc(i => if (i == 1) "lzw" else if (i == 2) "flate" else "", enc = None)
 
   // Deterministic standard-security-handler inputs for the encrypted
-  // twins: the extractor never validates passwords — /O, /P and /ID are
-  // simply key-derivation inputs, so fixed arbitrary bytes work.
+  // twins: /O, /P and /ID are key-derivation inputs (fixed arbitrary
+  // bytes); /U is COMPUTED via Algorithm 4/5 from the twin's file key,
+  // because the extractor validates candidate keys against it.
   private val OEntry: Array[Byte] = (0 until 32).map(i => ((i * 7 + 13) & 0xff).toByte).toArray
   private val Id0: Array[Byte] = (0 until 16).map(i => ((i * 31 + 5) & 0xff).toByte).toArray
   private val PFlag = -44
+
+  private def hex(b: Array[Byte]) = "<" + b.map(x => f"$x%02X").mkString + ">"
+
+  /** The stored /U for a file key: Algorithm 4's full 32 bytes for /R 2,
+    * Algorithm 5's 16 significant bytes + 16 bytes of arbitrary padding
+    * for /R ≥ 3 (the spec leaves them unspecified; zeros here). */
+  private def uEntry(key: Array[Byte], r: Int): Array[Byte] = {
+    val u = PdfCrypto.userValue(key, Id0, r)
+    if (r == 2) u else u.take(16) ++ Array.fill[Byte](16)(0)
+  }
 
   /** Encrypted twin of [[bytes]] (empty user password): every stream's
     * stored bytes are Encrypt(Filter(content)) under the per-object key —
@@ -194,12 +205,42 @@ object PdfSampleDoc {
   def bytesEncrypted(aes: Boolean): Array[Byte] = {
     val (v, r) = if (aes) (4, 4) else (2, 3)
     val key = PdfCrypto.fileKey(OEntry, PFlag, Id0, r, 128)
-    def hex(b: Array[Byte]) = "<" + b.map(x => f"$x%02X").mkString + ">"
     val cf = if (aes) " /CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF" else ""
     val dict = s"<< /Filter /Standard /V $v /R $r /Length 128 /P $PFlag " +
-      s"/O ${hex(OEntry)} /U ${hex(OEntry.reverse)}$cf >>"
+      s"/O ${hex(OEntry)} /U ${hex(uEntry(key, r))}$cf >>"
     classicDoc(i => if (i == 1) "flate" else "",
       enc = Some((key, aes, dict, hex(Id0))))
+  }
+
+  /** AES twin with the ADVERSARIAL dict layout real writers emit: the
+    * /CF subdict (carrying its own /Length 16, in BYTES) comes FIRST and
+    * there is NO top-level /Length — a naive first-match /Length parse
+    * would derive a 2-byte file key and Cipher.init would throw. /P is
+    * written in the unsigned-decimal form (2^32 + P) some writers use.
+    * Must extract byte-identically to the plain twin. */
+  def bytesEncryptedAesCfFirst: Array[Byte] = {
+    val key = PdfCrypto.fileKey(OEntry, PFlag, Id0, 4, 128)
+    val pUnsigned = (PFlag.toLong & 0xffffffffL).toString
+    val dict = s"<< /Filter /Standard " +
+      s"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> /StmF /StdCF /StrF /StdCF " +
+      s"/V 4 /R 4 /P $pUnsigned /O ${hex(OEntry)} /U ${hex(uEntry(key, 4))} >>"
+    classicDoc(i => if (i == 1) "flate" else "",
+      enc = Some((key, true, dict, hex(Id0))))
+  }
+
+  /** Password-protected twin (non-empty USER password, RC4 /V 2 /R 3):
+    * the key derives from the Algorithm-2-padded password, and /U
+    * reflects it — so the empty-password candidate FAILS validation and
+    * extraction without the password degrades to empty pages, while
+    * `CharPdfExtractor(passwords = Seq(password))` extracts
+    * byte-identically to the plain twin. */
+  def bytesPassworded(password: String): Array[Byte] = {
+    val key = PdfCrypto.fileKey(OEntry, PFlag, Id0, 3, 128,
+      password = password.getBytes(ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $PFlag " +
+      s"/O ${hex(OEntry)} /U ${hex(uEntry(key, 3))} >>"
+    classicDoc(i => if (i == 1) "flate" else "",
+      enc = Some((key, false, dict, hex(Id0))))
   }
 
   /** The classic single-file layout, parameterized by per-page stream

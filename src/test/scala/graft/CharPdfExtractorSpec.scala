@@ -86,6 +86,34 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(aes == classic)
   }
 
+  test("AES twin with /CF-first dict (no top-level /Length, unsigned /P) extracts identically") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    // the adversarial-but-legal dict layout: /CF << … /Length 16 >> comes
+    // BEFORE any top-level key, there is NO top-level /Length, and /P is
+    // the unsigned-decimal form — a first-match /Length parse would
+    // derive a 2-byte key and Cipher.init would throw
+    val aes = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesEncryptedAesCfFirst)
+    assert(aes == classic)
+  }
+
+  test("password-protected twin: extracts byte-identically WITH the password, empty without it") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val doc = PdfSampleDoc.bytesPassworded("hunter2")
+    // Algorithm 2 padding of the supplied password; /U validates it
+    val withPw = CharPdfExtractor(passwords = Seq("hunter2")).extract("doc.pdf", doc)
+    assert(withPw == classic)
+    // no password (and a wrong one): the empty-password candidate fails
+    // the /U check, cryptoOf yields None, and the encrypted streams
+    // degrade to EMPTY extraction — never garbage, never an exception
+    // (the round-6 advice: a wrong key's plaintext must not reach
+    // Inflater and kill the ingest task)
+    val without = CharPdfExtractor().extract("doc.pdf", doc)
+    assert(without.flatMap(_.lines).isEmpty,
+      s"wrong-key extraction produced text: ${without.flatMap(_.lines).take(3)}")
+    val wrongPw = CharPdfExtractor(passwords = Seq("letmein")).extract("doc.pdf", doc)
+    assert(wrongPw.flatMap(_.lines).isEmpty)
+  }
+
   test("/W array drives per-CID advances; hex strings decode in simple fonts too") {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     // minimal Type0 doc: "AB" as 2-byte codes; A has /W 2000 (2.0 em),
