@@ -206,9 +206,16 @@ object ScaleQueries {
     // candidates exactly; ScaleOpsSpec additionally pins recall against
     // brute force ≥ the untrained variant's.
     Q("ann_ivf_trained",
+      // init keyed by ROW POSITION in vec_id order (row_number − 1), not
+      // by vec_id value: KMeans.train's init is "first k rows by id
+      // order" with the centroid index = array position, so the two
+      // agree on ANY id space — the earlier `WHERE vec_id < k AND
+      // cid = vec_id` form silently coupled to ids being contiguous
+      // from 0 (round-6 advice)
       s"""WITH ks AS (SELECT unnest(range(64)) AS k),
-         |cb0 AS (SELECT vec_id AS cid, list_transform(embedding, x -> x::DOUBLE) AS c
-         |        FROM embeddings WHERE vec_id < $Cells),
+         |cb0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         |               list_transform(embedding, x -> x::DOUBLE) AS c
+         |        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $Cells)),
          |${lloydIterSql("cb0", 1)},
          |${lloydIterSql("cb1", 2)},
          |df AS (SELECT e.vec_id, cb.cid, ${ivfD2l("e.embedding", "cb.c")} AS d2

@@ -106,25 +106,44 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(trained > 0.0)
   }
 
-  test("IVFPQ: ADC scores equal the full-PQ scan's; candidates confined to <=2 probe cells") {
+  test("IVFPQ: residual-ADC candidates confined to <=2 probe cells; refine's l2 is the exact distance") {
     val ivfpq = graft.queries.AnnQueries.all.find(_.name == "ann_ivfpq").get
       .fn(spark, sf).collect()
     assert(ivfpq.length == 20)
     // pruning: every candidate lives in one of the query's nprobe=2 cells
     val cells = ivfpq.map(_.getLong(1)).toSet
     assert(cells.size <= 2, s"candidates from ${cells.size} cells: $cells")
-    // the ADC value is the SAME trained-LUT distance the full scan computes:
-    // join on vec_id against ann_pq_adc and compare exactly
-    val full = graft.queries.AnnQueries.all.find(_.name == "ann_pq_adc").get
-      .fn(spark, sf).collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
-    ivfpq.foreach { r =>
-      full.get(r.getLong(0)).foreach { adc =>
-        assert(adc == r.getLong(2), s"ADC diverges for vec ${r.getLong(0)}")
-      }
-    }
-    // results sorted by (adc, vec_id) — the serving contract
+    // results sorted by (adc, vec_id) — the serving contract. (The ADC
+    // values themselves are residual-code lookups per probe cell — the
+    // FAISS IVFADC scheme — so they intentionally do NOT equal the
+    // raw-vector ann_pq_adc scan's; their quality contract is RecallSpec.)
     val pairs = ivfpq.map(r => (r.getLong(2), r.getLong(0))).toSeq
     assert(pairs == pairs.sorted, "IVFPQ results not in (adc, vec_id) order")
+
+    // the refine stage's published distance is EXACT: recompute each
+    // returned l2_micro from the raw vectors in plain driver-side Scala
+    // (independent of every Spark/SQL code path) — per-subspace
+    // micro-floored sums, the cross-engine contract
+    val refined = graft.queries.AnnQueries.all.find(_.name == "ann_ivfpq_refined").get
+      .fn(spark, sf).collect()
+    assert(refined.length == 20)
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val qv = emb(0L)
+    refined.foreach { r =>
+      val v = emb(r.getLong(0))
+      val expect = (0 until 8).map { m =>
+        var s = 0.0
+        var k = 0
+        while (k < 8) {
+          val d = v(m * 8 + k).toDouble - qv(m * 8 + k).toDouble
+          s += d * d; k += 1
+        }
+        math.floor(s * 1000000).toLong
+      }.sum
+      assert(r.getLong(2) == expect,
+        s"refined l2_micro diverges from the exact distance for vec ${r.getLong(0)}")
+    }
   }
 
   test("semantic dedup: every cluster keeps its lowest-id member; every dup has a dominating lower-id cell-mate") {
