@@ -28,7 +28,12 @@ object Recall {
     val uniform = graft.queries.RecallEval.evaluate(spark, sfDir)
     val clustered = graft.queries.RecallEval.evaluateClustered(
       spark, n = uniform.corpus.toInt, dim = 64)
-    val json = s"""{"uniform":${uniform.json},"clustered":${clustered.json}}"""
+    // the LIVE serving path (Workspace index -> IvfGenerator probe), not
+    // just the query-registry variants — round-6 "Next round" #4
+    val engine = graft.queries.RecallEval.evaluateEngineClustered(
+      spark, n = uniform.corpus.toInt, dim = 64)
+    val json = s"""{"uniform":${uniform.json},"clustered":${clustered.json},""" +
+      s""""engine_clustered":${engine.json}}"""
     println(json)
     sys.env.get("SPARK_GRAFT_RECALL_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -60,6 +60,15 @@ final class Engine(
   })
   private val annRetrainQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val chunkCompactQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+  // starvation guard: consecutive background attempts that lost the commit
+  // race to inline rebuilds. A supersession STORM (rapid index()/
+  // compactIndexes() calls) would otherwise discard every background
+  // attempt indefinitely — after MaxConsecutiveDiscards, the job falls
+  // through to an INLINE run under the maintenance lock (no basis can
+  // move while held), trading one blocked batch for guaranteed
+  // convergence. Reset on any successful commit.
+  private val annRetrainDiscards = new java.util.concurrent.atomic.AtomicInteger(0)
+  private val chunkCompactDiscards = new java.util.concurrent.atomic.AtomicInteger(0)
   // first background-maintenance failure since open (surfaced to specs and
   // callers; the job flag resets so a later trigger can retry)
   @volatile private[graft] var lastMaintenanceError: Option[Throwable] = None
@@ -312,7 +321,17 @@ final class Engine(
     maintenance.synchronized {
       val superseded = workspace.getMeta("chunks_v") != chunksV0 ||
         workspace.getMeta("ann_v").exists(_.toInt >= v)
-      if (superseded) { workspace.discardVersion("ann", v); return }
+      if (superseded) {
+        workspace.discardVersion("ann", v)
+        // starvation guard: repeated losses → retrain INLINE while the
+        // lock is held (no basis can move), then converge
+        if (annRetrainDiscards.incrementAndGet() >= opts.maxMaintenanceDiscards) {
+          rebuildAnn()
+          invalidate()
+          annRetrainDiscards.set(0)
+        }
+        return
+      }
       val delta = workspace.chunkDataFiles.filterNot(baseFiles.toSet)
       if (delta.nonEmpty)
         workspace.appendAnnToVersion(v,
@@ -322,6 +341,7 @@ final class Engine(
               graft.ml.KMeans.assign(col("embedding"), cents).as("cid")))
       workspace.commitAnnVersion(v)
       invalidate()
+      annRetrainDiscards.set(0)
     }
   }
 
@@ -361,13 +381,22 @@ final class Engine(
     maintenanceHook()
     maintenance.synchronized {
       if (workspace.getMeta("chunks_v") != chunksV0) {
-        workspace.discardVersion("chunks", v); return
+        workspace.discardVersion("chunks", v)
+        // starvation guard: repeated losses → compact INLINE under the
+        // held lock (the full writeChunks rewrite — rare by construction)
+        if (chunkCompactDiscards.incrementAndGet() >= opts.maxMaintenanceDiscards) {
+          workspace.writeChunks(workspace.readChunks())
+          invalidate()
+          chunkCompactDiscards.set(0)
+        }
+        return
       }
       val delta = workspace.chunkDataFiles.filterNot(baseFiles.toSet)
       if (delta.nonEmpty)
         workspace.appendChunksToVersion(v, spark.read.parquet(delta: _*))
       workspace.commitChunkVersion(v)
       invalidate()
+      chunkCompactDiscards.set(0)
     }
   }
 

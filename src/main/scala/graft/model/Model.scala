@@ -131,4 +131,10 @@ final case class SearchOptions(
     // data files than this, the engine schedules a background rewrite
     // (appendChunks adds one file set per micro-batch — unbounded
     // accumulation degrades scan planning on a long-running stream)
-    compactFileThreshold: Int = 64)
+    compactFileThreshold: Int = 64,
+    // starvation guard: after this many CONSECUTIVE background-maintenance
+    // attempts (ANN retrain / chunk compaction) lose their commit race to
+    // inline rebuilds, the next loss runs the job inline under the
+    // maintenance lock — a supersession storm can no longer discard
+    // background work indefinitely
+    maxMaintenanceDiscards: Int = 3)

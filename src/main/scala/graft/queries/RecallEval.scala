@@ -90,6 +90,60 @@ object RecallEval {
       s"clustered(n=$n,dim=$dim,centers=$centers,sigma=$noiseSigma)",
       clusteredCorpus(spark, n, dim, centers, noiseSigma), numQueries, k)
 
+  /** Recall of the LIVE ENGINE's serving path (round-6 "Next round" #4):
+    * the clustered corpus indexed through the Workspace ANN layout (cid=
+    * partition dirs + persisted SQ8 codes, exactly what Engine.index
+    * writes) and served by [[IvfGenerator]] — both the SQ8 two-phase
+    * probe (byte-code phase 1 + exact re-rank, the default when the
+    * persisted codes are present) and the pure float IVF probe (codes
+    * dropped). Ground truth = [[graft.search.ExactScanGenerator]], the
+    * reference-semantics scan. Unlike the query-registry variants above,
+    * this measures index → search end to end: build, parquet round-trip,
+    * partition pruning, probe selection, and ranking. */
+  def evaluateEngineClustered(spark: SparkSession, n: Int = 2000, dim: Int = 64,
+                              centers: Int = 16, noiseSigma: Double = 0.05,
+                              numQueries: Int = 20, k: Int = 10,
+                              nprobe: Int = 2): Report = {
+    val corpus = clusteredCorpus(spark, n, dim, centers, noiseSigma)
+      .localCheckpoint()
+    try {
+      val ws = new graft.store.Workspace(spark,
+        graft.util.TempRoot.dir("recall-engine-ws-").toString)
+      val (built, cents) = graft.search.AnnIndex.build(
+        corpus, "vec_id", "embedding", cells = centers)
+      ws.writeAnn(built, cents)
+      val exact = new graft.search.ExactScanGenerator(
+        corpus.select(col("vec_id").as("id"), col("embedding")))
+      val sq8Gen = new IvfGenerator(ws.readAnn(), ws.readAnnCentroids(), nprobe)
+      val floatGen = new IvfGenerator(
+        ws.readAnn().drop(IvfGenerator.Sq8Columns: _*), ws.readAnnCentroids(), nprobe)
+      val stride = math.max(1, n / numQueries)
+      val qRows = corpus
+        .filter(pmod(col("vec_id"), lit(stride)) === 0 &&
+          col("vec_id") < stride.toLong * numQueries)
+        .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+      def topK(gen: graft.search.CandidateGenerator, qid: Long,
+               qv: Array[Float]): Set[Long] =
+        gen.candidates(qv, k).filter(col("id") =!= qid)
+          .orderBy(col("sem_score").desc, col("id"))
+          .limit(k).collect().map(_.getLong(0)).toSet
+      def meanRecall(gen: graft.search.CandidateGenerator): Double = {
+        val per = qRows.map { case (qid, qv) =>
+          val truth = topK(exact, qid, qv)
+          (truth & topK(gen, qid, qv)).size.toDouble / truth.size
+        }
+        per.sum / per.length
+      }
+      Report(s"engine-clustered(n=$n,dim=$dim,centers=$centers,sigma=$noiseSigma)",
+        n, qRows.length, k, Seq(
+          VariantRecall("engine_ivf_sq8", "cosine",
+            s"cells=$centers,nprobe=$nprobe,two_phase,overfetch=${IvfGenerator.Sq8Overfetch}",
+            meanRecall(sq8Gen)),
+          VariantRecall("engine_ivf_float", "cosine",
+            s"cells=$centers,nprobe=$nprobe", meanRecall(floatGen))))
+    } finally graft.functions.Checkpoints.release(corpus)
+  }
+
   /** Evaluate recall@k for every ANN variant over `numQueries` corpus
     * vectors sampled at a fixed stride (deterministic). Every input —
     * hyperplanes, PQ codebook init, IVF training — derives from the

@@ -290,6 +290,45 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(hits.nonEmpty && hits.head.docId == "50")
   }
 
+  test("starvation guard: a supersession storm cannot discard background retrains forever — the inline fallback converges") {
+    val root = Files.createTempDirectory("graft-starve-").toString
+    val engine = Engine.open(spark, root, "main",
+      opts = SearchOptions(annMode = "ivf", annCells = 4, annProbes = 2,
+        maxMaintenanceDiscards = 2))
+    engine.index(docs(5))
+    val ws = engine.workspace
+    // the storm: EVERY time a background retrain finishes its snapshot
+    // work (the hook point, before it takes the lock), an inline full
+    // rebuild moves chunks_v — so every background attempt loses its
+    // commit race and is discarded
+    val superseded = new java.util.concurrent.atomic.AtomicInteger(0)
+    engine.maintenanceHook = () => {
+      val n = superseded.getAndIncrement()
+      if (n < 2) engine.index(docs(5, from = 100 + n * 10))
+    }
+    try {
+      // attempt 1: drift (6 > base 5) schedules a retrain; the hook's
+      // inline rebuild supersedes it -> discard #1 (under the guard
+      // threshold, no fallback yet)
+      engine.ingestBatch(docs(6, from = 10), probeExisting = false)
+      engine.awaitMaintenance()
+      assert(engine.lastMaintenanceError.isEmpty,
+        s"attempt 1 failed: ${engine.lastMaintenanceError}")
+      // attempt 2: drift again; superseded again -> discard #2 reaches
+      // maxMaintenanceDiscards and the retrain runs INLINE under the
+      // held lock, which no storm can interrupt
+      engine.ingestBatch(docs(6, from = 30), probeExisting = false)
+      engine.awaitMaintenance()
+    } finally engine.maintenanceHook = () => ()
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"starved retrain failed: ${engine.lastMaintenanceError}")
+    assert(superseded.get >= 2, s"storm never superseded: ${superseded.get}")
+    // convergence despite every background attempt losing its race: the
+    // live ANN index covers the whole live corpus
+    assert(ws.readAnn().count() == ws.count(),
+      "ANN index diverged from the corpus under the supersession storm")
+  }
+
   test("size-tiered compaction: later triggers rewrite only the small tier, carry the large tier by hard link, lose no rows") {
     val root = Files.createTempDirectory("graft-tiercompact-").toString
     val engine = Engine.open(spark, root, "main",

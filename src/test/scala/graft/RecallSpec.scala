@@ -137,6 +137,21 @@ class RecallSpec extends AnyFunSuite {
       "refine stage must recover most of the residual-ADC loss")
   }
 
+  test("engine serving path on the clustered corpus: SQ8 two-phase and float IVF probes both >= 0.9") {
+    // index -> search END TO END at bench scale: Workspace ANN layout
+    // (cid= partitions + persisted SQ8 codes), IvfGenerator probe —
+    // what Engine.search actually runs, not the query-registry replicas
+    // (round-6 "Next round" #4). Measured 2026-08: both 1.0.
+    val report = RecallEval.evaluateEngineClustered(spark, n = 2000, dim = 64)
+    def recall(variant: String): Double =
+      report.variants.find(_.variant == variant)
+        .getOrElse(fail(s"missing variant $variant")).recallAtK
+    assert(recall("engine_ivf_sq8") >= 0.9,
+      s"engine SQ8 two-phase recall: ${recall("engine_ivf_sq8")}")
+    assert(recall("engine_ivf_float") >= 0.9,
+      s"engine float IVF-probe recall: ${recall("engine_ivf_float")}")
+  }
+
   test("clustered fixture with small cells: the refine slate covers the probed rows and recall is near-exact") {
     // when k·overfetch ≥ the probed-cell population (here 2 cells × ~20
     // rows ≤ 80), the refine IS the exact re-rank of every probed row, so
