@@ -116,7 +116,8 @@ final class Engine(
     * index has been built yet — annMode never makes search() fail. */
   private def semanticGenerator(): Option[CandidateGenerator] =
     if (opts.annMode == "ivf" && workspace.hasAnn)
-      Some(new IvfGenerator(workspace.readAnn(), workspace.readAnnCentroids(), opts.annProbes))
+      Some(new IvfGenerator(workspace.readAnn(), workspace.readAnnCentroids(),
+        opts.annProbes, workspace.readPqCodebook()))
     else None
 
   /** Per-query (Σ|rank_delta|, n) from the PERSISTED retrieval log,
@@ -253,8 +254,17 @@ final class Engine(
     if (opts.annMode == "ivf") {
       val (vectors, cents) =
         AnnIndex.build(workspace.readChunks(), "id", "embedding", opts.annCells)
-      workspace.writeAnn(vectors, cents)
+      workspace.writeAnn(vectors, cents, pqCodebookFor(vectors, cents))
     } else if (workspace.hasAnn) workspace.clearAnn()
+
+  /** The residual-PQ codebook for a freshly-built index under
+    * annQuant="pq" (None otherwise, or when the embedding geometry
+    * doesn't divide into the PQ subspaces — the index then falls back to
+    * SQ8 serving columns rather than failing the build). */
+  private def pqCodebookFor(vectors: DataFrame,
+                            cents: Seq[Seq[Double]]): Option[Seq[Seq[Float]]] =
+    if (opts.annQuant != "pq") None
+    else AnnIndex.trainPqCodebook(vectors, cents)
 
   /** O(batch) ANN maintenance for an appended chunk batch: assign only the
     * batch's vectors against the FROZEN trained centroids (KMeans.assign
@@ -316,7 +326,7 @@ final class Engine(
     if (baseFiles.isEmpty) return
     val snapshot = spark.read.parquet(baseFiles: _*)
     val (vectors, cents) = AnnIndex.build(snapshot, "id", "embedding", opts.annCells)
-    val v = workspace.prepareAnnVersion(vectors, cents)
+    val v = workspace.prepareAnnVersion(vectors, cents, pqCodebookFor(vectors, cents))
     maintenanceHook()
     maintenance.synchronized {
       val superseded = workspace.getMeta("chunks_v") != chunksV0 ||

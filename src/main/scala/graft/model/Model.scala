@@ -127,6 +127,11 @@ final case class SearchOptions(
     annMode: String = "exact",
     annCells: Int = 16,
     annProbes: Int = 2,
+    // quantized phase-1 serving columns persisted with the IVF index:
+    // "sq8" (int8 codes, 4× fewer scan bytes than float32) or "pq"
+    // (4-bit residual-PQ codes + frozen codebook, 8× fewer than SQ8 —
+    // the IVFADC tier); both re-rank survivors with the exact cosine
+    annQuant: String = "sq8",
     // streaming self-compaction: once the live chunk version holds more
     // data files than this, the engine schedules a background rewrite
     // (appendChunks adds one file set per micro-batch — unbounded

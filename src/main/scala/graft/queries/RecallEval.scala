@@ -112,11 +112,19 @@ object RecallEval {
       val (built, cents) = graft.search.AnnIndex.build(
         corpus, "vec_id", "embedding", cells = centers)
       ws.writeAnn(built, cents)
+      // a second workspace with the residual-PQ layout (4-bit codes +
+      // frozen codebook) — the round-7 IVFADC serving tier
+      val wsPq = new graft.store.Workspace(spark,
+        graft.util.TempRoot.dir("recall-engine-pq-ws-").toString)
+      val cbOpt = graft.search.AnnIndex.trainPqCodebook(built, cents)
+      cbOpt.foreach(cb => wsPq.writeAnn(built, cents, Some(cb)))
       val exact = new graft.search.ExactScanGenerator(
         corpus.select(col("vec_id").as("id"), col("embedding")))
       val sq8Gen = new IvfGenerator(ws.readAnn(), ws.readAnnCentroids(), nprobe)
       val floatGen = new IvfGenerator(
         ws.readAnn().drop(IvfGenerator.Sq8Columns: _*), ws.readAnnCentroids(), nprobe)
+      val pqGen = cbOpt.map(_ => new IvfGenerator(
+        wsPq.readAnn(), wsPq.readAnnCentroids(), nprobe, wsPq.readPqCodebook()))
       val stride = math.max(1, n / numQueries)
       val qRows = corpus
         .filter(pmod(col("vec_id"), lit(stride)) === 0 &&
@@ -140,7 +148,10 @@ object RecallEval {
             s"cells=$centers,nprobe=$nprobe,two_phase,overfetch=${IvfGenerator.Sq8Overfetch}",
             meanRecall(sq8Gen)),
           VariantRecall("engine_ivf_float", "cosine",
-            s"cells=$centers,nprobe=$nprobe", meanRecall(floatGen))))
+            s"cells=$centers,nprobe=$nprobe", meanRecall(floatGen))) ++
+          pqGen.map(g => VariantRecall("engine_ivf_pq", "cosine",
+            s"cells=$centers,nprobe=$nprobe,two_phase,residual," +
+              s"overfetch=${IvfGenerator.PqRefineOverfetch}", meanRecall(g))))
     } finally graft.functions.Checkpoints.release(corpus)
   }
 

@@ -1,6 +1,6 @@
 package graft.search
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.VectorFunctions.cosineSim
@@ -51,14 +51,18 @@ final class ExactScanGenerator(chunks: DataFrame) extends CandidateGenerator {
 final class IvfGenerator(
     ann: DataFrame,
     centroids: Seq[Seq[Double]],
-    nprobe: Int) extends CandidateGenerator {
+    nprobe: Int,
+    pqCodebook: Option[Seq[Seq[Float]]] = None) extends CandidateGenerator {
   require(centroids.nonEmpty, "IVF index has no centroids")
   require(nprobe >= 1, "nprobe must be >= 1")
 
-  private val useSq8 = IvfGenerator.Sq8Columns.forall(ann.columns.contains)
+  private val usePq = pqCodebook.isDefined &&
+    IvfGenerator.PqColumns.forall(ann.columns.contains)
+  private val useSq8 = !usePq && IvfGenerator.Sq8Columns.forall(ann.columns.contains)
 
   override val mode: String =
-    s"ivf(cells=${centroids.size},nprobe=$nprobe${if (useSq8) ",sq8" else ""})"
+    s"ivf(cells=${centroids.size},nprobe=$nprobe" +
+      s"${if (usePq) ",pq" else if (useSq8) ",sq8" else ""})"
 
   private def probed(qv: Array[Float]): DataFrame = {
     val cells = IvfGenerator.nearestCells(qv, centroids, nprobe)
@@ -86,18 +90,65 @@ final class IvfGenerator(
       .limit(math.min(depth.toLong * IvfGenerator.Sq8Overfetch, Int.MaxValue.toLong).toInt)
   }
 
-  override def candidates(qv: Array[Float], depth: Int): DataFrame =
-    if (!useSq8)
-      probed(qv).select(col("id"), cosineSim(col("embedding"), typedLit(qv)).as("sem_score"))
-    else {
-      val survivors = approxByCode(qv, depth).collect().map(_.getLong(0))
-      // exact re-rank of the survivors: the `id IN` predicate pushes down
-      // to the parquet scan (row-group pruning) on the SAME cid-pruned
-      // partitions, so the float column is read for ~4·depth rows only
-      probed(qv)
-        .filter(col("id").isin(survivors.map(Long.box): _*))
-        .select(col("id"), cosineSim(col("embedding"), typedLit(qv)).as("sem_score"))
+  /** Phase 1 of the RESIDUAL-PQ probe (round-7; the persisted 4-bit tier
+    * — 8× fewer phase-1 scan bytes than SQ8's byte codes): approximate
+    * cosine against the RECONSTRUCTION x̂ = centroid(cid) + codeword per
+    * subspace. dot(q, x̂) = dot(q, centroid(cid)) + Σₘ LUT[m][codeₘ]
+    * where LUT[m][j] = dot(q slice m, codebook[j] slice m) — the
+    * centroid dot and the 8×16 LUT are driver-side per-query scalars
+    * riding the scan as literals; the scan itself touches only the
+    * 4-byte codes + the stored norm, never the float embedding
+    * (plan-asserted). Zero-norm rows score −1 (NaN would sort above). */
+  private[graft] def pqApproxByCode(qv: Array[Float], depth: Int): DataFrame = {
+    val cb = pqCodebook.get
+    val dim = qv.length
+    val numSub = AnnIndex.PqSubSpaces
+    val subDim = dim / numSub
+    val qnorm = math.sqrt(qv.map(x => x.toDouble * x).sum)
+    val lut: Seq[Seq[Double]] = (0 until numSub).map { m =>
+      cb.map { c =>
+        var s = 0.0
+        var k = 0
+        while (k < subDim) { s += qv(m * subDim + k).toDouble * c(m * subDim + k); k += 1 }
+        s
+      }
     }
+    val cells = IvfGenerator.nearestCells(qv, centroids, nprobe)
+    val qDotCent: Map[Int, Double] = cells.map { c =>
+      c -> centroids(c).zipWithIndex.map { case (x, i) => x * qv(i) }.sum
+    }.toMap
+    val centDot = cells.tail.foldRight(lit(qDotCent(cells.head)): Column) { (c, acc) =>
+      when(col("cid") === lit(c), lit(qDotCent(c))).otherwise(acc)
+    }
+    val codeDot = (0 until numSub)
+      .map(m => element_at(typedLit(lut(m)), element_at(col("pq_code"), m + 1).cast("int") + 1))
+      .reduce(_ + _)
+    val approx =
+      if (qnorm == 0.0) lit(-1.0)
+      else when(col("pq_norm") > 0,
+        (centDot + codeDot) / (col("pq_norm") * lit(qnorm))).otherwise(lit(-1.0))
+    probed(qv)
+      .select(col("id"), approx.as("approx_score"))
+      .orderBy(col("approx_score").desc, col("id"))
+      .limit(math.min(depth.toLong * IvfGenerator.PqRefineOverfetch, Int.MaxValue.toLong).toInt)
+  }
+
+  /** Exact cosine re-rank of phase-1 survivors: the `id IN` predicate
+    * pushes down to the parquet scan (row-group pruning) on the SAME
+    * cid-pruned partitions, so the float column is read for the bounded
+    * survivor set only. */
+  private def rerankExact(qv: Array[Float], survivors: Array[Long]): DataFrame =
+    probed(qv)
+      .filter(col("id").isin(survivors.map(Long.box): _*))
+      .select(col("id"), cosineSim(col("embedding"), typedLit(qv)).as("sem_score"))
+
+  override def candidates(qv: Array[Float], depth: Int): DataFrame =
+    if (usePq)
+      rerankExact(qv, pqApproxByCode(qv, depth).collect().map(_.getLong(0)))
+    else if (useSq8)
+      rerankExact(qv, approxByCode(qv, depth).collect().map(_.getLong(0)))
+    else
+      probed(qv).select(col("id"), cosineSim(col("embedding"), typedLit(qv)).as("sem_score"))
 }
 
 object IvfGenerator {
@@ -105,17 +156,23 @@ object IvfGenerator {
   /** The persisted SQ8 serving columns ([[AnnIndex.withSq8]]). */
   final val Sq8Columns = Seq("sq_code", "sq_scale", "sq_norm")
 
+  /** The persisted residual-PQ serving columns ([[AnnIndex.withPq]]). */
+  final val PqColumns = Seq("pq_code", "pq_norm")
+
   /** Phase-1 → phase-2 overfetch: the exact re-rank sees 4× the requested
     * depth, absorbing int8 quantization error in the approximate ordering
     * (recall floor pinned in AnnEngineSpec). */
   final val Sq8Overfetch = 4
 
   /** Refine overfetch for the IVFPQ path (the FAISS IndexRefine k_factor):
-    * 4-bit ADC codes carry far more quantization error than int8, so the
-    * exact re-rank needs a deeper candidate slate — 8× measured to sit
-    * within ~0.05 of the nprobe ceiling on the uniform corpus
-    * (RECALL_r06.json raw ≤ refined ≤ ivf_l2_ceiling). */
-  final val PqRefineOverfetch = 8
+    * 4-bit codes carry far more quantization error than int8, so the
+    * exact re-rank needs a much deeper candidate slate than SQ8's 4× —
+    * 16× holds the clustered ENGINE-path recall ≥ 0.9 at depth 10 where
+    * 8× measured 0.75 (in-cell residual codes order near-ties noisily;
+    * the slate must cover well over half the probed population), and sits
+    * at the nprobe ceiling on the uniform corpus (RECALL_r07.json). The
+    * exact pass stays bounded: depth × 16 rows re-read by id pushdown. */
+  final val PqRefineOverfetch = 16
 
   /** The query's `nprobe` nearest cells by squared L2 (the trainer's
     * metric), ties broken by lowest cid — k·d doubles of driver work.
@@ -159,6 +216,59 @@ object AnnIndex {
         .withColumn("sq_code", transform(emb, x => floor(x * scale).cast("tinyint")))
         .withColumn("sq_norm",
           sqrt(aggregate(zip_with(emb, emb, (a, b) => a * b), lit(0.0), (s, v) => s + v)))
+    }
+
+  /** PQ subspace count for the persisted serving codes: 4-bit codes × 8
+    * subspaces = 4 bytes/vector — 8× smaller than SQ8's byte codes, the
+    * storage tier a 100 TB corpus actually wants for phase-1 scans. */
+  final val PqSubSpaces = 8
+
+  /** Train the RESIDUAL PQ codebook for an assigned (id, embedding, cid)
+    * index (the round-7 IVFADC scheme, engine side): residual = embedding
+    * − centroid(cid) (scan-local literal-array lookup), init = the first
+    * k rows' residuals by id order, then the distributed per-subspace
+    * Lloyd trainer. Returns None when the geometry doesn't fit (dim not
+    * divisible by [[PqSubSpaces]], or an empty corpus). */
+  def trainPqCodebook(assigned: DataFrame, cents: Seq[Seq[Double]],
+                      k: Int = 16, iters: Int = 2): Option[Seq[Seq[Float]]] = {
+    val dim = cents.headOption.map(_.size).getOrElse(0)
+    if (dim == 0 || dim % PqSubSpaces != 0) return None
+    val rf = withResidual(assigned, cents)
+    val init = rf.orderBy(col("id")).limit(k)
+      .select(col("rv")).collect().map(_.getSeq[Float](0).toSeq).toSeq
+    if (init.isEmpty) None
+    else Some(graft.ml.KMeans.trainPq(rf, "rv", dim / PqSubSpaces, init, iters))
+  }
+
+  /** The scan-local residual column: embedding − centroid(cid), double
+    * subtract cast to float (the PQ codebook's train/encode input). */
+  private def withResidual(assigned: DataFrame, cents: Seq[Seq[Double]]): DataFrame = {
+    val centsLit = typedLit(cents.map(_.toSeq))
+    assigned.withColumn("rv",
+      zip_with(col("embedding"), element_at(centsLit, col("cid") + 1),
+        (x, y) => (x.cast("double") - y).cast("float")))
+  }
+
+  /** Residual-PQ serving columns: `pq_code` (one 0..15 code per subspace,
+    * stored as tinyint — 4 bits of information each) from the FROZEN
+    * codebook + `pq_norm` (the exact vector norm, so phase-1 approximates
+    * cosine against the reconstruction centroid + codeword without
+    * touching the float embedding). Scan-local: the centroid array and
+    * codebook ride along as literals. Idempotent. */
+  def withPq(assigned: DataFrame, cents: Seq[Seq[Double]],
+             codebook: Seq[Seq[Float]]): DataFrame =
+    if (IvfGenerator.PqColumns.forall(assigned.columns.contains)) assigned
+    else {
+      import graft.functions.VectorFunctions.pqEncode
+      val subDim = codebook.head.size / PqSubSpaces
+      val emb = col("embedding").cast("array<double>")
+      withResidual(assigned, cents)
+        .withColumn("pq_code",
+          transform(pqEncode(col("rv"), typedLit(codebook.map(_.toSeq)), subDim),
+            c => c.cast("tinyint")))
+        .withColumn("pq_norm",
+          sqrt(aggregate(zip_with(emb, emb, (a, b) => a * b), lit(0.0), (s, v) => s + v)))
+        .drop("rv")
     }
 
   /** @return (vectors (id, embedding, cid), trained centroids). The id

@@ -305,40 +305,61 @@ final class Workspace(val spark: SparkSession, val root: String) {
     p("ann", s"v${currentVersion("ann_v").getOrElse(0)}", "vectors")
   def annCentroidsPath: String =
     p("ann", s"v${currentVersion("ann_v").getOrElse(0)}", "centroids")
+  def annPqCodebookPath: String =
+    p("ann", s"v${currentVersion("ann_v").getOrElse(0)}", "pq_codebook")
 
   /** Versioned like writePostings: v(n+1) written, pointer moved, versions
     * older than the retention window dropped — a concurrent probe on v(n)
     * keeps its files for [[Workspace.RetainPriorVersions]] rebuild cycles.
     *
-    * Alongside each vector the layout persists its SQ8 serving columns
-    * (`sq_code` int8 array + `sq_scale` + `sq_norm`, FAISS-SQ8 shape): the
-    * probe's first pass scores against the byte codes (4× fewer scan bytes
-    * than float32) and only the surviving candidates re-read the float
-    * embedding — see [[graft.search.IvfGenerator]]. */
-  def writeAnn(vectors: DataFrame, centroids: Seq[Seq[Double]]): Unit =
-    commitAnnVersion(prepareAnnVersion(vectors, centroids))
+    * Alongside each vector the layout persists its quantized serving
+    * columns: by default SQ8 (`sq_code` int8 array + `sq_scale` +
+    * `sq_norm`, FAISS-SQ8 shape, 4× fewer phase-1 scan bytes than
+    * float32); with a `pqCodebook`, residual-PQ instead (`pq_code` 4-bit
+    * codes + `pq_norm`, 8× fewer than SQ8 — the round-7 IVFADC serving
+    * tier) plus the codebook itself, persisted next to the centroids so
+    * appends encode against the FROZEN codebook — see
+    * [[graft.search.IvfGenerator]]. */
+  def writeAnn(vectors: DataFrame, centroids: Seq[Seq[Double]],
+               pqCodebook: Option[Seq[Seq[Float]]] = None): Unit =
+    commitAnnVersion(prepareAnnVersion(vectors, centroids, pqCodebook))
+
+  private def quantized(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                        pqCodebook: Option[Seq[Seq[Float]]]): DataFrame =
+    pqCodebook match {
+      case Some(cb) => graft.search.AnnIndex.withPq(vectors, centroids, cb)
+      case None => graft.search.AnnIndex.withSq8(vectors)
+    }
 
   /** Write an ANN index as a freshly-allocated next version WITHOUT moving
     * the live pointer — the background retrainer's first half (runs
     * outside the maintenance lock while micro-batches keep appending to
     * the LIVE version; [[commitAnnVersion]] swaps after catch-up). */
-  private[graft] def prepareAnnVersion(vectors: DataFrame, centroids: Seq[Seq[Double]]): Int = {
+  private[graft] def prepareAnnVersion(vectors: DataFrame, centroids: Seq[Seq[Double]],
+                                       pqCodebook: Option[Seq[Seq[Float]]] = None): Int = {
     val next = allocateVersion("ann_v", "ann_alloc_v")
-    graft.search.AnnIndex.withSq8(vectors).write
+    quantized(vectors, centroids, pqCodebook).write
       .partitionBy("cid").mode(SaveMode.Overwrite)
       .parquet(p("ann", s"v$next", "vectors"))
     import spark.implicits._
     centroids.zipWithIndex.map { case (c, i) => (i, c) }.toDF("cid", "centroid")
       .coalesce(1).write.mode(SaveMode.Overwrite)
       .parquet(p("ann", s"v$next", "centroids"))
+    pqCodebook.foreach { cb =>
+      cb.zipWithIndex.map { case (c, j) => (j, c) }.toDF("j", "c")
+        .coalesce(1).write.mode(SaveMode.Overwrite)
+        .parquet(p("ann", s"v$next", "pq_codebook"))
+    }
     next
   }
 
   /** Append assigned (id, embedding, cid) rows into a PREPARED ANN
     * version — the retrainer's catch-up for chunk rows appended after its
-    * training snapshot. Runs before the pointer swap. */
+    * training snapshot. Runs before the pointer swap. Quantizes with the
+    * version's own (frozen) codebook when it has one. */
   private[graft] def appendAnnToVersion(version: Int, assigned: DataFrame): Unit =
-    graft.search.AnnIndex.withSq8(assigned).write
+    quantized(assigned, centroidsAt(p("ann", s"v$version", "centroids")),
+      pqCodebookAt(p("ann", s"v$version", "pq_codebook"))).write
       .partitionBy("cid").mode(SaveMode.Append)
       .parquet(p("ann", s"v$version", "vectors"))
 
@@ -366,7 +387,8 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * owns the retrain decision via [[annDriftExceeded]]. */
   def appendAnn(assigned: DataFrame): Unit = {
     require(hasAnn, "appendAnn needs an existing ANN index (writeAnn first)")
-    val batch = graft.search.AnnIndex.withSq8(assigned).localCheckpoint()
+    val batch = quantized(assigned, readAnnCentroids(), readPqCodebook())
+      .localCheckpoint()
     try {
       val n = batch.count()
       if (n > 0) {
@@ -392,10 +414,22 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def readAnn(): DataFrame = spark.read.parquet(annVectorsPath)
 
-  def readAnnCentroids(): Seq[Seq[Double]] =
-    spark.read.parquet(annCentroidsPath)
+  private def centroidsAt(path: String): Seq[Seq[Double]] =
+    spark.read.parquet(path)
       .orderBy(col("cid")).select(col("centroid")).collect()
       .map(_.getSeq[Double](0).toSeq).toSeq
+
+  def readAnnCentroids(): Seq[Seq[Double]] = centroidsAt(annCentroidsPath)
+
+  private def pqCodebookAt(path: String): Option[Seq[Seq[Float]]] =
+    if (!Files.exists(Paths.get(path))) None
+    else Some(spark.read.parquet(path)
+      .orderBy(col("j")).select(col("c")).collect()
+      .map(_.getSeq[Float](0).toSeq).toSeq)
+
+  /** The live version's frozen residual-PQ codebook, when the index was
+    * written under annQuant="pq" (absent under the SQ8 default). */
+  def readPqCodebook(): Option[Seq[Seq[Float]]] = pqCodebookAt(annPqCodebookPath)
 
   def hasAnn: Boolean =
     currentVersion("ann_v").isDefined && Files.exists(Paths.get(annVectorsPath))

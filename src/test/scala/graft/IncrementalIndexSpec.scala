@@ -426,6 +426,78 @@ class IncrementalIndexSpec extends AnyFunSuite {
       "SQ8 two-phase probe with full nprobe must reproduce the exact top-k")
   }
 
+  test("residual-PQ probe: phase-1 scan reads 4-bit codes (not the float embedding) and the re-rank is exact") {
+    val root = Files.createTempDirectory("graft-pqprobe-").toString
+    val ws = new Workspace(spark, root)
+    val chunks = graft.store.ChunkStore.buildChunks(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(100),
+      graft.embed.HashNgramEmbedder(dim = 64))
+    val (vectors, cents) = AnnIndex.build(chunks, "id", "embedding", cells = 8)
+    val cb = AnnIndex.trainPqCodebook(vectors, cents)
+      .getOrElse(fail("PQ codebook did not train on a 64-dim corpus"))
+    ws.writeAnn(vectors, cents, Some(cb))
+
+    val gen = new IvfGenerator(ws.readAnn(), ws.readAnnCentroids(), nprobe = 8,
+      pqCodebook = ws.readPqCodebook())
+    assert(gen.mode.contains("pq"), s"persisted codebook should enable the PQ probe: ${gen.mode}")
+    val qv = graft.embed.HashNgramEmbedder(dim = 64).embed("what is a merge window")
+
+    // phase-1 plan contract: the probed-cell scan reads pq_code/pq_norm,
+    // never the float embedding column — the 8×-smaller-than-SQ8 tier
+    val approx = gen.pqApproxByCode(qv, 10)
+    approx.collect()
+    val scan = approx.queryExecution.executedPlan.collect {
+      case f: FileSourceScanExec => f
+    }.head
+    val readCols = scan.requiredSchema.fieldNames.toSet
+    assert(readCols.contains("pq_code"), s"phase-1 scan missing codes: $readCols")
+    assert(!readCols.contains("embedding"),
+      s"phase-1 scan reads the float embedding — PQ saved nothing: $readCols")
+    assert(!readCols.contains("sq_code"),
+      s"phase-1 scan reads SQ8 codes under PQ mode: $readCols")
+
+    // nprobe = cells + exact re-rank ⇒ byte-identical top-k to the exact
+    // scan WHEN the overfetched slate covers the truth; with 100 chunks,
+    // depth 10 × overfetch 8 = 80 covers most of the corpus — assert the
+    // weaker always-true contracts: scores of returned rows are the EXACT
+    // cosine, and recall vs the exact top-10 is high
+    val exact = new ExactScanGenerator(vectors.select(col("id"), col("embedding")))
+    def topk(g: graft.search.CandidateGenerator): Seq[(Long, Double)] =
+      g.candidates(qv, 10).orderBy(col("sem_score").desc, col("id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val exactTop = topk(exact)
+    val pqTop = topk(gen)
+    val exactScores = exactTop.toMap
+    pqTop.foreach { case (id, s) =>
+      assert(exactScores.get(id).forall(_ == s),
+        s"PQ-probe score for $id is not the exact cosine")
+    }
+    val recall = (exactTop.map(_._1).toSet & pqTop.map(_._1).toSet).size / 10.0
+    assert(recall >= 0.9, s"PQ probe recall at full nprobe: $recall")
+  }
+
+  test("PQ-mode engine: appended batches encode against the FROZEN codebook and stay searchable") {
+    val root = Files.createTempDirectory("graft-pqeng-").toString
+    val engine = Engine.open(spark, root, "main",
+      opts = SearchOptions(annMode = "ivf", annCells = 8, annProbes = 8,
+        annQuant = "pq"))
+    engine.index(docs(40))
+    val ws = engine.workspace
+    val cb0 = ws.readPqCodebook().getOrElse(fail("PQ index has no persisted codebook"))
+    // the incremental path: assignment AND encoding against frozen state
+    engine.ingestBatch(docs(10, from = 40), probeExisting = false)
+    assert(ws.readPqCodebook().get == cb0, "append mutated the frozen codebook")
+    // every live row carries codes (schema-consistent append)
+    val annRows = ws.readAnn()
+    assert(annRows.filter(col("pq_code").isNull).count() == 0,
+      "appended rows missing pq codes")
+    assert(annRows.count() == ws.count())
+    // the appended doc is findable through the PQ probe
+    val hits = engine.search("topic45")
+    assert(hits.nonEmpty && hits.head.docId == "45",
+      s"appended doc not findable via the PQ probe: ${hits.map(_.docId).take(3)}")
+  }
+
   test("Staging: workspace mutation invalidates staged plans keyed on its paths") {
     import org.apache.spark.sql.functions.lit
     val root = Files.createTempDirectory("graft-stag-").toString

@@ -98,12 +98,12 @@ class RecallSpec extends AnyFunSuite {
 
     // IVFPQ refine (round-5 "What's missing #3"): the exact re-rank of the
     // ADC top k·overfetch must recover most of the coarse-quantizer
-    // ceiling — measured with residual codes (round-7) 0.135 raw / 0.32
-    // refined / 0.355 ceiling (2026-08); residual encoding trades a hair
-    // of uniform raw recall (0.16 → 0.135 — no cluster structure to
-    // exploit) for the clustered fix (0.085 → 0.30 raw, 0.685 → 0.97
-    // refined), and the refined figure — the serving number — holds at
-    // the ceiling − 0.035 either way
+    // ceiling — measured with residual codes + overfetch 16 (round-7)
+    // 0.135 raw / 0.35 refined / 0.355 ceiling (2026-08); residual
+    // encoding trades a hair of uniform raw recall (0.16 → 0.135 — no
+    // cluster structure to exploit) for the clustered fix (0.085 → 0.30
+    // raw, 0.685 → 1.0 refined), and the refined figure — the serving
+    // number — sits AT the nprobe ceiling on both distributions
     val raw = recall("ivfpq", "trained")
     val refined = recall("ivfpq_refined", "overfetch")
     val ceiling = recall("ivf_l2_ceiling", "exact_rerank")
@@ -117,11 +117,11 @@ class RecallSpec extends AnyFunSuite {
     // the distribution IVF exists for, at the sf0.1 corpus size — the
     // ≥0.9 clustered claim with bench-scale evidence, not a 300-row
     // fixture (round-5 task 6). Measured 2026-08 with RESIDUAL PQ codes
-    // (round-7: codebook trained on x − centroid(cell), FAISS IVFADC):
-    // ivf 1.0 at every nprobe, ceiling 1.0, ivfpq 0.30 raw / 0.97
-    // refined — vs 0.085 / 0.685 with raw-vector codes, whose 4-bit ADC
-    // collapsed inside tight clusters because every in-cell vector
-    // shared its centroid component.
+    // (round-7: codebook trained on x − centroid(cell), FAISS IVFADC)
+    // and overfetch 16: ivf 1.0 at every nprobe, ceiling 1.0, ivfpq
+    // 0.30 raw / 1.0 refined — vs 0.085 / 0.685 with raw-vector codes
+    // at overfetch 8, whose 4-bit ADC collapsed inside tight clusters
+    // because every in-cell vector shared its centroid component.
     val report = RecallEval.evaluateClustered(spark, n = 2000, dim = 64)
     def recall(variant: String): Double =
       report.variants.find(_.variant == variant)
@@ -150,6 +150,11 @@ class RecallSpec extends AnyFunSuite {
       s"engine SQ8 two-phase recall: ${recall("engine_ivf_sq8")}")
     assert(recall("engine_ivf_float") >= 0.9,
       s"engine float IVF-probe recall: ${recall("engine_ivf_float")}")
+    // the persisted residual-PQ tier (4-bit codes, 8× fewer phase-1
+    // bytes than SQ8): exact re-rank of the overfetched slate must hold
+    // the clustered floor too
+    assert(recall("engine_ivf_pq") >= 0.9,
+      s"engine residual-PQ two-phase recall: ${recall("engine_ivf_pq")}")
   }
 
   test("clustered fixture with small cells: the refine slate covers the probed rows and recall is near-exact") {
