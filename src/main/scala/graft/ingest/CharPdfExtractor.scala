@@ -27,17 +27,18 @@ import java.util.zip.Inflater
   * order; text operators BT ET Tf Tm Td TD TL T* Tj ' TJ; literal `(…)`
   * strings with escapes and nesting AND hex strings `<…>`.
   *
-  * Encrypted documents: the standard security handler, RC4 (/V 1–2,
-  * /R 2–3) and AES-128-CBC (/V 4 /AESV2, /R 4) — the common
-  * "viewer-openable" EMPTY user password plus caller-supplied passwords
-  * (the `passwords` parameter; Algorithm 2 padding). Candidate keys are
-  * validated against /U (Algorithm 4/5), and stream bytes are decrypted
-  * under the [[PdfCrypto]] per-object key before filter decode (xref
-  * streams are never encrypted, per spec). AES-256 (/R 5–6) and
-  * non-default crypt filters are out of subset — an unvalidatable or
-  * undecodable document extracts EMPTY rather than as garbage (per-
-  * stream decode is exception-guarded: one bad PDF never fails the
-  * ingest job).
+  * Encrypted documents: the standard security handler — RC4 (/V 1–2,
+  * /R 2–3), AES-128-CBC (/V 4 /AESV2, /R 4) and AES-256-CBC (/V 5
+  * /AESV3, /R 5–6, ISO 32000-2) — with the common "viewer-openable"
+  * EMPTY user password plus caller-supplied passwords (the `passwords`
+  * parameter; Algorithm 2 padding for /V ≤ 4, the SHA-256/2.B hash for
+  * /V 5). Candidate keys are validated against /U before use, and
+  * stream bytes are decrypted under the [[PdfCrypto]] per-object key
+  * (file key directly for /V 5) before filter decode (xref streams are
+  * never encrypted, per spec). Non-default crypt filters remain out of
+  * subset — an unvalidatable or undecodable document extracts EMPTY
+  * rather than as garbage (per-stream decode is exception-guarded: one
+  * bad PDF never fails the ingest job).
   *
   * Composite fonts (the layout most modern writers emit): /Type0 fonts
   * with Identity-H encoding decode 2-byte codes per glyph — code → CID
@@ -88,9 +89,15 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
   private[ingest] final case class Crypto(key: Array[Byte], aes: Boolean)
 
   /** A PDF string value after a dictionary key: hex `<…>` or literal
-    * `(…)` with escapes — /O, /U and /ID carry binary bytes. */
+    * `(…)` with escapes — /O, /U, /UE and /ID carry binary bytes. The
+    * key must end at a NAME BOUNDARY ("/U" must not match inside "/UE"),
+    * so occurrences are scanned until a properly-delimited one is found. */
   private def stringAfter(body: String, key: String): Option[Array[Byte]] = {
-    val at = body.indexOf(key)
+    var at = body.indexOf(key)
+    while (at >= 0 &&
+           at + key.length < body.length &&
+           Character.isLetterOrDigit(body.charAt(at + key.length)))
+      at = body.indexOf(key, at + 1)
     if (at < 0) return None
     var i = at + key.length
     while (i < body.length && body.charAt(i).isWhitespace) i += 1
@@ -175,11 +182,19 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       body <- (em.group(1) + """\s+\d+\s+obj\b([\s\S]*?)endobj""").r
         .findFirstMatchIn(raw).map(_.group(1))
       if body.contains("/Standard")
+      v = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
+      if v >= 1 && v <= 5
+      key <- if (v == 5) aes256Key(body, passwords)
+             else classicKey(raw, body, v, passwords)
+    } yield Crypto(key._1, key._2)
+
+  /** /V ≤ 4 key resolution (RC4 and AES-128 — MD5/Algorithm-2 family). */
+  private def classicKey(raw: String, body: String, v: Int,
+                         passwords: Seq[Array[Byte]]): Option[(Array[Byte], Boolean)] =
+    for {
       o <- stringAfter(body, "/O")
       p <- """/P\s+(-?\d+)""".r.findFirstMatchIn(body)
         .flatMap(m => scala.util.Try(m.group(1).toLong.toInt).toOption)
-      v = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
-      if v >= 1 && v <= 4
       r = """/R\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(2)
       aes = v == 4 && body.contains("/AESV2")
       lenBits = if (aes) 128
@@ -199,7 +214,24 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
           case _ => Some(PdfCrypto.fileKey(o, p, id0, r, lenBits))
         }
       }
-    } yield Crypto(key, aes)
+    } yield (key, aes)
+
+  /** /V 5 key resolution (AES-256, /R 5 and /R 6 — the SHA-256/2.B
+    * family): validate each candidate password against the 48-byte /U,
+    * then recover the 32-byte file key by decrypting /UE. No id0, no /P
+    * mixing — the key is independent of the document. */
+  private def aes256Key(body: String,
+                        passwords: Seq[Array[Byte]]): Option[(Array[Byte], Boolean)] =
+    for {
+      u <- stringAfter(body, "/U")
+      if u.length >= 48
+      ue <- stringAfter(body, "/UE")
+      if ue.length >= 32
+      r = """/R\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(6)
+      if r == 5 || r == 6
+      pw <- (Array.emptyByteArray +: passwords).iterator
+        .find(pw => PdfCrypto.checkUserAes256(r, pw, u))
+    } yield (PdfCrypto.aes256FileKey(r, pw, u, ue), true)
 
   /** What the interpreter needs per resource font: the weight
     * (FPDFText_GetFontWeight analog, pdf_processor.cpp:93) and the

@@ -1,21 +1,21 @@
 package graft.ingest
 
-/** Standard-security-handler crypto for encrypted PDFs (PDF 32000-1
-  * §7.6.3): RC4 (/V 1–2) and AES-128-CBC (/V 4 with /AESV2) — the
-  * common "viewer-openable" EMPTY user password (the file opens without
-  * a prompt, but its streams are still encrypted under a key derived
-  * from /O, /P and the document /ID) AND caller-supplied user passwords
-  * (Algorithm 2's padding). Candidate keys are VALIDATED against /U via
-  * Algorithm 4/5, so a wrong or missing password degrades to empty
-  * extraction instead of feeding garbage plaintext to the filter
-  * decoders. The reference gets all of this from PDFium
-  * (pdf_processor.cpp:88-95); this is the JDK-only equivalent, shared by
-  * [[CharPdfExtractor]] (decrypt) and [[PdfSampleDoc]] (the encrypted
-  * fixture twins encrypt with the same primitives, so a drift in either
-  * direction breaks the byte-parity spec).
+/** Standard-security-handler crypto for encrypted PDFs: RC4 (/V 1–2)
+  * and AES-128-CBC (/V 4 /AESV2) per PDF 32000-1 §7.6.3, plus the
+  * AES-256-CBC handlers (/V 5 /AESV3, /R 5 and the ISO 32000-2 §7.6.4
+  * /R 6 with its iterated 2.B hash) — the common "viewer-openable"
+  * EMPTY user password (the file opens without a prompt, but its
+  * streams are still encrypted) AND caller-supplied user passwords.
+  * Candidate keys are VALIDATED against /U before use, so a wrong or
+  * missing password degrades to empty extraction instead of feeding
+  * garbage plaintext to the filter decoders. The reference gets all of
+  * this from PDFium (pdf_processor.cpp:88-95); this is the JDK-only
+  * equivalent, shared by [[CharPdfExtractor]] (decrypt) and
+  * [[PdfSampleDoc]] (the encrypted fixture twins encrypt with the same
+  * primitives, so a drift in either direction breaks the byte-parity
+  * spec).
   *
-  * Out of subset: the /R 5/6 AES-256 handlers (SHA-256-based, different
-  * derivation) and crypt filters other than the document-default /StdCF.
+  * Out of subset: crypt filters other than the document-default /StdCF.
   */
 private[ingest] object PdfCrypto {
 
@@ -101,6 +101,81 @@ private[ingest] object PdfCrypto {
     stored.length >= n && java.util.Arrays.equals(expect.take(n), stored.take(n))
   }
 
+  // ---- AES-256 handlers (/V 5): /R 5 (deprecated ExtensionLevel 3) and
+  // ---- /R 6 (ISO 32000-2 §7.6.4.3.4, the "hardened" 2.B hash)
+
+  def sha256(parts: Array[Byte]*): Array[Byte] = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(d.update)
+    d.digest()
+  }
+
+  /** ISO 32000-2 Algorithm 2.B (the /R 6 iterated hash): start from
+    * SHA-256(password ‖ salt ‖ udata); each round builds K1 = 64
+    * repetitions of (password ‖ K ‖ udata), AES-128-CBC-encrypts it with
+    * key = K[0..16), IV = K[16..32), re-hashes E with SHA-256/384/512
+    * chosen by (Σ E[0..16)) mod 3, and stops after round ≥ 64 when
+    * E.last ≤ round − 32. /R 5 uses the plain single SHA-256 instead. */
+  def hash2B(password: Array[Byte], salt: Array[Byte],
+             udata: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    var k = sha256(password, salt, udata)
+    var round = 0
+    var e = Array.emptyByteArray
+    while (round < 64 || (e.last & 0xff) > round - 32) {
+      val block = password ++ k ++ udata
+      val k1 = new Array[Byte](block.length * 64)
+      for (i <- 0 until 64) System.arraycopy(block, 0, k1, i * block.length, block.length)
+      val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+      c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+        new javax.crypto.spec.SecretKeySpec(k.take(16), "AES"),
+        new javax.crypto.spec.IvParameterSpec(k.slice(16, 32)))
+      e = c.doFinal(k1)
+      val mod = e.take(16).map(_ & 0xff).sum % 3
+      val alg = mod match { case 0 => "SHA-256"; case 1 => "SHA-384"; case _ => "SHA-512" }
+      val d = java.security.MessageDigest.getInstance(alg)
+      k = d.digest(e)
+      round += 1
+    }
+    k.take(32)
+  }
+
+  /** The /R 5/6 user-password hash over a salt slice of /U: plain
+    * SHA-256(pw ‖ salt) for /R 5, the 2.B iteration for /R 6. Passwords
+    * are truncated to 127 bytes per spec. */
+  def aes256Hash(r: Int, password: Array[Byte], salt: Array[Byte]): Array[Byte] = {
+    val pw = password.take(127)
+    if (r == 5) sha256(pw, salt) else hash2B(pw, salt)
+  }
+
+  /** Validate a user password against the 48-byte /U (32-byte hash ‖
+    * 8-byte validation salt ‖ 8-byte key salt). */
+  def checkUserAes256(r: Int, password: Array[Byte], u: Array[Byte]): Boolean =
+    u.length >= 48 && java.util.Arrays.equals(
+      aes256Hash(r, password, u.slice(32, 40)), u.take(32))
+
+  /** Recover the 32-byte file key from /UE: AES-256-CBC-decrypt (zero IV,
+    * no padding) under the intermediate key SHA/2.B(pw ‖ key salt). */
+  def aes256FileKey(r: Int, password: Array[Byte], u: Array[Byte],
+                    ue: Array[Byte]): Array[Byte] = {
+    val ik = aes256Hash(r, password, u.slice(40, 48))
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(ue.take(32))
+  }
+
+  /** The /UE value for a chosen file key (fixture direction). */
+  def aes256UserKeyEntry(r: Int, password: Array[Byte], u: Array[Byte],
+                         fileKey: Array[Byte]): Array[Byte] = {
+    val ik = aes256Hash(r, password, u.slice(40, 48))
+    val c = javax.crypto.Cipher.getInstance("AES/CBC/NoPadding")
+    c.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(ik, "AES"),
+      new javax.crypto.spec.IvParameterSpec(new Array[Byte](16)))
+    c.doFinal(fileKey.take(32))
+  }
+
   /** Algorithm 1 per-object key: MD5(fileKey ‖ obj low 3 LE ‖ gen low 2
     * LE ‖ "sAlT" for AES), truncated to min(n+5, 16). */
   def objectKey(fileKey: Array[Byte], obj: Int, gen: Int, aes: Boolean): Array[Byte] = {
@@ -118,12 +193,15 @@ private[ingest] object PdfCrypto {
     c
   }
 
-  /** Decrypt one string/stream's bytes under the per-object key. AES
+  /** Decrypt one string/stream's bytes under the per-object key — or,
+    * for the AES-256 handlers (32-byte file key), under the FILE key
+    * directly (V5 has no per-object derivation, spec §7.6.3.1). AES
     * payloads carry their IV as the first 16 bytes and PKCS#7-style
     * padding (always present, 1–16 bytes). */
   def decrypt(fileKey: Array[Byte], obj: Int, gen: Int, aes: Boolean,
               data: Array[Byte]): Array[Byte] = {
-    val k = objectKey(fileKey, obj, gen, aes)
+    val k = if (aes && fileKey.length == 32) fileKey
+            else objectKey(fileKey, obj, gen, aes)
     if (!aes) rc4(k, data)
     else if (data.length < 32 || data.length % 16 != 0) data // malformed: pass through
     else {
@@ -139,7 +217,8 @@ private[ingest] object PdfCrypto {
     * reproducible run to run. */
   def encrypt(fileKey: Array[Byte], obj: Int, gen: Int, aes: Boolean,
               data: Array[Byte]): Array[Byte] = {
-    val k = objectKey(fileKey, obj, gen, aes)
+    val k = if (aes && fileKey.length == 32) fileKey
+            else objectKey(fileKey, obj, gen, aes)
     if (!aes) rc4(k, data)
     else {
       val iv = md5(s"graft-iv-$obj-$gen".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))

@@ -228,6 +228,31 @@ object PdfSampleDoc {
       enc = Some((key, true, dict, hex(Id0))))
   }
 
+  /** AES-256 twin (/V 5 /R 5 or 6 /AESV3, ISO 32000-2): the 32-byte file
+    * key is a fixed arbitrary value; /U = hash(pw ‖ vsalt) ‖ vsalt ‖
+    * ksalt (the plain SHA-256 for /R 5, the iterated 2.B hash for /R 6)
+    * and /UE = AES-256-CBC(fileKey) under the key-salt hash — exactly
+    * the derivation the extractor inverts. Streams encrypt under the
+    * FILE key directly (V5 has no per-object key). Must extract
+    * byte-identically to the plain twin; without the right password the
+    * /U check fails and extraction degrades to empty. */
+  def bytesEncryptedAes256(r: Int = 6, password: String = ""): Array[Byte] = {
+    require(r == 5 || r == 6)
+    val fileKey: Array[Byte] = (0 until 32).map(i => ((i * 11 + 3) & 0xff).toByte).toArray
+    val vsalt: Array[Byte] = (0 until 8).map(i => ((i * 17 + 1) & 0xff).toByte).toArray
+    val ksalt: Array[Byte] = (0 until 8).map(i => ((i * 23 + 9) & 0xff).toByte).toArray
+    val pw = password.getBytes(ISO_8859_1)
+    val u = PdfCrypto.aes256Hash(r, pw, vsalt) ++ vsalt ++ ksalt
+    val ue = PdfCrypto.aes256UserKeyEntry(r, pw, u, fileKey)
+    val dict = s"<< /Filter /Standard /V 5 /R $r /Length 256 /P $PFlag " +
+      s"/O ${hex((0 until 48).map(i => ((i * 13 + 7) & 0xff).toByte).toArray)} " +
+      s"/OE ${hex((0 until 32).map(i => ((i * 19 + 11) & 0xff).toByte).toArray)} " +
+      s"/U ${hex(u)} /UE ${hex(ue)} " +
+      "/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> /StmF /StdCF /StrF /StdCF >>"
+    classicDoc(i => if (i == 1) "flate" else "",
+      enc = Some((fileKey, true, dict, hex(Id0))))
+  }
+
   /** Password-protected twin (non-empty USER password, RC4 /V 2 /R 3):
     * the key derives from the Algorithm-2-padded password, and /U
     * reflects it — so the empty-password candidate FAILS validation and

@@ -114,6 +114,25 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(wrongPw.flatMap(_.lines).isEmpty)
   }
 
+  test("AES-256 twins (/R 5 and /R 6): empty and non-empty passwords extract identically; wrong password degrades to empty") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    // /R 6 (ISO 32000-2, the iterated 2.B hash), empty user password —
+    // the common viewer-openable AES-256 case
+    val r6 = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesEncryptedAes256(r = 6))
+    assert(r6 == classic)
+    // /R 5 (the deprecated single-SHA-256 predecessor)
+    val r5 = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesEncryptedAes256(r = 5))
+    assert(r5 == classic)
+    // non-empty password through the same 2.B derivation
+    val pwDoc = PdfSampleDoc.bytesEncryptedAes256(r = 6, password = "s3cret")
+    val withPw = CharPdfExtractor(passwords = Seq("s3cret")).extract("doc.pdf", pwDoc)
+    assert(withPw == classic)
+    // no/wrong password: /U validation fails -> empty, never garbage
+    assert(CharPdfExtractor().extract("doc.pdf", pwDoc).flatMap(_.lines).isEmpty)
+    assert(CharPdfExtractor(passwords = Seq("nope")).extract("doc.pdf", pwDoc)
+      .flatMap(_.lines).isEmpty)
+  }
+
   test("/W array drives per-CID advances; hex strings decode in simple fonts too") {
     import java.nio.charset.StandardCharsets.ISO_8859_1
     // minimal Type0 doc: "AB" as 2-byte codes; A has /W 2000 (2.0 em),
