@@ -36,6 +36,11 @@ object AnnQueries {
   private val IvfLo = 32
   private val IvfHi = 47
 
+  // Multi-vector MaxSim geometry: 4-vector bags, the first bag (vec_ids
+  // 0..3) is the query; corpus docs start at the second bag.
+  private val MaxSimBag = 4
+  private val MaxSimQ = 4
+
   // ADC-slate size for the refine stage: output k (20) × the FAISS-style
   // refine overfetch — the exact pass reads this many float vectors.
   private val RefineSlate = 20 * graft.search.IvfGenerator.PqRefineOverfetch
@@ -527,6 +532,45 @@ object AnnQueries {
         .agg(sum(floor(col("x").cast("double") * 1000000).cast("long")).as("sum_micro"),
           count(lit(1)).as("n"))
         .orderBy("cluster", "k")
+    },
+
+    // Late-interaction multi-vector retrieval (the ColBERT MaxSim shape):
+    // documents are BAGS of token vectors (here: 4 consecutive corpus
+    // vectors per doc), the query is its own bag, and score(D) =
+    // Σ_{q∈Q} max_{t∈D} cos(q, t) — the retrieval operator modern RAG /
+    // training-data stacks run between single-vector ANN and full
+    // cross-encoders. Plan shape at 100 TB: the |Q| cosines are
+    // scan-local literal-broadcast columns (one corpus scan, no
+    // exchange carrying embeddings); the per-doc max is a partial
+    // aggregate (map-side combine → ≤ |docs| compact rows per
+    // partition), so the only shuffle is |docs| rows of |Q| longs.
+    // Micro-floored cosines make the max/sum integers — exact
+    // cross-engine.
+    Q("ann_maxsim_multivector",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding FROM embeddings WHERE vec_id < $MaxSimQ),
+         |c AS (SELECT e.vec_id // $MaxSimBag AS doc_id, q.qid,
+         |             CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cm
+         |      FROM embeddings e CROSS JOIN q WHERE e.vec_id >= $MaxSimBag),
+         |m AS (SELECT doc_id, qid, max(cm) AS mx FROM c GROUP BY doc_id, qid)
+         |SELECT doc_id, sum(mx)::BIGINT AS maxsim_micro
+         |FROM m GROUP BY doc_id
+         |ORDER BY maxsim_micro DESC, doc_id LIMIT 10""".stripMargin) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      // the query bag: |Q| vectors, driver-sized by construction (the
+      // per-query planning step, same contract as every ANN query)
+      val qvs = e.filter(col("vec_id") < MaxSimQ)
+        .orderBy(col("vec_id")).collect().map(_.getSeq[Float](1).toSeq).toSeq
+      val maxCols = qvs.zipWithIndex.map { case (qv, i) =>
+        max(floor(cosineSim(col("embedding"), typedlit(qv)) * 1e6).cast("long")).as(s"m$i")
+      }
+      e.filter(col("vec_id") >= MaxSimBag)
+        .select(expr(s"vec_id div $MaxSimBag").as("doc_id"), col("embedding"))
+        .groupBy(col("doc_id"))
+        .agg(maxCols.head, maxCols.tail: _*)
+        .select(col("doc_id"),
+          qvs.indices.map(i => col(s"m$i")).reduce(_ + _).as("maxsim_micro"))
+        .orderBy(col("maxsim_micro").desc, col("doc_id"))
+        .limit(10)
     },
 
     // Scalar-quantized (SQ8) serving — the missing member of the

@@ -73,6 +73,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p)
   }
 
+  test("MaxSim multi-vector: one corpus scan, partial per-doc max before the only exchange") {
+    val p = plan("ann_maxsim_multivector")
+    // the |Q| cosines are literal-broadcast scan-local columns: nothing
+    // joins, and the single hash exchange carries |docs| rows of longs
+    // (partial max computed map-side), never the embedding column
+    assert(!p.contains("Join"), p)
+    assert(p.contains("partial_max") || p.contains("HashAggregate"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 1, s"expected at most one doc-keyed exchange, got $exchanges\n$p")
+    assert(!p.contains("Exchange hashpartitioning(embedding") &&
+      !"Exchange [^\\n]*embedding".r.findFirstIn(p).isDefined,
+      s"an exchange carries the embedding column\n$p")
+  }
+
   test("no query ever plans a CartesianProduct (unbounded pair blowup)") {
     // BroadcastNestedLoopJoin with a tiny build side is fine (query vectors);
     // a true CartesianProduct of two large sides is never acceptable
