@@ -573,6 +573,49 @@ object AnnQueries {
         .limit(10)
     },
 
+    // Binary (1-bit) quantization + Hamming ranking — the extreme end of
+    // the quantization family (float32 → int8 SQ → 4-bit PQ → 1 bit):
+    // each 64-dim vector collapses to its sign signature — 8 BYTES (two
+    // 32-bit words), so a 100 TB float corpus becomes ~0.4 TB of codes and
+    // the phase-1 "distance" is xor + popcount — the cheapest possible
+    // candidate scan (used at this scale as the pre-filter ahead of an
+    // int8/PQ or exact re-rank; the sign-LSH bucketing above is this
+    // same signature used as a KEY instead of a metric). Everything is
+    // integer arithmetic — exact cross-engine.
+    Q("ann_hamming_binary",
+      """WITH b AS (SELECT vec_id,
+        |             list_aggregate(list_transform(range(32),
+        |               i -> CASE WHEN embedding[i+1] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END),
+        |               'sum') AS sig_lo,
+        |             list_aggregate(list_transform(range(32),
+        |               i -> CASE WHEN embedding[i+33] > 0 THEN 1::BIGINT << i ELSE 0::BIGINT END),
+        |               'sum') AS sig_hi
+        |           FROM embeddings),
+        |q AS (SELECT sig_lo AS qlo, sig_hi AS qhi FROM b WHERE vec_id = 0)
+        |SELECT b.vec_id,
+        |       (bit_count(xor(b.sig_lo, q.qlo)) + bit_count(xor(b.sig_hi, q.qhi)))::BIGINT AS hamming
+        |FROM b CROSS JOIN q WHERE b.vec_id <> 0
+        |ORDER BY hamming, vec_id LIMIT 10""".stripMargin) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      // sign signature: one codegen'd fold per 32-dim word (a signed-long
+      // engine can't hold bit 63, so the packing is word-wise — the same
+      // layout a >64-dim corpus needs anyway); order-free sums of
+      // distinct powers of two — exact cross-engine
+      def word(off: Int) = expr(
+        s"aggregate(transform(sequence(0, 31), " +
+          s"i -> IF(embedding[i + $off] > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+          "CAST(0 AS BIGINT), (s, v) -> s + v)")
+      val q = e.filter(col("vec_id") === 0)
+        .select(word(0).as("lo"), word(32).as("hi")).head()
+      val (qlo, qhi) = (q.getLong(0), q.getLong(1))
+      e.filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          (bit_count(word(0).bitwiseXOR(lit(qlo))) +
+            bit_count(word(32).bitwiseXOR(lit(qhi)))).cast("long").as("hamming"))
+        .orderBy(col("hamming"), col("vec_id"))
+        .limit(10)
+    },
+
     // Scalar-quantized (SQ8) serving — the missing member of the
     // quantized-ANN family next to PQ/ADC: each corpus vector stores int8
     // codes + one per-vector scale (4× smaller than float32, like FAISS
