@@ -230,6 +230,33 @@ object RecallEval {
         val lsh8 = lshRecall(8)
         val lsh4 = lshRecall(4)
 
+        // ---- 1-bit sign signatures (ann_hamming_binary's packing):
+        // Hamming prefilter keeps k·16 candidates, exact cosine re-ranks —
+        // the cheapest two-phase pipeline (8 bytes/vector phase 1) ----
+        val binary = {
+          def word(off: Int) = expr(
+            s"aggregate(transform(sequence(0, 31), " +
+              s"i -> IF(embedding[i + $off] > CAST(0 AS FLOAT), shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT))), " +
+              "CAST(0 AS BIGINT), (s, v) -> s + v)")
+          val sigs = e.select(col("vec_id"), word(0).as("lo"), word(32).as("hi"))
+          val qsig = sigs.join(broadcast(qs.select(col("q_id"))),
+              col("vec_id") === col("q_id"))
+            .select(col("q_id"), col("lo").as("qlo"), col("hi").as("qhi"))
+          val hd = (bit_count(col("lo").bitwiseXOR(col("qlo"))) +
+            bit_count(col("hi").bitwiseXOR(col("qhi")))).as("hd")
+          val pre = sigs.crossJoin(broadcast(qsig))
+            .filter(col("vec_id") =!= col("q_id"))
+            .select(col("q_id"), col("vec_id").as("n_id"), hd)
+            .withColumn("rk", row_number().over(
+              Window.partitionBy(col("q_id")).orderBy(col("hd").asc, col("n_id"))))
+            .filter(col("rk") <= k * 16)
+          val reranked = pre
+            .join(e.select(col("vec_id").as("n_id"), col("embedding")), Seq("n_id"))
+            .join(broadcast(qs), Seq("q_id"))
+            .select(col("q_id"), col("n_id"), cosineSim(col("embedding"), col("qv")).as("s"))
+          recallOf(cosTruth, topkPerQuery(reranked, col("s"), asc = false, k))
+        }
+
         // ---- IVFPQ: trained coarse cells (nprobe=2) + trained RESIDUAL
         // ADC ranking (FAISS IVFADC, the ann_ivfpq scheme): the codebook
         // trains on and encodes x − centroid(cell), so the 4 bits per
@@ -339,6 +366,7 @@ object RecallEval {
           VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=4", ivf4),
           VariantRecall("lsh", "cosine", "hyperplanes=8,buckets=256", lsh8),
           VariantRecall("lsh", "cosine", "hyperplanes=4,buckets=16", lsh4),
+          VariantRecall("binary_rerank", "cosine", "bits=64,overfetch=16", binary),
           VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained,residual", ivfpqRecall),
           VariantRecall("ivfpq_refined", "l2",
             s"cells=16,nprobe=2,m=8,k*=16,trained,residual,overfetch=${IvfGenerator.PqRefineOverfetch}",

@@ -96,6 +96,12 @@ class RecallSpec extends AnyFunSuite {
     assert(recall("sq8_two_phase", "overfetch") >= 0.95,
       "SQ8 two-phase probe lost recall despite exact re-rank")
 
+    // 1-bit sign signatures + exact re-rank (8 bytes/vector phase 1):
+    // measured 0.725 on the near-uniform corpus — the cheapest usable
+    // prefilter; floor leaves jitter room
+    assert(recall("binary_rerank", "bits=64") >= 0.6,
+      s"binary Hamming prefilter recall regressed: ${recall("binary_rerank", "bits=64")}")
+
     // IVFPQ refine (round-5 "What's missing #3"): the exact re-rank of the
     // ADC top k·overfetch must recover most of the coarse-quantizer
     // ceiling — measured with residual codes + overfetch 16 (round-7)
@@ -129,6 +135,8 @@ class RecallSpec extends AnyFunSuite {
     assert(recall("ivf") >= 0.9, s"IVF on clustered data: ${recall("ivf")}")
     assert(recall("ivf_l2_ceiling") >= 0.95)
     assert(recall("sq8_two_phase") >= 0.95)
+    assert(recall("binary_rerank") >= 0.95,
+      s"binary prefilter on clustered data: ${recall("binary_rerank")}")
     assert(recall("ivfpq") >= 0.2,
       s"raw residual-ADC recall on clustered data regressed: ${recall("ivfpq")}")
     assert(recall("ivfpq_refined") >= 0.9,
