@@ -18,6 +18,10 @@ object CurationQueries {
   private val terms = Seq("merge", "window", "hash")
   private val inList = terms.map(t => s"'$t'").mkString(", ")
 
+  // ml_auc_rank bucket width: score domain (document n_chars) / 64 →
+  // driver-side bucket-total count stays small however the corpus grows
+  private val AucBucket = 64L
+
   // BM25 constants (Robertson/Lucene defaults)
   private val K1 = 1.2
   private val B = 0.75
@@ -605,6 +609,62 @@ object CurationQueries {
       interior.unionByName(boundary)
         .orderBy("doc_id")
         .limit(1000)
+    },
+
+    // Distributed AUC (Mann–Whitney rank-sum with midrank tie handling) —
+    // the eval metric every quality-classifier gate reports, computed the
+    // way 100 TB allows: rows collapse to per-SCORE groups first (one
+    // map-side-combined shuffle of |distinct scores| compact rows), the
+    // cross-bucket negative prefix comes from DRIVER-side bucket totals
+    // (bounded by the score domain / bucket width — the centroid-array
+    // contract), and the within-bucket cumsum window is PARTITIONED by
+    // bucket — no unpartitioned window, no row-level global sort
+    // anywhere. AUC·2·np·nn = Σ_g np_g·(2·negBelow_g + nn_g) is pure
+    // integer arithmetic — exact cross-engine. Score = n_chars,
+    // label = lang='en' (the ml_logreg_grad label).
+    Q("ml_auc_rank",
+      """WITH d AS (SELECT n_chars AS s,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |           FROM documents),
+        |g AS (SELECT s, count(*) AS cnt, sum(pos) AS np_g FROM d GROUP BY s),
+        |c AS (SELECT s, np_g, cnt - np_g AS nn_g,
+        |             coalesce(sum(cnt - np_g) OVER
+        |               (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS neg_below
+        |      FROM g),
+        |t AS (SELECT sum(np_g) AS np, sum(nn_g) AS nn,
+        |             sum(np_g * (2 * neg_below + nn_g)) AS c2
+        |      FROM c)
+        |SELECT np::BIGINT AS n_pos, nn::BIGINT AS n_neg,
+        |       CASE WHEN np * nn = 0 THEN 500000
+        |            ELSE c2 * 1000000 // (2 * np * nn) END::BIGINT AS auc_micro
+        |FROM t""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val g = table(spark, dir, "documents")
+        .select(col("n_chars").as("s"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("s"))
+        .agg(count(lit(1)).as("cnt"), sum(col("pos")).as("np_g"))
+        .withColumn("nn_g", col("cnt") - col("np_g"))
+      val bucket = (col("s") / lit(AucBucket)).cast("long")
+      // bucket totals: driver-sized by construction (score domain /
+      // AucBucket), prefix-summed in Scala, broadcast back as a literal
+      val bTotals = g.groupBy(bucket.as("b")).agg(sum(col("nn_g")).as("bn"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      val prefix: Map[Long, Long] = {
+        var acc = 0L
+        bTotals.map { case (b, n) => val p = acc; acc += n; b -> p }.toMap
+      }
+      val wInBucket = Window.partitionBy(bucket).orderBy(col("s"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val negBelow = coalesce(element_at(typedlit(prefix), bucket), lit(0L)) +
+        coalesce(sum(col("nn_g")).over(wInBucket), lit(0L))
+      g.select(col("np_g"), col("nn_g"),
+          (col("np_g") * (lit(2L) * negBelow + col("nn_g"))).as("c2"))
+        .agg(sum("np_g").as("np"), sum("nn_g").as("nn"), sum("c2").as("c2"))
+        .select(col("np").as("n_pos"), col("nn").as("n_neg"),
+          when(col("np") * col("nn") === 0, lit(500000L))
+            .otherwise(expr("c2 * 1000000 div (2 * np * nn)"))
+            .cast("long").as("auc_micro"))
     },
 
     // One distributed logistic-regression gradient step for a quality
