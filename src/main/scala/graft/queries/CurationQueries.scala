@@ -667,6 +667,29 @@ object CurationQueries {
             .cast("long").as("auc_micro"))
     },
 
+    // Reliability-diagram bins (the calibration-curve data behind an ECE
+    // report — AUC's companion eval metric): a deterministic pseudo-
+    // probability p = min(n_chars/2048, 1⁻) in integer micros, 16
+    // confidence bins, each reporting support, Σp and positives — the
+    // exact per-bin (confidence, accuracy) pairs a training pipeline
+    // persists per eval round. One map-side-combined groupBy of 16 rows;
+    // all integers, exact cross-engine.
+    Q("ml_reliability_bins",
+      """WITH d AS (SELECT least(999999, n_chars * 1000000 // 2048) AS p_micro,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |           FROM documents)
+        |SELECT (p_micro // 62500)::BIGINT AS bin, count(*) AS n,
+        |       sum(p_micro)::BIGINT AS sum_p_micro, sum(pos)::BIGINT AS n_pos
+        |FROM d GROUP BY bin ORDER BY bin""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "documents")
+        .select(least(lit(999999L), expr("n_chars * 1000000 div 2048")).as("p_micro"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("pos"))
+        .groupBy(expr("p_micro div 62500").as("bin"))
+        .agg(count(lit(1)).as("n"), sum(col("p_micro")).as("sum_p_micro"),
+          sum(col("pos")).as("n_pos"))
+        .orderBy("bin")
+    },
+
     // One distributed logistic-regression gradient step for a quality
     // classifier (the fastText-style gate every curation stack trains):
     // w=0 start, so sigma(w.x) = 0.5 EXACTLY and the gradient is
