@@ -17,7 +17,7 @@ package graft.ingest
   *
   * Out of subset: crypt filters other than the document-default /StdCF.
   */
-private[ingest] object PdfCrypto {
+private[graft] object PdfCrypto {
 
   /** The 32-byte password pad (PDF §7.6.3.3, Algorithm 2 step a). An
     * empty user password IS the pad. */

@@ -146,4 +146,54 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- PDF crypto primitives: decrypt ∘ encrypt = id across every
+  // ---- cipher family and arbitrary payloads/object ids
+
+  test("PdfCrypto round-trip: RC4, AES-128 and AES-256 decrypt what they encrypt, for arbitrary payloads") {
+    import graft.ingest.PdfCrypto
+    val r = rng(0xc0ffee)
+    for (trial <- 0 until 50) {
+      val data = Array.fill(r.nextInt(600))(r.nextInt(256).toByte)
+      val obj = r.nextInt(100000)
+      val gen = r.nextInt(10)
+      // RC4 under an Algorithm-2 key (5..16 bytes via /Length and /R)
+      val o = Array.fill(32)(r.nextInt(256).toByte)
+      val id0 = Array.fill(16)(r.nextInt(256).toByte)
+      val rc4Key = PdfCrypto.fileKey(o, r.nextInt(), id0, r = 3, lengthBits = 40 + 8 * r.nextInt(12))
+      assert(PdfCrypto.decrypt(rc4Key, obj, gen, aes = false,
+        PdfCrypto.encrypt(rc4Key, obj, gen, aes = false, data)).sameElements(data),
+        s"RC4 round-trip failed at trial $trial (${data.length} bytes)")
+      // AES-128 under the 16-byte Algorithm-2 key (per-object derivation)
+      val aesKey = PdfCrypto.fileKey(o, r.nextInt(), id0, r = 4, lengthBits = 128)
+      assert(PdfCrypto.decrypt(aesKey, obj, gen, aes = true,
+        PdfCrypto.encrypt(aesKey, obj, gen, aes = true, data)).sameElements(data),
+        s"AES-128 round-trip failed at trial $trial (${data.length} bytes)")
+      // AES-256 under a raw 32-byte file key (V5: no per-object derivation)
+      val k256 = Array.fill(32)(r.nextInt(256).toByte)
+      assert(PdfCrypto.decrypt(k256, obj, gen, aes = true,
+        PdfCrypto.encrypt(k256, obj, gen, aes = true, data)).sameElements(data),
+        s"AES-256 round-trip failed at trial $trial (${data.length} bytes)")
+    }
+  }
+
+  test("AES-256 user-key entry inverts: the /UE written for a key recovers that key, for arbitrary passwords") {
+    import graft.ingest.PdfCrypto
+    val r = rng(0xfeed)
+    for (trial <- 0 until 10) {
+      val pw = Array.fill(r.nextInt(20))(r.nextInt(256).toByte)
+      val fileKey = Array.fill(32)(r.nextInt(256).toByte)
+      val vsalt = Array.fill(8)(r.nextInt(256).toByte)
+      val ksalt = Array.fill(8)(r.nextInt(256).toByte)
+      for (rev <- Seq(5, 6)) {
+        val u = PdfCrypto.aes256Hash(rev, pw, vsalt) ++ vsalt ++ ksalt
+        val ue = PdfCrypto.aes256UserKeyEntry(rev, pw, u, fileKey)
+        assert(PdfCrypto.checkUserAes256(rev, pw, u), s"/R $rev /U self-check failed (trial $trial)")
+        assert(!PdfCrypto.checkUserAes256(rev, pw :+ 1.toByte, u),
+          s"/R $rev accepted a wrong password (trial $trial)")
+        assert(PdfCrypto.aes256FileKey(rev, pw, u, ue).sameElements(fileKey),
+          s"/R $rev file-key recovery failed (trial $trial)")
+      }
+    }
+  }
 }
