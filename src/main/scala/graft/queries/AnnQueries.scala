@@ -573,6 +573,49 @@ object AnnQueries {
         .limit(10)
     },
 
+    // IVF index health report — the observability query an operator runs
+    // against a deployed index: per-cell population (balance/skew is THE
+    // thing that breaks probe-cost guarantees at scale — a hot cell makes
+    // every probe that hits it a near-full scan) and the cell's total
+    // squared-residual mass in integer micros (the quantization-error
+    // budget residual-PQ spends; a cell whose mass outgrows its peers is
+    // the retrain trigger's per-cell refinement). Same scan-local
+    // assignment as ann_ivfpq; one |cells|-row aggregate.
+    Q("ann_index_stats",
+      s"""WITH ivf AS (SELECT vec_id - $IvfLo AS cid, embedding AS ce FROM embeddings
+         |             WHERE vec_id BETWEEN $IvfLo AND $IvfHi),
+         |asn AS (SELECT e.vec_id, ivf.cid,
+         |               row_number() OVER (PARTITION BY e.vec_id
+         |                                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.ce::DOUBLE[]) DESC, ivf.cid) AS rn
+         |        FROM embeddings e CROSS JOIN ivf),
+         |cells AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
+         |r AS (SELECT cells.cid,
+         |             CAST(floor(list_aggregate(list_transform(range(${SubSpaces * SubDim}),
+         |               i -> (e.embedding[i+1]::DOUBLE - ivf.ce[i+1]::DOUBLE) * (e.embedding[i+1]::DOUBLE - ivf.ce[i+1]::DOUBLE)),
+         |               'sum') * 1000000) AS BIGINT) AS r2
+         |      FROM embeddings e JOIN cells ON cells.vec_id = e.vec_id
+         |      JOIN ivf ON ivf.cid = cells.cid)
+         |SELECT cid::BIGINT AS cid, count(*) AS n, sum(r2)::BIGINT AS sum_r2_micro
+         |FROM r GROUP BY cid ORDER BY cid""".stripMargin) { (spark, dir) =>
+      import graft.functions.VectorFunctions.cosineSim
+      val e = embeddings(spark, dir)
+      val centsArr = centArray(ivfCentRows(e))
+      e.crossJoin(broadcast(centsArr))
+        .withColumn("best", array_max(transform(col("cents"),
+          c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
+                      (-c.getField("cid")).as("ncid")))))
+        .withColumn("cid", -col("best").getField("ncid"))
+        .withColumn("cent", element_at(
+          filter(col("cents"), c => c.getField("cid") === col("cid")), 1).getField("ce"))
+        .select(col("cid"),
+          floor(aggregate(zip_with(col("embedding"), col("cent"),
+              (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+            lit(0.0), (s, v) => s + v) * 1e6).cast("long").as("r2"))
+        .groupBy(col("cid"))
+        .agg(count(lit(1)).as("n"), sum(col("r2")).as("sum_r2_micro"))
+        .orderBy("cid")
+    },
+
     // Binary (1-bit) quantization + Hamming ranking — the extreme end of
     // the quantization family (float32 → int8 SQ → 4-bit PQ → 1 bit):
     // each 64-dim vector collapses to its sign signature — 8 BYTES (two
