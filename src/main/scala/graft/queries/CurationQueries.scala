@@ -124,7 +124,8 @@ object CurationQueries {
     * feature tweak applied to one trainer or one engine's copy but not
     * the other would silently diverge the models and break oracle parity. */
   private val FeatSql =
-    """SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+    """SELECT doc_id,
+      |             CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
       |             [1.0,
       |              len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+')))::DOUBLE
       |                / greatest(len(regexp_extract_all(lower(text), '[a-z0-9]+')), 1),
@@ -142,6 +143,7 @@ object CurationQueries {
       val toks = F.tokens(col("text"))
       val nTok = greatest(size(toks), lit(1)).cast("double")
       table(spark, dir, "documents").select(
+        col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
         array(
           lit(1.0),
@@ -356,6 +358,42 @@ object CurationQueries {
         .orderBy("lang", "rk")
     },
 
+    // Weighted sampling WITHOUT replacement, one pass (Efraimidis &
+    // Spirakis 2006, algorithm A-ES): each doc draws key = ln(u)/w with
+    // u uniform in (0,1] and w its weight (here n_chars — sample
+    // probability ∝ document length, the "sample by token mass" pick a
+    // mixture builder wants); the global top-n by key IS an exact
+    // w-weighted sample. u comes from the portable 60-bit md5 hash, not
+    // an RNG, so the sample is identical on every engine and every run.
+    // Scale shape: the key is scan-local arithmetic; the top-n is
+    // TakeOrdered (per-partition heaps, n rows to the driver) — the
+    // canonical single-pass distributed weighted sampler, no shuffle of
+    // the corpus at any size. Keys floored to integer picos (the
+    // ln(u)/w range is ~1e-4 for long docs, so micros would tie).
+    Q("curation_weighted_sample",
+      """WITH k AS (SELECT doc_id, greatest(n_chars, 1) AS w,
+        |             CAST(floor(ln((('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT + 1)::DOUBLE
+        |                           / 1152921504606846977.0)
+        |                        / greatest(n_chars, 1) * 1000000000000.0) AS BIGINT) AS key_pico
+        |           FROM documents)
+        |SELECT doc_id, w::BIGINT AS w, key_pico,
+        |       row_number() OVER (ORDER BY key_pico DESC, doc_id) AS rk
+        |FROM k
+        |QUALIFY rk <= 256
+        |ORDER BY rk""".stripMargin) { (spark, dir) =>
+      val w = greatest(col("n_chars"), lit(1))
+      val u = (F.hash60(col("doc_id").cast("string")) + 1).cast("double") /
+        lit(1152921504606846977.0)
+      table(spark, dir, "documents")
+        .select(col("doc_id"), w.cast("long").as("w"),
+          floor(log(u) / w * 1e12).cast("long").as("key_pico"))
+        .orderBy(col("key_pico").desc, col("doc_id"))
+        .limit(256)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("key_pico").desc, col("doc_id")))
+          .cast("long"))
+    },
+
     // Per-domain quantile gate: keep a doc only if it clears its OWN
     // source's 25th length percentile — absolute thresholds misfire when
     // domains have different length profiles, so the gate is relative.
@@ -379,6 +417,42 @@ object CurationQueries {
           floor(col("pr") * 1000000).cast("long").as("pr_micro"),
           when(col("pr") >= 0.25, 1L).otherwise(0L).as("keep"))
         .orderBy("doc_id")
+        .limit(1000)
+    },
+
+    // Curriculum ordering (Bengio et al. 2009 shape): bucket each doc
+    // into a within-source difficulty decile (percent_rank over n_chars —
+    // the same relative-gate discipline as curation_quality_quantile),
+    // then interleave buckets round-robin so every training "round" of 10
+    // docs sweeps easy→hard once — the schedule that avoids both
+    // easy-only warmup starvation and hard-first divergence. Hash-ordered
+    // within a bucket (portable md5, no RNG). Scale shape: two
+    // source-keyed window passes (the percent_rank and the round-robin
+    // rank) — the shuffle key is the source, never a global sort; a
+    // skewed mega-source takes the salted two-phase treatment of
+    // curation_stratified_sample.
+    Q("curation_curriculum_order",
+      """WITH b AS (SELECT doc_id, source, n_chars,
+        |             least(CAST(floor(percent_rank() OVER
+        |               (PARTITION BY source ORDER BY n_chars, doc_id) * 10) AS BIGINT), 9) AS bucket
+        |           FROM documents),
+        |r AS (SELECT doc_id, source, bucket,
+        |        row_number() OVER (PARTITION BY source, bucket
+        |                           ORDER BY md5(doc_id::VARCHAR), doc_id) AS rr
+        |      FROM b)
+        |SELECT doc_id, source, bucket, ((rr - 1) * 10 + bucket)::BIGINT AS pos
+        |FROM r ORDER BY source, pos, doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wPr = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val b = table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          least(floor(percent_rank().over(wPr) * 10).cast("long"), lit(9L)).as("bucket"))
+      val wRr = Window.partitionBy("source", "bucket")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      b.withColumn("rr", row_number().over(wRr))
+        .select(col("doc_id"), col("source"), col("bucket"),
+          ((col("rr") - 1) * 10 + col("bucket")).cast("long").as("pos"))
+        .orderBy("source", "pos", "doc_id")
         .limit(1000)
     },
 
@@ -710,6 +784,50 @@ object CurationQueries {
         .agg(sum(floor((lit(0.5) - col("y")) * col("xv") * 1000000).cast("long")).as("grad_micro"),
           count(lit(1)).as("n"))
         .orderBy("k")
+    },
+
+    // Gradient-dot data attribution (the TracIn shape, Pruthi et al.
+    // 2020, single checkpoint): influence(train doc) = ∇loss(doc) ·
+    // ∇loss(validation set). Same w=0 logistic setup as ml_logreg_grad
+    // (σ(w·x) = 0.5 exactly — no transcendentals), validation = every
+    // 7th doc_id, held out of the scored set. Per-doc per-dim gradient
+    // contributions are floored to integer micros, the validation
+    // gradient is their order-free integer sum, and the influence is an
+    // integer dot product — bit-exact cross-engine. Scale shape: the
+    // validation gradient is a 4-row broadcast agg; scoring is
+    // scan-local arithmetic against that literal; top-k is TakeOrdered —
+    // the corpus never shuffles, which is what makes per-example
+    // attribution feasible at 100 TB (the full TracIn sum over
+    // checkpoints is this same plan run per checkpoint).
+    Q("ml_influence_grad_dot",
+      s"""WITH f AS ($FeatSql),
+        |gv AS (SELECT k, sum(CAST(floor((0.5 - y) * x[k + 1] * 1000000) AS BIGINT)) AS g
+        |       FROM f CROSS JOIN (SELECT unnest(range(4)) AS k) ks
+        |       WHERE doc_id % 7 = 0 GROUP BY k),
+        |s AS (SELECT f.doc_id,
+        |        sum(CAST(floor((0.5 - f.y) * f.x[gv.k + 1] * 1000000) AS BIGINT) * gv.g) AS infl
+        |      FROM f CROSS JOIN gv
+        |      WHERE f.doc_id % 7 <> 0 GROUP BY f.doc_id)
+        |SELECT doc_id, infl::BIGINT AS infl_micro2,
+        |       row_number() OVER (ORDER BY infl DESC, doc_id) AS rk
+        |FROM s QUALIFY rk <= 20 ORDER BY rk""".stripMargin) { (spark, dir) =>
+      val f = stagedFeatures(spark, dir)
+      // validation gradient: 4 integers to the driver (the broadcast side)
+      val gv: Seq[Long] = f.filter(col("doc_id") % 7 === 0)
+        .select(posexplode(col("x")).as(Seq("k", "xv")), col("y"))
+        .groupBy(col("k"))
+        .agg(sum(floor((lit(0.5) - col("y")) * col("xv") * 1000000).cast("long")).as("g"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1).map(_._2).toSeq
+      val infl = (0 until 4).map(k =>
+        floor((lit(0.5) - col("y")) * col("x")(k) * 1000000).cast("long") * lit(gv(k)))
+        .reduce(_ + _)
+      f.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"), infl.as("infl_micro2"))
+        .orderBy(col("infl_micro2").desc, col("doc_id"))
+        .limit(20)
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("infl_micro2").desc, col("doc_id"))).cast("long"))
     },
 
     // Cross-source contamination matrix: how many distinct 5-gram

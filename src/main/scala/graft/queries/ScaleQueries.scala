@@ -612,6 +612,47 @@ object ScaleQueries {
         .limit(1000)
     },
 
+    // Per-dimension standardization (the z-score/whitening step ahead of
+    // PCA or a distance metric — dominant dimensions otherwise swamp the
+    // rest): pass 1 aggregates per-dim Σx and Σx² over micro-quantized
+    // integers (order-free — the ml_kmeans_step discipline: map-side
+    // combine reduces every partition to ≤ d rows, the only shuffle is d
+    // compact rows at any corpus size); pass 2 applies z = (x − μ)/σ
+    // scan-local against the broadcast d-row stats. The double pipeline
+    // (÷, −, ×, sqrt) is IEEE-exact in both engines, so z_micro hashes
+    // bit-identically. Integer Σx² bounds the corpus at ~9·10⁶ vectors
+    // per long; past that the per-dim sums aggregate as DECIMAL(38) —
+    // same plan shape.
+    Q("embed_standardize",
+      """WITH x AS (SELECT vec_id, ks.k,
+        |             CAST(floor(embedding[ks.k + 1]::DOUBLE * 1000000) AS BIGINT) AS xm
+        |           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS k) ks),
+        |st AS (SELECT k, sum(xm)::BIGINT AS sm, sum(xm * xm)::BIGINT AS ss, count(*) AS n
+        |       FROM x GROUP BY k)
+        |SELECT x.vec_id, x.k::BIGINT AS k,
+        |       CAST(floor((x.xm::DOUBLE - st.sm::DOUBLE / st.n)
+        |                  / sqrt(st.ss::DOUBLE / st.n - (st.sm::DOUBLE / st.n) * (st.sm::DOUBLE / st.n))
+        |                  * 1000000) AS BIGINT) AS z_micro
+        |FROM x JOIN st ON st.k = x.k
+        |WHERE x.vec_id < 5
+        |ORDER BY x.vec_id, x.k""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val x = e.select(col("vec_id"), posexplode(col("embedding")).as(Seq("k", "xv")))
+        .select(col("vec_id"), col("k"),
+          floor(col("xv").cast("double") * 1000000).cast("long").as("xm"))
+      val st = x.groupBy("k")
+        .agg(sum(col("xm")).as("sm"), sum(col("xm") * col("xm")).as("ss"),
+          count(lit(1)).as("n"))
+      val mean = col("sm").cast("double") / col("n")
+      x.filter(col("vec_id") < 5)
+        .join(broadcast(st), Seq("k"))
+        .select(col("vec_id"), col("k").cast("long").as("k"),
+          floor((col("xm").cast("double") - mean)
+              / sqrt(col("ss").cast("double") / col("n") - mean * mean)
+              * 1000000).cast("long").as("z_micro"))
+        .orderBy("vec_id", "k")
+    },
+
     // Random-projection dimensionality reduction: 16 corpus-drawn
     // projection rows, reduced vector = dots against each (the ANN
     // preprocessing step; projection rows broadcast, one scan).
