@@ -98,6 +98,30 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Streaming per-source token-quota admission: each source may
+    // contribute at most 800 tokens to the mix; a doc is admitted iff
+    // its source's running total (doc id order) still fits. The
+    // admission-control complement of stream_neardup (that one rejects
+    // redundancy, this one caps over-representation); state = one long
+    // per source. Bounded id-ordered run ≡ the batch per-source prefix
+    // cumsum, which is the exact oracle.
+    Q("stream_source_quota",
+      """WITH t AS (SELECT doc_id, source,
+        |             len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT doc_id, source, n_tokens,
+        |        sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+        |      FROM t)
+        |SELECT doc_id, source, n_tokens, (cum <= 800) AS admitted
+        |FROM c ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.sourceQuotaStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/documents.parquet"), budget = 800),
+        s"stream_quota_${System.nanoTime()}")
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // Streaming exact dedup: dropDuplicates state over the content hash —
     // bounded run ≡ batch DISTINCT, which is the exact oracle.
     Q("stream_dedup",

@@ -290,6 +290,51 @@ object StreamingIngest {
       .toDF("doc_id", "band", "dup")
   }
 
+  /** Per-source state of [[sourceQuotaStream]]: tokens seen so far — one
+    * long per source, the whole state quota admission needs. */
+  final case class QuotaUsed(used: Long)
+
+  /** Streaming per-source token-quota admission — the anti-domination
+    * gate a production ingest stream runs in front of the corpus: each
+    * source (domain/crawl/feed) may contribute at most `budget` tokens,
+    * and a document is admitted iff its source's running token total
+    * (in doc id order) still fits. The streaming complement of
+    * [[nearDupStream]]: that filter rejects REDUNDANT documents, this
+    * one caps OVER-REPRESENTED sources — together they are the two
+    * admission controls that keep a continuously-crawled mixture from
+    * skewing. State is one long per source (≤ |sources| regardless of
+    * stream length); per-wave work is O(batch). Same arrival contract
+    * as nearDupStream: batches process each source's rows in ascending
+    * doc id order, so a bounded id-ordered run emits exactly the batch
+    * prefix-cumsum verdicts (the registered oracle); under out-of-order
+    * arrival it is still a correct first-arrival-wins quota. */
+  def sourceQuotaStream(spark: SparkSession, inputDir: String, budget: Long,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    val docs = reader.parquet(inputDir)
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.F.tokens(col("text"))).cast("long").as("n_tokens"))
+      .as[(Long, String, Long)]
+    docs.groupByKey(_._2)
+      .flatMapGroupsWithState[QuotaUsed, (Long, String, Long, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (source: String, rows: Iterator[(Long, String, Long)],
+         state: GroupState[QuotaUsed]) =>
+          val evs = rows.toSeq.sortBy(_._1)
+          var used = state.getOption.map(_.used).getOrElse(0L)
+          val out = evs.map { case (id, _, n) =>
+            used += n
+            (id, source, n, used <= budget)
+          }
+          state.update(QuotaUsed(used))
+          out.iterator
+      }
+      .toDF("doc_id", "source", "n_tokens", "admitted")
+  }
+
   /** Streaming value histogram — the incremental form of
     * sketch_quantile_hist: per-(event_type, bin) counts over a FIXED
     * 1024-bin integer-cent domain (a streaming histogram fixes its bin

@@ -109,6 +109,52 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming source quota: budget state carries across micro-batches, equals batch cumsum") {
+    import org.apache.spark.sql.functions._
+    val budget = 800L
+    // batch twin: per-source prefix cumsum in id order
+    val t = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("source"),
+        size(graft.functions.F.tokens(col("text"))).cast("long").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+    val batch = t.withColumn("cum", sum(col("n")).over(w))
+      .select(col("doc_id"), (col("cum") <= budget).as("admitted"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(batch.values.exists(identity) && batch.values.exists(!_),
+      "budget should split the corpus into admitted and rejected docs")
+
+    // two id-ordered files, one micro-batch each: a source whose budget
+    // is consumed in batch 1 must keep rejecting in batch 2 via STATE
+    val median = t.agg(expr("cast(percentile_approx(doc_id, 0.5) as long)")).head().getLong(0)
+    val dir = graft.util.TempRoot.dir("quota-")
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") <= median)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") > median)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val staged = graft.util.TempRoot.dir("quota-in-")
+    def copyPart(sub: String, as: String): Unit = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub")).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, staged.resolve(as))
+      }
+    }
+    copyPart("batch_a", "a.parquet")
+    copyPart("batch_b", "b.parquet")
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.sourceQuotaStream(spark, staged.toString, budget,
+        maxFilesPerTrigger = Some(1)),
+      "spec_stream_quota")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(streamed == batch)
+    // and the second batch really contains rejections forced by batch-1 state
+    assert(streamed.exists { case (id, adm) => id > median && !adm })
+  }
+
   test("watermarked streaming dedup: 3x-replicated input emits once, state is watermark-bounded") {
     val staged = StreamingIngest.stageAsDir(s"$sf/events.parquet")
     val stream = StreamingIngest.dedupWithinWatermarkStream(spark, staged)
