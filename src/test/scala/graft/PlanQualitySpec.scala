@@ -495,4 +495,36 @@ class PlanQualitySpec extends AnyFunSuite {
       case (k, None)    => spark.conf.unset(k)
     }
   }
+
+  test("weighted sample: scan-local keys + TakeOrdered heap, the corpus never shuffles") {
+    val p = plan("curation_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only post-heap step is the 256-row rank window (single
+    // partition over a bounded input — covered by the global-window test)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("influence: validation gradient broadcast as literal, scoring scan-local + TakeOrdered") {
+    val p = plan("ml_influence_grad_dot")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), s"influence scoring should not join:\n$p")
+  }
+
+  test("standardize: map-side partial sums, d-row broadcast stats join, no corpus-wide merge join") {
+    val p = plan("embed_standardize")
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("curriculum order: every shuffle is source-keyed, final order is a TakeOrdered heap") {
+    val p = plan("curation_curriculum_order")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // both window passes key their exchange on source (never a global sort)
+    val exchanges = "Exchange hashpartitioning\\([^)]*".r.findAllIn(p).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(exchanges.forall(_.contains("source")), exchanges.mkString("\n"))
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
 }
