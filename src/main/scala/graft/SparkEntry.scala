@@ -48,7 +48,8 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "d2_knn_topk", "d4_keyword_search", "d4_posting_search", "d7_rrf_fusion",
     "hybrid_search_fused", "d13_context_window",
-    "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_ivf_cells", "ann_pq_adc",
+    "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multitable",
+    "ann_ivf_cells", "ann_pq_adc",
     "ann_sq8_topk",
     "ann_ivfpq", "ann_ivfpq_refined", "ann_maxsim_multivector",
     "ann_hamming_binary", "ml_kmeans_step", "ann_ivf_trained",
@@ -57,10 +58,12 @@ object SparkEntry {
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
     "sketch_hll_distinct", "sketch_quantile_hist", "ml_linear_probe_train",
-    "graph_pagerank_step", "graph_label_prop", "graph_triangle_count",
-    "graph_kcore_peel",
+    "graph_pagerank_step", "graph_pagerank_converged", "graph_label_prop",
+    "graph_triangle_count", "graph_kcore_peel",
     "dedup_canonical_docs", "curation_bloom_decontam",
     "curation_source_overlap", "embed_outlier_flags",
+    "curation_weighted_sample", "curation_curriculum_order",
+    "ml_influence_grad_dot", "embed_standardize",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",
     "mm_av_align", "q_asof_join_forward_tol",

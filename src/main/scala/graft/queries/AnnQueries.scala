@@ -321,6 +321,59 @@ object AnnQueries {
         .orderBy(col("q_id"), col("rank"))
     },
 
+    // Multi-table sign-LSH (the Indyk–Motwani construction): L=8
+    // independent 8-bit tables, candidates = the UNION of the query's
+    // buckets across tables, exact cosine re-rank of that union. The
+    // standard fix for single-table LSH's recall collapse (RECALL_r07:
+    // 8-hyperplane single-table recall@10 is 0.0 uniform / 0.365
+    // clustered — one 256-bucket table leaves ~corpus/256 candidates,
+    // far too few): each extra table multiplies the chance a true
+    // neighbor shares at least one bucket while costing only one more
+    // scan-local signature. Plan shape: all 64 hyperplanes are DRIVER
+    // literals (corpus rows — driver-sized by construction), every
+    // table's bucket is a scan-local codegen fold, the candidate test is
+    // an OR of 8 literal comparisons, and the re-rank is TakeOrdered —
+    // ONE corpus scan, zero exchanges, however many tables.
+    Q("ann_lsh_multitable",
+      s"""WITH hp AS (SELECT (vec_id - 56) // 8 AS tbl, (vec_id - 56) % 8 AS hid,
+         |             embedding AS he FROM embeddings WHERE vec_id BETWEEN 56 AND 119),
+         |bk AS (SELECT e.vec_id, hp.tbl,
+         |         sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.he::DOUBLE[]) > 0
+         |                  THEN (1 << hid) ELSE 0 END)::BIGINT AS bucket
+         |       FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id, hp.tbl),
+         |qb AS (SELECT tbl, bucket FROM bk WHERE vec_id = 0),
+         |cand AS (SELECT DISTINCT b.vec_id
+         |         FROM bk b JOIN qb ON qb.tbl = b.tbl AND qb.bucket = b.bucket
+         |         WHERE b.vec_id <> 0)
+         |SELECT c.vec_id AS n_id,
+         |       round(list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]), 6) AS score,
+         |       row_number() OVER (ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) DESC, c.vec_id) AS rank
+         |FROM cand c JOIN embeddings e ON e.vec_id = c.vec_id
+         |CROSS JOIN (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+         |QUALIFY rank <= $K ORDER BY rank""".stripMargin) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      val hpRows: Seq[Seq[Float]] = e.filter(col("vec_id").between(56, 119))
+        .select(col("vec_id"), col("embedding")).collect()
+        .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toSeq).toSeq
+      def bucketCol(t: Int): Column = (0 until 8).map(i =>
+        when(dotProduct(col("embedding"), typedlit(hpRows(8 * t + i))) > 0,
+          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+      // the query's 8 bucket ids: computed by the SAME expressions over
+      // the one query row, so signature arithmetic can't diverge
+      val qRow = e.filter(col("vec_id") === 0)
+        .select((0 until 8).map(t => bucketCol(t).as(s"b$t")): _*).head()
+      val qv = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toSeq
+      val isCand = (0 until 8).map(t => bucketCol(t) === lit(qRow.getLong(t))).reduce(_ || _)
+      e.filter(col("vec_id") =!= 0 && isCand)
+        .select(col("vec_id").as("n_id"), cosineSim(col("embedding"), typedlit(qv)).as("s"))
+        .orderBy(col("s").desc, col("n_id"))
+        .limit(K)
+        .select(col("n_id"), round(col("s"), 6).as("score"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("s").desc, col("n_id"))).cast("long").as("rank"))
+        .orderBy("rank")
+    },
+
     // Product quantization + asymmetric-distance (ADC) scan — the 100 TB
     // ANN compression path: each vector collapses to an 8×4-bit code, so
     // the scan side carries bytes, not floats. The codebook is TRAINED:

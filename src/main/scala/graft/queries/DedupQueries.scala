@@ -434,6 +434,79 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // Three chained PageRank iterations over the same near-dup graph —
+    // the BSP LOOP graph_pagerank_step pins one round of, run to (near)
+    // convergence with a per-node delta so the convergence claim is in
+    // the output, not a comment (the ann_ivf_trained discipline applied
+    // to graph iteration). All arithmetic is integer picos: uniform
+    // r₀ = 1e12/n, per-edge contribution (850·r)div(1000·deg) floored
+    // BEFORE the destination gather (order-free), teleport 0.15e12/n
+    // and the dangling redistribution (850·Σ_dangling r)div(1000·n) ride
+    // as broadcast one-row aggregates. Per round: one keyed shuffle of
+    // |edges| compact (id, long) rows + one |nodes| gather — the shape
+    // that survives a 100 TB edge list for ANY round count.
+    Q("graph_pagerank_converged", {
+      def iterCtes(i: Int, prev: String) =
+        s"""dang$i AS (SELECT coalesce(sum(rp), 0) AS d FROM $prev
+           |           WHERE doc_id NOT IN (SELECT a FROM od)),
+           |c$i AS (SELECT e.b AS doc_id, sum((850 * r.rp) // (1000 * od.deg))::BIGINT AS cm
+           |        FROM e JOIN od ON od.a = e.a JOIN $prev r ON r.doc_id = e.a
+           |        GROUP BY e.b),
+           |r$i AS (SELECT t.doc_id,
+           |          150000000000 // (SELECT n FROM nn)
+           |          + (850 * (SELECT d FROM dang$i)) // (1000 * (SELECT n FROM nn))
+           |          + coalesce(c.cm, 0) AS rp
+           |        FROM t LEFT JOIN c$i c ON c.doc_id = t.doc_id)""".stripMargin
+      s"""WITH ${lshCtes(tokenSetsSql + " WHERE doc_id % 4 = 0")},
+         |v AS (SELECT p.a_id, p.b_id
+         |      FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |      WHERE $jaccardSql >= 0.9),
+         |e AS (SELECT a_id AS a, b_id AS b FROM v UNION ALL SELECT b_id, a_id FROM v),
+         |nn AS (SELECT count(*) AS n FROM t),
+         |od AS (SELECT a, count(*) AS deg FROM e GROUP BY a),
+         |r0 AS (SELECT doc_id, 1000000000000 // (SELECT n FROM nn) AS rp FROM t),
+         |${iterCtes(1, "r0")},
+         |${iterCtes(2, "r1")},
+         |${iterCtes(3, "r2")}
+         |SELECT r3.doc_id, r3.rp::BIGINT AS rank_pico,
+         |       abs(r3.rp - r2.rp)::BIGINT AS delta_pico
+         |FROM r3 JOIN r2 ON r2.doc_id = r3.doc_id
+         |ORDER BY r3.doc_id""".stripMargin
+    }) { (spark, dir) =>
+      val docs = table(spark, dir, "documents")
+      // edge list + degrees materialized once; every round re-reads them
+      val e = DedupPipeline.edges(docs, 0.9, sampleMod = 4).localCheckpoint()
+      val nodes = docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
+        .localCheckpoint()
+      val n = nodes.agg(count(lit(1)).as("n"))
+      val od = e.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
+      val r0 = nodes.crossJoin(broadcast(n))
+        .select(col("doc_id"), expr("1000000000000L div n").as("rp"))
+      def iter(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+        val dang = r.join(od, r("doc_id") === od("a"), "left_anti")
+          .agg(coalesce(sum(col("rp")), lit(0L)).as("d"))
+        val contrib = e.join(od, Seq("a"))
+          .join(r.select(col("doc_id").as("a"), col("rp")), Seq("a"))
+          .select(col("b").as("doc_id"), expr("(850 * rp) div (1000 * deg)").as("c"))
+          .groupBy("doc_id").agg(sum(col("c")).as("cm"))
+        nodes.join(contrib, Seq("doc_id"), "left")
+          .crossJoin(broadcast(n)).crossJoin(broadcast(dang))
+          .select(col("doc_id"),
+            (expr("150000000000L div n") + expr("(850 * d) div (1000 * n)") +
+              coalesce(col("cm"), lit(0L))).as("rp"))
+      }
+      // each iterate is pinned (localCheckpoint) so round i+1's plan and
+      // the final delta read materialized ranks, not a re-derivation —
+      // the iterate-by-refeeding loop a driver program runs
+      val r1 = iter(r0).localCheckpoint()
+      val r2 = iter(r1).localCheckpoint()
+      val r3 = iter(r2).localCheckpoint()
+      r3.join(r2.select(col("doc_id"), col("rp").as("rp_prev")), Seq("doc_id"))
+        .select(col("doc_id"), col("rp").as("rank_pico"),
+          abs(col("rp") - col("rp_prev")).as("delta_pico"))
+        .orderBy("doc_id")
+    },
+
     // One synchronous label-propagation step over the near-dup graph
     // (Raghavan et al. 2007 — community detection for topic clustering):
     // a third of the sampled docs carry seed labels; every node adopts

@@ -230,6 +230,35 @@ object RecallEval {
         val lsh8 = lshRecall(8)
         val lsh4 = lshRecall(4)
 
+        // ---- multi-table sign-LSH (ann_lsh_multitable's Indyk–Motwani
+        // scheme): L independent 8-bit tables, candidates = the union of
+        // the query's buckets across tables, exact cosine re-rank — each
+        // table multiplies the chance a true neighbor shares a bucket ----
+        def lshMultiRecall(tables: Int): Double = {
+          val hp = e.filter(col("vec_id").between(56, 56 + 8 * tables - 1))
+            .select(expr("(vec_id - 56) div 8").as("tbl"),
+              expr("(vec_id - 56) % 8").as("hid"), col("embedding").as("he"))
+          val bk = e.crossJoin(broadcast(hp))
+            .groupBy(col("vec_id"), col("tbl"))
+            .agg(sum(when(dotProduct(col("embedding"), col("he")) > 0,
+              expr("shiftleft(CAST(1 AS BIGINT), cast(hid as int))")).otherwise(0L)).as("bucket"))
+            .localCheckpoint()
+          try {
+            val qb = bk.join(broadcast(qs.select(col("q_id"))), col("vec_id") === col("q_id"))
+              .select(col("q_id"), col("tbl").as("qtbl"), col("bucket").as("qbucket"))
+            val cands = bk.join(broadcast(qb),
+                col("tbl") === col("qtbl") && col("bucket") === col("qbucket") &&
+                  col("vec_id") =!= col("q_id"))
+              .select(col("q_id"), col("vec_id").as("n_id")).distinct()
+            val scored = cands
+              .join(e.select(col("vec_id").as("n_id"), col("embedding")), Seq("n_id"))
+              .join(broadcast(qs), Seq("q_id"))
+              .select(col("q_id"), col("n_id"), cosineSim(col("embedding"), col("qv")).as("s"))
+            recallOf(cosTruth, topkPerQuery(scored, col("s"), asc = false, k))
+          } finally graft.functions.Checkpoints.release(bk)
+        }
+        val lshMulti = lshMultiRecall(8)
+
         // ---- 1-bit sign signatures (ann_hamming_binary's packing):
         // Hamming prefilter keeps k·16 candidates, exact cosine re-ranks —
         // the cheapest two-phase pipeline (8 bytes/vector phase 1) ----
@@ -366,6 +395,7 @@ object RecallEval {
           VariantRecall("ivf", "cosine", "cells=16,iters=2,nprobe=4", ivf4),
           VariantRecall("lsh", "cosine", "hyperplanes=8,buckets=256", lsh8),
           VariantRecall("lsh", "cosine", "hyperplanes=4,buckets=16", lsh4),
+          VariantRecall("lsh_multitable", "cosine", "tables=8,hyperplanes=8,buckets=256", lshMulti),
           VariantRecall("binary_rerank", "cosine", "bits=64,overfetch=16", binary),
           VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained,residual", ivfpqRecall),
           VariantRecall("ivfpq_refined", "l2",

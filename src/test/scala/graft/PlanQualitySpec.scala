@@ -518,6 +518,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("multi-table LSH: literal hyperplanes, one scan, zero exchanges") {
+    val p = plan("ann_lsh_multitable")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // all 64 signatures AND the candidate test are scan-local literal
+    // folds — nothing joins, nothing shuffles, however many tables
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("curriculum order: every shuffle is source-keyed, final order is a TakeOrdered heap") {
     val p = plan("curation_curriculum_order")
     assert(p.contains("TakeOrderedAndProject"), p)

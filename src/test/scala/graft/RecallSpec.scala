@@ -102,6 +102,15 @@ class RecallSpec extends AnyFunSuite {
     assert(recall("binary_rerank", "bits=64") >= 0.6,
       s"binary Hamming prefilter recall regressed: ${recall("binary_rerank", "bits=64")}")
 
+    // multi-table LSH (Indyk–Motwani): 8 independent 8-bit tables must
+    // beat the single table at the same bit width — measured 0.21 vs
+    // 0.0 single-table (2026-08); floor leaves jitter room
+    val lshMulti = recall("lsh_multitable", "tables=8")
+    assert(lshMulti >= 0.12,
+      s"multi-table LSH recall $lshMulti regressed toward the single-table collapse")
+    assert(lshMulti > recall("lsh", "hyperplanes=8,buckets=256"),
+      "adding tables must not lose recall vs one table")
+
     // IVFPQ refine (round-5 "What's missing #3"): the exact re-rank of the
     // ADC top k·overfetch must recover most of the coarse-quantizer
     // ceiling — measured with residual codes + overfetch 16 (round-7)
@@ -137,6 +146,11 @@ class RecallSpec extends AnyFunSuite {
     assert(recall("sq8_two_phase") >= 0.95)
     assert(recall("binary_rerank") >= 0.95,
       s"binary prefilter on clustered data: ${recall("binary_rerank")}")
+    // multi-table LSH: measured 0.88 clustered vs 0.365 single-table
+    // (2026-08) — the union of 8 tables' buckets covers the query's
+    // cluster where one 256-bucket table fragments it
+    assert(recall("lsh_multitable") >= 0.75,
+      s"multi-table LSH on clustered data regressed: ${recall("lsh_multitable")}")
     assert(recall("ivfpq") >= 0.2,
       s"raw residual-ADC recall on clustered data regressed: ${recall("ivfpq")}")
     assert(recall("ivfpq_refined") >= 0.9,
