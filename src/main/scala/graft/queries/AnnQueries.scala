@@ -359,11 +359,12 @@ object AnnQueries {
         when(dotProduct(col("embedding"), typedlit(hpRows(8 * t + i))) > 0,
           lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
       // the query's 8 bucket ids: computed by the SAME expressions over
-      // the one query row, so signature arithmetic can't diverge
+      // the one query row, so signature arithmetic can't diverge (one
+      // driver action fetches buckets + vector together)
       val qRow = e.filter(col("vec_id") === 0)
-        .select((0 until 8).map(t => bucketCol(t).as(s"b$t")): _*).head()
-      val qv = e.filter(col("vec_id") === 0).select("embedding").head().getSeq[Float](0).toSeq
-      val isCand = (0 until 8).map(t => bucketCol(t) === lit(qRow.getLong(t))).reduce(_ || _)
+        .select(col("embedding") +: (0 until 8).map(t => bucketCol(t).as(s"b$t")): _*).head()
+      val qv = qRow.getSeq[Float](0).toSeq
+      val isCand = (0 until 8).map(t => bucketCol(t) === lit(qRow.getLong(t + 1))).reduce(_ || _)
       e.filter(col("vec_id") =!= 0 && isCand)
         .select(col("vec_id").as("n_id"), cosineSim(col("embedding"), typedlit(qv)).as("s"))
         .orderBy(col("s").desc, col("n_id"))
