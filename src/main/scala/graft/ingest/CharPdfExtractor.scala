@@ -46,8 +46,11 @@ import java.util.zip.Inflater
   * targets, incremented-range targets, and array targets; Flate or raw),
   * with per-CID advances from the descendant CIDFontType2's /W array
   * (both the `c [w…]` consecutive and `cFirst cLast w` range forms) and
-  * /DW default. Other /Encoding CMaps (and vertical Identity-V) are out
-  * of subset — such text falls back to 2-byte identity decoding.
+  * /DW default. An EMBEDDED /Encoding CMap stream (cidrange/cidchar
+  * sections, PDF §9.7.5.3) remaps 2-byte codes to CIDs before the /W
+  * lookup; named predefined CMaps (UniJIS etc.) and vertical Identity-V
+  * remain out of subset — such text falls back to 2-byte identity
+  * decoding.
   */
 final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
                                   passwords: Seq[String] = Nil) extends PageExtractor {
@@ -244,7 +247,8 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
                                             composite: Boolean = false,
                                             cidWidths: Map[Int, Double] = Map.empty,
                                             defaultWEm: Double = 1.0,
-                                            toUnicode: Map[Int, String] = Map.empty)
+                                            toUnicode: Map[Int, String] = Map.empty,
+                                            codeToCid: Map[Int, Int] = Map.empty)
   private val DefaultFont = FontInfo(400, 0, None)
 
   /** Resource font name (/F1 …) → [[FontInfo]], resolved through the
@@ -318,11 +322,22 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       .flatMap(m => bodies.get(m.group(1)).map(b => (m.group(1).toInt, b)))
       .map { case (num, b) => streamPayload(num, b, crypto) }
       .map(parseToUnicode).getOrElse(Map.empty[Int, String])
+    // /Encoding: the name /Identity-H is the identity code→CID map; an
+    // INDIRECT reference is an embedded CMap STREAM whose cidrange/
+    // cidchar sections remap 2-byte codes to CIDs (PDF §9.7.5.3) —
+    // /W advances are keyed by the CID, /ToUnicode stays keyed by the
+    // CODE. Identity-V and named predefined CMaps remain out of subset
+    // (they fall through to the identity map, the documented fallback).
+    val cidMap = """/Encoding\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
+      .flatMap(m => bodies.get(m.group(1)).map(b => (m.group(1).toInt, b)))
+      .map { case (num, b) => streamPayload(num, b, crypto) }
+      .map(parseCidMap).getOrElse(Map.empty[Int, Int])
     FontInfo(if (bold) 700 else 400, 0, None,
       composite = true,
       cidWidths = wInner.map(parseWArray).getOrElse(Map.empty),
       defaultWEm = dw / 1000.0,
-      toUnicode = toUni)
+      toUnicode = toUni,
+      codeToCid = cidMap)
   }
 
   /** The inner text of a balanced `[ … ]` starting at `open` (which must
@@ -416,6 +431,26 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     for (sec <- """beginbfchar([\s\S]*?)endbfchar""".r.findAllMatchIn(cmap);
          m <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>""".r.findAllMatchIn(sec.group(1)))
       out(Integer.parseInt(m.group(1), 16)) = uniOf(m.group(2))
+    out.toMap
+  }
+
+  /** Embedded /Encoding CMap (PDF §9.7.5.3): `begincidrange` entries map
+    * `<lo> <hi> cidFirst` code ranges to consecutive CIDs; `begincidchar`
+    * entries map one `<code> cid`. CIDs are plain decimal integers (not
+    * hex strings, unlike bf* targets). Returns code → CID. */
+  private[ingest] def parseCidMap(cmap: String): Map[Int, Int] = {
+    val out = scala.collection.mutable.Map.empty[Int, Int]
+    for (sec <- """begincidrange([\s\S]*?)endcidrange""".r.findAllMatchIn(cmap);
+         m <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)""".r.findAllMatchIn(sec.group(1))) {
+      val lo = Integer.parseInt(m.group(1), 16)
+      val hi = Integer.parseInt(m.group(2), 16)
+      val cid0 = m.group(3).toInt
+      var c = lo
+      while (c <= hi) { out(c) = cid0 + (c - lo); c += 1 }
+    }
+    for (sec <- """begincidchar([\s\S]*?)endcidchar""".r.findAllMatchIn(cmap);
+         m <- """<([0-9A-Fa-f]+)>\s+(\d+)""".r.findAllMatchIn(sec.group(1)))
+      out(Integer.parseInt(m.group(1), 16)) = m.group(2).toInt
     out.toMap
   }
 
@@ -702,7 +737,10 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
         var k = 0
         while (k + 1 < str.length) {
           val code = ((str.charAt(k) & 0xff) << 8) | (str.charAt(k + 1) & 0xff)
-          val w = font.cidWidths.getOrElse(code, font.defaultWEm) * fontSize
+          // embedded-CMap /Encoding remaps code → CID; Identity-H (empty
+          // map) keeps code = CID. /W is CID-keyed, /ToUnicode CODE-keyed.
+          val cid = if (font.codeToCid.isEmpty) code else font.codeToCid.getOrElse(code, code)
+          val w = font.cidWidths.getOrElse(cid, font.defaultWEm) * fontSize
           val uni = font.toUnicode.getOrElse(code, code.toChar.toString)
           if (uni.nonEmpty) {
             val cw = w / uni.length

@@ -177,6 +177,44 @@ class CharPdfExtractorSpec extends AnyFunSuite {
       "BT /F1 12 Tf 1 0 0 1 72 700 Tm <48492E> Tj ET",
       "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Courier >> endobj")
     assert(CharPdfExtractor().extract("h.pdf", simpleDoc).head.lines.head.text == "HI.")
+
+    // embedded /Encoding CMap: codes <0241 0242> remap to CIDs 65/66 via
+    // a cidrange entry, so the SAME /W [65 [2000]] + /DW 600 advances
+    // apply (CID-keyed) while /ToUnicode stays CODE-keyed — identical
+    // "AB" text and the identical 26 pt span prove both lookups route
+    // through the CMap correctly
+    val cidCmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 begincidrange
+        |<0241> <0242> 65
+        |endcidrange""".stripMargin
+    val uniCmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0241> <0242> <0041>
+        |endbfrange""".stripMargin
+    val cmapDoc = mini(
+      "BT /F1 10 Tf 1 0 0 1 72 700 Tm <02410242> Tj ET",
+      s"""5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /T /Encoding 8 0 R /DescendantFonts [6 0 R] /ToUnicode 7 0 R >> endobj
+         |6 0 obj << /Type /Font /Subtype /CIDFontType2 /BaseFont /T /DW 600 /W [ 65 [2000] ] >> endobj
+         |7 0 obj << /Length ${uniCmap.length} >>
+         |stream
+         |$uniCmap
+         |endstream
+         |endobj
+         |8 0 obj << /Type /CMap /CMapName /Custom-H /Length ${cidCmap.length} >>
+         |stream
+         |$cidCmap
+         |endstream
+         |endobj""".stripMargin)
+    val cmLine = CharPdfExtractor().extract("cm.pdf", cmapDoc).head.lines.head
+    assert(cmLine.text == "AB", s"embedded-CMap decode: '${cmLine.text}'")
+    assert(math.abs((cmLine.right - cmLine.left) - 26.0) < 1e-9,
+      s"CID-keyed /W advance not honored through the CMap: span ${cmLine.right - cmLine.left}")
   }
 
   test("/Widths array drives per-char advances (non-uniform metrics)") {
