@@ -35,10 +35,13 @@ import java.util.zip.Inflater
   * /V 5). Candidate keys are validated against /U before use, and
   * stream bytes are decrypted under the [[PdfCrypto]] per-object key
   * (file key directly for /V 5) before filter decode (xref streams are
-  * never encrypted, per spec). Non-default crypt filters remain out of
-  * subset — an unvalidatable or undecodable document extracts EMPTY
-  * rather than as garbage (per-stream decode is exception-guarded: one
-  * bad PDF never fails the ingest job).
+  * never encrypted, per spec). An IDENTITY stream crypt filter —
+  * /StmF /Identity, /StmF absent (the §7.6.5 default), or a named
+  * filter with /CFM /None — is honored: such streams decode directly.
+  * Other non-default crypt filters remain out of subset — an
+  * unvalidatable or undecodable document extracts EMPTY rather than as
+  * garbage (per-stream decode is exception-guarded: one bad PDF never
+  * fails the ingest job).
   *
   * Composite fonts (the layout most modern writers emit): /Type0 fonts
   * with Identity-H encoding decode 2-byte codes per glyph — code → CID
@@ -187,9 +190,28 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       if body.contains("/Standard")
       v = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
       if v >= 1 && v <= 5
+      // /V ≥ 4 routes stream bytes through the named /StmF crypt filter;
+      // /Identity — which is also the SPEC DEFAULT when /StmF is absent
+      // (§7.6.5) — or a named filter whose /CFM is /None means stream
+      // bytes are NOT encrypted: yield no Crypto so filter decode runs
+      // directly on the stored bytes
+      if !(v >= 4 && streamFilterIsIdentity(body))
       key <- if (v == 5) aes256Key(body, passwords)
              else classicKey(raw, body, v, passwords)
     } yield Crypto(key._1, key._2)
+
+  /** True when the /StmF stream crypt filter resolves to identity:
+    * /StmF absent (spec default Identity), /StmF /Identity, or the named
+    * filter's /CFM is /None. Only consulted for /V ≥ 4 (crypt filters
+    * don't exist below). */
+  private[ingest] def streamFilterIsIdentity(body: String): Boolean =
+    """/StmF\s*/([A-Za-z0-9.]+)""".r.findFirstMatchIn(body).map(_.group(1)) match {
+      case None => true
+      case Some("Identity") => true
+      case Some(name) =>
+        (s"/$name\\s*<<([\\s\\S]*?)>>").r.findFirstMatchIn(body)
+          .exists(m => """/CFM\s*/None""".r.findFirstIn(m.group(1)).isDefined)
+    }
 
   /** /V ≤ 4 key resolution (RC4 and AES-128 — MD5/Algorithm-2 family). */
   private def classicKey(raw: String, body: String, v: Int,

@@ -212,6 +212,21 @@ object PdfSampleDoc {
       enc = Some((key, aes, dict, hex(Id0))))
   }
 
+  /** /V 4 twin whose STREAM crypt filter is identity: either the named
+    * /StdCF carries /CFM /None, or /StmF is ABSENT entirely (the spec
+    * default is Identity, §7.6.5). Streams are stored PLAIN — only the
+    * dict announces encryption — so a reader that blindly decrypts /V 4
+    * streams would feed garbage to FlateDecode. */
+  def bytesEncryptedIdentityStreams(stmfAbsent: Boolean = false): Array[Byte] = {
+    val key = PdfCrypto.fileKey(OEntry, PFlag, Id0, 4, 128)
+    val cf = if (stmfAbsent) ""
+      else " /CF << /StdCF << /CFM /None >> >> /StmF /StdCF /StrF /StdCF"
+    val dict = s"<< /Filter /Standard /V 4 /R 4 /Length 128 /P $PFlag " +
+      s"/O ${hex(OEntry)} /U ${hex(uEntry(key, 4))}$cf >>"
+    classicDoc(i => if (i == 1) "flate" else "",
+      enc = Some((key, false, dict, hex(Id0))), encryptStreams = false)
+  }
+
   /** AES twin with the ADVERSARIAL dict layout real writers emit: the
     * /CF subdict (carrying its own /Length 16, in BYTES) comes FIRST and
     * there is NO top-level /Length — a naive first-match /Length parse
@@ -272,7 +287,8 @@ object PdfSampleDoc {
     * filter ("" | "flate" | "lzw") and optional encryption
     * (fileKey, aes, encrypt-dict body, /ID hex). */
   private def classicDoc(pageFilter: Int => String,
-                         enc: Option[(Array[Byte], Boolean, String, String)]): Array[Byte] = {
+                         enc: Option[(Array[Byte], Boolean, String, String)],
+                         encryptStreams: Boolean = true): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
     val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
@@ -294,8 +310,9 @@ object PdfSampleDoc {
         case _ => (plain, "")
       }
       val stored = enc match {
-        case Some((key, aes, _, _)) => PdfCrypto.encrypt(key, 10 + i, 0, aes, filtered)
-        case None => filtered
+        case Some((key, aes, _, _)) if encryptStreams =>
+          PdfCrypto.encrypt(key, 10 + i, 0, aes, filtered)
+        case _ => filtered
       }
       obj(10 + i) {
         w(s"<< /Length ${stored.length}$filterPart >>\nstream\n")

@@ -96,6 +96,19 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(aes == classic)
   }
 
+  test("identity stream filter (/CFM /None and absent /StmF): plain streams extract despite the Encrypt dict") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    // /StmF /StdCF whose /CFM is /None: streams stored PLAIN — blindly
+    // decrypting them would feed garbage to FlateDecode
+    val none = CharPdfExtractor().extract("doc.pdf",
+      PdfSampleDoc.bytesEncryptedIdentityStreams())
+    assert(none == classic)
+    // /StmF absent entirely: the spec default is Identity (§7.6.5)
+    val absent = CharPdfExtractor().extract("doc.pdf",
+      PdfSampleDoc.bytesEncryptedIdentityStreams(stmfAbsent = true))
+    assert(absent == classic)
+  }
+
   test("password-protected twin: extracts byte-identically WITH the password, empty without it") {
     val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
     val doc = PdfSampleDoc.bytesPassworded("hunter2")
