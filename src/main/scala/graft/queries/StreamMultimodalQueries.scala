@@ -98,6 +98,28 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Streaming HLL registers: the distinct-count sketch maintained as
+    // streaming state — max-rho per register is the mergeable-sketch
+    // merge, so micro-batch partials fold associatively and state is
+    // bounded at 1024 rows for any stream length. Bounded run ≡ the
+    // batch register table (exact oracle); the estimator over these
+    // registers is pinned by sketch_hll_distinct.
+    Q("stream_hll_registers",
+      """WITH gr AS (SELECT unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+        |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
+        |            FROM documents),
+        |h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
+        |r AS (SELECT h % 1024 AS bucket, 51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM h)
+        |SELECT bucket, max(rho)::BIGINT AS mx
+        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.hllRegisterStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/documents.parquet")),
+        s"stream_hll_${System.nanoTime()}", outputMode = "complete")
+        .select(col("bucket"), col("mx"))
+        .orderBy("bucket")
+    },
+
     // Streaming per-source token-quota admission: each source may
     // contribute at most 800 tokens to the mix; a doc is admitted iff
     // its source's running total (doc id order) still fits. The

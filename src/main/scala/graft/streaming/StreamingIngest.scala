@@ -356,6 +356,30 @@ object StreamingIngest {
         least(lit(1023L), greatest(lit(0L), expr("cents div 1024"))).as("bin"))
       .agg(count(lit(1)).as("n"))
 
+  /** Streaming HLL register maintenance — the incremental form of
+    * sketch_hll_distinct's register table: each arriving document's
+    * 5-gram hashes update a 1024-register max-rho state via a plain
+    * streaming groupBy (max is the mergeable-sketch operation, so
+    * partial states merge associatively across micro-batches and
+    * executors alike). State is BOUNDED by construction at 1024 rows
+    * however long the stream runs — the distinct-count sketch a
+    * continuous ingest keeps warm so "how many unique shingles so far"
+    * never needs a corpus rescan. Bounded run ≡ the batch register
+    * table, which is the exact oracle (the estimator composition over
+    * these registers is pinned by sketch_hll_distinct). */
+  def hllRegisterStream(spark: SparkSession, inputDir: String,
+                        maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.functions.F
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    reader.parquet(inputDir)
+      .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
+      .select(F.hash60(col("g")).as("h"))
+      .select(pmod(col("h"), lit(1024L)).as("bucket"),
+        (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).cast("long").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("mx"))
+  }
+
   /** Watermarked tumbling-window aggregation over an events stream — the
     * streaming form of q_event_window_agg (same plan shape; late data
     * beyond 10 minutes dropped by the watermark). */

@@ -109,6 +109,37 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming HLL registers: max-rho state merges across micro-batches, equals the batch sketch") {
+    import org.apache.spark.sql.functions._
+    val batch = spark.read.parquet(s"$sf/documents.parquet")
+      .select(explode(graft.functions.F.shingles(graft.functions.F.tokens(col("text")), 5)).as("g"))
+      .select(graft.functions.F.hash60(col("g")).as("h"))
+      .select(pmod(col("h"), lit(1024L)).as("bucket"),
+        (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).cast("long").as("rho"))
+      .groupBy("bucket").agg(max(col("rho")).as("mx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(batch.size > 900, s"corpus should populate most registers, got ${batch.size}")
+    // two micro-batches: registers touched by both files must carry the
+    // MAX across them, not the last batch's value
+    val staged = StreamingIngest.stageAsDir(s"$sf/documents.parquet")
+    val half = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+    half.coalesce(1).write.parquet(s"$staged-b")
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(s"$staged-b")).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(staged, "zz_half.parquet"))
+    }
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.hllRegisterStream(spark, staged, maxFilesPerTrigger = Some(1)),
+      "spec_stream_hll", outputMode = "complete")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the duplicate half adds no new distinct hashes, so registers must
+    // equal the single-copy batch sketch exactly
+    assert(streamed == batch)
+  }
+
   test("streaming source quota: budget state carries across micro-batches, equals batch cumsum") {
     import org.apache.spark.sql.functions._
     val budget = 800L
