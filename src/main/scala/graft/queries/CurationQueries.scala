@@ -764,6 +764,49 @@ object CurationQueries {
         .orderBy("bin")
     },
 
+    // Confusion matrix + derived metrics at the 0.5 operating point —
+    // the third member of the eval family next to ml_auc_rank
+    // (threshold-free ranking) and ml_reliability_bins (calibration):
+    // the numbers a curation pipeline actually gates releases on.
+    // Same deterministic pseudo-probability as the reliability bins;
+    // label = lang='en'. Precision/recall/F1 in exact integer micros
+    // (integer division floors identically in both engines). One
+    // map-side-combined aggregate to a single row — scan-shaped at any
+    // corpus size.
+    Q("ml_confusion_matrix",
+      """WITH d AS (SELECT CASE WHEN least(999999, n_chars * 1000000 // 2048) >= 500000
+        |                  THEN 1 ELSE 0 END AS pred,
+        |             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+        |           FROM documents),
+        |m AS (SELECT sum(pred * pos)::BIGINT AS tp,
+        |             sum(pred * (1 - pos))::BIGINT AS fp,
+        |             sum((1 - pred) * (1 - pos))::BIGINT AS tn,
+        |             sum((1 - pred) * pos)::BIGINT AS fn
+        |      FROM d)
+        |SELECT tp, fp, tn, fn,
+        |       CASE WHEN tp + fp = 0 THEN 0 ELSE tp * 1000000 // (tp + fp) END AS precision_micro,
+        |       CASE WHEN tp + fn = 0 THEN 0 ELSE tp * 1000000 // (tp + fn) END AS recall_micro,
+        |       CASE WHEN 2 * tp + fp + fn = 0 THEN 0
+        |            ELSE 2 * tp * 1000000 // (2 * tp + fp + fn) END AS f1_micro
+        |FROM m""".stripMargin) { (spark, dir) =>
+      val pred = when(least(lit(999999L), expr("n_chars * 1000000 div 2048")) >= 500000, 1L)
+        .otherwise(0L)
+      val pos = when(col("lang") === "en", 1L).otherwise(0L)
+      table(spark, dir, "documents")
+        .select(pred.as("pred"), pos.as("pos"))
+        .agg(sum(col("pred") * col("pos")).as("tp"),
+          sum(col("pred") * (lit(1L) - col("pos"))).as("fp"),
+          sum((lit(1L) - col("pred")) * (lit(1L) - col("pos"))).as("tn"),
+          sum((lit(1L) - col("pred")) * col("pos")).as("fn"))
+        .select(col("tp"), col("fp"), col("tn"), col("fn"),
+          when(col("tp") + col("fp") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div (tp + fp)")).as("precision_micro"),
+          when(col("tp") + col("fn") === 0, 0L)
+            .otherwise(expr("tp * 1000000 div (tp + fn)")).as("recall_micro"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") === 0, 0L)
+            .otherwise(expr("2 * tp * 1000000 div (2 * tp + fp + fn)")).as("f1_micro"))
+    },
+
     // One distributed logistic-regression gradient step for a quality
     // classifier (the fastText-style gate every curation stack trains):
     // w=0 start, so sigma(w.x) = 0.5 EXACTLY and the gradient is

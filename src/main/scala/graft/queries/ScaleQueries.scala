@@ -678,6 +678,59 @@ object ScaleQueries {
         .limit(1000)
     },
 
+    // Per-dimension PSI drift between two corpus snapshots (population
+    // stability index — the standard production monitor for "has the
+    // embedding distribution moved since the index was built"; PSI>0.1
+    // is the conventional investigate threshold). Snapshots here are the
+    // even/odd vec_id halves (a structure-free split: PSI ≈ 0 is itself
+    // the assertion — a real deployment feeds two time slices). Fixed
+    // 8-bin histogram per dim (floor(x·16) clamped to [−4, 3] — bin
+    // edges data-independent, as a streaming-safe monitor requires),
+    // +1-smoothed. Per-(dim, bin) terms are micro-floored BEFORE the
+    // per-dim sum (order-free). Scale shape: one scan → (dim, bin, half)
+    // counts with map-side combine (≤ 64·8·2 rows shuffle at any corpus
+    // size) → scan-free composition.
+    Q("embed_psi_drift",
+      """WITH x AS (SELECT vec_id % 2 AS half, ks.k,
+        |             least(3, greatest(-4, CAST(floor(embedding[ks.k + 1]::DOUBLE * 16) AS BIGINT))) AS bin
+        |           FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS k) ks),
+        |n AS (SELECT half, count(*) // 64 AS nh FROM x GROUP BY half),
+        |c AS (SELECT k, bin,
+        |        sum(CASE WHEN half = 0 THEN 1 ELSE 0 END)::BIGINT AS c0,
+        |        sum(CASE WHEN half = 1 THEN 1 ELSE 0 END)::BIGINT AS c1
+        |      FROM x GROUP BY k, bin),
+        |t AS (SELECT c.k,
+        |        CAST(floor(((c0 + 1)::DOUBLE / (n0.nh + 8) - (c1 + 1)::DOUBLE / (n1.nh + 8))
+        |                   * ln(((c0 + 1)::DOUBLE / (n0.nh + 8)) / ((c1 + 1)::DOUBLE / (n1.nh + 8)))
+        |                   * 1000000) AS BIGINT) AS term
+        |      FROM c CROSS JOIN (SELECT nh FROM n WHERE half = 0) n0
+        |             CROSS JOIN (SELECT nh FROM n WHERE half = 1) n1)
+        |SELECT k::BIGINT AS k, sum(term)::BIGINT AS psi_micro,
+        |       (sum(term) > 100000) AS drifted
+        |FROM t GROUP BY k ORDER BY k""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val x = e.select((col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")).as(Seq("k", "xv")))
+        .select(col("half"), col("k"),
+          least(lit(3L), greatest(lit(-4L),
+            floor(col("xv").cast("double") * 16).cast("long"))).as("bin"))
+      // per-half row counts: 2 longs to the driver (the same bounded
+      // contract as DSIR's nt/nc scalars)
+      val nh: Map[Long, Long] = x.groupBy("half").agg((count(lit(1)) / 64).cast("long").as("nh"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val c = x.groupBy("k", "bin")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("c0"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("c1"))
+      val p = (col("c0") + 1).cast("double") / lit(nh(0L) + 8.0)
+      val q = (col("c1") + 1).cast("double") / lit(nh(1L) + 8.0)
+      c.select(col("k").cast("long").as("k"),
+          floor((p - q) * log(p / q) * 1000000).cast("long").as("term"))
+        .groupBy("k")
+        .agg(sum(col("term")).as("psi_micro"))
+        .select(col("k"), col("psi_micro"), (col("psi_micro") > 100000).as("drifted"))
+        .orderBy("k")
+    },
+
     // Z-order (Morton) layout keys: interleave the bits of two query
     // dimensions so ONE sort key clusters BOTH — the lakehouse data-layout
     // trick that lets min/max file stats prune scans on either dimension.

@@ -91,6 +91,48 @@ class CurationExtrasSpec extends AnyFunSuite {
     assert(top.getLong(1) == maxAll)
   }
 
+  test("confusion matrix: cells partition the corpus; positives agree with the AUC query's label") {
+    val m = SparkEntry.queries("ml_confusion_matrix")(spark, sf).head()
+    val (tp, fp, tn, fn) = (m.getLong(0), m.getLong(1), m.getLong(2), m.getLong(3))
+    assert(tp + fp + tn + fn == docs.count(), "cells must partition the corpus")
+    assert(tp + fn == docs.filter(col("lang") === "en").count(), "row margin = positive count")
+    // derived metrics re-derive from the cells in integer micros
+    assert(m.getLong(4) == (if (tp + fp == 0) 0L else tp * 1000000 / (tp + fp)))
+    assert(m.getLong(5) == (if (tp + fn == 0) 0L else tp * 1000000 / (tp + fn)))
+    assert(m.getLong(6) == (if (2 * tp + fp + fn == 0) 0L else 2 * tp * 1000000 / (2 * tp + fp + fn)))
+  }
+
+  test("PSI drift: near zero on the structure-free split, fires on a synthetically shifted half") {
+    val out = SparkEntry.queries("embed_psi_drift")(spark, sf).collect()
+    assert(out.length == 64)
+    // even/odd halves of one corpus: at this fixture size (250 vectors
+    // per half) the +1-smoothed PSI noise floor is ≈ 7·(2/250) ≈ 0.056,
+    // so a FEW dims cross the conventional 0.1 gate by chance — the
+    // structure-free expectation is "rare", not "never" (at production
+    // sample sizes the noise floor vanishes as 1/N)
+    assert(out.count(_.getBoolean(2)) <= 9,
+      s"structure-free split flagged drift widely: ${out.filter(_.getBoolean(2)).map(_.getLong(0)).toSeq}")
+    // synthetic drift: shift dim 0 of the odd half by +0.5 — the monitor
+    // must fire on dim 0 and stay quiet elsewhere
+    import org.apache.spark.sql.functions.{transform => atransform}
+    val shifted = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(col("vec_id"),
+        when(col("vec_id") % 2 === 1,
+          atransform(col("embedding"),
+            (x, i) => when(i === 0, x + lit(0.5f)).otherwise(x)))
+          .otherwise(col("embedding")).as("embedding"))
+    val dir = graft.util.TempRoot.dir("psi-").toString
+    shifted.write.parquet(s"$dir/embeddings.parquet")
+    val drifted = SparkEntry.queries("embed_psi_drift")(spark, dir).collect()
+    val dim0 = drifted.find(_.getLong(0) == 0L).get
+    assert(dim0.getBoolean(2), "shifted dim 0 not flagged")
+    // the injected shift must DOMINATE the small-sample noise floor —
+    // dim 0's PSI is the maximum, by a wide margin over the runner-up
+    val others = drifted.filter(_.getLong(0) != 0L).map(_.getLong(1)).max
+    assert(dim0.getLong(1) > 3 * others,
+      s"shifted dim PSI ${dim0.getLong(1)} should dominate noise max $others")
+  }
+
   test("standardize: z re-derives from integer sums; z order matches x order per dim") {
     val out = SparkEntry.queries("embed_standardize")(spark, sf).collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
