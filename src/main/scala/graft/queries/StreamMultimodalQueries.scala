@@ -292,6 +292,53 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Audio energy segmentation (the VAD shape: window energy →
+    // threshold → contiguous active runs): each audio track's payload is
+    // cut into fixed 64-byte windows, window energy = byte-value sum
+    // (the codec-free stand-in for RMS — exact integers, so the
+    // threshold is bit-stable cross-engine), and consecutive active
+    // windows merge into segments via the gaps-and-islands trick
+    // (win − row_number over active windows = run id). Plan shape: the
+    // windows explode scan-local, the islands window partitions by
+    // media_id over that track's ≤ payload/64 windows (never global),
+    // and the segment rollup groups on (media, run) — the segmentation
+    // a speech pipeline runs before paying ASR cost per segment.
+    Q("mm_energy_segments",
+      """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1),
+        |w AS (SELECT media_id, i,
+        |        list_aggregate(list_transform(range(64),
+        |          j -> ascii(substr(text, (i * 64 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
+        |      FROM a, unnest(range(0, length(text) // 64)) AS u(i)),
+        |act AS (SELECT media_id, i, en,
+        |          i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS run
+        |        FROM w WHERE en >= 6050)
+        |SELECT media_id, min(i)::BIGINT AS start_win, count(*) AS n_win,
+        |       sum(en)::BIGINT AS energy_sum
+        |FROM act GROUP BY media_id, run
+        |ORDER BY media_id, start_win LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      // only docs holding at least one full window (the oracle's
+      // range(0, len//64) is empty below 64 — a descending Spark
+      // sequence(0, -1) would otherwise fabricate windows)
+      val wins = table(spark, dir, "documents")
+        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 64)
+        .select(col("doc_id").as("media_id"), col("text"),
+          explode(sequence(lit(0L), expr("cast(length(text) div 64 as bigint)") - 1)).as("i"))
+        .select(col("media_id"), col("i"),
+          expr("aggregate(transform(sequence(0, 63), " +
+            "j -> ascii(substr(text, cast(i * 64 + j + 1 as int), 1))), " +
+            "cast(0 as bigint), (s, v) -> s + v)").as("en"))
+      val act = wins.filter(col("en") >= 6050)
+        .withColumn("run", col("i") - row_number().over(
+          Window.partitionBy("media_id").orderBy("i")))
+      act.groupBy(col("media_id"), col("run"))
+        .agg(min(col("i")).as("start_win"), count(lit(1)).as("n_win"),
+          sum(col("en")).as("energy_sum"))
+        .select(col("media_id"), col("start_win"), col("n_win"), col("energy_sum"))
+        .orderBy("media_id", "start_win")
+        .limit(1000)
+    },
+
     // Multimodal A/V alignment: every video frame as-of-joined to the
     // latest audio window at-or-before its offset on the same track
     // (media_id div 3 pairs each video with its audio sibling in the
