@@ -558,6 +558,54 @@ object TextQueries {
         .limit(1000)
     },
 
+    // Packing-efficiency report over the seq-pack layout: per bucket,
+    // how many 512-token sequences the token mass consumes, the
+    // tail-waste tokens (concat-and-chop wastes only each bucket's final
+    // partial sequence), and — the number packers actually tune for —
+    // how many documents STRADDLE a sequence boundary (a split doc
+    // trains with a truncated context on both sides; lower is better,
+    // and it trades off directly against padding waste in
+    // pad-vs-pack decisions). Same bucket windows as text_seq_pack →
+    // one ≤|buckets|-row aggregate.
+    Q("curation_pack_report", {
+      val L = Packing.SeqLen
+      s"""WITH t AS (SELECT doc_id,
+         |             len($toksSql)::BIGINT AS n_tokens,
+         |             ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % ${Packing.Buckets} AS bucket
+         |           FROM documents),
+         |c AS (SELECT doc_id, bucket, n_tokens,
+         |             coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+         |      FROM t)
+         |SELECT bucket, count(*) AS n_docs, sum(n_tokens)::BIGINT AS total_tokens,
+         |       ((sum(n_tokens) + ${L - 1}) // $L)::BIGINT AS n_seqs,
+         |       (((sum(n_tokens) + ${L - 1}) // $L) * $L - sum(n_tokens))::BIGINT AS tail_waste,
+         |       sum(CASE WHEN n_tokens > 0 AND cum // $L <> (cum + n_tokens - 1) // $L
+         |                THEN 1 ELSE 0 END)::BIGINT AS n_split_docs
+         |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
+    }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"),
+          size(F.tokens(col("text"))).cast("long").as("n_tokens"),
+          pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))),
+            lit(Packing.Buckets.toLong)).as("bucket"))
+      val w = Window.partitionBy("bucket").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val L = Packing.SeqLen
+      t.withColumn("cum", coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"),
+          sum(when(col("n_tokens") > 0 &&
+              expr(s"cum div $L") =!= expr(s"(cum + n_tokens - 1) div $L"), 1L)
+            .otherwise(0L)).as("n_split_docs"))
+        .select(col("bucket"), col("n_docs"), col("total_tokens"),
+          expr(s"(total_tokens + ${L - 1}) div $L").as("n_seqs"),
+          (expr(s"(total_tokens + ${L - 1}) div $L") * L - col("total_tokens")).as("tail_waste"),
+          col("n_split_docs"))
+        .orderBy("bucket")
+    },
+
     // Unigram-LM scoring (the CCNet-style quality signal): train an
     // add-one-smoothed unigram LM over the corpus (one token-keyed agg —
     // the vocab table), score every doc as average bits/token, and bucket
