@@ -98,6 +98,23 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Streaming sequence packing: the concat-and-chop pack layout
+    // maintained incrementally — each arriving doc takes the next
+    // n_tokens slots of its hash bucket's 512-token sequence stream,
+    // with ONE long of state per bucket. The third admission-side
+    // streaming operator (near-dup rejects redundancy, source-quota
+    // caps over-representation, pack emits training-ready sequences).
+    // Bounded id-ordered run ≡ the batch layout — the oracle is
+    // LITERALLY text_seq_pack's SQL (shared definition).
+    Q("stream_seq_pack", TextQueries.seqPackSql) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.seqPackStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/documents.parquet")),
+        s"stream_pack_${System.nanoTime()}")
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // Streaming HLL registers: the distinct-count sketch maintained as
     // streaming state — max-rho per register is the mergeable-sketch
     // merge, so micro-batch partials fold associatively and state is

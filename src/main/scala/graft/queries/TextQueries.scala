@@ -29,6 +29,23 @@ object TextQueries {
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** The seq-pack oracle, shared by text_seq_pack (batch) and
+    * stream_seq_pack (incremental) — ONE definition on purpose: the two
+    * engines' layouts must stay bit-identical, so their oracle must be
+    * literally the same SQL. */
+  private[queries] val seqPackSql: String =
+    s"""WITH t AS (SELECT doc_id,
+       |             len($toksSql)::BIGINT AS n_tokens,
+       |             ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % ${Packing.Buckets} AS bucket
+       |           FROM documents),
+       |c AS (SELECT doc_id, bucket, n_tokens,
+       |             coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
+       |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
+       |      FROM t)
+       |SELECT doc_id, bucket, bucket * ${Packing.SeqIdStride} + cum // ${Packing.SeqLen} AS seq_id,
+       |       cum % ${Packing.SeqLen} AS seq_off, n_tokens
+       |FROM c ORDER BY doc_id LIMIT 1000""".stripMargin
+
   // one BPE training run per (session, sfdir): text_bpe_train,
   // text_bpe_encode, and the replay spec share the 3-round BSP loop
   private val mergeCache = scala.collection.concurrent.TrieMap
@@ -530,18 +547,7 @@ object TextQueries {
     // key, sort within partition); no global order is ever required.
     // Bucket count and the 2⁴⁰ seq-id stride come from [[Packing]] —
     // parallelism ∝ buckets, ids globally unique to ~10¹² seqs/bucket.
-    Q("text_seq_pack",
-      s"""WITH t AS (SELECT doc_id,
-         |             len($toksSql)::BIGINT AS n_tokens,
-         |             ('0x' || substr(md5(doc_id::VARCHAR || ':pack'), 1, 15))::BIGINT % ${Packing.Buckets} AS bucket
-         |           FROM documents),
-         |c AS (SELECT doc_id, bucket, n_tokens,
-         |             coalesce(sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
-         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT AS cum
-         |      FROM t)
-         |SELECT doc_id, bucket, bucket * ${Packing.SeqIdStride} + cum // ${Packing.SeqLen} AS seq_id,
-         |       cum % ${Packing.SeqLen} AS seq_off, n_tokens
-         |FROM c ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+    Q("text_seq_pack", seqPackSql) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
       val t = table(spark, dir, "documents")
         .select(col("doc_id"),

@@ -356,6 +356,58 @@ object StreamingIngest {
         least(lit(1023L), greatest(lit(0L), expr("cents div 1024"))).as("bin"))
       .agg(count(lit(1)).as("n"))
 
+  /** Per-bucket state of [[seqPackStream]]: tokens packed so far — the
+    * single long that places every future document in its bucket's
+    * 512-token sequence stream. */
+  final case class PackCum(cum: Long)
+
+  /** Streaming sequence packing — the incremental form of
+    * text_seq_pack's concat-and-chop layout: each arriving document is
+    * routed to its hash bucket and takes the next `n_tokens` slots of
+    * that bucket's running 512-token sequence stream; the per-bucket
+    * state is ONE long (tokens packed so far). The third admission-side
+    * streaming operator next to nearDupStream (redundancy) and
+    * sourceQuotaStream (over-representation): together they let a
+    * continuous crawl emit TRAINING-READY packed sequences without ever
+    * re-scanning the corpus. Parallelism ∝ buckets (Packing.Buckets),
+    * ids globally unique via the 2⁴⁰ stride. Same arrival contract as
+    * the other two: batches process each bucket's rows in ascending
+    * doc_id order, so a bounded id-ordered run emits exactly the batch
+    * pack layout (the registered oracle = text_seq_pack's SQL). */
+  def seqPackStream(spark: SparkSession, inputDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode, GroupState}
+    import graft.functions.F
+    import graft.queries.Packing
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    val docs = reader.parquet(inputDir)
+      .select(col("doc_id"),
+        size(F.tokens(col("text"))).cast("long").as("n_tokens"),
+        pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))),
+          lit(Packing.Buckets.toLong)).as("bucket"))
+      .as[(Long, Long, Long)]
+    docs.groupByKey(_._3)
+      .flatMapGroupsWithState[PackCum, (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (bucket: Long, rows: Iterator[(Long, Long, Long)],
+         state: GroupState[PackCum]) =>
+          val evs = rows.toSeq.sortBy(_._1)
+          var cum = state.getOption.map(_.cum).getOrElse(0L)
+          val out = evs.map { case (id, n, _) =>
+            val r = (id, bucket,
+              bucket * Packing.SeqIdStride + cum / Packing.SeqLen,
+              cum % Packing.SeqLen, n)
+            cum += n
+            r
+          }
+          state.update(PackCum(cum))
+          out.iterator
+      }
+      .toDF("doc_id", "bucket", "seq_id", "seq_off", "n_tokens")
+  }
+
   /** Streaming HLL register maintenance — the incremental form of
     * sketch_hll_distinct's register table: each arriving document's
     * 5-gram hashes update a 1024-register max-rho state via a plain

@@ -109,6 +109,51 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming seq pack: bucket cum state carries across micro-batches, equals the batch layout") {
+    import org.apache.spark.sql.functions._
+    import graft.queries.Packing
+    val t = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(graft.functions.F.tokens(col("text"))).cast("long").as("n"),
+        pmod(graft.functions.F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))),
+          lit(Packing.Buckets.toLong)).as("bucket"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = t.withColumn("cum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .select(col("doc_id"), Packing.seqId(col("bucket"), col("cum")).as("seq_id"),
+        (col("cum") % Packing.SeqLen).as("seq_off"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // two id-ordered files, one micro-batch each: batch-2 docs must pack
+    // AFTER batch 1's token mass via the carried per-bucket cum
+    val median = t.agg(expr("cast(percentile_approx(doc_id, 0.5) as long)")).head().getLong(0)
+    val dir = graft.util.TempRoot.dir("pack-")
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") <= median)
+      .coalesce(1).write.parquet(s"$dir/batch_a")
+    spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") > median)
+      .coalesce(1).write.parquet(s"$dir/batch_b")
+    val staged = graft.util.TempRoot.dir("pack-in-")
+    def copyPart(sub: String, as: String): Unit = {
+      val it = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/$sub")).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p, staged.resolve(as))
+      }
+    }
+    copyPart("batch_a", "a.parquet")
+    copyPart("batch_b", "b.parquet")
+    java.nio.file.Files.setLastModifiedTime(staged.resolve("a.parquet"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 60000))
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.seqPackStream(spark, staged.toString, maxFilesPerTrigger = Some(1)),
+      "spec_stream_pack")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed == batch)
+    // a batch-2 doc landing mid-sequence proves carried (not reset) cum
+    assert(streamed.exists { case (id, (_, off)) => id > median && off != 0 })
+  }
+
   test("streaming HLL registers: max-rho state merges across micro-batches, equals the batch sketch") {
     import org.apache.spark.sql.functions._
     val batch = spark.read.parquet(s"$sf/documents.parquet")
