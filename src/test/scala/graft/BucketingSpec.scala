@@ -71,4 +71,50 @@ class BucketingSpec extends AnyFunSuite {
     // and it computes the right thing: every chunk pairs with itself
     assert(joined.filter(col("a_idx") === col("b_idx")).count() == t.count())
   }
+
+  test("z-ordered layout: parquet row-group stats prune a single-dimension filter") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    def recordsReadDuring(body: => Unit): Long = {
+      val total = new java.util.concurrent.atomic.AtomicLong(0)
+      val listener = new SparkListener {
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+          if (t.taskMetrics != null)
+            total.addAndGet(t.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try { body; Thread.sleep(500) }
+      finally spark.sparkContext.removeSparkListener(listener)
+      total.get()
+    }
+    // the q_zorder_key bit interleave over two 16-bucket dimensions
+    val ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+      .select(pmod(col("user_id"), lit(16)).cast("int").as("x"),
+        pmod(col("event_id"), lit(16)).cast("int").as("y"))
+    val zbits = (0 until 4).map(j =>
+      expr(s"(((x >> $j) & 1) << ${2 * j}) + (((y >> $j) & 1) << ${2 * j + 1})"))
+      .reduce(_ + _)
+    val t = ev.withColumn("zkey", zbits)
+    val n = t.count()
+    val base = Files.createTempDirectory("graft-zskip-").toString
+    // small row groups so min/max stats operate at sub-file granularity
+    def write(df: org.apache.spark.sql.DataFrame, path: String): Unit =
+      df.coalesce(1).sortWithinPartitions("zkey")
+        .write.option("parquet.block.size", 16384).parquet(path)
+    write(t, s"$base/zorder")
+    // control: same data, same row-group size, laid out by arrival
+    t.coalesce(1).write.option("parquet.block.size", 16384).parquet(s"$base/plain")
+    def readFor(path: String): Long = recordsReadDuring {
+      spark.read.parquet(path).filter(col("y") === 3).count()
+    }
+    val zRead = readFor(s"$base/zorder")
+    val plainRead = readFor(s"$base/plain")
+    // the z-ordered file's row groups cover 4x4 (x, y) tiles, so a y=3
+    // filter's min/max pushdown skips most groups; the arrival-ordered
+    // control reads essentially everything
+    assert(plainRead > (n * 0.9).toLong, s"control should scan ~all rows, read $plainRead of $n")
+    assert(zRead < n / 2,
+      s"z-ordered scan should prune most row groups: read $zRead of $n")
+    assert(zRead < plainRead / 2,
+      s"z-order pruning ($zRead) should beat the arrival layout ($plainRead) decisively")
+  }
 }
