@@ -64,6 +64,8 @@ object SparkEntry {
     "curation_source_overlap", "embed_outlier_flags",
     "curation_weighted_sample", "curation_curriculum_order",
     "ml_influence_grad_dot", "embed_standardize",
+    "embed_psi_drift", "ml_confusion_matrix", "mm_energy_segments",
+    "curation_pack_report",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",
     "mm_av_align", "q_asof_join_forward_tol",
