@@ -740,6 +740,50 @@ object DedupQueries {
         .limit(1000)
     },
 
+    // Duplicated-span RUNS — the actionable form of dedup_substring_spans
+    // (Lee et al. 2022 removes the duplicated SPAN, not the document):
+    // consecutive duplicated strided spans merge into maximal runs via
+    // the gaps-and-islands trick, so each doc reports how many contiguous
+    // duplicated regions it has and how long the longest one is (in spans
+    // and ≈tokens) — the excision targets a span-level deduper would cut.
+    // Same two corpus-keyed shuffles as the span query (count + per-doc
+    // regroup); the islands window partitions per doc over its own spans.
+    Q("dedup_substring_runs",
+      """WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+        |s AS (SELECT doc_id, (i - 1) // 5 AS idx,
+        |             md5(array_to_string(list_slice(toks, i::INT, (i + 9)::INT), ' ')) AS span
+        |      FROM t, unnest(range(1, len(toks) - 8, 5)) AS u(i)
+        |      WHERE len(toks) >= 10),
+        |c AS (SELECT span, count(*) AS cnt FROM s GROUP BY span),
+        |dup AS (SELECT s.doc_id, s.idx FROM s JOIN c ON c.span = s.span WHERE c.cnt > 1),
+        |r AS (SELECT doc_id, idx,
+        |             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS run
+        |      FROM dup),
+        |g AS (SELECT doc_id, run, count(*)::BIGINT AS len FROM r GROUP BY doc_id, run)
+        |SELECT doc_id, count(*) AS n_runs, max(len)::BIGINT AS max_run_spans,
+        |       ((max(len) - 1) * 5 + 10)::BIGINT AS max_run_tokens
+        |FROM g GROUP BY doc_id ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s = table(spark, dir, "documents")
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+        .filter(size(col("toks")) >= 10)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("toks")) - 9, lit(5)),
+          i => md5(array_join(slice(col("toks"), i, lit(10)), " ")))).as(Seq("idx", "span")))
+      val c = s.groupBy("span").agg(count(lit(1)).as("cnt"))
+      val dup = s.join(c, Seq("span")).filter(col("cnt") > 1)
+        .select(col("doc_id"), col("idx").cast("long").as("idx"))
+      val runs = dup.withColumn("run",
+          col("idx") - row_number().over(Window.partitionBy("doc_id").orderBy("idx")))
+        .groupBy("doc_id", "run").agg(count(lit(1)).as("len"))
+      runs.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_runs"), max(col("len")).as("max_run_spans"))
+        .select(col("doc_id"), col("n_runs"), col("max_run_spans"),
+          ((col("max_run_spans") - 1) * 5 + 10).as("max_run_tokens"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // SemDeDup-style semantic dedup: k-means-shaped cells (broadcast
     // centroid array, scan-local argmax assignment) bucket the corpus;
     // WITHIN each cell a vector is a duplicate iff a lower-id cell-mate
