@@ -32,7 +32,8 @@ import java.util.zip.Inflater
   * /AESV3, /R 5–6, ISO 32000-2) — with the common "viewer-openable"
   * EMPTY user password plus caller-supplied passwords (the `passwords`
   * parameter; Algorithm 2 padding for /V ≤ 4, the SHA-256/2.B hash for
-  * /V 5). Candidate keys are validated against /U before use, and
+  * /V 5). Each supplied password is also tried as an OWNER password
+  * (Algorithm 7: /O decrypts to the padded user password, /V ≤ 4). Candidate keys are validated against /U before use, and
   * stream bytes are decrypted under the [[PdfCrypto]] per-object key
   * (file key directly for /V 5) before filter decode (xref streams are
   * never encrypted, per spec). An IDENTITY stream crypt filter —
@@ -230,7 +231,12 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
           .map(h => Integer.parseInt(h, 16).toByte).toArray)
         .getOrElse(Array.emptyByteArray)
       key <- {
-        val candidates = Array.emptyByteArray +: passwords
+        // each supplied password is tried BOTH ways: as the user password
+        // directly, and as the OWNER password via Algorithm 7 (decrypt /O
+        // to recover the padded user password) — all candidates validate
+        // against /U, so a wrong guess on either path yields nothing
+        val candidates = (Array.emptyByteArray +: passwords) ++
+          passwords.map(pw => PdfCrypto.userPadFromOwner(pw, o, r, lenBits))
         stringAfter(body, "/U") match {
           case Some(u) if u.length >= 16 =>
             candidates.iterator

@@ -81,6 +81,44 @@ private[graft] object PdfCrypto {
     digest.take(n)
   }
 
+  /** Algorithm 3 steps a–d: the RC4 key derived from the padded OWNER
+    * password — MD5, then for /R ≥ 3 fifty MD5 re-hashes of the FULL
+    * 16-byte output (unlike Algorithm 2's first-n-bytes iteration),
+    * truncated to n bytes. */
+  def ownerKey(ownerPw: Array[Byte], r: Int, lengthBits: Int): Array[Byte] = {
+    val n = if (r == 2) 5 else lengthBits / 8
+    var d = md5(paddedPassword(ownerPw))
+    if (r >= 3) for (_ <- 0 until 50) d = md5(d)
+    d.take(n)
+  }
+
+  /** Algorithm 3 /O entry (write side): the padded USER password
+    * RC4-encrypted under the owner key — plus the 19 XORed-key rounds
+    * for /R ≥ 3. */
+  def ownerValue(ownerPw: Array[Byte], userPw: Array[Byte],
+                 r: Int, lengthBits: Int): Array[Byte] = {
+    val key = ownerKey(ownerPw, r, lengthBits)
+    var o = rc4(key, paddedPassword(userPw))
+    if (r >= 3) for (i <- 1 to 19) o = rc4(key.map(b => (b ^ i).toByte), o)
+    o
+  }
+
+  /** Algorithm 7 core: decrypt /O with a candidate OWNER password,
+    * yielding the (padded) user password — RC4 is an involution, so the
+    * /R ≥ 3 rounds unwind in reverse XOR order. The caller feeds the
+    * result through the normal Algorithm 2 + /U validation (feeding a
+    * 32-byte pad through [[paddedPassword]] is the identity). */
+  def userPadFromOwner(ownerPw: Array[Byte], o: Array[Byte],
+                       r: Int, lengthBits: Int): Array[Byte] = {
+    val key = ownerKey(ownerPw, r, lengthBits)
+    if (r == 2) rc4(key, o)
+    else {
+      var d = o
+      for (i <- 19 to 0 by -1) d = rc4(key.map(b => (b ^ i).toByte), d)
+      d
+    }
+  }
+
   /** The /U value a candidate file key implies: Algorithm 4 (/R 2,
     * RC4(key, pad)) or Algorithm 5 (/R ≥ 3, RC4 chain over MD5(pad ‖
     * ID₀) with per-round XORed keys; 16 significant bytes). */

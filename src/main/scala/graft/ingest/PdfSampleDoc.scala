@@ -283,6 +283,21 @@ object PdfSampleDoc {
       enc = Some((key, false, dict, hex(Id0))))
   }
 
+  /** Owner-password twin (/R 3): /O is the REAL Algorithm 3 value over
+    * (owner, user) passwords, so the extractor's Algorithm 7 path can
+    * recover the user password from the owner password alone; /U
+    * reflects the user-password key as usual. */
+  def bytesOwnerPassworded(owner: String, user: String): Array[Byte] = {
+    val o = PdfCrypto.ownerValue(owner.getBytes(ISO_8859_1),
+      user.getBytes(ISO_8859_1), 3, 128)
+    val key = PdfCrypto.fileKey(o, PFlag, Id0, 3, 128,
+      password = user.getBytes(ISO_8859_1))
+    val dict = s"<< /Filter /Standard /V 2 /R 3 /Length 128 /P $PFlag " +
+      s"/O ${hex(o)} /U ${hex(uEntry(key, 3))} >>"
+    classicDoc(i => if (i == 1) "flate" else "",
+      enc = Some((key, false, dict, hex(Id0))))
+  }
+
   /** The classic single-file layout, parameterized by per-page stream
     * filter ("" | "flate" | "lzw") and optional encryption
     * (fileKey, aes, encrypt-dict body, /ID hex). */

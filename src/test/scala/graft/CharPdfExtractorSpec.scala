@@ -127,6 +127,20 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(wrongPw.flatMap(_.lines).isEmpty)
   }
 
+  test("owner-password twin: Algorithm 7 recovers the user password; either password opens, wrong ones degrade to empty") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val doc = PdfSampleDoc.bytesOwnerPassworded(owner = "admin-pw", user = "hunter2")
+    // the USER password opens via the normal Algorithm 2 path
+    assert(CharPdfExtractor(passwords = Seq("hunter2")).extract("doc.pdf", doc) == classic)
+    // the OWNER password alone opens via Algorithm 7 (decrypt /O →
+    // padded user password → Algorithm 2 → /U validates)
+    assert(CharPdfExtractor(passwords = Seq("admin-pw")).extract("doc.pdf", doc) == classic)
+    // no password / a wrong password: every candidate fails /U → empty
+    assert(CharPdfExtractor().extract("doc.pdf", doc).flatMap(_.lines).isEmpty)
+    assert(CharPdfExtractor(passwords = Seq("nope")).extract("doc.pdf", doc)
+      .flatMap(_.lines).isEmpty)
+  }
+
   test("AES-256 twins (/R 5 and /R 6): empty and non-empty passwords extract identically; wrong password degrades to empty") {
     val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
     // /R 6 (ISO 32000-2, the iterated 2.B hash), empty user password —
