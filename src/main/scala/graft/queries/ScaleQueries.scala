@@ -586,6 +586,52 @@ object ScaleQueries {
         .limit(1000)
     },
 
+    // Embedding-space decontamination — the semantic complement of the
+    // n-gram suites (curation_decontaminate / curation_bloom_decontam):
+    // paraphrased or reformatted eval leakage shares no 5-gram with the
+    // eval suite but still sits next to it in embedding space. The eval
+    // split (the % 97 convention the n-gram suites use) collects to ONE
+    // sorted broadcast struct array — eval suites are MBs while the
+    // corpus is the 100 TB side — and the corpus pays a single
+    // scan-local argmax fold over that array: no explode, no join, no
+    // shuffle anywhere on the corpus side (the bloom-decontam contract,
+    // in cosine space). Per-pair scores micro-floor before the argmax so
+    // the fold is exact cross-engine; strict > keeps the FIRST (lowest
+    // eval id — the array is id-sorted) hit on ties, which the oracle
+    // mirrors as min(eid) over the max score.
+    Q("curation_embed_decontam",
+      """WITH ev AS (SELECT vec_id AS eid, embedding AS ev FROM embeddings WHERE vec_id % 97 = 0),
+        |sc AS (SELECT e.vec_id, ev.eid,
+        |         CAST(floor(list_cosine_similarity(e.embedding::DOUBLE[], ev.ev::DOUBLE[]) * 1000000) AS BIGINT) AS c
+        |       FROM embeddings e CROSS JOIN ev WHERE e.vec_id % 97 <> 0),
+        |mx AS (SELECT vec_id, max(c) AS mx FROM sc GROUP BY vec_id),
+        |pk AS (SELECT s.vec_id, m.mx AS mx_micro, min(s.eid) AS nearest_eval
+        |       FROM sc s JOIN mx m ON m.vec_id = s.vec_id AND s.c = m.mx
+        |       GROUP BY s.vec_id, m.mx)
+        |SELECT vec_id, mx_micro, nearest_eval, (mx_micro >= 350000) AS contaminated
+        |FROM pk ORDER BY mx_micro DESC, vec_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val evs = e.filter(col("vec_id") % 97 === 0)
+        .agg(sort_array(collect_list(struct(
+          col("vec_id").as("eid"), col("embedding").as("ev")))).as("evs"))
+      val best = aggregate(col("evs"),
+        struct(lit(Long.MinValue).as("mx"), lit(-1L).as("eid")),
+        (acc, h) => {
+          val c = floor(cosineSim(col("embedding"), h.getField("ev")) * 1000000).cast("long")
+          when(c > acc.getField("mx"),
+            struct(c.as("mx"), h.getField("eid").cast("long").as("eid")))
+            .otherwise(acc)
+        })
+      e.filter(col("vec_id") % 97 =!= 0)
+        .crossJoin(broadcast(evs))
+        .select(col("vec_id"), best.as("b"))
+        .select(col("vec_id"), col("b.mx").as("mx_micro"),
+          col("b.eid").as("nearest_eval"),
+          (col("b.mx") >= 350000L).as("contaminated"))
+        .orderBy(col("mx_micro").desc, col("vec_id"))
+        .limit(1000)
+    },
+
     // Embedding quantization to int8: per-vector symmetric scale
     // (127/max|v|), floor quantization — the 4x storage compression step of
     // a 100 TB vector corpus. Deterministic floor keeps both engines exact.
@@ -1139,8 +1185,9 @@ object ScaleQueries {
 
   /** The CmsRows (r, bucket) cells of one token: bucket_r = seeded
     * 60-bit md5 hash mod width — identical arithmetic in the DuckDB
-    * oracle. */
-  private def cmsRowBuckets(tok: Column): Column =
+    * oracle. Shared with the streaming sketch build (stream_cms_cells)
+    * so the batch and incremental forms can't drift. */
+  private[graft] def cmsRowBuckets(tok: Column): Column =
     array((0 until CmsRows).map(r =>
       struct(lit(r).cast("long").as("r"),
         (F.hash60(concat(lit(s"$r:"), tok)) % CmsWidth).as("b"))): _*)

@@ -137,6 +137,31 @@ object StreamMultimodalQueries {
         .orderBy("bucket")
     },
 
+    // Streaming CMS counter cells: the term-frequency sketch maintained
+    // as streaming state — the "how often" complement of
+    // stream_hll_registers' "how many distinct". Counter cells fold by
+    // addition across micro-batches, so state is bounded at
+    // CmsRows×CmsWidth rows however long the stream runs; the bucket
+    // arithmetic is the SAME cmsRowBuckets definition the batch build
+    // uses, and the heavy-hitter estimator over these cells is pinned by
+    // sketch_cms_estimate. Bounded run ≡ the batch cell table (exact
+    // oracle).
+    Q("stream_cms_cells",
+      s"""WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |            FROM documents),
+         |cells AS (SELECT r.r,
+         |                 ('0x' || substr(md5(r.r::VARCHAR || ':' || tok), 1, 15))::BIGINT % ${ScaleQueries.CmsWidth} AS b,
+         |                 count(*) AS cnt
+         |          FROM tk CROSS JOIN (SELECT unnest(range(${ScaleQueries.CmsRows})) AS r) r GROUP BY r.r, b)
+         |SELECT r, b, cnt::BIGINT AS cnt FROM cells ORDER BY r, b""".stripMargin) { (spark, dir) =>
+      StreamingIngest.runToMemory(spark,
+        StreamingIngest.cmsCellStream(spark,
+          StreamingIngest.stageAsDir(s"$dir/documents.parquet")),
+        s"stream_cms_${System.nanoTime()}", outputMode = "complete")
+        .select(col("r"), col("b"), col("cnt"))
+        .orderBy("r", "b")
+    },
+
     // Streaming per-source token-quota admission: each source may
     // contribute at most 800 tokens to the mix; a doc is admitted iff
     // its source's running total (doc id order) still fits. The

@@ -432,6 +432,27 @@ object StreamingIngest {
       .groupBy("bucket").agg(max(col("rho")).as("mx"))
   }
 
+  /** Count-Min sketch cells maintained as streaming state — the
+    * frequency complement of [[hllRegisterStream]]'s distinct sketch.
+    * Counter cells fold by ADDITION across micro-batches (counts are
+    * associative), so state is bounded at CmsRows×CmsWidth rows for any
+    * stream length; bucket arithmetic is graft.queries.ScaleQueries'
+    * cmsRowBuckets — ONE definition shared with the batch build, so the
+    * incremental and batch sketches can't drift. Bounded run ≡ the
+    * batch cell table (the estimator over these cells is pinned by
+    * sketch_cms_estimate). */
+  def cmsCellStream(spark: SparkSession, inputDir: String,
+                    maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    import graft.functions.F
+    val reader = spark.readStream.schema(documentsSchema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n.toLong))
+    reader.parquet(inputDir)
+      .select(explode(F.tokens(col("text"))).as("tok"))
+      .select(explode(graft.queries.ScaleQueries.cmsRowBuckets(col("tok"))).as("rb"))
+      .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Watermarked tumbling-window aggregation over an events stream — the
     * streaming form of q_event_window_agg (same plan shape; late data
     * beyond 10 minutes dropped by the watermark). */
