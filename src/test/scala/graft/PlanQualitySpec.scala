@@ -415,6 +415,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  test("embed decontam: eval vectors broadcast, corpus-side argmax fold never shuffles an embedding") {
+    // the cosine twin of the bloom probe's contract: the eval split
+    // aggregates to ONE broadcast row and the corpus pays scan →
+    // scan-local fold → TakeOrdered; the only exchange anywhere is the
+    // eval side's single-row aggregation
+    val p = plan("curation_embed_decontam")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id") &&
+      !p.contains("Exchange hashpartitioning(embedding"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
   test("KMV sketch: k-minimum merge is a TakeOrdered heap, not a global sort") {
     val p = plan("sketch_kmv_distinct")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -171,6 +171,28 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"flag set diverges: extra=${flagged -- dominated} missing=${dominated -- flagged}")
   }
 
+  test("embed decontam: argmax fold equals the explode/window twin; ties keep the lowest eval id") {
+    import graft.functions.VectorFunctions.cosineSim
+    val out = graft.queries.ScaleQueries.all.find(_.name == "curation_embed_decontam").get
+      .fn(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out.nonEmpty)
+    // independent relational twin: explode the (corpus × eval) pairs and
+    // pick the max score / min eval id with a window — a DIFFERENT plan
+    // over the same codegen cosine, so a fold bug can't hide in both
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ev = e.filter(col("vec_id") % 97 === 0)
+      .select(col("vec_id").as("eid"), col("embedding").as("ev"))
+    val sc = e.filter(col("vec_id") % 97 =!= 0).crossJoin(ev)
+      .select(col("vec_id"), col("eid"),
+        floor(cosineSim(col("embedding"), col("ev")) * 1000000).cast("long").as("c"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("c").desc, col("eid"))
+    val twin = sc.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(1))).toMap
+    assert(out == twin)
+  }
+
   test("TopKBy aggregate: heap semantics, serde round-trip, equivalence with the rank window") {
     import graft.functions.TopKBy
     import org.apache.spark.sql.catalyst.expressions.BoundReference

@@ -185,6 +185,41 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("streaming CMS cells: counters ADD across micro-batches (duplicate half doubles its counts)") {
+    import graft.queries.ScaleQueries
+    // single-copy batch twin, built from the SHARED cmsRowBuckets definition
+    def cells(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select(explode(graft.functions.F.tokens(col("text"))).as("tok"))
+        .select(explode(ScaleQueries.cmsRowBuckets(col("tok"))).as("rb"))
+        .groupBy(col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(count(lit(1)).as("cnt"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val whole = cells(docs)
+    val half = docs.filter(col("doc_id") % 2 === 0)
+    val halfCells = cells(half)
+    // stage docs + a duplicated half-file → ≥2 micro-batches at 1 file each
+    val staged = StreamingIngest.stageAsDir(s"$sf/documents.parquet")
+    half.coalesce(1).write.parquet(s"$staged-b")
+    val it = java.nio.file.Files.list(java.nio.file.Paths.get(s"$staged-b")).iterator()
+    while (it.hasNext) {
+      val p = it.next()
+      if (p.getFileName.toString.endsWith(".parquet"))
+        java.nio.file.Files.copy(p, java.nio.file.Paths.get(staged, "zz_half.parquet"))
+    }
+    val streamed = StreamingIngest.runToMemory(spark,
+      StreamingIngest.cmsCellStream(spark, staged, maxFilesPerTrigger = Some(1)),
+      "spec_stream_cms", outputMode = "complete")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // unlike the HLL registers (max → duplicates invisible), CMS counters
+    // are additive: the duplicated half contributes its counts AGAIN
+    val expected = (whole.keySet ++ halfCells.keySet).map(k =>
+      k -> (whole.getOrElse(k, 0L) + halfCells.getOrElse(k, 0L))).toMap
+    assert(streamed == expected)
+    // state stays within the sketch geometry whatever streamed through
+    assert(streamed.size <= 4 * 256)
+  }
+
   test("streaming source quota: budget state carries across micro-batches, equals batch cumsum") {
     import org.apache.spark.sql.functions._
     val budget = 800L
