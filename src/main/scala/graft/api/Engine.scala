@@ -96,7 +96,14 @@ final class Engine(
       rawChunks = Some(r)
       r
     }
-    val chunks = BoostLedger.withBoost(raw, ledger, "id")
+    // tombstone filter ABOVE the pinned cache (like the boost join): a
+    // delete refreshes visibility without re-reading the corpus. The
+    // tombstone side is broadcast — bounded by deletes since last purge.
+    val visible =
+      if (workspace.hasTombstones)
+        raw.join(broadcast(workspace.readTombstones()), Seq("doc_id"), "left_anti")
+      else raw
+    val chunks = BoostLedger.withBoost(visible, ledger, "id")
     val e = new HybridEngine(spark, chunks, opts, rerankModel,
       postings = if (workspace.hasPostings) Some(workspace.readPostings()) else None,
       initialLog = carriedLog,
@@ -231,7 +238,7 @@ final class Engine(
     * the batch path (index()) and the compaction path. The streaming path
     * uses [[mergePostings]] instead: O(batch), not O(corpus). */
   private def rebuildPostings(): Unit =
-    workspace.writePostings(postingsOf(workspace.readChunks()))
+    workspace.writePostings(postingsOf(workspace.readLiveChunks()))
 
   /** O(batch) posting maintenance for an appended chunk batch: appended
     * chunks have strictly-new ids, so their postings are strictly-new rows
@@ -253,7 +260,7 @@ final class Engine(
   private def rebuildAnn(): Unit =
     if (opts.annMode == "ivf") {
       val (vectors, cents) =
-        AnnIndex.build(workspace.readChunks(), "id", "embedding", opts.annCells)
+        AnnIndex.build(workspace.readLiveChunks(), "id", "embedding", opts.annCells)
       workspace.writeAnn(vectors, cents, pqCodebookFor(vectors, cents))
     } else if (workspace.hasAnn) workspace.clearAnn()
 
@@ -324,7 +331,11 @@ final class Engine(
     val chunksV0 = workspace.getMeta("chunks_v")
     val baseFiles = workspace.chunkDataFiles
     if (baseFiles.isEmpty) return
-    val snapshot = spark.read.parquet(baseFiles: _*)
+    val snapshot0 = spark.read.parquet(baseFiles: _*)
+    val snapshot =
+      if (workspace.hasTombstones)
+        snapshot0.join(broadcast(workspace.readTombstones()), Seq("doc_id"), "left_anti")
+      else snapshot0
     val (vectors, cents) = AnnIndex.build(snapshot, "id", "embedding", opts.annCells)
     val v = workspace.prepareAnnVersion(vectors, cents, pqCodebookFor(vectors, cents))
     maintenanceHook()
@@ -386,7 +397,15 @@ final class Engine(
       if (large0.size > opts.compactFileThreshold) (Nil, sizes) // re-tier merge
       else (large0, small0)
     if (small.size < 2) return // nothing to collapse this trigger
-    val v = workspace.prepareChunkVersion(spark.read.parquet(small.map(_._1): _*))
+    // the rewrite purges tombstoned rows from the files it touches for
+    // free; the tombstone set STAYS (the linked large tier keeps its
+    // rows until a full rewrite) — purged rows just anti-join to nothing
+    val small0Df = spark.read.parquet(small.map(_._1): _*)
+    val smallDf =
+      if (workspace.hasTombstones)
+        small0Df.join(broadcast(workspace.readTombstones()), Seq("doc_id"), "left_anti")
+      else small0Df
+    val v = workspace.prepareChunkVersion(smallDf)
     workspace.linkChunkFilesIntoVersion(v, large.map(_._1))
     maintenanceHook()
     maintenance.synchronized {
@@ -395,7 +414,8 @@ final class Engine(
         // starvation guard: repeated losses → compact INLINE under the
         // held lock (the full writeChunks rewrite — rare by construction)
         if (chunkCompactDiscards.incrementAndGet() >= opts.maxMaintenanceDiscards) {
-          workspace.writeChunks(workspace.readChunks())
+          workspace.writeChunks(workspace.readLiveChunks())
+          workspace.clearTombstones()
           invalidate()
           chunkCompactDiscards.set(0)
         }
@@ -423,10 +443,63 @@ final class Engine(
     * compaction. The streaming path self-compacts the table without this
     * blocking call via [[backgroundChunkCompact]] (file-count trigger). */
   def compactIndexes(): Unit = maintenance.synchronized {
-    workspace.writeChunks(workspace.readChunks())
+    // the full rewrite is the tombstones' physical purge: the new version
+    // holds only live rows, so the set resets (idempotent on crash — a
+    // surviving tombstone set re-filters rows that are already gone)
+    workspace.writeChunks(workspace.readLiveChunks())
+    workspace.clearTombstones()
     rebuildPostings()
     rebuildAnn()
     invalidate()
+  }
+
+  /** Delete documents by id — the tombstone path (no reference analog;
+    * the reference can only [[Workspace.clear]] the whole store, and at
+    * 100 TB a single document's removal must not rewrite anything).
+    * O(1) effect on the corpus: the ids join a tiny versioned tombstone
+    * set, every read path (search, context, summaries, exports, index
+    * rebuilds) serves the chunk table MINUS that set, and the PHYSICAL
+    * purge rides the next compaction — [[compactIndexes]] (which then
+    * resets the set) or the background size-tiered compactor (which
+    * purges the files it rewrites and keeps the set for the rest).
+    * Index entries for deleted chunks go stale harmlessly: every result
+    * materializes through an inner join against the filtered chunk
+    * table, so stale candidates drop there; the next retrain/rebuild
+    * drops them from the index files too.
+    *
+    * A delete WINS against streaming replays on purpose: chunk ids are
+    * deterministic, so a replayed micro-batch containing the deleted
+    * document must not resurrect it (at-least-once delivery would
+    * silently undo user deletes). Re-adding the document is the explicit
+    * [[undeleteDocuments]] (same content — the rows are still on disk
+    * until a purge), or a full [[index]] call, which replaces the table
+    * wholesale and resets the set. Returns the number of ids newly
+    * tombstoned. */
+  def deleteDocuments(docIds: Seq[String]): Long = maintenance.synchronized {
+    if (docIds.isEmpty) 0L
+    else {
+      import spark.implicits._
+      val before =
+        if (workspace.hasTombstones) workspace.readTombstones().count() else 0L
+      workspace.addTombstones(docIds.toDF("doc_id"))
+      val added = workspace.readTombstones().count() - before
+      // visibility refresh only — the table files didn't change, so the
+      // pinned raw cache survives (the refreshBoosts discipline)
+      refreshBoosts()
+      added
+    }
+  }
+
+  /** Explicitly lift tombstones (the re-add path for a document whose
+    * rows still exist physically — see [[deleteDocuments]] for why a
+    * streaming replay can't do this implicitly). No-op for ids that were
+    * never tombstoned or whose rows a purge already dropped. */
+  def undeleteDocuments(docIds: Seq[String]): Unit = maintenance.synchronized {
+    if (docIds.nonEmpty && workspace.hasTombstones) {
+      import spark.implicits._
+      workspace.removeTombstones(docIds.toDF("doc_id"))
+      refreshBoosts()
+    }
   }
 
   /** Ingest a documents table into the workspace chunk store (A3+B+C1),
@@ -438,6 +511,9 @@ final class Engine(
     * streaming ingest path. */
   def index(docs: DataFrame): Long = maintenance.synchronized {
     workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
+    // the new table replaces the old wholesale; stale tombstones would
+    // mask documents present in THIS index call
+    workspace.clearTombstones()
     rebuildPostings()
     rebuildAnn()
     workspace.setMeta("summaries_indexed", "false")
@@ -645,7 +721,7 @@ final class Engine(
     if (workspace.getMeta("summaries_indexed").contains("true")) return 0L
     // summaries never feed summaries (a second pass over an already-
     // summarized store would re-derive and duplicate them)
-    val chunks = workspace.readChunks().filter(col("chunk_type") =!= "summary")
+    val chunks = workspace.readLiveChunks().filter(col("chunk_type") =!= "summary")
     val rows = Summarizer.summaryRows(chunks, summaryModel, embedder)
     // summary rows occupy the reserved 999xxx band of the per-doc id range,
     // one slot per heading (ordinal within doc)

@@ -509,13 +509,70 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   private def unesc(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
 
+  // ---- Tombstones: document-level deletes over immutable chunk files.
+  // No reference analog — the reference can only clear the whole store
+  // (vector_store.cpp:636-646); at 100 TB removing one document must not
+  // rewrite anything. A delete appends the doc id to a tiny tombstone
+  // SET (bounded by deletes since the last physical purge); every read
+  // path serves the chunk table MINUS that set, and the purge itself
+  // rides the next full compaction. The set swaps wholesale through the
+  // chunk table's versioned-pointer discipline: writers prepare v{n+1}
+  // and flip the pointer, so a concurrent reader holding v{n} keeps its
+  // files until the retention walk passes it.
+
+  def hasTombstones: Boolean = currentVersion("tombstones_v").exists(_ > 0)
+
+  def readTombstones(): DataFrame = currentVersion("tombstones_v").filter(_ > 0) match {
+    case Some(v) => spark.read.parquet(p("tombstones", s"v$v")).select(col("doc_id"))
+    case None    => spark.range(0).select(col("id").cast("string").as("doc_id"))
+  }
+
+  private def swapTombstones(ids: DataFrame): Unit = {
+    val next = allocateVersion("tombstones_v", "tombstones_alloc_v")
+    ids.select(col("doc_id").cast("string").as("doc_id")).distinct()
+      .coalesce(1) // the set is doc-id-sized; one file keeps the read cheap
+      .write.mode(SaveMode.Overwrite).parquet(p("tombstones", s"v$next"))
+    setMeta("tombstones_v", next.toString)
+    versionNumbers("tombstones")
+      .filter(_ < next - Workspace.RetainPriorVersions)
+      .foreach(v => deleteTree(Paths.get(p("tombstones", s"v$v"))))
+    graft.functions.Staging.invalidate(root)
+  }
+
+  /** Add doc ids to the tombstone set (Engine.deleteDocuments). */
+  def addTombstones(ids: DataFrame): Unit =
+    swapTombstones(readTombstones()
+      .unionByName(ids.select(col("doc_id").cast("string").as("doc_id"))))
+
+  /** Drop doc ids from the tombstone set — a re-ingested document
+    * supersedes its tombstone (the delete-then-reinsert flow). */
+  def removeTombstones(ids: DataFrame): Unit =
+    if (hasTombstones)
+      swapTombstones(readTombstones().join(
+        broadcast(ids.select(col("doc_id").cast("string").as("doc_id"))),
+        Seq("doc_id"), "left_anti"))
+
+  /** Reset after a physical purge (a full rewrite dropped the tombstoned
+    * rows from every live file). Version dirs are pruned by the next
+    * swap's retention walk, so an in-flight reader keeps its files. */
+  def clearTombstones(): Unit = setMeta("tombstones_v", "0")
+
+  /** The chunk table MINUS tombstoned documents — the logical view every
+    * read path serves between a delete and its purge. The tombstone side
+    * broadcasts (bounded by deletes since the last purge); the corpus
+    * side stays scan-local, no shuffle. */
+  def readLiveChunks(): DataFrame =
+    if (hasTombstones)
+      readChunks().join(broadcast(readTombstones()), Seq("doc_id"), "left_anti")
+    else readChunks()
+
   // ---- A4: CSV export (vector_store.cpp:657-671)
 
   /** Reference-parity export writes ONE csv file (the reference emits a
     * single exportToCsv file); pass numFiles=0 to keep the table's natural
     * parallelism for bulk exports at scale. */
   def exportCsv(path: String, numFiles: Int = 1): Unit = {
-    val base = readChunks().select(col("id"), col("source_file"), col("text_chunk"))
+    val base = readLiveChunks().select(col("id"), col("source_file"), col("text_chunk"))
     val shaped = if (numFiles > 0) base.coalesce(numFiles) else base
     shaped.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
   }
@@ -523,7 +580,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
   // ---- A5: matrix export (texts + N×D float matrix, export_for_training.py)
 
   def exportMatrix(path: String): Unit =
-    readChunks()
+    readLiveChunks()
       .select(col("id"), col("text_chunk"), col("embedding"))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
@@ -537,9 +594,11 @@ final class Workspace(val spark: SparkSession, val root: String) {
     deleteTree(Paths.get(p("chunks")))
     deleteTree(Paths.get(p("postings")))
     deleteTree(Paths.get(p("ann")))
+    deleteTree(Paths.get(p("tombstones")))
     // dropping the table also drops the dimension registration
     removeMeta("chunks_v", "chunks_alloc_v", "postings_v",
-      "ann_v", "ann_alloc_v", "ann_base_n", "ann_appended_n", "model_dim")
+      "ann_v", "ann_alloc_v", "ann_base_n", "ann_appended_n", "model_dim",
+      "tombstones_v", "tombstones_alloc_v")
     graft.functions.Staging.invalidate(root)
   }
 }

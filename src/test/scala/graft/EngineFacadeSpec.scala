@@ -220,6 +220,57 @@ class EngineFacadeSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  test("deleteDocuments: tombstone hides the doc everywhere, replay can't resurrect, compaction purges") {
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("graft-del-").toString
+    val engine = Engine.open(spark, root, "main")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(60)
+    engine.index(docs)
+
+    val hits = engine.search("what is a merge window")
+    assert(hits.nonEmpty)
+    val victim = engine.workspace.readChunks()
+      .filter(col("id") === hits.head.id)
+      .select("doc_id").head().getString(0)
+    val victimChunks = engine.workspace.readChunks()
+      .filter(col("doc_id") === victim).count()
+    assert(victimChunks > 0)
+
+    assert(engine.deleteDocuments(Seq(victim)) == 1L)
+    // hidden from search, the live view, and exports — but NOTHING was
+    // rewritten: the physical rows are still on disk
+    assert(!engine.search("what is a merge window").exists(_.id == hits.head.id))
+    assert(engine.workspace.readLiveChunks()
+      .filter(col("doc_id") === victim).count() == 0)
+    assert(engine.workspace.readChunks()
+      .filter(col("doc_id") === victim).count() == victimChunks)
+
+    // an at-least-once REPLAY of the deleted doc must not resurrect it
+    engine.ingestBatch(docs.filter(col("doc_id") === victim))
+    assert(engine.workspace.readLiveChunks()
+      .filter(col("doc_id") === victim).count() == 0)
+
+    // explicit undelete restores the (still-physical) rows to every view
+    engine.undeleteDocuments(Seq(victim))
+    assert(engine.workspace.readLiveChunks()
+      .filter(col("doc_id") === victim).count() == victimChunks)
+    assert(engine.search("what is a merge window").exists(_.id == hits.head.id))
+
+    // delete again; the explicit compaction is the physical purge and
+    // resets the tombstone set
+    engine.deleteDocuments(Seq(victim))
+    engine.compactIndexes()
+    assert(!engine.workspace.hasTombstones)
+    assert(engine.workspace.readChunks()
+      .filter(col("doc_id") === victim).count() == 0)
+    assert(!engine.search("what is a merge window").exists(_.id == hits.head.id))
+    // idempotent on re-delete of a purged doc: nothing to tombstone…
+    // (ids join the set regardless — the filter is a no-op on purged rows)
+    engine.deleteDocuments(Seq(victim))
+    assert(engine.workspace.readLiveChunks().count() ==
+      engine.workspace.readChunks().count())
+  }
+
   test("calibration persistence roundtrip (E4)") {
     val root = Files.createTempDirectory("graft-cal-").toString
     val engine = Engine.open(spark, root, "ws")
