@@ -63,7 +63,7 @@ object SparkEntry {
     "dedup_canonical_docs", "curation_bloom_decontam",
     "curation_source_overlap", "embed_outlier_flags",
     "curation_weighted_sample", "curation_curriculum_order",
-    "curation_embed_decontam",
+    "curation_embed_decontam", "curation_dataset_card",
     "ml_influence_grad_dot", "embed_standardize",
     "embed_psi_drift", "ml_confusion_matrix", "mm_energy_segments",
     "curation_pack_report",

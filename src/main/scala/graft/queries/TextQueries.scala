@@ -29,6 +29,30 @@ object TextQueries {
 
   private val toksSql = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
+  /** The document quality score in integer micros — ONE definition,
+    * shared by text_quality_score (per-doc) and curation_dataset_card
+    * (per-source rollup): length / punctuation / stopword / word-length
+    * mix, weights 0.3/0.3/0.2/0.2. */
+  private def qualityMicro(text: Column, toks: Column): Column = {
+    val punct = length(regexp_replace(lower(text), "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1))
+    val nTok = size(toks)
+    val stopRatio = stopScore(toks, enStops).cast("double") / greatest(nTok, lit(1))
+    val avgLen = aggregate(transform(toks, x => length(x)), lit(0), (a, x) => a + x).cast("double") /
+      greatest(nTok, lit(1))
+    floor((lit(0.3) * least(nTok / 100.0, lit(1.0)) +
+           lit(0.3) * (lit(1.0) - punct) +
+           lit(0.2) * least(stopRatio * 5.0, lit(1.0)) +
+           lit(0.2) * least(avgLen / 8.0, lit(1.0))) * 1000000).cast("long")
+  }
+
+  /** DuckDB twin of [[qualityMicro]], over a frame carrying text + toks. */
+  private def qualityMicroSql: String =
+    s"""CAST(floor((0.3 * least(len(toks) / 100.0, 1.0)
+       | + 0.3 * (1.0 - length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE / greatest(length(text), 1))
+       | + 0.2 * least((${stopScoreSql(enStops)})::DOUBLE / greatest(len(toks), 1) * 5.0, 1.0)
+       | + 0.2 * least(list_aggregate(list_transform(toks, x -> length(x)), 'sum')::DOUBLE / greatest(len(toks), 1) / 8.0, 1.0)) * 1000000) AS BIGINT)""".stripMargin.replace("\n", "")
+
   /** The seq-pack oracle, shared by text_seq_pack (batch) and
     * stream_seq_pack (incremental) — ONE definition on purpose: the two
     * engines' layouts must stay bit-identical, so their oracle must be
@@ -196,24 +220,68 @@ object TextQueries {
          |       CAST(floor((0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
          |             + 0.2 * least(stop_ratio * 5.0, 1.0) + 0.2 * least(avg_tok_len / 8.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
          |FROM m ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val t = table(spark, dir, "documents")
-        .select(col("doc_id"), col("text"), F.tokens(col("text")).as("toks"),
-          (length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double") /
-            greatest(length(col("text")), lit(1))).as("punct_ratio"))
-      val m = t.select(col("doc_id"),
-        size(col("toks")).as("n_tokens"),
-        col("punct_ratio"),
-        (stopScore(col("toks"), enStops).cast("double") /
-          greatest(size(col("toks")), lit(1))).as("stop_ratio"),
-        (aggregate(transform(col("toks"), x => length(x)), lit(0), (a, x) => a + x).cast("double") /
-          greatest(size(col("toks")), lit(1))).as("avg_tok_len"))
-      m.select(col("doc_id"),
-          floor((lit(0.3) * least(col("n_tokens") / 100.0, lit(1.0)) +
-                lit(0.3) * (lit(1.0) - col("punct_ratio")) +
-                lit(0.2) * least(col("stop_ratio") * 5.0, lit(1.0)) +
-                lit(0.2) * least(col("avg_tok_len") / 8.0, lit(1.0))) * 1000000).cast("long").as("quality_micro"))
+      table(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), F.tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          qualityMicro(col("text"), col("toks")).as("quality_micro"))
         .orderBy("doc_id")
         .limit(1000)
+    },
+
+    // Dataset card: the per-source corpus report a curation run ships
+    // with every snapshot — volume, token mass, quality, language mix,
+    // exact-dup incidence — one row per source. ONE corpus scan derives
+    // every per-doc feature scan-locally (the quality formula is the
+    // SHARED qualityMicro definition; langid is text_langid's stopword
+    // CASE); the dup flag rides dedup_exact's content-hash groupBy (a
+    // shuffle of compact (h, source, counts) rows, never documents), and
+    // the rollup is a source-keyed aggregate with map-side combine —
+    // ≈|sources| result rows at any corpus size.
+    Q("curation_dataset_card", {
+      val scores = langStopwords.map { case (l, ws) => s"${stopScoreSql(ws)} AS sc_$l" }.mkString(", ")
+      s"""WITH t AS (SELECT doc_id, source, text, $toksSql AS toks FROM documents),
+         |f AS (SELECT doc_id, source, md5(text) AS h,
+         |        len(toks)::BIGINT AS n_tokens,
+         |        $qualityMicroSql AS q,
+         |        $scores
+         |      FROM t),
+         |g AS (SELECT *, CASE WHEN sc_en >= sc_de AND sc_en >= sc_es THEN 'en'
+         |                     WHEN sc_de >= sc_es THEN 'de' ELSE 'es' END AS predicted
+         |      FROM f),
+         |hc AS (SELECT h, count(*) AS c FROM g GROUP BY h)
+         |SELECT g.source, count(*)::BIGINT AS n_docs,
+         |       sum(g.n_tokens)::BIGINT AS sum_tokens,
+         |       sum(g.q)::BIGINT AS sum_quality_micro,
+         |       sum(CASE WHEN predicted = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_en,
+         |       sum(CASE WHEN predicted = 'de' THEN 1 ELSE 0 END)::BIGINT AS n_de,
+         |       sum(CASE WHEN predicted = 'es' THEN 1 ELSE 0 END)::BIGINT AS n_es,
+         |       sum(CASE WHEN hc.c > 1 THEN 1 ELSE 0 END)::BIGINT AS n_exact_dup
+         |FROM g JOIN hc ON hc.h = g.h
+         |GROUP BY g.source ORDER BY g.source""".stripMargin
+    }) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"), F.tokens(col("text")).as("toks"))
+      val f0 = t.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        qualityMicro(col("text"), col("toks")).as("q"),
+        col("toks"))
+      val f = langStopwords.foldLeft(f0) { case (df, (l, ws)) =>
+        df.withColumn(s"sc_$l", stopScore(col("toks"), ws).cast("long"))
+      }.drop("toks")
+      val g = f.withColumn("predicted",
+        when(col("sc_en") >= col("sc_de") && col("sc_en") >= col("sc_es"), "en")
+          .when(col("sc_de") >= col("sc_es"), "de").otherwise("es"))
+      val hc = g.groupBy("h").agg(count(lit(1)).as("c"))
+      g.join(hc, Seq("h"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("sum_tokens"),
+          sum(col("q")).as("sum_quality_micro"),
+          sum(when(col("predicted") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("predicted") === "de", 1L).otherwise(0L)).as("n_de"),
+          sum(when(col("predicted") === "es", 1L).otherwise(0L)).as("n_es"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_exact_dup"))
+        .orderBy("source")
     },
 
     // Gopher-style rule filter (Rae et al. 2021 §A.1.1, adapted to this
