@@ -206,6 +206,30 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def readChunks(): DataFrame = spark.read.parquet(chunksPath)
 
+  /** COMMITTED chunk-table versions still on disk — the live pointer plus
+    * the [[Workspace.RetainPriorVersions]] retained priors (uncommitted
+    * background preparations are excluded: their dirs exist above the
+    * pointer but hold no committed state). These are the snapshot ids a
+    * reproducible training run can pin with [[readChunksAt]] — the
+    * versioned swap already keeps the files, so time travel inside the
+    * retention window is free. */
+  def chunkVersions: Seq[Int] = {
+    val live = currentVersion("chunks_v").getOrElse(0)
+    versionNumbers("chunks").filter(_ <= live).sorted
+  }
+
+  /** Read the chunk table AS OF a retained version. A PRIOR version is
+    * frozen the moment the pointer moves past it (appends only ever
+    * target the live version), so a run that pins a superseded id
+    * re-reads identical data until the retention walk reclaims it;
+    * pinning the LIVE id observes its appends until the next swap.
+    * Throws on an unknown or already-reclaimed id. */
+  def readChunksAt(version: Int): DataFrame = {
+    require(chunkVersions.contains(version),
+      s"chunk version v$version is not on disk (committed versions: ${chunkVersions.mkString(", ")})")
+    spark.read.parquet(p("chunks", s"v$version"))
+  }
+
   /** Append rows to the chunk table (same guardrail; no overwrite, so a
     * plan derived from the current table can safely feed it — the C4
     * summary re-index path). */

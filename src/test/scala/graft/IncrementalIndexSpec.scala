@@ -607,6 +607,27 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(!names.contains("v1"), s"v1 should be past the retention window: $names")
   }
 
+  test("time travel: a pinned prior version re-reads its snapshot until retention reclaims it") {
+    val root = Files.createTempDirectory("graft-tt-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(20))
+    val ws = engine.workspace
+    assert(ws.chunkVersions == Seq(1))
+    val v1Rows = ws.readChunksAt(1).count()
+    // rebuild → v2; v1 is now FROZEN and still pinnable
+    engine.index(docs(25))
+    assert(ws.chunkVersions == Seq(1, 2))
+    assert(ws.readChunksAt(1).count() == v1Rows,
+      "superseded snapshot changed under a pinned reader")
+    assert(ws.readChunksAt(2).count() == ws.count())
+    // an uncommitted/unknown version id is refused, not misread
+    intercept[IllegalArgumentException](ws.readChunksAt(9))
+    // past the retention window the snapshot id disappears from the list
+    engine.index(docs(30)); engine.index(docs(35))
+    assert(!ws.chunkVersions.contains(1), s"v1 still listed: ${ws.chunkVersions}")
+    intercept[IllegalArgumentException](ws.readChunksAt(1))
+  }
+
   test("a pre-versioning chunk layout keeps reading and appending until a rebuild migrates it") {
     import org.apache.spark.sql.SaveMode
     val root = Files.createTempDirectory("graft-legacy-").toString
