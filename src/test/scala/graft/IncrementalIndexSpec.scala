@@ -607,6 +607,33 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(!names.contains("v1"), s"v1 should be past the retention window: $names")
   }
 
+  test("tombstoned docs stay hidden on the IVF probe path; the purge drops them from the ANN index") {
+    val root = Files.createTempDirectory("graft-delivf-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(30))
+    val ws = engine.workspace
+    val victimChunkIds = ws.readChunks().filter(col("doc_id") === "5")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(victimChunkIds.nonEmpty)
+    // the persisted ANN index carries the victim's vectors pre-delete
+    assert(ws.readAnn().filter(col("id").isInCollection(victimChunkIds)).count()
+      == victimChunkIds.size)
+
+    engine.deleteDocuments(Seq("5"))
+    // the probe may still surface the stale candidate ids — they must die
+    // at the join against the filtered chunk table, never reach a result
+    val hits = engine.search("streamed document about merge windows topic5", 10)
+    assert(hits.nonEmpty)
+    assert(!hits.exists(h => victimChunkIds.contains(h.id)),
+      "a tombstoned doc surfaced through the IVF candidate path")
+
+    // the full compaction purges the table AND rebuilds the index clean
+    engine.compactIndexes()
+    assert(ws.readAnn().filter(col("id").isInCollection(victimChunkIds)).count() == 0,
+      "purged vectors survived the ANN rebuild")
+    assert(!ws.hasTombstones)
+  }
+
   test("time travel: a pinned prior version re-reads its snapshot until retention reclaims it") {
     val root = Files.createTempDirectory("graft-tt-").toString
     val engine = ivfEngine(root)
