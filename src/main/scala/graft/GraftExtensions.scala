@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm, PqEncode, TopKBy}
+import graft.functions.{CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm, PqEncode, SignLshBuckets, TopKBy}
 
 /** SparkSessionExtensions registration: makes the engine's Catalyst
   * expressions available to any session (including pure-SQL users) via
@@ -41,6 +41,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(s: Int, IntegerType) => PqEncode(es.head, es(1), s)
         case other => throw new IllegalArgumentException(
           s"pq_encode: subDim must be an integer literal, got $other")
+      }))
+    e.injectFunction((FunctionIdentifier("sign_lsh_buckets"),
+      info("sign_lsh_buckets", "sign_lsh_buckets(vec, hyperplanes, tables) - all sign-LSH table buckets in one pass"),
+      (es: Seq[Expression]) => es(2) match {
+        case Literal(t: Int, IntegerType) => SignLshBuckets(es.head, es(1), t)
+        case other => throw new IllegalArgumentException(
+          s"sign_lsh_buckets: tables must be an integer literal, got $other")
       }))
     e.injectFunction((FunctionIdentifier("topk_by"),
       info("topk_by", "topk_by(payload, score, k) - exact per-group top-k (score desc, payload asc) with map-side partial reduction"),

@@ -161,6 +161,85 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   * formulation (transform + aggregate over sliced arrays) evaluates
   * interpreted with per-element allocations; this expression is one
   * generated triple loop inside WholeStageCodegen. */
+/** All `tables` sign-LSH bucket ids of one vector in ONE codegen loop:
+  * bucket_t = Σ_i [dot(vec, hp[t·perTable + i]) > 0] << i over the flat
+  * literal hyperplane matrix (row-major by table). Semantically identical
+  * to composing `tables × perTable` [[DotProduct]] nodes with when/sum —
+  * the per-pair dot uses the same index-order double accumulation, so the
+  * sign decisions (and therefore the buckets the DuckDB oracle replays)
+  * cannot differ — but the expression TREE is one node instead of 64:
+  * the generated method is a small triple loop, so plan compilation stays
+  * O(1) as tables grow (the multi-table query was plan-compile-bound).
+  */
+case class SignLshBuckets(vec: Expression, hyperplanes: Expression, tables: Int)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = hyperplanes
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_lsh_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, hyperplanes.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(FloatType, _), _)) if tables > 0 =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sign_lsh_buckets expects (array<float>, array<array<float>>), got (${vec.dataType.sql}, ${hyperplanes.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val hp = b.asInstanceOf[ArrayData]
+    val perTable = hp.numElements() / tables
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var bucket = 0L; var i = 0
+      while (i < perTable) {
+        val h = hp.getArray(t * perTable + i)
+        val n = v.numElements()
+        var dot = 0.0d
+        if (n != 0 && h.numElements() == n) {
+          var k = 0
+          while (k < n) { dot += v.getFloat(k).toDouble * h.getFloat(k).toDouble; k += 1 }
+        }
+        if (dot > 0.0d) bucket |= 1L << i
+        i += 1
+      }
+      out(t) = bucket; t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val pt = ctx.freshName("perTable"); val out = ctx.freshName("out")
+      val t = ctx.freshName("t"); val i = ctx.freshName("i"); val k = ctx.freshName("k")
+      val n = ctx.freshName("n"); val dot = ctx.freshName("dot")
+      val bucket = ctx.freshName("bucket"); val h = ctx.freshName("h")
+      s"""
+        |int $pt = $b.numElements() / $tables;
+        |long[] $out = new long[$tables];
+        |int $n = $a.numElements();
+        |for (int $t = 0; $t < $tables; $t++) {
+        |  long $bucket = 0L;
+        |  for (int $i = 0; $i < $pt; $i++) {
+        |    org.apache.spark.sql.catalyst.util.ArrayData $h = $b.getArray($t * $pt + $i);
+        |    double $dot = 0.0;
+        |    if ($n != 0 && $h.numElements() == $n) {
+        |      for (int $k = 0; $k < $n; $k++) { $dot += ((double) $a.getFloat($k)) * ((double) $h.getFloat($k)); }
+        |    }
+        |    if ($dot > 0.0) $bucket |= 1L << $i;
+        |  }
+        |  $out[$t] = $bucket;
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(vec = newLeft, hyperplanes = newRight)
+}
+
 case class PqEncode(vec: Expression, codebook: Expression, subDim: Int)
     extends BinaryExpression {
 
@@ -248,6 +327,11 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(floatArr(a))))
+
+  def signLshBuckets(vec: Column, hyperplanes: Column, tables: Int): Column =
+    ColumnBridge.column(SignLshBuckets(
+      ColumnBridge.expression(floatArr(vec)),
+      ColumnBridge.expression(hyperplanes.cast(ArrayType(ArrayType(FloatType)))), tables))
 
   def pqEncode(vec: Column, codebook: Column, subDim: Int): Column =
     ColumnBridge.column(PqEncode(

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.functions.VectorFunctions.{cosineSim, dotProduct, pqEncode}
+import graft.functions.VectorFunctions.{cosineSim, dotProduct, pqEncode, signLshBuckets}
 
 /** Approximate-nearest-neighbor search over the embedding column.
   *
@@ -355,17 +355,24 @@ object AnnQueries {
       val hpRows: Seq[Seq[Float]] = e.filter(col("vec_id").between(56, 119))
         .select(col("vec_id"), col("embedding")).collect()
         .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toSeq).toSeq
-      def bucketCol(t: Int): Column = (0 until 8).map(i =>
-        when(dotProduct(col("embedding"), typedlit(hpRows(8 * t + i))) > 0,
-          lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
-      // the query's 8 bucket ids: computed by the SAME expressions over
+      // ALL 8 table buckets from ONE codegen expression over ONE flat
+      // hyperplane literal — semantically the 64-dot when/sum composition
+      // (same index-order double accumulation, so the oracle's sign
+      // decisions replay identically), but the plan carries a single
+      // node: compile cost stays flat as tables grow
+      val bkts = signLshBuckets(col("embedding"), typedlit(hpRows), tables = 8)
+      // the query's 8 bucket ids: computed by the SAME expression over
       // the one query row, so signature arithmetic can't diverge (one
       // driver action fetches buckets + vector together)
       val qRow = e.filter(col("vec_id") === 0)
-        .select(col("embedding") +: (0 until 8).map(t => bucketCol(t).as(s"b$t")): _*).head()
+        .select(col("embedding"), bkts.as("qb")).head()
       val qv = qRow.getSeq[Float](0).toSeq
-      val isCand = (0 until 8).map(t => bucketCol(t) === lit(qRow.getLong(t + 1))).reduce(_ || _)
-      e.filter(col("vec_id") =!= 0 && isCand)
+      val qb = qRow.getSeq[Long](1)
+      val isCand = (0 until 8).map(t =>
+        element_at(col("bkts"), t + 1) === lit(qb(t))).reduce(_ || _)
+      e.filter(col("vec_id") =!= 0)
+        .withColumn("bkts", bkts)
+        .filter(isCand)
         .select(col("vec_id").as("n_id"), cosineSim(col("embedding"), typedlit(qv)).as("s"))
         .orderBy(col("s").desc, col("n_id"))
         .limit(K)

@@ -415,6 +415,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  test("multi-table LSH: one corpus scan, zero exchanges, single sign_lsh_buckets node") {
+    val p = plan("ann_lsh_multitable")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
+    // the candidate test runs over ONE expression evaluation per row — the
+    // 64-dot composition this replaced inlined 64 nodes and was
+    // plan-compile-bound
+    assert(p.contains("sign_lsh_buckets"), p)
+  }
+
   test("embed decontam: eval vectors broadcast, corpus-side argmax fold never shuffles an embedding") {
     // the cosine twin of the bloom probe's contract: the eval split
     // aggregates to ONE broadcast row and the corpus pays scan →

@@ -171,6 +171,36 @@ class ScaleOpsSpec extends AnyFunSuite {
       s"flag set diverges: extra=${flagged -- dominated} missing=${dominated -- flagged}")
   }
 
+  test("SignLshBuckets: one-node codegen buckets equal the composed when/sum dot-product buckets") {
+    import graft.functions.VectorFunctions.{dotProduct, signLshBuckets}
+    import org.apache.spark.sql.functions.{element_at, typedlit, when}
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val hpRows: Seq[Seq[Float]] = e.filter(col("vec_id").between(56, 119))
+      .select(col("vec_id"), col("embedding")).collect()
+      .sortBy(_.getLong(0)).map(_.getSeq[Float](1).toSeq).toSeq
+    // the compositional form the expression replaced — the semantics pin
+    def composed(t: Int) = (0 until 8).map(i =>
+      when(dotProduct(col("embedding"), typedlit(hpRows(8 * t + i))) > 0,
+        lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    val both = e.select(
+      col("vec_id"),
+      signLshBuckets(col("embedding"), typedlit(hpRows), tables = 8).as("fast"),
+      org.apache.spark.sql.functions.array((0 until 8).map(composed): _*).as("slow"))
+    val rows = both.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2),
+        s"bucket divergence at vec_id ${r.getLong(0)}")
+    }
+    // interpreted path (nullSafeEval) agrees with codegen
+    val one = e.filter(col("vec_id") === 0)
+      .select(signLshBuckets(col("embedding"), typedlit(hpRows), tables = 8)).head().getSeq[Long](0)
+    val viaElement = e.filter(col("vec_id") === 0)
+      .select((1 to 8).map(t => element_at(
+        signLshBuckets(col("embedding"), typedlit(hpRows), tables = 8), t)): _*).head()
+    assert((0 until 8).forall(t => viaElement.getLong(t) == one(t)))
+  }
+
   test("embed decontam: argmax fold equals the explode/window twin; ties keep the lowest eval id") {
     import graft.functions.VectorFunctions.cosineSim
     val out = graft.queries.ScaleQueries.all.find(_.name == "curation_embed_decontam").get
