@@ -474,7 +474,17 @@ final class Engine(
     * [[undeleteDocuments]] (same content — the rows are still on disk
     * until a purge), or a full [[index]] call, which replaces the table
     * wholesale and resets the set. Returns the number of ids newly
-    * tombstoned. */
+    * tombstoned.
+    *
+    * There is deliberately NO in-place document UPDATE: chunk ids are
+    * position-keyed (docKey·10⁶ + chunk_idx — the composite identity the
+    * ingest oracles replay), so a changed chunk would reuse its id and a
+    * chunk-level tombstone could not tell the superseded row from its
+    * replacement; stale posting/ANN entries for a still-visible id would
+    * then pollute scores instead of dying at the result join. Replacing
+    * a document is therefore the explicit sequence delete →
+    * [[compactIndexes]] (purge) → re-ingest, or a full [[index]] call —
+    * each step idempotent and crash-safe. */
   def deleteDocuments(docIds: Seq[String]): Long = maintenance.synchronized {
     if (docIds.isEmpty) 0L
     else {
