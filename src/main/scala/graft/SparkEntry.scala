@@ -70,7 +70,8 @@ object SparkEntry {
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",
     "mm_av_align", "q_asof_join_forward_tol",
-    "q1_pricing_summary", "q3_topk_revenue_join", "q_salted_skew_agg",
+    "q1_pricing_summary", "q3_topk_revenue_join", "q5_region_nation_revenue",
+    "q_salted_skew_agg",
     "q_topk_by_agg", "q_range_join_binned",
     "b12_section_concat")
     .filter(queries.contains)

@@ -71,6 +71,55 @@ object RelationalQueries {
         .limit(10)
     },
 
+    // TPC-H Q5 proper — the full dimension-chain star join: region →
+    // nation → customer/supplier → orders → lineitem, revenue per nation
+    // inside one region, the customer's and supplier's nation required to
+    // MATCH (the classic Q5 local-supplier predicate). Plan shape at
+    // scale: the fact table joins against FOUR broadcast dimensions
+    // (region/nation collapse to a nationkey set; customer and supplier
+    // project to key→nation maps) — the only shuffle anywhere is the
+    // final ≤|nations| group rollup; lineitem never repartitions. Region
+    // filtering prunes the nation set BEFORE it reaches the fact scan.
+    Q("q5_region_nation_revenue",
+      s"""SELECT n.n_name,
+         |       round(sum($revInt) / 10000.0, 4) AS revenue,
+         |       count(*) AS n_items
+         |FROM lineitem l
+         |JOIN orders o    ON o.o_orderkey = l.l_orderkey
+         |JOIN customer c  ON c.c_custkey = o.o_custkey
+         |JOIN supplier s  ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+         |JOIN nation n    ON n.n_nationkey = c.c_nationkey
+         |JOIN region r    ON r.r_regionkey = n.n_regionkey
+         |WHERE r.r_name = 'ASIA'
+         |GROUP BY n.n_name
+         |ORDER BY revenue DESC, n.n_name""".stripMargin) { (spark, dir) =>
+      val l = table(spark, dir, "lineitem")
+      val o = table(spark, dir, "orders")
+      val c = table(spark, dir, "customer")
+      val s = table(spark, dir, "supplier")
+      val n = table(spark, dir, "nation")
+      val r = table(spark, dir, "region")
+      // region ⋈ nation collapses to the in-region nation dimension before
+      // anything touches the fact table
+      val asiaNations = n.join(broadcast(r.filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      l.select(col("l_orderkey"), col("l_suppkey"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+            .cast("long").as("rev_i"))
+        .join(broadcast(o.select(col("o_orderkey"), col("o_custkey"))),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s.select(col("s_suppkey"), col("s_nationkey").as("sn"))),
+          col("l_suppkey") === col("s_suppkey") && col("sn") === col("c_nationkey"))
+        .join(broadcast(asiaNations), col("n_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("rev_i")) / 10000.0, 4).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
     // Broadcast dimension join: part is the small side, explicitly broadcast.
     Q("q5_broadcast_brand_agg",
       s"""SELECT p.p_brand,

@@ -415,6 +415,14 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  test("q5 star join: every dimension broadcast, lineitem never repartitions before the rollup") {
+    val p = plan("q5_region_nation_revenue")
+    assert(p.split("BroadcastHashJoin").length - 1 >= 4, p)
+    // the ONLY hash exchange is the final <=|nations| group rollup
+    assert(p.split("Exchange hashpartitioning").length - 1 <= 1, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("multi-table LSH: one corpus scan, zero exchanges, single sign_lsh_buckets node") {
     val p = plan("ann_lsh_multitable")
     assert(p.contains("TakeOrderedAndProject"), p)
