@@ -321,6 +321,34 @@ object RelationalQueries {
         .limit(1000)
     },
 
+    // Cohort retention: users bucketed by first-active week, retention
+    // counted at week offsets 0–3 — the other standard event-analytics
+    // matrix next to q_funnel. Integer week arithmetic (epoch-ms div
+    // week-ms) replays exactly cross-engine. Scale shape: the (user,
+    // week) activity grid distincts with map-side combine (≤ users×weeks
+    // compact rows), the cohort min reuses the user key, the grid⋈cohort
+    // join is user-keyed (co-partitioned with the aggregates feeding
+    // it), and the final rollup is ≤ cohorts×4 rows.
+    Q("q_cohort_retention",
+      """WITH w AS (SELECT DISTINCT user_id, epoch_ms(ts) // 604800000 AS wk FROM events),
+        |c AS (SELECT user_id, min(wk) AS cohort FROM w GROUP BY user_id),
+        |j AS (SELECT c.cohort, w.wk - c.cohort AS offs
+        |      FROM w JOIN c ON c.user_id = w.user_id
+        |      WHERE w.wk - c.cohort BETWEEN 0 AND 3)
+        |SELECT cohort, offs, count(*)::BIGINT AS n_users
+        |FROM j GROUP BY cohort, offs ORDER BY cohort, offs""".stripMargin) { (spark, dir) =>
+      val w = events(spark, dir)
+        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
+        .distinct()
+      val c = w.groupBy("user_id").agg(min(col("wk")).as("cohort"))
+      w.join(c, "user_id")
+        .select(col("cohort"), (col("wk") - col("cohort")).as("offs"))
+        .filter(col("offs").between(0, 3))
+        .groupBy("cohort", "offs")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "offs")
+    },
+
     // Pivot: per-user event counts spread across one column per event
     // type. Spark's .pivot() with explicit values plans as conditional
     // aggregation (one pass, map-side partial agg — NOT a per-value scan),
