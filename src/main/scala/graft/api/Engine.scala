@@ -213,11 +213,20 @@ final class Engine(
       r
     }
     if (rows.nonEmpty) {
-      workspace.appendLog(rows.toDF(
+      // a failed append (e.g. the stream thread interrupted at stop — the
+      // parquet task aborts before job commit, so nothing partial landed)
+      // re-carries the drained rows instead of dropping them: the next
+      // flush in this process retries; only a process exit loses them
+      // (observability rows — the reference's best-effort contract)
+      try workspace.appendLog(rows.toDF(
         "query", "semantic_rank", "keyword_rank", "final_rank",
         "latency_embed_ms", "latency_search_ms", "latency_fusion_ms", "latency_rerank_ms",
         "top_score", "mmr_penalty", "is_exploration", "rank_delta", "stability",
         "created_at"))
+      catch { case e: Throwable =>
+        synchronized { carriedLog = rows ++ carriedLog }
+        throw e
+      }
       stabilityMemo.synchronized { // persisted history changed
         stabilityMemo.clear()
         stabilityGen.incrementAndGet()

@@ -220,6 +220,46 @@ class EngineFacadeSpec extends AnyFunSuite {
     } finally stream.stop()
   }
 
+  test("deletes issued DURING a continuous-trigger ingest stay hidden as later waves land") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-delconc-").toString
+    val srcDir = Files.createTempDirectory("graft-delconc-src-").toString
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs.filter(col("doc_id") < 30).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val engine = Engine.open(spark, root, "main")
+    val stream = engine.startStreamingIngest(srcDir, Trigger.ProcessingTime(200))
+    try {
+      def landed(): Boolean =
+        scala.util.Try(engine.workspace.count() > 0).getOrElse(false)
+      val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+      while (!landed() && System.nanoTime() < deadline) Thread.sleep(200)
+      assert(landed(), "first wave never landed")
+
+      // delete a first-wave doc while the stream keeps appending: the
+      // maintenance lock serializes the tombstone swap against micro-
+      // batches, and the delete must survive every later invalidate()
+      engine.deleteDocuments(Seq("7"))
+      (0 until 3).foreach { w =>
+        docs.filter(col("doc_id") >= 30 + w * 10 && col("doc_id") < 40 + w * 10)
+          .coalesce(1).write.mode("append").parquet(srcDir)
+        (0 until 2).foreach { _ =>
+          val hits = engine.search("what is a merge window", 10)
+          assert(hits.nonEmpty)
+          assert(!hits.exists(_.docId == "7"),
+            "a deleted doc resurfaced during concurrent ingest")
+        }
+      }
+      // the doc stays hidden from the live view even after all the waves
+      // (no micro-batch replay lifted the tombstone)
+      assert(engine.workspace.readLiveChunks()
+        .filter(col("doc_id") === "7").count() == 0)
+      assert(engine.workspace.readChunks()
+        .filter(col("doc_id") === "7").count() > 0)
+    } finally stream.stop()
+  }
+
   test("deleteDocuments: tombstone hides the doc everywhere, replay can't resurrect, compaction purges") {
     import org.apache.spark.sql.functions.col
     val root = Files.createTempDirectory("graft-del-").toString
