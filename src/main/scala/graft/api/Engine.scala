@@ -396,6 +396,12 @@ final class Engine(
     * exactly. Aborts if a full rebuild moved the pointer first. */
   private def backgroundChunkCompact(): Unit = {
     val chunksV0 = workspace.getMeta("chunks_v") // before the listing (see retrain)
+    // delete hygiene: past maxTombstones the job becomes a FULL rewrite
+    // (every file re-tiered into the purge) so the set can reset below —
+    // a delete-heavy stream otherwise grows the anti-join side unboundedly
+    val tombsV0 = workspace.getMeta("tombstones_v")
+    val purging = workspace.hasTombstones &&
+      workspace.readTombstones().count() > opts.maxTombstones
     val baseFiles = workspace.chunkDataFiles
     if (baseFiles.isEmpty) return
     val sizes = baseFiles.map(f =>
@@ -403,12 +409,13 @@ final class Engine(
     val floor = 4L * sizes.map(_._2).sorted.apply(sizes.size / 2)
     val (large0, small0) = sizes.partition(_._2 >= floor)
     val (large, small) =
-      if (large0.size > opts.compactFileThreshold) (Nil, sizes) // re-tier merge
+      if (purging || large0.size > opts.compactFileThreshold) (Nil, sizes) // full/re-tier merge
       else (large0, small0)
-    if (small.size < 2) return // nothing to collapse this trigger
+    if (small.size < 2 && !purging) return // nothing to collapse this trigger
     // the rewrite purges tombstoned rows from the files it touches for
-    // free; the tombstone set STAYS (the linked large tier keeps its
-    // rows until a full rewrite) — purged rows just anti-join to nothing
+    // free; the tombstone set STAYS unless this is a full purge (the
+    // linked large tier keeps its rows until a full rewrite) — purged
+    // rows just anti-join to nothing
     val small0Df = spark.read.parquet(small.map(_._1): _*)
     val smallDf =
       if (workspace.hasTombstones)
@@ -434,6 +441,12 @@ final class Engine(
       if (delta.nonEmpty)
         workspace.appendChunksToVersion(v, spark.read.parquet(delta: _*))
       workspace.commitChunkVersion(v)
+      // a full purge resets the set ONLY if no delete landed since the
+      // snapshot (the version pointer is the fence): a mid-job tombstone
+      // may mark rows in files this rewrite already copied, so it must
+      // survive; the next trigger purges again
+      if (purging && workspace.getMeta("tombstones_v") == tombsV0)
+        workspace.clearTombstones()
       invalidate()
       chunkCompactDiscards.set(0)
     }
@@ -505,6 +518,10 @@ final class Engine(
       // visibility refresh only — the table files didn't change, so the
       // pinned raw cache survives (the refreshBoosts discipline)
       refreshBoosts()
+      // delete hygiene: past maxTombstones schedule the background FULL
+      // purge (backgroundChunkCompact's purging mode) so the anti-join
+      // side can't grow unboundedly under a delete-heavy workload
+      if (before + added > opts.maxTombstones) scheduleChunkCompact()
       added
     }
   }

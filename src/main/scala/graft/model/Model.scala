@@ -142,4 +142,9 @@ final case class SearchOptions(
     // inline rebuilds, the next loss runs the job inline under the
     // maintenance lock — a supersession storm can no longer discard
     // background work indefinitely
-    maxMaintenanceDiscards: Int = 3)
+    maxMaintenanceDiscards: Int = 3,
+    // delete hygiene: once the tombstone set outgrows this, deletes
+    // schedule a background FULL compaction (purge + set reset) — a
+    // delete-heavy workload otherwise grows the set, and with it every
+    // read's anti-join build side, until someone calls compactIndexes()
+    maxTombstones: Long = 100000L)

@@ -634,6 +634,46 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(!ws.hasTombstones)
   }
 
+  test("delete hygiene: past maxTombstones a background FULL purge runs; a mid-purge delete survives") {
+    val root = Files.createTempDirectory("graft-purge-").toString
+    val engine = Engine.open(spark, root, "main",
+      opts = SearchOptions(annMode = "ivf", annCells = 8, annProbes = 2,
+        maxTombstones = 2))
+    engine.index(docs(20))
+    val ws = engine.workspace
+
+    // hold the purge between its snapshot rewrite and its commit
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    engine.maintenanceHook = () => { entered.countDown(); release.await() }
+    // 4 tombstones > maxTombstones=2 → the delete schedules the purge
+    engine.deleteDocuments(Seq("1", "2", "3", "4"))
+    assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "the over-threshold delete never scheduled a purge")
+    // a delete landing WHILE the purge is mid-flight: its rows may sit in
+    // files the rewrite already copied, so the set must survive the commit
+    engine.deleteDocuments(Seq("5"))
+    engine.maintenanceHook = () => ()
+    release.countDown()
+    engine.awaitMaintenance()
+
+    // the first four docs are PHYSICALLY gone; the mid-purge tombstone is
+    // retained (the version fence saw the mid-job delete) and still hides
+    // its physically-present rows
+    assert(ws.readChunks().filter(col("doc_id").isin("1", "2", "3", "4")).count() == 0,
+      "purge did not drop tombstoned rows")
+    assert(ws.hasTombstones, "a mid-purge delete was clobbered by the set reset")
+    assert(ws.readChunks().filter(col("doc_id") === "5").count() > 0)
+    assert(ws.readLiveChunks().filter(col("doc_id") === "5").count() == 0)
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"background purge failed: ${engine.lastMaintenanceError}")
+
+    // the explicit compaction converges the remainder
+    engine.compactIndexes()
+    assert(!ws.hasTombstones)
+    assert(ws.readChunks().filter(col("doc_id") === "5").count() == 0)
+  }
+
   test("time travel: a pinned prior version re-reads its snapshot until retention reclaims it") {
     val root = Files.createTempDirectory("graft-tt-").toString
     val engine = ivfEngine(root)
