@@ -65,7 +65,8 @@ object SparkEntry {
     "curation_weighted_sample", "curation_curriculum_order",
     "curation_embed_decontam", "curation_dataset_card",
     "ml_influence_grad_dot", "embed_standardize",
-    "embed_psi_drift", "ml_confusion_matrix", "mm_energy_segments",
+    "embed_psi_drift", "ml_confusion_matrix", "ml_ndcg_eval",
+    "mm_energy_segments", "q_cohort_retention",
     "curation_pack_report",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",

@@ -764,6 +764,59 @@ object CurationQueries {
         .orderBy("bin")
     },
 
+    // nDCG@10 — the graded-relevance ranking metric (Järvelin &
+    // Kekäläinen 2002), completing the eval family: AUC ranks binary
+    // labels, nDCG scores a RANKING against graded ones. Ranking =
+    // distinct-term coverage (ties by doc_id); grade = capped term
+    // occurrences — deliberately different orderings, so the metric is
+    // informative. Both top-10 cuts are TakeOrdered heaps (never a
+    // global window — the rank windows see ≤10 rows), per-position
+    // gains micro-floor BEFORE the sum (order-free integer addition),
+    // and the final ratio is integer ppm division. Scan → two bounded
+    // heaps → two 1-row aggregates at any corpus size.
+    Q("ml_ndcg_eval",
+      s"""WITH t AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks FROM documents),
+         |g AS (SELECT doc_id,
+         |        least(len(list_filter(toks, x -> x IN ($inList))), 4) AS rel,
+         |        (CASE WHEN list_contains(toks, 'merge') THEN 1 ELSE 0 END
+         |       + CASE WHEN list_contains(toks, 'window') THEN 1 ELSE 0 END
+         |       + CASE WHEN list_contains(toks, 'hash') THEN 1 ELSE 0 END) AS hits
+         |      FROM t),
+         |c AS (SELECT * FROM g WHERE hits > 0),
+         |pt AS (SELECT rel, hits, doc_id FROM c ORDER BY hits DESC, doc_id LIMIT 10),
+         |pr AS (SELECT rel, row_number() OVER (ORDER BY hits DESC, doc_id) AS pos FROM pt),
+         |it AS (SELECT rel, doc_id FROM c ORDER BY rel DESC, doc_id LIMIT 10),
+         |ir AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS pos FROM it),
+         |d AS (SELECT sum(CAST(floor(((1 << rel) - 1)::DOUBLE / log2(pos + 1) * 1000000) AS BIGINT)) AS dcg FROM pr),
+         |i AS (SELECT sum(CAST(floor(((1 << rel) - 1)::DOUBLE / log2(pos + 1) * 1000000) AS BIGINT)) AS idcg FROM ir)
+         |SELECT (SELECT count(*) FROM c)::BIGINT AS n_candidates,
+         |       d.dcg::BIGINT AS dcg_micro, i.idcg::BIGINT AS idcg_micro,
+         |       (d.dcg * 1000000 // i.idcg)::BIGINT AS ndcg_ppm
+         |FROM d, i""".stripMargin) { (spark, dir) =>
+      val t = table(spark, dir, "documents")
+        .select(col("doc_id"), F.tokens(col("text")).as("toks"))
+      val g = t.select(col("doc_id"),
+        least(size(filter(col("toks"), x => x.isin(terms: _*))), lit(4)).as("rel"),
+        terms.map(tm => when(array_contains(col("toks"), tm), 1).otherwise(0))
+          .reduce(_ + _).as("hits"))
+      val c = staged(spark, s"ndcg_c#$dir")(g.filter(col("hits") > 0))
+      def gainMicro(posCol: Column): Column =
+        floor((expr("shiftleft(1L, cast(rel as int))") - 1L).cast("double")
+          / log2(posCol + 1) * 1000000).cast("long")
+      val pr = c.orderBy(col("hits").desc, col("doc_id")).limit(10)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("hits").desc, col("doc_id"))))
+      val ir = c.orderBy(col("rel").desc, col("doc_id")).limit(10)
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window.orderBy(col("rel").desc, col("doc_id"))))
+      val d = pr.agg(sum(gainMicro(col("pos"))).as("dcg_micro"))
+      val i = ir.agg(sum(gainMicro(col("pos"))).as("idcg_micro"))
+      val n = c.agg(count(lit(1)).as("n_candidates"))
+      n.crossJoin(d).crossJoin(i)
+        .select(col("n_candidates"), col("dcg_micro"), col("idcg_micro"),
+          expr("dcg_micro * 1000000 div idcg_micro").as("ndcg_ppm"))
+    },
+
     // Confusion matrix + derived metrics at the 0.5 operating point —
     // the third member of the eval family next to ml_auc_rank
     // (threshold-free ranking) and ml_reliability_bins (calibration):
