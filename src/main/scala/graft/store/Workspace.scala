@@ -569,12 +569,16 @@ final class Workspace(val spark: SparkSession, val root: String) {
       .unionByName(ids.select(col("doc_id").cast("string").as("doc_id"))))
 
   /** Drop doc ids from the tombstone set — a re-ingested document
-    * supersedes its tombstone (the delete-then-reinsert flow). */
+    * supersedes its tombstone (the delete-then-reinsert flow). An
+    * emptied set drops the pointer too, so reads stop paying the
+    * (no-op) anti-join. */
   def removeTombstones(ids: DataFrame): Unit =
-    if (hasTombstones)
+    if (hasTombstones) {
       swapTombstones(readTombstones().join(
         broadcast(ids.select(col("doc_id").cast("string").as("doc_id"))),
         Seq("doc_id"), "left_anti"))
+      if (readTombstones().isEmpty) clearTombstones()
+    }
 
   /** Reset after a physical purge (a full rewrite dropped the tombstoned
     * rows from every live file). Version dirs are pruned by the next
