@@ -74,12 +74,15 @@ object RelationalQueries {
     // TPC-H Q5 proper — the full dimension-chain star join: region →
     // nation → customer/supplier → orders → lineitem, revenue per nation
     // inside one region, the customer's and supplier's nation required to
-    // MATCH (the classic Q5 local-supplier predicate). Plan shape at
-    // scale: the fact table joins against FOUR broadcast dimensions
-    // (region/nation collapse to a nationkey set; customer and supplier
-    // project to key→nation maps) — the only shuffle anywhere is the
-    // final ≤|nations| group rollup; lineitem never repartitions. Region
-    // filtering prunes the nation set BEFORE it reaches the fact scan.
+    // MATCH (the classic Q5 local-supplier predicate). Region ⋈ nation
+    // collapses to an in-region nation set BEFORE anything touches the
+    // fact side, and the TRUE dimensions (that set, supplier) broadcast
+    // explicitly. Orders and customer are deliberately NOT forced to
+    // broadcast: they are fact-scale tables in TPC-H, so those two joins
+    // are left to the planner — under the broadcast threshold (any test
+    // SF) they broadcast and the whole query runs with one rollup
+    // shuffle; past it they degrade to key-shuffle joins on orderkey /
+    // custkey, the textbook Q5 plan at cluster scale.
     Q("q5_region_nation_revenue",
       s"""SELECT n.n_name,
          |       round(sum($revInt) / 10000.0, 4) AS revenue,
@@ -107,9 +110,9 @@ object RelationalQueries {
       l.select(col("l_orderkey"), col("l_suppkey"),
           round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
             .cast("long").as("rev_i"))
-        .join(broadcast(o.select(col("o_orderkey"), col("o_custkey"))),
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c.select(col("c_custkey"), col("c_nationkey"))),
+        .join(c.select(col("c_custkey"), col("c_nationkey")),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(s.select(col("s_suppkey"), col("s_nationkey").as("sn"))),
           col("l_suppkey") === col("s_suppkey") && col("sn") === col("c_nationkey"))

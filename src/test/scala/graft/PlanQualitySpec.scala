@@ -415,12 +415,26 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
-  test("q5 star join: every dimension broadcast, lineitem never repartitions before the rollup") {
+  test("q5 star join: dimensions broadcast at test scale, single rollup shuffle, no forced fact broadcast") {
     val p = plan("q5_region_nation_revenue")
+    // at test SF every side fits the broadcast threshold, so the planner
+    // (not a forced hint) broadcasts all four join sides
     assert(p.split("BroadcastHashJoin").length - 1 >= 4, p)
     // the ONLY hash exchange is the final <=|nations| group rollup
     assert(p.split("Exchange hashpartitioning").length - 1 <= 1, p)
     assert(!p.contains("SortMergeJoin"), p)
+    // the orders/customer joins must NOT carry an explicit broadcast hint —
+    // they are fact-scale in TPC-H and must be free to degrade to shuffle
+    // joins past the threshold (the logical plan records hints; the three
+    // explicit ones are region, the collapsed nation set, and supplier)
+    val analyzed = {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      try SparkEntry.queries("q5_region_nation_revenue")(spark, sf)
+        .queryExecution.analyzed.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    }
+    val hinted = "UnresolvedHint|ResolvedHint".r.findAllIn(analyzed).size
+    assert(hinted <= 3, s"expected <=3 explicit broadcast hints, got $hinted: $analyzed")
   }
 
   test("multi-table LSH: one corpus scan, zero exchanges, single sign_lsh_buckets node") {
