@@ -56,14 +56,17 @@ object RelationalQueries {
       val l = table(spark, dir, "lineitem")
       // pre-aggregate the fact table BEFORE the join: the join input drops
       // from |lineitem| rows to |orders| groups (the o_orderkey grouping
-      // commutes with the 1:1 orders/customer joins), and the dimension
-      // sides broadcast
+      // commutes with the 1:1 orders/customer joins). Orders and customer
+      // are fact-scale in TPC-H, so neither is FORCED to broadcast: under
+      // the threshold the planner broadcasts them anyway; past it both
+      // joins degrade to key-shuffles over the already-aggregated
+      // |orders|-sized stream
       val rev = l.groupBy(col("l_orderkey"))
         .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")).as("rev_i"))
       rev
-        .join(broadcast(o.select(col("o_orderkey"), col("o_custkey"))),
+        .join(o.select(col("o_orderkey"), col("o_custkey")),
           col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(c.select(col("c_custkey"), col("c_mktsegment"))),
+        .join(c.select(col("c_custkey"), col("c_mktsegment")),
           col("o_custkey") === col("c_custkey"))
         .select(col("o_orderkey"), col("c_mktsegment"),
           round(col("rev_i") / 10000.0, 4).as("revenue"))
