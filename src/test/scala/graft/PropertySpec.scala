@@ -196,4 +196,42 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("SignLshBuckets equals a scala reference on random vectors, hyperplanes, and degenerate dims") {
+    import org.apache.spark.sql.functions.{col, typedlit}
+    import graft.functions.VectorFunctions.signLshBuckets
+    import spark.implicits._
+    // scala reference: same index-order double accumulation as DotProduct,
+    // dimension mismatch -> dot 0.0 -> bit unset
+    def ref(v: Seq[Float], hps: Seq[Seq[Float]], tables: Int): Seq[Long] = {
+      val perTable = hps.size / tables
+      (0 until tables).map { t =>
+        (0 until perTable).foldLeft(0L) { (acc, i) =>
+          val h = hps(t * perTable + i)
+          val dot =
+            if (v.isEmpty || h.size != v.size) 0.0
+            else v.indices.foldLeft(0.0)((d, k) => d + v(k).toDouble * h(k).toDouble)
+          if (dot > 0.0) acc | (1L << i) else acc
+        }
+      }
+    }
+    val r = rng(0x51b5L)
+    (0 until 20).foreach { trial =>
+      val dim = Seq(0, 1, 3, 64)(trial % 4) // incl. empty vector
+      val tables = 1 + trial % 4
+      val perTable = 1 + trial % 8
+      val hps: Seq[Seq[Float]] = Seq.fill(tables * perTable)(
+        // every few trials a hyperplane of the WRONG dimension (guard path)
+        if (trial % 5 == 4) Seq.fill(dim + 1)(r.nextFloat() - 0.5f)
+        else Seq.fill(dim)(r.nextFloat() - 0.5f))
+      val vecs: Seq[Seq[Float]] = Seq.fill(6)(Seq.fill(dim)(r.nextFloat() - 0.5f))
+      val got = vecs.zipWithIndex.toDF("v", "i")
+        .select(col("i"), signLshBuckets(col("v"), typedlit(hps), tables).as("b"))
+        .collect().map(row => row.getInt(0) -> row.getSeq[Long](1)).toMap
+      vecs.zipWithIndex.foreach { case (v, i) =>
+        assert(got(i) == ref(v, hps, tables),
+          s"trial $trial vec $i: got ${got(i)}, want ${ref(v, hps, tables)}")
+      }
+    }
+  }
 }
