@@ -546,15 +546,114 @@ final class Engine(
     * window), and the maintenance lock serializes it against the
     * streaming ingest path. */
   def index(docs: DataFrame): Long = maintenance.synchronized {
-    workspace.writeChunks(ChunkStore.buildChunks(docs, embedder))
-    // the new table replaces the old wholesale; stale tombstones would
-    // mask documents present in THIS index call
-    workspace.clearTombstones()
-    rebuildPostings()
-    rebuildAnn()
-    workspace.setMeta("summaries_indexed", "false")
-    invalidate()
-    workspace.count()
+    // a full index REPLACES the corpus, so the admission filter resets
+    // and re-derives from this call's own first-in-wins admissions
+    val admission =
+      if (opts.dedupIngest) {
+        workspace.clearDedupBloom(); dedupBloomWords = None
+        Some(admitNearDup(docs))
+      } else None
+    try {
+      workspace.writeChunks(ChunkStore.buildChunks(
+        admission.map(_._1).getOrElse(docs), embedder))
+      // the new table replaces the old wholesale; stale tombstones would
+      // mask documents present in THIS index call
+      workspace.clearTombstones()
+      rebuildPostings()
+      rebuildAnn()
+      admission.foreach { case (_, positions) => recordAdmittedBuckets(positions) }
+      workspace.setMeta("summaries_indexed", "false")
+      invalidate()
+      workspace.count()
+    } finally admission.foreach { case (a, p) =>
+      graft.functions.Checkpoints.release(a)
+      graft.functions.Checkpoints.release(p)
+    }
+  }
+
+  // ---- Near-dup ingest admission (opts.dedupIngest, opt-in) ----
+  // Cross-batch state is a Bloom bitset over OCCUPIED MinHash band
+  // buckets: per batch the membership test is scan-local against the
+  // (m/8-byte) bitmap riding in as a broadcast one-row array — the
+  // curation_bloom_decontam contract, so admission is O(batch) however
+  // large the corpus grows, and the bitmap persists across restarts
+  // (workspace.dedup_bloom.bin, atomic swap). The price is a documented
+  // false-REJECT rate (≈ (inserted·k/m)^k per bucket); the EXACT form
+  // of the same filter is the streaming nearDupStream state. Deletes
+  // don't un-see content: a deleted document's buckets stay occupied.
+  private val DedupBloomHashes = 3
+  @volatile private var dedupBloomWords: Option[Array[Long]] = None
+
+  private def dedupBloom(): Array[Long] = dedupBloomWords.getOrElse {
+    val w = workspace.readDedupBloom()
+      .getOrElse(new Array[Long](math.max(1, opts.dedupBloomBits / 64)))
+    dedupBloomWords = Some(w)
+    w
+  }
+
+  /** Partition the batch into admitted rows and near-dup rejects:
+    * a document is refused when EVERY probe bit of at least one of its
+    * band buckets is already set (seen content), or when a same-batch
+    * document with a smaller doc_id shares a bucket (first-in-wins —
+    * the nearDupStream contract). Token-less documents bypass (no
+    * signature, nothing to collide with). Returns (admitted batch rows,
+    * the admitted docs' distinct bloom positions — record them via
+    * [[recordAdmittedBuckets]] only AFTER the ingest succeeds, so a
+    * failed batch doesn't poison the filter). Both frames are
+    * materialized; the caller owns their release. */
+  private def admitNearDup(batch: DataFrame): (DataFrame, DataFrame) = {
+    import graft.functions.F
+    import org.apache.spark.sql.functions.{array, array_distinct, conv, explode, expr, md5, min, pmod, size, substring, typedlit}
+    val m = math.max(64L, (opts.dedupBloomBits / 64).toLong * 64L)
+    val sets = batch
+      .select(col("doc_id"), array_distinct(F.tokens(col("text"))).as("toks"))
+      .filter(size(col("toks")) > 0)
+    val bands = graft.dedup.DedupPipeline.bandBuckets(sets, "doc_id", "toks")
+      .select(col("doc_id"), col("band"), col("bkey"),
+        md5(concat_ws(":", col("band"), col("bkey"))).as("h"))
+      .localCheckpoint()
+    try {
+      import spark.implicits._
+      def pos(i: Int) =
+        pmod(conv(substring(col("h"), 1 + 6 * i, 6), 16, 10).cast("long"), lit(m))
+      val wordsDf = broadcast(Seq(Tuple1(dedupBloom().toSeq)).toDF("bw"))
+      val withPos = bands.crossJoin(wordsDf)
+        .withColumn("p0", pos(0)).withColumn("p1", pos(1)).withColumn("p2", pos(2))
+      def hit(pc: String) = expr(
+        s"(shiftright(element_at(bw, cast($pc div 64 as int) + 1), cast($pc % 64 as int)) & 1) = 1")
+      val seenDup = withPos
+        .filter(hit("p0") && hit("p1") && hit("p2"))
+        .select(col("doc_id")).distinct()
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
+      val intraDup = bands.join(seenDup, Seq("doc_id"), "left_anti")
+        .withColumn("mn", min(col("doc_id")).over(w))
+        .filter(col("doc_id") > col("mn"))
+        .select(col("doc_id")).distinct()
+      val rejected = seenDup.unionByName(intraDup)
+      val admitted = batch.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      // distinct positions are bounded by min(batch·bands·k, m) — the
+      // bloom-decontam collect contract (filter geometry, never corpus)
+      val newPositions = withPos.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+        .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
+        .distinct()
+        .localCheckpoint()
+      (admitted, newPositions)
+    } finally graft.functions.Checkpoints.release(bands)
+  }
+
+  /** Fold an ingested batch's bucket positions into the bitmap and
+    * persist it (atomic swap). Runs AFTER the chunk/index writes: a
+    * crash in between merely re-admits the batch on replay, where the
+    * chunk-table probe skips the already-written rows. */
+  private def recordAdmittedBuckets(positions: DataFrame): Unit = {
+    val ps = positions.collect().map(_.getLong(0))
+    if (ps.nonEmpty) {
+      val w = dedupBloom().clone()
+      ps.foreach(p => w((p / 64).toInt) |= 1L << (p % 64).toInt)
+      dedupBloomWords = Some(w)
+      workspace.writeDedupBloom(w)
+    }
   }
 
   /** One streamed micro-batch of documents through the incremental ingest
@@ -595,11 +694,16 @@ final class Engine(
     * rebuilds from the chunk table and heals any such partial target. */
   private[graft] def ingestBatch(batch: DataFrame, probeExisting: Boolean = true): Unit =
     maintenance.synchronized {
+      // near-dup admission BEFORE chunk+embed (opt-in): the refused
+      // documents never pay the model boundary. Positions are recorded
+      // only after the ingest below succeeds.
+      val admission = if (opts.dedupIngest) Some(admitNearDup(batch)) else None
+      val toIngest = admission.map(_._1).getOrElse(batch)
       // materialized BEFORE the append (localCheckpoint): the downstream
       // consumers re-evaluate the batch, and a lazy anti-join would
       // re-probe its target AFTER the write added these very rows —
       // seeing every id as a duplicate and silently skipping the rest
-      val built0 = ChunkStore.buildChunks(batch, embedder).localCheckpoint()
+      val built0 = ChunkStore.buildChunks(toIngest, embedder).localCheckpoint()
       var probed: List[DataFrame] = Nil
       try {
         if (built0.isEmpty) return
@@ -650,9 +754,17 @@ final class Engine(
         // directory LIST — the scan planner pays the same each batch)
         if (wroteChunks && workspace.chunkFileCount > opts.compactFileThreshold)
           scheduleChunkCompact()
+        // the batch is fully ingested: NOW its buckets may refuse future
+        // near-dups (recording earlier would let a failed batch poison
+        // the filter against content that never landed)
+        admission.foreach { case (_, positions) => recordAdmittedBuckets(positions) }
       } finally {
         graft.functions.Checkpoints.release(built0)
         probed.foreach(graft.functions.Checkpoints.release)
+        admission.foreach { case (a, p) =>
+          graft.functions.Checkpoints.release(a)
+          graft.functions.Checkpoints.release(p)
+        }
       }
     }
 

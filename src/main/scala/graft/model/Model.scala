@@ -147,4 +147,13 @@ final case class SearchOptions(
     // schedule a background FULL compaction (purge + set reset) — a
     // delete-heavy workload otherwise grows the set, and with it every
     // read's anti-join build side, until someone calls compactIndexes()
-    maxTombstones: Long = 100000L)
+    maxTombstones: Long = 100000L,
+    // opt-in near-dup ingest admission: refuse a document whose MinHash
+    // band buckets are all already occupied (first-in-wins) BEFORE
+    // paying its embedding/indexing cost. Cross-batch state is a Bloom
+    // bitmap over occupied buckets — O(batch) per micro-batch and tiny
+    // to persist, at the price of a documented false-REJECT rate
+    // (fpr ≈ (inserted·k/m)^k per bucket); the exact form is the
+    // streaming nearDupStream state
+    dedupIngest: Boolean = false,
+    dedupBloomBits: Int = 1 << 22)

@@ -594,6 +594,42 @@ final class Workspace(val spark: SparkSession, val root: String) {
       readChunks().join(broadcast(readTombstones()), Seq("doc_id"), "left_anti")
     else readChunks()
 
+  // ---- Near-dup admission bitmap (Engine.dedupIngest): the Bloom
+  // bitset over OCCUPIED MinHash band buckets, as packed long words.
+  // Tiny (m/8 bytes) and rewritten wholesale per ingest batch through
+  // the metadata file's atomic temp+move, so a reader never observes a
+  // torn bitmap and a crash between the chunk append and this write
+  // merely re-admits the batch on replay (the chunk probe then skips
+  // the rows — idempotent).
+
+  private def dedupBloomPath: Path = Paths.get(root, "dedup_bloom.bin")
+
+  def hasDedupBloom: Boolean = Files.exists(dedupBloomPath)
+
+  def readDedupBloom(): Option[Array[Long]] =
+    if (!hasDedupBloom) None
+    else {
+      val bytes = Files.readAllBytes(dedupBloomPath)
+      val buf = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      val words = new Array[Long](bytes.length / 8)
+      buf.asLongBuffer().get(words)
+      Some(words)
+    }
+
+  def writeDedupBloom(words: Array[Long]): Unit = {
+    val buf = java.nio.ByteBuffer.allocate(words.length * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.asLongBuffer().put(words)
+    Files.createDirectories(dedupBloomPath.getParent)
+    val tmp = Files.createTempFile(dedupBloomPath.getParent, ".dedup_bloom", ".tmp")
+    Files.write(tmp, buf.array())
+    Files.move(tmp, dedupBloomPath,
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  def clearDedupBloom(): Unit =
+    if (hasDedupBloom) Files.delete(dedupBloomPath)
+
   // ---- A4: CSV export (vector_store.cpp:657-671)
 
   /** Reference-parity export writes ONE csv file (the reference emits a
@@ -623,6 +659,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
     deleteTree(Paths.get(p("postings")))
     deleteTree(Paths.get(p("ann")))
     deleteTree(Paths.get(p("tombstones")))
+    clearDedupBloom()
     // dropping the table also drops the dimension registration
     removeMeta("chunks_v", "chunks_alloc_v", "postings_v",
       "ann_v", "ann_alloc_v", "ann_base_n", "ann_appended_n", "model_dim",

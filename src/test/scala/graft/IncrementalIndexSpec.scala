@@ -634,6 +634,66 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(!ws.hasTombstones)
   }
 
+  test("dedup ingest admission: near-dups refused before embedding, filter survives restart, replay idempotent") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-admit-").toString
+    def open() = Engine.open(spark, root, "main",
+      opts = SearchOptions(dedupIngest = true))
+    val engine = open()
+    def doc(id: String, text: String) = (id, text, "s")
+    val baseText = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima"
+    val novelText = "mike november oscar papa quebec romeo sierra tango uniform victor whiskey xray"
+
+    engine.ingestBatch(Seq(doc("10", baseText)).toDF("doc_id", "text", "source"))
+    val afterFirst = engine.workspace.count()
+    assert(afterFirst > 0)
+
+    // an identical-content doc under a NEW id collides in every band →
+    // refused; a novel doc in the same batch is admitted
+    engine.ingestBatch(Seq(doc("20", baseText), doc("30", novelText))
+      .toDF("doc_id", "text", "source"))
+    val docsIn = engine.workspace.readChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(docsIn.contains("30"), "novel doc refused")
+    assert(!docsIn.contains("20"), "near-dup doc was ingested")
+
+    // intra-batch first-in-wins: two same-content docs, one batch
+    val dupText = "yankee zulu one two three four five six seven eight nine ten"
+    engine.ingestBatch(Seq(doc("41", dupText), doc("40", dupText))
+      .toDF("doc_id", "text", "source"))
+    val docs2 = engine.workspace.readChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(docs2.contains("40") && !docs2.contains("41"),
+      s"first-in-wins (by ascending doc_id) violated: $docs2")
+
+    // the bitmap persisted: a RESTARTED engine still refuses seen content
+    val engine2 = open()
+    engine2.ingestBatch(Seq(doc("50", baseText)).toDF("doc_id", "text", "source"))
+    assert(!engine2.workspace.readChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).contains("50"),
+      "restart forgot the admission filter")
+
+    // at-least-once replay of an already-admitted batch: no double rows
+    val before = engine2.workspace.count()
+    engine2.ingestBatch(Seq(doc("30", novelText)).toDF("doc_id", "text", "source"))
+    assert(engine2.workspace.count() == before, "replayed admitted doc duplicated rows")
+
+    // a token-less doc bypasses the filter (no signature, nothing to
+    // collide with) and ingests normally
+    engine2.ingestBatch(Seq(doc("60", "!!!")).toDF("doc_id", "text", "source"))
+    assert(engine2.workspace.readChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).contains("60"),
+      "token-less doc was wrongly refused")
+
+    // full index() resets the filter and applies first-in-wins to its input
+    val n = engine2.index(Seq(doc("70", baseText), doc("71", baseText),
+      doc("72", novelText)).toDF("doc_id", "text", "source"))
+    val docs3 = engine2.workspace.readChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(docs3 == Set("70", "72"), s"index() admission wrong: $docs3")
+    assert(n == engine2.workspace.count())
+  }
+
   test("delete hygiene: past maxTombstones a background FULL purge runs; a mid-purge delete survives") {
     val root = Files.createTempDirectory("graft-purge-").toString
     val engine = Engine.open(spark, root, "main",
