@@ -694,6 +694,32 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(n == engine2.workspace.count())
   }
 
+  test("dedup ingest admission holds on the STREAMING path: a later wave's near-dup is refused") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-admit-st-").toString
+    val srcDir = Files.createTempDirectory("graft-admit-src-").toString
+    val baseText = "lorem ipsum dolor sit amet consectetur adipiscing elit sed do eiusmod tempor"
+    val novelText = "incididunt ut labore et dolore magna aliqua enim ad minim veniam quis nostrud"
+    // the streaming source schema expects bigint doc ids
+    Seq((100L, baseText, "s")).toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+
+    val engine = Engine.open(spark, root, "main",
+      opts = SearchOptions(dedupIngest = true))
+    engine.startStreamingIngest(srcDir).awaitTermination()
+    assert(engine.workspace.count() > 0)
+
+    // wave 2, separate stream run (restart path): a near-dup + a novel doc
+    Seq((200L, baseText, "s"), (300L, novelText, "s"))
+      .toDF("doc_id", "text", "source")
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    engine.startStreamingIngest(srcDir).awaitTermination()
+    val docsIn = engine.workspace.readChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(docsIn == Set("100", "300"),
+      s"streaming admission wrong: $docsIn")
+  }
+
   test("delete hygiene: past maxTombstones a background FULL purge runs; a mid-purge delete survives") {
     val root = Files.createTempDirectory("graft-purge-").toString
     val engine = Engine.open(spark, root, "main",
