@@ -97,12 +97,9 @@ final class Engine(
       r
     }
     // tombstone filter ABOVE the pinned cache (like the boost join): a
-    // delete refreshes visibility without re-reading the corpus. The
-    // tombstone side is broadcast — bounded by deletes since last purge.
-    val visible =
-      if (workspace.hasTombstones)
-        raw.join(broadcast(workspace.readTombstones()), Seq("doc_id"), "left_anti")
-      else raw
+    // delete refreshes visibility without re-reading the corpus. ONE
+    // filter definition (Workspace.minusTombstones) serves every path.
+    val visible = workspace.minusTombstones(raw)
     val chunks = BoostLedger.withBoost(visible, ledger, "id")
     val e = new HybridEngine(spark, chunks, opts, rerankModel,
       postings = if (workspace.hasPostings) Some(workspace.readPostings()) else None,
@@ -340,11 +337,7 @@ final class Engine(
     val chunksV0 = workspace.getMeta("chunks_v")
     val baseFiles = workspace.chunkDataFiles
     if (baseFiles.isEmpty) return
-    val snapshot0 = spark.read.parquet(baseFiles: _*)
-    val snapshot =
-      if (workspace.hasTombstones)
-        snapshot0.join(broadcast(workspace.readTombstones()), Seq("doc_id"), "left_anti")
-      else snapshot0
+    val snapshot = workspace.minusTombstones(spark.read.parquet(baseFiles: _*))
     val (vectors, cents) = AnnIndex.build(snapshot, "id", "embedding", opts.annCells)
     val v = workspace.prepareAnnVersion(vectors, cents, pqCodebookFor(vectors, cents))
     maintenanceHook()
@@ -416,11 +409,7 @@ final class Engine(
     // free; the tombstone set STAYS unless this is a full purge (the
     // linked large tier keeps its rows until a full rewrite) — purged
     // rows just anti-join to nothing
-    val small0Df = spark.read.parquet(small.map(_._1): _*)
-    val smallDf =
-      if (workspace.hasTombstones)
-        small0Df.join(broadcast(workspace.readTombstones()), Seq("doc_id"), "left_anti")
-      else small0Df
+    val smallDf = workspace.minusTombstones(spark.read.parquet(small.map(_._1): _*))
     val v = workspace.prepareChunkVersion(smallDf)
     workspace.linkChunkFilesIntoVersion(v, large.map(_._1))
     maintenanceHook()
@@ -513,15 +502,19 @@ final class Engine(
       import spark.implicits._
       val before =
         if (workspace.hasTombstones) workspace.readTombstones().count() else 0L
-      workspace.addTombstones(docIds.toDF("doc_id"))
-      val added = workspace.readTombstones().count() - before
+      val total = workspace.addTombstones(docIds.toDF("doc_id"))
+      val added = total - before
+      // the deny-list survives the purge: without it, an at-least-once
+      // replay of an epoch OLDER than the purge could re-ingest the
+      // deleted document (no rows, no tombstone — nothing to stop it)
+      workspace.addDenyDocs(docIds.toDF("doc_id"))
       // visibility refresh only — the table files didn't change, so the
       // pinned raw cache survives (the refreshBoosts discipline)
       refreshBoosts()
       // delete hygiene: past maxTombstones schedule the background FULL
       // purge (backgroundChunkCompact's purging mode) so the anti-join
       // side can't grow unboundedly under a delete-heavy workload
-      if (before + added > opts.maxTombstones) scheduleChunkCompact()
+      if (total > opts.maxTombstones) scheduleChunkCompact()
       added
     }
   }
@@ -531,9 +524,12 @@ final class Engine(
     * streaming replay can't do this implicitly). No-op for ids that were
     * never tombstoned or whose rows a purge already dropped. */
   def undeleteDocuments(docIds: Seq[String]): Unit = maintenance.synchronized {
-    if (docIds.nonEmpty && workspace.hasTombstones) {
+    if (docIds.nonEmpty) {
       import spark.implicits._
-      workspace.removeTombstones(docIds.toDF("doc_id"))
+      if (workspace.hasTombstones)
+        workspace.removeTombstones(docIds.toDF("doc_id"))
+      if (workspace.hasDenyDocs)
+        workspace.removeDenyDocs(docIds.toDF("doc_id"))
       refreshBoosts()
     }
   }
@@ -547,27 +543,39 @@ final class Engine(
     * streaming ingest path. */
   def index(docs: DataFrame): Long = maintenance.synchronized {
     // a full index REPLACES the corpus, so the admission filter resets
-    // and re-derives from this call's own first-in-wins admissions
+    // and re-derives from this call's own first-in-wins admissions. The
+    // reset is IN-MEMORY first (a zeroed bitmap): the persisted filter
+    // is replaced only after the table write commits, so a failed
+    // index() leaves the old corpus AND its admission state intact.
+    var committed = false
     val admission =
       if (opts.dedupIngest) {
-        workspace.clearDedupBloom(); dedupBloomWords = None
+        dedupBloomWords = Some(new Array[Long](math.max(1, opts.dedupBloomBits / 64)))
         Some(admitNearDup(docs))
       } else None
     try {
       workspace.writeChunks(ChunkStore.buildChunks(
         admission.map(_._1).getOrElse(docs), embedder))
-      // the new table replaces the old wholesale; stale tombstones would
-      // mask documents present in THIS index call
+      committed = true
+      // the new table replaces the old wholesale; stale tombstones or
+      // deny entries would mask documents present in THIS index call
       workspace.clearTombstones()
+      workspace.clearDenyDocs()
       rebuildPostings()
       rebuildAnn()
-      admission.foreach { case (_, positions) => recordAdmittedBuckets(positions) }
+      admission.foreach { case (_, positions) =>
+        workspace.clearDedupBloom()
+        recordAdmittedBuckets(positions)
+      }
       workspace.setMeta("summaries_indexed", "false")
       invalidate()
       workspace.count()
-    } finally admission.foreach { case (a, p) =>
-      graft.functions.Checkpoints.release(a)
-      graft.functions.Checkpoints.release(p)
+    } finally {
+      if (!committed) dedupBloomWords = None // reload the intact filter lazily
+      admission.foreach { case (a, p) =>
+        graft.functions.Checkpoints.release(a)
+        graft.functions.Checkpoints.release(p)
+      }
     }
   }
 
@@ -584,6 +592,11 @@ final class Engine(
   private val DedupBloomHashes = 3
   @volatile private var dedupBloomWords: Option[Array[Long]] = None
 
+  /** The live bitmap. Geometry is a property of the PERSISTED filter:
+    * a workspace written under a different dedupBloomBits keeps ITS
+    * size (m = words·64) — opts sizes only a freshly-created filter, so
+    * a reopen with mismatched options can neither probe out of range
+    * nor silently halve the filter. */
   private def dedupBloom(): Array[Long] = dedupBloomWords.getOrElse {
     val w = workspace.readDedupBloom()
       .getOrElse(new Array[Long](math.max(1, opts.dedupBloomBits / 64)))
@@ -604,7 +617,8 @@ final class Engine(
   private def admitNearDup(batch: DataFrame): (DataFrame, DataFrame) = {
     import graft.functions.F
     import org.apache.spark.sql.functions.{array, array_distinct, conv, explode, expr, md5, min, pmod, size, substring, typedlit}
-    val m = math.max(64L, (opts.dedupBloomBits / 64).toLong * 64L)
+    val words = dedupBloom()
+    val m = words.length.toLong * 64L
     val sets = batch
       .select(col("doc_id"), array_distinct(F.tokens(col("text"))).as("toks"))
       .filter(size(col("toks")) > 0)
@@ -614,15 +628,21 @@ final class Engine(
       .localCheckpoint()
     try {
       import spark.implicits._
+      // probe positions: 10-hex (40-bit) md5 slices — the full bitmap
+      // range stays reachable up to m = 2^40 bits, far past any
+      // configurable geometry (a 24-bit slice would silently cap the
+      // effective m at 16M bits whatever the user configured)
       def pos(i: Int) =
-        pmod(conv(substring(col("h"), 1 + 6 * i, 6), 16, 10).cast("long"), lit(m))
-      val wordsDf = broadcast(Seq(Tuple1(dedupBloom().toSeq)).toDF("bw"))
-      val withPos = bands.crossJoin(wordsDf)
-        .withColumn("p0", pos(0)).withColumn("p1", pos(1)).withColumn("p2", pos(2))
+        pmod(conv(substring(col("h"), 1 + 10 * i, 10), 16, 10).cast("long"), lit(m))
+      val probes = 0 until DedupBloomHashes
+      val wordsDf = broadcast(Seq(Tuple1(words.toSeq)).toDF("bw"))
+      val withPos = probes.foldLeft(bands.crossJoin(wordsDf)) {
+        (df, i) => df.withColumn(s"p$i", pos(i))
+      }
       def hit(pc: String) = expr(
         s"(shiftright(element_at(bw, cast($pc div 64 as int) + 1), cast($pc % 64 as int)) & 1) = 1")
       val seenDup = withPos
-        .filter(hit("p0") && hit("p1") && hit("p2"))
+        .filter(probes.map(i => hit(s"p$i")).reduce(_ && _))
         .select(col("doc_id")).distinct()
       val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bkey")
       val intraDup = bands.join(seenDup, Seq("doc_id"), "left_anti")
@@ -634,10 +654,14 @@ final class Engine(
         .localCheckpoint()
       // distinct positions are bounded by min(batch·bands·k, m) — the
       // bloom-decontam collect contract (filter geometry, never corpus)
-      val newPositions = withPos.join(broadcast(rejected), Seq("doc_id"), "left_anti")
-        .select(explode(array(col("p0"), col("p1"), col("p2"))).as("p"))
-        .distinct()
-        .localCheckpoint()
+      val newPositions =
+        try withPos.join(broadcast(rejected), Seq("doc_id"), "left_anti")
+          .select(explode(array(probes.map(i => col(s"p$i")): _*)).as("p"))
+          .distinct()
+          .localCheckpoint()
+        catch { case e: Throwable =>
+          graft.functions.Checkpoints.release(admitted); throw e
+        }
       (admitted, newPositions)
     } finally graft.functions.Checkpoints.release(bands)
   }
@@ -694,18 +718,29 @@ final class Engine(
     * rebuilds from the chunk table and heals any such partial target. */
   private[graft] def ingestBatch(batch: DataFrame, probeExisting: Boolean = true): Unit =
     maintenance.synchronized {
+      // the delete deny-list outranks everything: a replayed epoch must
+      // not resurrect an explicitly-deleted document even after the
+      // purge reset its tombstone (ids cast to string — chunk identity)
+      val denied =
+        if (!workspace.hasDenyDocs) batch
+        else {
+          val deny = workspace.readDenyDocs().select(col("doc_id").as("__deny_id"))
+          batch.join(broadcast(deny),
+            batch("doc_id").cast("string") === col("__deny_id"), "left_anti")
+        }
       // near-dup admission BEFORE chunk+embed (opt-in): the refused
       // documents never pay the model boundary. Positions are recorded
       // only after the ingest below succeeds.
-      val admission = if (opts.dedupIngest) Some(admitNearDup(batch)) else None
-      val toIngest = admission.map(_._1).getOrElse(batch)
-      // materialized BEFORE the append (localCheckpoint): the downstream
-      // consumers re-evaluate the batch, and a lazy anti-join would
-      // re-probe its target AFTER the write added these very rows —
-      // seeing every id as a duplicate and silently skipping the rest
-      val built0 = ChunkStore.buildChunks(toIngest, embedder).localCheckpoint()
+      val admission = if (opts.dedupIngest) Some(admitNearDup(denied)) else None
+      val toIngest = admission.map(_._1).getOrElse(denied)
       var probed: List[DataFrame] = Nil
+      var built0: DataFrame = null
       try {
+        // materialized BEFORE the append (localCheckpoint): the downstream
+        // consumers re-evaluate the batch, and a lazy anti-join would
+        // re-probe its target AFTER the write added these very rows —
+        // seeing every id as a duplicate and silently skipping the rest
+        built0 = ChunkStore.buildChunks(toIngest, embedder).localCheckpoint()
         if (built0.isEmpty) return
         val probe = probeExisting && workspace.registeredDim.nonEmpty
         val batchIds =
@@ -759,7 +794,7 @@ final class Engine(
         // the filter against content that never landed)
         admission.foreach { case (_, positions) => recordAdmittedBuckets(positions) }
       } finally {
-        graft.functions.Checkpoints.release(built0)
+        if (built0 != null) graft.functions.Checkpoints.release(built0)
         probed.foreach(graft.functions.Checkpoints.release)
         admission.foreach { case (a, p) =>
           graft.functions.Checkpoints.release(a)

@@ -195,10 +195,14 @@ case class SignLshBuckets(vec: Expression, hyperplanes: Expression, tables: Int)
     while (t < tables) {
       var bucket = 0L; var i = 0
       while (i < perTable) {
-        val h = hp.getArray(t * perTable + i)
+        // a NULL hyperplane row contributes dot 0.0 (bit unset) — the
+        // same outcome the composed DotProduct form yields, and a live
+        // hazard for SQL users of sign_lsh_buckets with array literals
+        val hi = t * perTable + i
+        val h = if (hp.isNullAt(hi)) null else hp.getArray(hi)
         val n = v.numElements()
         var dot = 0.0d
-        if (n != 0 && h.numElements() == n) {
+        if (h != null && n != 0 && h.numElements() == n) {
           var k = 0
           while (k < n) { dot += v.getFloat(k).toDouble * h.getFloat(k).toDouble; k += 1 }
         }
@@ -223,9 +227,10 @@ case class SignLshBuckets(vec: Expression, hyperplanes: Expression, tables: Int)
         |for (int $t = 0; $t < $tables; $t++) {
         |  long $bucket = 0L;
         |  for (int $i = 0; $i < $pt; $i++) {
-        |    org.apache.spark.sql.catalyst.util.ArrayData $h = $b.getArray($t * $pt + $i);
+        |    org.apache.spark.sql.catalyst.util.ArrayData $h =
+        |      $b.isNullAt($t * $pt + $i) ? null : $b.getArray($t * $pt + $i);
         |    double $dot = 0.0;
-        |    if ($n != 0 && $h.numElements() == $n) {
+        |    if ($h != null && $n != 0 && $h.numElements() == $n) {
         |      for (int $k = 0; $k < $n; $k++) { $dot += ((double) $a.getFloat($k)) * ((double) $h.getFloat($k)); }
         |    }
         |    if ($dot > 0.0) $bucket |= 1L << $i;

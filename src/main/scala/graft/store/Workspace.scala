@@ -227,7 +227,9 @@ final class Workspace(val spark: SparkSession, val root: String) {
   def readChunksAt(version: Int): DataFrame = {
     require(chunkVersions.contains(version),
       s"chunk version v$version is not on disk (committed versions: ${chunkVersions.mkString(", ")})")
-    spark.read.parquet(p("chunks", s"v$version"))
+    // the CURRENT tombstone set overlays every snapshot: a takedown
+    // hides the document from history too, not just from the live view
+    minusTombstones(spark.read.parquet(p("chunks", s"v$version")))
   }
 
   /** Append rows to the chunk table (same guardrail; no overwrite, so a
@@ -546,26 +548,40 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def hasTombstones: Boolean = currentVersion("tombstones_v").exists(_ > 0)
 
-  def readTombstones(): DataFrame = currentVersion("tombstones_v").filter(_ > 0) match {
-    case Some(v) => spark.read.parquet(p("tombstones", s"v$v")).select(col("doc_id"))
-    case None    => spark.range(0).select(col("id").cast("string").as("doc_id"))
-  }
+  def readTombstones(): DataFrame = readIdSet("tombstones")
 
-  private def swapTombstones(ids: DataFrame): Unit = {
-    val next = allocateVersion("tombstones_v", "tombstones_alloc_v")
-    ids.select(col("doc_id").cast("string").as("doc_id")).distinct()
+  /** Versioned-swap write of a doc-id SET table (tombstones and the
+    * delete deny-list share the machinery): new version dir + atomic
+    * pointer flip; old versions pruned past the retention walk. Returns
+    * the written set's size (the caller's delta arithmetic then needs no
+    * extra count job — the write materializes the frame anyway). */
+  private def swapIdSet(kind: String, ids: DataFrame): Long = {
+    val next = allocateVersion(s"${kind}_v", s"${kind}_alloc_v")
+    val c = ids.select(col("doc_id").cast("string").as("doc_id")).distinct()
       .coalesce(1) // the set is doc-id-sized; one file keeps the read cheap
-      .write.mode(SaveMode.Overwrite).parquet(p("tombstones", s"v$next"))
-    setMeta("tombstones_v", next.toString)
-    versionNumbers("tombstones")
+      .cache()
+    val n = try {
+      c.write.mode(SaveMode.Overwrite).parquet(p(kind, s"v$next"))
+      c.count()
+    } finally c.unpersist()
+    setMeta(s"${kind}_v", next.toString)
+    versionNumbers(kind)
       .filter(_ < next - Workspace.RetainPriorVersions)
-      .foreach(v => deleteTree(Paths.get(p("tombstones", s"v$v"))))
+      .foreach(v => deleteTree(Paths.get(p(kind, s"v$v"))))
     graft.functions.Staging.invalidate(root)
+    n
   }
 
-  /** Add doc ids to the tombstone set (Engine.deleteDocuments). */
-  def addTombstones(ids: DataFrame): Unit =
-    swapTombstones(readTombstones()
+  private def readIdSet(kind: String): DataFrame =
+    currentVersion(s"${kind}_v").filter(_ > 0) match {
+      case Some(v) => spark.read.parquet(p(kind, s"v$v")).select(col("doc_id"))
+      case None    => spark.range(0).select(col("id").cast("string").as("doc_id"))
+    }
+
+  /** Add doc ids to the tombstone set (Engine.deleteDocuments); returns
+    * the set's NEW total size. */
+  def addTombstones(ids: DataFrame): Long =
+    swapIdSet("tombstones", readTombstones()
       .unionByName(ids.select(col("doc_id").cast("string").as("doc_id"))))
 
   /** Drop doc ids from the tombstone set — a re-ingested document
@@ -574,10 +590,10 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * (no-op) anti-join. */
   def removeTombstones(ids: DataFrame): Unit =
     if (hasTombstones) {
-      swapTombstones(readTombstones().join(
+      val n = swapIdSet("tombstones", readTombstones().join(
         broadcast(ids.select(col("doc_id").cast("string").as("doc_id"))),
         Seq("doc_id"), "left_anti"))
-      if (readTombstones().isEmpty) clearTombstones()
+      if (n == 0) clearTombstones()
     }
 
   /** Reset after a physical purge (a full rewrite dropped the tombstoned
@@ -585,14 +601,46 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * swap's retention walk, so an in-flight reader keeps its files. */
   def clearTombstones(): Unit = setMeta("tombstones_v", "0")
 
-  /** The chunk table MINUS tombstoned documents — the logical view every
-    * read path serves between a delete and its purge. The tombstone side
-    * broadcasts (bounded by deletes since the last purge); the corpus
-    * side stays scan-local, no shuffle. */
-  def readLiveChunks(): DataFrame =
+  /** `chunks` MINUS the tombstone set — the ONE filter definition every
+    * read path applies (live reads, the engine's cached view, retrain
+    * and compaction snapshots, pinned time-travel versions). The
+    * tombstone side broadcasts (bounded by deletes since the last
+    * purge); the corpus side stays scan-local, no shuffle. */
+  def minusTombstones(chunks: DataFrame): DataFrame =
     if (hasTombstones)
-      readChunks().join(broadcast(readTombstones()), Seq("doc_id"), "left_anti")
-    else readChunks()
+      chunks.join(broadcast(readTombstones()), Seq("doc_id"), "left_anti")
+    else chunks
+
+  /** The chunk table MINUS tombstoned documents — the logical view every
+    * read path serves between a delete and its purge. */
+  def readLiveChunks(): DataFrame = minusTombstones(readChunks())
+
+  // ---- Delete deny-list: doc ids whose deletion must survive the
+  // tombstone purge. Tombstones reset when a compaction physically
+  // drops the rows — but an at-least-once streaming REPLAY of an epoch
+  // older than the purge could then re-ingest the deleted document with
+  // no physical rows and no tombstone to stop it. The deny-list is the
+  // durable record consulted ONLY by the ingest path (reads never pay
+  // it): bounded by lifetime deletes (bare doc ids), cleared per id by
+  // an explicit undelete, wholesale by a full index(). */
+
+  def hasDenyDocs: Boolean = currentVersion("deny_docs_v").exists(_ > 0)
+
+  def readDenyDocs(): DataFrame = readIdSet("deny_docs")
+
+  def addDenyDocs(ids: DataFrame): Unit =
+    swapIdSet("deny_docs", readDenyDocs()
+      .unionByName(ids.select(col("doc_id").cast("string").as("doc_id"))))
+
+  def removeDenyDocs(ids: DataFrame): Unit =
+    if (hasDenyDocs) {
+      val n = swapIdSet("deny_docs", readDenyDocs().join(
+        broadcast(ids.select(col("doc_id").cast("string").as("doc_id"))),
+        Seq("doc_id"), "left_anti"))
+      if (n == 0) clearDenyDocs()
+    }
+
+  def clearDenyDocs(): Unit = setMeta("deny_docs_v", "0")
 
   // ---- Near-dup admission bitmap (Engine.dedupIngest): the Bloom
   // bitset over OCCUPIED MinHash band buckets, as packed long words.
@@ -659,11 +707,12 @@ final class Workspace(val spark: SparkSession, val root: String) {
     deleteTree(Paths.get(p("postings")))
     deleteTree(Paths.get(p("ann")))
     deleteTree(Paths.get(p("tombstones")))
+    deleteTree(Paths.get(p("deny_docs")))
     clearDedupBloom()
     // dropping the table also drops the dimension registration
     removeMeta("chunks_v", "chunks_alloc_v", "postings_v",
       "ann_v", "ann_alloc_v", "ann_base_n", "ann_appended_n", "model_dim",
-      "tombstones_v", "tombstones_alloc_v")
+      "tombstones_v", "tombstones_alloc_v", "deny_docs_v", "deny_docs_alloc_v")
     graft.functions.Staging.invalidate(root)
   }
 }

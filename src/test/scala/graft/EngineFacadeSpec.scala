@@ -304,11 +304,22 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.workspace.readChunks()
       .filter(col("doc_id") === victim).count() == 0)
     assert(!engine.search("what is a merge window").exists(_.id == hits.head.id))
-    // idempotent on re-delete of a purged doc: nothing to tombstone…
-    // (ids join the set regardless — the filter is a no-op on purged rows)
+    // the purge reset the tombstone set — but a replay of an epoch OLDER
+    // than the purge must STILL not resurrect the doc: the deny-list is
+    // the durable record the ingest path consults
+    engine.ingestBatch(docs.filter(col("doc_id") === victim))
+    assert(engine.workspace.readChunks()
+      .filter(col("doc_id") === victim).count() == 0,
+      "a post-purge replay resurrected a deleted document")
+    // an explicit undelete lifts the deny entry; re-ingest then works
+    engine.undeleteDocuments(Seq(victim))
+    engine.ingestBatch(docs.filter(col("doc_id") === victim))
+    assert(engine.workspace.readLiveChunks()
+      .filter(col("doc_id") === victim).count() == victimChunks)
+    // idempotent on re-delete: live view drops the doc again
     engine.deleteDocuments(Seq(victim))
-    assert(engine.workspace.readLiveChunks().count() ==
-      engine.workspace.readChunks().count())
+    assert(engine.workspace.readLiveChunks()
+      .filter(col("doc_id") === victim).count() == 0)
   }
 
   test("calibration persistence roundtrip (E4)") {

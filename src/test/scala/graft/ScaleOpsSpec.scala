@@ -192,6 +192,18 @@ class ScaleOpsSpec extends AnyFunSuite {
       assert(r.getSeq[Long](1) == r.getSeq[Long](2),
         s"bucket divergence at vec_id ${r.getLong(0)}")
     }
+    // a NULL hyperplane element contributes dot 0.0 (bit unset) — the
+    // composed-DotProduct outcome, not a crash (live for SQL users)
+    val withNull = e.filter(col("vec_id") === 0)
+      .select(signLshBuckets(col("embedding"),
+        org.apache.spark.sql.functions.array(
+          typedlit(hpRows.head), lit(null).cast("array<float>")), tables = 1))
+      .head().getSeq[Long](0)
+    val refBit = e.filter(col("vec_id") === 0)
+      .select((when(dotProduct(col("embedding"), typedlit(hpRows.head)) > 0, 1L)
+        .otherwise(0L)).as("b")).head().getLong(0)
+    assert(withNull == Seq(refBit), s"null hyperplane mishandled: $withNull vs $refBit")
+
     // interpreted path (nullSafeEval) agrees with codegen
     val one = e.filter(col("vec_id") === 0)
       .select(signLshBuckets(col("embedding"), typedlit(hpRows), tables = 8)).head().getSeq[Long](0)
