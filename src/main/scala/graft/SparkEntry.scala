@@ -57,6 +57,7 @@ object SparkEntry {
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
+    "sketch_kmv_merge",
     "sketch_hll_distinct", "sketch_quantile_hist", "ml_linear_probe_train",
     "graph_pagerank_step", "graph_pagerank_converged", "graph_label_prop",
     "graph_triangle_count", "graph_kcore_peel",

@@ -1003,6 +1003,68 @@ object ScaleQueries {
           col("k"))
     },
 
+    // KMV sketch MERGE — the property that makes the sketch family
+    // distributed: each source builds its own k-minimum sketch, and the
+    // union of sketches re-pruned to k IS the global sketch exactly (a
+    // globally-k-smallest hash is within its own source's k smallest, so
+    // no merge input ever lost it). Per-source estimates and the merged
+    // estimate ship in one table with their exact references; the merged
+    // row is bit-identical to sketch_kmv_distinct's estimate over the
+    // same universe (spec-pinned). Scale shape: the (source, h) distinct
+    // is one keyed shuffle with map-side combine; the per-source k-min
+    // runs as a SALTED two-phase rank (partial prune within (source,
+    // salt), final window over ≤ 8k rows per source — the
+    // stratified-sample discipline, no full per-source sort); the merge
+    // is a TakeOrdered heap over ≤ sources·k rows.
+    Q("sketch_kmv_merge",
+      s"""WITH gr AS (SELECT source, unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+         |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
+         |            FROM documents),
+         |hs AS (SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
+         |kept AS (SELECT source, h FROM (
+         |           SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
+         |         WHERE rn <= $KmvK),
+         |ps AS (SELECT k.source, e.n_exact, k.k,
+         |              CAST(floor((k.k - 1)::DOUBLE * 1152921504606846976 / k.hk::DOUBLE) AS BIGINT) AS kmv_est
+         |       FROM (SELECT source, count(*) AS k, max(h) AS hk FROM kept GROUP BY source) k
+         |       JOIN (SELECT source, count(*) AS n_exact FROM hs GROUP BY source) e ON e.source = k.source),
+         |mk AS (SELECT h FROM (SELECT DISTINCT h FROM kept) ORDER BY h LIMIT $KmvK),
+         |mrow AS (SELECT '(merged)' AS source,
+         |                (SELECT count(DISTINCT h) FROM hs) AS n_exact,
+         |                count(*) AS k,
+         |                CAST(floor((count(*) - 1)::DOUBLE * 1152921504606846976 / max(h)::DOUBLE) AS BIGINT) AS kmv_est
+         |         FROM mk)
+         |SELECT source, n_exact::BIGINT AS n_exact, k::BIGINT AS k, kmv_est FROM ps
+         |UNION ALL SELECT source, n_exact::BIGINT, k::BIGINT, kmv_est FROM mrow
+         |ORDER BY source""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hs = staged(spark, s"kmv_src_h#$dir")(
+        table(spark, dir, "documents")
+          .select(col("source"), explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
+          .select(col("source"), F.hash60(col("g")).as("h"))
+          .distinct())
+      // salted two-phase k-min: partial prune within (source, salt), then
+      // the final per-source rank sees ≤ 8·k rows — same kept set as the
+      // oracle's direct window (min-k is min-k however you stage it)
+      val w1 = Window.partitionBy("source", "salt").orderBy("h")
+      val pre = hs.withColumn("salt", pmod(col("h"), lit(8)))
+        .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= KmvK)
+      val w2 = Window.partitionBy("source").orderBy("h")
+      val kept = pre.withColumn("rn", row_number().over(w2)).filter(col("rn") <= KmvK)
+        .select(col("source"), col("h"))
+      val est = floor((col("k") - 1).cast("double") * lit(1152921504606846976L)
+          / col("hk").cast("double")).cast("long").as("kmv_est")
+      val ps = kept.groupBy("source").agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+        .join(hs.groupBy("source").agg(count(lit(1)).as("n_exact")), "source")
+        .select(col("source"), col("n_exact"), col("k"), est)
+      val mk = kept.select("h").distinct().orderBy("h").limit(KmvK)
+        .agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
+      val mrow = hs.select("h").distinct().agg(count(lit(1)).as("n_exact"))
+        .crossJoin(mk)
+        .select(lit("(merged)").as("source"), col("n_exact"), col("k"), est)
+      ps.unionByName(mrow).orderBy("source")
+    },
+
     // HyperLogLog distinct-count sketch over the same 5-gram shingle
     // universe (Flajolet et al. 2007) — completes the sketch family: CMS
     // answers "how often", KMV and HLL answer "how many distinct", HLL

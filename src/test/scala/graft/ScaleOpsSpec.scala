@@ -146,6 +146,19 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("KMV merge: the merged per-source sketches equal the global sketch bit-for-bit") {
+    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
+    val merged = q("sketch_kmv_merge").filter(col("source") === "(merged)").head()
+    val global = q("sketch_kmv_distinct").head()
+    // the mergeability property: a globally-k-smallest hash is within its
+    // own source's k smallest, so the union of sketches re-pruned to k IS
+    // the global sketch — identical k, max-hash-derived estimate, and
+    // exact universe
+    assert(merged.getAs[Long]("k") == global.getAs[Long]("k"))
+    assert(merged.getAs[Long]("kmv_est") == global.getAs[Long]("kmv_est"))
+    assert(merged.getAs[Long]("n_exact") == global.getAs[Long]("n_exact"))
+  }
+
   test("semantic dedup: every cluster keeps its lowest-id member; every dup has a dominating lower-id cell-mate") {
     import graft.functions.VectorFunctions.cosineSim
     val out = graft.queries.DedupQueries.all.find(_.name == "dedup_semantic").get
