@@ -119,10 +119,12 @@ final class Engine(
     * semantics, vector_store.cpp:206-237). Falls back to exact when no
     * index has been built yet — annMode never makes search() fail. */
   private def semanticGenerator(): Option[CandidateGenerator] =
-    if (opts.annMode == "ivf" && workspace.hasAnn)
-      Some(new IvfGenerator(workspace.readAnn(), workspace.readAnnCentroids(),
-        opts.annProbes, workspace.readPqCodebook()))
-    else None
+    if (opts.annMode != "ivf") None
+    else workspace.readAnnSnapshot().map { case (vectors, cents, codebook) =>
+      // ONE version snapshot: a retrain committing between separate
+      // reads could otherwise pair v(n) codes with the v(n+1) codebook
+      new IvfGenerator(vectors, cents, opts.annProbes, codebook)
+    }
 
   /** Per-query (Σ|rank_delta|, n) from the PERSISTED retrieval log,
     * exploration rows excluded — the D9 stability history read the way the

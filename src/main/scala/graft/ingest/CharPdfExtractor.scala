@@ -79,7 +79,7 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     // content-stream order — such files should use the real-codec
     // PageExtractor plug-in; fixtures and whole-document ObjStm files
     // (every page dict packed, the common writer layout) are unaffected.
-    val crypto = cryptoOf(raw0, passwords.map(_.getBytes(Iso)))
+    val crypto = cryptoOf(raw0, passwords)
     val raw = expandObjectStreams(content, raw0, crypto)
     val boxes = mediaBoxes(raw)
     val fonts = fontInfos(raw, crypto)
@@ -183,10 +183,13 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     * (the legacy tolerant path; per-stream decode is exception-guarded
     * either way). */
   private[ingest] def cryptoOf(raw: String,
-                               passwords: Seq[Array[Byte]] = Nil): Option[Crypto] =
+                               passwords: Seq[String] = Nil): Option[Crypto] =
     for {
       em <- """/Encrypt\s+(\d+)\s+\d+\s+R""".r.findFirstMatchIn(raw)
-      body <- (em.group(1) + """\s+\d+\s+obj\b([\s\S]*?)endobj""").r
+      // (?<!\d) anchors the object number at a LEFT token boundary too:
+      // without it "12 0 obj" matches inside "112 0 obj" and the wrong
+      // body silently fails key derivation for a perfectly good document
+      body <- ("""(?<!\d)""" + em.group(1) + """\s+\d+\s+obj\b([\s\S]*?)endobj""").r
         .findFirstMatchIn(raw).map(_.group(1))
       if body.contains("/Standard")
       v = """/V\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt).getOrElse(0)
@@ -197,8 +200,16 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       // bytes are NOT encrypted: yield no Crypto so filter decode runs
       // directly on the stored bytes
       if !(v >= 4 && streamFilterIsIdentity(body))
-      key <- if (v == 5) aes256Key(body, passwords)
-             else classicKey(raw, body, v, passwords)
+      // password ENCODING is per handler: /V ≤ 4's Algorithm 2 pads
+      // PDFDocEncoding bytes (≈ Latin-1 for the practical range), while
+      // ISO 32000-2's 2.A hashes UTF-8 — a Latin-1 "café" would fail on
+      // every conforming AES-256 document. The UTF-8 path also keeps a
+      // Latin-1 candidate for non-conforming writers.
+      key <- if (v == 5)
+               aes256Key(body, passwords.flatMap(pw => Seq(
+                 pw.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+                 pw.getBytes(Iso))))
+             else classicKey(raw, body, v, passwords.map(_.getBytes(Iso)))
     } yield Crypto(key._1, key._2)
 
   /** True when the /StmF stream crypt filter resolves to identity:
@@ -467,18 +478,25 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     * entries map one `<code> cid`. CIDs are plain decimal integers (not
     * hex strings, unlike bf* targets). Returns code → CID. */
   private[ingest] def parseCidMap(cmap: String): Map[Int, Int] = {
+    // MALFORMED-INPUT guard, same contract as stream decode: a CMap with
+    // an overflowing CID literal or an absurd range must degrade to "no
+    // remap" for the entries it breaks, never kill the ingest task. Codes
+    // are 2 bytes in this subset, so a well-formed range spans ≤ 0x10000
+    // entries — anything wider is clamped (a hostile <00000000> <7FFFFFF0>
+    // range would otherwise expand ~2^31 map entries).
     val out = scala.collection.mutable.Map.empty[Int, Int]
     for (sec <- """begincidrange([\s\S]*?)endcidrange""".r.findAllMatchIn(cmap);
-         m <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)""".r.findAllMatchIn(sec.group(1))) {
-      val lo = Integer.parseInt(m.group(1), 16)
-      val hi = Integer.parseInt(m.group(2), 16)
-      val cid0 = m.group(3).toInt
-      var c = lo
-      while (c <= hi) { out(c) = cid0 + (c - lo); c += 1 }
-    }
+         m <- """<([0-9A-Fa-f]+)>\s*<([0-9A-Fa-f]+)>\s+(\d+)""".r.findAllMatchIn(sec.group(1)))
+      scala.util.Try {
+        val lo = Integer.parseInt(m.group(1), 16)
+        val hi = math.min(Integer.parseInt(m.group(2), 16), lo + 0xFFFF)
+        val cid0 = m.group(3).toInt
+        var c = lo
+        while (c <= hi) { out(c) = cid0 + (c - lo); c += 1 }
+      }
     for (sec <- """begincidchar([\s\S]*?)endcidchar""".r.findAllMatchIn(cmap);
          m <- """<([0-9A-Fa-f]+)>\s+(\d+)""".r.findAllMatchIn(sec.group(1)))
-      out(Integer.parseInt(m.group(1), 16)) = m.group(2).toInt
+      scala.util.Try(out(Integer.parseInt(m.group(1), 16)) = m.group(2).toInt)
     out.toMap
   }
 
@@ -767,7 +785,7 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
           val code = ((str.charAt(k) & 0xff) << 8) | (str.charAt(k + 1) & 0xff)
           // embedded-CMap /Encoding remaps code → CID; Identity-H (empty
           // map) keeps code = CID. /W is CID-keyed, /ToUnicode CODE-keyed.
-          val cid = if (font.codeToCid.isEmpty) code else font.codeToCid.getOrElse(code, code)
+          val cid = font.codeToCid.getOrElse(code, code)
           val w = font.cidWidths.getOrElse(cid, font.defaultWEm) * fontSize
           val uni = font.toUnicode.getOrElse(code, code.toChar.toString)
           if (uni.nonEmpty) {

@@ -140,9 +140,9 @@ object AnnQueries {
     * column (pqEncode over `rv`) and a `cid` column in scope. */
   private def residualAdcColumn(e: DataFrame, qv: Seq[Float],
                                 probes: Seq[Long], rcb: Seq[Seq[Float]]): Column = {
-    val cents: Map[Long, Seq[Float]] = e
-      .filter(col("vec_id").between(IvfLo, IvfHi))
-      .select((col("vec_id") - IvfLo).as("cid"), col("embedding"))
+    // ONE centroid-row definition (ivfCentRows) — a future change to the
+    // IVF id range must not need a second edit here
+    val cents: Map[Long, Seq[Float]] = ivfCentRows(e)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toSeq).toMap
     def adcOf(cell: Long): Column = {
       val c = cents(cell)

@@ -350,7 +350,10 @@ final class Workspace(val spark: SparkSession, val root: String) {
                pqCodebook: Option[Seq[Seq[Float]]] = None): Unit =
     commitAnnVersion(prepareAnnVersion(vectors, centroids, pqCodebook))
 
-  private def quantized(vectors: DataFrame, centroids: Seq[Seq[Double]],
+  // centroids BY NAME: the SQ8 default ignores them, and the eager form
+  // charged every streaming micro-batch a centroids parquet read+collect
+  // whose result was discarded
+  private def quantized(vectors: DataFrame, centroids: => Seq[Seq[Double]],
                         pqCodebook: Option[Seq[Seq[Float]]]): DataFrame =
     pqCodebook match {
       case Some(cb) => graft.search.AnnIndex.withPq(vectors, centroids, cb)
@@ -439,6 +442,21 @@ final class Workspace(val spark: SparkSession, val root: String) {
   }
 
   def readAnn(): DataFrame = spark.read.parquet(annVectorsPath)
+
+  /** Vectors + centroids + codebook of ONE consistent ANN version: the
+    * pointer is read ONCE and all three artifacts resolve against it, so
+    * a background retrain committing between the reads can never pair
+    * v(n) codes with the v(n+1) codebook (near-random ADC candidates,
+    * silently). Returns None when no index is committed. */
+  def readAnnSnapshot(): Option[(DataFrame, Seq[Seq[Double]], Option[Seq[Seq[Float]]])] =
+    currentVersion("ann_v").flatMap { v =>
+      val base = p("ann", s"v$v")
+      if (!Files.exists(Paths.get(base, "vectors"))) None
+      else Some((
+        spark.read.parquet(s"$base/vectors"),
+        centroidsAt(s"$base/centroids"),
+        pqCodebookAt(s"$base/pq_codebook")))
+    }
 
   private def centroidsAt(path: String): Seq[Seq[Double]] =
     spark.read.parquet(path)
