@@ -32,8 +32,11 @@ object Recall {
     // just the query-registry variants — round-6 "Next round" #4
     val engine = graft.queries.RecallEval.evaluateEngineClustered(
       spark, n = uniform.corpus.toInt, dim = 64)
+    // the serving tiers' WORST case: same end-to-end harness over the
+    // near-uniform driver embeddings (round-7 "Next round" #5)
+    val engineUniform = graft.queries.RecallEval.evaluateEngineUniform(spark, sfDir)
     val json = s"""{"uniform":${uniform.json},"clustered":${clustered.json},""" +
-      s""""engine_clustered":${engine.json}}"""
+      s""""engine_clustered":${engine.json},"engine_uniform":${engineUniform.json}}"""
     println(json)
     sys.env.get("SPARK_GRAFT_RECALL_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

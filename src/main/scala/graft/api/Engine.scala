@@ -395,6 +395,7 @@ final class Engine(
     // (every file re-tiered into the purge) so the set can reset below —
     // a delete-heavy stream otherwise grows the anti-join side unboundedly
     val tombsV0 = workspace.getMeta("tombstones_v")
+    val undeleteE0 = workspace.getMeta("undelete_epoch")
     val purging = workspace.hasTombstones &&
       workspace.readTombstones().count() > opts.maxTombstones
     val baseFiles = workspace.chunkDataFiles
@@ -416,13 +417,26 @@ final class Engine(
     workspace.linkChunkFilesIntoVersion(v, large.map(_._1))
     maintenanceHook()
     maintenance.synchronized {
-      if (workspace.getMeta("chunks_v") != chunksV0) {
+      // the UNDELETE epoch is part of the fence, not just the chunk
+      // pointer: the rewrite filtered its snapshot with the tombstone
+      // set as of tombsV0, so a mid-job undelete would otherwise report
+      // success while this commit physically drops the restored rows
+      // (round-7 advice, Engine.scala:439). A mid-job DELETE is the
+      // opposite, SAFE direction — the new tombstone wasn't purged but
+      // the surviving set still masks it (pinned by the mid-purge-delete
+      // spec) — so the fence tracks undeletes alone, not every
+      // tombstones_v move.
+      if (workspace.getMeta("chunks_v") != chunksV0 ||
+          workspace.getMeta("undelete_epoch") != undeleteE0) {
         workspace.discardVersion("chunks", v)
         // starvation guard: repeated losses → compact INLINE under the
-        // held lock (the full writeChunks rewrite — rare by construction)
+        // held lock (the full writeChunks rewrite — rare by construction;
+        // no delete/undelete can interleave while the lock is held, so
+        // the unconditional pointer clear is safe and atomic with the
+        // commit)
         if (chunkCompactDiscards.incrementAndGet() >= opts.maxMaintenanceDiscards) {
-          workspace.writeChunks(workspace.readLiveChunks())
-          workspace.clearTombstones()
+          workspace.writeChunks(workspace.readLiveChunks(),
+            clearOnCommit = Seq("tombstones_v"))
           invalidate()
           chunkCompactDiscards.set(0)
         }
@@ -431,13 +445,16 @@ final class Engine(
       val delta = workspace.chunkDataFiles.filterNot(baseFiles.toSet)
       if (delta.nonEmpty)
         workspace.appendChunksToVersion(v, spark.read.parquet(delta: _*))
-      workspace.commitChunkVersion(v)
       // a full purge resets the set ONLY if no delete landed since the
-      // snapshot (the version pointer is the fence): a mid-job tombstone
-      // may mark rows in files this rewrite already copied, so it must
-      // survive; the next trigger purges again
-      if (purging && workspace.getMeta("tombstones_v") == tombsV0)
-        workspace.clearTombstones()
+      // snapshot (a mid-job tombstone may mark rows in files this
+      // rewrite already copied, so it must survive; the next trigger
+      // purges again) — and the reset rides the SAME atomic pointer
+      // flip as the commit, so a crash can't land between them
+      workspace.commitChunkVersion(v,
+        clearPointers =
+          if (purging && workspace.getMeta("tombstones_v") == tombsV0)
+            Seq("tombstones_v")
+          else Nil)
       invalidate()
       chunkCompactDiscards.set(0)
     }
@@ -457,10 +474,12 @@ final class Engine(
     * blocking call via [[backgroundChunkCompact]] (file-count trigger). */
   def compactIndexes(): Unit = maintenance.synchronized {
     // the full rewrite is the tombstones' physical purge: the new version
-    // holds only live rows, so the set resets (idempotent on crash — a
-    // surviving tombstone set re-filters rows that are already gone)
-    workspace.writeChunks(workspace.readLiveChunks())
-    workspace.clearTombstones()
+    // holds only live rows, so the set resets IN THE SAME atomic metadata
+    // move as the pointer flip (a crash can't leave the purged table
+    // still masked — and a surviving set would anyway just re-filter
+    // rows that are already gone)
+    workspace.writeChunks(workspace.readLiveChunks(),
+      clearOnCommit = Seq("tombstones_v"))
     rebuildPostings()
     rebuildAnn()
     invalidate()
@@ -528,11 +547,39 @@ final class Engine(
   def undeleteDocuments(docIds: Seq[String]): Unit = maintenance.synchronized {
     if (docIds.nonEmpty) {
       import spark.implicits._
-      if (workspace.hasTombstones)
-        workspace.removeTombstones(docIds.toDF("doc_id"))
+      val lifted =
+        if (workspace.hasTombstones) {
+          val before = workspace.readTombstones().count()
+          workspace.removeTombstones(docIds.toDF("doc_id"))
+          val after =
+            if (workspace.hasTombstones) workspace.readTombstones().count() else 0L
+          before - after
+        } else 0L
+      // fence an in-flight background purge: its snapshot was filtered
+      // with the PRE-undelete tombstone set, so letting it commit would
+      // physically drop the rows this call just restored while reporting
+      // success here (round-7 advice, Engine.scala:439). The epoch bump
+      // makes the compactor discard that prepared version; a mid-flight
+      // job and this call serialize on the maintenance lock, so either
+      // the bump lands before its commit check (discard — rows survive)
+      // or the purge already committed (this undelete is the documented
+      // rows-already-purged no-op).
+      if (lifted > 0)
+        workspace.updateMeta("undelete_epoch")(v =>
+          (v.getOrElse("0").toLong + 1).toString)
       if (workspace.hasDenyDocs)
         workspace.removeDenyDocs(docIds.toDF("doc_id"))
       refreshBoosts()
+      // an ANN index rebuilt while the doc was tombstoned (drift retrain
+      // over a minusTombstones snapshot) permanently LACKS its vectors —
+      // stale entries die at the result join, but missing entries make
+      // the undeleted doc invisible to semantic probes until some
+      // unrelated retrain fires (round-7 advice, Engine.scala:528). A
+      // lifted tombstone therefore schedules a background retrain; the
+      // chunk rows are already visible again meanwhile via the keyword
+      // path and result joins, and undeletes are rare enough that the
+      // O(corpus) retrain off the critical path is the right trade.
+      if (lifted > 0 && workspace.hasAnn) scheduleAnnRetrain()
     }
   }
 
@@ -547,33 +594,41 @@ final class Engine(
     // a full index REPLACES the corpus, so the admission filter resets
     // and re-derives from this call's own first-in-wins admissions. The
     // reset is IN-MEMORY first (a zeroed bitmap): the persisted filter
-    // is replaced only after the table write commits, so a failed
-    // index() leaves the old corpus AND its admission state intact.
-    var committed = false
-    val admission =
+    // is replaced only once THIS call's recordAdmittedBuckets lands —
+    // until then, ANY failure (admitNearDup itself, the table write, or
+    // a post-commit rebuild) drops the zeroed bitmap so the next probe
+    // lazily reloads the intact persisted filter. The reset therefore
+    // lives INSIDE the try: zeroing before it would let a throw from
+    // admitNearDup leave the zeroed bitmap live, and the next successful
+    // ingestBatch would persist it — silently clobbering all prior
+    // admission state (round-7 advice, Engine.scala:555).
+    var admission: Option[(DataFrame, DataFrame)] = None
+    var filterCommitted = false
+    try {
       if (opts.dedupIngest) {
         dedupBloomWords = Some(new Array[Long](math.max(1, opts.dedupBloomBits / 64)))
-        Some(admitNearDup(docs))
-      } else None
-    try {
-      workspace.writeChunks(ChunkStore.buildChunks(
-        admission.map(_._1).getOrElse(docs), embedder))
-      committed = true
-      // the new table replaces the old wholesale; stale tombstones or
-      // deny entries would mask documents present in THIS index call
-      workspace.clearTombstones()
-      workspace.clearDenyDocs()
+        admission = Some(admitNearDup(docs))
+      }
+      // stale tombstones or deny entries would mask documents present in
+      // THIS index call — both pointers retire in the SAME atomic
+      // metadata move as the chunk-pointer flip (a crash between a
+      // commit and separate clears would otherwise break this flow's
+      // documented idempotence)
+      workspace.writeChunks(
+        ChunkStore.buildChunks(admission.map(_._1).getOrElse(docs), embedder),
+        clearOnCommit = Seq("tombstones_v", "deny_docs_v"))
       rebuildPostings()
       rebuildAnn()
       admission.foreach { case (_, positions) =>
         workspace.clearDedupBloom()
         recordAdmittedBuckets(positions)
       }
+      filterCommitted = true
       workspace.setMeta("summaries_indexed", "false")
       invalidate()
       workspace.count()
     } finally {
-      if (!committed) dedupBloomWords = None // reload the intact filter lazily
+      if (!filterCommitted) dedupBloomWords = None // reload the persisted filter lazily
       admission.foreach { case (a, p) =>
         graft.functions.Checkpoints.release(a)
         graft.functions.Checkpoints.release(p)

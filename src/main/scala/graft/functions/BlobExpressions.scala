@@ -77,7 +77,63 @@ case class Float32Encode(child: Expression) extends UnaryExpression
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Per-window unsigned-byte sums over a binary payload: one O(n) pass
+  * emitting `len / window` full-window sums (trailing partial window
+  * dropped, matching `range(0, len // window)`). This is the windowed
+  * analog of the reference's single-pass per-page char loop
+  * (pdf_processor.cpp:88-95): each byte is visited exactly once, so a
+  * 1 MB audio payload costs ~10⁶ adds — where per-offset `substr` on a
+  * STRING column is O(position) per access (UTF8String code-point scan)
+  * and the same row would cost ~10⁹ scans. Drives mm_energy_segments'
+  * VAD windowing. */
+case class ByteWindowSums(child: Expression, window: Int) extends UnaryExpression {
+  require(window > 0, "window must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_window_sums"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"byte_window_sums expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val n = bytes.length / window
+    val out = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      var s = 0L; var j = w * window; val end = j + window
+      while (j < end) { s += (bytes(j) & 0xff); j += 1 }
+      out(w) = s; w += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val n = ctx.freshName("n"); val w = ctx.freshName("w")
+      val j = ctx.freshName("j"); val end = ctx.freshName("end")
+      val s = ctx.freshName("s"); val out = ctx.freshName("out")
+      s"""
+        |int $n = $b.length / $window;
+        |long[] $out = new long[$n];
+        |for (int $w = 0; $w < $n; $w++) {
+        |  long $s = 0L;
+        |  int $end = ($w + 1) * $window;
+        |  for (int $j = $w * $window; $j < $end; $j++) { $s += ($b[$j] & 0xff); }
+        |  $out[$w] = $s;
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object BlobFunctions {
+  def byteWindowSums(c: Column, window: Int): Column =
+    ColumnBridge.column(ByteWindowSums(ColumnBridge.expression(c), window))
   def float32Decode(c: Column): Column =
     ColumnBridge.column(Float32Decode(ColumnBridge.expression(c)))
   def float32Encode(c: Column): Column =

@@ -65,7 +65,14 @@ object Multimodal {
 
   /** Frame sampling: emit one row per fixed-stride window of the payload
     * (video → frames; audio → windows). Pure column ops — stays in
-    * whole-stage codegen, no UDF. */
+    * whole-stage codegen, no UDF. The signature slice is `substr` on the
+    * BINARY payload — an O(frameBytes) `Arrays.copyOfRange`, NOT the
+    * O(position) code-point scan STRING substr pays — so a full pass
+    * over an L-byte payload costs O(L·frameBytes/stride), linear in L
+    * (pinned by the 1 MB-payload linearity spec). The payload column is
+    * only referenced between the Generate and the immediately following
+    * Project (same codegen stage, no shuffle), so frames never carry
+    * payload bytes past this operator. */
   def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame =
     media.select(
       col("media_id"),

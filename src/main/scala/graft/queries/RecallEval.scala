@@ -103,14 +103,37 @@ object RecallEval {
   def evaluateEngineClustered(spark: SparkSession, n: Int = 2000, dim: Int = 64,
                               centers: Int = 16, noiseSigma: Double = 0.05,
                               numQueries: Int = 20, k: Int = 10,
-                              nprobe: Int = 2): Report = {
-    val corpus = clusteredCorpus(spark, n, dim, centers, noiseSigma)
-      .localCheckpoint()
+                              nprobe: Int = 2): Report =
+    evaluateEngineOn(spark,
+      s"engine-clustered(n=$n,dim=$dim,centers=$centers,sigma=$noiseSigma)",
+      clusteredCorpus(spark, n, dim, centers, noiseSigma),
+      cells = centers, numQueries, k, nprobe)
+
+  /** The engine serving path measured on the driver's NEAR-UNIFORM
+    * embeddings — the coarse quantizer's worst case, so the serving
+    * tiers' floor is measured on both distributions, not just the
+    * friendly one (round-7 "Next round" #5). Recall here is bounded by
+    * the nprobe/cells coverage fraction, exactly like the
+    * query-registry `ivf` variant. */
+  def evaluateEngineUniform(spark: SparkSession, dir: String,
+                            numQueries: Int = 20, k: Int = 10,
+                            nprobe: Int = 2): Report =
+    evaluateEngineOn(spark, s"engine-uniform($dir)",
+      table(spark, dir, "embeddings").select(
+        col("vec_id").cast("long").as("vec_id"), col("embedding")),
+      cells = 16, numQueries, k, nprobe)
+
+  private def evaluateEngineOn(spark: SparkSession, label: String,
+                               corpusIn: DataFrame, cells: Int,
+                               numQueries: Int, k: Int,
+                               nprobe: Int): Report = {
+    val n = corpusIn.count().toInt
+    val corpus = corpusIn.localCheckpoint()
     try {
       val ws = new graft.store.Workspace(spark,
         graft.util.TempRoot.dir("recall-engine-ws-").toString)
       val (built, cents) = graft.search.AnnIndex.build(
-        corpus, "vec_id", "embedding", cells = centers)
+        corpus, "vec_id", "embedding", cells = cells)
       ws.writeAnn(built, cents)
       // a second workspace with the residual-PQ layout (4-bit codes +
       // frozen codebook) — the round-7 IVFADC serving tier
@@ -142,15 +165,15 @@ object RecallEval {
         }
         per.sum / per.length
       }
-      Report(s"engine-clustered(n=$n,dim=$dim,centers=$centers,sigma=$noiseSigma)",
+      Report(label,
         n, qRows.length, k, Seq(
           VariantRecall("engine_ivf_sq8", "cosine",
-            s"cells=$centers,nprobe=$nprobe,two_phase,overfetch=${IvfGenerator.Sq8Overfetch}",
+            s"cells=$cells,nprobe=$nprobe,two_phase,overfetch=${IvfGenerator.Sq8Overfetch}",
             meanRecall(sq8Gen)),
           VariantRecall("engine_ivf_float", "cosine",
-            s"cells=$centers,nprobe=$nprobe", meanRecall(floatGen))) ++
+            s"cells=$cells,nprobe=$nprobe", meanRecall(floatGen))) ++
           pqGen.map(g => VariantRecall("engine_ivf_pq", "cosine",
-            s"cells=$centers,nprobe=$nprobe,two_phase,residual," +
+            s"cells=$cells,nprobe=$nprobe,two_phase,residual," +
               s"overfetch=${IvfGenerator.PqRefineOverfetch}", meanRecall(g))))
     } finally graft.functions.Checkpoints.release(corpus)
   }
@@ -234,10 +257,11 @@ object RecallEval {
         // scheme): L independent 8-bit tables, candidates = the union of
         // the query's buckets across tables, exact cosine re-rank — each
         // table multiplies the chance a true neighbor shares a bucket ----
-        def lshMultiRecall(tables: Int): Double = {
-          val hp = e.filter(col("vec_id").between(56, 56 + 8 * tables - 1))
+        def lshMultiRecall(tables: Int): Double =
+          lshMultiFrom(e.filter(col("vec_id").between(56, 56 + 8 * tables - 1))
             .select(expr("(vec_id - 56) div 8").as("tbl"),
-              expr("(vec_id - 56) % 8").as("hid"), col("embedding").as("he"))
+              expr("(vec_id - 56) % 8").as("hid"), col("embedding").as("he")))
+        def lshMultiFrom(hp: DataFrame): Double = {
           val bk = e.crossJoin(broadcast(hp))
             .groupBy(col("vec_id"), col("tbl"))
             .agg(sum(when(dotProduct(col("embedding"), col("he")) > 0,
@@ -258,6 +282,20 @@ object RecallEval {
           } finally graft.functions.Checkpoints.release(bk)
         }
         val lshMulti = lshMultiRecall(8)
+
+        // ---- AUTO-geometry multi-table LSH (round-7 "What's wrong #2"):
+        // the banding geometry derives from a bounded k-NN angle sample
+        // instead of the blind 8×8 default — see [[graft.search.LshGeometry]].
+        // On this near-uniform corpus the chosen band is shallow (the
+        // honest price of a flat distribution); on clustered corpora it
+        // deepens to maxBits and prunes hard. Hyperplanes are seeded
+        // gaussians, not corpus rows.
+        val geom = graft.search.LshGeometry.choose(
+          graft.search.LshGeometry.estimateKnnAngle(e, "vec_id", "embedding", k),
+          targetRecall = 0.7, tables = 8, maxBits = 16)
+        val dim = e.select(size(col("embedding"))).head().getInt(0)
+        val lshAuto = lshMultiFrom(
+          graft.search.LshGeometry.hyperplanes(spark, geom, dim))
 
         // ---- 1-bit sign signatures (ann_hamming_binary's packing):
         // Hamming prefilter keeps k·16 candidates, exact cosine re-ranks —
@@ -396,6 +434,7 @@ object RecallEval {
           VariantRecall("lsh", "cosine", "hyperplanes=8,buckets=256", lsh8),
           VariantRecall("lsh", "cosine", "hyperplanes=4,buckets=16", lsh4),
           VariantRecall("lsh_multitable", "cosine", "tables=8,hyperplanes=8,buckets=256", lshMulti),
+          VariantRecall("lsh_multitable_auto", "cosine", "auto:" + geom.params, lshAuto),
           VariantRecall("binary_rerank", "cosine", "bits=64,overfetch=16", binary),
           VariantRecall("ivfpq", "l2", "cells=16,nprobe=2,m=8,k*=16,trained,residual", ivfpqRecall),
           VariantRecall("ivfpq_refined", "l2",

@@ -343,8 +343,16 @@ object RelationalQueries {
         |      WHERE w.wk - c.cohort BETWEEN 0 AND 3)
         |SELECT cohort, offs, count(*)::BIGINT AS n_users
         |FROM j GROUP BY cohort, offs ORDER BY cohort, offs""".stripMargin) { (spark, dir) =>
+      // FLOOR division, not `div`: Spark's `div` truncates toward zero
+      // while DuckDB's `//` floors, so a pre-epoch timestamp (negative
+      // ms) would bucket into different weeks in the two engines
+      // (round-7 advice, RelationalQueries.scala:347). pmod arithmetic
+      // keeps it exact integer math — (x − pmod(x, w)) / w is the
+      // mathematical floor for either sign, with no double rounding.
       val w = events(spark, dir)
-        .select(col("user_id"), expr("unix_millis(ts) div 604800000").as("wk"))
+        .select(col("user_id"),
+          expr("(unix_millis(ts) - pmod(unix_millis(ts), 604800000)) div 604800000")
+            .as("wk"))
         .distinct()
       val c = w.groupBy("user_id").agg(min(col("wk")).as("cohort"))
       w.join(c, "user_id")

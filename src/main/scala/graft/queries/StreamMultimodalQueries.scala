@@ -359,17 +359,20 @@ object StreamMultimodalQueries {
         |FROM act GROUP BY media_id, run
         |ORDER BY media_id, start_win LIMIT 1000""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      // only docs holding at least one full window (the oracle's
-      // range(0, len//64) is empty below 64 — a descending Spark
-      // sequence(0, -1) would otherwise fabricate windows)
+      // Byte-indexed single pass: encode the payload to BINARY once per
+      // row, then ByteWindowSums scans every byte exactly once (codegen)
+      // — O(len) per doc where the old per-char ascii(substr(text, …))
+      // lambda was O(len²/64) (STRING substr is an O(position)
+      // code-point scan). The char-based DuckDB oracle is exact on this
+      // ASCII corpus (byte value == code point, verified 0 non-ASCII
+      // rows at sf0.01/sf0.1); posexplode's pos == range(0, len // 64).
       val wins = table(spark, dir, "documents")
         .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 64)
-        .select(col("doc_id").as("media_id"), col("text"),
-          explode(sequence(lit(0L), expr("cast(length(text) div 64 as bigint)") - 1)).as("i"))
-        .select(col("media_id"), col("i"),
-          expr("aggregate(transform(sequence(0, 63), " +
-            "j -> ascii(substr(text, cast(i * 64 + j + 1 as int), 1))), " +
-            "cast(0 as bigint), (s, v) -> s + v)").as("en"))
+        .select(col("doc_id").as("media_id"),
+          posexplode(graft.functions.BlobFunctions.byteWindowSums(
+            encode(col("text"), "UTF-8"), 64)))
+        .select(col("media_id"), col("pos").cast("long").as("i"),
+          col("col").as("en"))
       val act = wins.filter(col("en") >= 6050)
         .withColumn("run", col("i") - row_number().over(
           Window.partitionBy("media_id").orderBy("i")))

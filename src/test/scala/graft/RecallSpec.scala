@@ -111,6 +111,19 @@ class RecallSpec extends AnyFunSuite {
     assert(lshMulti > recall("lsh", "hyperplanes=8,buckets=256"),
       "adding tables must not lose recall vs one table")
 
+    // AUTO geometry (round-8, LshGeometry): the banding derives from a
+    // sampled k-NN angle (θ̂ ≈ 69.6° here → 8 tables × 4 hyperplanes)
+    // instead of the blind 8×8 default — measured 0.70 on this
+    // near-uniform corpus vs 0.21 blind (2026-08), right at its 0.70
+    // modeled expectation. The floor is the geometry's CONTRACT: the
+    // chosen band must deliver most of its target on the distribution
+    // it was derived from
+    val lshAuto = recall("lsh_multitable_auto", "auto:")
+    assert(lshAuto >= 0.5,
+      s"auto-geometry LSH recall $lshAuto below the 0.5 contract floor")
+    assert(lshAuto > lshMulti,
+      s"auto geometry ($lshAuto) must beat the blind 8x8 default ($lshMulti) on a flat corpus")
+
     // IVFPQ refine (round-5 "What's missing #3"): the exact re-rank of the
     // ADC top k·overfetch must recover most of the coarse-quantizer
     // ceiling — measured with residual codes + overfetch 16 (round-7)
@@ -149,8 +162,19 @@ class RecallSpec extends AnyFunSuite {
     // multi-table LSH: measured 0.88 clustered vs 0.365 single-table
     // (2026-08) — the union of 8 tables' buckets covers the query's
     // cluster where one 256-bucket table fragments it
-    assert(recall("lsh_multitable") >= 0.75,
-      s"multi-table LSH on clustered data regressed: ${recall("lsh_multitable")}")
+    def recallP(variant: String, params: String): Double =
+      report.variants.find(v => v.variant == variant && v.params.contains(params))
+        .getOrElse(fail(s"missing variant $variant $params")).recallAtK
+    assert(recallP("lsh_multitable", "tables=8,hyperplanes=8") >= 0.75,
+      s"multi-table LSH on clustered data regressed: ${recallP("lsh_multitable", "tables=8,hyperplanes=8")}")
+    // auto geometry on the CLUSTERED corpus picks a deep band (θ̂ ≈ 26°
+    // → 12 hyperplanes — 16× smaller buckets than the blind 8-bit
+    // default) and still clears its 0.7 target: measured 0.70 expected
+    // 0.74 (2026-08). By design it prunes hardest WHILE honoring the
+    // target, so it may sit below a shallower geometry's recall — the
+    // contract is the target, not the maximum
+    assert(recallP("lsh_multitable_auto", "auto:") >= 0.55,
+      s"auto-geometry LSH on clustered data regressed: ${recallP("lsh_multitable_auto", "auto:")}")
     assert(recall("ivfpq") >= 0.2,
       s"raw residual-ADC recall on clustered data regressed: ${recall("ivfpq")}")
     assert(recall("ivfpq_refined") >= 0.9,
@@ -177,6 +201,59 @@ class RecallSpec extends AnyFunSuite {
     // the clustered floor too
     assert(recall("engine_ivf_pq") >= 0.9,
       s"engine residual-PQ two-phase recall: ${recall("engine_ivf_pq")}")
+  }
+
+  test("engine serving path on the UNIFORM corpus: every tier sits at its coverage ceiling") {
+    // the serving tiers' WORST case (round-7 "Next round" #5): on the
+    // near-uniform driver embeddings, nprobe=2 of 16 cells covers ~2/16
+    // of the corpus, so recall is bounded by the coverage fraction —
+    // measured 0.355 for ALL THREE tiers (2026-08), exactly the
+    // query-registry ivf nprobe=2 figure and its exact-rerank ceiling.
+    // The invariant worth pinning: the quantized phase-1 tiers (SQ8,
+    // residual-PQ) lose NOTHING vs the float probe at the same coverage
+    // — their overfetch + exact re-rank absorbs all quantization error.
+    val report = RecallEval.evaluateEngineUniform(spark, "/root/testdata/sf0.1")
+    def recall(variant: String): Double =
+      report.variants.find(_.variant == variant)
+        .getOrElse(fail(s"missing variant $variant")).recallAtK
+    val fl = recall("engine_ivf_float")
+    assert(fl >= 0.25, s"engine float IVF-probe uniform recall: $fl")
+    assert(recall("engine_ivf_sq8") >= fl - 0.05,
+      s"SQ8 two-phase lost recall vs the float probe at the same coverage: " +
+        s"${recall("engine_ivf_sq8")} vs $fl")
+    assert(recall("engine_ivf_pq") >= fl - 0.05,
+      s"residual-PQ two-phase lost recall vs the float probe at the same coverage: " +
+        s"${recall("engine_ivf_pq")} vs $fl")
+  }
+
+  test("LSH auto-geometry: the band deepens as neighbors tighten, expectation honors the target") {
+    import graft.search.LshGeometry
+    // deeper band for closer neighbors (more pruning when the corpus
+    // allows it), never deeper than the target tolerates
+    val wide = LshGeometry.choose(math.toRadians(69.6), targetRecall = 0.7, tables = 8, maxBits = 16)
+    val tight = LshGeometry.choose(math.toRadians(25.8), targetRecall = 0.7, tables = 8, maxBits = 16)
+    assert(wide.bits == 4, s"uniform-like geometry: ${wide.bits}")
+    assert(tight.bits > wide.bits, s"tight ${tight.bits} vs wide ${wide.bits}")
+    assert(wide.expectedRecall >= 0.7 && tight.expectedRecall >= 0.7)
+    // every bits choice one deeper would MISS the target (the "deepest
+    // honoring" contract)
+    assert(LshGeometry.expectedRecall(wide.p1, wide.bits + 1, 8) < 0.7)
+    assert(LshGeometry.expectedRecall(tight.p1, tight.bits + 1, 8) < 0.7)
+    // hostile corpus (orthogonal neighbors): falls back to b=1 and REPORTS
+    // the miss rather than silently collapsing
+    val hostile = LshGeometry.choose(math.toRadians(90.0), targetRecall = 0.99, tables = 2, maxBits = 16)
+    assert(hostile.bits == 1)
+    assert(hostile.expectedRecall < 0.99)
+    // the angle estimator orders the two distributions correctly
+    val uniform = graft.queries.table(spark, "/root/testdata/sf0.1", "embeddings")
+      .selectExpr("cast(vec_id as long) as vec_id", "embedding")
+    val clustered = RecallEval.clusteredCorpus(spark, n = 500, dim = 64,
+      centers = 16, noiseSigma = 0.05)
+    val thU = LshGeometry.estimateKnnAngle(uniform, "vec_id", "embedding")
+    val thC = LshGeometry.estimateKnnAngle(clustered, "vec_id", "embedding")
+    info(f"estimated kNN angle: uniform ${math.toDegrees(thU)}%.1f°, clustered ${math.toDegrees(thC)}%.1f°")
+    assert(thC < thU, "clustered corpus must estimate a tighter neighbor angle")
+    assert(math.toDegrees(thU) > 55 && math.toDegrees(thU) < 85)
   }
 
   test("clustered fixture with small cells: the refine slate covers the probed rows and recall is near-exact") {

@@ -309,6 +309,99 @@ class StreamMultimodalSpec extends AnyFunSuite {
     byDoc.foreach { r => assert(r.getAs[Long]("n") > 0) }
   }
 
+  test("byte_window_sums: exact sums, partial trailing window dropped, null-safe") {
+    import graft.functions.BlobFunctions.byteWindowSums
+    import spark.implicits._
+    val payload = Array.tabulate[Byte](10)(i => (i * 30).toByte) // wraps past 127 → unsigned read
+    val df = Seq((1L, payload), (2L, Array.emptyByteArray), (3L, null: Array[Byte]))
+      .toDF("id", "p")
+      .select(col("id"), byteWindowSums(col("p"), 4).as("sums"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    val s1 = rows(0).getAs[scala.collection.Seq[Long]]("sums")
+    // windows of 4 over bytes [0,30,60,90, 120,150,180,210, 240,270→wrapped]
+    val b = payload.map(_ & 0xff)
+    assert(s1 == Seq(b.slice(0, 4).sum.toLong, b.slice(4, 8).sum.toLong)) // 10/4 = 2 full windows
+    assert(rows(1).getAs[scala.collection.Seq[Long]]("sums").isEmpty)
+    assert(rows(2).isNullAt(1))
+  }
+
+  test("long-payload linearity: 1 MB doc VAD + fingerprint stay O(len) (byte-indexed)") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.BlobFunctions.byteWindowSums
+    // 1 MB ASCII payload. The pre-round-8 char-indexed shape
+    // (ascii(substr(text, i*64+j+1, 1)) per character / md5(substring(
+    // lower(text), i, 8)) per stride-4 offset) costs O(len²/window) —
+    // ≈ 10⁹–10¹⁰ code-point scans for this one row, i.e. minutes. The
+    // byte-indexed plan is one O(len) pass; a 15 s wall bound on the
+    // warm run is therefore a robust linearity witness, not a flaky
+    // micro-benchmark.
+    val n = 1 << 20
+    val sb = new StringBuilder(n)
+    var i = 0
+    while (i < n) { sb.append((32 + ((i * 131) % 95)).toChar); i += 1 }
+    val text = sb.toString
+    val docs = Seq((1L, text)).toDF("doc_id", "text")
+
+    def vad(): Array[org.apache.spark.sql.Row] = docs
+      .select(col("doc_id").as("media_id"),
+        posexplode(byteWindowSums(encode(col("text"), "UTF-8"), 64)))
+      .select(col("media_id"), col("pos").cast("long").as("i"), col("col").as("en"))
+      .filter(col("en") >= 6050)
+      .withColumn("run", col("i") - row_number().over(
+        Window.partitionBy("media_id").orderBy("i")))
+      .groupBy(col("media_id"), col("run"))
+      .agg(min(col("i")).as("start_win"), count(lit(1)).as("n_win"), sum(col("en")).as("energy_sum"))
+      .collect()
+
+    def fingerprint(): String = docs
+      .select(col("doc_id"), encode(lower(col("text")), "UTF-8").as("payload"))
+      .select(col("doc_id"),
+        expr("array_min(transform(sequence(1, greatest(length(payload) - 7, 1), 4), i -> md5(substr(payload, i, 8))))").as("fp"))
+      .collect()(0).getString(1)
+
+    def frames(): Long = Multimodal.sampleFrames(
+      Multimodal.asMediaTable(docs), frameBytes = 32, stride = 16).count()
+
+    vad(); fingerprint(); frames() // warm: codegen compile + class-load
+    val t0 = System.nanoTime()
+    val segs = vad()
+    val fp = fingerprint()
+    val nFrames = frames()
+    val wallSec = (System.nanoTime() - t0) / 1e9
+    assert(wallSec < 15.0, s"byte-indexed 1 MB doc took ${wallSec}s — quadratic shape regressed?")
+    assert(nFrames == (n - 31 + 15) / 16) // ceil((len - frame + 1) / stride)
+
+    // correctness on the big doc: window count + total energy vs a plain
+    // Scala single pass over the same bytes
+    val bytes = text.getBytes("UTF-8")
+    val nWin = bytes.length / 64
+    val expEnergies = Array.tabulate(nWin)(w => (w * 64 until w * 64 + 64).map(bytes(_) & 0xff).sum.toLong)
+    val active = expEnergies.zipWithIndex.filter(_._1 >= 6050)
+    assert(segs.map(_.getAs[Long]("n_win")).sum == active.length)
+    assert(segs.map(_.getAs[Long]("energy_sum")).sum == active.map(_._1).sum)
+    assert(fp.length == 32) // md5 hex
+
+    // byte path ≡ char path (the old expression) on a modest doc, where
+    // the quadratic shape is still affordable
+    val small = Seq((7L, text.substring(0, 10000))).toDF("doc_id", "text")
+    val charFp = small.select(
+      expr("array_min(transform(sequence(1, greatest(length(lower(text)) - 7, 1), 4), i -> md5(substring(lower(text), i, 8))))"))
+      .collect()(0).getString(0)
+    val byteFp = small
+      .select(encode(lower(col("text")), "UTF-8").as("payload"))
+      .select(expr("array_min(transform(sequence(1, greatest(length(payload) - 7, 1), 4), i -> md5(substr(payload, i, 8))))"))
+      .collect()(0).getString(0)
+    assert(charFp == byteFp)
+    val charEn = small.select(col("text"),
+      explode(sequence(lit(0L), expr("cast(length(text) div 64 as bigint)") - 1)).as("i"))
+      .select(expr("aggregate(transform(sequence(0, 63), j -> ascii(substr(text, cast(i * 64 + j + 1 as int), 1))), cast(0 as bigint), (s, v) -> s + v)").as("en"))
+      .collect().map(_.getLong(0))
+    val byteEn = small.select(posexplode(byteWindowSums(encode(col("text"), "UTF-8"), 64)))
+      .collect().map(_.getLong(1))
+    assert(charEn.sameElements(byteEn))
+  }
+
   test("resize metadata: aspect preserved, never upscales") {
     val media = Multimodal.asMediaTable(spark.read.parquet(s"$sf/documents.parquet"))
     val resized = Multimodal.resizeMeta(media, 256).collect()
