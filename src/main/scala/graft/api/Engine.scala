@@ -918,7 +918,13 @@ final class Engine(
 
   /** The hybrid SELECT with latency-adaptive depth (D17): measured search
     * time feeds the EMA; high latency shrinks the candidate depth on the
-    * next query. */
+    * next query.
+    *
+    * Always serves the LIVE corpus through the LIVE indexes. Snapshot
+    * reads ([[Workspace.readChunksAt]]) pin TABLE state only — there is
+    * deliberately no search-as-of (see readChunksAt's contract note);
+    * a pinned snapshot affects what a training run READS, never what
+    * this method retrieves. */
   def search(query: String, k: Int = opts.limit): Seq[ScoredChunk] = {
     val t0 = System.nanoTime()
     // D17 policy: >1500ms EMA caps overfetch at 3x; >4000ms bypasses the

@@ -440,8 +440,8 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       case None => bytes0
     }
     val dict = body.substring(0, s)
-    if (dict.contains("FlateDecode")) new String(inflate(bytes), Iso)
-    else if (dict.contains("LZWDecode")) new String(lzwDecode(bytes), Iso)
+    if (dict.contains("FlateDecode")) new String(applyPredictor(dict, inflate(bytes)), Iso)
+    else if (dict.contains("LZWDecode")) new String(applyPredictor(dict, lzwDecode(bytes)), Iso)
     else new String(bytes, Iso)
   }
 
@@ -558,8 +558,8 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
           PdfCrypto.decrypt(c.key, st.num, st.gen, c.aes, st.data)
         case _ => st.data
       }
-      if (st.dict.contains("FlateDecode")) inflate(dec)
-      else if (st.dict.contains("LZWDecode")) lzwDecode(dec)
+      if (st.dict.contains("FlateDecode")) applyPredictor(st.dict, inflate(dec))
+      else if (st.dict.contains("LZWDecode")) applyPredictor(st.dict, lzwDecode(dec))
       else dec
     } catch {
       case scala.util.control.NonFatal(_) => Array.emptyByteArray
@@ -613,6 +613,77 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       }
     }
     if (extra.isEmpty) raw else raw + extra
+  }
+
+  /** /DecodeParms predictor post-pass (PDF §7.4.4.4; PDFium's parity
+    * path behind pdf_processor.cpp:23 handles the same chain): TIFF
+    * /Predictor 2 (horizontal byte differencing) and PNG predictors
+    * 10–15 (RFC 2083 §6 — each row is prefixed with ITS OWN filter-type
+    * byte 0–4, which the decoder must honor regardless of the declared
+    * predictor value). /Columns, /Colors, /BitsPerComponent default to
+    * 1/1/8; a /Predictor ≤ 1 (or no /DecodeParms) is the identity. A
+    * short final row is unfiltered over its actual length (writers that
+    * don't pad). Predictor-compressed CONTENT streams are rare but
+    * legal — before round 8 such a stream extracted nothing. */
+  private[graft] def applyPredictor(dict: String, data: Array[Byte]): Array[Byte] = {
+    val parms = """/(?:DecodeParms|DP)\s*<<([\s\S]*?)>>""".r
+      .findFirstMatchIn(dict).map(_.group(1)).getOrElse(return data)
+    def intOf(key: String, dflt: Int): Int =
+      (s"""/$key\\s+(\\d+)""").r.findFirstMatchIn(parms).map(_.group(1).toInt).getOrElse(dflt)
+    val predictor = intOf("Predictor", 1)
+    if (predictor <= 1 || data.isEmpty) return data
+    val columns = math.max(1, intOf("Columns", 1))
+    val colors = math.max(1, intOf("Colors", 1))
+    val bpc = math.max(1, intOf("BitsPerComponent", 8))
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = ((colors.toLong * bpc * columns + 7) / 8).toInt
+    if (predictor == 2) {
+      // TIFF horizontal differencing (byte-aligned components only —
+      // sub-byte bpc differencing is not used by content streams)
+      if (bpc != 8) return data
+      val out = data.clone()
+      var r = 0
+      while (r < out.length) {
+        val end = math.min(r + rowLen, out.length)
+        var i = r + bpp
+        while (i < end) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r = end
+      }
+      out
+    } else {
+      // PNG: rows of (filterByte + rowLen), each unfiltered against the
+      // previous RECONSTRUCTED row
+      val out = new java.io.ByteArrayOutputStream(data.length)
+      var prev = new Array[Byte](rowLen)
+      var pos = 0
+      while (pos < data.length) {
+        val ft = data(pos) & 0xff; pos += 1
+        val len = math.min(rowLen, data.length - pos)
+        val cur = java.util.Arrays.copyOfRange(data, pos, pos + len); pos += len
+        var i = 0
+        while (i < len) {
+          val a = if (i >= bpp) cur(i - bpp) & 0xff else 0 // left (reconstructed)
+          val b = prev(i) & 0xff                           // up
+          val c = if (i >= bpp) prev(i - bpp) & 0xff else 0 // up-left
+          val x = cur(i) & 0xff
+          cur(i) = (ft match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => // Paeth
+              val p = a + b - c
+              val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+              x + (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+            case _ => x // unknown filter byte: pass through
+          }).toByte
+          i += 1
+        }
+        out.write(cur, 0, len)
+        prev = if (len == rowLen) cur else java.util.Arrays.copyOf(cur, rowLen)
+      }
+      out.toByteArray
+    }
   }
 
   /** /LZWDecode (PDF §7.4.4): MSB-first variable-width codes 9→12 bits,

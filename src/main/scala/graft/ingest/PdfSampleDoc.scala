@@ -179,6 +179,76 @@ object PdfSampleDoc {
   def bytesLzw: Array[Byte] =
     classicDoc(i => if (i == 1) "lzw" else if (i == 2) "flate" else "", enc = None)
 
+  /** Predictor-compressed twin of [[bytes]]: page 2's content stream is
+    * Flate over PNG-predicted rows (/Predictor 12, with the per-row
+    * filter byte CYCLING through all five PNG filters 0–4 — the decoder
+    * must honor the row byte, not the declared hint, and the content
+    * length is deliberately not a multiple of /Columns so the short
+    * final row is exercised), page 3 is LZW over TIFF horizontal
+    * differencing (/Predictor 2). Extraction is REQUIRED to be
+    * byte-identical to the classic variant (CharPdfExtractorSpec) —
+    * the round-7 "What's missing #2" gap: a predictor-compressed
+    * content stream previously decoded to garbage and extracted
+    * nothing. */
+  def bytesPredictor: Array[Byte] =
+    classicDoc(i => if (i == 1) "flate-png" else if (i == 2) "lzw-tiff" else "",
+      enc = None)
+
+  private val PngColumns = 55
+  private val TiffColumns = 41
+
+  /** PNG row filtering (the encode side of applyPredictor's decode):
+    * filter type = row index mod 5, filtering against the RAW previous
+    * row, exactly as RFC 2083 prescribes for encoders. */
+  private def pngPredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length + data.length / columns + 1)
+    var prev = new Array[Byte](columns)
+    var pos = 0
+    var rowIdx = 0
+    while (pos < data.length) {
+      val len = math.min(columns, data.length - pos)
+      val raw = java.util.Arrays.copyOfRange(data, pos, pos + len); pos += len
+      val ft = rowIdx % 5
+      out.write(ft)
+      var i = 0
+      while (i < len) {
+        val x = raw(i) & 0xff
+        val a = if (i >= 1) raw(i - 1) & 0xff else 0
+        val b = prev(i) & 0xff
+        val c = if (i >= 1) prev(i - 1) & 0xff else 0
+        val enc = ft match {
+          case 0 => x
+          case 1 => x - a
+          case 2 => x - b
+          case 3 => x - (a + b) / 2
+          case 4 =>
+            val p = a + b - c
+            val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+            x - (if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c)
+        }
+        out.write(enc & 0xff)
+        i += 1
+      }
+      prev = if (len == columns) raw else java.util.Arrays.copyOf(raw, columns)
+      rowIdx += 1
+    }
+    out.toByteArray
+  }
+
+  /** TIFF /Predictor 2 encode: per row, each byte stores its delta to
+    * the byte one component (bpp = 1 here) to the left. */
+  private def tiffPredict(data: Array[Byte], columns: Int): Array[Byte] = {
+    val out = data.clone()
+    var r = 0
+    while (r < out.length) {
+      val end = math.min(r + columns, out.length)
+      var i = end - 1
+      while (i > r) { out(i) = (out(i) - out(i - 1)).toByte; i -= 1 }
+      r = end
+    }
+    out
+  }
+
   // Deterministic standard-security-handler inputs for the encrypted
   // twins: /O, /P and /ID are key-derivation inputs (fixed arbitrary
   // bytes); /U is COMPUTED via Algorithm 4/5 from the twin's file key,
@@ -322,6 +392,10 @@ object PdfSampleDoc {
       val (filtered, filterPart) = pageFilter(i) match {
         case "flate" => (deflate(plain), " /Filter /FlateDecode")
         case "lzw" => (lzwEncode(plain), " /Filter /LZWDecode")
+        case "flate-png" => (deflate(pngPredict(plain, PngColumns)),
+          s" /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $PngColumns >>")
+        case "lzw-tiff" => (lzwEncode(tiffPredict(plain, TiffColumns)),
+          s" /Filter /LZWDecode /DecodeParms << /Predictor 2 /Columns $TiffColumns >>")
         case _ => (plain, "")
       }
       val stored = enc match {

@@ -92,9 +92,18 @@ object IngestQueries {
 
     // B9 — chunk accumulator over per-source concatenated text (target 800 /
     // hard max 1500 / overlap 160, pdf_processor.cpp:260-262). Sequential
-    // within a document, parallel across documents (flatMap). Not
-    // SQL-expressible → rows-only check; unit specs pin the semantics.
-    Q.noOracle("b9_chunk_docs") { (spark, dir) =>
+    // within a document, parallel across documents (flatMap). The oracle
+    // replays the fold EXACTLY in a recursive CTE (the d10 greedy-replay
+    // discipline, round-7 task 3): state = (pending sentence, accumulator,
+    // sentence count, fresh-content flag, next chunk idx); each step either
+    // loads the next sentence, consumes a hardMax-sized slice of an
+    // oversized one, or appends and emits past the 800 target — including
+    // the 160-char tail carry, the >20-char tail rule and the
+    // first-chunk-never-dropped exception. The lookbehind sentence split
+    // `(?<=[.?!])\s+` (RE2 has no lookbehind) is mirrored as
+    // regexp_replace('([.?!])\s+' → '\1' + \x01) + split, which consumes
+    // the same whitespace runs.
+    Q("b9_chunk_docs", B9OracleSql.sql) { (spark, dir) =>
       import spark.implicits._
       val sections = table(spark, dir, "documents")
         .groupBy("source")
@@ -103,7 +112,8 @@ object IngestQueries {
             x => x.getField("text"))).as("text"))
         .as[(String, String)]
       sections.flatMap { case (source, text) =>
-        TextChunker.chunk(text).map(c => (source, c.chunkIdx, c.text.length, c.sentenceCount))
+        TextChunker.chunk(text).map(c =>
+          (source, c.chunkIdx.toLong, c.text.length.toLong, c.sentenceCount.toLong))
       }.toDF("source", "chunk_idx", "chunk_len", "sentence_count")
         .orderBy("source", "chunk_idx")
     },
@@ -157,4 +167,91 @@ object IngestQueries {
         .limit(1000)
     }
   )
+}
+
+/** The b9_chunk_docs oracle: the TextChunker fold replayed as a DuckDB
+  * recursive CTE (see the query's comment). Kept in its own object — the
+  * state machine is long, and the SQL is the spec. */
+private object B9OracleSql {
+  val sql: String =
+    """WITH RECURSIVE
+    |sec AS (
+    |  SELECT source, string_agg(text, '. ' ORDER BY doc_id) AS text
+    |  FROM documents GROUP BY source),
+    |secl AS (
+    |  SELECT source,
+    |         list_filter(string_split(regexp_replace(text, '([.?!])\s+', '\1' || chr(1), 'g'), chr(1)),
+    |                     x -> length(x) > 0) AS lst
+    |  FROM sec),
+    |sent AS (
+    |  SELECT source, CAST(i AS INT) AS i, lst[i] AS s
+    |  FROM secl, unnest(range(1, len(lst) + 1)) AS u(i)),
+    |st AS (
+    |  SELECT source, 1 AS i, lst[1] AS pend,
+    |         '' AS acc, 0 AS naccs, FALSE AS fresh, 0 AS idx,
+    |         CAST(NULL AS INT) AS e_idx, CAST(NULL AS BIGINT) AS e_len,
+    |         CAST(NULL AS BIGINT) AS e_scnt, 0 AS step
+    |  FROM secl WHERE len(lst) > 0
+    |  UNION ALL
+    |  SELECT
+    |    q.source,
+    |    CASE WHEN q.adv THEN q.i + 1 ELSE q.i END AS i,
+    |    CASE WHEN q.adv THEN q.ns
+    |         WHEN q.over THEN substring(q.pend, q.take_n + 1)
+    |         ELSE '' END AS pend,
+    |    CASE WHEN q.adv THEN q.acc
+    |         WHEN l.emit_now THEN (CASE WHEN length(q.newacc) > 160
+    |                               THEN substring(q.newacc, length(q.newacc) - 159)
+    |                               ELSE '' END)
+    |         ELSE q.newacc END AS acc,
+    |    CASE WHEN q.adv THEN q.naccs
+    |         WHEN l.emit_now THEN 0
+    |         ELSE q.naccs + 1 END AS naccs,
+    |    CASE WHEN q.adv THEN q.fresh
+    |         WHEN l.emit_now THEN FALSE
+    |         ELSE TRUE END AS fresh,
+    |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN q.idx + 1 ELSE q.idx END AS idx,
+    |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN q.idx ELSE NULL END AS e_idx,
+    |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN CAST(length(q.newacc) AS BIGINT) ELSE NULL END AS e_len,
+    |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN CAST(greatest(q.naccs + 1, 1) AS BIGINT) ELSE NULL END AS e_scnt,
+    |    q.step + 1 AS step
+    |  FROM (
+    |    SELECT st.*, ns.s AS ns,
+    |      (st.pend = '') AS adv,
+    |      (length(st.acc) + 1 + length(st.pend) > 1500) AS over,
+    |      greatest(1500 - length(st.acc) - 1, 1) AS room0,
+    |      least(greatest(1500 - length(st.acc) - 1, 1), length(st.pend)) AS take_n,
+    |      CASE WHEN st.acc = '' THEN
+    |             CASE WHEN (length(st.acc) + 1 + length(st.pend) > 1500)
+    |                  THEN substring(st.pend, 1, least(greatest(1500 - length(st.acc) - 1, 1), length(st.pend)))
+    |                  ELSE st.pend END
+    |           ELSE st.acc || ' ' ||
+    |             CASE WHEN (length(st.acc) + 1 + length(st.pend) > 1500)
+    |                  THEN substring(st.pend, 1, least(greatest(1500 - length(st.acc) - 1, 1), length(st.pend)))
+    |                  ELSE st.pend END
+    |      END AS newacc
+    |    FROM st LEFT JOIN sent ns ON ns.source = st.source AND ns.i = st.i + 1 AND st.pend = ''
+    |  ) q
+    |  CROSS JOIN LATERAL (SELECT
+    |      (q.over OR length(q.newacc) >= 800) AS emit_now,
+    |      (length(trim(q.newacc, chr(32) || chr(9) || chr(10) || chr(13))) > 20
+    |        OR (q.idx = 0 AND length(trim(q.newacc, chr(32) || chr(9) || chr(10) || chr(13))) > 0)) AS emitted0
+    |    ) l (emit_now, emitted0)
+    |  CROSS JOIN LATERAL (SELECT (l.emit_now AND l.emitted0) AS e) m (emitted)
+    |  WHERE NOT (q.adv AND q.ns IS NULL)
+    |),
+    |terminal AS (
+    |  SELECT * FROM (
+    |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY step DESC) AS rn FROM st) t
+    |  WHERE rn = 1),
+    |chunks AS (
+    |  SELECT source, e_idx AS chunk_idx, e_len AS chunk_len, e_scnt AS sentence_count
+    |  FROM st WHERE e_idx IS NOT NULL
+    |  UNION ALL
+    |  SELECT source, idx, CAST(length(acc) AS BIGINT), CAST(greatest(naccs, 1) AS BIGINT)
+    |  FROM terminal
+    |  WHERE fresh AND (length(trim(acc, chr(32) || chr(9) || chr(10) || chr(13))) > 20
+    |                   OR (idx = 0 AND length(trim(acc, chr(32) || chr(9) || chr(10) || chr(13))) > 0)))
+    |SELECT source, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_len, sentence_count
+    |FROM chunks ORDER BY source, chunk_idx""".stripMargin
 }

@@ -19,14 +19,14 @@ package object queries {
 
     /** Register rows-only: the driver checks rows > 0 and the semantics are
       * pinned by specs instead of a DuckDB replay. Every such registration
-      * has a structural reason — the current 17, one line each:
+      * has a structural reason — the current 16, one line each
+      * (b9_chunk_docs graduated to an exact recursive-CTE oracle in
+      * round 8 — the fold replays in SQL like d10's greedy MMR):
       *
       *  - a1_pdf_ingest       — consumes PDF BYTES via the in-repo extractor;
       *                          byte-parity pinned by fixture twins
       *  - b2_b8_layout_chunk  — layout assembly over the extractor's
       *                          positioned glyphs (upstream A1, not SQL)
-      *  - b9_chunk_docs       — 800/1500/160 accumulator over A1 chunk
-      *                          stream (stateful fold on extractor output)
       *  - c1_embed_docs       — the pluggable embedder model boundary
       *  - c4_summarize_sections — summary model boundary over engine state
       *  - d11_exploration     — needs engine query-HISTORY state (stability

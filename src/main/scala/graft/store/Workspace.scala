@@ -232,7 +232,20 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * target the live version), so a run that pins a superseded id
     * re-reads identical data until the retention walk reclaims it;
     * pinning the LIVE id observes its appends until the next swap.
-    * Throws on an unknown or already-reclaimed id. */
+    * Throws on an unknown or already-reclaimed id.
+    *
+    * CONTRACT — time travel is a TABLE-level guarantee, not an
+    * engine-level one: this pins the DATA a reproducible run reads
+    * (training snapshots, exports, audits). [[graft.api.Engine.search]]
+    * always serves the LIVE corpus through the LIVE posting/ANN
+    * indexes — index versions advance independently of chunk versions
+    * (drift retrains, posting merges), and there is deliberately no
+    * search-as-of: a historical search would need the index HISTORY
+    * re-resolved against the snapshot (candidates absent from today's
+    * index are unrecoverable once a post-delete retrain dropped them),
+    * which no candidate-join can reconstruct. Pinned by
+    * EngineFacadeSpec ("time travel pins the table; search serves the
+    * live corpus"). */
   def readChunksAt(version: Int): DataFrame = {
     require(chunkVersions.contains(version),
       s"chunk version v$version is not on disk (committed versions: ${chunkVersions.mkString(", ")})")

@@ -70,6 +70,52 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(lzw == classic)
   }
 
+  test("predictor twin (/Predictor 12 PNG rows + /Predictor 2 TIFF) extracts identically to the classic layout") {
+    val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val pred = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesPredictor)
+    // page 2: Flate over PNG-filtered rows (per-row filter byte cycling
+    // through all five PNG filters, short final row); page 3: LZW over
+    // TIFF horizontal differencing. Byte parity required — before the
+    // predictor pass these streams decoded to garbage and the pages
+    // extracted nothing.
+    assert(pred == classic)
+    assert(classic.exists(_.lines.nonEmpty), "twin parity is vacuous on an empty extraction")
+  }
+
+  test("predictor unfiltering is exact for every PNG filter type and the TIFF path") {
+    val rnd = new scala.util.Random(7)
+    val data = Array.fill[Byte](1000)(rnd.nextInt(256).toByte)
+    // PNG round-trip via the private fixture encoder is covered by the
+    // twin test; here pin the decoder directly against hand-built rows
+    val cols = 16
+    // filter 2 (Up) over two rows of a known pattern
+    val row1 = Array.tabulate[Byte](cols)(i => (i * 3).toByte)
+    val row2 = Array.tabulate[Byte](cols)(i => (i * 5 + 1).toByte)
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(0); png.write(row1, 0, cols) // filter 0: verbatim
+    png.write(2) // filter 2: up
+    (0 until cols).foreach(i => png.write((row2(i) - row1(i)) & 0xff))
+    val dict = s"<< /Filter /FlateDecode /DecodeParms << /Predictor 12 /Columns $cols >> >>"
+    val got = CharPdfExtractor().applyPredictor(dict, png.toByteArray)
+    assert(got.sameElements(row1 ++ row2))
+    // TIFF predictor 2: delta-encode then decode restores the original
+    val tcols = 7
+    val enc = data.clone()
+    var r = 0
+    while (r < enc.length) {
+      val end = math.min(r + tcols, enc.length)
+      var i = end - 1
+      while (i > r) { enc(i) = (enc(i) - enc(i - 1)).toByte; i -= 1 }
+      r = end
+    }
+    val tdict = s"<< /Filter /FlateDecode /DecodeParms << /Predictor 2 /Columns $tcols >> >>"
+    assert(CharPdfExtractor().applyPredictor(tdict, enc).sameElements(data))
+    // no /DecodeParms or /Predictor 1 → identity
+    assert(CharPdfExtractor().applyPredictor("<< /Filter /FlateDecode >>", data).sameElements(data))
+    assert(CharPdfExtractor().applyPredictor(
+      "<< /DecodeParms << /Predictor 1 >> >>", data).sameElements(data))
+  }
+
   test("RC4-encrypted twin (empty user password) extracts identically to the plain layout") {
     val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
     val rc4 = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesEncrypted(aes = false))

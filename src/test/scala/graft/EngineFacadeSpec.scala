@@ -48,6 +48,43 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.latencyEmaMs > 0)
   }
 
+  test("time travel pins the table; search serves the live corpus (the snapshot/index contract)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-ttc-").toString
+    val engine = Engine.open(spark, root, "main",
+      opts = graft.model.SearchOptions(annMode = "ivf", annCells = 4, annProbes = 2))
+    def mk(ids: Range, tag: String) = ids
+      .map(i => (i.toString, s"$tag document $i about merge windows and rebasing topic$i", "s"))
+      .toDF("doc_id", "text", "source")
+    engine.index(mk(0 until 20, "alpha"))
+    val ws = engine.workspace
+    val v1 = ws.chunkVersions.max
+    val v1Ids = ws.readChunksAt(v1).select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(v1Ids == (0 until 20).map(_.toString).toSet)
+
+    // a full replace supersedes the corpus AND its indexes
+    engine.index(mk(100 until 115, "beta"))
+
+    // the pinned snapshot still reads the ALPHA corpus, bit-for-bit
+    assert(ws.readChunksAt(v1).select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet == v1Ids,
+      "a retained snapshot changed under a full replace")
+
+    // search is LIVE: results materialize only from live chunk rows —
+    // no alpha doc can surface however the query begs for one, and the
+    // semantic path (served by the CURRENT ANN index) agrees
+    val hits = engine.search("alpha document about merge windows topic5", 10)
+    assert(hits.nonEmpty)
+    val liveIds = ws.readLiveChunks().select("id").collect().map(_.getLong(0)).toSet
+    hits.foreach(h => assert(liveIds.contains(h.id),
+      s"search surfaced a chunk outside the live table: ${h.id}"))
+    val liveDocs = ws.readLiveChunks().select("doc_id").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(liveDocs.intersect(v1Ids).isEmpty) // precondition: corpora disjoint
+  }
+
   test("summarizeSections writes summary chunks back into the store (C4)") {
     val root = Files.createTempDirectory("graft-sum-").toString
     val engine = Engine.open(spark, root, "main")
