@@ -21,6 +21,9 @@ object AnnQueries {
 
   private val NumQueries = 5
   private val K = 10
+  // auto-geometry sample size + table budget (ann_lsh_auto_geometry)
+  private val GeoQueries = 16
+  private val GeoTables = 8
   private val HpLo = 8
   private val HpHi = 15 // 8 hyperplanes → 256 buckets
 
@@ -762,6 +765,63 @@ object AnnQueries {
             .cast("long").as("dot_micro"))
         .orderBy(col("dot_micro").desc, col("vec_id"))
         .limit(K)
+    },
+
+    // Auto-derived LSH banding geometry ([[graft.search.LshGeometry]],
+    // round-8): the mean k-NN angle from a bounded exact-scored sample
+    // picks the DEEPEST (most-pruning) band whose modeled union recall
+    // 1 − (1 − p₁ᵇ)^L clears the 0.7 target at L=8 tables — the knob a
+    // user must set BEFORE building an LSH index, where the blind 8×8
+    // default silently delivered recall@10 = 0.21 on this flat corpus
+    // (auto 8×4: 0.70, RECALL_r08). Scale shape: the sample side is a
+    // fixed 16-query broadcast; the corpus pays ONE scan (at 100 TB the
+    // library caps the corpus side by stride too — the estimate only
+    // biases θ̂ UP, i.e. toward MORE recall). Exactness: per-pair angles
+    // micro-floored to integer micro-radians and integer-averaged, so θ̂
+    // replays bit-for-bit; the band formula's doubles sit ≫ ULP from the
+    // 0.7 boundary at every b.
+    Q("ann_lsh_auto_geometry",
+      s"""WITH qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+         |            WHERE vec_id < $GeoQueries),
+         |ranked AS (
+         |  SELECT qs.q_id,
+         |         CAST(floor(acos(least(greatest(
+         |           list_cosine_similarity(e.embedding::DOUBLE[], qs.qv::DOUBLE[]), -1.0), 1.0)) * 1000000) AS BIGINT) AS urad,
+         |         row_number() OVER (PARTITION BY qs.q_id
+         |           ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qs.qv::DOUBLE[]) DESC, e.vec_id) AS rk
+         |  FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.q_id),
+         |theta AS (SELECT sum(urad) // count(*) AS theta_urad FROM ranked WHERE rk <= $K),
+         |bands AS (SELECT theta_urad, b,
+         |                 1.0 - pow(1.0 - pow(1.0 - (theta_urad / 1000000.0) / pi(), b), $GeoTables) AS er
+         |          FROM theta, unnest(range(1, 17)) AS u(b)),
+         |pick AS (SELECT coalesce(max(b), 1) AS hp FROM bands WHERE er >= 0.7)
+         |SELECT $GeoTables::BIGINT AS tables, b::BIGINT AS hyperplanes,
+         |       (1 << b)::BIGINT AS buckets, theta_urad::BIGINT AS theta_urad,
+         |       CAST(floor(er * 10000) AS BIGINT) AS expected_bp
+         |FROM bands JOIN pick ON bands.b = pick.hp""".stripMargin) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      val qs = e.filter(col("vec_id") < GeoQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val theta = e.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), cosineSim(col("embedding"), col("qv")).as("c"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
+        .filter(col("rk") <= K)
+        .select(floor(acos(least(greatest(col("c"), lit(-1.0)), lit(1.0))) * 1000000)
+          .cast("long").as("urad"))
+        .agg(expr("sum(urad) div count(*)").as("theta_urad"))
+      val bands = theta
+        .select(col("theta_urad"), explode(sequence(lit(1), lit(16))).as("b"))
+        .withColumn("er", lit(1.0) - pow(
+          lit(1.0) - pow(lit(1.0) - (col("theta_urad") / 1e6) / math.Pi, col("b")),
+          lit(GeoTables)))
+      val pick = bands.filter(col("er") >= 0.7)
+        .agg(coalesce(max(col("b")), lit(1)).as("hp"))
+      bands.join(broadcast(pick), col("b") === col("hp"))
+        .select(lit(GeoTables.toLong).as("tables"), col("b").cast("long").as("hyperplanes"),
+          expr("shiftleft(cast(1 as bigint), cast(b as int))").as("buckets"),
+          col("theta_urad").cast("long").as("theta_urad"),
+          floor(col("er") * 10000).cast("long").as("expected_bp"))
     }
   )
 }

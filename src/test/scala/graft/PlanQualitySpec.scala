@@ -572,6 +572,28 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("text_fingerprint: encode(lower(text)) stays hoisted — never inlined into the minhash lambda") {
+    val p = plan("text_fingerprint")
+    // the payload projection is the linearity guarantee: one encode per
+    // ROW. If CollapseProject ever inlined the non-cheap alias into the
+    // transform lambda, encode(lower(text)) would re-evaluate per
+    // 8-gram — O(len²/4) per doc (the round-7 quadratic family). The
+    // 1 MB-payload spec pins the wall-time shape; this pins the plan.
+    val encodes = "encode\\(".r.findAllIn(p).size
+    assert(encodes == 1, s"expected exactly one encode() in the plan, got $encodes:\n$p")
+    assert("lower\\(".r.findAllIn(p).size == 1, p)
+  }
+
+  test("ann_lsh_auto_geometry: one corpus scan against a broadcast sample, no corpus shuffle") {
+    val p = plan("ann_lsh_auto_geometry")
+    // the θ̂ estimate is the only data-sized work: corpus scan ×
+    // broadcast 16-query sample; everything after the k-NN window is
+    // driver-sized (one θ row × 16 band candidates)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("Exchange hashpartitioning(vec_id"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("curriculum order: every shuffle is source-keyed, final order is a TakeOrdered heap") {
     val p = plan("curation_curriculum_order")
     assert(p.contains("TakeOrderedAndProject"), p)
