@@ -59,6 +59,7 @@ final class Engine(
     val t = new Thread(r, "graft-maintenance"); t.setDaemon(true); t
   })
   private val annRetrainQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
+  private val annRetrainRerun = new java.util.concurrent.atomic.AtomicBoolean(false)
   private val chunkCompactQueued = new java.util.concurrent.atomic.AtomicBoolean(false)
   // starvation guard: consecutive background attempts that lost the commit
   // race to inline rebuilds. A supersession STORM (rapid index()/
@@ -305,13 +306,27 @@ final class Engine(
     if (workspace.annDriftExceeded) scheduleAnnRetrain()
   }
 
+  /** Schedule a background retrain, with a RERUN handshake instead of a
+    * lost wakeup: a request landing while a retrain is already in flight
+    * (the CAS fails) marks `annRetrainRerun`, and the in-flight job's
+    * finally re-schedules once it releases the queued flag. Without
+    * this, an undelete during a retrain would silently drop its repair
+    * request — the in-flight job's snapshot predates the undelete, its
+    * commit fence sees neither chunks_v nor ann_v move, and the
+    * undeleted doc's vectors stay missing until an unrelated drift
+    * retrain (round-8 review finding). The rerun retrains over the
+    * POST-event live table, superseding the stale commit. */
   private def scheduleAnnRetrain(): Unit =
     if (annRetrainQueued.compareAndSet(false, true))
       maintExec.execute { () =>
         try backgroundAnnRetrain()
         catch { case scala.util.control.NonFatal(e) => lastMaintenanceError = Some(e) }
-        finally annRetrainQueued.set(false)
+        finally {
+          annRetrainQueued.set(false)
+          if (annRetrainRerun.getAndSet(false)) scheduleAnnRetrain()
+        }
       }
+    else annRetrainRerun.set(true)
 
   private def scheduleChunkCompact(): Unit =
     if (chunkCompactQueued.compareAndSet(false, true))
@@ -550,10 +565,7 @@ final class Engine(
       val lifted =
         if (workspace.hasTombstones) {
           val before = workspace.readTombstones().count()
-          workspace.removeTombstones(docIds.toDF("doc_id"))
-          val after =
-            if (workspace.hasTombstones) workspace.readTombstones().count() else 0L
-          before - after
+          before - workspace.removeTombstones(docIds.toDF("doc_id"))
         } else 0L
       // fence an in-flight background purge: its snapshot was filtered
       // with the PRE-undelete tombstone set, so letting it commit would
@@ -617,13 +629,21 @@ final class Engine(
       workspace.writeChunks(
         ChunkStore.buildChunks(admission.map(_._1).getOrElse(docs), embedder),
         clearOnCommit = Seq("tombstones_v", "deny_docs_v"))
-      rebuildPostings()
-      rebuildAnn()
+      // the filter swap rides IMMEDIATELY behind the table commit, before
+      // the index rebuilds: once the new corpus is live, the admission
+      // state matching it must be too — a rebuild failure after this
+      // point leaves indexes stale vs the new table (the pre-existing
+      // index() failure mode, repaired by re-running index or
+      // compactIndexes) but can no longer pair the NEW corpus with the
+      // OLD corpus's persisted filter (round-8 review finding: the
+      // in-memory drop below would otherwise lazily reload it)
       admission.foreach { case (_, positions) =>
         workspace.clearDedupBloom()
         recordAdmittedBuckets(positions)
       }
       filterCommitted = true
+      rebuildPostings()
+      rebuildAnn()
       workspace.setMeta("summaries_indexed", "false")
       invalidate()
       workspace.count()

@@ -802,7 +802,13 @@ object AnnQueries {
       val e = embeddings(spark, dir)
       val qs = e.filter(col("vec_id") < GeoQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
-      val theta = e.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("q_id"))
+      // θ̂ lands on the driver as ONE long (the centroid-array idiom:
+      // a scalar that every downstream band row derives from) — keeping
+      // it a DataFrame would plan the corpus-scoring subtree under BOTH
+      // the band probe and the broadcast pick side, executing the scan
+      // twice per run (round-8 review finding)
+      val thetaUrad: Long = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), cosineSim(col("embedding"), col("qv")).as("c"))
         .withColumn("rk", row_number().over(
           Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
@@ -810,8 +816,9 @@ object AnnQueries {
         .select(floor(acos(least(greatest(col("c"), lit(-1.0)), lit(1.0))) * 1000000)
           .cast("long").as("urad"))
         .agg(expr("sum(urad) div count(*)").as("theta_urad"))
-      val bands = theta
-        .select(col("theta_urad"), explode(sequence(lit(1), lit(16))).as("b"))
+        .head().getLong(0)
+      val bands = spark.range(1, 17).select(lit(thetaUrad).as("theta_urad"),
+          col("id").cast("int").as("b"))
         .withColumn("er", lit(1.0) - pow(
           lit(1.0) - pow(lit(1.0) - (col("theta_urad") / 1e6) / math.Pi, col("b")),
           lit(GeoTables)))

@@ -102,7 +102,11 @@ object IngestQueries {
     // first-chunk-never-dropped exception. The lookbehind sentence split
     // `(?<=[.?!])\s+` (RE2 has no lookbehind) is mirrored as
     // regexp_replace('([.?!])\s+' → '\1' + \x01) + split, which consumes
-    // the same whitespace runs.
+    // the same whitespace runs. Documented equivalence bounds: Java's \s
+    // includes \x0B (RE2's does not) and String.trim strips all chars
+    // ≤ 0x20 (the oracle trims space/tab/LF/CR) — exact on this corpus
+    // (printable ASCII + standard whitespace, verified), divergent only
+    // for vertical-tab/control-char payloads.
     Q("b9_chunk_docs", B9OracleSql.sql) { (spark, dir) =>
       import spark.implicits._
       val sections = table(spark, dir, "documents")

@@ -127,8 +127,10 @@ object RecallEval {
                                corpusIn: DataFrame, cells: Int,
                                numQueries: Int, k: Int,
                                nprobe: Int): Report = {
-    val n = corpusIn.count().toInt
+    // checkpoint FIRST, count the materialized frame: counting the raw
+    // input would execute the corpus pipeline twice per report
     val corpus = corpusIn.localCheckpoint()
+    val n = corpus.count().toInt
     try {
       val ws = new graft.store.Workspace(spark,
         graft.util.TempRoot.dir("recall-engine-ws-").toString)

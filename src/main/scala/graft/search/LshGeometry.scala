@@ -62,13 +62,20 @@ object LshGeometry {
     val side = e.filter(pmod(col("vec_id"), lit(cStride)) === 0)
     val scored = side.crossJoin(broadcast(qs))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), cosineSim(col("embedding"), col("qv")).as("c"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("embedding"), col("qv")).as("c"))
+      // vec_id tie-break: duplicate vectors (exact cosine ties at the
+      // rank-k cutoff — common in dedup corpora) must not make θ̂
+      // partition-order-dependent, or choose() could flip bands between
+      // runs of the same corpus
       .withColumn("rk", row_number().over(
-        Window.partitionBy(col("q_id")).orderBy(col("c").desc)))
+        Window.partitionBy(col("q_id")).orderBy(col("c").desc, col("vec_id"))))
       .filter(col("rk") <= k)
       .agg(avg(acos(least(greatest(col("c"), lit(-1.0)), lit(1.0)))).as("theta"))
       .head()
-    scored.getDouble(0)
+    // degenerate corpus (0–1 vectors → zero scored pairs → null avg):
+    // fall back to the uniform-random prior θ = π/2 (p₁ = 0.5) — the
+    // most conservative band — instead of NPE-ing the entry point
+    if (scored.isNullAt(0)) math.Pi / 2 else scored.getDouble(0)
   }
 
   /** Union recall of L b-bit tables at per-hyperplane collision p₁,

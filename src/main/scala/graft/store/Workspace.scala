@@ -636,14 +636,17 @@ final class Workspace(val spark: SparkSession, val root: String) {
   /** Drop doc ids from the tombstone set — a re-ingested document
     * supersedes its tombstone (the delete-then-reinsert flow). An
     * emptied set drops the pointer too, so reads stop paying the
-    * (no-op) anti-join. */
-  def removeTombstones(ids: DataFrame): Unit =
+    * (no-op) anti-join. Returns the set's NEW total size (swapIdSet
+    * already materializes it — callers needing the removed count pay
+    * no extra count job). */
+  def removeTombstones(ids: DataFrame): Long =
     if (hasTombstones) {
       val n = swapIdSet("tombstones", readTombstones().join(
         broadcast(ids.select(col("doc_id").cast("string").as("doc_id"))),
         Seq("doc_id"), "left_anti"))
       if (n == 0) clearTombstones()
-    }
+      n
+    } else 0L
 
   /** Reset after a physical purge (a full rewrite dropped the tombstoned
     * rows from every live file). Version dirs are pruned by the next

@@ -862,6 +862,43 @@ class IncrementalIndexSpec extends AnyFunSuite {
       "undeleted doc not reachable through the semantic path")
   }
 
+  test("undelete DURING an in-flight retrain is not lost: the rerun handshake repairs the index") {
+    val root = Files.createTempDirectory("graft-undelrerun-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(30))
+    val ws = engine.workspace
+    val victimChunkIds = ws.readChunks().filter(col("doc_id") === "5")
+      .select("id").collect().map(_.getLong(0)).toSet
+    engine.deleteDocuments(Seq("5"))
+
+    // hold the drift retrain between its (minusTombstones, pre-undelete)
+    // snapshot and its commit
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    engine.maintenanceHook = () => { entered.countDown(); release.await() }
+    engine.ingestBatch(docs(31, from = 100)) // drift exceeded → retrain queued
+    assert(entered.await(60, java.util.concurrent.TimeUnit.SECONDS),
+      "drift never scheduled a retrain")
+    // mid-flight undelete: its scheduleAnnRetrain CAS fails (flag held by
+    // the in-flight job); before round 8's rerun handshake the request
+    // was silently dropped — the in-flight job's fence sees neither
+    // chunks_v nor ann_v move and commits an index lacking doc 5 forever
+    engine.undeleteDocuments(Seq("5"))
+    engine.maintenanceHook = () => ()
+    release.countDown()
+    // first drain covers the in-flight job; second covers the rerun it
+    // re-scheduled from its finally
+    engine.awaitMaintenance()
+    engine.awaitMaintenance()
+    assert(engine.lastMaintenanceError.isEmpty,
+      s"retrain failed: ${engine.lastMaintenanceError}")
+    assert(ws.readAnn().filter(col("id").isInCollection(victimChunkIds)).count()
+      == victimChunkIds.size,
+      "undelete during an in-flight retrain lost its repair — vectors still missing")
+    val hits = engine.search("streamed document about merge windows topic5", 10)
+    assert(hits.exists(h => victimChunkIds.contains(h.id)))
+  }
+
   test("time travel: a pinned prior version re-reads its snapshot until retention reclaims it") {
     val root = Files.createTempDirectory("graft-tt-").toString
     val engine = ivfEngine(root)
