@@ -287,7 +287,16 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
                                             cidWidths: Map[Int, Double] = Map.empty,
                                             defaultWEm: Double = 1.0,
                                             toUnicode: Map[Int, String] = Map.empty,
-                                            codeToCid: Map[Int, Int] = Map.empty)
+                                            codeToCid: Map[Int, Int] = Map.empty,
+                                            // simple-font code → unicode from /Encoding
+                                            // /Differences (AGL names) overlaid by a
+                                            // /ToUnicode CMap; unmapped codes keep the
+                                            // raw-byte fallback
+                                            codeToUnicode: Map[Int, String] = Map.empty,
+                                            // /Widths multiplier: 1/1000 for Type1/
+                                            // TrueType glyph space; Type3 substitutes
+                                            // its /FontMatrix horizontal scale
+                                            widthScale: Double = 0.001)
   private val DefaultFont = FontInfo(400, 0, None)
 
   /** Resource font name (/F1 …) → [[FontInfo]], resolved through the
@@ -315,14 +324,22 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       }
     }
     val objInfo: Map[String, FontInfo] = bodies.flatMap { case (num, body) =>
-      """/BaseFont\s*/([A-Za-z0-9+-]+)""".r.findFirstMatchIn(body).map { bm =>
-        val bold = bm.group(1).toLowerCase.contains("bold")
+      val base = """/BaseFont\s*/([A-Za-z0-9+-]+)""".r.findFirstMatchIn(body)
+      val bold = base.exists(_.group(1).toLowerCase.contains("bold"))
+      // /BaseFont is OPTIONAL for /Type3 fonts (PDF §9.6.4) — keying the
+      // font table on it alone would drop every Type3 font to the raw-byte
+      // default, which is wrong precisely when the font carries a
+      // /Differences code remap
+      if ("""/Subtype\s*/Type3""".r.findFirstIn(body).isDefined)
+        Some(num -> type3Info(body, bold, bodies, crypto, widthTable(body)))
+      else base.map { _ =>
         if ("""/Subtype\s*/Type0""".r.findFirstIn(body).isDefined)
           num -> type0Info(body, bold, bodies, crypto)
         else {
           val wt = widthTable(body)
           num -> FontInfo(if (bold) 700 else 400,
-            wt.map(_._1).getOrElse(0), wt.map(_._2))
+            wt.map(_._1).getOrElse(0), wt.map(_._2),
+            codeToUnicode = simpleCodeMap(body, bodies, crypto))
         }
       }
     }
@@ -330,6 +347,66 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
       """/([A-Za-z0-9]+)\s+(\d+)\s+0\s+R""".r.findAllMatchIn(fm.group(1))
         .map(rm => rm.group(1) -> objInfo.getOrElse(rm.group(2), DefaultFont))
     }.toMap
+  }
+
+  // ---- /Type3 + simple-font encoding resolution ----
+
+  /** Resolve a /Type3 font: codes map to glyph names via /Encoding
+    * /Differences (names resolve through the Adobe Glyph List ASCII
+    * subset, [[AdobeGlyphs]]), optionally corrected by a /ToUnicode CMap;
+    * /Widths entries are GLYPH-space units scaled by the /FontMatrix
+    * horizontal term (PDF §9.6.4) instead of the simple-font 1/1000.
+    * /CharProcs glyph-drawing streams are never interpreted — only the
+    * page /Contents streams are, so glyph procs are structurally inert
+    * here, exactly as for pdf_processor.cpp:88-95's PDFium text API. */
+  private def type3Info(body: String, bold: Boolean,
+                        bodies: Map[String, String],
+                        crypto: Option[Crypto],
+                        wt: Option[(Int, Vector[Double])]): FontInfo = {
+    val scale = """/FontMatrix\s*\[\s*(-?\d*\.?\d+)""".r.findFirstMatchIn(body)
+      .flatMap(m => scala.util.Try(m.group(1).toDouble).toOption)
+      .filter(s => s > 0 && s.isFinite)
+      .getOrElse(0.001)
+    FontInfo(if (bold) 700 else 400, wt.map(_._1).getOrElse(0), wt.map(_._2),
+      widthScale = scale,
+      codeToUnicode = simpleCodeMap(body, bodies, crypto))
+  }
+
+  /** Simple-font (Type1/TrueType/Type3) code → unicode overrides:
+    * /Encoding /Differences entries (inline dict or indirect object)
+    * resolved through [[AdobeGlyphs]], then overlaid by the font's
+    * /ToUnicode CMap when present — ToUnicode wins per code, which is
+    * also the escape hatch for Differences names outside the glyph-list
+    * subset (Type3 writers often emit opaque /gNN names). Codes mapped by
+    * neither keep the raw-byte fallback in show(). */
+  private def simpleCodeMap(body: String, bodies: Map[String, String],
+                            crypto: Option[Crypto]): Map[Int, String] = {
+    val encBody = """/Encoding\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
+      .flatMap(m => bodies.get(m.group(1))).getOrElse(body)
+    val diffs = """/Differences\s*\[""".r.findFirstMatchIn(encBody)
+      .map(m => parseDifferences(balancedArray(encBody, m.end - 1)))
+      .getOrElse(Map.empty[Int, String])
+    val toUni = """/ToUnicode\s+(\d+)\s+0\s+R""".r.findFirstMatchIn(body)
+      .flatMap(m => bodies.get(m.group(1)).map(b => (m.group(1).toInt, b)))
+      .map { case (num, b) => streamPayload(num, b, crypto) }
+      .map(parseToUnicode).getOrElse(Map.empty[Int, String])
+    diffs ++ toUni
+  }
+
+  /** /Differences array (PDF §9.6.5.1): an integer sets the next code,
+    * each following /name maps one consecutive code. Names that don't
+    * resolve through the glyph list are skipped (code still advances) —
+    * the raw-byte fallback is less wrong than dropping the glyph. */
+  private[graft] def parseDifferences(inner: String): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    var code = 0
+    """/[^\s/\[\]<>()]+|\d+""".r.findAllIn(inner).foreach { t =>
+      if (t.startsWith("/")) {
+        AdobeGlyphs.unicode(t.drop(1)).foreach(u => out += code -> u)
+        code += 1
+      } else scala.util.Try(t.toInt).foreach(code = _)
+    }
+    out.result()
   }
 
   // ---- composite (/Type0 Identity-H) font resolution ----
@@ -875,16 +952,26 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
         if (k < str.length) curX += font.defaultWEm * fontSize
       } else str.foreach { c =>
         // per-char advance from the font's /Widths table when present
-        // (1/1000 em), else the fixed-pitch approximation
+        // (glyph space × widthScale: 1/1000, or Type3's /FontMatrix),
+        // else the fixed-pitch approximation
         val em = font.widths match {
           case Some(ws) if c.toInt >= font.firstChar && c.toInt - font.firstChar < ws.length =>
-            ws(c.toInt - font.firstChar) / 1000.0
+            ws(c.toInt - font.firstChar) * font.widthScale
           case _ => defaultWidthEm
         }
         val w = em * fontSize
-        chars += Ch(c, curX, textY + fontSize * 0.8, curX + w, textY - fontSize * 0.2,
-          fontSize, font.weight)
-        curX += w
+        // /Differences + /ToUnicode remap (Type3 and re-encoded simple
+        // fonts); a multi-char target (ligature) splits the advance, same
+        // as the composite branch
+        val uni = font.codeToUnicode.getOrElse(c.toInt, c.toString)
+        if (uni.nonEmpty) {
+          val cw = w / uni.length
+          uni.foreach { u =>
+            chars += Ch(u, curX, textY + fontSize * 0.8, curX + cw, textY - fontSize * 0.2,
+              fontSize, font.weight)
+            curX += cw
+          }
+        } else curX += w // mapped to nothing: advance without a glyph
       }
 
     tokenize(stream).foreach {
@@ -971,6 +1058,48 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     emit(acc)
     lines.result()
   }
+}
+
+/** Adobe Glyph List resolution for /Encoding /Differences names — the
+  * printable-ASCII subset (AGL 2.0's names for U+0020–U+007E) plus the
+  * algorithmic `uniXXXX[YYYY…]` / `uXXXX[XX]` forms. Enough for byte
+  * parity on latin text; names outside the subset fall through to the
+  * caller's /ToUnicode overlay (see simpleCodeMap). */
+private[graft] object AdobeGlyphs {
+
+  /** code point → AGL name for printable ASCII (the encode side, used by
+    * the Type3 fixture twin to emit a /Differences array). */
+  val asciiNames: Map[Int, String] = {
+    val syms = Map(
+      32 -> "space", 33 -> "exclam", 34 -> "quotedbl", 35 -> "numbersign",
+      36 -> "dollar", 37 -> "percent", 38 -> "ampersand", 39 -> "quotesingle",
+      40 -> "parenleft", 41 -> "parenright", 42 -> "asterisk", 43 -> "plus",
+      44 -> "comma", 45 -> "hyphen", 46 -> "period", 47 -> "slash",
+      58 -> "colon", 59 -> "semicolon", 60 -> "less", 61 -> "equal",
+      62 -> "greater", 63 -> "question", 64 -> "at",
+      91 -> "bracketleft", 92 -> "backslash", 93 -> "bracketright",
+      94 -> "asciicircum", 95 -> "underscore", 96 -> "grave",
+      123 -> "braceleft", 124 -> "bar", 125 -> "braceright", 126 -> "asciitilde")
+    val digits = Seq("zero", "one", "two", "three", "four", "five", "six",
+      "seven", "eight", "nine").zipWithIndex.map { case (n, i) => (48 + i) -> n }
+    val letters = (('A' to 'Z') ++ ('a' to 'z')).map(c => c.toInt -> c.toString)
+    syms ++ digits ++ letters
+  }
+
+  private val byName: Map[String, String] =
+    asciiNames.map { case (cp, n) => n -> cp.toChar.toString }
+
+  /** AGL name → unicode string, or None for names outside the subset. */
+  def unicode(name: String): Option[String] =
+    if (name.startsWith("uni") && name.length >= 7 && (name.length - 3) % 4 == 0 &&
+        name.drop(3).forall(c => Character.digit(c, 16) >= 0))
+      // uniXXXX[YYYY…]: each 4-hex group is one UTF-16 unit
+      Some(name.drop(3).grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString)
+    else if (name.startsWith("u") && name.length >= 5 && name.length <= 7 &&
+        name.drop(1).forall(c => Character.digit(c, 16) >= 0))
+      // uXXXX–uXXXXXX: one code point, possibly astral
+      scala.util.Try(new String(Character.toChars(Integer.parseInt(name.drop(1), 16)))).toOption
+    else byName.get(name)
 }
 
 /** Format-sniffing default extractor: real PDFs (%PDF- magic) go through

@@ -167,6 +167,95 @@ object PdfSampleDoc {
     out.toByteArray
   }
 
+  /** /Type3 twin of [[bytes]]: the SAME page text, but the body font /F1
+    * is a Type3 font — no /BaseFont (legal, §9.6.4), /FontMatrix
+    * [0.01 …] with /Widths 60 (so the FontMatrix scale, not the 1/1000
+    * simple-font rule, must produce the 0.6 em Courier advance), inert
+    * /CharProcs glyph streams, and content strings as 1-byte HEX codes
+    * OFFSET from ASCII by −31 — nothing extracts unless the /Encoding
+    * /Differences array actually resolves codes through the glyph list.
+    * Three codes stress the name forms: 'd' is /uni0064, 'w' is /u0077,
+    * and 'k' is the opaque writer name /g76 that only the font's raw
+    * /ToUnicode CMap (1-byte codespace) can resolve. The heading font
+    * /F2 stays a simple Type1 but re-encodes 'o' to byte 0xE9 via its
+    * own /Differences — the re-encoded-simple-font case. Extraction is
+    * REQUIRED to be byte-identical to the classic twin
+    * (CharPdfExtractorSpec). */
+  def bytesType3: Array[Byte] = {
+    def hex3(s: String): String =
+      "<" + s.map(c => f"${c.toInt - 31}%02X").mkString + ">"
+    def head(s: String): String = "(" + s.replace('o', '\u00e9') + ")"
+    def pageContentType3(p: Int): String =
+      s"""BT /F2 18 Tf 1 0 0 1 72 700 Tm ${head(title(p))} Tj ET
+         |BT /F1 10 Tf 1 0 0 1 72 660 Tm ${hex3(s"This is body text on page $p. It explains the topic in detail.")} Tj
+         |0 -14 Td ${hex3("A second line continues the paragraph with more words.")} Tj
+         |0 -14 Td [${hex3("kerned")} -700 ${hex3("gap")}] TJ ET
+         |BT /F1 8 Tf 1 0 0 1 72 24 Tm ${hex3("Confidential Draft")} Tj ET
+         |BT /F1 8 Tf 1 0 0 1 300 24 Tm ${hex3(p.toString)} Tj ET""".stripMargin
+    val diffNames = (32 to 126).map {
+      case 107 => "g76"
+      case 100 => "uni0064"
+      case 119 => "u0077"
+      case c => AdobeGlyphs.asciiNames(c)
+    }
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<4C> <006B>
+        |endbfchar
+        |endcmap
+        |end end""".stripMargin
+
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def obj(n: Int)(body: => Unit): Unit = {
+      offsets += out.size; w(s"$n 0 obj\n"); body; w("endobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1) { w("<< /Type /Catalog /Pages 2 0 R >>\n") }
+    obj(2) { w(s"<< /Type /Pages /Kids [${(0 until NumPages).map(i => s"${3 + i} 0 R").mkString(" ")}] /Count $NumPages >>\n") }
+    for (i <- 0 until NumPages) obj(3 + i) {
+      w(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] /Contents ${10 + i} 0 R " +
+        "/Resources << /Font << /F1 17 0 R /F2 18 0 R >> >> >>\n")
+    }
+    for (i <- 0 until NumPages) {
+      val content = pageContentType3(i + 1)
+      obj(10 + i) {
+        w(s"<< /Length ${content.length} >>\nstream\n$content\nendstream\n")
+      }
+    }
+    obj(17) {
+      w("<< /Type /Font /Subtype /Type3 /FontBBox [0 0 100 100] " +
+        "/FontMatrix [0.01 0 0 0.01 0 0] /CharProcs 19 0 R " +
+        s"/Encoding << /Type /Encoding /Differences [1 ${diffNames.map("/" + _).mkString(" ")}] >> " +
+        s"/FirstChar 1 /LastChar 95 /Widths [${Seq.fill(95)(60).mkString(" ")}] " +
+        "/ToUnicode 21 0 R /Resources << >> >>\n")
+    }
+    obj(18) { w("<< /Type /Font /Subtype /Type1 /BaseFont /Courier-Bold " +
+      "/Encoding << /Type /Encoding /Differences [233 /o] >> >>\n") }
+    obj(19) { w("<< /space 20 0 R /a 20 0 R >>\n") }
+    obj(20) {
+      // a glyph-drawing proc: d0 + a fill — contains no BT, so the
+      // content-stream sniff must never mistake it for page text
+      val proc = "60 0 d0 0 0 m 50 0 l 50 50 l f"
+      w(s"<< /Length ${proc.length} >>\nstream\n$proc\nendstream\n")
+    }
+    obj(21) {
+      w(s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream\n")
+    }
+    val xref = out.size
+    w(s"xref\n0 ${offsets.size + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.size + 1} /Root 1 0 R >>\nstartxref\n$xref\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** Assemble the classic PDF with correct xref offsets. Deterministic
     * bytes. Page 2 exercises the FlateDecode path. */
   def bytes: Array[Byte] =

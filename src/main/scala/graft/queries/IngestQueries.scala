@@ -28,6 +28,9 @@ object IngestQueries {
     Q.noOracle("a1_pdf_ingest") { (spark, dir) =>
       val tmp = graft.util.TempRoot.dir("a1-")
       java.nio.file.Files.write(tmp.resolve("sample.pdf"), graft.ingest.PdfSampleDoc.bytes)
+      // the Type3 /Differences twin rides along: same text through the
+      // glyph-name decode path, so the chunk output doubles exactly
+      java.nio.file.Files.write(tmp.resolve("type3.pdf"), graft.ingest.PdfSampleDoc.bytesType3)
       graft.ingest.PdfSource.extractChunks(spark, tmp.toString)
     },
 

@@ -62,6 +62,44 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     }
   }
 
+  test("Type3 /Differences twin extracts identically to the classic layout") {
+    val simple = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val type3 = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesType3)
+    assert(type3.size == simple.size)
+    // body codes are ASCII−31, so ANY extracted body text proves the
+    // /Encoding /Differences array resolved through the glyph list
+    // (including the /uni0064 and /u0077 algorithmic names) with the
+    // opaque /g76 name recovered via the font's raw 1-byte /ToUnicode;
+    // /FontMatrix [0.01 …] × /Widths 60 must reproduce the 0.6 em Courier
+    // advance, so full per-line equality (text, boxes, weight) is required.
+    // The heading font separately pins the re-encoded-simple-font case
+    // (byte 0xE9 → /o via its own /Differences).
+    simple.zip(type3).foreach { case (s, t) =>
+      assert(t.lines == s.lines, s"page ${s.pageNum} diverges under the Type3 layout")
+    }
+  }
+
+  test("AGL name resolution: ASCII names, uniXXXX/uXXXX forms, out-of-subset names") {
+    import graft.ingest.AdobeGlyphs
+    assert(AdobeGlyphs.unicode("space").contains(" "))
+    assert(AdobeGlyphs.unicode("quotesingle").contains("'"))
+    assert(AdobeGlyphs.unicode("seven").contains("7"))
+    assert(AdobeGlyphs.unicode("A").contains("A"))
+    assert(AdobeGlyphs.unicode("uni0041").contains("A"))
+    // multi-unit uniXXXXYYYY: two UTF-16 units
+    assert(AdobeGlyphs.unicode("uni00410042").contains("AB"))
+    // uXXXXX with an astral code point survives the surrogate split
+    assert(AdobeGlyphs.unicode("u1D400").contains(new String(Character.toChars(0x1D400))))
+    assert(AdobeGlyphs.unicode("g76").isEmpty)    // opaque writer name
+    assert(AdobeGlyphs.unicode("uniXYZW").isEmpty) // non-hex uni name
+  }
+
+  test("/Differences parsing: restarts, unresolvable names advance the code") {
+    val m = CharPdfExtractor().parseDifferences("1 /space /g99 /exclam 65 /A /uni0042")
+    // /g99 resolves to nothing but still consumes code 2
+    assert(m == Map(1 -> " ", 3 -> "!", 65 -> "A", 66 -> "B"))
+  }
+
   test("/LZWDecode twin extracts identically to the classic layout") {
     val classic = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
     val lzw = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesLzw)
