@@ -66,7 +66,8 @@ object SparkEntry {
     "curation_source_overlap", "embed_outlier_flags",
     "curation_weighted_sample", "curation_curriculum_order",
     "curation_embed_decontam", "curation_dataset_card",
-    "ml_influence_grad_dot", "embed_standardize",
+    "ml_influence_grad_dot", "ml_quality_filter_apply",
+    "dedup_containment", "text_word_entropy", "embed_standardize",
     "embed_psi_drift", "ml_confusion_matrix", "ml_ndcg_eval",
     "mm_energy_segments", "q_cohort_retention",
     "curation_pack_report",

@@ -135,6 +135,52 @@ object CurationQueries {
       |              len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE / 1000.0] AS x
       |           FROM documents""".stripMargin
 
+  // ---- shared micro-exact GD machinery (ml_linear_probe_train +
+  // ml_quality_filter_apply): gradients are micro-floored integer sums,
+  // steps divide by 10·n with a floor — bit-identical in DuckDB's CTE
+  // replay because every float enters through one correctly-rounded
+  // division of a shared integer ----
+
+  private[queries] val probeDotSql = (1 to 4).map(k =>
+    s"w.wm[$k]::DOUBLE / 1000000.0 * x[$k]").mkString(" + ")
+
+  private def probeGradCte(g: String, wPrev: String) =
+    s"""$g AS (SELECT count(*) AS n, ${(1 to 4).map(k =>
+         s"sum(CAST(floor(($probeDotSql - y) * x[$k] * 1000000) AS BIGINT)) AS gr$k").mkString(", ")}
+       |      FROM f CROSS JOIN $wPrev w)""".stripMargin
+
+  private def probeStepCte(wNew: String, g: String, wPrev: String) =
+    s"""$wNew AS (SELECT [${(1 to 4).map(k =>
+         s"w.wm[$k] - CAST(floor(gr$k::DOUBLE / (10.0 * n)) AS BIGINT)").mkString(", ")}] AS wm
+       |      FROM $g CROSS JOIN $wPrev w)""".stripMargin
+
+  /** CTEs training w0 → w2 (two replayed GD steps). Prepend after `f`. */
+  private[queries] val probeTrainCtes =
+    s"""w0 AS (SELECT [CAST(0 AS BIGINT), 0, 0, 0] AS wm),
+       |${probeGradCte("g1", "w0")},
+       |${probeStepCte("w1", "g1", "w0")},
+       |${probeGradCte("g2", "w1")},
+       |${probeStepCte("w2", "g2", "w1")}""".stripMargin
+
+  /** Dot product with DRIVER-literal micro weights: the same double each
+    * engine derives (w/1e6 is one correctly-rounded division), summed in
+    * the same fixed k order. */
+  private def probeDot(w: Seq[Long]): org.apache.spark.sql.Column =
+    (0 until 4).map(k => lit(w(k).toDouble / 1e6) * col("x")(k)).reduce(_ + _)
+
+  private def probeGradAgg(f: DataFrame, w: Seq[Long]): DataFrame =
+    f.agg(count(lit(1)).as("n"),
+      (0 until 4).map(k =>
+        sum(floor((probeDot(w) - col("y")) * col("x")(k) * 1000000).cast("long")).as(s"gr$k")): _*)
+
+  /** One GD step: a bounded driver hop (5 longs — the centroid-array
+    * contract), exactly like ann_ivf_trained's Lloyd rounds. */
+  private def probeStep(f: DataFrame, w: Seq[Long]): Seq[Long] = {
+    val r = probeGradAgg(f, w).head()
+    val n = r.getLong(0)
+    (0 until 4).map(k => w(k) - math.floor(r.getLong(k + 1).toDouble / (10.0 * n)).toLong)
+  }
+
   /** The same rows in Spark, staged once per (session, dir) — the
     * tokenize runs once however many trainer queries (or GD steps)
     * consume it. */
@@ -986,50 +1032,85 @@ object CurationQueries {
     // steps replay bit-identically in the oracle's chained CTEs. lr=0.1.
     // Steps 1–2 collect their 4-long gradient; step 3 stays IN-PLAN (the
     // returned frame derives the final weights from the live aggregate).
-    Q("ml_linear_probe_train", {
-      val dotSql = (1 to 4).map(k =>
-        s"w.wm[$k]::DOUBLE / 1000000.0 * x[$k]").mkString(" + ")
-      def gradCte(g: String, wPrev: String) =
-        s"""$g AS (SELECT count(*) AS n, ${(1 to 4).map(k =>
-             s"sum(CAST(floor(($dotSql - y) * x[$k] * 1000000) AS BIGINT)) AS gr$k").mkString(", ")}
-           |      FROM f CROSS JOIN $wPrev w)""".stripMargin
-      def stepCte(wNew: String, g: String, wPrev: String) =
-        s"""$wNew AS (SELECT [${(1 to 4).map(k =>
-             s"w.wm[$k] - CAST(floor(gr$k::DOUBLE / (10.0 * n)) AS BIGINT)").mkString(", ")}] AS wm
-           |      FROM $g CROSS JOIN $wPrev w)""".stripMargin
+    Q("ml_linear_probe_train",
       s"""WITH f AS ($FeatSql),
-         |w0 AS (SELECT [CAST(0 AS BIGINT), 0, 0, 0] AS wm),
-         |${gradCte("g1", "w0")},
-         |${stepCte("w1", "g1", "w0")},
-         |${gradCte("g2", "w1")},
-         |${stepCte("w2", "g2", "w1")},
-         |${gradCte("g3", "w2")},
-         |${stepCte("w3", "g3", "w2")}
+         |$probeTrainCtes,
+         |${probeGradCte("g3", "w2")},
+         |${probeStepCte("w3", "g3", "w2")}
          |SELECT k::BIGINT AS k, wm[k + 1]::BIGINT AS w_micro
          |FROM w3 CROSS JOIN (SELECT unnest(range(4)) AS k) ks
-         |ORDER BY k""".stripMargin
-    }) { (spark, dir) =>
+         |ORDER BY k""".stripMargin) { (spark, dir) =>
       val f = stagedFeatures(spark, dir)
-      // dot product with DRIVER-literal micro weights: the same double
-      // each engine derives (w/1e6 is one correctly-rounded division),
-      // summed in the same fixed k order
-      def dot(w: Seq[Long]) =
-        (0 until 4).map(k => lit(w(k).toDouble / 1e6) * col("x")(k)).reduce(_ + _)
-      def gradAgg(w: Seq[Long]) =
-        f.agg(count(lit(1)).as("n"),
-          (0 until 4).map(k =>
-            sum(floor((dot(w) - col("y")) * col("x")(k) * 1000000).cast("long")).as(s"gr$k")): _*)
-      def step(w: Seq[Long]): Seq[Long] = {
-        val r = gradAgg(w).head()
-        val n = r.getLong(0)
-        (0 until 4).map(k => w(k) - math.floor(r.getLong(k + 1).toDouble / (10.0 * n)).toLong)
-      }
-      val w2 = step(step(Seq(0L, 0L, 0L, 0L)))
-      gradAgg(w2).select(posexplode(array((0 until 4).map(k =>
+      val w2 = probeStep(f, probeStep(f, Seq(0L, 0L, 0L, 0L)))
+      // the third step stays IN the plan (no extra driver hop): the final
+      // weights are assembled from w2 literals + the last gradient agg
+      probeGradAgg(f, w2).select(posexplode(array((0 until 4).map(k =>
           lit(w2(k)) - floor(col(s"gr$k").cast("double") / (lit(10.0) * col("n"))).cast("long")): _*))
         .as(Seq("k", "w_micro")))
         .select(col("k").cast("long").as("k"), col("w_micro"))
         .orderBy("k")
+    },
+
+    // Classifier-based quality filtering, end-to-end — the GPT-3/CCNet
+    // curation stage: train a linear quality probe (two replayed GD steps
+    // on the weak lang-id label), score EVERY document with the trained
+    // weights, keep the top 40% by score. The selection is scale-shaped
+    // the way curation_token_budget is: scores histogram into bounded
+    // 10k-micro bins, interior bins are decided wholesale from a
+    // broadcast bin-prefix table, and the row_number window runs ONLY
+    // inside the single boundary bin — no global rank/sort anywhere, so
+    // the plan survives a corpus 1000× this size.
+    Q("ml_quality_filter_apply",
+      s"""WITH f AS ($FeatSql),
+         |$probeTrainCtes,
+         |s AS (SELECT f.doc_id, CAST(floor(($probeDotSql) * 1000000) AS BIGINT) AS score_micro
+         |      FROM f CROSS JOIN w2 w),
+         |b AS (SELECT doc_id, score_micro,
+         |             CAST(floor(score_micro::DOUBLE / 10000) AS BIGINT) AS bin FROM s),
+         |bt AS (SELECT bin, count(*)::BIGINT AS cnt FROM b GROUP BY bin),
+         |wd AS (SELECT a.bin, a.cnt, coalesce(sum(hb.cnt), 0)::BIGINT AS prev
+         |       FROM bt a LEFT JOIN bt hb ON hb.bin > a.bin GROUP BY a.bin, a.cnt),
+         |kk AS (SELECT (count(*) * 2) // 5 AS k FROM b),
+         |r AS (SELECT b.doc_id, b.score_micro, wd.cnt, wd.prev,
+         |             row_number() OVER (PARTITION BY b.bin
+         |                                ORDER BY b.score_micro DESC, b.doc_id) AS rn
+         |      FROM b JOIN wd ON wd.bin = b.bin)
+         |SELECT r.doc_id, d.source, r.score_micro,
+         |       CAST(CASE WHEN r.prev + r.cnt <= kk.k OR
+         |                      (r.prev < kk.k AND r.rn <= kk.k - r.prev)
+         |                 THEN 1 ELSE 0 END AS BIGINT) AS kept
+         |FROM r CROSS JOIN kk JOIN documents d ON d.doc_id = r.doc_id
+         |ORDER BY r.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val f = stagedFeatures(spark, dir)
+      val w2 = probeStep(f, probeStep(f, Seq(0L, 0L, 0L, 0L)))
+      val binned = f.select(col("doc_id"),
+          floor(probeDot(w2) * 1000000).cast("long").as("score_micro"))
+        .withColumn("bin", floor(col("score_micro").cast("double") / 10000).cast("long"))
+      val bt = binned.groupBy("bin").agg(count(lit(1)).as("cnt"))
+      // docs in strictly-higher bins: a bins×bins broadcast self-join —
+      // the bin table is bounded by the score domain, never by the corpus
+      val wd = bt.as("a").join(bt.as("hb"), col("hb.bin") > col("a.bin"), "left")
+        .groupBy(col("a.bin").as("bin"), col("a.cnt").as("cnt"))
+        .agg(coalesce(sum(col("hb.cnt")), lit(0L)).as("prev"))
+      val kDf = binned.agg(expr("(count(1) * 2) DIV 5").as("k"))
+      val flagged = binned.join(broadcast(wd), "bin").crossJoin(broadcast(kDf))
+      val interior = flagged.filter(col("prev") + col("cnt") <= col("k"))
+        .withColumn("kept", lit(1L))
+      val belowCut = flagged.filter(col("prev") >= col("k"))
+        .withColumn("kept", lit(0L))
+      val wnd = Window.partitionBy("bin")
+        .orderBy(col("score_micro").desc, col("doc_id"))
+      val boundary = flagged
+        .filter(col("prev") < col("k") && col("prev") + col("cnt") > col("k"))
+        .withColumn("rn", row_number().over(wnd))
+        .withColumn("kept", when(col("rn") <= col("k") - col("prev"), 1L).otherwise(0L))
+        .drop("rn")
+      interior.unionByName(belowCut).unionByName(boundary)
+        .join(table(spark, dir, "documents").select(col("doc_id"), col("source")), "doc_id")
+        .select(col("doc_id"), col("source"), col("score_micro"), col("kept"))
+        .orderBy("doc_id")
+        .limit(1000)
     },
 
     // The WHOLE pretraining-data pipeline composed end-to-end, ONE

@@ -299,6 +299,46 @@ object DedupQueries {
         .limit(50)
     },
 
+    // Asymmetric near-CONTAINMENT over the same shingle sets: the case
+    // symmetric Jaccard structurally misses — a short document embedded
+    // in a much longer one has tiny Jaccard (|A∩B|/|A∪B|) but containment
+    // |A∩B|/min(|A|,|B|) ≈ 1 (Broder's containment coefficient, the
+    // quote/excerpt dedup signal). Candidates come from the SAME MinHash
+    // band buckets + sorted-neighborhood window as every other verify
+    // query (never all-pairs), so the pair bound is unchanged; only the
+    // verify metric differs. inner_id = the (likely contained) smaller
+    // set, ties to the lower id. Micro-floored integer division — exact
+    // cross-engine.
+    Q("dedup_containment",
+      s"""WITH ${lshCtes(shingleSetsSql)}
+         |SELECT CASE WHEN len(ta.toks) <= len(tb.toks) THEN p.a_id ELSE p.b_id END AS inner_id,
+         |       CASE WHEN len(ta.toks) <= len(tb.toks) THEN p.b_id ELSE p.a_id END AS outer_id,
+         |       (len(list_intersect(ta.toks, tb.toks)) * 1000000
+         |          // greatest(least(len(ta.toks), len(tb.toks)), 1))::BIGINT AS cont_micro
+         |FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |WHERE (len(list_intersect(ta.toks, tb.toks)) * 1000000
+         |         // greatest(least(len(ta.toks), len(tb.toks)), 1)) >= 500000
+         |ORDER BY cont_micro DESC, inner_id, outer_id LIMIT 100""".stripMargin) { (spark, dir) =>
+      val sets0 = shingleSets(spark, dir)
+      val sets = staged(spark,
+        s"dedup_verify_sets#${sets0.queryExecution.logical.semanticHash()}")(sets0)
+      val pairs = DedupPipeline.candidatePairs(
+        DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
+      val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
+      val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
+      val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
+      val nMin = greatest(least(size(col("ta")), size(col("tb"))).cast("long"), lit(1L))
+      val aSmaller = size(col("ta")) <= size(col("tb"))
+      pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+        .select(
+          when(aSmaller, col("a_id")).otherwise(col("b_id")).as("inner_id"),
+          when(aSmaller, col("b_id")).otherwise(col("a_id")).as("outer_id"),
+          (inter * 1000000L).divide(nMin).cast("long").as("cont_micro"))
+        .filter(col("cont_micro") >= 500000)
+        .orderBy(col("cont_micro").desc, col("inner_id"), col("outer_id"))
+        .limit(100)
+    },
+
     // End-to-end dedup grouping: LSH band buckets → Jaccard-verified edges
     // → connected components by min-label propagation (the exact component
     // minimum; oracle = recursive-CTE transitive closure over the same

@@ -737,6 +737,41 @@ object TextQueries {
         .limit(1000)
     },
 
+    // Per-document word-distribution Shannon entropy — the diversity
+    // signal heuristic quality filters threshold on (low entropy = loops
+    // or boilerplate, cf. the repetition rules in Gopher §A1.1). Exactly
+    // the lm_perplexity determinism discipline: each distinct word's
+    // −p·log2(p) term is micro-floored BEFORE the per-doc integer sum, so
+    // the cross-engine hash never rides on float summation order. Cost
+    // shape: one tokenize scan + one (doc_id, word) count shuffle — no
+    // corpus-global state at all, so it holds at any scale.
+    Q("text_word_entropy",
+      s"""WITH tok AS (SELECT doc_id, unnest($toksSql) AS tk FROM documents),
+         |n AS (SELECT doc_id, count(*)::BIGINT AS n_tokens FROM tok GROUP BY doc_id),
+         |c AS (SELECT doc_id, tk, count(*)::BIGINT AS c FROM tok GROUP BY doc_id, tk),
+         |t AS (SELECT c.doc_id,
+         |             CAST(floor(c.c::DOUBLE / n.n_tokens
+         |                        * (-ln(c.c::DOUBLE / n.n_tokens) / ln(2.0))
+         |                        * 1000000) AS BIGINT) AS term_micro
+         |      FROM c JOIN n ON n.doc_id = c.doc_id)
+         |SELECT t.doc_id, n.n_tokens, sum(t.term_micro)::BIGINT AS h_micro
+         |FROM t JOIN n ON n.doc_id = t.doc_id
+         |GROUP BY t.doc_id, n.n_tokens
+         |ORDER BY t.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      val tok = table(spark, dir, "documents")
+        .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
+      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      val c = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+      val p = col("c").cast("double") / col("n_tokens")
+      c.join(n, "doc_id")
+        .select(col("doc_id"), col("n_tokens"),
+          floor(p * (-log(p) / log(lit(2.0))) * 1000000).cast("long").as("term_micro"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(sum(col("term_micro")).as("h_micro"))
+        .orderBy("doc_id")
+        .limit(1000)
+    },
+
     // PII redaction: emails, phone numbers, IPv4 addresses counted and
     // replaced with typed placeholders — the scrubbing pass every
     // training corpus runs before export. The fixture corpus carries no

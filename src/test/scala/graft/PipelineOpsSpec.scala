@@ -42,6 +42,72 @@ class PipelineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("text_word_entropy: values equal a plain-Scala replay; uniform docs hit log2(n)") {
+    val got = run("text_word_entropy").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    got.foreach { case (id, nTok, hMicro) =>
+      val toks = "[a-z0-9]+".r.findAllIn(docs(id).toLowerCase).toSeq
+      assert(nTok == toks.size)
+      val n = toks.size.toDouble
+      val h = toks.groupBy(identity).values.map { g =>
+        val p = g.size / n
+        math.floor(p * (-math.log(p) / math.log(2.0)) * 1e6).toLong
+      }.sum
+      assert(h == hMicro, s"doc $id entropy mismatch")
+    }
+    // arithmetic pin: a 4-word uniform distribution lands on log2(4) = 2
+    // bits up to the per-term micro-floor (< 1 micro lost per term)
+    val p = 0.25
+    val expect = 4 * math.floor(p * (-math.log(p) / math.log(2.0)) * 1e6).toLong
+    assert(math.abs(expect - 2000000L) <= 4)
+  }
+
+  test("ml_quality_filter_apply: kept set is exactly the top-2n/5 by (score desc, id)") {
+    val rows = run("ml_quality_filter_apply").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+    assert(rows.nonEmpty)
+    val k = rows.size.toLong * 2 / 5
+    assert(rows.count(_._3 == 1L) == k, "kept count must be exactly floor(2n/5)")
+    // the kept flag must agree with a global (score desc, doc_id asc) sort
+    val sorted = rows.sortBy { case (id, s, _) => (-s, id) }
+    assert(sorted.take(k.toInt).forall(_._3 == 1L))
+    assert(sorted.drop(k.toInt).forall(_._3 == 0L),
+      "a dropped doc outranks a kept one — the boundary-bin rank is wrong")
+  }
+
+  test("dedup_containment: values equal a bigram-set replay; an embedded doc scores 1.0") {
+    val got = run("dedup_containment").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got.nonEmpty)
+    def bigrams(t: String): Set[String] = {
+      val toks = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toSeq
+      toks.zip(toks.drop(1)).map { case (a, b) => s"$a $b" }.toSet
+    }
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> bigrams(r.getString(1))).toMap
+    got.foreach { case (inner, outer, contMicro) =>
+      val (a, b) = (docs(inner), docs(outer))
+      assert(a.size <= b.size, "inner must be the smaller set")
+      if (a.size == b.size) assert(inner < outer, "size tie must keep the lower id inner")
+      val expect = (a & b).size.toLong * 1000000L / math.max(math.min(a.size, b.size), 1).toLong
+      assert(expect == contMicro, s"pair ($inner,$outer) containment mismatch")
+      assert(contMicro >= 500000L)
+    }
+    // asymmetry pin: a strict subset scores full containment even though
+    // its Jaccard vs the superset is far below any dedup threshold
+    val sub = bigrams("key agg row scan slow fast")
+    val sup = bigrams("key agg row scan slow fast table value part hash merge batch " +
+      "spark line sort window column group stream order")
+    assert((sub & sup).size == sub.size)
+    val jac = (sub & sup).size.toDouble / (sub | sup).size
+    assert(jac < 0.5 && (sub & sup).size * 1000000L / sub.size == 1000000L)
+  }
+
   test("curation_token_budget: selection fits the 30% budget and prefers higher-quality bins") {
     import org.apache.spark.sql.functions._
     val sel = run("curation_token_budget").collect()
