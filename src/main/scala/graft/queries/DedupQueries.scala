@@ -81,17 +81,40 @@ object DedupQueries {
     * signature pipeline plus both sides of the verify join, which would
     * otherwise tokenize the corpus three times (at cluster scale this is
     * the persisted token-set table the dedup job stages between passes). */
-  private def verifiedPairs(sets0: DataFrame): DataFrame = {
-    val sets = staged(sets0.sparkSession,
-      s"dedup_verify_sets#${sets0.queryExecution.logical.semanticHash()}")(sets0)
-    val pairs = DedupPipeline.candidatePairs(
-      DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
-    val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
-    val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
-    val inter = size(array_intersect(col("ta"), col("tb"))).cast("double")
-    val jac = inter / (size(col("ta")) + size(col("tb")) - inter)
-    pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
-      .select(col("a_id"), col("b_id"), jac.as("jaccard"))
+  private def verifiedPairs(sets0: DataFrame, key: String): DataFrame = {
+    val inter = col("inter").cast("double")
+    pairStats(sets0, key).select(col("a_id"), col("b_id"),
+      (inter / (col("na") + col("nb") - inter)).as("jaccard"))
+  }
+
+  /** Candidate-pair stats (a_id, b_id, inter, na, nb) over a set table,
+    * staged per (session, input set table): the bucket join + per-pair
+    * intersect is the expensive half of EVERY verify query, and at scale
+    * the dedup job materializes exactly this table once per pass —
+    * Jaccard, containment, and any future verify metric are then cheap
+    * projections over it. The staged rows are 5 longs per candidate
+    * pair, bounded by the sorted-neighborhood pair bound (Σ|bucket|·W),
+    * never by the corpus. */
+  // key is an EXPLICIT (dir, set-kind) tag, not semanticHash: the shingle
+  // builder's transform() lambda mints fresh NamedLambdaVariable ids per
+  // call, so its semantic hash is unstable across invocations and the
+  // cache would silently never hit (measured: the shingle pair table
+  // re-materialized on every bench run while the lambda-free token one
+  // cached fine).
+  private def pairStats(sets0: DataFrame, key: String): DataFrame = {
+    val spark = sets0.sparkSession
+    val sets = staged(spark, s"dedup_verify_sets#$key")(sets0)
+    staged(spark, s"dedup_pair_stats#$key") {
+      val pairs = DedupPipeline.candidatePairs(
+        DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
+      val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
+      val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
+      pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+        .select(col("a_id"), col("b_id"),
+          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+          size(col("ta")).cast("long").as("na"),
+          size(col("tb")).cast("long").as("nb"))
+    }
   }
 
   /** The converged (doc_id, component) labeling, staged once per
@@ -177,7 +200,7 @@ object DedupQueries {
          |FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
          |WHERE $jaccardSql >= 0.5
          |ORDER BY jaccard DESC, a_id, b_id LIMIT 100""".stripMargin) { (spark, dir) =>
-      verifiedPairs(tokenSets(spark, dir))
+      verifiedPairs(tokenSets(spark, dir), s"$dir#tok")
         .filter(col("jaccard") >= 0.5)
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
@@ -293,7 +316,7 @@ object DedupQueries {
          |SELECT p.a_id, p.b_id, round($jaccardSql, 6) AS jaccard
          |FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
          |ORDER BY jaccard DESC, a_id, b_id LIMIT 50""".stripMargin) { (spark, dir) =>
-      verifiedPairs(shingleSets(spark, dir))
+      verifiedPairs(shingleSets(spark, dir), s"$dir#shingle")
         .select(col("a_id"), col("b_id"), round(col("jaccard"), 6).as("jaccard"))
         .orderBy(col("jaccard").desc, col("a_id"), col("b_id"))
         .limit(50)
@@ -319,21 +342,13 @@ object DedupQueries {
          |WHERE (len(list_intersect(ta.toks, tb.toks)) * 1000000
          |         // greatest(least(len(ta.toks), len(tb.toks)), 1)) >= 500000
          |ORDER BY cont_micro DESC, inner_id, outer_id LIMIT 100""".stripMargin) { (spark, dir) =>
-      val sets0 = shingleSets(spark, dir)
-      val sets = staged(spark,
-        s"dedup_verify_sets#${sets0.queryExecution.logical.semanticHash()}")(sets0)
-      val pairs = DedupPipeline.candidatePairs(
-        DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
-      val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
-      val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
-      val inter = size(array_intersect(col("ta"), col("tb"))).cast("long")
-      val nMin = greatest(least(size(col("ta")), size(col("tb"))).cast("long"), lit(1L))
-      val aSmaller = size(col("ta")) <= size(col("tb"))
-      pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+      val nMin = greatest(least(col("na"), col("nb")), lit(1L))
+      val aSmaller = col("na") <= col("nb")
+      pairStats(shingleSets(spark, dir), s"$dir#shingle")
         .select(
           when(aSmaller, col("a_id")).otherwise(col("b_id")).as("inner_id"),
           when(aSmaller, col("b_id")).otherwise(col("a_id")).as("outer_id"),
-          (inter * 1000000L).divide(nMin).cast("long").as("cont_micro"))
+          (col("inter") * 1000000L).divide(nMin).cast("long").as("cont_micro"))
         .filter(col("cont_micro") >= 500000)
         .orderBy(col("cont_micro").desc, col("inner_id"), col("outer_id"))
         .limit(100)

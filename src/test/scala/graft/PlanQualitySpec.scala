@@ -594,6 +594,34 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("quality filter: the rank window is bin-partitioned, bin tables ride broadcast joins") {
+    val p = plan("ml_quality_filter_apply")
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, p)
+    // the top-k cut must never rank globally: every window spec is keyed
+    // by the bounded score bin
+    windows.foreach(w => assert(w.contains("bin#"), s"global rank window: $w"))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("word entropy: compact-key shuffles only, no window, no cartesian") {
+    val p = plan("text_word_entropy")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .foreach(e => assert(e.contains("hashpartitioning"), s"non-keyed shuffle: $e"))
+  }
+
+  test("containment dedup: bucket-keyed joins only, no cartesian or nested-loop pair blowup") {
+    val p = plan("dedup_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("curriculum order: every shuffle is source-keyed, final order is a TakeOrdered heap") {
     val p = plan("curation_curriculum_order")
     assert(p.contains("TakeOrderedAndProject"), p)
