@@ -43,7 +43,8 @@ object CurationQueries {
     * The estimate costs one aggregate over the SMALL side only. */
   private[graft] def decontaminateJoin(
       corpusGrams: org.apache.spark.sql.DataFrame,
-      evalGrams: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      evalGrams: org.apache.spark.sql.DataFrame,
+      key: String): org.apache.spark.sql.DataFrame = {
     val spark = corpusGrams.sparkSession
     val threshold = spark.sessionState.conf.autoBroadcastJoinThreshold
     // stage the eval side ONCE per distinct eval plan (at cluster scale:
@@ -52,8 +53,12 @@ object CurationQueries {
     // probe would evaluate the whole eval pipeline a second time, and
     // without the keyed cache every repeated run (bench warm + timed)
     // would orphan one more copy of the staged blocks
-    val ev = staged(spark,
-      s"decontam_eval#${evalGrams.queryExecution.logical.semanticHash()}")(evalGrams)
+    // EXPLICIT key, not semanticHash: eval-gram builders go through
+    // shingle lambdas whose fresh NamedLambdaVariable ids make the
+    // semantic hash unstable across invocations — the cache never hit
+    // and every repeated run orphaned one more staged copy (the exact
+    // failure the dedup pairStats key fix measured)
+    val ev = staged(spark, s"decontam_eval#$key")(evalGrams)
     val est = ev
       .agg(count(lit(1)).as("n"), coalesce(sum(length(col("g"))), lit(0L)).as("chars"))
       .head()
@@ -303,7 +308,7 @@ object CurationQueries {
         .select(explode(col("grams")).as("g")).distinct()
       val c = t.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"), explode(col("grams")).as("g"))
-      decontaminateJoin(c, ev)
+      decontaminateJoin(c, ev, s"$dir#decontam_ev")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared"))
         .orderBy(col("n_shared").desc, col("doc_id"))
@@ -1181,7 +1186,7 @@ object CurationQueries {
           explode(transform(sequence(lit(1), size(col("toks")) - 4),
             i => md5(array_join(slice(col("toks"), i, lit(5)), " ")))).as("g"))
       val eg = grams(d2.filter(col("doc_id") % 97 === 0)).select("g").distinct()
-      val dirty = decontaminateJoin(grams(d3), eg).select("doc_id").distinct()
+      val dirty = decontaminateJoin(grams(d3), eg, s"$dir#pipe_ev").select("doc_id").distinct()
       val d4 = staged(spark, s"$dir#pipe_d4") { // feeds the rate table AND the sampled scan
         d3.join(dirty, Seq("doc_id"), "left_anti")
           .select(col("doc_id"), col("source"), size(col("toks")).cast("long").as("n_tokens"))

@@ -104,18 +104,27 @@ object DedupQueries {
   private def pairStats(sets0: DataFrame, key: String): DataFrame = {
     val spark = sets0.sparkSession
     val sets = staged(spark, s"dedup_verify_sets#$key")(sets0)
-    staged(spark, s"dedup_pair_stats#$key") {
-      val pairs = DedupPipeline.candidatePairs(
-        DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
-      val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
-      val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
-      pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
-        .select(col("a_id"), col("b_id"),
-          size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
-          size(col("ta")).cast("long").as("na"),
-          size(col("tb")).cast("long").as("nb"))
-    }
+    staged(spark, s"dedup_pair_stats#$key")(pairStatsUnstaged(sets))
   }
+
+  private def pairStatsUnstaged(sets: DataFrame): DataFrame = {
+    val pairs = DedupPipeline.candidatePairs(
+      DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
+    val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
+    val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
+    pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+      .select(col("a_id"), col("b_id"),
+        size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
+        size(col("ta")).cast("long").as("na"),
+        size(col("tb")).cast("long").as("nb"))
+  }
+
+  /** Test hook (PlanQualitySpec): the UNSTAGED pair-stats builders — the
+    * staged checkpoint hides the bucket join from the consuming query's
+    * plan, so the bucket-local contract is asserted on the builder. */
+  private[graft] def pairStatsPlans(spark: SparkSession, dir: String): Seq[(String, DataFrame)] =
+    Seq("tok" -> pairStatsUnstaged(tokenSets(spark, dir)),
+      "shingle" -> pairStatsUnstaged(shingleSets(spark, dir)))
 
   /** The converged (doc_id, component) labeling, staged once per
     * (session, dir): the iterative min-label BSP is the expensive part

@@ -106,10 +106,13 @@ class PlanQualitySpec extends AnyFunSuite {
     // is an LSH bucket (band/bkey for MinHash, bucket for sign-LSH); a
     // regression to lang- or label-blocked all-pairs would show those
     // columns as join keys
-    for (name <- Seq("dedup_lsh_verified_pairs", "dedup_ngram_jaccard")) {
-      val p = plan(name)
-      assert(p.contains("bkey"), s"$name lost its band-bucket join:\n$p")
-      assert(!p.contains("lang"), s"$name joins on lang again:\n$p")
+    // the verify queries read the STAGED pair-stats checkpoint, which
+    // hides the bucket join from their own plans — assert the shared
+    // builder directly (same device as the components assertion below)
+    for ((kind, df) <- graft.queries.DedupQueries.pairStatsPlans(spark, sf)) {
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("bkey"), s"pair-stats[$kind] lost its band-bucket join:\n$p")
+      assert(!p.contains("lang"), s"pair-stats[$kind] joins on lang again:\n$p")
     }
     // the components query checkpoints away its upstream plan; assert the
     // edge-generation plan (what the BSP loop consumes) directly
