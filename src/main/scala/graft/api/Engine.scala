@@ -962,6 +962,26 @@ final class Engine(
 
   def latencyEmaMs: Double = latency.emaMs
 
+  /** Search AS-OF a retained chunk snapshot — the reproducibility
+    * counterpart of [[graft.store.Workspace.readChunksAt]]. Exact-scan
+    * semantics over the pinned table (reference semantics,
+    * vector_store.cpp:206-237): no posting or ANN index is consulted,
+    * because index HISTORY is unreconstructible once a post-delete
+    * retrain dropped vectors (readChunksAt's contract note) — an exact
+    * scan over the frozen table is correct by construction, at scan
+    * cost. Stateless on purpose: no query cache, no exploration
+    * injection, no stability bias, no latency coupling, and the
+    * snapshot's own PERSISTED boost_factor scores trust instead of the
+    * live click ledger — two calls with the same (version, query, k)
+    * return identical results for as long as the version is retained.
+    * The tiny engine wrapper is rebuilt per call and discarded, so its
+    * un-flushed retrieval-log rows never accrue driver state. */
+  def searchAt(version: Int, query: String, k: Int = opts.limit): Seq[ScoredChunk] = {
+    val snap = new HybridEngine(spark, workspace.readChunksAt(version),
+      opts.copy(deterministic = true, enableExploration = false, annMode = "exact"))
+    snap.search(query, embedder, k)
+  }
+
   /** F1/F2: click boosting with exploration quarantine; boosts take effect
     * on the next search via the ledger's broadcast join over the pinned
     * chunk cache — no cache drop, no table re-read (immutable-store

@@ -243,7 +243,9 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * search-as-of: a historical search would need the index HISTORY
     * re-resolved against the snapshot (candidates absent from today's
     * index are unrecoverable once a post-delete retrain dropped them),
-    * which no candidate-join can reconstruct. Pinned by
+    * which no candidate-join can reconstruct. The reproducibility path
+    * that IS sound — an exact scan over the frozen table, no index
+    * consulted — exists as [[graft.api.Engine.searchAt]]. Pinned by
     * EngineFacadeSpec ("time travel pins the table; search serves the
     * live corpus"). */
   def readChunksAt(version: Int): DataFrame = {

@@ -83,6 +83,19 @@ class EngineFacadeSpec extends AnyFunSuite {
     val liveDocs = ws.readLiveChunks().select("doc_id").distinct()
       .collect().map(_.getString(0)).toSet
     assert(liveDocs.intersect(v1Ids).isEmpty) // precondition: corpora disjoint
+
+    // searchAt serves the PINNED corpus by exact scan: every hit is an
+    // alpha doc even though the live table and every live index are beta
+    val snapHits = engine.searchAt(v1, "alpha document about merge windows topic5", 10)
+    assert(snapHits.nonEmpty)
+    snapHits.foreach(h => assert(v1Ids.contains(h.docId),
+      s"searchAt(v1) surfaced a non-snapshot doc: ${h.docId}"))
+    // stateless + deterministic: the same (version, query, k) repeats
+    // bit-for-bit, and the live engine's results are unaffected
+    val snapHits2 = engine.searchAt(v1, "alpha document about merge windows topic5", 10)
+    assert(snapHits2.map(h => (h.id, h.score)) == snapHits.map(h => (h.id, h.score)))
+    val liveAfter = engine.search("alpha document about merge windows topic5", 10)
+    liveAfter.foreach(h => assert(liveIds.contains(h.id)))
   }
 
   test("summarizeSections writes summary chunks back into the store (C4)") {
