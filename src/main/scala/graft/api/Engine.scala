@@ -326,7 +326,16 @@ final class Engine(
           if (annRetrainRerun.getAndSet(false)) scheduleAnnRetrain()
         }
       }
-    else annRetrainRerun.set(true)
+    else {
+      // set-flag-THEN-recheck: if the flag lands after the in-flight
+      // job's finally already consumed rerun=false, the queued slot is
+      // free again — retrying the CAS here re-queues the request that
+      // would otherwise be a lost wakeup (the caller's CAS failed, the
+      // worker saw no rerun, nobody runs)
+      annRetrainRerun.set(true)
+      if (!annRetrainQueued.get() && annRetrainRerun.getAndSet(false))
+        scheduleAnnRetrain()
+    }
 
   private def scheduleChunkCompact(): Unit =
     if (chunkCompactQueued.compareAndSet(false, true))
@@ -564,7 +573,11 @@ final class Engine(
       import spark.implicits._
       val lifted =
         if (workspace.hasTombstones) {
-          val before = workspace.readTombstones().count()
+          // before-size from metadata (recorded at every set swap) — the
+          // removed count costs no extra Spark job (review finding: the
+          // earlier full count() belied removeTombstones' no-extra-job
+          // contract)
+          val before = workspace.tombstoneCount
           before - workspace.removeTombstones(docIds.toDF("doc_id"))
         } else 0L
       // fence an in-flight background purge: its snapshot was filtered
@@ -973,7 +986,11 @@ final class Engine(
     * injection, no stability bias, no latency coupling, and the
     * snapshot's own PERSISTED boost_factor scores trust instead of the
     * live click ledger — two calls with the same (version, query, k)
-    * return identical results for as long as the version is retained.
+    * return identical results for as long as the version is retained
+    * AND the tombstone set is unchanged between them: readChunksAt
+    * deliberately overlays the CURRENT tombstones (a takedown hides the
+    * document from history too), so an interleaved delete/undelete is
+    * the one live state a snapshot search still observes.
     * The tiny engine wrapper is rebuilt per call and discarded, so its
     * un-flushed retrieval-log rows never accrue driver state. */
   def searchAt(version: Int, query: String, k: Int = opts.limit): Seq[ScoredChunk] = {

@@ -615,7 +615,10 @@ final class Workspace(val spark: SparkSession, val root: String) {
       c.write.mode(SaveMode.Overwrite).parquet(p(kind, s"v$next"))
       c.count()
     } finally c.unpersist()
-    setMeta(s"${kind}_v", next.toString)
+    // version pointer + set size in ONE atomic metadata move: the size
+    // rides along so callers needing before/after deltas (undelete's
+    // `lifted`) read metadata instead of paying a count job per call
+    setMetaAll(Map(s"${kind}_v" -> next.toString, s"${kind}_n" -> n.toString))
     versionNumbers(kind)
       .filter(_ < next - Workspace.RetainPriorVersions)
       .foreach(v => deleteTree(Paths.get(p(kind, s"v$v"))))
@@ -654,6 +657,15 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * rows from every live file). Version dirs are pruned by the next
     * swap's retention walk, so an in-flight reader keeps its files. */
   def clearTombstones(): Unit = setMeta("tombstones_v", "0")
+
+  /** Live tombstone-set size from metadata (recorded by every swap);
+    * guarded by the version pointer so a pointer retired to 0 (full
+    * replace, purge) never serves a stale size. Falls back to one count
+    * for a legacy workspace whose set predates the size metadata. */
+  def tombstoneCount: Long =
+    if (!hasTombstones) 0L
+    else getMeta("tombstones_n").map(_.toLong)
+      .getOrElse(readTombstones().count())
 
   /** `chunks` MINUS the tombstone set — the ONE filter definition every
     * read path applies (live reads, the engine's cached view, retrain
