@@ -234,4 +234,84 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- AGL glyph-name resolution (Type3 / re-encoded simple fonts)
+
+  test("AdobeGlyphs: every ASCII name round-trips; uni/u forms agree with Character.toChars") {
+    import graft.ingest.AdobeGlyphs
+    // the encode side (fixture) and decode side (extractor) must be exact
+    // inverses over the whole printable-ASCII table
+    AdobeGlyphs.asciiNames.foreach { case (cp, name) =>
+      assert(AdobeGlyphs.unicode(name).contains(cp.toChar.toString),
+        s"name $name does not round-trip to U+$cp")
+    }
+    val r = rng(0xA61L)
+    (0 until 200).foreach { _ =>
+      val cp = r.nextInt(0xFFFF + 1)
+      val viaUni = AdobeGlyphs.unicode(f"uni$cp%04X")
+      assert(viaUni.contains(cp.toChar.toString), f"uni$cp%04X")
+      // uXXXX[X..] covers astral planes through surrogate pairs
+      val astral = 0x10000 + r.nextInt(0x10000)
+      assert(AdobeGlyphs.unicode(f"u$astral%05X")
+        .contains(new String(Character.toChars(astral))), f"u$astral%05X")
+    }
+    // malformed names resolve to None, never throw
+    for (bad <- Seq("uni", "uniZZZZ", "u12", "g76", "uni123", "f_f_i", ""))
+      assert(AdobeGlyphs.unicode(bad).isEmpty, s"'$bad' should not resolve")
+  }
+
+  test("parseDifferences: random interleavings of restarts and names replay exactly") {
+    import graft.ingest.AdobeGlyphs
+    val ex = graft.ingest.CharPdfExtractor()
+    val r = rng(0xD1FFL)
+    (0 until 50).foreach { trial =>
+      // build a random Differences array and its expected map in lockstep
+      val names = AdobeGlyphs.asciiNames.values.toVector.sorted
+      var code = 0
+      val expect = Map.newBuilder[Int, String]
+      val toks = Seq.newBuilder[String]
+      (0 until 1 + r.nextInt(30)).foreach { _ =>
+        if (r.nextBoolean()) { code = r.nextInt(256); toks += code.toString }
+        else {
+          val useOpaque = r.nextInt(10) == 0
+          val n = if (useOpaque) s"g${r.nextInt(99)}" else names(r.nextInt(names.size))
+          toks += s"/$n"
+          AdobeGlyphs.unicode(n).foreach(u => expect += code -> u)
+          code += 1
+        }
+      }
+      // later entries overwrite earlier ones for the same code, as in the
+      // builder's Map semantics
+      val got = ex.parseDifferences(toks.result().mkString(" "))
+      assert(got == expect.result().toMap, s"trial $trial")
+    }
+  }
+
+  // ---- word-entropy arithmetic (the micro-floored -p·log2 p sum)
+
+  test("word entropy micro-sum is bounded by log2(n_tokens) and exact on uniform docs") {
+    val r = rng(0xE27L)
+    def hMicro(toks: Seq[String]): Long = {
+      val n = toks.size.toDouble
+      toks.groupBy(identity).values.map { g =>
+        val p = g.size / n
+        math.floor(p * (-math.log(p) / math.log(2.0)) * 1e6).toLong
+      }.sum
+    }
+    (0 until 100).foreach { _ =>
+      val vocab = 1 + r.nextInt(12)
+      val toks = Seq.fill(1 + r.nextInt(200))(s"w${r.nextInt(vocab)}")
+      val h = hMicro(toks)
+      assert(h >= 0, "entropy must be non-negative")
+      // H <= log2(#distinct) <= log2(n); micro-floor only shrinks it
+      val bound = math.ceil(math.log(toks.distinct.size.max(1)) / math.log(2.0) * 1e6).toLong
+      assert(h <= bound, s"H=$h exceeds log2(distinct)=$bound")
+    }
+    (1 to 16).foreach { k =>
+      val uniform = (0 until k).map(i => s"w$i")
+      val h = hMicro(uniform)
+      val exact = math.log(k) / math.log(2.0) * 1e6
+      assert(math.abs(h - exact) <= k, s"uniform k=$k: $h vs $exact")
+    }
+  }
 }
