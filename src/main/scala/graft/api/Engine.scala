@@ -999,6 +999,15 @@ final class Engine(
     snap.search(query, embedder, k)
   }
 
+  /** Timestamp-as-of variant of [[searchAt]] (Delta-style TIMESTAMP AS
+    * OF): resolves the retained version committed at or before the
+    * instant ([[graft.store.Workspace.chunkVersionAt]]) and serves it by
+    * exact scan under the same statelessness contract. */
+  def searchAtTime(tsMillis: Long, query: String, k: Int = opts.limit): Seq[ScoredChunk] =
+    searchAt(workspace.chunkVersionAt(tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained chunk version committed at or before $tsMillis")), query, k)
+
   /** F1/F2: click boosting with exploration quarantine; boosts take effect
     * on the next search via the ledger's broadcast join over the pinned
     * chunk cache — no cache drop, no table re-read (immutable-store

@@ -160,6 +160,13 @@ final class Workspace(val spark: SparkSession, val root: String) {
                                         clearPointers: Seq[String] = Nil): Unit = {
     require(currentVersion("chunks_v").getOrElse(0) < version,
       s"chunk version pointer may only advance (live=${currentVersion("chunks_v")}, commit=$version)")
+    // commit stamp BEFORE the pointer flip (a crash in between leaves an
+    // uncommitted dir with a stray stamp — harmless, reclaimed with it);
+    // clamped monotone over existing stamps so a wall-clock step back
+    // can never make timestamp-as-of resolution non-monotonic in the
+    // version order. "_"-prefixed sidecars are invisible to parquet
+    // readers and to chunkDataFiles.
+    writeCommitStamp(version)
     // the pointer flip IS the commit point; any delete-state pointers the
     // caller retires land in the same atomic metadata move (see writeChunks)
     setMetaAll(clearPointers.map(_ -> "0").toMap + ("chunks_v" -> version.toString))
@@ -255,6 +262,52 @@ final class Workspace(val spark: SparkSession, val root: String) {
     // hides the document from history too, not just from the live view
     minusTombstones(spark.read.parquet(p("chunks", s"v$version")))
   }
+
+  private def stampPath(version: Int): Path =
+    Paths.get(p("chunks", s"v$version", "_committed_at"))
+
+  private def writeCommitStamp(version: Int): Unit = {
+    val floor = chunkVersions.flatMap(commitStampOf).maxOption.getOrElse(0L)
+    val ts = math.max(System.currentTimeMillis(), floor + 1)
+    val dir = Paths.get(p("chunks", s"v$version"))
+    if (!Files.exists(dir)) Files.createDirectories(dir)
+    Files.write(stampPath(version),
+      ts.toString.getBytes(StandardCharsets.UTF_8))
+  }
+
+  /** Commit wall-clock (epoch millis) of a retained version — None for
+    * versions committed before stamps existed (or the legacy v1
+    * migration, which never passes through commitChunkVersion). */
+  def commitStampOf(version: Int): Option[Long] =
+    if (!Files.exists(stampPath(version))) None
+    else scala.util.Try(new String(Files.readAllBytes(stampPath(version)),
+      StandardCharsets.UTF_8).trim.toLong).toOption
+
+  /** Retained committed versions with their commit stamps — the snapshot
+    * listing a reproducible run chooses from. */
+  def chunkVersionInfo: Seq[(Int, Option[Long])] =
+    chunkVersions.map(v => v -> commitStampOf(v))
+
+  /** Latest retained version committed AT OR BEFORE `tsMillis` —
+    * Delta-style TIMESTAMP AS OF resolution. Unstamped (pre-feature)
+    * versions can't participate; None when nothing retained qualifies.
+    * Stamps are monotone in the version order (clamped at write), so
+    * "latest stamp ≤ ts" and "largest qualifying version" agree. */
+  def chunkVersionAt(tsMillis: Long): Option[Int] =
+    chunkVersionInfo.collect { case (v, Some(ts)) if ts <= tsMillis => v }
+      .maxOption
+
+  /** Read the chunk table AS OF a wall-clock instant (see
+    * [[chunkVersionAt]]); same contract as [[readChunksAt]] — a
+    * resolution inside the LIVE version's window observes that
+    * version's later appends too, exactly as pinning the live id does.
+    * Throws when no retained version was committed at or before the
+    * instant. */
+  def readChunksAtTime(tsMillis: Long): DataFrame =
+    readChunksAt(chunkVersionAt(tsMillis).getOrElse(
+      throw new IllegalArgumentException(
+        s"no retained chunk version committed at or before $tsMillis " +
+          s"(retained: ${chunkVersionInfo.map { case (v, ts) => s"v$v@${ts.getOrElse("unstamped")}" }.mkString(", ")})")))
 
   /** Append rows to the chunk table (same guardrail; no overwrite, so a
     * plan derived from the current table can safely feed it — the C4

@@ -920,6 +920,36 @@ class IncrementalIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](ws.readChunksAt(1))
   }
 
+  test("timestamp time travel: commit stamps are monotone and TIMESTAMP AS OF resolves the right version") {
+    val root = Files.createTempDirectory("graft-tts-").toString
+    val engine = ivfEngine(root)
+    engine.index(docs(20))
+    val ws = engine.workspace
+    val t1 = ws.commitStampOf(ws.chunkVersions.max)
+    assert(t1.isDefined, "commit must stamp the version")
+    engine.index(docs(25))
+    val v2 = ws.chunkVersions.max
+    val t2 = ws.commitStampOf(v2)
+    assert(t2.isDefined && t2.get > t1.get, "stamps must be strictly monotone")
+    // an instant between the two commits resolves to the FIRST version…
+    assert(ws.chunkVersionAt(t2.get - 1).contains(v2 - 1))
+    assert(ws.readChunksAtTime(t2.get - 1).count() == ws.readChunksAt(v2 - 1).count())
+    // …at-or-after the second commit resolves to the second
+    assert(ws.chunkVersionAt(t2.get).contains(v2))
+    assert(ws.chunkVersionAt(System.currentTimeMillis() + 60000).contains(v2))
+    // before the first commit nothing qualifies
+    assert(ws.chunkVersionAt(t1.get - 1).isEmpty)
+    intercept[IllegalArgumentException](ws.readChunksAtTime(t1.get - 1))
+    intercept[IllegalArgumentException](
+      engine.searchAtTime(t1.get - 1, "merge windows"))
+    // searchAtTime serves the resolved snapshot's corpus
+    val hits = engine.searchAtTime(t2.get - 1, "document about merge windows topic5", 5)
+    assert(hits.nonEmpty)
+    val v1Ids = ws.readChunksAt(v2 - 1).select("id")
+      .collect().map(_.getLong(0)).toSet
+    hits.foreach(h => assert(v1Ids.contains(h.id)))
+  }
+
   test("a pre-versioning chunk layout keeps reading and appending until a rebuild migrates it") {
     import org.apache.spark.sql.SaveMode
     val root = Files.createTempDirectory("graft-legacy-").toString
