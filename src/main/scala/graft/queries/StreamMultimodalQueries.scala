@@ -334,6 +334,84 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // Perceptual-hash near-dup over the opaque BINARY payload — the
+    // multimodal twin of dedup_simhash_pairs (cf. average-hash/aHash in
+    // the pHash family): a 60-bit signature with bit j set iff the j-th
+    // full 64-byte block of the payload's first 3840 bytes beats the
+    // prefix's mean block sum (the integer cross-multiply
+    // w_j·nwin > Σw needs no division, so it is bit-exact cross-engine).
+    // ByteWindowSums computes all block sums in ONE O(len) codegen pass
+    // (never the quadratic per-offset substr). Candidates come from 4
+    // 15-bit hash bands + the sorted-neighborhood window — the standard
+    // hamming-LSH shape, so pair cost is bucket-bounded at any corpus
+    // size; pairs verify at hamming ≤ 6. This is the dedup an image/
+    // audio pipeline runs BEFORE paying decode cost — byte-level
+    // signatures kill exact and near-exact payload copies however the
+    // metadata differs.
+    Q("mm_blockhash_pairs", {
+      val bandSel = (0 until 4)
+        .map(b => s"SELECT media_id, bh, $b AS band, (bh >> ${15 * b}) & 32767 AS bkey FROM s")
+        .mkString(" UNION ALL ")
+      s"""WITH a AS (SELECT doc_id AS media_id, text FROM documents),
+         |w AS (SELECT media_id,
+         |        list_transform(range(least(length(text), 3840) // 64), w ->
+         |          list_aggregate(list_transform(range(64),
+         |            j -> ascii(substr(text, (w * 64 + j + 1)::INT, 1))), 'sum')) AS ws
+         |      FROM a),
+         |s AS (SELECT media_id,
+         |        list_aggregate(list_transform(range(least(len(ws), 60)), j ->
+         |          CASE WHEN ws[j + 1] * len(ws) > list_aggregate(ws, 'sum')
+         |               THEN (1::BIGINT << j) ELSE 0 END), 'sum')::BIGINT AS bh
+         |      FROM w WHERE len(ws) > 0),
+         |b AS ($bandSel),
+         |rk AS (SELECT media_id, bh, band, bkey,
+         |              row_number() OVER (PARTITION BY band, bkey ORDER BY bh, media_id) AS rn
+         |       FROM b),
+         |p AS (SELECT DISTINCT least(l.media_id, r.media_id) AS a_id,
+         |             greatest(l.media_id, r.media_id) AS b_id,
+         |             bit_count(xor(l.bh, r.bh))::BIGINT AS hamming
+         |      FROM rk l JOIN rk r ON l.band = r.band AND l.bkey = r.bkey
+         |                         AND r.rn > l.rn AND r.rn <= l.rn + ${graft.dedup.DedupPipeline.NeighborWindow})
+         |SELECT a_id, b_id, hamming FROM p WHERE hamming <= 6
+         |ORDER BY hamming, a_id, b_id LIMIT 200""".stripMargin
+    }) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val s = Multimodal.asMediaTable(table(spark, dir, "documents"))
+        .select(col("media_id"),
+          graft.functions.BlobFunctions.byteWindowSums(
+            expr("substring(payload, 1, 3840)"), 64).as("ws"))
+        .filter(size(col("ws")) > 0)
+        .withColumn("nwin", size(col("ws")).cast("long"))
+        .withColumn("total", expr("aggregate(ws, 0L, (a, x) -> a + x)"))
+        .withColumn("bh", expr("aggregate(transform(slice(ws, 1, 60), " +
+          "(w, j) -> IF(w * nwin > total, shiftleft(1L, j), 0L)), 0L, (a, x) -> a + x)"))
+        .select(col("media_id"), col("bh"))
+      val banded = s.select(col("media_id"), col("bh"),
+          explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftright(col("bh"), 15 * b).bitwiseAND(32767).as("bkey"))): _*)).as("bb"))
+        .select(col("media_id"), col("bh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+      val w = Window.partitionBy("band", "bkey").orderBy("bh", "media_id")
+      // staged: the ranked band table feeds BOTH join sides — unstaged,
+      // the whole payload-hash pipeline would execute twice (the
+      // simhash_rk discipline)
+      val rk = staged(spark, s"$dir#blockhash_rk") {
+        banded.withColumn("rn", row_number().over(w))
+      }
+      val l = rk.select(col("band"), col("bkey"), col("media_id").as("la"), col("bh").as("ha"), col("rn").as("rna"))
+      val r = rk.select(col("band"), col("bkey"), col("media_id").as("lb"), col("bh").as("hb"), col("rn").as("rnb"))
+      l.join(r, Seq("band", "bkey"))
+        .filter(col("rnb") > col("rna") &&
+          col("rnb") <= col("rna") + graft.dedup.DedupPipeline.NeighborWindow)
+        .select(least(col("la"), col("lb")).as("a_id"),
+          greatest(col("la"), col("lb")).as("b_id"),
+          expr("bit_count(ha ^ hb)").cast("long").as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy("hamming", "a_id", "b_id")
+        .limit(200)
+    },
+
     // Audio energy segmentation (the VAD shape: window energy →
     // threshold → contiguous active runs): each audio track's payload is
     // cut into fixed 64-byte windows, window energy = byte-value sum
