@@ -815,6 +815,22 @@ final class Workspace(val spark: SparkSession, val root: String) {
       .select(col("id"), col("text_chunk"), col("embedding"))
       .write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** JSONL export — the LLM-training handoff format (one JSON object per
+    * line: id, source, text, heading path). Deterministic layout: rows
+    * sort by id WITHIN each output file; numFiles = 1 (the default)
+    * yields one totally-ordered file, numFiles = 0 keeps the table's own
+    * partitioning for corpus-scale exports (a 100 TB export must not
+    * single-file through one task). */
+  def exportJsonl(path: String, numFiles: Int = 1): Unit = {
+    val base = readLiveChunks()
+      .select(col("id"), col("doc_id"), col("source_file").as("source"),
+        col("heading_path"), col("text_chunk").as("text"))
+    val shaped =
+      if (numFiles > 0) base.coalesce(numFiles).sortWithinPartitions("id")
+      else base.sortWithinPartitions("id")
+    shaped.write.mode(SaveMode.Overwrite).json(path)
+  }
+
   // ---- D20: warmup; D21: count/clear
 
   def warmup(): Long = readChunks().cache().count()

@@ -4,6 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
 
 import graft.embed.{HashNgramEmbedder, ModelDiscovery}
 import graft.model.{ScoredChunk, SearchOptions}
@@ -131,6 +132,21 @@ class StoreAndPostSpec extends AnyFunSuite {
     ws.exportMatrix(matPath)
     val mat = spark.read.parquet(matPath)
     assert(mat.columns.toSeq == Seq("id", "text_chunk", "embedding"))
+    val jlPath = s"$root/jsonl"
+    ws.exportJsonl(jlPath)
+    val jl = spark.read.json(jlPath)
+    assert(jl.count() == ws.count())
+    assert(Seq("id", "doc_id", "source", "heading_path", "text")
+      .forall(jl.columns.contains), jl.columns.mkString(","))
+    // one output file, rows id-ordered within it (the deterministic
+    // single-file handoff layout)
+    val lines = java.nio.file.Files.list(java.nio.file.Paths.get(jlPath))
+      .iterator().asScala.map(_.toString)
+      .filter(f => f.endsWith(".json")).toList
+    assert(lines.size == 1, s"expected one part file: $lines")
+    val ids = scala.io.Source.fromFile(lines.head).getLines()
+      .map(l => "\"id\":(\\d+)".r.findFirstMatchIn(l).get.group(1).toLong).toSeq
+    assert(ids == ids.sorted, "rows not id-ordered within the export file")
     assert(Workspace.discover(spark, root) == Seq("wsA"))
   }
 
