@@ -53,7 +53,7 @@ object SparkEntry {
     "ann_sq8_topk",
     "ann_ivfpq", "ann_ivfpq_refined", "ann_maxsim_multivector",
     "ann_hamming_binary", "ml_kmeans_step", "ann_ivf_trained",
-    "ann_lsh_auto_geometry",
+    "ann_lsh_auto_geometry", "ann_ivf_auto_nprobe",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
@@ -65,6 +65,7 @@ object SparkEntry {
     "dedup_canonical_docs", "curation_bloom_decontam",
     "curation_source_overlap", "embed_outlier_flags",
     "curation_weighted_sample", "curation_curriculum_order",
+    "curation_shuffle_order", "q_auto_salt_agg",
     "curation_embed_decontam", "curation_dataset_card",
     "ml_influence_grad_dot", "ml_quality_filter_apply",
     "dedup_containment", "text_word_entropy", "embed_standardize",

@@ -141,6 +141,97 @@ object ScaleQueries {
         .orderBy("q_id", "rank")
     },
 
+    // IVF auto-nprobe — the IVF analog of ann_lsh_auto_geometry's
+    // derive-don't-default contract: nprobe is the recall knob, and a
+    // blind default silently caps recall at the cell-coverage ceiling
+    // (RECALL_r08: uniform corpus at nprobe=2 ceilings at 0.355 across
+    // EVERY serving tier). This query measures the ceiling directly from
+    // a bounded sample — for each sampled query, the exact top-10 is
+    // computed and each true neighbor's cell is ranked against the
+    // query's centroid preference order; coverage(nprobe) = the fraction
+    // of true neighbors whose cell rank ≤ nprobe, i.e. the recall any
+    // probe-then-rerank pipeline can at most reach. Output is the whole
+    // curve with the smallest nprobe clearing 90% flagged. Sample side
+    // is broadcast (16 queries — the same fixed size at any corpus
+    // scale); the corpus never shuffles. All-integer comparisons, so the
+    // curve is bit-identical in DuckDB.
+    Q("ann_ivf_auto_nprobe",
+      s"""WITH c AS (SELECT vec_id - $CentLo AS cid, embedding AS ce FROM embeddings
+         |           WHERE vec_id BETWEEN $CentLo AND $CentHi),
+         |a AS (SELECT e.vec_id, c.cid,
+         |             row_number() OVER (PARTITION BY e.vec_id
+         |                                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.ce::DOUBLE[]) DESC, c.cid) AS rn
+         |      FROM embeddings e CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid FROM a WHERE rn = 1),
+         |qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+         |gt AS (SELECT qs.q_id, e.vec_id AS n_id,
+         |              row_number() OVER (PARTITION BY qs.q_id
+         |                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qs.qv::DOUBLE[]) DESC, e.vec_id) AS rk
+         |       FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.q_id),
+         |topk AS (SELECT q_id, n_id FROM gt WHERE rk <= 10),
+         |cr AS (SELECT qs.q_id, c.cid,
+         |              row_number() OVER (PARTITION BY qs.q_id
+         |                ORDER BY list_cosine_similarity(c.ce::DOUBLE[], qs.qv::DOUBLE[]) DESC, c.cid) AS crank
+         |       FROM c CROSS JOIN qs),
+         |nb AS (SELECT t.q_id, cr.crank
+         |       FROM topk t JOIN cells ce ON ce.vec_id = t.n_id
+         |                   JOIN cr ON cr.q_id = t.q_id AND cr.cid = ce.cid),
+         |tot AS (SELECT count(*) AS total FROM topk),
+         |cov AS (SELECT p.np, sum(CASE WHEN nb.crank <= p.np THEN 1 ELSE 0 END)::BIGINT AS covered
+         |        FROM nb CROSS JOIN (SELECT unnest(range(1, 17)) AS np) p GROUP BY p.np),
+         |curve AS (SELECT np, covered, covered * 10000 // tot.total AS coverage_bp
+         |          FROM cov CROSS JOIN tot),
+         |pick AS (SELECT coalesce(min(np), 16) AS np FROM curve WHERE coverage_bp >= 9000)
+         |SELECT curve.np::BIGINT AS nprobe, covered, coverage_bp::BIGINT AS coverage_bp,
+         |       (CASE WHEN curve.np = pick.np THEN 1 ELSE 0 END)::BIGINT AS chosen
+         |FROM curve CROSS JOIN pick ORDER BY nprobe""".stripMargin) { (spark, dir) =>
+      val e = table(spark, dir, "embeddings")
+      val centsArr = e.filter(col("vec_id").between(CentLo, CentHi))
+        .agg(collect_list(
+          struct((col("vec_id") - CentLo).as("cid"), col("embedding").as("ce"))).as("cents"))
+      // corpus cell assignment: scan-local argmax against the broadcast
+      // centroid array — identical shape to ann_ivf_cells
+      val cells = e.crossJoin(broadcast(centsArr))
+        .withColumn("best", array_max(transform(col("cents"),
+          c => struct(cosineSim(col("embedding"), c.getField("ce")).as("cos"),
+                      (-c.getField("cid")).as("ncid")))))
+        .select(col("vec_id"), (-col("best").getField("ncid")).as("cid"))
+      val qs = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val topk = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosineSim(col("embedding"), col("qv")).as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("n_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "n_id")
+      val cr = e.filter(col("vec_id").between(CentLo, CentHi))
+        .select((col("vec_id") - CentLo).as("cid"), col("embedding").as("ce"))
+        .crossJoin(broadcast(qs))
+        .select(col("q_id"), col("cid"), cosineSim(col("ce"), col("qv")).as("s"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("cid"))))
+        .select("q_id", "cid", "crank")
+      val nb = topk.join(cells.withColumnRenamed("vec_id", "n_id"), Seq("n_id"))
+        .join(cr, Seq("q_id", "cid"))
+        .select("q_id", "crank")
+      val tot = topk.agg(count(lit(1)).as("total"))
+      val cov = nb.crossJoin(spark.range(1, 17).select(col("id").cast("int").as("np")))
+        .groupBy("np")
+        .agg(sum(when(col("crank") <= col("np"), 1L).otherwise(0L)).as("covered"))
+      val curve = cov.crossJoin(broadcast(tot))
+        .select(col("np"), col("covered"),
+          expr("covered * 10000 DIV total").as("coverage_bp"))
+      val pick = curve.filter(col("coverage_bp") >= 9000)
+        .agg(coalesce(min(col("np")), lit(16)).as("pnp"))
+      curve.crossJoin(broadcast(pick))
+        .select(col("np").cast("long").as("nprobe"), col("covered"),
+          col("coverage_bp").cast("long").as("coverage_bp"),
+          when(col("np") === col("pnp"), 1L).otherwise(0L).as("chosen"))
+        .orderBy("nprobe")
+    },
+
     // IVF multi-probe (nprobe=2): queries scan their TWO nearest cells —
     // the recall knob of IVF search. Corpus assignment stays scan-local
     // (same broadcast centroid-array argmax as ann_ivf_cells); each query
@@ -279,6 +370,105 @@ object ScaleQueries {
           col("e.payload").as("event_id"),
           floor(col("e.score") * 1000000).cast("long").as("score_micro"))
         .orderBy("event_type", "rnk")
+    },
+
+    // Deterministic distributed training-order shuffle — the "global
+    // shuffle" every pretraining pipeline runs before sharding, done
+    // WITHOUT a global sort: key each doc by a seeded md5 permutation
+    // hash, bucket on the hash's LEADING byte range (bucket = byte DIV
+    // 32 → 8 contiguous hash ranges, so (bucket, hash) order IS hash
+    // order), rank only WITHIN buckets, and lift to a global position
+    // via an 8-row cumulative-offset broadcast. At 100 TB the only
+    // corpus-sized operations are one scan and one bucket-keyed
+    // shuffle of (bucket, hash) pairs; the cross-bucket coordination
+    // is the 8-row offset table. The permutation is a pure function of
+    // (seed, doc_id) — reproducible across runs, engines, and
+    // partitionings, which is what makes a training order auditable.
+    Q("curation_shuffle_order",
+      """WITH k AS (SELECT doc_id, md5('shuf42:' || doc_id::VARCHAR) AS h FROM documents),
+        |b AS (SELECT doc_id, h, ('0x' || substr(h, 1, 2))::BIGINT // 32 AS bucket FROM k),
+        |p AS (SELECT doc_id, bucket, h,
+        |             row_number() OVER (PARTITION BY bucket ORDER BY h, doc_id) AS pos
+        |      FROM b),
+        |c AS (SELECT bucket, count(*) AS cnt FROM b GROUP BY bucket),
+        |o AS (SELECT bucket,
+        |             coalesce(sum(cnt) OVER (ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |      FROM c)
+        |SELECT p.doc_id, p.bucket::BIGINT AS bucket,
+        |       (o.off + p.pos)::BIGINT AS global_pos
+        |FROM p JOIN o ON o.bucket = p.bucket
+        |ORDER BY global_pos LIMIT 2000""".stripMargin) { (spark, dir) =>
+      val keyed = table(spark, dir, "documents")
+        .select(col("doc_id"),
+          md5(concat(lit("shuf42:"), col("doc_id").cast("string"))).as("h"))
+        .withColumn("bucket",
+          expr("CAST(conv(substring(h, 1, 2), 16, 10) AS BIGINT) DIV 32"))
+      val pos = keyed.withColumn("pos", row_number().over(
+          Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))).cast("long"))
+      // 8-row offset table: exclusive prefix sum of bucket sizes — the
+      // single-partition window runs over 8 rows, never the corpus.
+      // limit(8) is LOSSLESS (bucket = byte DIV 32 ∈ 0..7 by
+      // construction) and encodes that bound in the plan, where the
+      // unpartitioned-window guard in PlanQualitySpec can see it
+      val offsets = keyed.groupBy("bucket").agg(count(lit(1)).as("cnt"))
+        .limit(8)
+        .withColumn("off", coalesce(sum(col("cnt")).over(
+          Window.orderBy(col("bucket")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+        .select("bucket", "off")
+      pos.join(broadcast(offsets), Seq("bucket"))
+        .select(col("doc_id"), col("bucket").cast("long").as("bucket"),
+          (col("off") + col("pos")).cast("long").as("global_pos"))
+        .orderBy("global_pos")
+        .limit(2000)
+    },
+
+    // Auto-derived skew salting — the derive-don't-default contract
+    // applied to the q_salted_skew_agg knob: a FIXED salt factor either
+    // under-splits a hot key (straggler survives) or over-splits a
+    // uniform one (8× partial-agg rows for nothing). The factor is
+    // derived from the observed skew: a deterministic stride sample
+    // (≤4096 rows at any corpus size) measures the hottest key's share
+    // s in basis points, and the salt is ceil(s × 32) clamped to
+    // [1, 32] — just enough sub-keys that the hot key's largest shard
+    // is back at the uniform per-partition share. The derivation is
+    // exact integer arithmetic on a deterministic sample, so the
+    // chosen factor is ORACLE-CHECKED (emitted as a column), not just
+    // the salted aggregate's result. Cost: one metadata-cheap count +
+    // one sample aggregate; the salted two-phase agg is unchanged.
+    Q("q_auto_salt_agg",
+      """WITH tot AS (SELECT count(*) AS n FROM events),
+        |s AS (SELECT greatest(1, (SELECT n FROM tot) // 4096) AS stride),
+        |samp AS (SELECT user_id FROM events, s WHERE event_id % s.stride = 0),
+        |sc AS (SELECT count(*) AS sn FROM samp),
+        |share AS (SELECT max(cnt) * 10000 // (SELECT sn FROM sc) AS bp
+        |          FROM (SELECT count(*) AS cnt FROM samp GROUP BY user_id)),
+        |sf AS (SELECT least(32, greatest(1, (bp * 32 + 9999) // 10000))::BIGINT AS salt_factor
+        |       FROM share)
+        |SELECT e.user_id, count(*) AS n,
+        |       round(sum(CAST(round(value * 100, 0) AS BIGINT)) / 100.0, 2) AS total,
+        |       sf.salt_factor
+        |FROM events e CROSS JOIN sf
+        |GROUP BY e.user_id, sf.salt_factor ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      val ev = events(spark, dir)
+      val n = ev.count()
+      val stride = math.max(1L, n / 4096L)
+      val bp = ev.filter(pmod(col("event_id"), lit(stride)) === 0)
+        .groupBy("user_id").agg(count(lit(1)).as("cnt"))
+        .agg(expr("max(cnt) * 10000 DIV sum(cnt)").as("bp"))
+        .head().getLong(0)
+      val saltFactor = math.min(32L, math.max(1L, (bp * 32L + 9999L) / 10000L))
+      val salted = ev
+        .withColumn("salt", pmod(col("event_id"), lit(saltFactor)))
+        .groupBy(col("user_id"), col("salt"))
+        .agg(count(lit(1)).as("pn"),
+          sum(round(col("value") * 100, 0).cast("long")).as("pv"))
+      salted.groupBy(col("user_id"))
+        .agg(sum(col("pn")).as("n"),
+          round(sum(col("pv")) / 100.0, 2).as("total"))
+        .withColumn("salt_factor", lit(saltFactor))
+        .orderBy("user_id")
     },
 
     // Salted two-phase aggregation: partial agg on (key, salt) then final on

@@ -597,6 +597,23 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("ann_ivf_auto_nprobe: broadcast sample, partial top-k windows, no cartesian") {
+    val p = plan("ann_ivf_auto_nprobe")
+    // the corpus appears only in broadcast-sample crossJoins (assignment +
+    // ground truth); the exact-top-10 windows run as per-partition partial
+    // top-k (WindowGroupLimit) so the q_id shuffle carries k·|Q| rows, and
+    // everything past `nb` is ≤ 160 rows × a 16-row literal range
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .foreach(e => assert(
+        e.contains("hashpartitioning") || e.contains("rangepartitioning(nprobe") ||
+          e.contains("SinglePartition"), // the tot/pick scalar aggs: inputs ≤ k·|Q| rows
+        s"unexpected shuffle: $e"))
+  }
+
   test("quality filter: the rank window is bin-partitioned, bin tables ride broadcast joins") {
     val p = plan("ml_quality_filter_apply")
     val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
@@ -623,6 +640,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("shuffle order: rank windows are bucket-partitioned, offsets broadcast, final order is a TakeOrdered heap") {
+    val p = plan("curation_shuffle_order")
+    // the corpus-sized window must key on the hash bucket; the only
+    // unpartitioned window is the 8-row offset prefix sum
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.exists(_.contains("bucket#")), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("auto salt agg: partial agg keys on (user_id, salt), final on user_id, no cartesian") {
+    val p = plan("q_auto_salt_agg")
+    assert(p.contains("hashpartitioning(user_id"), p)
+    assert(p.contains("salt"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("windowspecdefinition"), p)
   }
 
   test("curriculum order: every shuffle is source-keyed, final order is a TakeOrdered heap") {
