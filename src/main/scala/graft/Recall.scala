@@ -35,8 +35,14 @@ object Recall {
     // the serving tiers' WORST case: same end-to-end harness over the
     // near-uniform driver embeddings (round-7 "Next round" #5)
     val engineUniform = graft.queries.RecallEval.evaluateEngineUniform(spark, sfDir)
+    // the auto-nprobe contract on the SAME worst-case corpus (annProbes=0,
+    // AnnIndex.chooseNprobe): the derived width must lift recall off the
+    // blind default's coverage ceiling to the ~0.9 target
+    val engineAuto = graft.queries.RecallEval.evaluateEngineUniform(
+      spark, sfDir, nprobe = 0)
     val json = s"""{"uniform":${uniform.json},"clustered":${clustered.json},""" +
-      s""""engine_clustered":${engine.json},"engine_uniform":${engineUniform.json}}"""
+      s""""engine_clustered":${engine.json},"engine_uniform":${engineUniform.json},""" +
+      s""""engine_uniform_auto":${engineAuto.json}}"""
     println(json)
     sys.env.get("SPARK_GRAFT_RECALL_OUT").foreach { out =>
       java.nio.file.Files.write(java.nio.file.Paths.get(out),

@@ -124,8 +124,20 @@ final class Engine(
     else workspace.readAnnSnapshot().map { case (vectors, cents, codebook) =>
       // ONE version snapshot: a retrain committing between separate
       // reads could otherwise pair v(n) codes with the v(n+1) codebook
-      new IvfGenerator(vectors, cents, opts.annProbes, codebook)
+      new IvfGenerator(vectors, cents, effectiveNprobe, codebook)
     }
+
+  /** The probe width search() serves with: the configured `annProbes`
+    * when ≥ 1, else (annProbes = 0 — auto) the value the index build
+    * derived from its own measured coverage ceiling
+    * ([[AnnIndex.chooseNprobe]]) and persisted alongside the index. The
+    * meta key is a serving KNOB, not part of the versioned snapshot
+    * pairing: a retrain racing this read can at worst serve one query at
+    * the prior width — never mismatched codes/codebook. Fallback 2 (the
+    * explicit default) when no derived value was recorded yet. */
+  private def effectiveNprobe: Int =
+    if (opts.annProbes >= 1) opts.annProbes
+    else math.max(1, workspace.getMeta("ann_nprobe").map(_.toInt).getOrElse(2))
 
   /** Per-query (Σ|rank_delta|, n) from the PERSISTED retrieval log,
     * exploration rows excluded — the D9 stability history read the way the
@@ -271,7 +283,18 @@ final class Engine(
       val (vectors, cents) =
         AnnIndex.build(workspace.readLiveChunks(), "id", "embedding", opts.annCells)
       workspace.writeAnn(vectors, cents, pqCodebookFor(vectors, cents))
+      recordAutoNprobe(vectors, cents)
     } else if (workspace.hasAnn) workspace.clearAnn()
+
+  /** Under annProbes = 0 (auto), measure the freshly-trained index's
+    * cell-coverage ceiling and persist the derived probe width for
+    * [[effectiveNprobe]] — after the index commit, so a crash mid-build
+    * never pairs a recorded width with an index that failed to land
+    * (the stale key then at worst serves the PRIOR index at its own
+    * derived width, which is the correct pairing). */
+  private def recordAutoNprobe(vectors: DataFrame, cents: Seq[Seq[Double]]): Unit =
+    if (opts.annProbes < 1)
+      workspace.setMeta("ann_nprobe", AnnIndex.chooseNprobe(vectors, cents).toString)
 
   /** The residual-PQ codebook for a freshly-built index under
     * annQuant="pq" (None otherwise, or when the embedding geometry
@@ -389,6 +412,10 @@ final class Engine(
             .select(col("id"), col("embedding"),
               graft.ml.KMeans.assign(col("embedding"), cents).as("cid")))
       workspace.commitAnnVersion(v)
+      // derived from the training snapshot (the catch-up delta is a
+      // vanishing fraction of the retrained corpus; the bias direction
+      // of excluding it is the conservative one — see chooseNprobe)
+      recordAutoNprobe(vectors, cents)
       invalidate()
       annRetrainDiscards.set(0)
     }

@@ -126,6 +126,12 @@ final case class SearchOptions(
     useRerank: Boolean = false,
     annMode: String = "exact",
     annCells: Int = 16,
+    // probe width for "ivf": ≥ 1 = fixed; 0 = AUTO — derived at index
+    // build time from the measured cell-coverage ceiling of the trained
+    // index (smallest nprobe whose sampled ground-truth coverage ≥ 0.9,
+    // AnnIndex.chooseNprobe) and persisted with the workspace, so a
+    // clustered corpus serves narrow probes and a near-uniform one is
+    // never silently capped at a blind default's ceiling
     annProbes: Int = 2,
     // quantized phase-1 serving columns persisted with the IVF index:
     // "sq8" (int8 codes, 4× fewer scan bytes than float32) or "pq"

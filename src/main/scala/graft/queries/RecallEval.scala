@@ -114,7 +114,11 @@ object RecallEval {
     * tiers' floor is measured on both distributions, not just the
     * friendly one (round-7 "Next round" #5). Recall here is bounded by
     * the nprobe/cells coverage fraction, exactly like the
-    * query-registry `ivf` variant. */
+    * query-registry `ivf` variant. Pass `nprobe = 0` for the AUTO
+    * contract ([[AnnIndex.chooseNprobe]], the `annProbes = 0` serving
+    * mode): the width the build derives for itself from measured
+    * coverage — on this corpus that lifts recall off the blind
+    * default's 0.355 ceiling to the ~0.9 coverage target. */
   def evaluateEngineUniform(spark: SparkSession, dir: String,
                             numQueries: Int = 20, k: Int = 10,
                             nprobe: Int = 2): Report =
@@ -126,7 +130,7 @@ object RecallEval {
   private def evaluateEngineOn(spark: SparkSession, label: String,
                                corpusIn: DataFrame, cells: Int,
                                numQueries: Int, k: Int,
-                               nprobe: Int): Report = {
+                               nprobeIn: Int): Report = {
     // checkpoint FIRST, count the materialized frame: counting the raw
     // input would execute the corpus pipeline twice per report
     val corpus = corpusIn.localCheckpoint()
@@ -136,6 +140,11 @@ object RecallEval {
         graft.util.TempRoot.dir("recall-engine-ws-").toString)
       val (built, cents) = graft.search.AnnIndex.build(
         corpus, "vec_id", "embedding", cells = cells)
+      // nprobeIn = 0 → the auto contract: the width the build derives for
+      // itself (Engine annProbes = 0), tagged in params for the report
+      val nprobe =
+        if (nprobeIn >= 1) nprobeIn else AnnIndex.chooseNprobe(built, cents)
+      val probeTag = s"nprobe=$nprobe${if (nprobeIn < 1) "(auto)" else ""}"
       ws.writeAnn(built, cents)
       // a second workspace with the residual-PQ layout (4-bit codes +
       // frozen codebook) — the round-7 IVFADC serving tier
@@ -170,12 +179,12 @@ object RecallEval {
       Report(label,
         n, qRows.length, k, Seq(
           VariantRecall("engine_ivf_sq8", "cosine",
-            s"cells=$cells,nprobe=$nprobe,two_phase,overfetch=${IvfGenerator.Sq8Overfetch}",
+            s"cells=$cells,$probeTag,two_phase,overfetch=${IvfGenerator.Sq8Overfetch}",
             meanRecall(sq8Gen)),
           VariantRecall("engine_ivf_float", "cosine",
-            s"cells=$cells,nprobe=$nprobe", meanRecall(floatGen))) ++
+            s"cells=$cells,$probeTag", meanRecall(floatGen))) ++
           pqGen.map(g => VariantRecall("engine_ivf_pq", "cosine",
-            s"cells=$cells,nprobe=$nprobe,two_phase,residual," +
+            s"cells=$cells,$probeTag,two_phase,residual," +
               s"overfetch=${IvfGenerator.PqRefineOverfetch}", meanRecall(g))))
     } finally graft.functions.Checkpoints.release(corpus)
   }

@@ -130,8 +130,22 @@ final class IvfGenerator(
     probed(qv)
       .select(col("id"), approx.as("approx_score"))
       .orderBy(col("approx_score").desc, col("id"))
-      .limit(math.min(depth.toLong * IvfGenerator.PqRefineOverfetch, Int.MaxValue.toLong).toInt)
+      .limit(math.min(
+        depth.toLong * IvfGenerator.PqRefineOverfetch * pqSlateScale,
+        Int.MaxValue.toLong).toInt)
   }
+
+  /** The PQ refine slate scales with the probe width: 16× depth was
+    * tuned at nprobe=2, where it covers ~2/3 of the probed population —
+    * the coverage the noisy 4-bit approx ordering needs. A WIDER probe
+    * (auto-nprobe on a flat corpus) grows the probed population
+    * linearly, and a fixed slate silently shrinks to a sliver of it
+    * (measured: engine-path uniform recall 0.715 vs the float tier's
+    * 0.92 at nprobe=12 with the fixed slate; scaling restores parity).
+    * ceil(nprobe/2) keeps the tuned slate-to-population RATIO constant;
+    * the phase-2 driver hop grows to ≤ 16·depth·nprobe/2 ids — still
+    * probe-bounded, never corpus-bounded. */
+  private val pqSlateScale: Long = math.max(1L, (nprobe + 1L) / 2L)
 
   /** Exact cosine re-rank of phase-1 survivors: the `id IN` predicate
     * pushes down to the parquet scan (row-group pruning) on the SAME
@@ -270,6 +284,93 @@ object AnnIndex {
           sqrt(aggregate(zip_with(emb, emb, (a, b) => a * b), lit(0.0), (s, v) => s + v)))
         .drop("rv")
     }
+
+  /** Auto-derive `nprobe` for a freshly-trained IVF index from its own
+    * measured coverage ceiling — the IVF analog of
+    * [[LshGeometry.choose]]'s derive-don't-default contract, and the
+    * engine-side twin of the `ann_ivf_auto_nprobe` query: a blind
+    * nprobe default silently caps recall at the cell-coverage ceiling
+    * (RECALL_r08: the near-uniform corpus ceilings at 0.355 across EVERY
+    * serving tier at nprobe=2/16), and no downstream overfetch or exact
+    * re-rank can recover a neighbor whose cell was never probed.
+    *
+    * Method: for `numQueries` sampled query vectors the exact top-`k` is
+    * computed over a stride-capped corpus sample; each true neighbor's
+    * cell is ranked in the query's centroid-preference order
+    * ([[IvfGenerator.nearestCells]] with nprobe=cells); the chosen
+    * nprobe is the smallest whose covered fraction clears `target`
+    * (cells when none does — the exact-equivalent fallback).
+    *
+    * Bounded at any corpus size: one distributed job (corpus-sample scan
+    * × broadcast query sample, per-partition partial top-k), then a
+    * ≤ numQueries·k-row collect and a numQueries × cells × dim driver
+    * loop. Sub-sampling the corpus biases the estimate CONSERVATIVE:
+    * the sample's top-k are farther neighbors, spread over more cells,
+    * so measured coverage only under-states the true index's — the
+    * chosen nprobe errs toward more recall than the target, never less.
+    */
+  def chooseNprobe(assigned: DataFrame, cents: Seq[Seq[Double]],
+                   target: Double = 0.9, k: Int = 10,
+                   numQueries: Int = 16, corpusCap: Long = 4096L): Int = {
+    val cells = cents.size
+    if (cells <= 1) return 1
+    val e = assigned.select(col("id").cast("long").as("id"), col("embedding"), col("cid"))
+    val n = e.count()
+    if (n <= 1) return 1
+    // queries sampled by HASH STRIDE across the whole corpus, never the
+    // first-N by id: low/adjacent ids often carry planted or ingest-order
+    // structure (the driver corpus plants near-dup twins on low vec_ids,
+    // whose top-k collapse into one cell — measured coverage(1) = 0.95
+    // for ids 0..15 vs 0.23 for a stride sample on the same index), and
+    // a coverage curve over such queries derives a catastrophically
+    // narrow nprobe for everyone else. xxhash64 decorrelates the sample
+    // from id adjacency; orderBy over the ~numQueries survivors keeps it
+    // deterministic under any partitioning.
+    val qStride = math.max(1L, n / numQueries)
+    val qSampled = e.filter(pmod(xxhash64(col("id")), lit(qStride)) === 0)
+      .orderBy(col("id")).limit(numQueries)
+      .select(col("id").as("q_id"), col("embedding").as("qv"))
+    // hash-stride variance can empty the sample on tiny corpora — fall
+    // back to the full-corpus prefix rather than failing the derivation
+    val qRows =
+      if (qSampled.limit(1).isEmpty)
+        e.orderBy(col("id")).limit(numQueries)
+          .select(col("id").as("q_id"), col("embedding").as("qv"))
+      else qSampled
+    // the same sample rides the distributed job (broadcast) and the
+    // driver's preference-order loop — one definition of "the sample"
+    val qLocal = qRows.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    if (qLocal.isEmpty) return 1
+    val cStride = math.max(1L, n / corpusCap)
+    val side =
+      if (cStride == 1L) e
+      else e.filter(pmod(xxhash64(col("id")), lit(cStride)) === 0)
+    val nb = side.crossJoin(broadcast(qRows))
+      .filter(col("id") =!= col("q_id"))
+      .select(col("q_id"), col("id"), col("cid"),
+        cosineSim(col("embedding"), col("qv")).as("c"))
+      // id tie-break: duplicate vectors at the rank-k cutoff must not make
+      // the chosen nprobe partition-order-dependent (LshGeometry discipline)
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("q_id")).orderBy(col("c").desc, col("id"))))
+      .filter(col("rk") <= k)
+      .select("q_id", "cid")
+      .collect() // bounded: ≤ numQueries·k rows
+      .map(r => (r.getLong(0), r.getInt(1)))
+    if (nb.isEmpty) return 1
+    // centroid-preference rank per (query, cell): cell id → 1-based rank
+    val prefRank: Map[Long, Map[Int, Int]] = qLocal.map { case (qid, qv) =>
+      qid -> IvfGenerator.nearestCells(qv, cents, cells)
+        .zipWithIndex.map { case (cid, i) => cid -> (i + 1) }.toMap
+    }.toMap
+    val ranks = nb.map { case (qid, cid) => prefRank(qid)(cid) }
+    val total = ranks.length
+    (1 to cells)
+      .find(np => ranks.count(_ <= np).toDouble / total >= target)
+      .getOrElse(cells)
+  }
 
   /** @return (vectors (id, embedding, cid), trained centroids). The id
     *         column is renamed to `id` and the vector column to

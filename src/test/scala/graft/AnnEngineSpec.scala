@@ -125,6 +125,53 @@ class AnnEngineSpec extends AnyFunSuite {
     assert(partHits.forall(_.score > 0))
   }
 
+  test("chooseNprobe: clustered corpus derives a narrow probe, spread-out neighbors force a wide one") {
+    import spark.implicits._
+    // 4 tight clusters on orthogonal axes: every true neighbor shares its
+    // query's cell, so coverage(1) = 1.0 and the derived nprobe is 1
+    val dim = 4
+    val clustered = (0 until 80).map { i =>
+      val axis = i % 4
+      val v = Array.fill(dim)(0.001f * (i % 7))
+      v(axis) = 1.0f
+      (i.toLong, v)
+    }.toDF("id", "embedding")
+    val (cv, cc) = AnnIndex.build(clustered, "id", "embedding", cells = 4, iters = 4)
+    assert(AnnIndex.chooseNprobe(cv, cc, target = 0.9, k = 3) == 1)
+
+    // adversarial geometry: force every vector into its OWN far-apart cell
+    // (cells = n), so each of the k true neighbors lives in a different
+    // cell and coverage(np) grows only linearly — target 0.9 over k=3
+    // needs np ≥ 3 even in preference order
+    val spread = (0 until 8).map { i =>
+      val v = Array.fill(8)(0.0f); v(i) = 1.0f; (i.toLong, v)
+    }.toDF("id", "embedding")
+    val (sv, sc) = AnnIndex.build(spread, "id", "embedding", cells = 8, iters = 4)
+    val np = AnnIndex.chooseNprobe(sv, sc, target = 0.9, k = 3)
+    assert(np >= 3, s"orthogonal singleton cells need wide probes, got $np")
+
+    // degenerate shapes never crash and never return < 1
+    assert(AnnIndex.chooseNprobe(sv.limit(1), sc, target = 0.9) == 1)
+    assert(AnnIndex.chooseNprobe(sv, sc.take(1), target = 0.9) == 1)
+  }
+
+  test("annProbes=0: index() persists the derived nprobe and search() serves with it") {
+    val root = Files.createTempDirectory("graft-annauto-").toString
+    val auto = Engine.open(spark, root, "ws",
+      SearchOptions(annMode = "ivf", annCells = 8, annProbes = 0))
+    auto.index(docs100)
+    val recorded = auto.workspace.getMeta("ann_nprobe").map(_.toInt)
+    assert(recorded.isDefined, "auto mode must persist the derived nprobe")
+    assert(recorded.get >= 1 && recorded.get <= 8, s"derived nprobe out of range: $recorded")
+    val hits = auto.search("what is a merge window")
+    assert(hits.size == 5)
+    assert(hits.map(_.id).distinct.size == 5)
+    // a fixed-probe engine on the same workspace ignores the recorded knob
+    val fixed = Engine.open(spark, root, "ws",
+      SearchOptions(annMode = "ivf", annCells = 8, annProbes = 8))
+    assert(fixed.search("what is a merge window").size == 5)
+  }
+
   test("re-indexing through a NON-ivf engine drops a previously built ANN index (no stale probes)") {
     val root = Files.createTempDirectory("graft-annstale-").toString
     val ivf = Engine.open(spark, root, "ws",

@@ -226,6 +226,28 @@ class RecallSpec extends AnyFunSuite {
         s"${recall("engine_ivf_pq")} vs $fl")
   }
 
+  test("engine auto-nprobe on the UNIFORM corpus: the derived width clears the coverage target") {
+    // the annProbes=0 contract end to end (AnnIndex.chooseNprobe →
+    // Workspace layout → IvfGenerator): on the corpus where the blind
+    // nprobe=2 default ceilings at 0.355, the build-derived width must
+    // reach the ~0.9 coverage target it was chosen for. Floor at
+    // measured − jitter; the quantized-tier invariant carries over.
+    val report = RecallEval.evaluateEngineUniform(
+      spark, "/root/testdata/sf0.1", nprobe = 0)
+    def v(variant: String) =
+      report.variants.find(_.variant == variant)
+        .getOrElse(fail(s"missing variant $variant"))
+    assert(v("engine_ivf_float").params.contains("(auto)"), v("engine_ivf_float").params)
+    val fl = v("engine_ivf_float").recallAtK
+    assert(fl >= 0.8, s"auto-nprobe uniform recall: $fl (blind default: 0.355)")
+    assert(v("engine_ivf_sq8").recallAtK >= fl - 0.05,
+      s"SQ8 two-phase lost recall vs the float probe under auto-nprobe: " +
+        s"${v("engine_ivf_sq8").recallAtK} vs $fl")
+    assert(v("engine_ivf_pq").recallAtK >= fl - 0.05,
+      s"residual-PQ two-phase lost recall vs the float probe under auto-nprobe: " +
+        s"${v("engine_ivf_pq").recallAtK} vs $fl")
+  }
+
   test("LSH auto-geometry: the band deepens as neighbors tighten, expectation honors the target") {
     import graft.search.LshGeometry
     // deeper band for closer neighbors (more pruning when the corpus
