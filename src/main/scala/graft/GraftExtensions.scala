@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm, PqEncode, SignLshBuckets, TopKBy}
+import graft.functions.{ByteCdcBoundaries, ByteWindowSums, CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm, PqEncode, SignLshBuckets, TopKBy}
 
 /** SparkSessionExtensions registration: makes the engine's Catalyst
   * expressions available to any session (including pure-SQL users) via
@@ -48,6 +48,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case Literal(t: Int, IntegerType) => SignLshBuckets(es.head, es(1), t)
         case other => throw new IllegalArgumentException(
           s"sign_lsh_buckets: tables must be an integer literal, got $other")
+      }))
+    e.injectFunction((FunctionIdentifier("byte_window_sums"),
+      info("byte_window_sums", "byte_window_sums(blob, window) - per-window unsigned-byte sums, one O(n) pass"),
+      (es: Seq[Expression]) => es(1) match {
+        case Literal(w: Int, IntegerType) => ByteWindowSums(es.head, w)
+        case other => throw new IllegalArgumentException(
+          s"byte_window_sums: window must be an integer literal, got $other")
+      }))
+    e.injectFunction((FunctionIdentifier("byte_cdc_boundaries"),
+      info("byte_cdc_boundaries", "byte_cdc_boundaries(blob, window, modulus) - content-defined chunk boundaries (rolling window sum % modulus == 0), one O(n) pass"),
+      (es: Seq[Expression]) => (es(1), es(2)) match {
+        case (Literal(w: Int, IntegerType), Literal(m: Int, IntegerType)) =>
+          ByteCdcBoundaries(es.head, w, m)
+        case other => throw new IllegalArgumentException(
+          s"byte_cdc_boundaries: window and modulus must be integer literals, got $other")
       }))
     e.injectFunction((FunctionIdentifier("topk_by"),
       info("topk_by", "topk_by(payload, score, k) - exact per-group top-k (score desc, payload asc) with map-side partial reduction"),

@@ -56,6 +56,7 @@ object SparkEntry {
     "ann_lsh_auto_geometry", "ann_ivf_auto_nprobe",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
+    "dedup_cdc_chunks", "dedup_cdc_savings",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
     "sketch_kmv_merge",

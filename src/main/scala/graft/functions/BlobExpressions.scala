@@ -131,9 +131,75 @@ case class ByteWindowSums(child: Expression, window: Int) extends UnaryExpressio
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Content-defined chunk boundaries over a binary payload (the FastCDC /
+  * rsync family's shape, basic stateless form): one O(n) pass with a
+  * ROLLING `window`-byte sum, emitting every 1-based end position j ≥
+  * window where sum(bytes j−window+1..j) ≡ 0 (mod `modulus`). Boundaries
+  * are a pure function of local CONTENT, so an insertion re-aligns only
+  * the chunks it touches — the property that makes CDC dedup robust
+  * where fixed-width blocking is not. Rolling update (add the entering
+  * byte, drop the leaving one) keeps the pass O(n) regardless of window;
+  * a per-position re-sum would be O(n·window) and a per-position
+  * STRING substr O(n²) (the round-7 quadratic family). Expected chunk
+  * length ≈ modulus on byte-sum-uniform content. Replayable exactly in
+  * SQL via prefix sums: ws(j) = pre(j) − pre(j−window). */
+case class ByteCdcBoundaries(child: Expression, window: Int, modulus: Int)
+    extends UnaryExpression {
+  require(window > 0, "window must be positive")
+  require(modulus > 0, "modulus must be positive")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "byte_cdc_boundaries"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"byte_cdc_boundaries expects binary, got ${t.sql}")
+  }
+
+  override def nullSafeEval(v: Any): Any = {
+    val bytes = v.asInstanceOf[Array[Byte]]
+    val n = bytes.length
+    val buf = new Array[Int](if (n >= window) n - window + 1 else 0)
+    var m = 0
+    var s = 0L
+    var j = 0
+    while (j < n) {
+      s += (bytes(j) & 0xff)
+      if (j >= window) s -= (bytes(j - window) & 0xff)
+      if (j >= window - 1 && s % modulus == 0) { buf(m) = j + 1; m += 1 }
+      j += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(buf, m))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, b => {
+      val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val s = ctx.freshName("s"); val m = ctx.freshName("m")
+      val buf = ctx.freshName("buf")
+      s"""
+        |int $n = $b.length;
+        |int[] $buf = new int[$n >= $window ? $n - $window + 1 : 0];
+        |int $m = 0;
+        |long $s = 0L;
+        |for (int $j = 0; $j < $n; $j++) {
+        |  $s += ($b[$j] & 0xff);
+        |  if ($j >= $window) { $s -= ($b[$j - $window] & 0xff); }
+        |  if ($j >= $window - 1 && $s % $modulus == 0) { $buf[$m++] = $j + 1; }
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        |  java.util.Arrays.copyOf($buf, $m));
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object BlobFunctions {
   def byteWindowSums(c: Column, window: Int): Column =
     ColumnBridge.column(ByteWindowSums(ColumnBridge.expression(c), window))
+  def byteCdcBoundaries(c: Column, window: Int, modulus: Int): Column =
+    ColumnBridge.column(ByteCdcBoundaries(ColumnBridge.expression(c), window, modulus))
   def float32Decode(c: Column): Column =
     ColumnBridge.column(Float32Decode(ColumnBridge.expression(c)))
   def float32Encode(c: Column): Column =

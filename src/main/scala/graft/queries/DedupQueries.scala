@@ -341,6 +341,139 @@ object DedupQueries {
     // verify metric differs. inner_id = the (likely contained) smaller
     // set, ties to the lower id. Micro-floored integer division — exact
     // cross-engine.
+    // Content-defined chunking (CDC) dedup — the byte-level spine of
+    // storage/corpus dedup (rsync / LBFS / FastCDC family): chunk
+    // boundaries are a pure function of local CONTENT (rolling 16-byte
+    // sum ≡ 0 mod 64 → ~64-byte expected chunks), so an insertion
+    // re-aligns only the chunks it touches, where fixed-width blocking
+    // shifts every downstream block. The boundary pass is ONE O(len)
+    // codegen scan per payload ([[graft.functions.ByteCdcBoundaries]] —
+    // rolling add/drop, each byte visited twice); chunk hashes are md5
+    // over O(slice) binary substrings; the only corpus-sized shuffle
+    // keys on the chunk hash. Sub-window-length chunks (adjacent
+    // boundaries) are filtered at OUTPUT, keeping the rule stateless —
+    // real CDC's min/max-size suppression is a stateful walk that
+    // would cost the exact SQL replay. Oracle replays the rolling sum
+    // as prefix-sum differences: ws(j) = pre(j) − pre(j−16).
+    Q("dedup_cdc_chunks",
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
+        |b AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS j,
+        |             ascii(substr(text, unnest(range(1, length(text) + 1)), 1)) AS v FROM d),
+        |p AS (SELECT doc_id, j, sum(v) OVER (PARTITION BY doc_id ORDER BY j) AS pre FROM b),
+        |s AS (SELECT doc_id, j,
+        |             pre - coalesce(lag(pre, 16) OVER (PARTITION BY doc_id ORDER BY j), 0) AS ws
+        |      FROM p),
+        |bd AS (SELECT doc_id, j FROM s WHERE j >= 16 AND ws % 64 = 0),
+        |ends AS (SELECT DISTINCT doc_id, j FROM
+        |           (SELECT doc_id, j FROM bd
+        |            UNION ALL SELECT doc_id, length(text) FROM d)),
+        |ch AS (SELECT doc_id,
+        |              coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0) + 1 AS st,
+        |              j AS fin
+        |       FROM ends),
+        |chunks AS (SELECT ch.doc_id, st, fin - st + 1 AS clen,
+        |                  md5(substr(d.text, st::INT, (fin - st + 1)::INT)) AS h
+        |           FROM ch JOIN d ON d.doc_id = ch.doc_id
+        |           WHERE fin >= st AND fin - st + 1 >= 16)
+        |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+        |       min(clen)::BIGINT AS clen
+        |FROM chunks GROUP BY h HAVING count(*) > 1
+        |ORDER BY n_occ DESC, h LIMIT 500""".stripMargin) { (spark, dir) =>
+      import graft.functions.BlobFunctions.byteCdcBoundaries
+      val keyed = table(spark, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+        .withColumn("n", length(col("bin")))
+        .withColumn("bd", byteCdcBoundaries(col("bin"), 16, 64))
+        // append the end-of-payload sentinel unless the rule already
+        // emitted it (array_max over the 1-element tail slice is the
+        // ANSI-safe "last element or null" — element_at would throw on
+        // an empty boundary array)
+        .withColumn("ends",
+          when(coalesce(array_max(slice(col("bd"), -1, 1)), lit(-1)) === col("n"), col("bd"))
+            .otherwise(concat(col("bd"), array(col("n")))))
+        .withColumn("starts",
+          concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))
+      val chunks = keyed
+        .select(col("doc_id"), col("bin"),
+          explode(zip_with(col("starts"), col("ends"),
+            (s, e) => struct(s.as("st"), e.as("fin")))).as("c"))
+        .select(col("doc_id"),
+          (col("c.fin") - col("c.st")).as("clen"),
+          md5(expr("substring(bin, c.st + 1, c.fin - c.st)")).as("h"))
+        .filter(col("clen") >= 16)
+      chunks.groupBy("h")
+        .agg(countDistinct("doc_id").as("n_docs"),
+          count(lit(1)).as("n_occ"),
+          min(col("clen")).cast("long").as("clen"))
+        .filter(col("n_occ") > 1)
+        .orderBy(col("n_occ").desc, col("h"))
+        .limit(500)
+    },
+
+    // The CDC savings report — what a storage/transfer layer actually
+    // asks of CDC: per source, how many bytes does chunk-level dedup
+    // save? total = every occurrence's bytes, unique = one copy per
+    // distinct chunk hash; savings in basis points, integer-exact.
+    // Same stateless boundary rule and ≥16-byte output filter as
+    // dedup_cdc_chunks (documented: totals are over reported chunks,
+    // not raw payload bytes). Shuffles: chunk-hash-keyed partial agg,
+    // then a source-keyed rollup — both compact keys.
+    Q("dedup_cdc_savings",
+      """WITH d AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 1),
+        |b AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS j,
+        |             ascii(substr(text, unnest(range(1, length(text) + 1)), 1)) AS v FROM d),
+        |p AS (SELECT doc_id, j, sum(v) OVER (PARTITION BY doc_id ORDER BY j) AS pre FROM b),
+        |s AS (SELECT doc_id, j,
+        |             pre - coalesce(lag(pre, 16) OVER (PARTITION BY doc_id ORDER BY j), 0) AS ws
+        |      FROM p),
+        |bd AS (SELECT doc_id, j FROM s WHERE j >= 16 AND ws % 64 = 0),
+        |ends AS (SELECT DISTINCT doc_id, j FROM
+        |           (SELECT doc_id, j FROM bd
+        |            UNION ALL SELECT doc_id, length(text) FROM d)),
+        |ch AS (SELECT doc_id,
+        |              coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0) + 1 AS st,
+        |              j AS fin
+        |       FROM ends),
+        |chunks AS (SELECT d.source, fin - st + 1 AS clen,
+        |                  md5(substr(d.text, st::INT, (fin - st + 1)::INT)) AS h
+        |           FROM ch JOIN d ON d.doc_id = ch.doc_id
+        |           WHERE fin >= st AND fin - st + 1 >= 16),
+        |per AS (SELECT source, h, count(*) AS cnt, min(clen) AS clen
+        |        FROM chunks GROUP BY source, h)
+        |SELECT source, sum(cnt * clen)::BIGINT AS total_bytes,
+        |       sum(clen)::BIGINT AS unique_bytes,
+        |       ((sum(cnt * clen) - sum(clen)) * 10000 // sum(cnt * clen))::BIGINT AS savings_bp
+        |FROM per GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
+      import graft.functions.BlobFunctions.byteCdcBoundaries
+      val keyed = table(spark, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("bin"))
+        .withColumn("n", length(col("bin")))
+        .withColumn("bd", byteCdcBoundaries(col("bin"), 16, 64))
+        .withColumn("ends",
+          when(coalesce(array_max(slice(col("bd"), -1, 1)), lit(-1)) === col("n"), col("bd"))
+            .otherwise(concat(col("bd"), array(col("n")))))
+        .withColumn("starts",
+          concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))
+      val per = keyed
+        .select(col("source"), col("bin"),
+          explode(zip_with(col("starts"), col("ends"),
+            (s, e) => struct(s.as("st"), e.as("fin")))).as("c"))
+        .select(col("source"),
+          (col("c.fin") - col("c.st")).cast("long").as("clen"),
+          md5(expr("substring(bin, c.st + 1, c.fin - c.st)")).as("h"))
+        .filter(col("clen") >= 16)
+        .groupBy("source", "h")
+        .agg(count(lit(1)).as("cnt"), min(col("clen")).as("clen"))
+      per.groupBy("source")
+        .agg(sum(col("cnt") * col("clen")).cast("long").as("total_bytes"),
+          sum(col("clen")).cast("long").as("unique_bytes"))
+        .withColumn("savings_bp",
+          expr("(total_bytes - unique_bytes) * 10000 DIV total_bytes"))
+        .orderBy("source")
+    },
+
     Q("dedup_containment",
       s"""WITH ${lshCtes(shingleSetsSql)}
          |SELECT CASE WHEN len(ta.toks) <= len(tb.toks) THEN p.a_id ELSE p.b_id END AS inner_id,

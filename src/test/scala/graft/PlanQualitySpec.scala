@@ -635,6 +635,20 @@ class PlanQualitySpec extends AnyFunSuite {
       .foreach(e => assert(e.contains("hashpartitioning"), s"non-keyed shuffle: $e"))
   }
 
+  test("cdc dedup: one scan-local boundary pass, chunk-hash-keyed shuffles only, no join") {
+    val p = plan("dedup_cdc_chunks")
+    // boundary detection + chunk hashing are scan-local (the codegen
+    // rolling pass + O(slice) binary substrings); the only data-sized
+    // exchanges key on the chunk hash h — no join, window, or cartesian
+    assert(p.contains("byte_cdc_boundaries"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("windowspecdefinition"), p)
+    p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
+      .foreach(e => assert(e.contains("hashpartitioning"), s"non-keyed shuffle: $e"))
+  }
+
   test("containment dedup: bucket-keyed joins only, no cartesian or nested-loop pair blowup") {
     val p = plan("dedup_containment")
     assert(!p.contains("CartesianProduct"), p)

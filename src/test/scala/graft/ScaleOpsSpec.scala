@@ -51,8 +51,17 @@ class ScaleOpsSpec extends AnyFunSuite {
     val reg = org.apache.spark.sql.graft.ColumnBridge.registerExtensions(
       ext, FunctionRegistry.builtin.clone())
     for (fn <- Seq("cosine_sim", "dot_product", "l2_norm", "float32_decode",
-        "float32_encode", "pq_encode", "topk_by"))
+        "float32_encode", "pq_encode", "topk_by", "byte_window_sums",
+        "byte_cdc_boundaries"))
       assert(reg.functionExists(FunctionIdentifier(fn)), fn)
+    // byte_cdc_boundaries through the registered builder: all-zero bytes →
+    // every j >= window-1 position is a boundary (0 % m == 0)
+    val cdcB = reg.lookupFunctionBuilder(FunctionIdentifier("byte_cdc_boundaries")).get
+    val cdc = cdcB(Seq(
+      Literal.create(Array.fill[Byte](6)(0), org.apache.spark.sql.types.BinaryType),
+      Literal(4), Literal(8)))
+    assert(cdc.eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      .toIntArray().toSeq == Seq(4, 5, 6))
     // pq_encode: nearest of two 1-entry-subspace codebook rows
     val pqb = reg.lookupFunctionBuilder(FunctionIdentifier("pq_encode")).get
     val fa = org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)

@@ -325,6 +325,31 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(rows(2).isNullAt(1))
   }
 
+  test("byte_cdc_boundaries: rolling sum matches a naive per-position re-sum; edge shapes; null-safe") {
+    import graft.functions.BlobFunctions.byteCdcBoundaries
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val payload = Array.fill[Byte](997)(rnd.nextInt(256).toByte) // odd length, wraps past 127
+    val df = Seq(
+      (1L, payload),
+      (2L, Array.emptyByteArray),
+      (3L, null: Array[Byte]),
+      (4L, Array.fill[Byte](7)(0)),   // shorter than the window → no boundaries
+      (5L, Array.fill[Byte](40)(0)))  // all-zero: EVERY j >= w-1 is a boundary (0 % m == 0)
+      .toDF("id", "p")
+      .select(col("id"), byteCdcBoundaries(col("p"), 16, 64).as("bd"))
+    val rows = df.collect().sortBy(_.getLong(0))
+    // oracle replay: naive windowed re-sum at every position
+    val b = payload.map(_ & 0xff)
+    val naive = (16 to b.length).filter(j => b.slice(j - 16, j).sum % 64 == 0)
+    assert(rows(0).getAs[scala.collection.Seq[Int]]("bd") == naive)
+    assert(naive.nonEmpty, "997 random bytes should hit at least one mod-64 boundary")
+    assert(rows(1).getAs[scala.collection.Seq[Int]]("bd").isEmpty)
+    assert(rows(2).isNullAt(1))
+    assert(rows(3).getAs[scala.collection.Seq[Int]]("bd").isEmpty)
+    assert(rows(4).getAs[scala.collection.Seq[Int]]("bd") == (16 to 40))
+  }
+
   test("long-payload linearity: 1 MB doc VAD + fingerprint stay O(len) (byte-indexed)") {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
