@@ -56,7 +56,7 @@ object SparkEntry {
     "ann_lsh_auto_geometry", "ann_ivf_auto_nprobe",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
-    "dedup_cdc_chunks", "dedup_cdc_savings",
+    "dedup_cdc_chunks", "dedup_cdc_savings", "dedup_cdc_containment",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
     "sketch_kmv_merge",
@@ -77,7 +77,7 @@ object SparkEntry {
     "text_bigram_lift",
     "mm_av_align", "mm_blockhash_pairs", "q_asof_join_forward_tol",
     "q1_pricing_summary", "q3_topk_revenue_join", "q5_region_nation_revenue",
-    "q_salted_skew_agg",
+    "q_salted_skew_agg", "q_bucketed_colocated_join",
     "q_topk_by_agg", "q_range_join_binned",
     "b12_section_concat")
     .filter(queries.contains)

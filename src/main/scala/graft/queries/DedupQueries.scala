@@ -107,6 +107,70 @@ object DedupQueries {
     staged(spark, s"dedup_pair_stats#$key")(pairStatsUnstaged(sets))
   }
 
+  /** CDC chunk table (doc_id, source, clen, h): boundaries from ONE
+    * O(len) [[graft.functions.ByteCdcBoundaries]] codegen pass (rolling
+    * 16-byte sum ≡ 0 mod 64), chunk hashes md5 over O(slice) binary
+    * substrings, sub-16-byte chunks dropped at output. Staged per dir —
+    * the chunk table feeds dedup_cdc_chunks, _savings, and _containment,
+    * exactly the once-per-pass materialization a cluster dedup job would
+    * persist. Row shape is compact (two ids + length + 32-char hash),
+    * bounded by totalBytes/64 chunks, never corpus payload size. */
+  private def cdcChunks(spark: SparkSession, dir: String): DataFrame =
+    staged(spark, s"$dir#cdc_chunks")(cdcChunksUnstaged(spark, dir))
+
+  /** The chunk build itself (exposed for the plan spec: the boundary
+    * pass must stay scan-local — one codegen pass, zero exchanges). */
+  private[graft] def cdcChunksUnstaged(spark: SparkSession, dir: String): DataFrame = {
+      import graft.functions.BlobFunctions.byteCdcBoundaries
+      val keyed = table(spark, dir, "documents")
+        .filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("bin"))
+        .withColumn("n", length(col("bin")))
+        .withColumn("bd", byteCdcBoundaries(col("bin"), 16, 64))
+        // append the end-of-payload sentinel unless the rule already
+        // emitted it (array_max over the 1-element tail slice is the
+        // ANSI-safe "last element or null" — element_at would throw on
+        // an empty boundary array)
+        .withColumn("ends",
+          when(coalesce(array_max(slice(col("bd"), -1, 1)), lit(-1)) === col("n"), col("bd"))
+            .otherwise(concat(col("bd"), array(col("n")))))
+        .withColumn("starts",
+          concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))
+      keyed
+        .select(col("doc_id"), col("source"), col("bin"),
+          explode(zip_with(col("starts"), col("ends"),
+            (s, e) => struct(s.as("st"), e.as("fin")))).as("c"))
+        .select(col("doc_id"), col("source"),
+          (col("c.fin") - col("c.st")).cast("long").as("clen"),
+          md5(expr("substring(bin, c.st + 1, c.fin - c.st)")).as("h"))
+        .filter(col("clen") >= 16)
+    }
+
+  /** DuckDB twin of [[cdcChunks]]: the rolling window sum replayed as
+    * prefix-sum differences ws(j) = pre(j) − pre(j−16). CTE names are
+    * c-prefixed so the chain composes with [[lshCtes]] (which takes
+    * t/f/m/b/rk/p) in one WITH clause. */
+  private val cdcChunkCtes =
+    """cd AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 1),
+      |cb AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS j,
+      |             ascii(substr(text, unnest(range(1, length(text) + 1)), 1)) AS v FROM cd),
+      |cp AS (SELECT doc_id, j, sum(v) OVER (PARTITION BY doc_id ORDER BY j) AS pre FROM cb),
+      |cs AS (SELECT doc_id, j,
+      |             pre - coalesce(lag(pre, 16) OVER (PARTITION BY doc_id ORDER BY j), 0) AS ws
+      |      FROM cp),
+      |cbd AS (SELECT doc_id, j FROM cs WHERE j >= 16 AND ws % 64 = 0),
+      |cends AS (SELECT DISTINCT doc_id, j FROM
+      |           (SELECT doc_id, j FROM cbd
+      |            UNION ALL SELECT doc_id, length(text) FROM cd)),
+      |cch AS (SELECT doc_id,
+      |              coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0) + 1 AS st,
+      |              j AS fin
+      |       FROM cends),
+      |chunks AS (SELECT cch.doc_id, cd.source, fin - st + 1 AS clen,
+      |                  md5(substr(cd.text, st::INT, (fin - st + 1)::INT)) AS h
+      |           FROM cch JOIN cd ON cd.doc_id = cch.doc_id
+      |           WHERE fin >= st AND fin - st + 1 >= 16)""".stripMargin
+
   private def pairStatsUnstaged(sets: DataFrame): DataFrame = {
     val pairs = DedupPipeline.candidatePairs(
       DedupPipeline.bandBuckets(sets, "doc_id", "toks"), "doc_id")
@@ -356,56 +420,15 @@ object DedupQueries {
     // would cost the exact SQL replay. Oracle replays the rolling sum
     // as prefix-sum differences: ws(j) = pre(j) − pre(j−16).
     Q("dedup_cdc_chunks",
-      """WITH d AS (SELECT doc_id, text FROM documents WHERE length(text) >= 1),
-        |b AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS j,
-        |             ascii(substr(text, unnest(range(1, length(text) + 1)), 1)) AS v FROM d),
-        |p AS (SELECT doc_id, j, sum(v) OVER (PARTITION BY doc_id ORDER BY j) AS pre FROM b),
-        |s AS (SELECT doc_id, j,
-        |             pre - coalesce(lag(pre, 16) OVER (PARTITION BY doc_id ORDER BY j), 0) AS ws
-        |      FROM p),
-        |bd AS (SELECT doc_id, j FROM s WHERE j >= 16 AND ws % 64 = 0),
-        |ends AS (SELECT DISTINCT doc_id, j FROM
-        |           (SELECT doc_id, j FROM bd
-        |            UNION ALL SELECT doc_id, length(text) FROM d)),
-        |ch AS (SELECT doc_id,
-        |              coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0) + 1 AS st,
-        |              j AS fin
-        |       FROM ends),
-        |chunks AS (SELECT ch.doc_id, st, fin - st + 1 AS clen,
-        |                  md5(substr(d.text, st::INT, (fin - st + 1)::INT)) AS h
-        |           FROM ch JOIN d ON d.doc_id = ch.doc_id
-        |           WHERE fin >= st AND fin - st + 1 >= 16)
+      s"""WITH $cdcChunkCtes
         |SELECT h, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
         |       min(clen)::BIGINT AS clen
         |FROM chunks GROUP BY h HAVING count(*) > 1
         |ORDER BY n_occ DESC, h LIMIT 500""".stripMargin) { (spark, dir) =>
-      import graft.functions.BlobFunctions.byteCdcBoundaries
-      val keyed = table(spark, dir, "documents")
-        .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
-        .withColumn("n", length(col("bin")))
-        .withColumn("bd", byteCdcBoundaries(col("bin"), 16, 64))
-        // append the end-of-payload sentinel unless the rule already
-        // emitted it (array_max over the 1-element tail slice is the
-        // ANSI-safe "last element or null" — element_at would throw on
-        // an empty boundary array)
-        .withColumn("ends",
-          when(coalesce(array_max(slice(col("bd"), -1, 1)), lit(-1)) === col("n"), col("bd"))
-            .otherwise(concat(col("bd"), array(col("n")))))
-        .withColumn("starts",
-          concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))
-      val chunks = keyed
-        .select(col("doc_id"), col("bin"),
-          explode(zip_with(col("starts"), col("ends"),
-            (s, e) => struct(s.as("st"), e.as("fin")))).as("c"))
-        .select(col("doc_id"),
-          (col("c.fin") - col("c.st")).as("clen"),
-          md5(expr("substring(bin, c.st + 1, c.fin - c.st)")).as("h"))
-        .filter(col("clen") >= 16)
-      chunks.groupBy("h")
+      cdcChunks(spark, dir).groupBy("h")
         .agg(countDistinct("doc_id").as("n_docs"),
           count(lit(1)).as("n_occ"),
-          min(col("clen")).cast("long").as("clen"))
+          min(col("clen")).as("clen"))
         .filter(col("n_occ") > 1)
         .orderBy(col("n_occ").desc, col("h"))
         .limit(500)
@@ -420,50 +443,14 @@ object DedupQueries {
     // not raw payload bytes). Shuffles: chunk-hash-keyed partial agg,
     // then a source-keyed rollup — both compact keys.
     Q("dedup_cdc_savings",
-      """WITH d AS (SELECT doc_id, source, text FROM documents WHERE length(text) >= 1),
-        |b AS (SELECT doc_id, unnest(range(1, length(text) + 1)) AS j,
-        |             ascii(substr(text, unnest(range(1, length(text) + 1)), 1)) AS v FROM d),
-        |p AS (SELECT doc_id, j, sum(v) OVER (PARTITION BY doc_id ORDER BY j) AS pre FROM b),
-        |s AS (SELECT doc_id, j,
-        |             pre - coalesce(lag(pre, 16) OVER (PARTITION BY doc_id ORDER BY j), 0) AS ws
-        |      FROM p),
-        |bd AS (SELECT doc_id, j FROM s WHERE j >= 16 AND ws % 64 = 0),
-        |ends AS (SELECT DISTINCT doc_id, j FROM
-        |           (SELECT doc_id, j FROM bd
-        |            UNION ALL SELECT doc_id, length(text) FROM d)),
-        |ch AS (SELECT doc_id,
-        |              coalesce(lag(j) OVER (PARTITION BY doc_id ORDER BY j), 0) + 1 AS st,
-        |              j AS fin
-        |       FROM ends),
-        |chunks AS (SELECT d.source, fin - st + 1 AS clen,
-        |                  md5(substr(d.text, st::INT, (fin - st + 1)::INT)) AS h
-        |           FROM ch JOIN d ON d.doc_id = ch.doc_id
-        |           WHERE fin >= st AND fin - st + 1 >= 16),
+      s"""WITH $cdcChunkCtes,
         |per AS (SELECT source, h, count(*) AS cnt, min(clen) AS clen
         |        FROM chunks GROUP BY source, h)
         |SELECT source, sum(cnt * clen)::BIGINT AS total_bytes,
         |       sum(clen)::BIGINT AS unique_bytes,
         |       ((sum(cnt * clen) - sum(clen)) * 10000 // sum(cnt * clen))::BIGINT AS savings_bp
         |FROM per GROUP BY source ORDER BY source""".stripMargin) { (spark, dir) =>
-      import graft.functions.BlobFunctions.byteCdcBoundaries
-      val keyed = table(spark, dir, "documents")
-        .filter(length(col("text")) >= 1)
-        .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("bin"))
-        .withColumn("n", length(col("bin")))
-        .withColumn("bd", byteCdcBoundaries(col("bin"), 16, 64))
-        .withColumn("ends",
-          when(coalesce(array_max(slice(col("bd"), -1, 1)), lit(-1)) === col("n"), col("bd"))
-            .otherwise(concat(col("bd"), array(col("n")))))
-        .withColumn("starts",
-          concat(array(lit(0)), slice(col("ends"), lit(1), size(col("ends")) - 1)))
-      val per = keyed
-        .select(col("source"), col("bin"),
-          explode(zip_with(col("starts"), col("ends"),
-            (s, e) => struct(s.as("st"), e.as("fin")))).as("c"))
-        .select(col("source"),
-          (col("c.fin") - col("c.st")).cast("long").as("clen"),
-          md5(expr("substring(bin, c.st + 1, c.fin - c.st)")).as("h"))
-        .filter(col("clen") >= 16)
+      val per = cdcChunks(spark, dir)
         .groupBy("source", "h")
         .agg(count(lit(1)).as("cnt"), min(col("clen")).as("clen"))
       per.groupBy("source")
@@ -472,6 +459,42 @@ object DedupQueries {
         .withColumn("savings_bp",
           expr("(total_bytes - unique_bytes) * 10000 DIV total_bytes"))
         .orderBy("source")
+    },
+
+    // CDC-chunk containment — doc-level near-dup from the BYTE layer:
+    // two docs sharing most of their CDC chunks are the same bytes with
+    // edits, a signal that needs no tokenizer and survives markup/space
+    // differences that shred token shingles. Candidates come from the
+    // same MinHash band buckets + sorted-neighborhood window as every
+    // other verify (over the chunk-hash SETS — the pair bound is
+    // unchanged); the verify metric is |A∩B|/min(|A|,|B|) over distinct
+    // chunk hashes, micro-floored. The staged chunk table is shared
+    // with dedup_cdc_chunks/_savings; the staged pair table with any
+    // future chunk-set metric.
+    Q("dedup_cdc_containment",
+      s"""WITH $cdcChunkCtes,
+         |${lshCtes("SELECT doc_id, list_distinct(list(h)) AS toks FROM chunks GROUP BY doc_id")}
+         |SELECT CASE WHEN len(ta.toks) <= len(tb.toks) THEN p.a_id ELSE p.b_id END AS inner_id,
+         |       CASE WHEN len(ta.toks) <= len(tb.toks) THEN p.b_id ELSE p.a_id END AS outer_id,
+         |       (len(list_intersect(ta.toks, tb.toks)) * 1000000
+         |          // greatest(least(len(ta.toks), len(tb.toks)), 1))::BIGINT AS cont_micro
+         |FROM p JOIN t ta ON ta.doc_id = p.a_id JOIN t tb ON tb.doc_id = p.b_id
+         |WHERE (len(list_intersect(ta.toks, tb.toks)) * 1000000
+         |         // greatest(least(len(ta.toks), len(tb.toks)), 1)) >= 500000
+         |ORDER BY cont_micro DESC, inner_id, outer_id LIMIT 100""".stripMargin) { (spark, dir) =>
+      val sets = cdcChunks(spark, dir)
+        .groupBy("doc_id")
+        .agg(array_distinct(collect_list(col("h"))).as("toks"))
+      val nMin = greatest(least(col("na"), col("nb")), lit(1L))
+      val aSmaller = col("na") <= col("nb")
+      pairStats(sets, s"$dir#cdc")
+        .select(
+          when(aSmaller, col("a_id")).otherwise(col("b_id")).as("inner_id"),
+          when(aSmaller, col("b_id")).otherwise(col("a_id")).as("outer_id"),
+          (col("inter") * 1000000L).divide(nMin).cast("long").as("cont_micro"))
+        .filter(col("cont_micro") >= 500000)
+        .orderBy(col("cont_micro").desc, col("inner_id"), col("outer_id"))
+        .limit(100)
     },
 
     Q("dedup_containment",

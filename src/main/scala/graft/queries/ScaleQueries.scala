@@ -20,6 +20,42 @@ object ScaleQueries {
   private val CentLo = 16
   private val CentHi = 31
 
+  /** Ensure orders/customer exist as BUCKETED parquet tables (8 buckets,
+    * bucketed+sorted by the join key) in the session catalog, and return
+    * their table names. The write repartitions by the bucket key first —
+    * repartition and bucket-id hashing are the same murmur3 pmod, so each
+    * task holds exactly one bucket and every bucket is ONE file (which is
+    * what lets the reader trust the sort and elide both shuffle and sort
+    * under a sort-merge join). Session-scoped: the in-memory catalog
+    * forgets tables between sessions, so a fresh session pays the write
+    * once (the scale analog: the bucketed fact table is written once,
+    * then every co-bucketed join reads it shuffle-free). Table data lives
+    * under java.io.tmpdir, tagged by SF dir. */
+  private def bucketedOrdersCustomer(spark: SparkSession, dir: String): (String, String) = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val ot = s"graft_bkt_orders_$tag"
+    val ct = s"graft_bkt_customer_$tag"
+    def ensure(name: String, key: String)(build: => org.apache.spark.sql.DataFrame): Unit =
+      if (!spark.catalog.tableExists(name)) synchronized {
+        if (!spark.catalog.tableExists(name)) {
+          val path = java.nio.file.Paths
+            .get(sys.props("java.io.tmpdir"), "graft_bucketed", name).toString
+          build.repartition(8, col(key))
+            .write.format("parquet")
+            .bucketBy(8, key).sortBy(key)
+            .option("path", path)
+            .mode(org.apache.spark.sql.SaveMode.Overwrite)
+            .saveAsTable(name)
+        }
+      }
+    ensure(ot, "o_custkey")(
+      table(spark, dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice"))
+    ensure(ct, "c_custkey")(
+      table(spark, dir, "customer").select("c_custkey", "c_mktsegment"))
+    (ot, ct)
+  }
+
   // ---- DuckDB replay of KMeans.train (the ann_ivf_trained oracle) ----
 
   /** Micro-floored squared L2 between a REAL[64] embedding and a
@@ -518,6 +554,33 @@ object ScaleQueries {
         .select(col("event_id"), col("user_id"), col("user_events"), col("user_cents"))
         .orderBy("event_id")
         .limit(2000)
+    },
+
+    // Bucketed-layout co-located join: both sides pre-written as
+    // parquet tables bucketed (and sorted) by the join key with
+    // matching bucket counts, so the sort-merge join reads co-located
+    // buckets with ZERO shuffle on either side (plan-pinned: the only
+    // hash exchange in the plan belongs to the final aggregate). This
+    // is the storage-layout answer to the repeated-join bill at 100 TB:
+    // the fact table's join shuffle is paid ONCE at write time (here:
+    // staged per session via the catalog, rewritten only when absent)
+    // and every subsequent join against any equally-bucketed table is
+    // shuffle-free. The merge hint forces the SMJ so the demonstration
+    // doesn't silently degrade to a broadcast at test scale; result is
+    // identical to the plain join, which is the oracle.
+    Q("q_bucketed_colocated_join",
+      """SELECT c.c_mktsegment AS mktsegment, count(*) AS n_orders,
+        |       round(sum(CAST(round(o.o_totalprice * 100, 0) AS BIGINT)) / 100.0, 2) AS total
+        |FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        |GROUP BY c.c_mktsegment ORDER BY mktsegment""".stripMargin) { (spark, dir) =>
+      val (ordersT, customerT) = bucketedOrdersCustomer(spark, dir)
+      spark.table(ordersT).hint("merge")
+        .join(spark.table(customerT).hint("merge"),
+          col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_mktsegment").as("mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(round(col("o_totalprice") * 100, 0).cast("long")) / 100.0, 2).as("total"))
+        .orderBy("mktsegment")
     },
 
     // KNN on precomputed norms: cosine degrades to dot/(norm·qnorm) — the

@@ -636,11 +636,20 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("cdc dedup: one scan-local boundary pass, chunk-hash-keyed shuffles only, no join") {
+    // the chunk BUILD (staged once per dir, shared by chunks/savings/
+    // containment): boundary detection + chunk hashing are scan-local —
+    // the codegen rolling pass + O(slice) binary substrings, ZERO
+    // exchanges before the staging checkpoint
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val build =
+      try graft.queries.DedupQueries.cdcChunksUnstaged(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(build.contains("byte_cdc_boundaries"), build)
+    assert(!build.contains("Exchange"), build)
+    // the rollup over the staged table: only chunk-hash-keyed exchanges —
+    // no join, window, or cartesian
     val p = plan("dedup_cdc_chunks")
-    // boundary detection + chunk hashing are scan-local (the codegen
-    // rolling pass + O(slice) binary substrings); the only data-sized
-    // exchanges key on the chunk hash h — no join, window, or cartesian
-    assert(p.contains("byte_cdc_boundaries"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(!p.contains("Join"), p)
     assert(!p.contains("windowspecdefinition"), p)
@@ -654,6 +663,24 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("cdc containment: windowed bucket pairs over the staged chunk table, no cartesian") {
+    val p = plan("dedup_cdc_containment")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("bucketed co-located join: bucketed scans feed the SMJ with zero join-side shuffle") {
+    val p = plan("q_bucketed_colocated_join")
+    assert(p.contains("SortMergeJoin"), p)
+    // both sides read the bucketed layout (all 8 buckets, no pruning here)
+    assert(p.contains("SelectedBucketsCount: 8 out of 8"), p)
+    // the only hash exchange in the whole plan is the final aggregate's —
+    // the join itself gets its co-partitioning from the storage layout
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("BroadcastHashJoin"), p)
   }
 
   test("shuffle order: rank windows are bucket-partitioned, offsets broadcast, final order is a TakeOrdered heap") {
