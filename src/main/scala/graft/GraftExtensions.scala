@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ByteCdcBoundaries, ByteWindowSums, CosineSimilarity, DotProduct, Float32Decode, Float32Encode, L2Norm, PqEncode, SignLshBuckets, TopKBy}
+import graft.functions.{ByteCdcBoundaries, ByteWindowSums, CosineSimilarity, DotProduct, Float32Decode, Float32Encode, ImageAhash, ImageDecodeStats, L2Norm, PngEncodeRgb, PqEncode, SignLshBuckets, TopKBy, WavEncodePcm16, WavParse}
 
 /** SparkSessionExtensions registration: makes the engine's Catalyst
   * expressions available to any session (including pure-SQL users) via
@@ -64,6 +64,31 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         case other => throw new IllegalArgumentException(
           s"byte_cdc_boundaries: window and modulus must be integer literals, got $other")
       }))
+    e.injectFunction((FunctionIdentifier("png_encode_rgb"),
+      info("png_encode_rgb", "png_encode_rgb(rgb_array, width, height) - encode row-major 0xRRGGBB ints as PNG bytes (JDK ImageIO)"),
+      (es: Seq[Expression]) => (es(1), es(2)) match {
+        case (Literal(w: Int, IntegerType), Literal(h: Int, IntegerType)) =>
+          PngEncodeRgb(es.head, w, h)
+        case other => throw new IllegalArgumentException(
+          s"png_encode_rgb: width and height must be integer literals, got $other")
+      }))
+    e.injectFunction((FunctionIdentifier("image_decode_stats"),
+      info("image_decode_stats", "image_decode_stats(blob) - decode PNG/JPEG/GIF/BMP and report struct(width, height, sum_r, sum_g, sum_b)"),
+      (es: Seq[Expression]) => ImageDecodeStats(es.head)))
+    e.injectFunction((FunctionIdentifier("image_ahash"),
+      info("image_ahash", "image_ahash(blob, grid_w, grid_h) - average-hash bits over a decoded image (nearest-neighbor grid, integer luma)"),
+      (es: Seq[Expression]) => (es(1), es(2)) match {
+        case (Literal(w: Int, IntegerType), Literal(h: Int, IntegerType)) =>
+          ImageAhash(es.head, w, h)
+        case other => throw new IllegalArgumentException(
+          s"image_ahash: grid dims must be integer literals, got $other")
+      }))
+    e.injectFunction((FunctionIdentifier("wav_encode_pcm16"),
+      info("wav_encode_pcm16", "wav_encode_pcm16(samples, sample_rate) - mono PCM16 RIFF/WAVE bytes"),
+      (es: Seq[Expression]) => WavEncodePcm16(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("wav_parse"),
+      info("wav_parse", "wav_parse(blob) - RIFF/WAVE chunk walk; struct(sample_rate, channels, n_frames, sum_sq, peak) for PCM16"),
+      (es: Seq[Expression]) => WavParse(es.head)))
     e.injectFunction((FunctionIdentifier("topk_by"),
       info("topk_by", "topk_by(payload, score, k) - exact per-group top-k (score desc, payload asc) with map-side partial reduction"),
       (es: Seq[Expression]) => es(2) match {

@@ -1,0 +1,311 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** REAL media codecs over opaque `binary` payload columns, JDK-only —
+  * the same discipline as the in-repo PDF extractor: no external
+  * image/audio libraries exist in this container, but `javax.imageio`
+  * (PNG/JPEG/GIF/BMP) and a hand-rolled RIFF/WAVE PCM walker are pure
+  * JDK and fully headless. This retires the round-7 "decode is a stub"
+  * boundary for every codec the JDK ships; the stub remains ONLY for
+  * codecs the JDK lacks (mp4/webp/opus — the reference's own binary
+  * media path ships whole files to a cloud model, gemini_api.cpp:275).
+  *
+  * All expressions are CodegenFallback: the codec dominates cost, and
+  * the calls are partition-local scan work — never shuffled, never on
+  * the driver. PNG is lossless, so decode outputs are exact functions
+  * of the encoded pixels — which is what lets the decode queries carry
+  * bit-exact DuckDB oracles (the oracle replays the pixel RULE; Spark
+  * must round-trip the actual bytes through the actual codec to match).
+  */
+object MediaCodecs {
+  // ImageIO's default scratch-file cache costs a temp-file per call;
+  // in-memory streams are both faster and sandbox-clean.
+  javax.imageio.ImageIO.setUseCache(false)
+
+  /** Magic-byte sniff for the formats the JDK decodes — lets the scan
+    * skip reader negotiation entirely for the (at 100 TB: vast) majority
+    * of payloads that are not images. */
+  def sniffsImage(b: Array[Byte]): Boolean =
+    b != null && b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') || // PNG
+      (b(0) == 0xff.toByte && b(1) == 0xd8.toByte && b(2) == 0xff.toByte) || // JPEG
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||          // GIF
+      (b(0) == 'B' && b(1) == 'M'))                                          // BMP
+
+  /** Decode via ImageIO; None for null/undecodable payloads. */
+  def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    if (!sniffsImage(bytes)) None
+    else
+      try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+      catch { case _: Exception => None }
+
+  /** Row-major 0xRRGGBB pixels (alpha stripped). */
+  def rgb(img: java.awt.image.BufferedImage): Array[Int] = {
+    val w = img.getWidth; val h = img.getHeight
+    val out = img.getRGB(0, 0, w, h, null, 0, w)
+    var i = 0
+    while (i < out.length) { out(i) &= 0xffffff; i += 1 }
+    out
+  }
+}
+
+/** `array<int>` of row-major 0xRRGGBB pixels → PNG bytes (ImageIO).
+  * Null unless the array has exactly width·height elements. */
+case class PngEncodeRgb(child: Expression, imgW: Int, imgH: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(imgW > 0 && imgH > 0, "dimensions must be positive")
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "png_encode_rgb"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"png_encode_rgb expects array<int>, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() != imgW * imgH) return null
+    val img = new java.awt.image.BufferedImage(
+      imgW, imgH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < imgW * imgH) {
+      val v = if (arr.isNullAt(p)) 0 else arr.getInt(p)
+      img.setRGB(p % imgW, p / imgW, v); p += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Decode an image payload (any ImageIO codec: PNG/JPEG/GIF/BMP) and
+  * report exact integer pixel statistics:
+  * struct(width, height, sum_r, sum_g, sum_b). Null when the payload
+  * isn't a decodable image. */
+case class ImageDecodeStats(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+  override def prettyName: String = "image_decode_stats"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"image_decode_stats expects binary, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MediaCodecs.readImage(v.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(img) =>
+        val px = MediaCodecs.rgb(img)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          i += 1
+        }
+        InternalRow(img.getWidth, img.getHeight, sr, sg, sb)
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Average-hash over a decoded image: nearest-neighbor sample to a
+  * gw×gh grid (sx = x·W/gw, sy = y·H/gh, integer floor), integer luma
+  * (299r+587g+114b)/1000, grid mean = floor(Σluma/(gw·gh)), bit p=y·gw+x
+  * set iff luma > mean. Exact integer arithmetic end-to-end, so the
+  * DuckDB oracle can replay it from the pixel rule. Null when the
+  * payload isn't a decodable image. gw·gh ≤ 64. */
+case class ImageAhash(child: Expression, gridW: Int, gridH: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(gridW > 0 && gridH > 0 && gridW * gridH <= 64, "grid must have 1..64 cells")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "image_ahash"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"image_ahash expects binary, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MediaCodecs.readImage(v.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val px = MediaCodecs.rgb(img)
+        val n = gridW * gridH
+        val luma = new Array[Long](n)
+        var sum = 0L
+        var p = 0
+        while (p < n) {
+          val sx = (p % gridW) * w / gridW
+          val sy = (p / gridW) * h / gridH
+          val c = px(sy * w + sx)
+          luma(p) = (299L * ((c >> 16) & 0xff) + 587L * ((c >> 8) & 0xff) + 114L * (c & 0xff)) / 1000L
+          sum += luma(p)
+          p += 1
+        }
+        val mean = sum / n
+        var bits = 0L
+        p = 0
+        while (p < n) { if (luma(p) > mean) bits |= 1L << p; p += 1 }
+        bits
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** (`array<int>` PCM16 samples clamped to [-32768, 32767], sample rate)
+  * → a canonical 44-byte-header mono RIFF/WAVE file. Null for a
+  * non-positive rate. */
+case class WavEncodePcm16(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "wav_encode_pcm16"
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(IntegerType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"wav_encode_pcm16 expects (array<int>, int), got (${l.sql}, ${r.sql})")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any, r: Any): Any = {
+    val sampleRate = r.asInstanceOf[Int]
+    if (sampleRate <= 0) return null
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val dataBytes = 2 * n
+    val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+    buf.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits
+    buf.put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var i = 0
+    while (i < n) {
+      val raw = if (arr.isNullAt(i)) 0 else arr.getInt(i)
+      buf.putShort(math.max(-32768, math.min(32767, raw)).toShort)
+      i += 1
+    }
+    buf.array()
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Parse a RIFF/WAVE payload — a real chunk walk (fmt /data in any
+  * order, unknown chunks skipped, RIFF even-byte padding honored), PCM
+  * 16-bit only — and report exact integer audio statistics:
+  * struct(sample_rate, channels, n_frames, sum_sq, peak) where sum_sq
+  * sums squared samples over all channels and peak is max |sample|.
+  * Null for anything malformed or non-PCM16. */
+case class WavParse(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("sum_sq", LongType, nullable = false),
+    StructField("peak", IntegerType, nullable = false)))
+  override def prettyName: String = "wav_parse"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"wav_parse expects binary, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    if (b.length < 12) return null
+    val buf = java.nio.ByteBuffer.wrap(b).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    def tag(off: Int): String = new String(b, off, 4, "US-ASCII")
+    if (tag(0) != "RIFF" || tag(8) != "WAVE") return null
+    var off = 12
+    var fmtOk = false
+    var channels = 0; var rate = 0
+    var dataOff = -1; var dataLen = 0
+    while (off + 8 <= b.length) {
+      val id = tag(off)
+      val size = buf.getInt(off + 4)
+      if (size < 0 || off + 8 + size > b.length) return null
+      id match {
+        case "fmt " =>
+          if (size < 16) return null
+          val audioFormat = buf.getShort(off + 8)
+          channels = buf.getShort(off + 10)
+          rate = buf.getInt(off + 12)
+          val bits = buf.getShort(off + 22)
+          fmtOk = audioFormat == 1 && bits == 16 && channels > 0 && rate > 0
+        case "data" =>
+          dataOff = off + 8; dataLen = size
+        case _ => () // skip unknown chunks (LIST, fact, ...)
+      }
+      off += 8 + size + (size & 1) // RIFF pads chunks to even length
+    }
+    if (!fmtOk || dataOff < 0 || dataLen % (2 * channels) != 0) return null
+    val nSamples = dataLen / 2
+    var sumSq = 0L; var peak = 0
+    var i = 0
+    while (i < nSamples) {
+      val s = buf.getShort(dataOff + 2 * i).toInt
+      sumSq += s.toLong * s
+      val a = math.abs(s)
+      if (a > peak) peak = a
+      i += 1
+    }
+    InternalRow(rate, channels, (nSamples / channels).toLong, sumSq, peak)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object MediaFunctions {
+  def pngEncodeRgb(c: Column, imgW: Int, imgH: Int): Column =
+    ColumnBridge.column(PngEncodeRgb(ColumnBridge.expression(c), imgW, imgH))
+  def imageDecodeStats(c: Column): Column =
+    ColumnBridge.column(ImageDecodeStats(ColumnBridge.expression(c)))
+  def imageAhash(c: Column, gridW: Int, gridH: Int): Column =
+    ColumnBridge.column(ImageAhash(ColumnBridge.expression(c), gridW, gridH))
+  def wavEncodePcm16(samples: Column, sampleRate: Column): Column =
+    ColumnBridge.column(WavEncodePcm16(
+      ColumnBridge.expression(samples), ColumnBridge.expression(sampleRate)))
+  def wavParse(c: Column): Column =
+    ColumnBridge.column(WavParse(ColumnBridge.expression(c)))
+}

@@ -7,13 +7,16 @@ import org.apache.spark.sql.functions._
   * with typed metadata, plus decode / feature-extract / frame-sample
   * operators.
   *
-  * The Spark-side plumbing — schema, partition-parallel batch processing,
-  * fixed-shape feature output — is real and tested; the codec itself is a
-  * deliberate STUB (this container ships no image/audio libraries): a
-  * deterministic byte-level featurizer stands in where a real deployment
-  * would call the decoder inside the same `mapPartitions` boundary. The
-  * boundary is identical to the embedder's (SURVEY §2 C1): batched,
-  * partition-local, no driver involvement.
+  * The decode is REAL for every codec the JDK ships: payloads that sniff
+  * as ImageIO-decodable images (PNG/JPEG/GIF/BMP) are actually decoded
+  * (headless `javax.imageio`, see [[graft.functions.MediaCodecs]]) and
+  * featurized from pixels; RIFF/WAVE PCM16 audio has an exact chunk-walk
+  * parser ([[graft.functions.WavParse]]). Only codecs absent from the
+  * JDK (mp4/webp/opus) fall back to the deterministic byte-level
+  * featurizer — same fixed-shape output contract, so a real native codec
+  * drops into the identical `mapPartitions` boundary. The boundary
+  * matches the embedder's (SURVEY §2 C1): batched, partition-local, no
+  * driver involvement.
   */
 object Multimodal {
 
@@ -34,20 +37,43 @@ object Multimodal {
       (pmod(col("doc_id"), lit(640)) + lit(1)).cast("int").as("meta_width"),
       (pmod(col("doc_id"), lit(480)) + lit(1)).cast("int").as("meta_height"))
 
-  /** STUB decode: a real implementation decodes the image/audio payload
-    * here (partition-local, one codec instance per partition). The stand-in
-    * derives a deterministic 16-bin byte histogram, L1-normalized — same
-    * output contract: fixed-shape float features per row. */
-  def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
-    val hist = new Array[Float](16)
-    if (payload == null || payload.isEmpty) return hist
-    var i = 0
-    while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1f; i += 1 }
-    val total = payload.length.toFloat
-    var j = 0
-    while (j < 16) { hist(j) /= total; j += 1 }
-    hist
-  }
+  /** Decode → fixed 16-float features. Image payloads (anything ImageIO
+    * decodes: PNG/JPEG/GIF/BMP) take the REAL pixel path:
+    * [w, h, meanR, meanG, meanB, 11-bin luma histogram (L1-normalized)].
+    * Everything else — including codecs the JDK lacks — falls back to a
+    * deterministic 16-bin byte histogram, L1-normalized. Same contract
+    * either way: fixed-shape float features per row. */
+  def decodeToFeatures(payload: Array[Byte]): Array[Float] =
+    graft.functions.MediaCodecs.readImage(payload) match {
+      case Some(img) =>
+        val out = new Array[Float](16)
+        val px = graft.functions.MediaCodecs.rgb(img)
+        val n = px.length.toFloat
+        out(0) = img.getWidth.toFloat
+        out(1) = img.getHeight.toFloat
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          out(2) += r; out(3) += g; out(4) += b
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          out(5 + math.min(luma * 11 / 256, 10)) += 1f
+          i += 1
+        }
+        var j = 2
+        while (j < 5) { out(j) /= n; j += 1 }
+        while (j < 16) { out(j) /= n; j += 1 }
+        out
+      case None =>
+        val hist = new Array[Float](16)
+        if (payload == null || payload.isEmpty) return hist
+        var i = 0
+        while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1f; i += 1 }
+        val total = payload.length.toFloat
+        var j = 0
+        while (j < 16) { hist(j) /= total; j += 1 }
+        hist
+    }
 
   /** Feature extraction over the media table: mapPartitions so codec setup
     * amortizes per partition (the Scala analog of mapInPandas batches). */

@@ -510,6 +510,130 @@ object StreamMultimodalQueries {
           col("resized_width"), col("resized_height"))
         .orderBy("media_id")
         .limit(1000)
+    },
+
+    // REAL image decode, oracle-exact: each image-typed doc synthesizes
+    // a 24×16 RGB image (pixel bytes from the one-pass ByteWindowSums
+    // rule — O(len) per doc, oracle-replayable as windowed sums), PNG-
+    // encodes it through javax.imageio, then DECODES the actual PNG
+    // bytes back (ImageDecodeStats/ImageAhash) and reports exact
+    // integer pixel statistics + an 8×8 average-hash. PNG is lossless,
+    // so the DuckDB oracle replays the pixel RULE and the query only
+    // matches if the real codec round-trips bit-exactly — the decode
+    // path is the thing under test, usable unchanged on any real
+    // PNG/JPEG/GIF/BMP column. Scan-local end to end (encode, decode,
+    // hash per row; TakeOrdered top-k); the 64-bit ahash ships as two
+    // 32-bit halves because a set bit 63 has no portable BIGINT
+    // literal. At 100 TB this plan's only data motion is the top-k.
+    Q("mm_image_decode",
+      """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 16),
+        |w AS (SELECT media_id, i,
+        |        list_aggregate(list_transform(range(16),
+        |          j -> ascii(substr(text, (i * 16 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
+        |      FROM a, unnest(range(0, length(text) // 16)) AS u(i)),
+        |ws AS (SELECT media_id, list(en ORDER BY i) AS ws FROM w GROUP BY media_id),
+        |px AS (SELECT media_id, p::INT AS p,
+        |         (ws[((p * 3) % len(ws))::INT + 1] % 256)::INT AS r,
+        |         (ws[((p * 3 + 1) % len(ws))::INT + 1] % 256)::INT AS g,
+        |         (ws[((p * 3 + 2) % len(ws))::INT + 1] % 256)::INT AS b
+        |       FROM ws, unnest(range(0, 384)) AS u(p)),
+        |st AS (SELECT media_id, sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb
+        |       FROM px GROUP BY media_id),
+        |lum AS (SELECT media_id, p, ((299 * r + 587 * g + 114 * b) // 1000)::BIGINT AS luma FROM px),
+        |grid AS (SELECT l.media_id, g.gp, l.luma
+        |         FROM (SELECT gp::INT AS gp, (((gp // 8) * 2) * 24 + (gp % 8) * 3)::INT AS q
+        |               FROM unnest(range(0, 64)) AS t(gp)) g
+        |         JOIN lum l ON l.p = g.q),
+        |gm AS (SELECT media_id, (sum(luma) // 64)::BIGINT AS mean FROM grid GROUP BY media_id),
+        |bits AS (SELECT grid.media_id,
+        |           sum(CASE WHEN luma > mean AND gp >= 32 THEN (1::BIGINT << (gp - 32)) ELSE 0 END)::BIGINT AS ahash_hi,
+        |           sum(CASE WHEN luma > mean AND gp < 32 THEN (1::BIGINT << gp) ELSE 0 END)::BIGINT AS ahash_lo
+        |         FROM grid JOIN gm ON gm.media_id = grid.media_id
+        |         GROUP BY grid.media_id)
+        |SELECT st.media_id AS media_id, 24::INT AS width, 16::INT AS height,
+        |       (sr * 1000000 // 384)::BIGINT AS mean_r_micro,
+        |       (sg * 1000000 // 384)::BIGINT AS mean_g_micro,
+        |       (sb * 1000000 // 384)::BIGINT AS mean_b_micro,
+        |       bits.ahash_hi, bits.ahash_lo
+        |FROM st JOIN bits ON bits.media_id = st.media_id
+        |ORDER BY st.media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import graft.functions.BlobFunctions.byteWindowSums
+      import graft.functions.MediaFunctions.{imageAhash, imageDecodeStats, pngEncodeRgb}
+      val W = 24; val H = 16
+      val base = table(spark, dir, "documents")
+        .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 16)
+        .select(col("doc_id").as("media_id"),
+          byteWindowSums(encode(col("text"), "UTF-8"), 16).as("ws"))
+        .withColumn("m", size(col("ws")))
+      def byteAt(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        (element_at(col("ws"), (q % col("m") + 1).cast("int")) % 256).cast("int")
+      val pix = transform(sequence(lit(0), lit(W * H - 1)),
+        p => byteAt(p * 3) * 65536 + byteAt(p * 3 + 1) * 256 + byteAt(p * 3 + 2))
+      base.withColumn("payload", pngEncodeRgb(pix, W, H))
+        .select(col("media_id"),
+          imageDecodeStats(col("payload")).as("st"),
+          imageAhash(col("payload"), 8, 8).as("ah"))
+        .select(col("media_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          expr("st.sum_r * 1000000 DIV 384").as("mean_r_micro"),
+          expr("st.sum_g * 1000000 DIV 384").as("mean_g_micro"),
+          expr("st.sum_b * 1000000 DIV 384").as("mean_b_micro"),
+          shiftrightunsigned(col("ah"), 32).as("ahash_hi"),
+          col("ah").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+        .orderBy("media_id")
+        .limit(1000)
+    },
+
+    // REAL audio container round-trip, oracle-exact: each audio-typed
+    // doc synthesizes 400 PCM16 samples (ByteWindowSums rule), writes a
+    // genuine mono RIFF/WAVE file (WavEncodePcm16), then PARSES those
+    // bytes back with the real chunk walker (WavParse: fmt /data in any
+    // order, unknown chunks skipped, even-byte padding honored) and
+    // reports the header fields + exact integer signal stats. The
+    // oracle replays the sample rule — the query only matches if the
+    // header was written AND parsed correctly and every sample
+    // round-tripped bit-exactly through little-endian PCM16. The
+    // parser is usable unchanged on any real PCM16 WAV payload (the
+    // unit spec cross-validates it against javax.sound's own writer).
+    Q("mm_wav_meta",
+      """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 16),
+        |w AS (SELECT media_id, i,
+        |        list_aggregate(list_transform(range(16),
+        |          j -> ascii(substr(text, (i * 16 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
+        |      FROM a, unnest(range(0, length(text) // 16)) AS u(i)),
+        |ws AS (SELECT media_id, list(en ORDER BY i) AS ws FROM w GROUP BY media_id),
+        |s AS (SELECT media_id, i,
+        |        ((ws[(i % len(ws))::INT + 1] * 16 + i) % 65536) - 32768 AS smp
+        |      FROM ws, unnest(range(0, 400)) AS u(i))
+        |SELECT media_id,
+        |       (8000 + (media_id % 8) * 1000)::INT AS sample_rate,
+        |       1::INT AS channels,
+        |       400::BIGINT AS n_frames,
+        |       (400 * 1000000 // (8000 + (media_id % 8) * 1000))::BIGINT AS duration_micro,
+        |       sum(smp * smp)::BIGINT AS sum_sq,
+        |       max(abs(smp))::INT AS peak
+        |FROM s GROUP BY media_id ORDER BY media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import graft.functions.BlobFunctions.byteWindowSums
+      import graft.functions.MediaFunctions.{wavEncodePcm16, wavParse}
+      val base = table(spark, dir, "documents")
+        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 16)
+        .select(col("doc_id").as("media_id"),
+          byteWindowSums(encode(col("text"), "UTF-8"), 16).as("ws"))
+        .withColumn("m", size(col("ws")))
+        .withColumn("rate", (lit(8000) + pmod(col("media_id"), lit(8)) * 1000).cast("int"))
+      val samples = transform(sequence(lit(0), lit(399)),
+        i => (((element_at(col("ws"), (i % col("m") + 1).cast("int")) * 16 + i) % 65536) - 32768)
+          .cast("int"))
+      base.withColumn("st", wavParse(wavEncodePcm16(samples, col("rate"))))
+        .select(col("media_id"),
+          col("st.sample_rate").as("sample_rate"),
+          col("st.channels").as("channels"),
+          col("st.n_frames").as("n_frames"),
+          expr("st.n_frames * 1000000 DIV st.sample_rate").as("duration_micro"),
+          col("st.sum_sq").as("sum_sq"),
+          col("st.peak").as("peak"))
+        .orderBy("media_id")
+        .limit(1000)
     }
   )
 }

@@ -44,8 +44,14 @@ package object queries {
       *                          + fusion over engine state)
       *  - hybrid_search_ann   — same pipeline served from the persisted IVF
       *                          index (adds workspace state)
-      *  - mm_feature_extract  — the documented multimodal decode STUB
-      *                          boundary (no image libs in-container)
+      *  - mm_feature_extract  — decode is REAL for JDK codecs
+      *                          (PNG/JPEG/GIF/BMP via javax.imageio; the
+      *                          oracle-exact round-trips live in
+      *                          mm_image_decode/mm_wav_meta) but these
+      *                          features L1-normalize with float division
+      *                          — not bit-replayable in SQL; the corpus
+      *                          payloads also aren't images, so rows here
+      *                          exercise the fallback byte featurizer
       *  - q_approx_distinct   — Spark HLL++ ≠ DuckDB approx sketch; the
       *                          estimate is algorithm-specific by design
       *  - stream_ingest       — structured-streaming micro-batch path;

@@ -672,6 +672,18 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("image decode: codec work is scan-local — encode, decode, hash per row, top-k only") {
+    val p = plan("mm_image_decode")
+    assert(p.contains("png_encode_rgb"), p)
+    assert(p.contains("image_decode_stats"), p)
+    assert(p.contains("image_ahash"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // at 100 TB the payloads dominate storage: the codec must run inside
+    // the scan and only the top-k rows may move
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("bucketed co-located join: bucketed scans feed the SMJ with zero join-side shuffle") {
     val p = plan("q_bucketed_colocated_join")
     assert(p.contains("SortMergeJoin"), p)
