@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ByteCdcBoundaries, ByteWindowSums, CosineSimilarity, DotProduct, Float32Decode, Float32Encode, ImageAhash, ImageDecodeStats, L2Norm, PngEncodeRgb, PqEncode, SignLshBuckets, TopKBy, WavEncodePcm16, WavParse}
+import graft.functions.{ByteCdcBoundaries, ByteWindowSums, CosineSimilarity, DotProduct, Float32Decode, Float32Encode, ImageAhash, ImageDecodeStats, L2Norm, LenPrefixedSlices, PngEncodeRgb, PqEncode, SignLshBuckets, TopKBy, WavEncodePcm16, WavParse}
 
 /** SparkSessionExtensions registration: makes the engine's Catalyst
   * expressions available to any session (including pure-SQL users) via
@@ -86,6 +86,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("wav_encode_pcm16"),
       info("wav_encode_pcm16", "wav_encode_pcm16(samples, sample_rate) - mono PCM16 RIFF/WAVE bytes"),
       (es: Seq[Expression]) => WavEncodePcm16(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("len_prefixed_slices"),
+      info("len_prefixed_slices", "len_prefixed_slices(blob) - split [4-byte BE length][record]... packed binary into array<binary>; null on corruption"),
+      (es: Seq[Expression]) => LenPrefixedSlices(es.head)))
     e.injectFunction((FunctionIdentifier("wav_parse"),
       info("wav_parse", "wav_parse(blob) - RIFF/WAVE chunk walk; struct(sample_rate, channels, n_frames, sum_sq, peak) for PCM16"),
       (es: Seq[Expression]) => WavParse(es.head)))

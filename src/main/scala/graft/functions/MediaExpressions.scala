@@ -296,7 +296,47 @@ case class WavParse(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Split a packed binary column of [4-byte big-endian length][record]…
+  * entries into `array<binary>` — the generic walk for multi-record
+  * payloads (video frame packs, batched sensor blobs, concatenated
+  * serialized rows). One O(len) pass, O(record) copies; null when the
+  * walk doesn't consume the payload exactly (negative length, overrun,
+  * trailing garbage) so corruption surfaces as null rather than a
+  * silently truncated split. */
+case class LenPrefixedSlices(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(BinaryType, containsNull = false)
+  override def prettyName: String = "len_prefixed_slices"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"len_prefixed_slices expects binary, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any = {
+    val b = v.asInstanceOf[Array[Byte]]
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var off = 0
+    while (off + 4 <= b.length) {
+      val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+      if (len < 0 || off + 4 + len > b.length) return null
+      out += java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
+      off += 4 + len
+    }
+    if (off != b.length) return null
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object MediaFunctions {
+  def lenPrefixedSlices(c: Column): Column =
+    ColumnBridge.column(LenPrefixedSlices(ColumnBridge.expression(c)))
   def pngEncodeRgb(c: Column, imgW: Int, imgH: Int): Column =
     ColumnBridge.column(PngEncodeRgb(ColumnBridge.expression(c), imgW, imgH))
   def imageDecodeStats(c: Column): Column =

@@ -634,6 +634,86 @@ object StreamMultimodalQueries {
           col("st.peak").as("peak"))
         .orderBy("media_id")
         .limit(1000)
+    },
+
+    // REAL video-shaped decode, oracle-exact — completes the media
+    // triple (image %3=0, audio %3=1, video %3=2): each video-typed doc
+    // packs 4 per-frame PNGs into a length-prefixed binary container
+    // (the generic [4-byte BE length][record]… pack), then the query
+    // UNPACKS the container (LenPrefixedSlices — one O(len) walk that
+    // nulls on corruption instead of silently truncating), decodes
+    // every frame through the real codec, and reports per-frame exact
+    // pixel stats + the 8×8 average-hash (the per-frame signature a
+    // frame-dedup pass keys on). The oracle replays the per-frame pixel
+    // rule — a match requires the container walk AND all four codec
+    // round-trips to be bit-exact. All scan-local; only the top-k rows
+    // move. The 4-frame pack is built once per row (non-cheap alias —
+    // CollapseProject keeps it out of the consumers, same discipline as
+    // text_fingerprint's hoist).
+    Q("mm_video_frame_decode",
+      """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 16),
+        |w AS (SELECT media_id, i,
+        |        list_aggregate(list_transform(range(16),
+        |          j -> ascii(substr(text, (i * 16 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
+        |      FROM a, unnest(range(0, length(text) // 16)) AS u(i)),
+        |ws AS (SELECT media_id, list(en ORDER BY i) AS ws FROM w GROUP BY media_id),
+        |px AS (SELECT media_id, f::INT AS f, p::INT AS p,
+        |         (ws[((p * 3 + f * 7) % len(ws))::INT + 1] % 256)::INT AS r,
+        |         (ws[((p * 3 + 1 + f * 7) % len(ws))::INT + 1] % 256)::INT AS g,
+        |         (ws[((p * 3 + 2 + f * 7) % len(ws))::INT + 1] % 256)::INT AS b
+        |       FROM ws, unnest(range(0, 4)) AS uf(f), unnest(range(0, 384)) AS up(p)),
+        |st AS (SELECT media_id, f, sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb
+        |       FROM px GROUP BY media_id, f),
+        |lum AS (SELECT media_id, f, p, ((299 * r + 587 * g + 114 * b) // 1000)::BIGINT AS luma FROM px),
+        |grid AS (SELECT l.media_id, l.f, g.gp, l.luma
+        |         FROM (SELECT gp::INT AS gp, (((gp // 8) * 2) * 24 + (gp % 8) * 3)::INT AS q
+        |               FROM unnest(range(0, 64)) AS t(gp)) g
+        |         JOIN lum l ON l.p = g.q),
+        |gm AS (SELECT media_id, f, (sum(luma) // 64)::BIGINT AS mean FROM grid GROUP BY media_id, f),
+        |bits AS (SELECT grid.media_id, grid.f,
+        |           sum(CASE WHEN luma > mean AND gp >= 32 THEN (1::BIGINT << (gp - 32)) ELSE 0 END)::BIGINT AS ahash_hi,
+        |           sum(CASE WHEN luma > mean AND gp < 32 THEN (1::BIGINT << gp) ELSE 0 END)::BIGINT AS ahash_lo
+        |         FROM grid JOIN gm ON gm.media_id = grid.media_id AND gm.f = grid.f
+        |         GROUP BY grid.media_id, grid.f)
+        |SELECT st.media_id AS media_id, st.f AS frame_idx, 24::INT AS width, 16::INT AS height,
+        |       (sr * 1000000 // 384)::BIGINT AS mean_r_micro,
+        |       (sg * 1000000 // 384)::BIGINT AS mean_g_micro,
+        |       (sb * 1000000 // 384)::BIGINT AS mean_b_micro,
+        |       bits.ahash_hi, bits.ahash_lo
+        |FROM st JOIN bits ON bits.media_id = st.media_id AND bits.f = st.f
+        |ORDER BY st.media_id, st.f LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import graft.functions.BlobFunctions.byteWindowSums
+      import graft.functions.MediaFunctions.{imageAhash, imageDecodeStats, lenPrefixedSlices, pngEncodeRgb}
+      val W = 24; val H = 16; val F = 4
+      val base = table(spark, dir, "documents")
+        .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 16)
+        .select(col("doc_id").as("media_id"),
+          byteWindowSums(encode(col("text"), "UTF-8"), 16).as("ws"))
+        .withColumn("m", size(col("ws")))
+      def byteAt(q: org.apache.spark.sql.Column, f: Int): org.apache.spark.sql.Column =
+        (element_at(col("ws"), ((q + lit(f * 7)) % col("m") + 1).cast("int")) % 256).cast("int")
+      def frame(f: Int): org.apache.spark.sql.Column =
+        pngEncodeRgb(transform(sequence(lit(0), lit(W * H - 1)),
+          p => byteAt(p * 3, f) * 65536 + byteAt(p * 3 + 1, f) * 256 + byteAt(p * 3 + 2, f)), W, H)
+      val packed = base
+        .withColumn("fr", array((0 until F).map(frame): _*))
+        .withColumn("payload",
+          aggregate(col("fr"), lit(Array.emptyByteArray),
+            (acc, x) => concat(acc, unhex(lpad(hex(length(x)), 8, "0")), x)))
+      packed
+        .select(col("media_id"), posexplode(lenPrefixedSlices(col("payload"))))
+        .select(col("media_id"), col("pos").cast("int").as("frame_idx"),
+          imageDecodeStats(col("col")).as("st"),
+          imageAhash(col("col"), 8, 8).as("ah"))
+        .select(col("media_id"), col("frame_idx"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          expr("st.sum_r * 1000000 DIV 384").as("mean_r_micro"),
+          expr("st.sum_g * 1000000 DIV 384").as("mean_g_micro"),
+          expr("st.sum_b * 1000000 DIV 384").as("mean_b_micro"),
+          shiftrightunsigned(col("ah"), 32).as("ahash_hi"),
+          col("ah").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+        .orderBy("media_id", "frame_idx")
+        .limit(1000)
     }
   )
 }

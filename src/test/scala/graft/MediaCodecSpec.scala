@@ -143,6 +143,26 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(parse("RIFX....WAVE".getBytes("US-ASCII")) == null)
   }
 
+  test("len_prefixed_slices: exact pack round-trip; corruption yields null, not truncation") {
+    import graft.functions.LenPrefixedSlices
+    def slices(b: Array[Byte]) =
+      LenPrefixedSlices(Literal.create(b, BinaryType)).eval(null)
+    val recs = Seq(Array[Byte](1, 2, 3), Array.emptyByteArray, Array[Byte](9))
+    val buf = java.nio.ByteBuffer.allocate(recs.map(_.length + 4).sum)
+    recs.foreach { r => buf.putInt(r.length).put(r) } // BE by default
+    val got = slices(buf.array()).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    assert(got.numElements() == 3)
+    assert(got.getBinary(0).toSeq == Seq[Byte](1, 2, 3))
+    assert(got.getBinary(1).isEmpty && got.getBinary(2).toSeq == Seq[Byte](9))
+    // empty payload → empty array (zero records is a valid pack)
+    assert(slices(Array.emptyByteArray)
+      .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].numElements() == 0)
+    // corruption surfaces as NULL: overrun length, trailing garbage, negative length
+    assert(slices(Array[Byte](0, 0, 0, 9, 1)) == null)
+    assert(slices(buf.array() :+ 7.toByte) == null)
+    assert(slices(Array[Byte](-1, -1, -1, -1)) == null)
+  }
+
   test("decodeToFeatures: real pixel path for images, byte-histogram fallback otherwise") {
     val bytes = pngBytes(pixels, W, H)
     val f = Multimodal.decodeToFeatures(bytes)

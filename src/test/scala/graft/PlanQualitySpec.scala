@@ -684,6 +684,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("video frame decode: pack, unpack, and per-frame codec all scan-local — top-k only") {
+    val p = plan("mm_video_frame_decode")
+    assert(p.contains("len_prefixed_slices"), p)
+    assert(p.contains("image_decode_stats"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("bucketed co-located join: bucketed scans feed the SMJ with zero join-side shuffle") {
     val p = plan("q_bucketed_colocated_join")
     assert(p.contains("SortMergeJoin"), p)
