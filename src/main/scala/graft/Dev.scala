@@ -4,13 +4,16 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev harness: `Dev <sfDir> entry` smoke-checks the flagship query;
   * `Dev <sfDir> explain <name>` prints a query's formatted physical plan;
-  * `Dev <sfDir> run <name>` shows the result. */
+  * `Dev <sfDir> run <name>` shows the result; `Dev <sfDir> time <name>`
+  * times it Bench-style (warm + min-of-3). SPARK_GRAFT_CPUS overrides
+  * the thread count (default 8). */
 object Dev {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
-      .master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
@@ -25,6 +28,15 @@ object Dev {
         SparkEntry.queries(name)(spark, sfDir).explain("formatted")
       case "run" :: name :: _ =>
         SparkEntry.queries(name)(spark, sfDir).show(20, truncate = false)
+      case "time" :: name :: _ =>
+        val fn = SparkEntry.queries(name)
+        fn(spark, sfDir).count() // warm: plan compile + codegen
+        val ts = (1 to 3).map { _ =>
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        println(f"$name min=${ts.min}%.3f runs=[${ts.map(t => f"$t%.3f").mkString(", ")}]")
       case "recall-clustered" :: rest =>
         val n = rest.headOption.map(_.toInt).getOrElse(2000)
         println(graft.queries.RecallEval.evaluateClustered(spark, n = n, dim = 64).json)

@@ -55,13 +55,42 @@ object MediaCodecs {
     while (i < out.length) { out(i) &= 0xffffff; i += 1 }
     out
   }
+
+  /** Average-hash bits over decoded pixels: nearest-neighbor sample to a
+    * gw×gh grid (sx = x·W/gw, sy = y·H/gh, integer floor), integer luma
+    * (299r+587g+114b)/1000, grid mean = floor(Σluma/(gw·gh)), bit
+    * p = y·gw+x set iff luma > mean. Exact integer arithmetic — the
+    * DuckDB oracles replay it from the pixel rule. */
+  def ahashBits(px: Array[Int], w: Int, h: Int, gw: Int, gh: Int): Long = {
+    val n = gw * gh
+    val luma = new Array[Long](n)
+    var sum = 0L
+    var p = 0
+    while (p < n) {
+      val sx = (p % gw) * w / gw
+      val sy = (p / gw) * h / gh
+      val c = px(sy * w + sx)
+      luma(p) = (299L * ((c >> 16) & 0xff) + 587L * ((c >> 8) & 0xff) + 114L * (c & 0xff)) / 1000L
+      sum += luma(p)
+      p += 1
+    }
+    val mean = sum / n
+    var bits = 0L
+    p = 0
+    while (p < n) { if (luma(p) > mean) bits |= 1L << p; p += 1 }
+    bits
+  }
 }
 
 /** `array<int>` of row-major 0xRRGGBB pixels → PNG bytes (ImageIO).
   * Null unless the array has exactly width·height elements. */
 case class PngEncodeRgb(child: Expression, imgW: Int, imgH: Int)
     extends UnaryExpression with CodegenFallback {
-  require(imgW > 0 && imgH > 0, "dimensions must be positive")
+  // the ≤2²⁶-pixel cap (a 256 MB raster) turns an absurd dimension pair
+  // into a clean construction-time error instead of an executor OOM —
+  // and keeps imgW*imgH inside Int for the size check below
+  require(imgW > 0 && imgH > 0 && imgW.toLong * imgH <= (1L << 26),
+    "dimensions must be positive and at most 2^26 pixels total")
 
   override def dataType: DataType = BinaryType
   override def prettyName: String = "png_encode_rgb"
@@ -91,10 +120,13 @@ case class PngEncodeRgb(child: Expression, imgW: Int, imgH: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Decode an image payload (any ImageIO codec: PNG/JPEG/GIF/BMP) and
-  * report exact integer pixel statistics:
-  * struct(width, height, sum_r, sum_g, sum_b). Null when the payload
-  * isn't a decodable image. */
+/** Decode an image payload (any ImageIO codec: PNG/JPEG/GIF/BMP) ONCE
+  * and report exact integer pixel statistics plus the 8×8 average-hash:
+  * struct(width, height, sum_r, sum_g, sum_b, ahash). Null when the
+  * payload isn't a decodable image. The ahash rides along because the
+  * decode dominates cost — "decode once, derive every feature" is the
+  * shape that matters when the binary column is 100 TB; a separate
+  * [[ImageAhash]] call would decode the same payload a second time. */
 case class ImageDecodeStats(child: Expression)
     extends UnaryExpression with CodegenFallback {
 
@@ -103,7 +135,8 @@ case class ImageDecodeStats(child: Expression)
     StructField("height", IntegerType, nullable = false),
     StructField("sum_r", LongType, nullable = false),
     StructField("sum_g", LongType, nullable = false),
-    StructField("sum_b", LongType, nullable = false)))
+    StructField("sum_b", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = false)))
   override def prettyName: String = "image_decode_stats"
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -125,7 +158,8 @@ case class ImageDecodeStats(child: Expression)
           sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
           i += 1
         }
-        InternalRow(img.getWidth, img.getHeight, sr, sg, sb)
+        InternalRow(img.getWidth, img.getHeight, sr, sg, sb,
+          MediaCodecs.ahashBits(px, img.getWidth, img.getHeight, 8, 8))
     }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -155,25 +189,8 @@ case class ImageAhash(child: Expression, gridW: Int, gridH: Int)
     MediaCodecs.readImage(v.asInstanceOf[Array[Byte]]) match {
       case None => null
       case Some(img) =>
-        val w = img.getWidth; val h = img.getHeight
-        val px = MediaCodecs.rgb(img)
-        val n = gridW * gridH
-        val luma = new Array[Long](n)
-        var sum = 0L
-        var p = 0
-        while (p < n) {
-          val sx = (p % gridW) * w / gridW
-          val sy = (p / gridW) * h / gridH
-          val c = px(sy * w + sx)
-          luma(p) = (299L * ((c >> 16) & 0xff) + 587L * ((c >> 8) & 0xff) + 114L * (c & 0xff)) / 1000L
-          sum += luma(p)
-          p += 1
-        }
-        val mean = sum / n
-        var bits = 0L
-        p = 0
-        while (p < n) { if (luma(p) > mean) bits |= 1L << p; p += 1 }
-        bits
+        MediaCodecs.ahashBits(
+          MediaCodecs.rgb(img), img.getWidth, img.getHeight, gridW, gridH)
     }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -264,7 +281,9 @@ case class WavParse(child: Expression)
     while (off + 8 <= b.length) {
       val id = tag(off)
       val size = buf.getInt(off + 4)
-      if (size < 0 || off + 8 + size > b.length) return null
+      // long arithmetic: a near-Int.MaxValue chunk size must fail the
+      // bound check, not overflow past it
+      if (size < 0 || off + 8L + size > b.length) return null
       id match {
         case "fmt " =>
           if (size < 16) return null
@@ -323,7 +342,9 @@ case class LenPrefixedSlices(child: Expression)
     while (off + 4 <= b.length) {
       val len = ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
         ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
-      if (len < 0 || off + 4 + len > b.length) return null
+      // long arithmetic: a huge length prefix must fail the bound check,
+      // not overflow past it into copyOfRange
+      if (len < 0 || off + 4L + len > b.length) return null
       out += java.util.Arrays.copyOfRange(b, off + 4, off + 4 + len)
       off += 4 + len
     }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.embed.HashNgramEmbedder
@@ -12,6 +13,65 @@ import graft.streaming.StreamingIngest
 object StreamMultimodalQueries {
 
   private val embedder = HashNgramEmbedder(dim = 64)
+
+  // ---- shared media-codec synthesis: ONE pixel/sample rule, both
+  // engines. Per-doc 16-byte ByteWindowSums values are the entropy
+  // source; frame f shifts the byte index by f·7. The 24×16 image and
+  // 8×8 ahash grid constants live here only. ----
+
+  /** Spark side: (media_id, ws, m) for one media-type stripe. */
+  private def mediaWsBase(spark: SparkSession, dir: String, mod: Int): DataFrame =
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 3 === mod && length(col("text")) >= 16)
+      .select(col("doc_id").as("media_id"),
+        graft.functions.BlobFunctions.byteWindowSums(
+          encode(col("text"), "UTF-8"), 16).as("ws"))
+      .withColumn("m", size(col("ws")))
+
+  /** Byte q (shifted by `off`) of the per-doc rule, as 0..255. */
+  private def mediaByteAt(q: Column, off: Int): Column =
+    (element_at(col("ws"), ((q + lit(off)) % col("m") + 1).cast("int")) % 256).cast("int")
+
+  /** Frame f's 24×16 image, PNG-encoded through the real codec. */
+  private def mediaFrame(f: Int): Column =
+    graft.functions.MediaFunctions.pngEncodeRgb(
+      transform(sequence(lit(0), lit(24 * 16 - 1)),
+        p => mediaByteAt(p * 3, f * 7) * 65536 +
+          mediaByteAt(p * 3 + 1, f * 7) * 256 +
+          mediaByteAt(p * 3 + 2, f * 7)), 24, 16)
+
+  /** DuckDB side, prologue: the ByteWindowSums replay (a/w/ws chain)
+    * over the same stripe. */
+  private def mediaWsCtes(mod: Int): String =
+    s"""a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = $mod AND length(text) >= 16),
+       |w AS (SELECT media_id, i,
+       |        list_aggregate(list_transform(range(16),
+       |          j -> ascii(substr(text, (i * 16 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
+       |      FROM a, unnest(range(0, length(text) // 16)) AS u(i)),
+       |ws AS (SELECT media_id, list(en ORDER BY i) AS ws FROM w GROUP BY media_id)""".stripMargin
+
+  /** DuckDB side, pixel rule + decode-stat + ahash replay for `frames`
+    * frames: yields st(media_id, f, sr, sg, sb) and
+    * bits(media_id, f, ahash_hi, ahash_lo). */
+  private def mediaPixelCtes(frames: Int): String =
+    s"""px AS (SELECT media_id, f::INT AS f, p::INT AS p,
+       |         (ws[((p * 3 + f * 7) % len(ws))::INT + 1] % 256)::INT AS r,
+       |         (ws[((p * 3 + 1 + f * 7) % len(ws))::INT + 1] % 256)::INT AS g,
+       |         (ws[((p * 3 + 2 + f * 7) % len(ws))::INT + 1] % 256)::INT AS b
+       |       FROM ws, unnest(range(0, $frames)) AS uf(f), unnest(range(0, 384)) AS up(p)),
+       |st AS (SELECT media_id, f, sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb
+       |       FROM px GROUP BY media_id, f),
+       |lum AS (SELECT media_id, f, p, ((299 * r + 587 * g + 114 * b) // 1000)::BIGINT AS luma FROM px),
+       |grid AS (SELECT l.media_id, l.f, g.gp, l.luma
+       |         FROM (SELECT gp::INT AS gp, (((gp // 8) * 2) * 24 + (gp % 8) * 3)::INT AS q
+       |               FROM unnest(range(0, 64)) AS t(gp)) g
+       |         JOIN lum l ON l.p = g.q),
+       |gm AS (SELECT media_id, f, (sum(luma) // 64)::BIGINT AS mean FROM grid GROUP BY media_id, f),
+       |bits AS (SELECT grid.media_id, grid.f,
+       |           sum(CASE WHEN luma > mean AND gp >= 32 THEN (1::BIGINT << (gp - 32)) ELSE 0 END)::BIGINT AS ahash_hi,
+       |           sum(CASE WHEN luma > mean AND gp < 32 THEN (1::BIGINT << gp) ELSE 0 END)::BIGINT AS ahash_lo
+       |         FROM grid JOIN gm ON gm.media_id = grid.media_id AND gm.f = grid.f
+       |         GROUP BY grid.media_id, grid.f)""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -276,8 +336,11 @@ object StreamMultimodalQueries {
         .orderBy("click_id", "view_id")
     },
 
-    // Multimodal: partition-local feature extraction (decode stubbed; the
-    // batch shape and fixed-dim output contract are the real test).
+    // Multimodal: partition-local feature extraction. Decode is REAL for
+    // JDK codecs (images take the ImageIO pixel path; this corpus's
+    // payloads are text bytes, so rows here exercise the byte-featurizer
+    // fallback — the codec round-trips are pinned by mm_image_decode /
+    // mm_wav_meta and MediaCodecSpec).
     Q.noOracle("mm_feature_extract") { (spark, dir) =>
       val media = Multimodal.asMediaTable(table(spark, dir, "documents"))
       Multimodal.extractFeatures(media)
@@ -526,60 +589,26 @@ object StreamMultimodalQueries {
     // 32-bit halves because a set bit 63 has no portable BIGINT
     // literal. At 100 TB this plan's only data motion is the top-k.
     Q("mm_image_decode",
-      """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 0 AND length(text) >= 16),
-        |w AS (SELECT media_id, i,
-        |        list_aggregate(list_transform(range(16),
-        |          j -> ascii(substr(text, (i * 16 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
-        |      FROM a, unnest(range(0, length(text) // 16)) AS u(i)),
-        |ws AS (SELECT media_id, list(en ORDER BY i) AS ws FROM w GROUP BY media_id),
-        |px AS (SELECT media_id, p::INT AS p,
-        |         (ws[((p * 3) % len(ws))::INT + 1] % 256)::INT AS r,
-        |         (ws[((p * 3 + 1) % len(ws))::INT + 1] % 256)::INT AS g,
-        |         (ws[((p * 3 + 2) % len(ws))::INT + 1] % 256)::INT AS b
-        |       FROM ws, unnest(range(0, 384)) AS u(p)),
-        |st AS (SELECT media_id, sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb
-        |       FROM px GROUP BY media_id),
-        |lum AS (SELECT media_id, p, ((299 * r + 587 * g + 114 * b) // 1000)::BIGINT AS luma FROM px),
-        |grid AS (SELECT l.media_id, g.gp, l.luma
-        |         FROM (SELECT gp::INT AS gp, (((gp // 8) * 2) * 24 + (gp % 8) * 3)::INT AS q
-        |               FROM unnest(range(0, 64)) AS t(gp)) g
-        |         JOIN lum l ON l.p = g.q),
-        |gm AS (SELECT media_id, (sum(luma) // 64)::BIGINT AS mean FROM grid GROUP BY media_id),
-        |bits AS (SELECT grid.media_id,
-        |           sum(CASE WHEN luma > mean AND gp >= 32 THEN (1::BIGINT << (gp - 32)) ELSE 0 END)::BIGINT AS ahash_hi,
-        |           sum(CASE WHEN luma > mean AND gp < 32 THEN (1::BIGINT << gp) ELSE 0 END)::BIGINT AS ahash_lo
-        |         FROM grid JOIN gm ON gm.media_id = grid.media_id
-        |         GROUP BY grid.media_id)
+      s"""WITH ${mediaWsCtes(0)},
+        |${mediaPixelCtes(1)}
         |SELECT st.media_id AS media_id, 24::INT AS width, 16::INT AS height,
         |       (sr * 1000000 // 384)::BIGINT AS mean_r_micro,
         |       (sg * 1000000 // 384)::BIGINT AS mean_g_micro,
         |       (sb * 1000000 // 384)::BIGINT AS mean_b_micro,
         |       bits.ahash_hi, bits.ahash_lo
-        |FROM st JOIN bits ON bits.media_id = st.media_id
+        |FROM st JOIN bits ON bits.media_id = st.media_id AND bits.f = st.f
         |ORDER BY st.media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      import graft.functions.BlobFunctions.byteWindowSums
-      import graft.functions.MediaFunctions.{imageAhash, imageDecodeStats, pngEncodeRgb}
-      val W = 24; val H = 16
-      val base = table(spark, dir, "documents")
-        .filter(col("doc_id") % 3 === 0 && length(col("text")) >= 16)
-        .select(col("doc_id").as("media_id"),
-          byteWindowSums(encode(col("text"), "UTF-8"), 16).as("ws"))
-        .withColumn("m", size(col("ws")))
-      def byteAt(q: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        (element_at(col("ws"), (q % col("m") + 1).cast("int")) % 256).cast("int")
-      val pix = transform(sequence(lit(0), lit(W * H - 1)),
-        p => byteAt(p * 3) * 65536 + byteAt(p * 3 + 1) * 256 + byteAt(p * 3 + 2))
-      base.withColumn("payload", pngEncodeRgb(pix, W, H))
-        .select(col("media_id"),
-          imageDecodeStats(col("payload")).as("st"),
-          imageAhash(col("payload"), 8, 8).as("ah"))
+      import graft.functions.MediaFunctions.imageDecodeStats
+      mediaWsBase(spark, dir, 0)
+        .withColumn("payload", mediaFrame(0))
+        .select(col("media_id"), imageDecodeStats(col("payload")).as("st"))
         .select(col("media_id"),
           col("st.width").as("width"), col("st.height").as("height"),
           expr("st.sum_r * 1000000 DIV 384").as("mean_r_micro"),
           expr("st.sum_g * 1000000 DIV 384").as("mean_g_micro"),
           expr("st.sum_b * 1000000 DIV 384").as("mean_b_micro"),
-          shiftrightunsigned(col("ah"), 32).as("ahash_hi"),
-          col("ah").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+          shiftrightunsigned(col("st.ahash"), 32).as("ahash_hi"),
+          col("st.ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
         .orderBy("media_id")
         .limit(1000)
     },
@@ -596,12 +625,7 @@ object StreamMultimodalQueries {
     // parser is usable unchanged on any real PCM16 WAV payload (the
     // unit spec cross-validates it against javax.sound's own writer).
     Q("mm_wav_meta",
-      """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 16),
-        |w AS (SELECT media_id, i,
-        |        list_aggregate(list_transform(range(16),
-        |          j -> ascii(substr(text, (i * 16 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
-        |      FROM a, unnest(range(0, length(text) // 16)) AS u(i)),
-        |ws AS (SELECT media_id, list(en ORDER BY i) AS ws FROM w GROUP BY media_id),
+      s"""WITH ${mediaWsCtes(1)},
         |s AS (SELECT media_id, i,
         |        ((ws[(i % len(ws))::INT + 1] * 16 + i) % 65536) - 32768 AS smp
         |      FROM ws, unnest(range(0, 400)) AS u(i))
@@ -613,13 +637,8 @@ object StreamMultimodalQueries {
         |       sum(smp * smp)::BIGINT AS sum_sq,
         |       max(abs(smp))::INT AS peak
         |FROM s GROUP BY media_id ORDER BY media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      import graft.functions.BlobFunctions.byteWindowSums
       import graft.functions.MediaFunctions.{wavEncodePcm16, wavParse}
-      val base = table(spark, dir, "documents")
-        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 16)
-        .select(col("doc_id").as("media_id"),
-          byteWindowSums(encode(col("text"), "UTF-8"), 16).as("ws"))
-        .withColumn("m", size(col("ws")))
+      val base = mediaWsBase(spark, dir, 1)
         .withColumn("rate", (lit(8000) + pmod(col("media_id"), lit(8)) * 1000).cast("int"))
       val samples = transform(sequence(lit(0), lit(399)),
         i => (((element_at(col("ws"), (i % col("m") + 1).cast("int")) * 16 + i) % 65536) - 32768)
@@ -651,30 +670,8 @@ object StreamMultimodalQueries {
     // CollapseProject keeps it out of the consumers, same discipline as
     // text_fingerprint's hoist).
     Q("mm_video_frame_decode",
-      """WITH a AS (SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2 AND length(text) >= 16),
-        |w AS (SELECT media_id, i,
-        |        list_aggregate(list_transform(range(16),
-        |          j -> ascii(substr(text, (i * 16 + j + 1)::INT, 1))), 'sum')::BIGINT AS en
-        |      FROM a, unnest(range(0, length(text) // 16)) AS u(i)),
-        |ws AS (SELECT media_id, list(en ORDER BY i) AS ws FROM w GROUP BY media_id),
-        |px AS (SELECT media_id, f::INT AS f, p::INT AS p,
-        |         (ws[((p * 3 + f * 7) % len(ws))::INT + 1] % 256)::INT AS r,
-        |         (ws[((p * 3 + 1 + f * 7) % len(ws))::INT + 1] % 256)::INT AS g,
-        |         (ws[((p * 3 + 2 + f * 7) % len(ws))::INT + 1] % 256)::INT AS b
-        |       FROM ws, unnest(range(0, 4)) AS uf(f), unnest(range(0, 384)) AS up(p)),
-        |st AS (SELECT media_id, f, sum(r)::BIGINT AS sr, sum(g)::BIGINT AS sg, sum(b)::BIGINT AS sb
-        |       FROM px GROUP BY media_id, f),
-        |lum AS (SELECT media_id, f, p, ((299 * r + 587 * g + 114 * b) // 1000)::BIGINT AS luma FROM px),
-        |grid AS (SELECT l.media_id, l.f, g.gp, l.luma
-        |         FROM (SELECT gp::INT AS gp, (((gp // 8) * 2) * 24 + (gp % 8) * 3)::INT AS q
-        |               FROM unnest(range(0, 64)) AS t(gp)) g
-        |         JOIN lum l ON l.p = g.q),
-        |gm AS (SELECT media_id, f, (sum(luma) // 64)::BIGINT AS mean FROM grid GROUP BY media_id, f),
-        |bits AS (SELECT grid.media_id, grid.f,
-        |           sum(CASE WHEN luma > mean AND gp >= 32 THEN (1::BIGINT << (gp - 32)) ELSE 0 END)::BIGINT AS ahash_hi,
-        |           sum(CASE WHEN luma > mean AND gp < 32 THEN (1::BIGINT << gp) ELSE 0 END)::BIGINT AS ahash_lo
-        |         FROM grid JOIN gm ON gm.media_id = grid.media_id AND gm.f = grid.f
-        |         GROUP BY grid.media_id, grid.f)
+      s"""WITH ${mediaWsCtes(2)},
+        |${mediaPixelCtes(4)}
         |SELECT st.media_id AS media_id, st.f AS frame_idx, 24::INT AS width, 16::INT AS height,
         |       (sr * 1000000 // 384)::BIGINT AS mean_r_micro,
         |       (sg * 1000000 // 384)::BIGINT AS mean_g_micro,
@@ -682,36 +679,23 @@ object StreamMultimodalQueries {
         |       bits.ahash_hi, bits.ahash_lo
         |FROM st JOIN bits ON bits.media_id = st.media_id AND bits.f = st.f
         |ORDER BY st.media_id, st.f LIMIT 1000""".stripMargin) { (spark, dir) =>
-      import graft.functions.BlobFunctions.byteWindowSums
-      import graft.functions.MediaFunctions.{imageAhash, imageDecodeStats, lenPrefixedSlices, pngEncodeRgb}
-      val W = 24; val H = 16; val F = 4
-      val base = table(spark, dir, "documents")
-        .filter(col("doc_id") % 3 === 2 && length(col("text")) >= 16)
-        .select(col("doc_id").as("media_id"),
-          byteWindowSums(encode(col("text"), "UTF-8"), 16).as("ws"))
-        .withColumn("m", size(col("ws")))
-      def byteAt(q: org.apache.spark.sql.Column, f: Int): org.apache.spark.sql.Column =
-        (element_at(col("ws"), ((q + lit(f * 7)) % col("m") + 1).cast("int")) % 256).cast("int")
-      def frame(f: Int): org.apache.spark.sql.Column =
-        pngEncodeRgb(transform(sequence(lit(0), lit(W * H - 1)),
-          p => byteAt(p * 3, f) * 65536 + byteAt(p * 3 + 1, f) * 256 + byteAt(p * 3 + 2, f)), W, H)
-      val packed = base
-        .withColumn("fr", array((0 until F).map(frame): _*))
+      import graft.functions.MediaFunctions.{imageDecodeStats, lenPrefixedSlices}
+      val packed = mediaWsBase(spark, dir, 2)
+        .withColumn("fr", array((0 until 4).map(mediaFrame): _*))
         .withColumn("payload",
           aggregate(col("fr"), lit(Array.emptyByteArray),
             (acc, x) => concat(acc, unhex(lpad(hex(length(x)), 8, "0")), x)))
       packed
         .select(col("media_id"), posexplode(lenPrefixedSlices(col("payload"))))
         .select(col("media_id"), col("pos").cast("int").as("frame_idx"),
-          imageDecodeStats(col("col")).as("st"),
-          imageAhash(col("col"), 8, 8).as("ah"))
+          imageDecodeStats(col("col")).as("st"))
         .select(col("media_id"), col("frame_idx"),
           col("st.width").as("width"), col("st.height").as("height"),
           expr("st.sum_r * 1000000 DIV 384").as("mean_r_micro"),
           expr("st.sum_g * 1000000 DIV 384").as("mean_g_micro"),
           expr("st.sum_b * 1000000 DIV 384").as("mean_b_micro"),
-          shiftrightunsigned(col("ah"), 32).as("ahash_hi"),
-          col("ah").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+          shiftrightunsigned(col("st.ahash"), 32).as("ahash_hi"),
+          col("st.ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
         .orderBy("media_id", "frame_idx")
         .limit(1000)
     }

@@ -41,6 +41,10 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(st.getLong(2) == pixels.map(p => (p >> 16) & 0xff).map(_.toLong).sum)
     assert(st.getLong(3) == pixels.map(p => (p >> 8) & 0xff).map(_.toLong).sum)
     assert(st.getLong(4) == pixels.map(p => p & 0xff).map(_.toLong).sum)
+    // the ride-along ahash equals the standalone expression (one decode
+    // serves both — the field exists so consumers never decode twice)
+    assert(st.getLong(5) ==
+      ImageAhash(Literal.create(bytes, BinaryType), 8, 8).eval(null).asInstanceOf[Long])
   }
 
   test("image_ahash matches a naive reimplementation on the decoded pixels") {
@@ -161,6 +165,22 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(slices(Array[Byte](0, 0, 0, 9, 1)) == null)
     assert(slices(buf.array() :+ 7.toByte) == null)
     assert(slices(Array[Byte](-1, -1, -1, -1)) == null)
+    // near-Int.MaxValue length prefix: the bound check must not overflow
+    // past the guard into copyOfRange (null, not a task-killing throw)
+    assert(slices(Array[Byte](0x7f, -1, -1, 0x7c, 1, 2)) == null)
+  }
+
+  test("overflow hardening: huge WAV chunk size parses to null; absurd PNG dims are a construction error") {
+    val plain = wavBytes(Array(1, 2, 3, 4), 8000)
+    // declare the fmt chunk size as 0x7FFFFFF0 — bound check must fail cleanly
+    val huge = plain.clone()
+    val bb = java.nio.ByteBuffer.wrap(huge).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(16, 0x7ffffff0)
+    assert(parse(huge) == null)
+    assertThrows[IllegalArgumentException] {
+      PngEncodeRgb(Literal.create(new GenericArrayData(Array.empty[Int]),
+        ArrayType(IntegerType)), 65536, 65536)
+    }
   }
 
   test("decodeToFeatures: real pixel path for images, byte-histogram fallback otherwise") {

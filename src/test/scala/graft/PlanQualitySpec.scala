@@ -675,8 +675,9 @@ class PlanQualitySpec extends AnyFunSuite {
   test("image decode: codec work is scan-local — encode, decode, hash per row, top-k only") {
     val p = plan("mm_image_decode")
     assert(p.contains("png_encode_rgb"), p)
+    // ONE decode per payload: stats + ahash ride the same expression
     assert(p.contains("image_decode_stats"), p)
-    assert(p.contains("image_ahash"), p)
+    assert(!p.contains("image_ahash"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
     // at 100 TB the payloads dominate storage: the codec must run inside
     // the scan and only the top-k rows may move
