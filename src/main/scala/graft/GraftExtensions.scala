@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.Literal
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{ByteCdcBoundaries, ByteWindowSums, CosineSimilarity, DotProduct, Float32Decode, Float32Encode, ImageAhash, ImageDecodeStats, L2Norm, LenPrefixedSlices, PngEncodeRgb, PqEncode, SignLshBuckets, TopKBy, WavEncodePcm16, WavParse}
+import graft.functions.{ByteCdcBoundaries, ByteWindowSums, CosineSimilarity, DotProduct, Float32Decode, Float32Encode, ImageAhash, ImageDecodeStats, ImageResampleRgb, L2Norm, LenPrefixedSlices, PngEncodeRgb, PqEncode, SignLshBuckets, TopKBy, WavEncodePcm16, WavParse}
 
 /** SparkSessionExtensions registration: makes the engine's Catalyst
   * expressions available to any session (including pure-SQL users) via
@@ -82,6 +82,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           ImageAhash(es.head, w, h)
         case other => throw new IllegalArgumentException(
           s"image_ahash: grid dims must be integer literals, got $other")
+      }))
+    e.injectFunction((FunctionIdentifier("image_resample_rgb"),
+      info("image_resample_rgb", "image_resample_rgb(blob, out_w, out_h) - decode and nearest-neighbor resample to out_w x out_h row-major 0xRRGGBB ints"),
+      (es: Seq[Expression]) => (es(1), es(2)) match {
+        case (Literal(w: Int, IntegerType), Literal(h: Int, IntegerType)) =>
+          ImageResampleRgb(es.head, w, h)
+        case other => throw new IllegalArgumentException(
+          s"image_resample_rgb: dims must be integer literals, got $other")
       }))
     e.injectFunction((FunctionIdentifier("wav_encode_pcm16"),
       info("wav_encode_pcm16", "wav_encode_pcm16(samples, sample_rate) - mono PCM16 RIFF/WAVE bytes"),

@@ -67,7 +67,7 @@ object SparkEntry {
     "curation_source_overlap", "embed_outlier_flags",
     "curation_weighted_sample", "curation_curriculum_order",
     "curation_shuffle_order", "q_auto_salt_agg",
-    "curation_embed_decontam", "curation_dataset_card",
+    "curation_embed_decontam", "curation_dataset_card", "curation_bitext_mine",
     "ml_influence_grad_dot", "ml_quality_filter_apply",
     "dedup_containment", "text_word_entropy", "embed_standardize",
     "embed_psi_drift", "ml_confusion_matrix", "ml_ndcg_eval",
@@ -76,7 +76,7 @@ object SparkEntry {
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",
     "mm_av_align", "mm_blockhash_pairs", "mm_image_decode", "mm_wav_meta",
-    "mm_video_frame_decode", "q_asof_join_forward_tol",
+    "mm_video_frame_decode", "mm_image_resize", "q_asof_join_forward_tol",
     "q1_pricing_summary", "q3_topk_revenue_join", "q5_region_nation_revenue",
     "q_salted_skew_agg", "q_bucketed_colocated_join",
     "q_topk_by_agg", "q_range_join_binned",

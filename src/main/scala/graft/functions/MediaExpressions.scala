@@ -196,6 +196,49 @@ case class ImageAhash(child: Expression, gridW: Int, gridH: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** REAL image resize, deterministic half: decode the payload (any
+  * ImageIO codec) and nearest-neighbor resample to outW×outH —
+  * sx = x·W/outW, sy = y·H/outH, integer floor — returning the
+  * row-major 0xRRGGBB pixel array. The sampling rule is exact integer
+  * arithmetic (unlike Graphics2D's implementation-defined filtering),
+  * so a DuckDB oracle can replay it from the pixel rule; feed the
+  * result to [[PngEncodeRgb]] to materialize the resized image. Null
+  * when the payload isn't a decodable image. */
+case class ImageResampleRgb(child: Expression, outW: Int, outH: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(outW > 0 && outH > 0 && outW.toLong * outH <= (1L << 26),
+    "dimensions must be positive and at most 2^26 pixels total")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "image_resample_rgb"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"image_resample_rgb expects binary, got ${t.sql}")
+  }
+
+  override def nullable: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MediaCodecs.readImage(v.asInstanceOf[Array[Byte]]) match {
+      case None => null
+      case Some(img) =>
+        val w = img.getWidth; val h = img.getHeight
+        val px = MediaCodecs.rgb(img)
+        val out = new Array[Int](outW * outH)
+        var p = 0
+        while (p < out.length) {
+          val sx = (p % outW) * w / outW
+          val sy = (p / outW) * h / outH
+          out(p) = px(sy * w + sx)
+          p += 1
+        }
+        new GenericArrayData(out)
+    }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** (`array<int>` PCM16 samples clamped to [-32768, 32767], sample rate)
   * → a canonical 44-byte-header mono RIFF/WAVE file. Null for a
   * non-positive rate. */
@@ -364,6 +407,8 @@ object MediaFunctions {
     ColumnBridge.column(ImageDecodeStats(ColumnBridge.expression(c)))
   def imageAhash(c: Column, gridW: Int, gridH: Int): Column =
     ColumnBridge.column(ImageAhash(ColumnBridge.expression(c), gridW, gridH))
+  def imageResampleRgb(c: Column, outW: Int, outH: Int): Column =
+    ColumnBridge.column(ImageResampleRgb(ColumnBridge.expression(c), outW, outH))
   def wavEncodePcm16(samples: Column, sampleRate: Column): Column =
     ColumnBridge.column(WavEncodePcm16(
       ColumnBridge.expression(samples), ColumnBridge.expression(sampleRate)))

@@ -111,8 +111,10 @@ object Multimodal {
         col("col").cast("long").as("byte_offset"),
         md5(expr(s"substr(payload, col, $frameBytes)")).as("frame_sig"))
 
-  /** Resize metadata transform (stub: the codec call site; metadata math is
-    * the real, testable part). */
+  /** Resize metadata transform (the metadata-math half; the PIXEL half is
+    * real too — [[graft.functions.ImageResampleRgb]] decodes and
+    * nearest-neighbor resamples through the actual codec, pinned
+    * oracle-exact by mm_image_resize). */
   def resizeMeta(media: DataFrame, maxDim: Int): DataFrame = {
     val scale = least(
       lit(maxDim.toDouble) / col("meta_width"),

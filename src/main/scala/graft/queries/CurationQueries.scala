@@ -1288,6 +1288,90 @@ object CurationQueries {
           floor((col("n3") - col("d3")) * 1.0 / col("n3") * 1000000).cast("long").as("dup3_micro"))
         .orderBy("doc_id")
         .limit(1000)
+    },
+
+    // Margin-ratio bitext mining (Artetxe & Schwenk, the CCMatrix/LASER
+    // recipe): mine translation pairs by pairing English docs with
+    // same-sign-LSH-bucket docs of other languages and scoring each
+    // candidate by cos(a,b) normalized by both sides' average top-k
+    // candidate cosine — the margin kills hub vectors that are merely
+    // "close to everything", which raw cosine cannot. Forward top-1 per
+    // English doc at margin > 1. All integer after the micro-floored
+    // cosine: margin_bp = cos·2k·10⁴ / (Σtop-k_a + Σtop-k_b) — exact
+    // cross-engine. Scale shape: the ONLY pair generator is the
+    // 256-bucket sign-LSH join (the ann_lsh_bucketed scheme — 8
+    // broadcast hyperplanes, scan-local signature, bucket-keyed join;
+    // pair cost Σ_b |en_b|·|xx_b|, never |en|·|xx|); windows partition
+    // by doc id over candidate sets only. At 100 TB the recall lever is
+    // multi-probe/multi-table on the same shape (ann_lsh_multitable),
+    // not a wider product.
+    Q("curation_bitext_mine",
+      """WITH hp AS (SELECT vec_id - 8 AS hid, embedding AS he FROM embeddings
+        |            WHERE vec_id BETWEEN 8 AND 15),
+        |bk AS (SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.he::DOUBLE[]) > 0
+        |                              THEN (1 << hid) ELSE 0 END)::BIGINT AS bucket
+        |       FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+        |ld AS (SELECT d.doc_id, d.lang, bk.bucket, e.embedding
+        |       FROM documents d JOIN bk ON bk.vec_id = d.doc_id
+        |       JOIN embeddings e ON e.vec_id = d.doc_id),
+        |pc AS (SELECT * FROM
+        |         (SELECT a.doc_id AS a_id, b.doc_id AS b_id, b.lang AS b_lang,
+        |                 CAST(floor(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) * 1000000) AS BIGINT) AS cos_micro
+        |          FROM ld a JOIN ld b ON a.bucket = b.bucket
+        |          WHERE a.lang = 'en' AND b.lang <> 'en')
+        |       WHERE cos_micro > 0),
+        |ra AS (SELECT a_id, sum(cos_micro) AS sum_a FROM
+        |         (SELECT a_id, cos_micro,
+        |                 row_number() OVER (PARTITION BY a_id ORDER BY cos_micro DESC, b_id) AS rn
+        |          FROM pc) WHERE rn <= 4 GROUP BY a_id),
+        |rb AS (SELECT b_id, sum(cos_micro) AS sum_b FROM
+        |         (SELECT b_id, cos_micro,
+        |                 row_number() OVER (PARTITION BY b_id ORDER BY cos_micro DESC, a_id) AS rn
+        |          FROM pc) WHERE rn <= 4 GROUP BY b_id),
+        |m AS (SELECT p.a_id, p.b_id, p.b_lang, p.cos_micro,
+        |             ((p.cos_micro * 80000) // (ra.sum_a + rb.sum_b))::BIGINT AS margin_bp
+        |      FROM pc p JOIN ra ON ra.a_id = p.a_id JOIN rb ON rb.b_id = p.b_id)
+        |SELECT a_id, b_id, b_lang, cos_micro, margin_bp FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY a_id ORDER BY margin_bp DESC, b_id) AS rn FROM m)
+        |WHERE rn = 1 AND margin_bp >= 10000
+        |ORDER BY margin_bp DESC, a_id LIMIT 200""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.{cosineSim, dotProduct}
+      val e = table(spark, dir, "embeddings")
+      val hp = e.filter(col("vec_id").between(8, 15))
+        .select((col("vec_id") - 8).as("hid"), col("embedding").as("he"))
+      val bk = e.crossJoin(broadcast(hp))
+        .groupBy(col("vec_id"))
+        .agg(sum(when(dotProduct(col("embedding"), col("he")) > 0,
+          expr("shiftleft(1, cast(hid as int))")).otherwise(0)).as("bucket"))
+      val ld = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(bk.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .join(e.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      val a = ld.filter(col("lang") === "en")
+        .select(col("doc_id").as("a_id"), col("bucket"), col("embedding").as("av"))
+      val b = ld.filter(col("lang") =!= "en")
+        .select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
+          col("bucket"), col("embedding").as("bv"))
+      val pc = a.join(b, Seq("bucket"))
+        .select(col("a_id"), col("b_id"), col("b_lang"),
+          floor(cosineSim(col("av"), col("bv")) * 1000000).cast("long").as("cos_micro"))
+        .filter(col("cos_micro") > 0)
+      val ra = pc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("cos_micro").desc, col("b_id"))))
+        .filter(col("rn") <= 4).groupBy("a_id").agg(sum("cos_micro").as("sum_a"))
+      val rb = pc
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("b_id").orderBy(col("cos_micro").desc, col("a_id"))))
+        .filter(col("rn") <= 4).groupBy("b_id").agg(sum("cos_micro").as("sum_b"))
+      pc.join(ra, Seq("a_id")).join(rb, Seq("b_id"))
+        .withColumn("margin_bp", expr("cos_micro * 80000 DIV (sum_a + sum_b)"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("a_id").orderBy(col("margin_bp").desc, col("b_id"))))
+        .filter(col("rn") === 1 && col("margin_bp") >= 10000)
+        .select(col("a_id"), col("b_id"), col("b_lang"), col("cos_micro"), col("margin_bp"))
+        .orderBy(col("margin_bp").desc, col("a_id"))
+        .limit(200)
     }
   )
 }

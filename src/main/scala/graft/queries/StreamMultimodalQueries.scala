@@ -19,14 +19,19 @@ object StreamMultimodalQueries {
   // source; frame f shifts the byte index by f·7. The 24×16 image and
   // 8×8 ahash grid constants live here only. ----
 
-  /** Spark side: (media_id, ws, m) for one media-type stripe. */
-  private def mediaWsBase(spark: SparkSession, dir: String, mod: Int): DataFrame =
-    table(spark, dir, "documents")
+  /** Spark side: (media_id, ws, m) for one media-type stripe. Takes any
+    * documents-shaped frame — batch scan or stream — since the whole
+    * rule is stateless per-row work. */
+  private def mediaWsFrom(docs: DataFrame, mod: Int): DataFrame =
+    docs
       .filter(col("doc_id") % 3 === mod && length(col("text")) >= 16)
       .select(col("doc_id").as("media_id"),
         graft.functions.BlobFunctions.byteWindowSums(
           encode(col("text"), "UTF-8"), 16).as("ws"))
       .withColumn("m", size(col("ws")))
+
+  private def mediaWsBase(spark: SparkSession, dir: String, mod: Int): DataFrame =
+    mediaWsFrom(table(spark, dir, "documents"), mod)
 
   /** Byte q (shifted by `off`) of the per-doc rule, as 0..255. */
   private def mediaByteAt(q: Column, off: Int): Column =
@@ -72,6 +77,33 @@ object StreamMultimodalQueries {
        |           sum(CASE WHEN luma > mean AND gp < 32 THEN (1::BIGINT << gp) ELSE 0 END)::BIGINT AS ahash_lo
        |         FROM grid JOIN gm ON gm.media_id = grid.media_id AND gm.f = grid.f
        |         GROUP BY grid.media_id, grid.f)""".stripMargin
+
+  /** Oracle shared by mm_image_decode and its streaming twin. */
+  private lazy val imageDecodeSql: String =
+    s"""WITH ${mediaWsCtes(0)},
+      |${mediaPixelCtes(1)}
+      |SELECT st.media_id AS media_id, 24::INT AS width, 16::INT AS height,
+      |       (sr * 1000000 // 384)::BIGINT AS mean_r_micro,
+      |       (sg * 1000000 // 384)::BIGINT AS mean_g_micro,
+      |       (sb * 1000000 // 384)::BIGINT AS mean_b_micro,
+      |       bits.ahash_hi, bits.ahash_lo
+      |FROM st JOIN bits ON bits.media_id = st.media_id AND bits.f = st.f
+      |ORDER BY st.media_id LIMIT 1000""".stripMargin
+
+  /** Decode-stat projection shared by the batch and streaming twins. */
+  private def imageDecodeProjected(base: DataFrame): DataFrame = {
+    import graft.functions.MediaFunctions.imageDecodeStats
+    base
+      .withColumn("payload", mediaFrame(0))
+      .select(col("media_id"), imageDecodeStats(col("payload")).as("st"))
+      .select(col("media_id"),
+        col("st.width").as("width"), col("st.height").as("height"),
+        expr("st.sum_r * 1000000 DIV 384").as("mean_r_micro"),
+        expr("st.sum_g * 1000000 DIV 384").as("mean_g_micro"),
+        expr("st.sum_b * 1000000 DIV 384").as("mean_b_micro"),
+        shiftrightunsigned(col("st.ahash"), 32).as("ahash_hi"),
+        col("st.ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -588,27 +620,27 @@ object StreamMultimodalQueries {
     // hash per row; TakeOrdered top-k); the 64-bit ahash ships as two
     // 32-bit halves because a set bit 63 has no portable BIGINT
     // literal. At 100 TB this plan's only data motion is the top-k.
-    Q("mm_image_decode",
-      s"""WITH ${mediaWsCtes(0)},
-        |${mediaPixelCtes(1)}
-        |SELECT st.media_id AS media_id, 24::INT AS width, 16::INT AS height,
-        |       (sr * 1000000 // 384)::BIGINT AS mean_r_micro,
-        |       (sg * 1000000 // 384)::BIGINT AS mean_g_micro,
-        |       (sb * 1000000 // 384)::BIGINT AS mean_b_micro,
-        |       bits.ahash_hi, bits.ahash_lo
-        |FROM st JOIN bits ON bits.media_id = st.media_id AND bits.f = st.f
-        |ORDER BY st.media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      import graft.functions.MediaFunctions.imageDecodeStats
-      mediaWsBase(spark, dir, 0)
-        .withColumn("payload", mediaFrame(0))
-        .select(col("media_id"), imageDecodeStats(col("payload")).as("st"))
-        .select(col("media_id"),
-          col("st.width").as("width"), col("st.height").as("height"),
-          expr("st.sum_r * 1000000 DIV 384").as("mean_r_micro"),
-          expr("st.sum_g * 1000000 DIV 384").as("mean_g_micro"),
-          expr("st.sum_b * 1000000 DIV 384").as("mean_b_micro"),
-          shiftrightunsigned(col("st.ahash"), 32).as("ahash_hi"),
-          col("st.ahash").bitwiseAND(lit(0xffffffffL)).as("ahash_lo"))
+    Q("mm_image_decode", imageDecodeSql) { (spark, dir) =>
+      imageDecodeProjected(mediaWsBase(spark, dir, 0))
+        .orderBy("media_id")
+        .limit(1000)
+    },
+
+    // The SAME codec pipeline inside Structured Streaming — what a
+    // production media ingest actually runs: decode features extracted
+    // per micro-batch as documents arrive, no state (every step is a
+    // per-row projection), so the bounded stream run is row-identical
+    // to the batch query and shares its exact oracle. At scale the
+    // stream shape bounds work to O(batch) per trigger regardless of
+    // corpus size.
+    Q("stream_image_decode", imageDecodeSql) { (spark, dir) =>
+      val staged = StreamingIngest.stageAsDir(s"$dir/documents.parquet")
+      val docsStream = spark.readStream
+        .schema(spark.read.parquet(staged).schema)
+        .parquet(staged)
+      StreamingIngest.runToMemory(spark,
+        imageDecodeProjected(mediaWsFrom(docsStream, 0)),
+        s"stream_imgdec_${System.nanoTime()}")
         .orderBy("media_id")
         .limit(1000)
     },
@@ -651,6 +683,41 @@ object StreamMultimodalQueries {
           expr("st.n_frames * 1000000 DIV st.sample_rate").as("duration_micro"),
           col("st.sum_sq").as("sum_sq"),
           col("st.peak").as("peak"))
+        .orderBy("media_id")
+        .limit(1000)
+    },
+
+    // REAL image resize, oracle-exact — retires the "resize is a codec
+    // stub" note: the chain is encode(24×16 PNG) → decode →
+    // nearest-neighbor resample to 8×6 (ImageResampleRgb — exact
+    // integer sampling, unlike Graphics2D's implementation-defined
+    // filtering) → RE-encode as PNG → decode THAT and report its exact
+    // pixel stats. Four real codec passes; the oracle replays the
+    // resample rule over the synthesized pixels, so a match proves the
+    // whole decode→resample→re-encode→decode chain is bit-exact.
+    // Scan-local; only the top-k moves.
+    Q("mm_image_resize",
+      s"""WITH ${mediaWsCtes(0)},
+        |${mediaPixelCtes(1)},
+        |rp AS (SELECT px.media_id, m.p2, px.r, px.g, px.b
+        |       FROM px JOIN (SELECT p2::INT AS p2,
+        |                            ((((p2 // 8) * 16) // 6) * 24 + (p2 % 8) * 3)::INT AS q
+        |                     FROM unnest(range(0, 48)) AS t(p2)) m ON px.p = m.q)
+        |SELECT media_id, 8::INT AS width, 6::INT AS height,
+        |       (sum(r) * 1000000 // 48)::BIGINT AS mean_r_micro,
+        |       (sum(g) * 1000000 // 48)::BIGINT AS mean_g_micro,
+        |       (sum(b) * 1000000 // 48)::BIGINT AS mean_b_micro
+        |FROM rp GROUP BY media_id ORDER BY media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import graft.functions.MediaFunctions.{imageDecodeStats, imageResampleRgb, pngEncodeRgb}
+      mediaWsBase(spark, dir, 0)
+        .withColumn("payload", mediaFrame(0))
+        .withColumn("resized", pngEncodeRgb(imageResampleRgb(col("payload"), 8, 6), 8, 6))
+        .select(col("media_id"), imageDecodeStats(col("resized")).as("st"))
+        .select(col("media_id"),
+          col("st.width").as("width"), col("st.height").as("height"),
+          expr("st.sum_r * 1000000 DIV 48").as("mean_r_micro"),
+          expr("st.sum_g * 1000000 DIV 48").as("mean_g_micro"),
+          expr("st.sum_b * 1000000 DIV 48").as("mean_b_micro"))
         .orderBy("media_id")
         .limit(1000)
     },

@@ -79,6 +79,25 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("image_resample_rgb: exact nearest-neighbor sampling, non-uniform ratios included") {
+    import graft.functions.ImageResampleRgb
+    val bytes = pngBytes(pixels, W, H)
+    // 8×6 from 24×16: x maps uniformly (3·x2), y non-uniformly (16/6)
+    val got = ImageResampleRgb(Literal.create(bytes, BinaryType), 8, 6)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    val want = Array.tabulate(48) { p =>
+      val sx = (p % 8) * W / 8; val sy = (p / 8) * H / 6
+      pixels(sy * W + sx)
+    }
+    assert(got.sameElements(want))
+    // identity resample reproduces the full pixel array
+    val id = ImageResampleRgb(Literal.create(bytes, BinaryType), W, H)
+      .eval(null).asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    assert(id.sameElements(pixels))
+    assert(ImageResampleRgb(Literal.create(
+      "not an image".getBytes("UTF-8"), BinaryType), 8, 6).eval(null) == null)
+  }
+
   test("non-image payloads: sniff rejects, decode exprs yield null, wrong-size pixel array yields null") {
     val text = "just some text bytes, definitely not an image".getBytes("UTF-8")
     assert(!MediaCodecs.sniffsImage(text))

@@ -694,6 +694,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("bitext mining: hyperplane broadcast is the only cross, candidates bucket-keyed, partial top-k windows") {
+    val p = plan("curation_bitext_mine")
+    assert(!p.contains("CartesianProduct"), p)
+    // rank<=k filters push into partial per-partition top-k
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the only nested-loop join is the 8-row hyperplane broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+  }
+
   test("bucketed co-located join: bucketed scans feed the SMJ with zero join-side shuffle") {
     val p = plan("q_bucketed_colocated_join")
     assert(p.contains("SortMergeJoin"), p)

@@ -53,7 +53,8 @@ class ScaleOpsSpec extends AnyFunSuite {
     for (fn <- Seq("cosine_sim", "dot_product", "l2_norm", "float32_decode",
         "float32_encode", "pq_encode", "topk_by", "byte_window_sums",
         "byte_cdc_boundaries", "png_encode_rgb", "image_decode_stats",
-        "image_ahash", "wav_encode_pcm16", "wav_parse", "len_prefixed_slices"))
+        "image_ahash", "image_resample_rgb", "wav_encode_pcm16", "wav_parse",
+        "len_prefixed_slices"))
       assert(reg.functionExists(FunctionIdentifier(fn)), fn)
     // byte_cdc_boundaries through the registered builder: all-zero bytes →
     // every j >= window-1 position is a boundary (0 % m == 0)
