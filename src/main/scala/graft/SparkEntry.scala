@@ -77,7 +77,8 @@ object SparkEntry {
     "text_bigram_lift",
     "mm_av_align", "mm_blockhash_pairs", "mm_image_decode", "mm_wav_meta",
     "mm_video_frame_decode", "mm_image_resize", "q_asof_join_forward_tol",
-    "q1_pricing_summary", "q3_topk_revenue_join", "q5_region_nation_revenue",
+    "q1_pricing_summary", "q_rollup_pricing", "q_set_ops",
+    "q3_topk_revenue_join", "q5_region_nation_revenue",
     "q_salted_skew_agg", "q_bucketed_colocated_join",
     "q_topk_by_agg", "q_range_join_binned",
     "b12_section_concat")

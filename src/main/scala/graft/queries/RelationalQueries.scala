@@ -33,13 +33,67 @@ object RelationalQueries {
          |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, dir) =>
       table(spark, dir, "lineitem")
         .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
-        .groupBy("l_returnflag", "l_linestatus")
+        .groupBy("l_returnflag", "l_linestatus") // (rollup variant: q_rollup_pricing)
         .agg(
           round(sum(round(col("l_quantity") * 100, 0).cast("long")) / 100.0, 2).as("sum_qty"),
           round(sum(round(col("l_extendedprice") * 100, 0).cast("long")) / 100.0, 2).as("sum_base"),
           round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0).cast("long")) / 10000.0, 4).as("sum_disc_price"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // ROLLUP aggregation — the grouping-sets member of the standard
+    // catalog (SURVEY §2 checklist notes the reference has none; a
+    // warehouse user expects it). One pass: Spark expands the grouping
+    // sets BEFORE the partial aggregate (Expand → hash agg), so the
+    // subtotals and grand total cost one shuffle, not one job per
+    // level. Group columns are non-null in this corpus, so the ALL
+    // coalescing is unambiguous.
+    Q("q_rollup_pricing",
+      s"""SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+         |       coalesce(l_linestatus, 'ALL') AS lstatus,
+         |       count(*) AS n,
+         |       round(sum($revInt) / 10000.0, 4) AS revenue
+         |FROM lineitem
+         |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+         |ORDER BY rflag, lstatus""".stripMargin) { (spark, dir) =>
+      table(spark, dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000, 0)
+            .cast("long")) / 10000.0, 4).as("revenue"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("revenue"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // INTERSECT / EXCEPT — the set-op members the reference lacks
+    // (SURVEY §2 checklist: "No intersect/except"). Customers who
+    // ordered in BOTH halves of 1995, minus those who ever placed a
+    // high-value order. Spark plans these as left-semi/anti joins over
+    // the distinct key — compact single-column shuffles.
+    Q("q_set_ops",
+      """SELECT c_custkey FROM (
+        |  (SELECT o_custkey AS c_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+        |   INTERSECT
+        |   SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '1995-07-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00')
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 400000
+        |)
+        |ORDER BY c_custkey""".stripMargin) { (spark, dir) =>
+      val o = table(spark, dir, "orders")
+      def custIn(lo: String, hi: String) = o
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf(lo)) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf(hi)))
+        .select(col("o_custkey").as("c_custkey"))
+      custIn("1995-01-01 00:00:00", "1995-07-01 00:00:00")
+        .intersect(custIn("1995-07-01 00:00:00", "1996-01-01 00:00:00"))
+        .except(o.filter(col("o_totalprice") > 400000)
+          .select(col("o_custkey").as("c_custkey")))
+        .orderBy("c_custkey")
     },
 
     // TPC-H Q3-style top-k revenue: 3-way join, group, TakeOrderedAndProject.

@@ -694,6 +694,21 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Join"), p)
   }
 
+  test("rollup: grouping sets expand before ONE partial agg — subtotals don't multiply jobs") {
+    val p = plan("q_rollup_pricing")
+    assert(p.contains("Expand"), p)
+    // Expand feeds a partial+final hash agg pair: exactly one
+    // hash-keyed exchange for all grouping levels together
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("set ops: INTERSECT/EXCEPT become semi/anti joins on the distinct key") {
+    val p = plan("q_set_ops")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("bitext mining: hyperplane broadcast is the only cross, candidates bucket-keyed, partial top-k windows") {
     val p = plan("curation_bitext_mine")
     assert(!p.contains("CartesianProduct"), p)
