@@ -73,7 +73,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"png_encode_rgb: width and height must be integer literals, got $other")
       }))
     e.injectFunction((FunctionIdentifier("image_decode_stats"),
-      info("image_decode_stats", "image_decode_stats(blob) - decode PNG/JPEG/GIF/BMP and report struct(width, height, sum_r, sum_g, sum_b)"),
+      info("image_decode_stats", "image_decode_stats(blob) - decode PNG/JPEG/GIF/BMP once and report struct(width, height, sum_r, sum_g, sum_b, ahash)"),
       (es: Seq[Expression]) => ImageDecodeStats(es.head)))
     e.injectFunction((FunctionIdentifier("image_ahash"),
       info("image_ahash", "image_ahash(blob, grid_w, grid_h) - average-hash bits over a decoded image (nearest-neighbor grid, integer luma)"),

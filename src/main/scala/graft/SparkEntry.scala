@@ -59,7 +59,7 @@ object SparkEntry {
     "dedup_cdc_chunks", "dedup_cdc_savings", "dedup_cdc_containment",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
-    "sketch_kmv_merge",
+    "sketch_kmv_merge", "sketch_kmv_intersect",
     "sketch_hll_distinct", "sketch_quantile_hist", "ml_linear_probe_train",
     "graph_pagerank_step", "graph_pagerank_converged", "graph_label_prop",
     "graph_triangle_count", "graph_kcore_peel",

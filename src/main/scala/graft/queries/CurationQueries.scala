@@ -1306,11 +1306,7 @@ object CurationQueries {
     // multi-probe/multi-table on the same shape (ann_lsh_multitable),
     // not a wider product.
     Q("curation_bitext_mine",
-      """WITH hp AS (SELECT vec_id - 8 AS hid, embedding AS he FROM embeddings
-        |            WHERE vec_id BETWEEN 8 AND 15),
-        |bk AS (SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.he::DOUBLE[]) > 0
-        |                              THEN (1 << hid) ELSE 0 END)::BIGINT AS bucket
-        |       FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id),
+      s"""WITH $signLsh8CtesSql,
         |ld AS (SELECT d.doc_id, d.lang, bk.bucket, e.embedding
         |       FROM documents d JOIN bk ON bk.vec_id = d.doc_id
         |       JOIN embeddings e ON e.vec_id = d.doc_id),
@@ -1336,26 +1332,24 @@ object CurationQueries {
         |WHERE rn = 1 AND margin_bp >= 10000
         |ORDER BY margin_bp DESC, a_id LIMIT 200""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      import graft.functions.VectorFunctions.{cosineSim, dotProduct}
-      val e = table(spark, dir, "embeddings")
-      val hp = e.filter(col("vec_id").between(8, 15))
-        .select((col("vec_id") - 8).as("hid"), col("embedding").as("he"))
-      val bk = e.crossJoin(broadcast(hp))
-        .groupBy(col("vec_id"))
-        .agg(sum(when(dotProduct(col("embedding"), col("he")) > 0,
-          expr("shiftleft(1, cast(hid as int))")).otherwise(0)).as("bucket"))
+      import graft.functions.VectorFunctions.cosineSim
       val ld = table(spark, dir, "documents").select(col("doc_id"), col("lang"))
-        .join(bk.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
-        .join(e.withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+        .join(signLsh8Buckets(table(spark, dir, "embeddings"))
+          .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
       val a = ld.filter(col("lang") === "en")
         .select(col("doc_id").as("a_id"), col("bucket"), col("embedding").as("av"))
       val b = ld.filter(col("lang") =!= "en")
         .select(col("doc_id").as("b_id"), col("lang").as("b_lang"),
           col("bucket"), col("embedding").as("bv"))
-      val pc = a.join(b, Seq("bucket"))
-        .select(col("a_id"), col("b_id"), col("b_lang"),
-          floor(cosineSim(col("av"), col("bv")) * 1000000).cast("long").as("cos_micro"))
-        .filter(col("cos_micro") > 0)
+      // staged: the bucket join + cosine is the expensive half and feeds
+      // THREE consumers (the pair scan and both top-k denominator sides);
+      // one checkpoint computes it once (same discipline as the dedup
+      // pair-stats table)
+      val pc = staged(spark, s"$dir#bitext_pc")(
+        a.join(b, Seq("bucket"))
+          .select(col("a_id"), col("b_id"), col("b_lang"),
+            floor(cosineSim(col("av"), col("bv")) * 1000000).cast("long").as("cos_micro"))
+          .filter(col("cos_micro") > 0))
       val ra = pc
         .withColumn("rn", row_number().over(
           Window.partitionBy("a_id").orderBy(col("cos_micro").desc, col("b_id"))))

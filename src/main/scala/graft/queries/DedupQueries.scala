@@ -892,11 +892,7 @@ object DedupQueries {
     // shuffle is bucket-keyed, exactly the co-location a 1000-executor
     // cluster needs.
     Q("dedup_embedding_cosine",
-      """WITH hp AS (SELECT vec_id - 8 AS hid, embedding AS he FROM embeddings
-        |            WHERE vec_id BETWEEN 8 AND 15),
-        |bk AS (SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.he::DOUBLE[]) > 0
-        |                                THEN (1 << hid) ELSE 0 END)::BIGINT AS bucket
-        |       FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id)
+      s"""WITH $signLsh8CtesSql
         |SELECT a.vec_id AS a_id, b.vec_id AS b_id,
         |       round(list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]), 6) AS cos
         |FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
@@ -904,16 +900,7 @@ object DedupQueries {
         |JOIN embeddings eb ON eb.vec_id = b.vec_id
         |WHERE list_cosine_similarity(ea.embedding::DOUBLE[], eb.embedding::DOUBLE[]) > 0.2
         |ORDER BY cos DESC, a_id, b_id LIMIT 50""".stripMargin) { (spark, dir) =>
-      val e = table(spark, dir, "embeddings")
-      val hpArr = e.filter(col("vec_id").between(8, 15))
-        .agg(collect_list(struct(
-          expr("cast(shiftleft(1, cast(vec_id - 8 as int)) as bigint)").as("bit"),
-          col("embedding").as("he"))).as("hps"))
-      val bucket = aggregate(col("hps"), lit(0L), (acc, h) =>
-        acc + when(dotProduct(col("embedding"), h.getField("he")) > 0, h.getField("bit"))
-          .otherwise(lit(0L)))
-      val bk = e.crossJoin(broadcast(hpArr))
-        .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+      val bk = signLsh8Buckets(table(spark, dir, "embeddings"))
       val a = bk.select(col("vec_id").as("a_id"), col("bucket"), col("embedding").as("ea"))
       val b = bk.select(col("vec_id").as("b_id"), col("bucket"), col("embedding").as("eb"))
       val cos = cosineSim(col("ea"), col("eb"))

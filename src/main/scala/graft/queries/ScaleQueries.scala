@@ -1270,13 +1270,7 @@ object ScaleQueries {
     // stratified-sample discipline, no full per-source sort); the merge
     // is a TakeOrdered heap over ≤ sources·k rows.
     Q("sketch_kmv_merge",
-      s"""WITH gr AS (SELECT source, unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
-         |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
-         |            FROM documents),
-         |hs AS (SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
-         |kept AS (SELECT source, h FROM (
-         |           SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
-         |         WHERE rn <= $KmvK),
+      s"""WITH $kmvKeptCtes,
          |ps AS (SELECT k.source, e.n_exact, k.k,
          |              CAST(floor((k.k - 1)::DOUBLE * 1152921504606846976 / k.hk::DOUBLE) AS BIGINT) AS kmv_est
          |       FROM (SELECT source, count(*) AS k, max(h) AS hk FROM kept GROUP BY source) k
@@ -1290,21 +1284,8 @@ object ScaleQueries {
          |SELECT source, n_exact::BIGINT AS n_exact, k::BIGINT AS k, kmv_est FROM ps
          |UNION ALL SELECT source, n_exact::BIGINT, k::BIGINT, kmv_est FROM mrow
          |ORDER BY source""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
-      val hs = staged(spark, s"kmv_src_h#$dir")(
-        table(spark, dir, "documents")
-          .select(col("source"), explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
-          .select(col("source"), F.hash60(col("g")).as("h"))
-          .distinct())
-      // salted two-phase k-min: partial prune within (source, salt), then
-      // the final per-source rank sees ≤ 8·k rows — same kept set as the
-      // oracle's direct window (min-k is min-k however you stage it)
-      val w1 = Window.partitionBy("source", "salt").orderBy("h")
-      val pre = hs.withColumn("salt", pmod(col("h"), lit(8)))
-        .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= KmvK)
-      val w2 = Window.partitionBy("source").orderBy("h")
-      val kept = pre.withColumn("rn", row_number().over(w2)).filter(col("rn") <= KmvK)
-        .select(col("source"), col("h"))
+      val hs = kmvSourceHashes(spark, dir)
+      val kept = kmvKeptPerSource(spark, dir)
       val est = floor((col("k") - 1).cast("double") * lit(1152921504606846976L)
           / col("hk").cast("double")).cast("long").as("kmv_est")
       val ps = kept.groupBy("source").agg(count(lit(1)).as("k"), max(col("h")).as("hk"))
@@ -1316,6 +1297,68 @@ object ScaleQueries {
         .crossJoin(mk)
         .select(lit("(merged)").as("source"), col("n_exact"), col("k"), est)
       ps.unionByName(mrow).orderBy("source")
+    },
+
+    // KMV set-INTERSECTION estimation (the Theta-sketch family's other
+    // half — audience-overlap estimation): for every source pair, clip
+    // both k-min sketches to θ = min(maxₐ, max_b); below θ each sketch
+    // is a COMPLETE sample of its universe ∩ [0, θ) (any universe hash
+    // ≤ a source's k-th minimum is inside its kept set), so shared
+    // entries below θ estimate the intersection density:
+    // est = ⌊common · 2⁶⁰ / θ⌋. All pairwise work happens in SKETCH
+    // space (≤ sources·k rows — that is the sketch's point: overlap of
+    // two 100 TB corpora from two k-row summaries); the exact reference
+    // rides along from the staged per-source hash set. The pair frame
+    // is a broadcast product of the per-source maxima — #sources rows,
+    // metadata-scale by construction.
+    Q("sketch_kmv_intersect",
+      s"""WITH $kmvKeptCtes,
+         |mx AS (SELECT source, max(h) AS mx FROM kept GROUP BY source),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b, least(a.mx, b.mx) AS theta
+         |          FROM mx a JOIN mx b ON a.source < b.source),
+         |cm AS (SELECT ka.source AS src_a, kb.source AS src_b, count(*) AS common
+         |       FROM kept ka JOIN kept kb ON ka.h = kb.h AND ka.source < kb.source
+         |       JOIN pairs p ON p.src_a = ka.source AND p.src_b = kb.source
+         |       WHERE ka.h < p.theta
+         |       GROUP BY ka.source, kb.source),
+         |ex AS (SELECT ha.source AS src_a, hb.source AS src_b, count(*) AS n_exact_inter
+         |       FROM hs ha JOIN hs hb ON ha.h = hb.h AND ha.source < hb.source
+         |       GROUP BY ha.source, hb.source)
+         |SELECT p.src_a, p.src_b, p.theta,
+         |       coalesce(cm.common, 0)::BIGINT AS common,
+         |       coalesce(ex.n_exact_inter, 0)::BIGINT AS n_exact_inter,
+         |       CAST(floor(coalesce(cm.common, 0)::DOUBLE * 1152921504606846976 / p.theta::DOUBLE) AS BIGINT) AS inter_est
+         |FROM pairs p
+         |LEFT JOIN cm ON cm.src_a = p.src_a AND cm.src_b = p.src_b
+         |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
+         |ORDER BY p.src_a, p.src_b""".stripMargin) { (spark, dir) =>
+      val hs = kmvSourceHashes(spark, dir)
+      val kept = kmvKeptPerSource(spark, dir)
+      val mx = kept.groupBy("source").agg(max(col("h")).as("mx"))
+      val pairs = mx.select(col("source").as("src_a"), col("mx").as("mxa"))
+        .crossJoin(broadcast(mx.select(col("source").as("src_b"), col("mx").as("mxb"))))
+        .filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), least(col("mxa"), col("mxb")).as("theta"))
+      val common = kept.select(col("source").as("src_a"), col("h"))
+        .join(kept.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .join(broadcast(pairs), Seq("src_a", "src_b"))
+        .filter(col("h") < col("theta"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
+      val exact = hs.select(col("source").as("src_a"), col("h"))
+        .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_exact_inter"))
+      pairs
+        .join(common, Seq("src_a", "src_b"), "left")
+        .join(exact, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("common", "n_exact_inter"))
+        .withColumn("inter_est",
+          floor(col("common").cast("double") * lit(1152921504606846976L).cast("double")
+            / col("theta").cast("double")).cast("long"))
+        .select(col("src_a"), col("src_b"), col("theta"), col("common"),
+          col("n_exact_inter"), col("inter_est"))
+        .orderBy("src_a", "src_b")
     },
 
     // HyperLogLog distinct-count sketch over the same 5-gram shingle
@@ -1483,6 +1526,44 @@ object ScaleQueries {
         .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
         .distinct()
         .select(F.hash60(col("g")).as("h")))
+
+  /** Per-source distinct 5-gram hash set (source, h), staged: feeds the
+    * per-source sketches AND the exact references of sketch_kmv_merge /
+    * sketch_kmv_intersect. */
+  private def kmvSourceHashes(spark: SparkSession, dir: String) =
+    staged(spark, s"kmv_src_h#$dir")(
+      table(spark, dir, "documents")
+        .select(col("source"), explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
+        .select(col("source"), F.hash60(col("g")).as("h"))
+        .distinct())
+
+  /** Per-source KMV sketch (source, h): the k smallest distinct hashes
+    * per source via the SALTED two-phase rank — partial prune within
+    * (source, salt), final window over ≤ 8·k rows per source; same kept
+    * set as a direct window (min-k is min-k however you stage it).
+    * Staged: merge and intersect both consume it. */
+  private def kmvKeptPerSource(spark: SparkSession, dir: String) =
+    staged(spark, s"kmv_kept#$dir") {
+      import org.apache.spark.sql.expressions.Window
+      val hs = kmvSourceHashes(spark, dir)
+      val w1 = Window.partitionBy("source", "salt").orderBy("h")
+      val pre = hs.withColumn("salt", pmod(col("h"), lit(8)))
+        .withColumn("rn1", row_number().over(w1)).filter(col("rn1") <= KmvK)
+      val w2 = Window.partitionBy("source").orderBy("h")
+      pre.withColumn("rn", row_number().over(w2)).filter(col("rn") <= KmvK)
+        .select(col("source"), col("h"))
+    }
+
+  /** DuckDB twin of [[kmvSourceHashes]] + [[kmvKeptPerSource]]: defines
+    * CTEs gr, hs (source, h) and kept (source, h). */
+  private def kmvKeptCtes: String =
+    s"""gr AS (SELECT source, unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+       |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
+       |            FROM documents),
+       |hs AS (SELECT DISTINCT source, ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
+       |kept AS (SELECT source, h FROM (
+       |           SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM hs)
+       |         WHERE rn <= $KmvK)""".stripMargin
 
   /** Term frequencies (tok → tf), staged once per (session, dir): the
     * sketch build and the exact heavy-hitter reference both consume it.

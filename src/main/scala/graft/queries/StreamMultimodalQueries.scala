@@ -636,7 +636,7 @@ object StreamMultimodalQueries {
     Q("stream_image_decode", imageDecodeSql) { (spark, dir) =>
       val staged = StreamingIngest.stageAsDir(s"$dir/documents.parquet")
       val docsStream = spark.readStream
-        .schema(spark.read.parquet(staged).schema)
+        .schema(StreamingIngest.documentsSchema)
         .parquet(staged)
       StreamingIngest.runToMemory(spark,
         imageDecodeProjected(mediaWsFrom(docsStream, 0)),

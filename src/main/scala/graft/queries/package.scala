@@ -64,6 +64,34 @@ package object queries {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** (vec_id, embedding, bucket): the 8-bit sign-LSH signature, computed
+    * scan-local against ONE broadcast hyperplane-array row (hyperplanes =
+    * corpus vectors 8..15, the ann_lsh_bucketed scheme) — a fold per row,
+    * no per-vector shuffle. ONE recipe shared by dedup_embedding_cosine
+    * and curation_bitext_mine; [[signLsh8CtesSql]] is its DuckDB twin. */
+  def signLsh8Buckets(vecs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.functions.VectorFunctions.dotProduct
+    val hpArr = vecs.filter(col("vec_id").between(8, 15))
+      .agg(collect_list(struct(
+        expr("cast(shiftleft(1, cast(vec_id - 8 as int)) as bigint)").as("bit"),
+        col("embedding").as("he"))).as("hps"))
+    val bucket = aggregate(col("hps"), lit(0L), (acc, h) =>
+      acc + when(dotProduct(col("embedding"), h.getField("he")) > 0, h.getField("bit"))
+        .otherwise(lit(0L)))
+    vecs.crossJoin(broadcast(hpArr))
+      .select(col("vec_id"), col("embedding"), bucket.as("bucket"))
+  }
+
+  /** DuckDB twin of [[signLsh8Buckets]]: defines CTEs hp and bk
+    * (bk = vec_id, bucket). */
+  val signLsh8CtesSql: String =
+    """hp AS (SELECT vec_id - 8 AS hid, embedding AS he FROM embeddings
+      |            WHERE vec_id BETWEEN 8 AND 15),
+      |bk AS (SELECT e.vec_id, sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], hp.he::DOUBLE[]) > 0
+      |                                THEN (1 << hid) ELSE 0 END)::BIGINT AS bucket
+      |       FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id)""".stripMargin
+
   /** Sequence-packing geometry shared by text_seq_pack and
     * pipeline_pretrain_e2e's pack stage. Buckets bounds packing
     * parallelism (each bucket packs independently — one window sort per

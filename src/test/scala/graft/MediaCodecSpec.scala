@@ -184,9 +184,10 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(slices(Array[Byte](0, 0, 0, 9, 1)) == null)
     assert(slices(buf.array() :+ 7.toByte) == null)
     assert(slices(Array[Byte](-1, -1, -1, -1)) == null)
-    // near-Int.MaxValue length prefix: the bound check must not overflow
-    // past the guard into copyOfRange (null, not a task-killing throw)
-    assert(slices(Array[Byte](0x7f, -1, -1, 0x7c, 1, 2)) == null)
+    // len = 0x7FFFFFFC: off + 4 + len wraps negative under Int arithmetic,
+    // so only the long-arithmetic bound check rejects it (null, not a
+    // task-killing copyOfRange throw)
+    assert(slices(Array[Byte](0x7f, -1, -1, -4, 1, 2)) == null)
   }
 
   test("overflow hardening: huge WAV chunk size parses to null; absurd PNG dims are a construction error") {

@@ -715,8 +715,10 @@ class PlanQualitySpec extends AnyFunSuite {
     // rank<=k filters push into partial per-partition top-k
     assert(p.contains("WindowGroupLimit"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
-    // the only nested-loop join is the 8-row hyperplane broadcast
-    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1, p)
+    // the candidate-pair table is STAGED (computed once for its three
+    // consumers), so the hyperplane broadcast cross lives only in the
+    // staging build — the serving plan has no nested-loop join at all
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
   test("bucketed co-located join: bucketed scans feed the SMJ with zero join-side shuffle") {
