@@ -37,6 +37,8 @@ object Dev {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"$name min=${ts.min}%.3f runs=[${ts.map(t => f"$t%.3f").mkString(", ")}]")
+      case "oracle" :: name :: _ =>
+        println(SparkEntry.oracleSql.getOrElse(name, s"(no oracle for $name)"))
       case "recall-clustered" :: rest =>
         val n = rest.headOption.map(_.toInt).getOrElse(2000)
         println(graft.queries.RecallEval.evaluateClustered(spark, n = n, dim = 64).json)

@@ -59,7 +59,8 @@ object SparkEntry {
     "dedup_cdc_chunks", "dedup_cdc_savings", "dedup_cdc_containment",
     "curation_decontaminate", "curation_dsir_weights", "pipeline_pretrain_e2e",
     "ml_pca_covariance", "sketch_cms_estimate", "sketch_kmv_distinct",
-    "sketch_kmv_merge", "sketch_kmv_intersect",
+    "sketch_kmv_merge", "sketch_kmv_intersect", "sketch_kmv_jaccard",
+    "sketch_cms_merge", "sketch_hll_merge", "sketch_quantile_merge",
     "sketch_hll_distinct", "sketch_quantile_hist", "ml_linear_probe_train",
     "graph_pagerank_step", "graph_pagerank_converged", "graph_label_prop",
     "graph_triangle_count", "graph_kcore_peel",
@@ -80,6 +81,7 @@ object SparkEntry {
     "q1_pricing_summary", "q_rollup_pricing", "q_set_ops",
     "q3_topk_revenue_join", "q5_region_nation_revenue",
     "q_salted_skew_agg", "q_bucketed_colocated_join",
+    "q_partition_pruned_scan", "q_dpp_partition_join",
     "q_topk_by_agg", "q_range_join_binned",
     "b12_section_concat")
     .filter(queries.contains)

@@ -56,6 +56,34 @@ object ScaleQueries {
     (ot, ct)
   }
 
+  /** Ensure events exist as a dt-PARTITIONED parquet dataset (one
+    * directory per UTC day, Hive-style `dt=2024-01-07`) under
+    * java.io.tmpdir, tagged by SF dir, and return the dataset path.
+    * The write repartitions by dt so each day is one file. Written once
+    * per path lifetime (guarded by the _SUCCESS marker) — the scale
+    * analog: the 100 TB event log is laid out by date ONCE, then every
+    * time-ranged query prunes whole directories at PLANNING time
+    * (static filters) or at RUNTIME (dynamic partition pruning from a
+    * dim-side filter) instead of scanning the full history. */
+  private def dtPartitionedEvents(spark: SparkSession, dir: String): String = {
+    val tag = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    val path = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_partitioned", s"events_dt_$tag").toString
+    def ready = new java.io.File(path, "_SUCCESS").exists()
+    if (!ready) synchronized {
+      if (!ready) {
+        events(spark, dir)
+          .withColumn("dt", to_date(col("ts")))
+          .repartition(col("dt"))
+          .write.partitionBy("dt")
+          .mode(org.apache.spark.sql.SaveMode.Overwrite)
+          .parquet(path)
+      }
+    }
+    path
+  }
+
   // ---- DuckDB replay of KMeans.train (the ann_ivf_trained oracle) ----
 
   /** Micro-floored squared L2 between a REAL[64] embedding and a
@@ -583,6 +611,59 @@ object ScaleQueries {
         .orderBy("mktsegment")
     },
 
+    // Static partition pruning: the date-ranged aggregate over the
+    // dt-partitioned event log. The BETWEEN lands in the scan's
+    // PartitionFilters (directory-level pruning at planning time, before
+    // any file is opened) — 3 of 30 day-directories read, and the same
+    // ratio holds when each day is a terabyte. The oracle replays the
+    // filter over the raw table: partition layout must never change
+    // results, only which bytes are touched. Plan-pinned in
+    // PlanQualitySpec (partition filters present, 3 partitions selected).
+    Q("q_partition_pruned_scan",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events
+        |WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val p = dtPartitionedEvents(spark, dir)
+      spark.read.parquet(p)
+        .filter(col("dt").between(to_date(lit("2024-01-10")), to_date(lit("2024-01-12"))))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000000).cast("long")).as("value_micro"))
+        .orderBy("event_type")
+    },
+
+    // DYNAMIC partition pruning: the filter lives on the DIM side (a
+    // calendar of interesting days derived at runtime), not on the fact's
+    // partition column — static pruning can't see it. Spark's DPP rule
+    // turns the broadcast dim into a runtime IN-subquery inside the fact
+    // scan's PartitionFilters, so only the dim's surviving days are read
+    // (5 of 30 here). At 100 TB this is the difference between scanning
+    // the month and scanning the audit days. The oracle replays the
+    // equivalent direct predicate (an inner join against a DISTINCT dim
+    // IS the filter). Plan-pinned: dynamicpruning expression present in
+    // the fact scan.
+    Q("q_dpp_partition_join",
+      """SELECT event_type,
+        |       count(*) AS n,
+        |       CAST(sum(CAST(floor(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM events
+        |WHERE date_part('day', CAST(ts AS DATE)) % 7 = 1
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      val p = dtPartitionedEvents(spark, dir)
+      val dim = events(spark, dir)
+        .select(to_date(col("ts")).as("dt")).distinct()
+        .filter(dayofmonth(col("dt")) % 7 === 1)
+      spark.read.parquet(p)
+        .join(broadcast(dim), Seq("dt"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("value") * 1000000).cast("long")).as("value_micro"))
+        .orderBy("event_type")
+    },
+
     // KNN on precomputed norms: cosine degrades to dot/(norm·qnorm) — the
     // stored-norm layout cuts the per-row kernel from 3 FMAs/element to 1
     // (SURVEY §4 item 3). Bit-identical to the fused cosine.
@@ -790,6 +871,72 @@ object ScaleQueries {
         .select(col("event_type"),
           least(lit(1023L), expr("(cents - mn) * 1024 div (mx - mn + 1)")).as("bin"))
         .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
+      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+      val wAll = Window.partitionBy(col("event_type"))
+      val cum = hb
+        .withColumn("cum", sum(col("n")).over(wOrd))
+        .withColumn("tot", sum(col("n")).over(wAll))
+      def bq(pct: Int) = min(when(
+        col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("bin")))
+      val est = cum.groupBy("event_type")
+        .agg(max(col("tot")).as("n"), bq(50).as("b50"), bq(90).as("b90"), bq(99).as("b99"))
+      est.crossJoin(broadcast(mm))
+        .select(col("event_type"), col("n"),
+          expr("mn + b50 * (mx - mn + 1) div 1024").as("p50_est_cents"),
+          expr("mn + b90 * (mx - mn + 1) div 1024").as("p90_est_cents"),
+          expr("mn + b99 * (mx - mn + 1) div 1024").as("p99_est_cents"))
+        .orderBy("event_type")
+    },
+
+    // Histogram-sketch MERGEABILITY — the incremental form promised by
+    // sketch_quantile_hist, made concrete: 30 per-DAY partial histograms
+    // (the daily micro-batch of a streaming pipeline, or one executor's
+    // shard) re-sum bin-wise into the monthly histogram, and the same
+    // cumulative-threshold read-off yields the same quantile estimates.
+    // The honest mergeability contract for fixed-bin histograms is that
+    // bin GEOMETRY is agreed before binning — here (mn, mx) itself
+    // merges associatively (min of daily mins, max of daily maxes), so
+    // the agreement costs one metadata-scale pass. Equality with the
+    // direct single-pass sketch is pinned by ScaleOpsSpec (row-for-row
+    // against sketch_quantile_hist).
+    Q("sketch_quantile_merge",
+      """WITH ev AS (SELECT CAST(ts AS DATE) AS dy, event_type,
+        |                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+        |            FROM events),
+        |dm AS (SELECT dy, min(cents) AS mn_d, max(cents) AS mx_d FROM ev GROUP BY dy),
+        |mm AS (SELECT min(mn_d) AS mn, max(mx_d) AS mx FROM dm),
+        |dh AS (SELECT dy, event_type,
+        |              least(1023, (cents - mn) * 1024 // (mx - mn + 1)) AS bin,
+        |              count(*) AS n
+        |       FROM ev CROSS JOIN mm GROUP BY dy, event_type, bin),
+        |hb AS (SELECT event_type, bin, sum(n) AS n FROM dh GROUP BY event_type, bin),
+        |cum AS (SELECT event_type, bin, n,
+        |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+        |               sum(n) OVER (PARTITION BY event_type) AS tot
+        |        FROM hb),
+        |est AS (SELECT event_type, max(tot) AS n,
+        |               min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN bin END) AS b50,
+        |               min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN bin END) AS b90,
+        |               min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN bin END) AS b99
+        |        FROM cum GROUP BY event_type)
+        |SELECT event_type, n::BIGINT AS n,
+        |       (mn + b50 * (mx - mn + 1) // 1024)::BIGINT AS p50_est_cents,
+        |       (mn + b90 * (mx - mn + 1) // 1024)::BIGINT AS p90_est_cents,
+        |       (mn + b99 * (mx - mn + 1) // 1024)::BIGINT AS p99_est_cents
+        |FROM est CROSS JOIN mm ORDER BY event_type""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val ev = events(spark, dir)
+        .select(to_date(col("ts")).as("dy"), col("event_type"),
+          round(col("value") * 100, 0).cast("long").as("cents"))
+      // geometry merge: per-day (min, max) partials → global edges
+      val dm = ev.groupBy("dy").agg(min(col("cents")).as("mn_d"), max(col("cents")).as("mx_d"))
+      val mm = dm.agg(min(col("mn_d")).as("mn"), max(col("mx_d")).as("mx"))
+      // per-day partial histograms on the agreed edges, then bin-wise re-sum
+      val dh = ev.crossJoin(broadcast(mm))
+        .select(col("dy"), col("event_type"),
+          least(lit(1023L), expr("(cents - mn) * 1024 div (mx - mn + 1)")).as("bin"))
+        .groupBy("dy", "event_type", "bin").agg(count(lit(1)).as("n"))
+      val hb = dh.groupBy("event_type", "bin").agg(sum(col("n")).as("n"))
       val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
       val wAll = Window.partitionBy(col("event_type"))
       val cum = hb
@@ -1219,6 +1366,45 @@ object ScaleQueries {
         .orderBy(col("exact").desc, col("tok"))
     },
 
+    // CMS MERGEABILITY — the property that lets 1000 executors (or 1000
+    // days of stream) each keep a private sketch and tree-reduce: CMS is
+    // LINEAR, so per-source sketches summed cell-wise ARE the global
+    // sketch. Proven in-data: cnt_merged (built per source, then summed)
+    // and cnt_global (built in one pass) ride in the same row for every
+    // cell — byte-identical columns or the oracle compare fails. Shuffle
+    // cost: per-source cells ≤ sources·rows·width keys, merge ≤
+    // rows·width — both corpus-size-independent.
+    Q("sketch_cms_merge",
+      s"""WITH tk AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+         |            FROM documents),
+         |sc AS (SELECT source, r.r,
+         |              ('0x' || substr(md5(r.r::VARCHAR || ':' || tok), 1, 15))::BIGINT % $CmsWidth AS b,
+         |              count(*) AS cnt
+         |       FROM tk CROSS JOIN (SELECT unnest(range($CmsRows)) AS r) r
+         |       GROUP BY source, r.r, b),
+         |mg AS (SELECT r, b, sum(cnt) AS cnt_merged FROM sc GROUP BY r, b),
+         |gl AS (SELECT r.r,
+         |              ('0x' || substr(md5(r.r::VARCHAR || ':' || tok), 1, 15))::BIGINT % $CmsWidth AS b,
+         |              count(*) AS cnt_global
+         |       FROM tk CROSS JOIN (SELECT unnest(range($CmsRows)) AS r) r
+         |       GROUP BY r.r, b)
+         |SELECT mg.r::BIGINT AS r, mg.b::BIGINT AS b,
+         |       mg.cnt_merged::BIGINT AS cnt_merged, gl.cnt_global::BIGINT AS cnt_global
+         |FROM mg JOIN gl ON gl.r = mg.r AND gl.b = mg.b
+         |ORDER BY r, b""".stripMargin) { (spark, dir) =>
+      val stf = table(spark, dir, "documents")
+        .select(col("source"), explode(F.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("tf"))
+      val scells = stf
+        .select(col("source"), col("tf"), explode(cmsRowBuckets(col("tok"))).as("rb"))
+        .groupBy(col("source"), col("rb.r").as("r"), col("rb.b").as("b"))
+        .agg(sum(col("tf")).as("cnt"))
+      val merged = scells.groupBy("r", "b").agg(sum(col("cnt")).as("cnt_merged"))
+      merged
+        .join(cmsCells(spark, dir).withColumnRenamed("cnt", "cnt_global"), Seq("r", "b"))
+        .orderBy("r", "b")
+    },
+
     // KMV (k-minimum-values) distinct-count sketch over the corpus's
     // 5-gram shingle universe: keep the k smallest 60-bit gram hashes;
     // the k-th smallest order statistic estimates the cardinality as
@@ -1361,6 +1547,73 @@ object ScaleQueries {
         .orderBy("src_a", "src_b")
     },
 
+    // KMV set-JACCARD estimation — completes the theta-sketch overlap
+    // family (merge = union size, intersect = overlap size, this =
+    // overlap RATIO, the number a dedup planner actually routes on):
+    // clip both kept sets to θ = min(maxₐ, max_b); below θ the union of
+    // the two sketches is a complete sample of (A ∪ B) ∩ [0, θ), so
+    // u = |union below θ| estimates the union and common/u estimates
+    // Jaccard directly — no division of two separately-noisy estimates.
+    // common falls out as count(*) − count(DISTINCT h) (each h appears
+    // at most once per source). All pairwise work in sketch space; the
+    // pair frame (#sources² rows) and its explode are metadata-scale
+    // broadcasts. Integer outputs: union_est = ⌊u·2⁶⁰/θ⌋, jaccard_bp =
+    // ⌊common·10⁴/u⌋ (u ≥ k−1 > 0 by construction); exact references
+    // ride along from the staged per-source hash set.
+    Q("sketch_kmv_jaccard",
+      s"""WITH $kmvKeptCtes,
+         |mx AS (SELECT source, max(h) AS mx FROM kept GROUP BY source),
+         |pairs AS (SELECT a.source AS src_a, b.source AS src_b, least(a.mx, b.mx) AS theta
+         |          FROM mx a JOIN mx b ON a.source < b.source),
+         |ku AS (SELECT p.src_a, p.src_b, p.theta, k.h
+         |       FROM pairs p JOIN kept k ON (k.source = p.src_a OR k.source = p.src_b)
+         |       WHERE k.h < p.theta),
+         |sk AS (SELECT src_a, src_b, max(theta) AS theta,
+         |              count(*) - count(DISTINCT h) AS common,
+         |              count(DISTINCT h) AS u_below
+         |       FROM ku GROUP BY src_a, src_b),
+         |ex AS (SELECT ha.source AS src_a, hb.source AS src_b, count(*) AS n_exact_inter
+         |       FROM hs ha JOIN hs hb ON ha.h = hb.h AND ha.source < hb.source
+         |       GROUP BY ha.source, hb.source)
+         |SELECT s.src_a, s.src_b,
+         |       s.common::BIGINT AS common, s.u_below::BIGINT AS u_below,
+         |       CAST(floor(s.u_below::DOUBLE * 1152921504606846976 / s.theta::DOUBLE) AS BIGINT) AS union_est,
+         |       CAST(floor(s.common::DOUBLE * 10000 / s.u_below::DOUBLE) AS BIGINT) AS jaccard_bp,
+         |       coalesce(ex.n_exact_inter, 0)::BIGINT AS n_exact_inter
+         |FROM sk s LEFT JOIN ex ON ex.src_a = s.src_a AND ex.src_b = s.src_b
+         |ORDER BY s.src_a, s.src_b""".stripMargin) { (spark, dir) =>
+      val hs = kmvSourceHashes(spark, dir)
+      val kept = kmvKeptPerSource(spark, dir)
+      val mx = kept.groupBy("source").agg(max(col("h")).as("mx"))
+      val pairs = mx.select(col("source").as("src_a"), col("mx").as("mxa"))
+        .crossJoin(broadcast(mx.select(col("source").as("src_b"), col("mx").as("mxb"))))
+        .filter(col("src_a") < col("src_b"))
+        .select(col("src_a"), col("src_b"), least(col("mxa"), col("mxb")).as("theta"))
+      // pair × {src_a, src_b} explode keeps the kept-side join a plain
+      // equi-join on source against a broadcast (2·#pairs rows)
+      val sides = pairs.select(col("src_a"), col("src_b"), col("theta"),
+        explode(array(col("src_a"), col("src_b"))).as("source"))
+      val sk = kept.join(broadcast(sides), Seq("source"))
+        .filter(col("h") < col("theta"))
+        .groupBy("src_a", "src_b")
+        .agg(max(col("theta")).as("theta"),
+          (count(lit(1)) - countDistinct(col("h"))).as("common"),
+          countDistinct(col("h")).as("u_below"))
+      val exact = hs.select(col("source").as("src_a"), col("h"))
+        .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_exact_inter"))
+      sk.join(exact, Seq("src_a", "src_b"), "left")
+        .na.fill(0L, Seq("n_exact_inter"))
+        .select(col("src_a"), col("src_b"), col("common"), col("u_below"),
+          floor(col("u_below").cast("double") * lit(1152921504606846976L).cast("double")
+            / col("theta").cast("double")).cast("long").as("union_est"),
+          floor(col("common").cast("double") * 10000 / col("u_below").cast("double"))
+            .cast("long").as("jaccard_bp"),
+          col("n_exact_inter"))
+        .orderBy("src_a", "src_b")
+    },
+
     // HyperLogLog distinct-count sketch over the same 5-gram shingle
     // universe (Flajolet et al. 2007) — completes the sketch family: CMS
     // answers "how often", KMV and HLL answer "how many distinct", HLL
@@ -1414,6 +1667,71 @@ object ScaleQueries {
           floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
               * lit(1048576.0) * lit(2251799813685248.0) * lit(1000000.0)
               / col("s_scaled").cast("double")).cast("long").as("hll_est_micro"))
+    },
+
+    // HLL MERGEABILITY — registers merge by element-wise MAX (max is
+    // idempotent and commutative, so per-source registers max-merged ARE
+    // the one-pass registers; duplicates across sources cannot skew it).
+    // Proven in-data: the "(merged)" row (per-source registers → max →
+    // estimate) and the "(global)" row (one register pass over all
+    // sources) must be identical field-for-field. Per-source estimate
+    // rows ride along with their exact distinct counts — the per-shard
+    // view an operator actually monitors. Shuffles: (source, bucket)
+    // then bucket keys — ≤ sources·1024 rows regardless of corpus size.
+    Q("sketch_hll_merge",
+      s"""WITH $kmvKeptCtes,
+         |r AS (SELECT source, h % 1024 AS bucket, 51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM hs),
+         |sreg AS (SELECT source, bucket, max(rho) AS mx FROM r GROUP BY source, bucket),
+         |sest AS (SELECT source, count(*)::BIGINT AS n_hit,
+         |                (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
+         |                  + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
+         |         FROM sreg GROUP BY source),
+         |mreg AS (SELECT bucket, max(mx) AS mx FROM sreg GROUP BY bucket),
+         |greg AS (SELECT bucket, max(rho) AS mx FROM r GROUP BY bucket),
+         |mest AS (SELECT '(merged)' AS source, count(*)::BIGINT AS n_hit,
+         |                (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
+         |                  + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
+         |         FROM mreg),
+         |gest AS (SELECT '(global)' AS source, count(*)::BIGINT AS n_hit,
+         |                (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
+         |                  + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
+         |         FROM greg),
+         |ex AS (SELECT source, count(*)::BIGINT AS n_exact FROM hs GROUP BY source),
+         |exall AS (SELECT count(DISTINCT h)::BIGINT AS n_exact FROM hs),
+         |un AS (SELECT s.source, ex.n_exact, s.n_hit, s.s_scaled
+         |       FROM sest s JOIN ex ON ex.source = s.source
+         |       UNION ALL SELECT m.source, x.n_exact, m.n_hit, m.s_scaled FROM mest m CROSS JOIN exall x
+         |       UNION ALL SELECT g.source, x.n_exact, g.n_hit, g.s_scaled FROM gest g CROSS JOIN exall x)
+         |SELECT source, n_exact, n_hit, s_scaled,
+         |       CAST(floor(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+         |                  * 1048576.0::DOUBLE * 2251799813685248.0::DOUBLE * 1000000.0::DOUBLE
+         |                  / s_scaled::DOUBLE) AS BIGINT) AS hll_est_micro
+         |FROM un ORDER BY source""".stripMargin) { (spark, dir) =>
+      val hs = kmvSourceHashes(spark, dir)
+      val r = hs.select(col("source"), pmod(col("h"), lit(1024L)).as("bucket"),
+        (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).as("rho"))
+      val sreg = r.groupBy("source", "bucket").agg(max(col("rho")).as("mx"))
+      // ONE estimate recipe for all three row kinds (per-source, merged,
+      // global) — they cannot drift apart
+      def est(regs: org.apache.spark.sql.DataFrame) = regs.groupBy("source")
+        .agg(count(lit(1)).as("n_hit"),
+          (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mx AS INT))"))
+            + (lit(1024L) - count(lit(1))) * lit(2251799813685248L)).as("s_scaled"))
+      val mReg = sreg.groupBy("bucket").agg(max(col("mx")).as("mx"))
+        .withColumn("source", lit("(merged)"))
+      val gReg = r.groupBy("bucket").agg(max(col("rho")).as("mx"))
+        .withColumn("source", lit("(global)"))
+      val exAll = hs.agg(countDistinct(col("h")).as("n_exact"))
+      val sEst = est(sreg)
+        .join(hs.groupBy("source").agg(count(lit(1)).as("n_exact")), Seq("source"))
+      val mgEst = est(mReg.unionByName(gReg)).crossJoin(broadcast(exAll))
+      sEst.select("source", "n_exact", "n_hit", "s_scaled")
+        .unionByName(mgEst.select("source", "n_exact", "n_hit", "s_scaled"))
+        .withColumn("hll_est_micro",
+          floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
+              * lit(1048576.0) * lit(2251799813685248.0) * lit(1000000.0)
+              / col("s_scaled").cast("double")).cast("long"))
+        .orderBy("source")
     },
 
     // Distributed covariance of the embedding corpus — the PCA/whitening

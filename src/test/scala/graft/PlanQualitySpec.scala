@@ -732,6 +732,35 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastHashJoin"), p)
   }
 
+  test("partition-pruned scan: date range lands in PartitionFilters, 3 of 30 day-directories read") {
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = SparkEntry.queries("q_partition_pruned_scan")(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      // the range prunes DIRECTORIES at planning time (never opens a file)
+      assert(p.contains("PartitionFilters:"), p)
+      assert(p.contains("dt#"), p)
+      // and column pruning reaches the scan: only the two needed columns
+      assert(p.contains("ReadSchema: struct<event_type:string,value:double>"), p)
+      df.collect()
+      val scan = df.queryExecution.executedPlan.collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      }.head
+      assert(scan.metrics("numPartitions").value == 3L,
+        s"expected 3 day-partitions read, got ${scan.metrics("numPartitions").value}")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("DPP join: dim-side filter prunes fact partitions at runtime via dynamicpruning") {
+    val p = plan("q_dpp_partition_join")
+    // the dim filter reaches the fact scan as a runtime IN-subquery over
+    // the partition column — the defining mark of dynamic partition pruning
+    assert(p.contains("dynamicpruning"), p)
+    assert(p.contains("PartitionFilters:"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("shuffle order: rank windows are bucket-partitioned, offsets broadcast, final order is a TakeOrdered heap") {
     val p = plan("curation_shuffle_order")
     // the corpus-sized window must key on the hash bucket; the only

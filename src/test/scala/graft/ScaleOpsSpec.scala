@@ -170,6 +170,32 @@ class ScaleOpsSpec extends AnyFunSuite {
     assert(merged.getAs[Long]("n_exact") == global.getAs[Long]("n_exact"))
   }
 
+  test("CMS merge: per-source sketches summed cell-wise equal the one-pass sketch") {
+    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
+    val rows = q("sketch_cms_merge").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("cnt_merged") == r.getAs[Long]("cnt_global"),
+        s"CMS linearity broken at cell (${r.getAs[Long]("r")}, ${r.getAs[Long]("b")})")
+    }
+  }
+
+  test("HLL merge: max-merged per-source registers yield the one-pass estimate") {
+    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
+    val out = q("sketch_hll_merge").collect()
+    val merged = out.find(_.getAs[String]("source") == "(merged)").get
+    val global = out.find(_.getAs[String]("source") == "(global)").get
+    for (c <- Seq("n_exact", "n_hit", "s_scaled", "hll_est_micro"))
+      assert(merged.getAs[Long](c) == global.getAs[Long](c), s"HLL merge diverges on $c")
+  }
+
+  test("quantile-histogram merge: 30 daily partials re-summed reproduce the single-pass sketch row-for-row") {
+    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
+    val merged = q("sketch_quantile_merge").collect().map(_.toSeq)
+    val direct = q("sketch_quantile_hist").collect().map(_.toSeq)
+    assert(merged.nonEmpty && merged.toSeq == direct.toSeq)
+  }
+
   test("semantic dedup: every cluster keeps its lowest-id member; every dup has a dominating lower-id cell-mate") {
     import graft.functions.VectorFunctions.cosineSim
     val out = graft.queries.DedupQueries.all.find(_.name == "dedup_semantic").get
