@@ -83,6 +83,7 @@ object SparkEntry {
     "q_salted_skew_agg", "q_bucketed_colocated_join",
     "q_partition_pruned_scan", "q_dpp_partition_join",
     "q_topk_by_agg", "q_range_join_binned",
+    "q_scd2_history", "q_merge_upsert",
     "b12_section_concat")
     .filter(queries.contains)
 }

@@ -341,6 +341,112 @@ object RelationalQueries {
         .orderBy("status")
     },
 
+    // SCD-2 dimension history from a change stream — the warehouse
+    // maintenance op behind every "current + history" dimension: per
+    // user, consecutive runs of the same attribute value collapse into
+    // one validity interval [valid_from, valid_to); the latest run's
+    // valid_to is NULL (the current row). Change detection is lag(),
+    // run ids a running sum of change flags, intervals lead() over run
+    // starts — three user-keyed windows chained on the SAME partition
+    // key (one shuffle, reused), no self-join, no corpus-wide window.
+    // ts ties break on event_id so the fold is deterministic; a
+    // deterministic user sample bounds the dump size. 100 TB shape:
+    // everything is keyed by the dimension's natural key, so the build
+    // co-partitions with the dimension itself.
+    Q("q_scd2_history",
+      """WITH e AS (SELECT user_id, event_type AS state, epoch_ms(ts) AS ms, event_id
+        |           FROM events WHERE user_id % 13 = 0),
+        |m AS (SELECT user_id, state, ms, event_id,
+        |             lag(state) OVER (PARTITION BY user_id ORDER BY ms, event_id) AS prev
+        |      FROM e),
+        |f AS (SELECT user_id, state, ms,
+        |             sum(CASE WHEN prev IS NULL OR prev <> state THEN 1 ELSE 0 END)
+        |               OVER (PARTITION BY user_id ORDER BY ms, event_id) AS run
+        |      FROM m),
+        |r AS (SELECT user_id, run, min(state) AS state, min(ms) AS valid_from_ms,
+        |             count(*) AS n_events
+        |      FROM f GROUP BY user_id, run),
+        |s AS (SELECT user_id, state, valid_from_ms, n_events,
+        |             lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, state) AS valid_to_ms
+        |      FROM r)
+        |SELECT user_id, state, valid_from_ms, valid_to_ms, n_events::BIGINT AS n_events
+        |FROM s ORDER BY user_id, valid_from_ms, state""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val e = events(spark, dir).filter(col("user_id") % 13 === 0)
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_millis(col("ts")).as("ms"), col("event_id"))
+      val wSeq = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+      val runs = e
+        .withColumn("prev", lag(col("state"), 1).over(wSeq))
+        .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("state"), 1L).otherwise(0L))
+        .withColumn("run", sum(col("chg")).over(wSeq))
+        .groupBy("user_id", "run")
+        .agg(min(col("state")).as("state"), min(col("ms")).as("valid_from_ms"),
+          count(lit(1)).as("n_events"))
+      val wRun = Window.partitionBy("user_id").orderBy(col("valid_from_ms"), col("state"))
+      runs
+        .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wRun))
+        .select(col("user_id"), col("state"), col("valid_from_ms"),
+          col("valid_to_ms"), col("n_events"))
+        .orderBy("user_id", "valid_from_ms", "state")
+    },
+
+    // MERGE-style upsert — the other half of warehouse maintenance next
+    // to q_scd2_history's history build: a current-state snapshot (latest
+    // per key before the cutoff) merged with a change delta (latest per
+    // key after), classifying every key as insert / update / noop /
+    // carry. The at-scale shape of MERGE INTO: one full-outer join
+    // co-partitioned on the key, with both sides pre-collapsed to one
+    // row per key by user-keyed dedup windows — the join input is
+    // key-cardinality, never event-cardinality, and a bucketed base
+    // table would make the join shuffle-free (q_bucketed_colocated_join
+    // demonstrates that layout).
+    Q("q_merge_upsert",
+      """WITH b AS (SELECT user_id, state, ms FROM (
+        |             SELECT user_id, event_type AS state, epoch_ms(ts) AS ms,
+        |                    row_number() OVER (PARTITION BY user_id
+        |                                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |             FROM events WHERE epoch_ms(ts) < 1705363200000)
+        |           WHERE rn = 1),
+        |d AS (SELECT user_id, state, ms FROM (
+        |             SELECT user_id, event_type AS state, epoch_ms(ts) AS ms,
+        |                    row_number() OVER (PARTITION BY user_id
+        |                                       ORDER BY epoch_ms(ts) DESC, event_id DESC) AS rn
+        |             FROM events WHERE epoch_ms(ts) >= 1705363200000)
+        |           WHERE rn = 1)
+        |SELECT coalesce(d.user_id, b.user_id) AS user_id,
+        |       coalesce(d.state, b.state) AS state,
+        |       CASE WHEN b.user_id IS NULL THEN 'insert'
+        |            WHEN d.user_id IS NULL THEN 'carry'
+        |            WHEN d.state <> b.state THEN 'update'
+        |            ELSE 'noop' END AS action,
+        |       coalesce(d.ms, b.ms) AS as_of_ms
+        |FROM b FULL OUTER JOIN d ON d.user_id = b.user_id
+        |ORDER BY user_id""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val cutoffMs = 1705363200000L // 2024-01-16T00:00:00Z
+      val ev = events(spark, dir)
+        .select(col("user_id"), col("event_type").as("state"),
+          unix_millis(col("ts")).as("ms"), col("event_id"))
+      val w = Window.partitionBy("user_id").orderBy(col("ms").desc, col("event_id").desc)
+      def latest(side: org.apache.spark.sql.DataFrame) = side
+        .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("user_id"), col("state"), col("ms"))
+      val base = latest(ev.filter(col("ms") < cutoffMs))
+        .select(col("user_id"), col("state").as("bs"), col("ms").as("bms"))
+      val delta = latest(ev.filter(col("ms") >= cutoffMs))
+        .select(col("user_id"), col("state").as("ds"), col("ms").as("dms"))
+      base.join(delta, Seq("user_id"), "full_outer")
+        .select(col("user_id"),
+          coalesce(col("ds"), col("bs")).as("state"),
+          when(col("bs").isNull, "insert")
+            .when(col("ds").isNull, "carry")
+            .when(col("ds") =!= col("bs"), "update")
+            .otherwise("noop").as("action"),
+          coalesce(col("dms"), col("bms")).as("as_of_ms"))
+        .orderBy("user_id")
+    },
+
     // Funnel analysis: per user, the first view, the first click at or
     // after that view, the first purchase at or after that click — the
     // ordered-sequence conversion query every event pipeline ships. Three

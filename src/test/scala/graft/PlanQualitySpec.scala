@@ -761,6 +761,22 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("SCD2 history: one user-keyed exchange feeds both windows and the run aggregate") {
+    val p = plan("q_scd2_history")
+    // lag window, running-sum window, (user_id, run) aggregate and the
+    // lead window all cluster on user_id — one hash exchange serves all
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("merge upsert: both sides collapse to one row per key before a co-partitioned full-outer SMJ") {
+    val p = plan("q_merge_upsert")
+    assert(p.contains("SortMergeJoin") && p.contains("FullOuter"), p)
+    // one user-keyed exchange per side (window dedup), reused by the join
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 2, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("shuffle order: rank windows are bucket-partitioned, offsets broadcast, final order is a TakeOrdered heap") {
     val p = plan("curation_shuffle_order")
     // the corpus-sized window must key on the hash bucket; the only
