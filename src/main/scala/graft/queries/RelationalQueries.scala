@@ -367,28 +367,14 @@ object RelationalQueries {
         |             count(*) AS n_events
         |      FROM f GROUP BY user_id, run),
         |s AS (SELECT user_id, state, valid_from_ms, n_events,
-        |             lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY valid_from_ms, state) AS valid_to_ms
+        |             lead(valid_from_ms) OVER (PARTITION BY user_id ORDER BY run) AS valid_to_ms
         |      FROM r)
         |SELECT user_id, state, valid_from_ms, valid_to_ms, n_events::BIGINT AS n_events
         |FROM s ORDER BY user_id, valid_from_ms, state""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
       val e = events(spark, dir).filter(col("user_id") % 13 === 0)
         .select(col("user_id"), col("event_type").as("state"),
           unix_millis(col("ts")).as("ms"), col("event_id"))
-      val wSeq = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
-      val runs = e
-        .withColumn("prev", lag(col("state"), 1).over(wSeq))
-        .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("state"), 1L).otherwise(0L))
-        .withColumn("run", sum(col("chg")).over(wSeq))
-        .groupBy("user_id", "run")
-        .agg(min(col("state")).as("state"), min(col("ms")).as("valid_from_ms"),
-          count(lit(1)).as("n_events"))
-      val wRun = Window.partitionBy("user_id").orderBy(col("valid_from_ms"), col("state"))
-      runs
-        .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wRun))
-        .select(col("user_id"), col("state"), col("valid_from_ms"),
-          col("valid_to_ms"), col("n_events"))
-        .orderBy("user_id", "valid_from_ms", "state")
+      scd2Intervals(e)
     },
 
     // MERGE-style upsert — the other half of warehouse maintenance next
@@ -439,12 +425,62 @@ object RelationalQueries {
       base.join(delta, Seq("user_id"), "full_outer")
         .select(col("user_id"),
           coalesce(col("ds"), col("bs")).as("state"),
-          when(col("bs").isNull, "insert")
-            .when(col("ds").isNull, "carry")
+          // presence is keyed on the ms columns (never null when the side
+          // exists), matching the oracle's user_id-null test — a null
+          // STATE on an existing side must classify as update/noop, not
+          // masquerade as insert/carry
+          when(col("bms").isNull, "insert")
+            .when(col("dms").isNull, "carry")
             .when(col("ds") =!= col("bs"), "update")
             .otherwise("noop").as("action"),
           coalesce(col("dms"), col("bms")).as("as_of_ms"))
         .orderBy("user_id")
+    },
+
+    // Time-series gap fill — the feature-engineering op between raw
+    // events and any per-day model input: a dense calendar spine (every
+    // user × every day of the observed span) left-joined with daily
+    // activity, zeros filled, and a carry-forward running max giving
+    // days-since-last-activity (NULL before first activity — honest, not
+    // zero). Scale shape: the spine is users × days built by exploding a
+    // 30-element sequence against the user dim (never a range join); the
+    // daily rollup and the carry-forward window are both user-keyed, so
+    // one exchange serves join + window; the global (mn, mx) span is a
+    // broadcast one-row aggregate. Day arithmetic is integer day-index
+    // (datediff) — identical cross-engine, no date-type hashing hazard.
+    Q("q_time_gap_fill",
+      """WITH mm AS (SELECT min(CAST(ts AS DATE)) AS mn, max(CAST(ts AS DATE)) AS mx FROM events),
+        |ev AS (SELECT user_id, CAST(ts AS DATE) AS dt FROM events WHERE user_id % 5 = 0),
+        |u AS (SELECT DISTINCT user_id FROM ev),
+        |sp AS (SELECT u.user_id, unnest(generate_series(0, date_diff('day', mm.mn, mm.mx))) AS d
+        |       FROM u CROSS JOIN mm),
+        |daily AS (SELECT ev.user_id, date_diff('day', mm.mn, ev.dt) AS d, count(*) AS n
+        |          FROM ev CROSS JOIN mm GROUP BY ev.user_id, d),
+        |f AS (SELECT sp.user_id, sp.d, coalesce(daily.n, 0) AS n,
+        |             max(CASE WHEN daily.n > 0 THEN sp.d END)
+        |               OVER (PARTITION BY sp.user_id ORDER BY sp.d) AS last_active
+        |      FROM sp LEFT JOIN daily ON daily.user_id = sp.user_id AND daily.d = sp.d)
+        |SELECT user_id, d::BIGINT AS d, n::BIGINT AS n,
+        |       (d - last_active)::BIGINT AS days_since_active
+        |FROM f ORDER BY user_id, d""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val all = events(spark, dir).select(col("user_id"), to_date(col("ts")).as("dt"))
+      val mm = all.agg(min(col("dt")).as("mn"), max(col("dt")).as("mx"))
+      val ev = all.filter(col("user_id") % 5 === 0)
+      val users = ev.select("user_id").distinct()
+      val spine = users.crossJoin(broadcast(mm))
+        .select(col("user_id"), explode(expr("sequence(0, datediff(mx, mn))")).as("d"))
+        .select(col("user_id"), col("d").cast("long").as("d"))
+      val daily = ev.crossJoin(broadcast(mm))
+        .select(col("user_id"), datediff(col("dt"), col("mn")).cast("long").as("d"))
+        .groupBy("user_id", "d").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("user_id").orderBy("d")
+      spine.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"), coalesce(col("n"), lit(0L)).as("n"))
+        .withColumn("last_active", max(when(col("n") > 0, col("d"))).over(w))
+        .select(col("user_id"), col("d"), col("n"),
+          (col("d") - col("last_active")).as("days_since_active"))
+        .orderBy("user_id", "d")
     },
 
     // Funnel analysis: per user, the first view, the first click at or
@@ -658,4 +694,30 @@ object RelationalQueries {
         .limit(100)
     }
   )
+
+  /** The SCD-2 fold behind q_scd2_history, over ANY (user_id, state, ms,
+    * event_id) change stream — extracted so the spec can drive it with a
+    * same-millisecond tie fixture (ts is µs-precision, ms truncates, and
+    * the pinned testdata happens to contain no ms ties). Interval
+    * chaining orders by RUN id, not valid_from_ms: two runs can share a
+    * start millisecond, and ordering by timestamp would chain them
+    * alphabetically — valid_to before valid_from and the wrong row left
+    * current. */
+  private[graft] def scd2Intervals(e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wSeq = Window.partitionBy("user_id").orderBy(col("ms"), col("event_id"))
+    val runs = e
+      .withColumn("prev", lag(col("state"), 1).over(wSeq))
+      .withColumn("chg", when(col("prev").isNull || col("prev") =!= col("state"), 1L).otherwise(0L))
+      .withColumn("run", sum(col("chg")).over(wSeq))
+      .groupBy("user_id", "run")
+      .agg(min(col("state")).as("state"), min(col("ms")).as("valid_from_ms"),
+        count(lit(1)).as("n_events"))
+    val wRun = Window.partitionBy("user_id").orderBy(col("run"))
+    runs
+      .withColumn("valid_to_ms", lead(col("valid_from_ms"), 1).over(wRun))
+      .select(col("user_id"), col("state"), col("valid_from_ms"),
+        col("valid_to_ms"), col("n_events"))
+      .orderBy("user_id", "valid_from_ms", "state")
+  }
 }

@@ -68,20 +68,36 @@ object ScaleQueries {
   private def dtPartitionedEvents(spark: SparkSession, dir: String): String = {
     val tag = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-    val path = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_partitioned", s"events_dt_$tag").toString
-    def ready = new java.io.File(path, "_SUCCESS").exists()
+    val target = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_partitioned", s"events_dt_$tag")
+    def ready = java.nio.file.Files.exists(target.resolve("_SUCCESS"))
     if (!ready) synchronized {
       if (!ready) {
+        // the target is shared across JVMs (verify + test can run
+        // concurrently on the same SF): write to a process-unique temp
+        // dir, then publish with ONE atomic directory rename — a loser
+        // of the race just discards its copy, and readers only ever see
+        // a complete dataset
+        val tmp = target.resolveSibling(
+          s"${target.getFileName}.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
         events(spark, dir)
           .withColumn("dt", to_date(col("ts")))
           .repartition(col("dt"))
           .write.partitionBy("dt")
           .mode(org.apache.spark.sql.SaveMode.Overwrite)
-          .parquet(path)
+          .parquet(tmp.toString)
+        try java.nio.file.Files.move(tmp, target,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.AccessDeniedException |
+               _: java.nio.file.DirectoryNotEmptyException =>
+            // another process published first; ours is equivalent
+            org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+        }
       }
     }
-    path
+    target.toString
   }
 
   // ---- DuckDB replay of KMeans.train (the ann_ivf_trained oracle) ----
@@ -842,28 +858,14 @@ object ScaleQueries {
     // both engines agree bit-for-bit; estimate error is bounded by one
     // bin width (the spec pins it against the exact percentile).
     Q("sketch_quantile_hist",
-      """WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |            FROM events),
-        |mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM ev),
-        |hb AS (SELECT event_type,
-        |              least(1023, (cents - mn) * 1024 // (mx - mn + 1)) AS bin,
-        |              count(*) AS n
-        |       FROM ev CROSS JOIN mm GROUP BY event_type, bin),
-        |cum AS (SELECT event_type, bin, n,
-        |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
-        |               sum(n) OVER (PARTITION BY event_type) AS tot
-        |        FROM hb),
-        |est AS (SELECT event_type, max(tot) AS n,
-        |               min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN bin END) AS b50,
-        |               min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN bin END) AS b90,
-        |               min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN bin END) AS b99
-        |        FROM cum GROUP BY event_type)
-        |SELECT event_type, n::BIGINT AS n,
-        |       (mn + b50 * (mx - mn + 1) // 1024)::BIGINT AS p50_est_cents,
-        |       (mn + b90 * (mx - mn + 1) // 1024)::BIGINT AS p90_est_cents,
-        |       (mn + b99 * (mx - mn + 1) // 1024)::BIGINT AS p99_est_cents
-        |FROM est CROSS JOIN mm ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      s"""WITH ev AS (SELECT event_type, CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |            FROM events),
+         |mm AS (SELECT min(cents) AS mn, max(cents) AS mx FROM ev),
+         |hb AS (SELECT event_type,
+         |              least(1023, (cents - mn) * 1024 // (mx - mn + 1)) AS bin,
+         |              count(*) AS n
+         |       FROM ev CROSS JOIN mm GROUP BY event_type, bin),
+         |$quantileReadoffSql""".stripMargin) { (spark, dir) =>
       val ev = events(spark, dir)
         .select(col("event_type"), round(col("value") * 100, 0).cast("long").as("cents"))
       val mm = ev.agg(min(col("cents")).as("mn"), max(col("cents")).as("mx"))
@@ -871,21 +873,7 @@ object ScaleQueries {
         .select(col("event_type"),
           least(lit(1023L), expr("(cents - mn) * 1024 div (mx - mn + 1)")).as("bin"))
         .groupBy("event_type", "bin").agg(count(lit(1)).as("n"))
-      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-      val wAll = Window.partitionBy(col("event_type"))
-      val cum = hb
-        .withColumn("cum", sum(col("n")).over(wOrd))
-        .withColumn("tot", sum(col("n")).over(wAll))
-      def bq(pct: Int) = min(when(
-        col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("bin")))
-      val est = cum.groupBy("event_type")
-        .agg(max(col("tot")).as("n"), bq(50).as("b50"), bq(90).as("b90"), bq(99).as("b99"))
-      est.crossJoin(broadcast(mm))
-        .select(col("event_type"), col("n"),
-          expr("mn + b50 * (mx - mn + 1) div 1024").as("p50_est_cents"),
-          expr("mn + b90 * (mx - mn + 1) div 1024").as("p90_est_cents"),
-          expr("mn + b99 * (mx - mn + 1) div 1024").as("p99_est_cents"))
-        .orderBy("event_type")
+      quantileReadoff(hb, mm)
     },
 
     // Histogram-sketch MERGEABILITY — the incremental form promised by
@@ -900,58 +888,33 @@ object ScaleQueries {
     // direct single-pass sketch is pinned by ScaleOpsSpec (row-for-row
     // against sketch_quantile_hist).
     Q("sketch_quantile_merge",
-      """WITH ev AS (SELECT CAST(ts AS DATE) AS dy, event_type,
-        |                   CAST(round(value * 100, 0) AS BIGINT) AS cents
-        |            FROM events),
-        |dm AS (SELECT dy, min(cents) AS mn_d, max(cents) AS mx_d FROM ev GROUP BY dy),
-        |mm AS (SELECT min(mn_d) AS mn, max(mx_d) AS mx FROM dm),
-        |dh AS (SELECT dy, event_type,
-        |              least(1023, (cents - mn) * 1024 // (mx - mn + 1)) AS bin,
-        |              count(*) AS n
-        |       FROM ev CROSS JOIN mm GROUP BY dy, event_type, bin),
-        |hb AS (SELECT event_type, bin, sum(n) AS n FROM dh GROUP BY event_type, bin),
-        |cum AS (SELECT event_type, bin, n,
-        |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
-        |               sum(n) OVER (PARTITION BY event_type) AS tot
-        |        FROM hb),
-        |est AS (SELECT event_type, max(tot) AS n,
-        |               min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN bin END) AS b50,
-        |               min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN bin END) AS b90,
-        |               min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN bin END) AS b99
-        |        FROM cum GROUP BY event_type)
-        |SELECT event_type, n::BIGINT AS n,
-        |       (mn + b50 * (mx - mn + 1) // 1024)::BIGINT AS p50_est_cents,
-        |       (mn + b90 * (mx - mn + 1) // 1024)::BIGINT AS p90_est_cents,
-        |       (mn + b99 * (mx - mn + 1) // 1024)::BIGINT AS p99_est_cents
-        |FROM est CROSS JOIN mm ORDER BY event_type""".stripMargin) { (spark, dir) =>
-      import org.apache.spark.sql.expressions.Window
+      s"""WITH ev AS (SELECT CAST(ts AS DATE) AS dy, event_type,
+         |                   CAST(round(value * 100, 0) AS BIGINT) AS cents
+         |            FROM events),
+         |dm AS (SELECT dy, min(cents) AS mn_d, max(cents) AS mx_d FROM ev GROUP BY dy),
+         |mm AS (SELECT min(mn_d) AS mn, max(mx_d) AS mx FROM dm),
+         |dh AS (SELECT dy, event_type,
+         |              least(1023, (cents - mn) * 1024 // (mx - mn + 1)) AS bin,
+         |              count(*) AS n
+         |       FROM ev CROSS JOIN mm GROUP BY dy, event_type, bin),
+         |hb AS (SELECT event_type, bin, sum(n) AS n FROM dh GROUP BY event_type, bin),
+         |$quantileReadoffSql""".stripMargin) { (spark, dir) =>
       val ev = events(spark, dir)
         .select(to_date(col("ts")).as("dy"), col("event_type"),
           round(col("value") * 100, 0).cast("long").as("cents"))
       // geometry merge: per-day (min, max) partials → global edges
       val dm = ev.groupBy("dy").agg(min(col("cents")).as("mn_d"), max(col("cents")).as("mx_d"))
       val mm = dm.agg(min(col("mn_d")).as("mn"), max(col("mx_d")).as("mx"))
-      // per-day partial histograms on the agreed edges, then bin-wise re-sum
+      // per-day partial histograms on the agreed edges, then bin-wise
+      // re-sum; the read-off is LITERALLY sketch_quantile_hist's (shared
+      // helper), which is what makes the row-for-row equality pin a
+      // mergeability statement rather than a coincidence
       val dh = ev.crossJoin(broadcast(mm))
         .select(col("dy"), col("event_type"),
           least(lit(1023L), expr("(cents - mn) * 1024 div (mx - mn + 1)")).as("bin"))
         .groupBy("dy", "event_type", "bin").agg(count(lit(1)).as("n"))
       val hb = dh.groupBy("event_type", "bin").agg(sum(col("n")).as("n"))
-      val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
-      val wAll = Window.partitionBy(col("event_type"))
-      val cum = hb
-        .withColumn("cum", sum(col("n")).over(wOrd))
-        .withColumn("tot", sum(col("n")).over(wAll))
-      def bq(pct: Int) = min(when(
-        col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("bin")))
-      val est = cum.groupBy("event_type")
-        .agg(max(col("tot")).as("n"), bq(50).as("b50"), bq(90).as("b90"), bq(99).as("b99"))
-      est.crossJoin(broadcast(mm))
-        .select(col("event_type"), col("n"),
-          expr("mn + b50 * (mx - mn + 1) div 1024").as("p50_est_cents"),
-          expr("mn + b90 * (mx - mn + 1) div 1024").as("p90_est_cents"),
-          expr("mn + b99 * (mx - mn + 1) div 1024").as("p99_est_cents"))
-        .orderBy("event_type")
+      quantileReadoff(hb, mm)
     },
 
     // Embedding-space outlier detection: distance-to-centroid flags, the
@@ -1499,17 +1462,12 @@ object ScaleQueries {
     // metadata-scale by construction.
     Q("sketch_kmv_intersect",
       s"""WITH $kmvKeptCtes,
-         |mx AS (SELECT source, max(h) AS mx FROM kept GROUP BY source),
-         |pairs AS (SELECT a.source AS src_a, b.source AS src_b, least(a.mx, b.mx) AS theta
-         |          FROM mx a JOIN mx b ON a.source < b.source),
+         |$kmvPairCtes,
          |cm AS (SELECT ka.source AS src_a, kb.source AS src_b, count(*) AS common
          |       FROM kept ka JOIN kept kb ON ka.h = kb.h AND ka.source < kb.source
          |       JOIN pairs p ON p.src_a = ka.source AND p.src_b = kb.source
          |       WHERE ka.h < p.theta
-         |       GROUP BY ka.source, kb.source),
-         |ex AS (SELECT ha.source AS src_a, hb.source AS src_b, count(*) AS n_exact_inter
-         |       FROM hs ha JOIN hs hb ON ha.h = hb.h AND ha.source < hb.source
-         |       GROUP BY ha.source, hb.source)
+         |       GROUP BY ka.source, kb.source)
          |SELECT p.src_a, p.src_b, p.theta,
          |       coalesce(cm.common, 0)::BIGINT AS common,
          |       coalesce(ex.n_exact_inter, 0)::BIGINT AS n_exact_inter,
@@ -1518,26 +1476,17 @@ object ScaleQueries {
          |LEFT JOIN cm ON cm.src_a = p.src_a AND cm.src_b = p.src_b
          |LEFT JOIN ex ON ex.src_a = p.src_a AND ex.src_b = p.src_b
          |ORDER BY p.src_a, p.src_b""".stripMargin) { (spark, dir) =>
-      val hs = kmvSourceHashes(spark, dir)
       val kept = kmvKeptPerSource(spark, dir)
-      val mx = kept.groupBy("source").agg(max(col("h")).as("mx"))
-      val pairs = mx.select(col("source").as("src_a"), col("mx").as("mxa"))
-        .crossJoin(broadcast(mx.select(col("source").as("src_b"), col("mx").as("mxb"))))
-        .filter(col("src_a") < col("src_b"))
-        .select(col("src_a"), col("src_b"), least(col("mxa"), col("mxb")).as("theta"))
+      val pairs = kmvPairThetas(kept)
       val common = kept.select(col("source").as("src_a"), col("h"))
         .join(kept.select(col("source").as("src_b"), col("h")), Seq("h"))
         .filter(col("src_a") < col("src_b"))
         .join(broadcast(pairs), Seq("src_a", "src_b"))
         .filter(col("h") < col("theta"))
         .groupBy("src_a", "src_b").agg(count(lit(1)).as("common"))
-      val exact = hs.select(col("source").as("src_a"), col("h"))
-        .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_exact_inter"))
       pairs
         .join(common, Seq("src_a", "src_b"), "left")
-        .join(exact, Seq("src_a", "src_b"), "left")
+        .join(kmvExactPairIntersections(spark, dir), Seq("src_a", "src_b"), "left")
         .na.fill(0L, Seq("common", "n_exact_inter"))
         .withColumn("inter_est",
           floor(col("common").cast("double") * lit(1152921504606846976L).cast("double")
@@ -1562,19 +1511,14 @@ object ScaleQueries {
     // ride along from the staged per-source hash set.
     Q("sketch_kmv_jaccard",
       s"""WITH $kmvKeptCtes,
-         |mx AS (SELECT source, max(h) AS mx FROM kept GROUP BY source),
-         |pairs AS (SELECT a.source AS src_a, b.source AS src_b, least(a.mx, b.mx) AS theta
-         |          FROM mx a JOIN mx b ON a.source < b.source),
+         |$kmvPairCtes,
          |ku AS (SELECT p.src_a, p.src_b, p.theta, k.h
          |       FROM pairs p JOIN kept k ON (k.source = p.src_a OR k.source = p.src_b)
          |       WHERE k.h < p.theta),
          |sk AS (SELECT src_a, src_b, max(theta) AS theta,
          |              count(*) - count(DISTINCT h) AS common,
          |              count(DISTINCT h) AS u_below
-         |       FROM ku GROUP BY src_a, src_b),
-         |ex AS (SELECT ha.source AS src_a, hb.source AS src_b, count(*) AS n_exact_inter
-         |       FROM hs ha JOIN hs hb ON ha.h = hb.h AND ha.source < hb.source
-         |       GROUP BY ha.source, hb.source)
+         |       FROM ku GROUP BY src_a, src_b)
          |SELECT s.src_a, s.src_b,
          |       s.common::BIGINT AS common, s.u_below::BIGINT AS u_below,
          |       CAST(floor(s.u_below::DOUBLE * 1152921504606846976 / s.theta::DOUBLE) AS BIGINT) AS union_est,
@@ -1582,13 +1526,8 @@ object ScaleQueries {
          |       coalesce(ex.n_exact_inter, 0)::BIGINT AS n_exact_inter
          |FROM sk s LEFT JOIN ex ON ex.src_a = s.src_a AND ex.src_b = s.src_b
          |ORDER BY s.src_a, s.src_b""".stripMargin) { (spark, dir) =>
-      val hs = kmvSourceHashes(spark, dir)
       val kept = kmvKeptPerSource(spark, dir)
-      val mx = kept.groupBy("source").agg(max(col("h")).as("mx"))
-      val pairs = mx.select(col("source").as("src_a"), col("mx").as("mxa"))
-        .crossJoin(broadcast(mx.select(col("source").as("src_b"), col("mx").as("mxb"))))
-        .filter(col("src_a") < col("src_b"))
-        .select(col("src_a"), col("src_b"), least(col("mxa"), col("mxb")).as("theta"))
+      val pairs = kmvPairThetas(kept)
       // pair × {src_a, src_b} explode keeps the kept-side join a plain
       // equi-join on source against a broadcast (2·#pairs rows)
       val sides = pairs.select(col("src_a"), col("src_b"), col("theta"),
@@ -1599,11 +1538,7 @@ object ScaleQueries {
         .agg(max(col("theta")).as("theta"),
           (count(lit(1)) - countDistinct(col("h"))).as("common"),
           countDistinct(col("h")).as("u_below"))
-      val exact = hs.select(col("source").as("src_a"), col("h"))
-        .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
-        .filter(col("src_a") < col("src_b"))
-        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_exact_inter"))
-      sk.join(exact, Seq("src_a", "src_b"), "left")
+      sk.join(kmvExactPairIntersections(spark, dir), Seq("src_a", "src_b"), "left")
         .na.fill(0L, Seq("n_exact_inter"))
         .select(col("src_a"), col("src_b"), col("common"), col("u_below"),
           floor(col("u_below").cast("double") * lit(1152921504606846976L).cast("double")
@@ -1631,42 +1566,33 @@ object ScaleQueries {
     // the raw estimator. Exact distinct rides along as the reference via
     // KMV's staged hash set (shared checkpoint, one tokenize per session).
     Q("sketch_hll_distinct",
-      """WITH gr AS (SELECT unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
-        |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
-        |            FROM documents),
-        |h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
-        |r AS (SELECT h % 1024 AS bucket, 51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM h),
-        |reg AS (SELECT bucket, max(rho) AS mx FROM r GROUP BY bucket),
-        |s AS (SELECT count(*)::BIGINT AS n_hit,
-        |             (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
-        |               + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
-        |      FROM reg),
-        |ex AS (SELECT count(*)::BIGINT AS n_exact FROM (SELECT DISTINCT h FROM h))
-        |SELECT ex.n_exact, s.n_hit, s.s_scaled,
-        |       CAST(floor(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
-        |                  * 1048576.0::DOUBLE * 2251799813685248.0::DOUBLE * 1000000.0::DOUBLE
-        |                  / s.s_scaled::DOUBLE) AS BIGINT) AS hll_est_micro
-        |FROM s CROSS JOIN ex""".stripMargin) { (spark, dir) =>
+      s"""WITH gr AS (SELECT unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+         |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
+         |            FROM documents),
+         |h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
+         |r AS (SELECT ${Hll.rhoSql} FROM h),
+         |reg AS (SELECT bucket, max(rho) AS mx FROM r GROUP BY bucket),
+         |s AS (SELECT count(*)::BIGINT AS n_hit,
+         |             ${Hll.sScaledSql} AS s_scaled
+         |      FROM reg),
+         |ex AS (SELECT count(*)::BIGINT AS n_exact FROM (SELECT DISTINCT h FROM h))
+         |SELECT ex.n_exact, s.n_hit, s.s_scaled,
+         |       ${Hll.estMicroSql("s.s_scaled")} AS hll_est_micro
+         |FROM s CROSS JOIN ex""".stripMargin) { (spark, dir) =>
       val h = table(spark, dir, "documents")
         .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
         .select(F.hash60(col("g")).as("h"))
       val reg = h
-        .select(pmod(col("h"), lit(1024L)).as("bucket"),
-          (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).as("rho"))
+        .select(Hll.bucketCol, Hll.rhoCol)
         .groupBy("bucket").agg(max(col("rho")).as("mx"))
-      val s = reg.agg(count(lit(1)).as("n_hit"),
-        (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mx AS INT))"))
-          + (lit(1024L) - count(lit(1))) * lit(2251799813685248L)).as("s_scaled"))
+      val s = reg.agg(Hll.nHitCol, Hll.sScaledCol)
       // exact reference: KMV's staged distinct hash set (same key, same
       // builder — the two sketches measure the same universe).
       // distinct HASHES, not distinct grams, on BOTH sides: a 60-bit
       // collision between two distinct grams must not skew the compare
       val ex = kmvHashSet(spark, dir).agg(countDistinct(col("h")).as("n_exact"))
       ex.crossJoin(s)
-        .select(col("n_exact"), col("n_hit"), col("s_scaled"),
-          floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
-              * lit(1048576.0) * lit(2251799813685248.0) * lit(1000000.0)
-              / col("s_scaled").cast("double")).cast("long").as("hll_est_micro"))
+        .select(col("n_exact"), col("n_hit"), col("s_scaled"), Hll.estMicroCol)
     },
 
     // HLL MERGEABILITY — registers merge by element-wise MAX (max is
@@ -1680,21 +1606,18 @@ object ScaleQueries {
     // then bucket keys — ≤ sources·1024 rows regardless of corpus size.
     Q("sketch_hll_merge",
       s"""WITH $kmvKeptCtes,
-         |r AS (SELECT source, h % 1024 AS bucket, 51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM hs),
+         |r AS (SELECT source, ${Hll.rhoSql} FROM hs),
          |sreg AS (SELECT source, bucket, max(rho) AS mx FROM r GROUP BY source, bucket),
          |sest AS (SELECT source, count(*)::BIGINT AS n_hit,
-         |                (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
-         |                  + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
+         |                ${Hll.sScaledSql} AS s_scaled
          |         FROM sreg GROUP BY source),
          |mreg AS (SELECT bucket, max(mx) AS mx FROM sreg GROUP BY bucket),
          |greg AS (SELECT bucket, max(rho) AS mx FROM r GROUP BY bucket),
          |mest AS (SELECT '(merged)' AS source, count(*)::BIGINT AS n_hit,
-         |                (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
-         |                  + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
+         |                ${Hll.sScaledSql} AS s_scaled
          |         FROM mreg),
          |gest AS (SELECT '(global)' AS source, count(*)::BIGINT AS n_hit,
-         |                (sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
-         |                  + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT AS s_scaled
+         |                ${Hll.sScaledSql} AS s_scaled
          |         FROM greg),
          |ex AS (SELECT source, count(*)::BIGINT AS n_exact FROM hs GROUP BY source),
          |exall AS (SELECT count(DISTINCT h)::BIGINT AS n_exact FROM hs),
@@ -1703,20 +1626,15 @@ object ScaleQueries {
          |       UNION ALL SELECT m.source, x.n_exact, m.n_hit, m.s_scaled FROM mest m CROSS JOIN exall x
          |       UNION ALL SELECT g.source, x.n_exact, g.n_hit, g.s_scaled FROM gest g CROSS JOIN exall x)
          |SELECT source, n_exact, n_hit, s_scaled,
-         |       CAST(floor(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
-         |                  * 1048576.0::DOUBLE * 2251799813685248.0::DOUBLE * 1000000.0::DOUBLE
-         |                  / s_scaled::DOUBLE) AS BIGINT) AS hll_est_micro
+         |       ${Hll.estMicroSql("s_scaled")} AS hll_est_micro
          |FROM un ORDER BY source""".stripMargin) { (spark, dir) =>
       val hs = kmvSourceHashes(spark, dir)
-      val r = hs.select(col("source"), pmod(col("h"), lit(1024L)).as("bucket"),
-        (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).as("rho"))
+      val r = hs.select(col("source"), Hll.bucketCol, Hll.rhoCol)
       val sreg = r.groupBy("source", "bucket").agg(max(col("rho")).as("mx"))
-      // ONE estimate recipe for all three row kinds (per-source, merged,
-      // global) — they cannot drift apart
-      def est(regs: org.apache.spark.sql.DataFrame) = regs.groupBy("source")
-        .agg(count(lit(1)).as("n_hit"),
-          (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mx AS INT))"))
-            + (lit(1024L) - count(lit(1))) * lit(2251799813685248L)).as("s_scaled"))
+      // the shared Hll recipe serves all three row kinds (per-source,
+      // merged, global) — they cannot drift apart
+      def est(regs: org.apache.spark.sql.DataFrame) =
+        regs.groupBy("source").agg(Hll.nHitCol, Hll.sScaledCol)
       val mReg = sreg.groupBy("bucket").agg(max(col("mx")).as("mx"))
         .withColumn("source", lit("(merged)"))
       val gReg = r.groupBy("bucket").agg(max(col("rho")).as("mx"))
@@ -1727,10 +1645,7 @@ object ScaleQueries {
       val mgEst = est(mReg.unionByName(gReg)).crossJoin(broadcast(exAll))
       sEst.select("source", "n_exact", "n_hit", "s_scaled")
         .unionByName(mgEst.select("source", "n_exact", "n_hit", "s_scaled"))
-        .withColumn("hll_est_micro",
-          floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
-              * lit(1048576.0) * lit(2251799813685248.0) * lit(1000000.0)
-              / col("s_scaled").cast("double")).cast("long"))
+        .withColumn("hll_est_micro", Hll.estMicroCol)
         .orderBy("source")
     },
 
@@ -1803,6 +1718,51 @@ object ScaleQueries {
   /** KMV sketch size (k smallest hashes kept). */
   private[graft] final val KmvK = 256
 
+  /** Quantile read-off over a (event_type, bin, n) histogram `hb`
+    * against a one-row (mn, mx) geometry frame `mm`: cumulative window →
+    * ceil-threshold bins → bin-edge estimates. ONE recipe for the direct
+    * sketch (sketch_quantile_hist) and the merged-partial sketch
+    * (sketch_quantile_merge) — ScaleOpsSpec pins them row-for-row equal,
+    * which is only a meaningful contract while the read-off is shared.
+    * [[quantileReadoffSql]] is the DuckDB twin. */
+  private def quantileReadoff(hb: org.apache.spark.sql.DataFrame,
+                              mm: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wOrd = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+    val wAll = Window.partitionBy(col("event_type"))
+    val cum = hb
+      .withColumn("cum", sum(col("n")).over(wOrd))
+      .withColumn("tot", sum(col("n")).over(wAll))
+    def bq(pct: Int) = min(when(
+      col("cum") >= expr(s"(tot * $pct + 99) div 100"), col("bin")))
+    val est = cum.groupBy("event_type")
+      .agg(max(col("tot")).as("n"), bq(50).as("b50"), bq(90).as("b90"), bq(99).as("b99"))
+    est.crossJoin(broadcast(mm))
+      .select(col("event_type"), col("n"),
+        expr("mn + b50 * (mx - mn + 1) div 1024").as("p50_est_cents"),
+        expr("mn + b90 * (mx - mn + 1) div 1024").as("p90_est_cents"),
+        expr("mn + b99 * (mx - mn + 1) div 1024").as("p99_est_cents"))
+      .orderBy("event_type")
+  }
+
+  /** DuckDB twin of [[quantileReadoff]]: cum/est CTEs + the final SELECT,
+    * appended after CTEs defining hb (event_type, bin, n) and mm (mn, mx). */
+  private def quantileReadoffSql: String =
+    """cum AS (SELECT event_type, bin, n,
+      |               sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+      |               sum(n) OVER (PARTITION BY event_type) AS tot
+      |        FROM hb),
+      |est AS (SELECT event_type, max(tot) AS n,
+      |               min(CASE WHEN cum >= (tot * 50 + 99) // 100 THEN bin END) AS b50,
+      |               min(CASE WHEN cum >= (tot * 90 + 99) // 100 THEN bin END) AS b90,
+      |               min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN bin END) AS b99
+      |        FROM cum GROUP BY event_type)
+      |SELECT event_type, n::BIGINT AS n,
+      |       (mn + b50 * (mx - mn + 1) // 1024)::BIGINT AS p50_est_cents,
+      |       (mn + b90 * (mx - mn + 1) // 1024)::BIGINT AS p90_est_cents,
+      |       (mn + b99 * (mx - mn + 1) // 1024)::BIGINT AS p99_est_cents
+      |FROM est CROSS JOIN mm ORDER BY event_type""".stripMargin
+
   /** The embed_outlier_flags pipeline over ANY (vec_id, embedding) frame —
     * extracted so the spec can drive it with a SYNTHETIC far-out vector
     * (the fixtures' near-uniform embeddings never trip the 4×-mean rule,
@@ -1871,6 +1831,42 @@ object ScaleQueries {
       pre.withColumn("rn", row_number().over(w2)).filter(col("rn") <= KmvK)
         .select(col("source"), col("h"))
     }
+
+  /** Per-source-pair θ frame (src_a, src_b, theta): broadcast product of
+    * per-source sketch maxima — #sources² rows, metadata-scale by
+    * construction. Shared by sketch_kmv_intersect and sketch_kmv_jaccard
+    * (one definition; the θ-clip IS the estimator's validity condition). */
+  private def kmvPairThetas(kept: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val mx = kept.groupBy("source").agg(max(col("h")).as("mx"))
+    mx.select(col("source").as("src_a"), col("mx").as("mxa"))
+      .crossJoin(broadcast(mx.select(col("source").as("src_b"), col("mx").as("mxb"))))
+      .filter(col("src_a") < col("src_b"))
+      .select(col("src_a"), col("src_b"), least(col("mxa"), col("mxb")).as("theta"))
+  }
+
+  /** Exact per-pair intersection sizes (src_a, src_b, n_exact_inter) —
+    * the hs-on-h self-join is the only corpus-sized piece of either
+    * overlap estimator, so it is STAGED and computed once per (session,
+    * dir) for both sketch_kmv_intersect and sketch_kmv_jaccard. */
+  private def kmvExactPairIntersections(spark: SparkSession, dir: String) =
+    staged(spark, s"kmv_ex_pair#$dir") {
+      val hs = kmvSourceHashes(spark, dir)
+      hs.select(col("source").as("src_a"), col("h"))
+        .join(hs.select(col("source").as("src_b"), col("h")), Seq("h"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_exact_inter"))
+    }
+
+  /** DuckDB twin of [[kmvPairThetas]] + [[kmvExactPairIntersections]]:
+    * defines CTEs mx, pairs (src_a, src_b, theta) and ex (src_a, src_b,
+    * n_exact_inter), over the kept/hs CTEs from [[kmvKeptCtes]]. */
+  private def kmvPairCtes: String =
+    """mx AS (SELECT source, max(h) AS mx FROM kept GROUP BY source),
+      |pairs AS (SELECT a.source AS src_a, b.source AS src_b, least(a.mx, b.mx) AS theta
+      |          FROM mx a JOIN mx b ON a.source < b.source),
+      |ex AS (SELECT ha.source AS src_a, hb.source AS src_b, count(*) AS n_exact_inter
+      |       FROM hs ha JOIN hs hb ON ha.h = hb.h AND ha.source < hb.source
+      |       GROUP BY ha.source, hb.source)""".stripMargin
 
   /** DuckDB twin of [[kmvSourceHashes]] + [[kmvKeptPerSource]]: defines
     * CTEs gr, hs (source, h) and kept (source, h). */

@@ -214,13 +214,13 @@ object StreamMultimodalQueries {
     // batch register table (exact oracle); the estimator over these
     // registers is pinned by sketch_hll_distinct.
     Q("stream_hll_registers",
-      """WITH gr AS (SELECT unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
-        |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
-        |            FROM documents),
-        |h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
-        |r AS (SELECT h % 1024 AS bucket, 51 - length(ltrim(bin(h // 1024), '0')) AS rho FROM h)
-        |SELECT bucket, max(rho)::BIGINT AS mx
-        |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
+      s"""WITH gr AS (SELECT unnest(list_transform(range(1, len(regexp_extract_all(lower(text), '[a-z0-9]+')) - 3),
+         |              i -> array_to_string(list_slice(regexp_extract_all(lower(text), '[a-z0-9]+'), i, i + 4), ' '))) AS g
+         |            FROM documents),
+         |h AS (SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h FROM gr),
+         |r AS (SELECT ${Hll.rhoSql} FROM h)
+         |SELECT bucket, max(rho)::BIGINT AS mx
+         |FROM r GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
       StreamingIngest.runToMemory(spark,
         StreamingIngest.hllRegisterStream(spark,
           StreamingIngest.stageAsDir(s"$dir/documents.parquet")),

@@ -92,6 +92,48 @@ package object queries {
       |                                THEN (1 << hid) ELSE 0 END)::BIGINT AS bucket
       |       FROM embeddings e CROSS JOIN hp GROUP BY e.vec_id)""".stripMargin
 
+  /** HyperLogLog register recipe over a 60-bit hash column named `h` —
+    * ONE definition for sketch_hll_distinct, sketch_hll_merge and
+    * stream_hll_registers (register width 1024; rho = leading-zero rank
+    * of the high 50 bits, rank 51 when they're all zero). The Spark and
+    * SQL forms are twins: an edit to one without the other desyncs
+    * every HLL query at once, which is exactly why they live here. */
+  object Hll {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+
+    /** (bucket, rho) columns for a row holding `h`. */
+    def bucketCol: Column = pmod(col("h"), lit(1024L)).as("bucket")
+    def rhoCol: Column = (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).as("rho")
+
+    /** Register aggregate → (n_hit, s_scaled) over rows holding the
+      * per-bucket max `mx`. s_scaled is the EXACT integer harmonic sum:
+      * Σ 2^(51−mx) plus 2^51 per empty register. */
+    def nHitCol: Column = count(lit(1)).as("n_hit")
+    def sScaledCol: Column =
+      (sum(expr("shiftleft(CAST(1 AS BIGINT), CAST(51 - mx AS INT))"))
+        + (lit(1024L) - count(lit(1))) * lit(2251799813685248L)).as("s_scaled")
+
+    /** Bias-corrected estimate (micro-units) from `s_scaled`. */
+    def estMicroCol: Column =
+      floor(lit(0.7213) / (lit(1.0) + lit(1.079) / lit(1024.0))
+          * lit(1048576.0) * lit(2251799813685248.0) * lit(1000000.0)
+          / col("s_scaled").cast("double")).cast("long").as("hll_est_micro")
+
+    /** DuckDB twins. `rhoSql` yields the two register coordinates from
+      * an `h` column in scope; the others mirror the aggregate and the
+      * estimate over `mx` / `s_scaled`. */
+    val rhoSql: String =
+      "h % 1024 AS bucket, 51 - length(ltrim(bin(h // 1024), '0')) AS rho"
+    val sScaledSql: String =
+      """(sum(1::BIGINT << (51 - mx)::INTEGER)::BIGINT
+        |                  + (1024 - count(*)) * (1::BIGINT << 51))::BIGINT""".stripMargin
+    def estMicroSql(sScaled: String): String =
+      s"""CAST(floor(0.7213::DOUBLE / (1.0::DOUBLE + 1.079::DOUBLE / 1024.0::DOUBLE)
+         |                  * 1048576.0::DOUBLE * 2251799813685248.0::DOUBLE * 1000000.0::DOUBLE
+         |                  / $sScaled::DOUBLE) AS BIGINT)""".stripMargin
+  }
+
   /** Sequence-packing geometry shared by text_seq_pack and
     * pipeline_pretrain_e2e's pack stage. Buckets bounds packing
     * parallelism (each bucket packs independently — one window sort per

@@ -427,8 +427,7 @@ object StreamingIngest {
     reader.parquet(inputDir)
       .select(explode(F.shingles(F.tokens(col("text")), 5)).as("g"))
       .select(F.hash60(col("g")).as("h"))
-      .select(pmod(col("h"), lit(1024L)).as("bucket"),
-        (lit(51) - length(ltrim(bin(expr("h div 1024")), "0"))).cast("long").as("rho"))
+      .select(graft.queries.Hll.bucketCol, graft.queries.Hll.rhoCol.cast("long").as("rho"))
       .groupBy("bucket").agg(max(col("rho")).as("mx"))
   }
 

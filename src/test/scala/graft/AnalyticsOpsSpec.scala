@@ -21,6 +21,26 @@ class AnalyticsOpsSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  test("SCD2 fold: runs starting in the same millisecond chain by event order, not state name") {
+    import spark.implicits._
+    // ts is µs-precision and the ms truncation can land two state-runs on
+    // the same millisecond — the pinned fixtures never do, so the tie is
+    // covered here: state 'b' (event 1) precedes state 'a' (event 2) at
+    // ms=100; ordering intervals by (valid_from_ms, state) would chain
+    // 'a' before 'b' and leave the WRONG row current
+    val e = Seq(
+      (7L, "b", 100L, 1L),
+      (7L, "a", 100L, 2L),
+      (7L, "a", 250L, 3L)).toDF("user_id", "state", "ms", "event_id")
+    val out = graft.queries.RelationalQueries.scd2Intervals(e).collect()
+    assert(out.length == 2)
+    val b = out.find(_.getString(1) == "b").get
+    val a = out.find(_.getString(1) == "a").get
+    assert(b.getLong(2) == 100L && b.getLong(3) == 100L, s"run 'b' must close at run 2's start: $b")
+    assert(a.getLong(2) == 100L && a.isNullAt(3), s"run 'a' is the current row: $a")
+    assert(a.getLong(4) == 2L && b.getLong(4) == 1L)
+  }
+
   test("ml_pca_covariance cells power-iterate to the top principal component") {
     val cells = SparkEntry.queries("ml_pca_covariance")(spark, sf).collect()
     val n = cells.head.getLong(3)
