@@ -31,9 +31,15 @@ object ScaleQueries {
     * once (the scale analog: the bucketed fact table is written once,
     * then every co-bucketed join reads it shuffle-free). Table data lives
     * under java.io.tmpdir, tagged by SF dir. */
-  private def bucketedOrdersCustomer(spark: SparkSession, dir: String): (String, String) = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
+  /** 8-hex tag identifying an SF dir in shared-tmpdir staging paths —
+    * one recipe for every session-staged layout (bucketed tables, the
+    * dt-partitioned event log). */
+  private def sfTag(dir: String): String =
+    java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+
+  private def bucketedOrdersCustomer(spark: SparkSession, dir: String): (String, String) = {
+    val tag = sfTag(dir)
     val ot = s"graft_bkt_orders_$tag"
     val ct = s"graft_bkt_customer_$tag"
     def ensure(name: String, key: String)(build: => org.apache.spark.sql.DataFrame): Unit =
@@ -66,10 +72,8 @@ object ScaleQueries {
     * (static filters) or at RUNTIME (dynamic partition pruning from a
     * dim-side filter) instead of scanning the full history. */
   private def dtPartitionedEvents(spark: SparkSession, dir: String): String = {
-    val tag = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
     val target = java.nio.file.Paths
-      .get(sys.props("java.io.tmpdir"), "graft_partitioned", s"events_dt_$tag")
+      .get(sys.props("java.io.tmpdir"), "graft_partitioned", s"events_dt_${sfTag(dir)}")
     def ready = java.nio.file.Files.exists(target.resolve("_SUCCESS"))
     if (!ready) synchronized {
       if (!ready) {

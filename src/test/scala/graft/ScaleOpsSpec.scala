@@ -157,8 +157,11 @@ class ScaleOpsSpec extends AnyFunSuite {
     }
   }
 
+  /** Run one registered ScaleQueries entry against the fixture SF. */
+  private def q(name: String) =
+    graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
+
   test("KMV merge: the merged per-source sketches equal the global sketch bit-for-bit") {
-    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
     val merged = q("sketch_kmv_merge").filter(col("source") === "(merged)").head()
     val global = q("sketch_kmv_distinct").head()
     // the mergeability property: a globally-k-smallest hash is within its
@@ -171,7 +174,6 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("CMS merge: per-source sketches summed cell-wise equal the one-pass sketch") {
-    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
     val rows = q("sketch_cms_merge").collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
@@ -181,7 +183,6 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("HLL merge: max-merged per-source registers yield the one-pass estimate") {
-    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
     val out = q("sketch_hll_merge").collect()
     val merged = out.find(_.getAs[String]("source") == "(merged)").get
     val global = out.find(_.getAs[String]("source") == "(global)").get
@@ -190,7 +191,6 @@ class ScaleOpsSpec extends AnyFunSuite {
   }
 
   test("quantile-histogram merge: 30 daily partials re-summed reproduce the single-pass sketch row-for-row") {
-    def q(name: String) = graft.queries.ScaleQueries.all.find(_.name == name).get.fn(spark, sf)
     val merged = q("sketch_quantile_merge").collect().map(_.toSeq)
     val direct = q("sketch_quantile_hist").collect().map(_.toSeq)
     assert(merged.nonEmpty && merged.toSeq == direct.toSeq)
