@@ -761,6 +761,49 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("AQE skew join: a skewed shuffle partition splits at runtime into multiple reader tasks") {
+    // The runtime complement of the explicitly-salted joins
+    // (q_salted_skew_agg/join): when a shuffle partition exceeds the skew
+    // thresholds, AQE's OptimizeSkewedJoin splits it across reader tasks
+    // without any query rewrite. Thresholds are lowered to fire at
+    // fixture scale; the plan marker (skew=true on the SMJ), not the
+    // default threshold, is the contract.
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      import org.apache.spark.sql.functions.{md5, concat_ws, count, lit => flit, when => fwhen}
+      // 99.5% of the left side lands on key 0 — one shuffle partition
+      // carries ~200k rows while the median carries ~10. The md5 payload
+      // keeps the skewed partition's shuffle bytes incompressible (a
+      // constant-key partition of bare longs would LZ4 down to under any
+      // threshold and hide the skew from the byte-based rule).
+      val skewed = spark.range(200000L)
+        .select((fwhen(col("id") % 200 =!= 0, 0L)
+          .otherwise(col("id") % 97)).as("k"),
+          md5(concat_ws(":", col("id"), col("id") * 7)).as("payload"))
+      val dim = spark.range(97L).select(col("id").as("k"), (col("id") * 10).as("w"))
+      // max(payload) (not count) so column pruning can't strip the
+      // payload from the pre-join shuffle; a GLOBAL aggregate (no
+      // groupBy on the join key) so no downstream operator requires the
+      // join's output partitioning — OptimizeSkewedJoin only splits when
+      // the split doesn't force an extra shuffle
+      val j = skewed.join(dim, Seq("k"))
+        .agg(org.apache.spark.sql.functions.max(col("payload")).as("pmax"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"), s"AQE did not mark the join skewed:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("SCD2 history: one user-keyed exchange feeds both windows and the run aggregate") {
     val p = plan("q_scd2_history")
     // lag window, running-sum window, (user_id, run) aggregate and the
