@@ -68,7 +68,17 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
   private final case class Ch(c: Char, left: Double, top: Double, right: Double,
                               bottom: Double, size: Double, weight: Int)
 
-  override def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page] = {
+  override def extract(path: String, content: Array[Byte]): Seq[LayoutChunker.Page] =
+    // The A1 robustness contract: a corrupt document degrades to EMPTY
+    // extraction, never a task-killing throw (the ingest flatMap runs
+    // over arbitrary user files). Numeric tokens inside a damaged file
+    // can fail any of the parser's toInt/toDouble sites — the boundary
+    // guard, not per-site whack-a-mole, is what the contract promises.
+    // Pinned by the bit-flip fuzz sweep in CharPdfExtractorSpec.
+    try extractUnguarded(content)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty }
+
+  private def extractUnguarded(content: Array[Byte]): Seq[LayoutChunker.Page] = {
     val raw0 = new String(content, Iso)
     // PDF 1.5+: packed /ObjStm objects (page dicts, fonts, …) joined into
     // the scannable object space; content streams stay top-level (the

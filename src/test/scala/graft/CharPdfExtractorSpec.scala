@@ -38,6 +38,34 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(pages(1).lines.exists(_.text == "2 Methods"))
   }
 
+  test("fuzz: random bytes and bit-flipped valid PDFs extract to pages-or-empty, never throw") {
+    // A1's robustness contract: a real-world corrupt PDF degrades to
+    // empty extraction — never an exception that kills the ingest task.
+    // Random buffers miss the %PDF magic; bit-flipped VALID documents
+    // get past the header and exercise the xref/stream/filter error
+    // paths (including flips inside Flate data and the trailer).
+    val fz = new scala.util.Random(1337)
+    def mutated(base: Array[Byte]): Array[Byte] = {
+      val b = base.clone()
+      (0 until (1 + fz.nextInt(12))).foreach { _ =>
+        b(fz.nextInt(b.length)) = (b(fz.nextInt(b.length)) ^ (1 << fz.nextInt(8))).toByte
+      }
+      b
+    }
+    val buffers =
+      Array.fill(60)(Array.fill[Byte](fz.nextInt(8192))(fz.nextInt().toByte)) ++
+      Array.fill(80)(mutated(PdfSampleDoc.bytes)) ++
+      Array.fill(40)(mutated(PdfSampleDoc.bytesObjStm)) ++
+      Array.fill(20)(mutated(PdfSampleDoc.bytesEncrypted(aes = true)))
+    buffers.zipWithIndex.foreach { case (b, i) =>
+      try CharPdfExtractor().extract(s"fuzz_$i.pdf", b)
+      catch {
+        case e: Throwable =>
+          fail(s"extractor threw on fuzz doc #$i (len=${b.length}): $e")
+      }
+    }
+  }
+
   test("PDF 1.5 object-stream + xref-stream layout extracts identically to the classic layout") {
     val classic = CharPdfExtractor().extract("classic.pdf", PdfSampleDoc.bytes)
     val modern = CharPdfExtractor().extract("objstm.pdf", PdfSampleDoc.bytesObjStm)

@@ -203,6 +203,43 @@ class MediaCodecSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: random and bit-flipped payloads never throw in any binary decode expression") {
+    import graft.functions.{ByteCdcBoundaries, ByteWindowSums, LenPrefixedSlices}
+    // Every decode expression's documented contract on corrupt input is
+    // null (or a valid value), NEVER a task-killing throw — the targeted
+    // corrupt-case tests pin specific shapes; this sweep covers the
+    // space between them. Two fuzz families: pure random buffers
+    // (usually fail the magic-byte sniff) and bit-flipped VALID payloads
+    // (pass the sniff, then hit the codec's own error paths).
+    val fz = new scala.util.Random(42)
+    val validPng = pngBytes(pixels, W, H)
+    val validWav = wavBytes(Array.fill(200)(fz.nextInt(65536) - 32768), 8000)
+    def mutated(base: Array[Byte]): Array[Byte] = {
+      val b = base.clone()
+      (0 until (1 + fz.nextInt(8))).foreach { _ =>
+        b(fz.nextInt(b.length)) = (b(fz.nextInt(b.length)) ^ (1 << fz.nextInt(8))).toByte
+      }
+      b
+    }
+    val buffers =
+      Array.fill(150)(Array.fill[Byte](fz.nextInt(4096))(fz.nextInt().toByte)) ++
+      Array.fill(150)(mutated(validPng)) ++ Array.fill(150)(mutated(validWav))
+    buffers.zipWithIndex.foreach { case (b, i) =>
+      val lit = Literal.create(b, BinaryType)
+      try {
+        ImageDecodeStats(lit).eval(null)
+        ImageAhash(lit, 8, 8).eval(null)
+        WavParse(lit).eval(null)
+        LenPrefixedSlices(lit).eval(null)
+        ByteWindowSums(lit, 16).eval(null)
+        ByteCdcBoundaries(lit, 16, 64).eval(null)
+      } catch {
+        case e: Throwable =>
+          fail(s"decode threw on fuzz buffer #$i (len=${b.length}): $e")
+      }
+    }
+  }
+
   test("decodeToFeatures: real pixel path for images, byte-histogram fallback otherwise") {
     val bytes = pngBytes(pixels, W, H)
     val f = Multimodal.decodeToFeatures(bytes)
