@@ -82,6 +82,16 @@ object ScaleQueries {
         // dir, then publish with ONE atomic directory rename — a loser
         // of the race just discards its copy, and readers only ever see
         // a complete dataset
+        // sweep orphaned temp dirs (a crashed writer's .tmp.* would
+        // otherwise accumulate forever under the shared tmpdir) — but
+        // ONLY stale ones: a fresh .tmp.* may be another process's
+        // in-flight write, and deleting it would re-introduce the race
+        // the atomic-rename publish exists to prevent
+        val staleMs = 60L * 60 * 1000
+        Option(target.getParent.toFile.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(s"${target.getFileName}.tmp.") &&
+            System.currentTimeMillis() - f.lastModified() > staleMs)
+          .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
         val tmp = target.resolveSibling(
           s"${target.getFileName}.tmp.${java.util.UUID.randomUUID.toString.take(8)}")
         events(spark, dir)
