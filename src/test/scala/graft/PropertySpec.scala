@@ -287,6 +287,44 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  // ---- B9 chunk accumulator on adversarial text
+
+  test("TextChunker: adversarial unicode never throws; hardMax, non-blank and index invariants hold") {
+    import graft.ingest.TextChunker
+    val fz = new scala.util.Random(2024)
+    def randomText(): String = {
+      val n = fz.nextInt(6000)
+      val sb = new StringBuilder
+      (0 until n).foreach { _ =>
+        fz.nextInt(6) match {
+          case 0 => sb.append(fz.nextPrintableChar())
+          case 1 => sb.append(" .?!\n\t".charAt(fz.nextInt(6)))
+          case 2 => sb.append((0x4e00 + fz.nextInt(100)).toChar) // CJK, no sentence marks
+          case 3 => sb.append("🎉")                    // surrogate pair
+          case 4 => sb.append(fz.nextInt(0x20).toChar)           // control chars incl NUL
+          case 5 => sb.append('x')
+        }
+      }
+      sb.toString
+    }
+    (0 until 300).foreach { trial =>
+      val t = randomText()
+      val cs = try TextChunker.chunk(t)
+      catch { case e: Throwable => fail(s"chunk threw on trial $trial: $e") }
+      cs.zipWithIndex.foreach { case (c, i) =>
+        assert(c.chunkIdx == i, s"trial $trial: indices must be dense from 0")
+        assert(c.text.trim.nonEmpty, s"trial $trial: blank chunk emitted")
+        assert(c.text.length <= 1500,
+          s"trial $trial: chunk ${c.chunkIdx} exceeds hardMax (${c.text.length})")
+      }
+    }
+    // degenerate shapes the random mix can miss
+    assert(TextChunker.chunk(null).isEmpty)
+    assert(TextChunker.chunk("   \n\t  ").isEmpty)
+    assert(TextChunker.chunk(".").size <= 1)
+    assert(TextChunker.chunk(" " * 3000).forall(_.text.length <= 1500))
+  }
+
   // ---- word-entropy arithmetic (the micro-floored -p·log2 p sum)
 
   test("word entropy micro-sum is bounded by log2(n_tokens) and exact on uniform docs") {
