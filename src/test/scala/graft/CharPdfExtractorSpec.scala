@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.ingest.{CharPdfExtractor, DocId, PdfSampleDoc, PdfSource, SniffingExtractor}
+import graft.ingest.{CharPdfExtractor, DocId, LayoutChunker, PdfSampleDoc, PdfSource, SniffingExtractor}
 
 class CharPdfExtractorSpec extends AnyFunSuite {
 
@@ -58,10 +58,13 @@ class CharPdfExtractorSpec extends AnyFunSuite {
       Array.fill(40)(mutated(PdfSampleDoc.bytesObjStm)) ++
       Array.fill(20)(mutated(PdfSampleDoc.bytesEncrypted(aes = true)))
     buffers.zipWithIndex.foreach { case (b, i) =>
-      try CharPdfExtractor().extract(s"fuzz_$i.pdf", b)
+      // full B pipeline: whatever pages a damaged file yields (possibly
+      // odd geometry — zero-width lines, inverted boxes) must survive
+      // the layout chunker too, end-to-end like PdfSource runs it
+      try LayoutChunker.chunkDocument(CharPdfExtractor().extract(s"fuzz_$i.pdf", b))
       catch {
         case e: Throwable =>
-          fail(s"extractor threw on fuzz doc #$i (len=${b.length}): $e")
+          fail(s"extract+layout threw on fuzz doc #$i (len=${b.length}): $e")
       }
     }
   }
