@@ -820,6 +820,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("time gap fill: sequence-explode spine (no range join), one-row span broadcasts, user-keyed carry-forward window") {
+    val p = plan("q_time_gap_fill")
+    // the calendar spine comes from explode(sequence(...)) — a Generate —
+    // never an interval/range join over the corpus
+    assert(p.contains("Generate"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the only nested-loop joins are the two one-row (mn, mx) span
+    // broadcasts (the scalar-broadcast idiom)
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2, p)
+    // every window (the carry-forward running max) keys on user_id
+    val windows = p.linesIterator.filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("user_id#")), p)
+  }
+
   test("shuffle order: rank windows are bucket-partitioned, offsets broadcast, final order is a TakeOrdered heap") {
     val p = plan("curation_shuffle_order")
     // the corpus-sized window must key on the hash bucket; the only
