@@ -46,7 +46,32 @@ object Bench {
       s""""$k":{"min":${ts.min},"median":${ts(ts.size / 2)},"max":${ts.max},"n":${ts.size}}"""
     }.mkString("{", ",", "}")
     val total = results.map(_._2.min).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}""")
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+
+    // The full artifact is ~10 KB for ~100 queries, but the driver keeps
+    // only the LAST 2000 chars of stdout — a single long line starts
+    // before that window and parses as nothing (BENCH_r06..r08 all came
+    // back `parsed: null`). So: persist the full JSON to a sidecar file,
+    // print it early for log redundancy, and make the FINAL line a
+    // compact summary (total + failures + the slowest queries + the
+    // sidecar path) guaranteed to fit the tail window whole.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_last_full.json")
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get(sidecar),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case scala.util.control.NonFatal(_) => () } // unwritable path: stdout copy below still has it
+    println(full)
+
+    def r3(d: Double): String = "%.3f".format(d)
+    val failed = results.collect { case (k, ts) if ts.min < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val slowest = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
+      .map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
+      s""""n_queries":${results.size},"failed":$failed,"queries":$slowest,""" +
+      s""""queries_truncated":true,"queries_file":"$sidecar"}""")
     spark.stop()
   }
 }

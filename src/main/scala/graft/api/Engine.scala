@@ -137,7 +137,9 @@ final class Engine(
     * explicit default) when no derived value was recorded yet. */
   private def effectiveNprobe: Int =
     if (opts.annProbes >= 1) opts.annProbes
-    else math.max(1, workspace.getMeta("ann_nprobe").map(_.toInt).getOrElse(2))
+    else math.max(1, workspace.getMeta("ann_nprobe")
+      .flatMap(s => scala.util.Try(s.toInt).toOption) // corrupt/hand-edited meta degrades to the default, never fails search()
+      .getOrElse(2))
 
   /** Per-query (Σ|rank_delta|, n) from the PERSISTED retrieval log,
     * exploration rows excluded — the D9 stability history read the way the

@@ -261,6 +261,10 @@ case class WavEncodePcm16(left: Expression, right: Expression)
     if (sampleRate <= 0) return null
     val arr = v.asInstanceOf[ArrayData]
     val n = arr.numElements()
+    // RIFF sizes are 32-bit: past ~2 GB the Int math would overflow to a
+    // negative allocation (task-killing throw) and the size fields would
+    // wrap. Degrade to null like the family's other malformed-input paths.
+    if (2L * n + 44 > Int.MaxValue) return null
     val dataBytes = 2 * n
     val buf = java.nio.ByteBuffer.allocate(44 + dataBytes)
       .order(java.nio.ByteOrder.LITTLE_ENDIAN)

@@ -313,8 +313,9 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     * document's font objects: /BaseFont names containing "Bold" map to
     * 700; /Widths is honored inline or as an indirect array reference. */
   private def fontInfos(raw: String, crypto: Option[Crypto] = None): Map[String, FontInfo] = {
-    val bodies = """(\d+)\s+0\s+obj\b([\s\S]*?)endobj""".r.findAllMatchIn(raw)
-      .map(m => m.group(1) -> m.group(2)).toMap
+    // objectBodies resolves incremental-save duplicates to the NEWEST
+    // copy before this map is built, so an updated font wins here.
+    val bodies = objectBodies(raw).toMap
     def widthTable(body: String): Option[(Int, Vector[Double])] = {
       val first = """/FirstChar\s+(\d+)""".r.findFirstMatchIn(body).map(_.group(1).toInt)
       val inline = """/Widths\s*\[([^\]]*)\]""".r.findFirstMatchIn(body).map(_.group(1))
@@ -589,12 +590,31 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
 
   // ---- document structure ----
 
+  /** Top-level `n g obj … endobj` bodies in document order, with
+    * incremental-save precedence (PDF §7.5.6: an update APPENDS a new
+    * copy of the object — same number, usually same generation — and the
+    * newest xref section points at it; PDFium resolves the same question
+    * through the real xref chain behind pdf_processor.cpp:23-407). The
+    * extractor scans objects directly and needs no xref table, so
+    * precedence is re-created structurally: for a duplicated object
+    * number the LAST occurrence supplies the body (append-only files
+    * grow newest-last) while the FIRST occurrence keeps the document
+    * position, so page ORDER is unaffected by where the update landed. */
+  private[ingest] def objectBodies(raw: String): Seq[(String, String)] = {
+    val ms = """(\d+)\s+\d+\s+obj\b([\s\S]*?)endobj""".r.findAllMatchIn(raw)
+      .map(m => m.group(1) -> m.group(2)).toSeq
+    val lastByNum = ms.toMap // Scala toMap keeps the LAST duplicate key
+    val seen = scala.collection.mutable.HashSet.empty[String]
+    ms.collect { case (num, _) if seen.add(num) => num -> lastByNum(num) }
+  }
+
   private def mediaBoxes(raw: String): Seq[(Double, Double)] =
-    """/MediaBox\s*\[\s*([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s*\]""".r
-      .findAllMatchIn(raw)
-      .map(m => (m.group(3).toDouble - m.group(1).toDouble,
-                 m.group(4).toDouble - m.group(2).toDouble))
-      .toSeq
+    objectBodies(raw).map(_._2).flatMap { body =>
+      """/MediaBox\s*\[\s*([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s+([\d.-]+)\s*\]""".r
+        .findFirstMatchIn(body)
+        .map(m => (m.group(3).toDouble - m.group(1).toDouble,
+                   m.group(4).toDouble - m.group(2).toDouble))
+    }
 
   /** One top-level stream object: its (objnum, gen), the owning
     * dictionary text, and the raw (still encoded/encrypted) data bytes. */
@@ -628,7 +648,24 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
         java.util.Arrays.copyOfRange(content, dataStart, dataEnd))
       from = e + "endstream".length
     }
-    out.result()
+    dedupeStreams(out.result())
+  }
+
+  /** Incremental-save precedence for STREAM objects (the page-content /
+    * ObjStm analog of [[objectBodies]]): a re-saved stream appends a
+    * newer copy under the same object number — the LAST occurrence wins,
+    * at the FIRST occurrence's document position (page order must not
+    * change because the update landed at the file's end). Streams whose
+    * object header could not be parsed (num 0) pass through untouched. */
+  private def dedupeStreams(sts: Seq[RawStream]): Seq[RawStream] = {
+    val last = scala.collection.mutable.HashMap.empty[Int, RawStream]
+    sts.foreach(st => if (st.num > 0) last(st.num) = st)
+    val seen = scala.collection.mutable.HashSet.empty[Int]
+    sts.flatMap { st =>
+      if (st.num <= 0) Some(st)
+      else if (seen.add(st.num)) Some(last(st.num))
+      else None
+    }
   }
 
   /** Decrypt (when the document is encrypted) then filter-decode one

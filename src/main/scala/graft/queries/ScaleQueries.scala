@@ -38,6 +38,15 @@ object ScaleQueries {
     java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
 
+  /** JVM-lifetime nonce isolating this process's bucketed-table staging
+    * dirs from any concurrently-running JVM (verify + test can run the
+    * same SF at once): a second process overwriting a shared path while
+    * the first reads it would cause flaky short reads. Unlike the events
+    * dataset (path-addressed, so it can be published once and shared via
+    * atomic rename), a bucketed table's bucket spec lives in the session
+    * catalog — per-JVM anyway — so the files may as well be per-JVM too. */
+  private val jvmNonce = java.util.UUID.randomUUID.toString.take(8)
+
   private def bucketedOrdersCustomer(spark: SparkSession, dir: String): (String, String) = {
     val tag = sfTag(dir)
     val ot = s"graft_bkt_orders_$tag"
@@ -45,8 +54,18 @@ object ScaleQueries {
     def ensure(name: String, key: String)(build: => org.apache.spark.sql.DataFrame): Unit =
       if (!spark.catalog.tableExists(name)) synchronized {
         if (!spark.catalog.tableExists(name)) {
-          val path = java.nio.file.Paths
-            .get(sys.props("java.io.tmpdir"), "graft_bucketed", name).toString
+          val parent = java.nio.file.Paths
+            .get(sys.props("java.io.tmpdir"), "graft_bucketed")
+          // sweep orphans from crashed JVMs (same discipline as the
+          // dt-partitioned events helper) — only stale ones: a fresh dir
+          // may belong to a live sibling process
+          val staleMs = 60L * 60 * 1000
+          Option(parent.toFile.listFiles()).getOrElse(Array.empty)
+            .filter(f => f.getName.startsWith(s"${name}_") &&
+              !f.getName.endsWith(jvmNonce) &&
+              System.currentTimeMillis() - f.lastModified() > staleMs)
+            .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
+          val path = parent.resolve(s"${name}_$jvmNonce").toString
           build.repartition(8, col(key))
             .write.format("parquet")
             .bucketBy(8, key).sortBy(key)

@@ -717,7 +717,8 @@ final class Workspace(val spark: SparkSession, val root: String) {
     * for a legacy workspace whose set predates the size metadata. */
   def tombstoneCount: Long =
     if (!hasTombstones) 0L
-    else getMeta("tombstones_n").map(_.toLong)
+    else getMeta("tombstones_n")
+      .flatMap(s => scala.util.Try(s.toLong).toOption) // corrupt meta falls back to a count job, not a throw
       .getOrElse(readTombstones().count())
 
   /** `chunks` MINUS the tombstone set — the ONE filter definition every

@@ -151,6 +151,31 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(classic.exists(_.lines.nonEmpty), "twin parity is vacuous on an empty extraction")
   }
 
+  test("incremental-save twin: the NEWEST generation of each updated object wins (content stream, font, page dict)") {
+    val inc = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesIncremental)
+    val expected = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytesIncrementalExpected)
+    // the appended update section re-saves page 2's content stream
+    // (revised text), the /F2 font (Courier-Bold → Courier: heading
+    // weight must flip 700 → 400) and the page-2 dict (MediaBox grows to
+    // 612×800) under their ORIGINAL object numbers — byte parity with
+    // the one-shot save of the same final state, same discipline as the
+    // encryption/predictor twins (PDFium anchor: xref-chain resolution
+    // behind pdf_processor.cpp:23-407)
+    assert(inc == expected)
+    assert(inc.size == PdfSampleDoc.NumPages, "the stale page-2 stream must not extract as an extra page")
+    val p2 = inc(1)
+    assert(p2.height == 800.0, "the re-saved page dict's MediaBox must win")
+    assert(p2.lines.exists(_.text == "2 Methods Revised"))
+    assert(!inc.exists(_.lines.exists(_.text == "2 Methods")), "stale page-2 text leaked")
+    assert(p2.lines.find(_.text == "2 Methods Revised").get.fontWeight == 400,
+      "the re-encoded /F2 font must win")
+    // pages 3..7 keep their original boxes — the duplicate page-2 dict
+    // must not SHIFT later boxes (positional pairing)
+    assert(inc(2).height == 792.0 && inc.last.height == 792.0)
+    // untouched pages extract exactly as in the original document
+    assert(inc.head.lines.exists(_.text == "1 Introduction"))
+  }
+
   test("predictor unfiltering is exact for every PNG filter type and the TIFF path") {
     val rnd = new scala.util.Random(7)
     val data = Array.fill[Byte](1000)(rnd.nextInt(256).toByte)
