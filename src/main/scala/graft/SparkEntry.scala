@@ -53,7 +53,7 @@ object SparkEntry {
     "ann_sq8_topk",
     "ann_ivfpq", "ann_ivfpq_refined", "ann_maxsim_multivector",
     "ann_hamming_binary", "ml_kmeans_step", "ann_ivf_trained",
-    "ann_lsh_auto_geometry", "ann_ivf_auto_nprobe",
+    "ann_lsh_auto_geometry", "ann_ivf_auto_nprobe", "ann_ivfpq_refined_auto",
     "dedup_exact", "dedup_minhash_lsh", "dedup_lsh_verified_pairs",
     "dedup_embedding_cosine", "dedup_semantic", "dedup_substring_spans",
     "dedup_cdc_chunks", "dedup_cdc_savings", "dedup_cdc_containment",

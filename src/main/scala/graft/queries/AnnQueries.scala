@@ -209,7 +209,15 @@ object AnnQueries {
     * slice table, so [[pqIterSql]] replays unchanged) → per-(probe-cell)
     * query residual slices `qsl` (ADC lookups are asymmetric against the
     * query's residual IN THAT CELL). */
-  private def pqResidualCtes: String = {
+  private def pqResidualCtes: String =
+    pqResidualCtesWith("",
+      s"probes AS (SELECT cid FROM asn WHERE vec_id = 0 AND rn <= 2)")
+
+  /** [[pqResidualCtes]] with a pluggable probe-cell CTE (and optional
+    * extra CTEs between `cells` and `probes`) — the auto-nprobe variant
+    * derives the probe count from a measured coverage curve instead of
+    * the fixed nprobe=2. */
+  private def pqResidualCtesWith(extra: String, probesCte: String): String = {
     val dim = SubSpaces * SubDim
     s"""ivf AS (SELECT vec_id - $IvfLo AS cid, embedding AS ce FROM embeddings
        |        WHERE vec_id BETWEEN $IvfLo AND $IvfHi),
@@ -218,7 +226,7 @@ object AnnQueries {
        |                                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], ivf.ce::DOUBLE[]) DESC, ivf.cid) AS rn
        |        FROM embeddings e CROSS JOIN ivf),
        |cells AS (SELECT vec_id, cid FROM asn WHERE rn = 1),
-       |probes AS (SELECT cid FROM asn WHERE vec_id = 0 AND rn <= 2),
+       |${if (extra.isEmpty) "" else extra + ",\n"}$probesCte,
        |ms AS (SELECT unnest(range($SubSpaces)) AS m),
        |ks AS (SELECT unnest(range($SubDim)) AS k),
        |res AS (SELECT e.vec_id, cells.cid,
@@ -541,6 +549,120 @@ object AnnQueries {
           lit(0.0), (s, v) => s + v) * 1000000).cast("long")
       }.reduce(_ + _)
       slate.select(col("vec_id"), col("cid"), l2Micro.as("l2_micro"))
+        .orderBy(col("l2_micro"), col("vec_id"))
+        .limit(20)
+    },
+
+    // IVFPQ + refine with AUTO-nprobe — the full serving path the engine
+    // runs (CandidateGenerator.chooseNprobe + IvfGenerator.pqSlateScale),
+    // oracle-pinned end to end: nprobe is DERIVED from the measured
+    // coverage ceiling (the ann_ivf_auto_nprobe curve, here over the
+    // IVFPQ coarse quantizer), the query probes its nprobe nearest cells,
+    // and the refine slate SCALES with ceil(nprobe/2) so the tuned
+    // slate-to-probed-population ratio holds as auto-nprobe widens the
+    // probe set (RECALL_r08: the fixed slate at nprobe=12 starved the
+    // exact pass; scaling restored 0.92 recall). Driver hops stay
+    // bounded: one ≤ 16·10-row coverage collect + one probe-cell row —
+    // the per-query planning step of IVF serving at any corpus size.
+    Q("ann_ivfpq_refined_auto", {
+      val coverageCtes =
+        s"""qs AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 16),
+           |gt AS (SELECT qs.q_id, e.vec_id AS n_id,
+           |              row_number() OVER (PARTITION BY qs.q_id
+           |                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], qs.qv::DOUBLE[]) DESC, e.vec_id) AS rk
+           |       FROM embeddings e CROSS JOIN qs WHERE e.vec_id <> qs.q_id),
+           |topk AS (SELECT q_id, n_id FROM gt WHERE rk <= 10),
+           |nbr AS (SELECT t.q_id, a.rn AS crank
+           |        FROM topk t JOIN cells cl ON cl.vec_id = t.n_id
+           |        JOIN asn a ON a.vec_id = t.q_id AND a.cid = cl.cid),
+           |tot AS (SELECT count(*) AS total FROM topk),
+           |cov AS (SELECT p.np, sum(CASE WHEN nbr.crank <= p.np THEN 1 ELSE 0 END)::BIGINT AS covered
+           |        FROM nbr CROSS JOIN (SELECT unnest(range(1, 17)) AS np) p GROUP BY p.np),
+           |bps AS (SELECT cov.np, cov.covered * 10000 // tot.total AS cov_bp FROM cov CROSS JOIN tot),
+           |pick AS (SELECT coalesce(min(np), 16)::BIGINT AS np FROM bps WHERE cov_bp >= 9000)""".stripMargin
+      s"""WITH ${pqResidualCtesWith(coverageCtes,
+             "probes AS (SELECT a.cid FROM asn a CROSS JOIN pick WHERE a.vec_id = 0 AND a.rn <= pick.np)")},
+         |$residualAdcCtes,
+         |cand AS (SELECT vec_id, cid,
+         |                row_number() OVER (ORDER BY adc_micro, vec_id) AS arn
+         |         FROM adc),
+         |fsl AS (SELECT vec_id, ms.m,
+         |               list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS v
+         |        FROM embeddings CROSS JOIN ms),
+         |fq AS (SELECT ms.m,
+         |              list_transform(range($SubDim), k -> embedding[ms.m * $SubDim + k + 1]) AS qv
+         |       FROM embeddings CROSS JOIN ms WHERE vec_id = 0),
+         |ex AS (SELECT c.vec_id, c.cid, sum(${pqD2l("fsl.v", "fq.qv")})::BIGINT AS l2_micro
+         |       FROM cand c CROSS JOIN pick
+         |       JOIN fsl ON fsl.vec_id = c.vec_id JOIN fq ON fq.m = fsl.m
+         |       WHERE c.arn <= $RefineSlate * ((pick.np + 1) // 2)
+         |       GROUP BY c.vec_id, c.cid)
+         |SELECT ex.vec_id, ex.cid::BIGINT AS cid, ex.l2_micro, pick.np AS nprobe
+         |FROM ex CROSS JOIN pick ORDER BY l2_micro, vec_id LIMIT 20""".stripMargin
+    }) { (spark, dir) =>
+      val e = embeddings(spark, dir)
+      val rcb = residualCodebook(spark, dir)
+      val centRows = ivfCentRows(e)
+      val centsArr = centArray(centRows)
+      val assigned = assignResiduals(e, centsArr)
+      // ---- derive nprobe from the measured coverage ceiling (the
+      //      ann_ivf_auto_nprobe recipe over THIS index's geometry) ----
+      val qs = e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+      val topk = e.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id").as("n_id"),
+          cosineSim(col("embedding"), col("qv")).as("s"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("n_id"))))
+        .filter(col("rk") <= 10)
+        .select("q_id", "n_id")
+      val cr = centRows.crossJoin(broadcast(qs))
+        .select(col("q_id"), col("cid"), cosineSim(col("ce"), col("qv")).as("s"))
+        .withColumn("crank", row_number().over(
+          Window.partitionBy(col("q_id")).orderBy(col("s").desc, col("cid"))))
+        .select("q_id", "cid", "crank")
+      // bounded driver hop (≤ 16·10 rank ints): the build-time planning
+      // step — chooseNprobe runs the same collect inside the engine
+      val ranks = topk
+        .join(assigned.select(col("vec_id").as("n_id"), col("cid")), Seq("n_id"))
+        .join(cr, Seq("q_id", "cid"))
+        .select("crank")
+        .collect().map(_.getInt(0))
+      val total = math.max(1L, ranks.length.toLong)
+      val np = (1 to 16)
+        .find(p => ranks.count(_ <= p).toLong * 10000L / total >= 9000L)
+        .getOrElse(16)
+      // the query's np nearest cells, from ONE bounded row
+      val rankedCents = array_sort(transform(col("cents"),
+        c => struct((-cosineSim(col("embedding"), c.getField("ce"))).as("ncos"),
+                    c.getField("cid").as("cid"))))
+      val probes = e.filter(col("vec_id") === 0).crossJoin(broadcast(centsArr))
+        .select(transform(slice(rankedCents, 1, np), s => s.getField("cid")).as("ps"))
+        .head().getSeq[Long](0)
+      val qv = e.filter(col("vec_id") === 0).select(col("embedding")).head().getSeq[Float](0)
+      val adc = residualAdcColumn(e, qv, probes, rcb)
+      // phase 1: residual-ADC slate SCALED by ceil(nprobe/2) — the
+      // IvfGenerator.pqSlateScale contract, keeping the tuned
+      // slate-to-probed-population ratio as the probe set widens
+      val slate = assigned
+        .filter(col("cid").isin(probes: _*) && col("vec_id") =!= 0)
+        .select(col("vec_id"), col("cid"), col("embedding"),
+          pqEncode(col("rv"), typedlit(rcb.map(_.toSeq)), SubDim).as("codes"))
+        .select(col("vec_id"), col("cid"), col("embedding"), adc.as("adc_micro"))
+        .orderBy(col("adc_micro"), col("vec_id"))
+        .limit(RefineSlate * ((np + 1) / 2))
+      // phase 2: exact micro-L2 over the bounded slate (same op sequence
+      // as ann_ivfpq_refined)
+      val l2Micro = (0 until SubSpaces).map { m =>
+        val qSlice = (0 until SubDim).map(k => qv(m * SubDim + k).toDouble)
+        floor(aggregate(
+          zip_with(slice(col("embedding"), m * SubDim + 1, SubDim), typedlit(qSlice),
+            (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+          lit(0.0), (s, v) => s + v) * 1000000).cast("long")
+      }.reduce(_ + _)
+      slate.select(col("vec_id"), col("cid"), l2Micro.as("l2_micro"),
+          lit(np.toLong).as("nprobe"))
         .orderBy(col("l2_micro"), col("vec_id"))
         .limit(20)
     },

@@ -357,34 +357,44 @@ object RecallEval {
         val cb = graft.ml.KMeans.trainPq(avr, "rv", subDim, cbInit, iters = 2)
         import graft.functions.VectorFunctions.pqEncode
         val numSub = cb.head.length / subDim
-        val (ivfpqRecall, ivfpqRefinedRecall) = {
+        // the ENGINE's own nprobe derivation on this exact geometry
+        // (CandidateGenerator.chooseNprobe — the value Engine.index
+        // persists as ann_nprobe), so the auto variant below measures
+        // the query registry's ann_ivfpq_refined_auto slate discipline
+        // with the engine's width: one floor ties both together
+        val npAuto = AnnIndex.chooseNprobe(assigned, cents)
+        val (ivfpqRecall, ivfpqRefinedRecall, ivfpqRefinedAutoRecall) = {
           import spark.implicits._
           // ADC: per-(query, probe-cell) LUT of query-RESIDUAL-to-centroid
           // distances per subspace, joined via the (q_id, cell) probe rows
           val enc = avr.select(col("n_id"), col("cid"),
             pqEncode(col("rv"), typedlit(cb.map(_.toSeq)), subDim).as("codes"))
-          val luts = qRows.flatMap { case (qid, qv) =>
-            IvfGenerator.nearestCells(qv, cents, 2).map { pc =>
-              val rq = qv.indices.map(i => (qv(i).toDouble - cents(pc)(i)).toFloat)
-              val lut: Seq[Seq[Double]] = (0 until numSub).map { m =>
-                cb.map { c =>
-                  var s = 0.0; var kk = 0
-                  while (kk < subDim) {
-                    val dd = rq(m * subDim + kk).toDouble - c(m * subDim + kk).toDouble
-                    s += dd * dd; kk += 1
-                  }
-                  s
+          def lutFor(qv: Array[Float], pc: Int): Seq[Seq[Double]] = {
+            val rq = qv.indices.map(i => (qv(i).toDouble - cents(pc)(i)).toFloat)
+            (0 until numSub).map { m =>
+              cb.map { c =>
+                var s = 0.0; var kk = 0
+                while (kk < subDim) {
+                  val dd = rq(m * subDim + kk).toDouble - c(m * subDim + kk).toDouble
+                  s += dd * dd; kk += 1
                 }
+                s
               }
-              (qid, pc, lut)
             }
-          }.toSeq.toDF("q_id", "pcid", "lut")
-          val cands = enc.join(broadcast(luts), col("cid") === col("pcid"))
-            .filter(col("n_id") =!= col("q_id"))
-            .select(col("q_id"), col("n_id"),
-              (0 until numSub).map(m =>
-                element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
-                .reduce(_ + _).as("adc"))
+          }
+          def adcCands(nprobe: Int) = {
+            val luts = qRows.flatMap { case (qid, qv) =>
+              IvfGenerator.nearestCells(qv, cents, nprobe)
+                .map(pc => (qid, pc, lutFor(qv, pc)))
+            }.toSeq.toDF("q_id", "pcid", "lut")
+            enc.join(broadcast(luts), col("cid") === col("pcid"))
+              .filter(col("n_id") =!= col("q_id"))
+              .select(col("q_id"), col("n_id"),
+                (0 until numSub).map(m =>
+                  element_at(element_at(col("lut"), m + 1), element_at(col("codes"), m + 1) + 1))
+                  .reduce(_ + _).as("adc"))
+          }
+          val cands = adcCands(2)
           val raw = recallOf(l2Truth, topkPerQuery(cands, col("adc"), asc = true, k))
 
           // FAISS-refine stage (round-5 "What's missing #3"): the raw ADC
@@ -393,14 +403,24 @@ object RecallEval {
           // SQ8 two-phase pattern applied to IVFPQ. Cost: one bounded
           // re-read of overfetch·k·|Q| float vectors.
           val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc").asc, col("n_id"))
-          val survivors = cands.withColumn("rk", row_number().over(wAdc))
-            .filter(col("rk") <= k * IvfGenerator.PqRefineOverfetch)
-            .select("q_id", "n_id")
-          val refined = survivors
-            .join(av.select(col("n_id"), col("embedding")), Seq("n_id"))
-            .join(broadcast(qs), Seq("q_id"))
-            .select(col("q_id"), col("n_id"), d2.as("s"))
-          (raw, recallOf(l2Truth, topkPerQuery(refined, col("s"), asc = true, k)))
+          def refinedRecall(cands: DataFrame, slate: Int): Double = {
+            val survivors = cands.withColumn("rk", row_number().over(wAdc))
+              .filter(col("rk") <= slate)
+              .select("q_id", "n_id")
+            val refined = survivors
+              .join(av.select(col("n_id"), col("embedding")), Seq("n_id"))
+              .join(broadcast(qs), Seq("q_id"))
+              .select(col("q_id"), col("n_id"), d2.as("s"))
+            recallOf(l2Truth, topkPerQuery(refined, col("s"), asc = true, k))
+          }
+          // auto serving tier: engine-derived nprobe + the pqSlateScale
+          // contract (slate × ceil(nprobe/2)) — the round-8 serving fix,
+          // now measured through the SAME refine pipeline as the tuned
+          // nprobe=2 row so the two numbers are directly comparable
+          (raw,
+            refinedRecall(cands, k * IvfGenerator.PqRefineOverfetch),
+            refinedRecall(adcCands(npAuto),
+              k * IvfGenerator.PqRefineOverfetch * math.max(1, (npAuto + 1) / 2)))
         }
 
         // the nprobe ceiling under the L2 metric: EXACT re-rank of every
@@ -451,6 +471,10 @@ object RecallEval {
           VariantRecall("ivfpq_refined", "l2",
             s"cells=16,nprobe=2,m=8,k*=16,trained,residual,overfetch=${IvfGenerator.PqRefineOverfetch}",
             ivfpqRefinedRecall),
+          VariantRecall("ivfpq_refined_auto", "l2",
+            s"cells=16,auto:nprobe=$npAuto,slate_scale=${math.max(1, (npAuto + 1) / 2)}," +
+              s"m=8,k*=16,trained,residual,overfetch=${IvfGenerator.PqRefineOverfetch}",
+            ivfpqRefinedAutoRecall),
           VariantRecall("ivf_l2_ceiling", "l2", "cells=16,nprobe=2,exact_rerank=all",
             ivfL2Ceiling),
           VariantRecall("sq8_two_phase", "cosine", s"overfetch=${IvfGenerator.Sq8Overfetch}", sq8)))

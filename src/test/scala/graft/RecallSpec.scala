@@ -139,6 +139,20 @@ class RecallSpec extends AnyFunSuite {
     assert(refined >= 0.25, s"IVFPQ refined recall $refined regressed")
     assert(refined >= ceiling - 0.1,
       s"refined $refined far from its nprobe ceiling $ceiling — overfetch too shallow")
+
+    // AUTO serving tier (round-9): the ENGINE's chooseNprobe width
+    // (persisted as ann_nprobe; derived 12 on this near-uniform corpus)
+    // + the pqSlateScale contract (slate × ceil(nprobe/2)) run through
+    // the same refine pipeline — this floor ties the registered
+    // ann_ivfpq_refined_auto query, the engine geometry, and the recall
+    // evidence together. Measured 0.92 uniform / 1.00 clustered
+    // (2026-08); the tuned nprobe=2 row measured 0.35 — auto must beat
+    // it decisively, not within jitter.
+    val refinedAuto = recall("ivfpq_refined_auto", "auto:")
+    assert(refinedAuto >= 0.75,
+      s"auto-nprobe IVFPQ refined recall $refinedAuto below the 0.75 contract floor")
+    assert(refinedAuto >= refined + 0.2,
+      s"auto-nprobe refined ($refinedAuto) must clear the blind nprobe=2 tier ($refined) decisively")
   }
 
   test("clustered corpus at bench scale: IVF near-exact, residual-PQ refine >= 0.9") {
