@@ -1070,6 +1070,18 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
 
   // ---- char → line assembly (pdf_processor.cpp:97-151) ----
 
+  /** Glyph-tuple entry point for the B2 oracle replay
+    * (`b2_b6_line_assembly`): (char, left, top, right, bottom, size,
+    * weight) in PDF coords (y up), same contract as the interpreter's
+    * per-char boxes. Runs the REAL [[assembleLines]] fold — the 5 pt row
+    * tolerance, 4 pt space-gap inference and per-line char-averaged
+    * font metrics the DuckDB window SQL replays independently. */
+  private[graft] def assembleGlyphs(
+      glyphs: Seq[(Char, Double, Double, Double, Double, Double, Int)],
+      pageHeight: Double): Seq[LayoutChunker.Line] =
+    assembleLines(
+      glyphs.map(g => Ch(g._1, g._2, g._3, g._4, g._5, g._6, g._7)), pageHeight)
+
   private def assembleLines(chars: Seq[Ch], pageHeight: Double): Seq[LayoutChunker.Line] = {
     if (chars.isEmpty) return Seq.empty
     // reference sort: rows top-down (PDF y desc) with 5 pt tolerance,

@@ -17,6 +17,100 @@ import graft.ingest.TextChunker
   */
 object IngestQueries {
 
+  /** DuckDB replay of B2–B6 over corpus-synthesized glyphs — every phase
+    * of the layout pipeline in window SQL (see the registration comment
+    * on `b2_b6_line_assembly`). */
+  private val B2B6OracleSql: String =
+    """WITH src AS (
+      |  SELECT source,
+      |         substr(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), 1, 160) AS clean,
+      |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pi
+      |  FROM documents WHERE doc_id % 7 = 0),
+      |bodyg AS (
+      |  SELECT s.source, s.pi, substr(s.clean, t.n + 1, 1) AS ch,
+      |         t.n // 40 AS rw, t.n % 40 AS cl, t.n AS i
+      |  FROM src s CROSS JOIN range(160) t(n)
+      |  WHERE t.n < length(s.clean) AND substr(s.clean, t.n + 1, 1) > ' '),
+      |g1 AS (
+      |  SELECT source, pi, ch,
+      |         CASE WHEN pi % 3 = 0 THEN
+      |           CASE WHEN cl < 20 THEN 60.0 + cl * 6 ELSE 320.0 + (cl - 20) * 6 END
+      |         ELSE 72.0 + cl * 6 END AS gl,
+      |         CASE WHEN pi % 3 = 0 AND cl >= 20
+      |              THEN 593.0 - (rw * 14 + CASE WHEN rw >= 2 THEN 30 ELSE 0 END)
+      |              ELSE 600.0 - (rw * 14 + CASE WHEN rw >= 2 THEN 30 ELSE 0 END)
+      |                   + ((i % 3) - 1) * 1.5 END AS gt,
+      |         10.0 + ((rw + pi) % 3) * 4 AS sz,
+      |         CASE WHEN rw = 0 THEN 700 ELSE 400 END AS wt
+      |  FROM bodyg),
+      |foot AS (
+      |  SELECT s.source, s.pi, substr('Confidential Report', t.n + 1, 1) AS ch,
+      |         72.0 + t.n * 6 AS gl, 40.0 AS gt, 8.0 AS sz, 400 AS wt
+      |  FROM src s CROSS JOIN range(19) t(n)
+      |  WHERE substr('Confidential Report', t.n + 1, 1) > ' '),
+      |pnum AS (
+      |  SELECT s.source, s.pi, substr(s.pi::VARCHAR, t.n + 1, 1) AS ch,
+      |         500.0 + t.n * 6 AS gl, 20.0 AS gt, 8.0 AS sz, 400 AS wt
+      |  FROM src s CROSS JOIN range(4) t(n)
+      |  WHERE t.n < length(s.pi::VARCHAR)),
+      |g AS (SELECT source, pi, ch, gl, gt, gl + 6 AS gr, gt - 10 AS gb, sz, wt FROM g1
+      |      UNION ALL SELECT source, pi, ch, gl, gt, gl + 6, gt - 10, sz, wt FROM foot
+      |      UNION ALL SELECT source, pi, ch, gl, gt, gl + 6, gt - 10, sz, wt FROM pnum),
+      |o AS (SELECT *, lag(gt) OVER (PARTITION BY source, pi ORDER BY gt DESC, gl) AS ptop FROM g),
+      |clus AS (SELECT *, sum(CASE WHEN ptop IS NULL OR ptop - gt > 5.0 THEN 1 ELSE 0 END)
+      |                OVER (PARTITION BY source, pi ORDER BY gt DESC, gl
+      |                      ROWS UNBOUNDED PRECEDING) AS rid FROM o),
+      |w AS (SELECT *, max(gr) OVER (PARTITION BY source, pi, rid ORDER BY gl
+      |                              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_r
+      |      FROM clus),
+      |ln AS (SELECT source, pi, rid,
+      |              string_agg(CASE WHEN prev_r IS NOT NULL AND gl - prev_r > 4.0
+      |                              THEN ' ' || ch ELSE ch END, '' ORDER BY gl) AS text,
+      |              min(gl) AS x_left, max(gr) AS x_right,
+      |              760 - max(gt) AS line_top, 760 - min(gb) AS line_bottom,
+      |              avg(sz) AS font_size,
+      |              round(avg(wt))::BIGINT AS font_weight
+      |       FROM w GROUP BY source, pi, rid),
+      |frq AS (SELECT source, norm, count(DISTINCT pi) AS freq FROM (
+      |          SELECT source, pi, trim(regexp_replace(lower(text), '[0-9]+', '', 'g')) AS norm
+      |          FROM ln) WHERE norm <> '' GROUP BY source, norm),
+      |pg AS (SELECT source, pi,
+      |              count(*) FILTER (WHERE x_left < 300.0 AND x_right > 300.0) AS crossing,
+      |              count(*) FILTER (WHERE x_right <= 300.0) AS nleft,
+      |              count(*) FILTER (WHERE x_left >= 300.0) AS nright
+      |       FROM ln GROUP BY source, pi),
+      |ord0 AS (SELECT l.*, trim(regexp_replace(lower(l.text), '[0-9]+', '', 'g')) AS norm,
+      |                (p.crossing = 0 AND p.nleft > 0 AND p.nright > 0) AS twocol,
+      |                CASE WHEN p.crossing = 0 AND p.nleft > 0 AND p.nright > 0
+      |                          AND l.x_left >= 300.0 THEN 1 ELSE 0 END AS colgrp
+      |         FROM ln l JOIN pg p USING (source, pi)),
+      |fin AS (SELECT *, row_number() OVER (PARTITION BY source, pi
+      |              ORDER BY colgrp, line_top, x_left) - 1 AS seq
+      |        FROM (SELECT o.*, CASE
+      |                WHEN coalesce(f.freq, 0) > 5 AND
+      |                     (o.line_top <= 760 * 0.15 OR o.line_bottom >= 760 * (1.0 - 0.15)) THEN 1
+      |                WHEN regexp_full_match(trim(o.text), '[0-9]{1,4}') THEN 1
+      |                ELSE 0 END AS noise
+      |              FROM ord0 o LEFT JOIN frq f ON f.source = o.source AND f.norm = o.norm)
+      |        WHERE noise = 0),
+      |bk AS (SELECT *, sum(CASE WHEN pbot IS NOT NULL AND line_top - pbot > 15.0
+      |                          THEN 1 ELSE 0 END)
+      |              OVER (PARTITION BY source, pi ORDER BY seq
+      |                    ROWS UNBOUNDED PRECEDING) AS block_idx
+      |       FROM (SELECT *, lag(line_bottom) OVER (PARTITION BY source, pi ORDER BY seq) AS pbot
+      |             FROM fin)),
+      |bl AS (SELECT source, pi, szr AS baseline FROM (
+      |        SELECT source, pi, round(font_size)::BIGINT AS szr,
+      |               row_number() OVER (PARTITION BY source, pi
+      |                 ORDER BY count(*) DESC, round(font_size)::BIGINT ASC) AS rn
+      |        FROM fin GROUP BY source, pi, round(font_size)::BIGINT) WHERE rn = 1)
+      |SELECT k.source, k.pi::BIGINT AS page_num, k.seq::BIGINT AS seq, k.text,
+      |       k.x_left, k.line_top, k.x_right, k.line_bottom, k.font_size,
+      |       k.font_weight, k.block_idx::BIGINT AS block_idx, bl.baseline,
+      |       (CASE WHEN k.twocol THEN 1 ELSE 0 END)::BIGINT AS two_col
+      |FROM bk k JOIN bl USING (source, pi)
+      |ORDER BY source, page_num, seq""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // A1 — real PDF ingest, end to end: the deterministic sample PDF
@@ -125,11 +219,102 @@ object IngestQueries {
         .orderBy("source", "chunk_idx")
     },
 
+    // B2–B6 — ORACLE-GREEN line assembly + column reorder + noise filter +
+    // block reassembly + baseline font (round-9 task 4; the round-8 verdict
+    // asked for exactly this graduation; PDFium anchor
+    // pdf_processor.cpp:97-151,168-201). Both engines synthesize the SAME
+    // positioned glyphs from the documents corpus (40-col/14pt grid, ±1.5pt
+    // top jitter inside the 5pt row tolerance, spaces DROPPED so the 4pt
+    // space-gap inference must re-infer them, every 3rd page two-column
+    // with a 7pt cross-column row offset, a repeated footer line and a
+    // bare-page-number line); the Spark side then runs the REAL
+    // CharPdfExtractor.assembleLines fold + LayoutChunker.reorderColumns /
+    // isNoise / assembleBlocks / baselineFontSize, while the oracle
+    // replays every phase in window SQL: gap-clustered rows (5pt), running
+    // max-right space inference (4pt), char-averaged font metrics, the
+    // midline crossing test, the page-frequency noise join (footer freq
+    // flips the >5 threshold between sf0.01 and sf0.1 — both branches are
+    // exercised), the 15pt block gap fold, and the count-desc/size-asc
+    // font mode. All coordinates are binary-exact doubles, so the hash
+    // compare is bit-exact.
+    Q("b2_b6_line_assembly", B2B6OracleSql) { (spark, dir) =>
+      import spark.implicits._
+      import graft.ingest.{CharPdfExtractor, LayoutChunker}
+      // sample modulus CO-PRIME to the corpus's source assignment
+      // (doc_id % 20): % 5 would silently restrict the sample to 4
+      // sources at 25 pages each, pinning the footer-frequency branch
+      // permanently above the > 5 threshold
+      val docs = table(spark, dir, "documents")
+        .filter(col("doc_id") % 7 === 0)
+        .groupBy("source")
+        .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
+        .as[(String, Seq[(Long, String)])]
+      val ex = CharPdfExtractor()
+      docs.flatMap { case (source, ds) =>
+        val pages = ds.sortBy(_._1).zipWithIndex.map { case ((_, text0), pi0) =>
+          val pi = pi0 + 1
+          val clean = (if (text0 == null) "" else text0)
+            .replaceAll("[^ -~]", "").take(160)
+          val twocol = pi % 3 == 0
+          val body = clean.zipWithIndex.collect { case (ch, i) if ch > ' ' =>
+            val row = i / 40; val c = i % 40
+            val left =
+              if (twocol) { if (c < 20) 60.0 + c * 6 else 320.0 + (c - 20) * 6 }
+              else 72.0 + c * 6
+            // rows >= 2 drop an extra 30 pt — a > 15 pt vertical gap, so
+            // B5's block fold splits on every page with >= 3 body rows
+            val rowDrop = row * 14 + (if (row >= 2) 30 else 0)
+            val top =
+              if (twocol && c >= 20) 593.0 - rowDrop
+              else 600.0 - rowDrop + ((i % 3) - 1) * 1.5
+            (ch, left, top, left + 6, top - 10,
+              10.0 + ((row + pi) % 3) * 4, // page-varying sizes → B6's mode varies
+              if (row == 0) 700 else 400)
+          }.toSeq
+          val footer = "Confidential Report".zipWithIndex.collect {
+            case (ch, i) if ch > ' ' =>
+              (ch, 72.0 + i * 6, 40.0, 78.0 + i * 6, 30.0, 8.0, 400)
+          }.toSeq
+          val pageNum = pi.toString.zipWithIndex.map { case (ch, i) =>
+            (ch, 500.0 + i * 6, 20.0, 506.0 + i * 6, 10.0, 8.0, 400)
+          }
+          LayoutChunker.Page(pi, 600, 760,
+            ex.assembleGlyphs(body ++ footer ++ pageNum, 760))
+        }
+        val freq = LayoutChunker.headerFooterFrequency(pages)
+        pages.flatMap { page =>
+          val mid = page.width / 2.0
+          val leftCol = page.lines.filter(_.right <= mid)
+          val rightCol = page.lines.filter(_.left >= mid)
+          val twoColDetected =
+            page.lines.size - leftCol.size - rightCol.size == 0 &&
+              leftCol.nonEmpty && rightCol.nonEmpty
+          val ordered = LayoutChunker.reorderColumns(page)
+          val cleanLines = ordered.filterNot(l => LayoutChunker.isNoise(l, page, freq))
+          val blocks = LayoutChunker.assembleBlocks(cleanLines, page.pageNum)
+          val baseline = LayoutChunker.baselineFontSize(blocks)
+          blocks.zipWithIndex
+            .flatMap { case (b, bi) => b.lines.map(l => (l, bi)) }
+            .zipWithIndex.map { case ((l, bi), seq) =>
+              (source, page.pageNum.toLong, seq.toLong, l.text,
+                l.left, l.top, l.right, l.bottom, l.fontSize,
+                l.fontWeight.toLong, bi.toLong, baseline.toLong,
+                if (twoColDetected) 1L else 0L)
+            }
+        }
+      }.toDF("source", "page_num", "seq", "text", "x_left", "line_top",
+          "x_right", "line_bottom", "font_size", "font_weight", "block_idx",
+          "baseline", "two_col")
+        .orderBy("source", "page_num", "seq")
+    },
+
     // B2–B8 — layout-aware chunking: synthetic page models built
     // deterministically from the corpus (each source = one document, each
     // doc = one page, lines laid out at 14pt pitch with a heading line per
     // page), run through the full per-document layout pipeline as a flatMap.
-    // Rows-only check; LayoutChunkerSpec pins each heuristic.
+    // Rows-only check; LayoutChunkerSpec pins each heuristic. The B2–B6
+    // subset additionally carries an exact oracle (b2_b6_line_assembly
+    // above); the stateful B7 heading fold keeps this row rows-only.
     Q.noOracle("b2_b8_layout_chunk") { (spark, dir) =>
       import spark.implicits._
       import graft.ingest.LayoutChunker

@@ -25,8 +25,12 @@ package object queries {
       *
       *  - a1_pdf_ingest       — consumes PDF BYTES via the in-repo extractor;
       *                          byte-parity pinned by fixture twins
-      *  - b2_b8_layout_chunk  — layout assembly over the extractor's
-      *                          positioned glyphs (upstream A1, not SQL)
+      *  - b2_b8_layout_chunk  — the FULL layout pipeline incl. the stateful
+      *                          B7 heading fold; the B2–B6 subset (line
+      *                          assembly, column reorder, noise filter,
+      *                          blocks, baseline font) graduated to the
+      *                          exact window-SQL oracle b2_b6_line_assembly
+      *                          in round 9
       *  - c1_embed_docs       — the pluggable embedder model boundary
       *  - c4_summarize_sections — summary model boundary over engine state
       *  - d11_exploration     — needs engine query-HISTORY state (stability
