@@ -169,10 +169,13 @@ object RetrievalQueries {
   private val fusedKwSql =
     s"len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t IN ($fusedTermsSql)))"
 
-  val all: Seq[Q] = Seq(
-
-    Q("hybrid_search_fused",
-      s"""WITH corpus AS (SELECT e.vec_id AS id, e.embedding, d.text
+  /** The fused-path DuckDB replay — shared verbatim by
+    * `hybrid_search_fused` (DataFrame pipeline) and
+    * `sql_interface_hybrid` (pure spark.sql surface): one oracle, two
+    * engine entry points, so the SQL interface is held to exactly the
+    * same fused semantics as the Scala facade. */
+  private[graft] val fusedOracleSql: String =
+    s"""WITH corpus AS (SELECT e.vec_id AS id, e.embedding, d.text
          |                FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
          |                WHERE e.vec_id <> 0),
          |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
@@ -203,7 +206,11 @@ object RetrievalQueries {
          |ORDER BY coalesce(0.35 / (60.0 + f.sem_rank), 0.0)
          |         + coalesce(0.65 / (60.0 + f.kw_rank), 0.0)
          |         + CASE WHEN f.sem_rank IS NOT NULL AND f.id % 5 = 1 THEN 0.5 ELSE 0.0 END
-         |         + stab.st * 2.0 * 0.1 DESC, id LIMIT 20""".stripMargin) { (spark, dir) =>
+         |         + stab.st * 2.0 * 0.1 DESC, id LIMIT 20""".stripMargin
+
+  val all: Seq[Q] = Seq(
+
+    Q("hybrid_search_fused", fusedOracleSql) { (spark, dir) =>
       val corpus = fusedCorpus(spark, dir)
       val qv = table(spark, dir, "embeddings")
         .filter(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -246,6 +253,68 @@ object RetrievalQueries {
         .limit(20)
         .select(col("id"), col("sem_rank"), col("kw_rank"), col("chunk_type"),
           round(col("score_raw"), 6).as("score"), col("trust"))
+    },
+
+    // The engine's SIGNATURE operation, driveable from PURE SQL (round-9
+    // task 5; reference anchor vector_store.cpp:277-574): the whole fused
+    // hybrid — cosine branch + token-match branch + weighted RRF K=60 +
+    // semantic-gated intent×type boost + stability bias + click trust —
+    // as ONE spark.sql statement over registered views and the
+    // extension-registered cosine_sim function. A SQL-only user needs no
+    // Scala facade. Held to the SAME DuckDB oracle as
+    // hybrid_search_fused, so the SQL surface and the DataFrame pipeline
+    // are provably the one query. Plan shape (PlanQualitySpec): each
+    // branch collapses to TakeOrderedAndProject(60) before its window
+    // rank, the fusion FULL OUTER joins only those bounded lists, one
+    // final top-20 — no fact-side shuffle beyond the corpus join.
+    Q("sql_interface_hybrid", fusedOracleSql) { (spark, dir) =>
+      graft.functions.VectorFunctions.register(spark)
+      table(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+      table(spark, dir, "documents").createOrReplaceTempView("graft_documents")
+      events(spark, dir).createOrReplaceTempView("graft_events")
+      val ledgerValues = fusedClicks
+        .map { case (i, e) => s"($i, $e)" }.mkString(", ")
+      val termsIn = fusedTerms.map(t => s"'$t'").mkString(", ")
+      spark.sql(
+        s"""WITH corpus AS (SELECT e.vec_id AS id, e.embedding, d.text
+           |                FROM graft_embeddings e
+           |                JOIN graft_documents d ON d.doc_id = e.vec_id
+           |                WHERE e.vec_id <> 0),
+           |q AS (SELECT embedding AS qv FROM graft_embeddings WHERE vec_id = 0),
+           |sem AS (SELECT id, CAST(row_number() OVER (ORDER BY s DESC, id) AS BIGINT) AS sem_rank
+           |        FROM (SELECT id, cosine_sim(embedding, qv) AS s
+           |              FROM corpus CROSS JOIN q
+           |              ORDER BY s DESC, id LIMIT $fusedDepth)),
+           |kw AS (SELECT id, CAST(row_number() OVER (ORDER BY k DESC, id) AS BIGINT) AS kw_rank
+           |       FROM (SELECT id, k
+           |             FROM (SELECT id, size(filter(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+           |                                          t -> t IN ($termsIn))) AS k
+           |                   FROM corpus)
+           |             WHERE k > 0 ORDER BY k DESC, id LIMIT $fusedDepth)),
+           |boosts AS (SELECT chunk_id, 1.0D + 0.1D * count(*) AS boost
+           |           FROM (VALUES $ledgerValues) AS led(chunk_id, is_exploration)
+           |           WHERE NOT is_exploration GROUP BY chunk_id),
+           |stab AS (SELECT CASE WHEN count(*) = 0 THEN 1.0D
+           |                ELSE greatest(0.0D, least(1.0D,
+           |                  1.0D - avg(abs(CAST(floor(value / 50.0D) AS BIGINT))) / 5.0D)) END AS st
+           |         FROM graft_events WHERE user_id = 1 AND event_type <> 'click'),
+           |fused AS (SELECT coalesce(sem.id, kw.id) AS id, sem_rank, kw_rank
+           |          FROM sem FULL OUTER JOIN kw ON kw.id = sem.id),
+           |scored AS (SELECT f.id, f.sem_rank, f.kw_rank,
+           |                  CASE f.id % 5 WHEN 0 THEN 'text' WHEN 1 THEN 'definition'
+           |                       WHEN 2 THEN 'list' WHEN 3 THEN 'example'
+           |                       ELSE 'summary' END AS chunk_type,
+           |                  coalesce(0.35D / (60.0D + f.sem_rank), 0.0D)
+           |                    + coalesce(0.65D / (60.0D + f.kw_rank), 0.0D)
+           |                    + CASE WHEN f.sem_rank IS NOT NULL AND f.id % 5 = 1
+           |                           THEN 0.5D ELSE 0.0D END
+           |                    + stab.st * 2.0D * 0.1D AS score_raw,
+           |                  round(coalesce(b.boost, 1.0D), 6) AS trust
+           |           FROM fused f CROSS JOIN stab
+           |           LEFT JOIN boosts b ON b.chunk_id = f.id)
+           |SELECT id, sem_rank, kw_rank, chunk_type,
+           |       round(score_raw, 6) AS score, trust
+           |FROM (SELECT * FROM scored ORDER BY score_raw DESC, id LIMIT 20)""".stripMargin)
     },
 
 

@@ -328,6 +328,47 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("SQL-interface hybrid: branch top-k before window rank, fusion joins only bounded lists, one final top-k") {
+    import org.apache.spark.sql.execution.{GlobalLimitExec, TakeOrderedAndProjectExec}
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val qe = SparkEntry.queries("sql_interface_hybrid")(spark, sf).queryExecution
+      val p = qe.executedPlan.toString
+      // corpus joins (embeddings×documents, ×1-row query) broadcast — the
+      // fact side never shuffles before its branch top-k
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("CartesianProduct"), p)
+      // each branch: TakeOrderedAndProject(depth) BELOW the window rank,
+      // so the global row_number sorts ≤60 rows, never the corpus
+      qe.executedPlan.foreach {
+        case w: WindowExec =>
+          val bounded = w.exists {
+            case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
+            case _ => false
+          }
+          assert(bounded, s"window rank over an unbounded input:\n${w.treeString}")
+        case j: SortMergeJoinExec =>
+          Seq(j.left, j.right).foreach { side =>
+            val bounded = side.exists {
+              case _: TakeOrderedAndProjectExec | _: GlobalLimitExec => true
+              case _ => false
+            }
+            assert(bounded, s"fusion SMJ side is unbounded (corpus shuffle):\n${side.treeString}")
+          }
+        case _ => ()
+      }
+      // one final top-20 at the root
+      assert(qe.executedPlan.isInstanceOf[TakeOrderedAndProjectExec] ||
+        qe.executedPlan.exists(_.isInstanceOf[TakeOrderedAndProjectExec]), p)
+      // held to the SAME oracle as the DataFrame pipeline — one query,
+      // two entry points (the registry enforces the shared string)
+      assert(SparkEntry.oracleSql("sql_interface_hybrid") ==
+        SparkEntry.oracleSql("hybrid_search_fused"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("token-budget selection: interior bins windowless, the cumsum input filtered to ONE boundary bin") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
