@@ -37,43 +37,66 @@ object Multimodal {
       (pmod(col("doc_id"), lit(640)) + lit(1)).cast("int").as("meta_width"),
       (pmod(col("doc_id"), lit(480)) + lit(1)).cast("int").as("meta_height"))
 
+  /** The INTEGER stage of [[decodeToFeatures]] — everything before the
+    * float normalization (round-9 task 6: the normalization is honestly
+    * rows-only, but these integers replay exactly in SQL, so they carry
+    * their own oracle, `mm_feature_extract_int`). Image path: width,
+    * height, mean-RGB NUMERATORS (pixel-channel sums) and the 11-bin
+    * luma-histogram COUNTS over the decoded pixels; byte fallback: the
+    * 16-bin high-nibble COUNTS. `denom` is the L1 denominator (pixel
+    * count / payload length).
+    * @return (kind, width, height, sumR, sumG, sumB, bins, denom) */
+  def decodeToIntFeatures(payload: Array[Byte])
+      : (String, Int, Int, Long, Long, Long, Array[Long], Long) =
+    graft.functions.MediaCodecs.readImage(payload) match {
+      case Some(img) =>
+        val px = graft.functions.MediaCodecs.rgb(img)
+        val bins = new Array[Long](11)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < px.length) {
+          val p = px(i)
+          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
+          sr += r; sg += g; sb += b
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          bins(math.min(luma * 11 / 256, 10)) += 1L
+          i += 1
+        }
+        ("image", img.getWidth, img.getHeight, sr, sg, sb, bins, px.length.toLong)
+      case None =>
+        val bins = new Array[Long](16)
+        val len = if (payload == null) 0L else payload.length.toLong
+        var i = 0
+        while (i < len) { bins((payload(i.toInt) & 0xff) >> 4) += 1L; i += 1 }
+        ("bytes", 0, 0, 0L, 0L, 0L, bins, len)
+    }
+
   /** Decode → fixed 16-float features. Image payloads (anything ImageIO
     * decodes: PNG/JPEG/GIF/BMP) take the REAL pixel path:
     * [w, h, meanR, meanG, meanB, 11-bin luma histogram (L1-normalized)].
     * Everything else — including codecs the JDK lacks — falls back to a
     * deterministic 16-bin byte histogram, L1-normalized. Same contract
-    * either way: fixed-shape float features per row. */
-  def decodeToFeatures(payload: Array[Byte]): Array[Float] =
-    graft.functions.MediaCodecs.readImage(payload) match {
-      case Some(img) =>
-        val out = new Array[Float](16)
-        val px = graft.functions.MediaCodecs.rgb(img)
-        val n = px.length.toFloat
-        out(0) = img.getWidth.toFloat
-        out(1) = img.getHeight.toFloat
-        var i = 0
-        while (i < px.length) {
-          val p = px(i)
-          val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff; val b = p & 0xff
-          out(2) += r; out(3) += g; out(4) += b
-          val luma = (299 * r + 587 * g + 114 * b) / 1000
-          out(5 + math.min(luma * 11 / 256, 10)) += 1f
-          i += 1
-        }
-        var j = 2
-        while (j < 5) { out(j) /= n; j += 1 }
-        while (j < 16) { out(j) /= n; j += 1 }
-        out
-      case None =>
-        val hist = new Array[Float](16)
-        if (payload == null || payload.isEmpty) return hist
-        var i = 0
-        while (i < payload.length) { hist((payload(i) & 0xff) >> 4) += 1f; i += 1 }
-        val total = payload.length.toFloat
-        var j = 0
-        while (j < 16) { hist(j) /= total; j += 1 }
-        hist
+    * either way: fixed-shape float features per row. The integer stage is
+    * [[decodeToIntFeatures]]; the counts/sums here are all < 2^24, so
+    * normalizing long integers is bit-identical to the float
+    * accumulation this replaced. */
+  def decodeToFeatures(payload: Array[Byte]): Array[Float] = {
+    val (kind, w, h, sr, sg, sb, bins, denom) = decodeToIntFeatures(payload)
+    val out = new Array[Float](16)
+    if (denom == 0L) return out
+    val n = denom.toFloat
+    if (kind == "image") {
+      out(0) = w.toFloat
+      out(1) = h.toFloat
+      out(2) = sr / n; out(3) = sg / n; out(4) = sb / n
+      var j = 0
+      while (j < 11) { out(5 + j) = bins(j) / n; j += 1 }
+    } else {
+      var j = 0
+      while (j < 16) { out(j) = bins(j) / n; j += 1 }
     }
+    out
+  }
 
   /** Feature extraction over the media table: mapPartitions so codec setup
     * amortizes per partition (the Scala analog of mapInPandas batches). */

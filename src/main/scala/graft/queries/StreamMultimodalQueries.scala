@@ -382,6 +382,66 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // The INTEGER stage of mm_feature_extract, oracle-green (round-9
+    // task 6): only the L1 float normalization is outside the SQL
+    // surface — the sniffed path, width/height, mean-RGB numerators,
+    // luma-histogram counts and byte-nibble counts all replay exactly.
+    // Two stripes through the REAL Multimodal.decodeToIntFeatures: the
+    // doc%3=0 stripe is PNG-ENCODED through the actual codec (the
+    // mm_image_decode pixel synthesis) and decoded back by ImageIO —
+    // pinning the image branch end to end; the doc%3=1 stripe exercises
+    // the byte-featurizer fallback on raw text payloads. Zero bins are
+    // emitted explicitly (the dense-histogram contract), and the joined
+    // bins string keeps the compare compact.
+    Q("mm_feature_extract_int",
+      s"""WITH ${mediaWsCtes(0)},
+         |${mediaPixelCtes(1)},
+         |lbins AS (SELECT media_id, least(luma * 11 // 256, 10) AS bin, count(*) AS c
+         |          FROM lum GROUP BY media_id, bin),
+         |lfull AS (SELECT ws.media_id, t.b AS bin, coalesce(lb.c, 0) AS c
+         |          FROM ws CROSS JOIN unnest(range(0, 11)) AS t(b)
+         |          LEFT JOIN lbins lb ON lb.media_id = ws.media_id AND lb.bin = t.b),
+         |lstr AS (SELECT media_id, string_agg(c::VARCHAR, '-' ORDER BY bin) AS bins
+         |         FROM lfull GROUP BY media_id),
+         |img AS (SELECT st.media_id, 'image' AS kind, 24::BIGINT AS width, 16::BIGINT AS height,
+         |               st.sr AS sum_r, st.sg AS sum_g, st.sb AS sum_b, lstr.bins,
+         |               384::BIGINT AS denom
+         |        FROM st JOIN lstr USING (media_id)),
+         |bt AS (SELECT doc_id AS media_id, coalesce(text, '') AS text
+         |       FROM documents WHERE doc_id % 3 = 1),
+         |bc AS (SELECT media_id, (ascii(substr(text, i::INT + 1, 1)) // 16) AS bin, count(*) AS c
+         |       FROM bt, unnest(range(0, length(text))) AS u(i) GROUP BY media_id, bin),
+         |bfull AS (SELECT bt.media_id, t.b AS bin, coalesce(bc.c, 0) AS c
+         |          FROM bt CROSS JOIN unnest(range(0, 16)) AS t(b)
+         |          LEFT JOIN bc ON bc.media_id = bt.media_id AND bc.bin = t.b),
+         |bstr AS (SELECT media_id, string_agg(c::VARCHAR, '-' ORDER BY bin) AS bins
+         |         FROM bfull GROUP BY media_id),
+         |byt AS (SELECT bt.media_id, 'bytes' AS kind, 0::BIGINT AS width, 0::BIGINT AS height,
+         |               0::BIGINT AS sum_r, 0::BIGINT AS sum_g, 0::BIGINT AS sum_b, bstr.bins,
+         |               length(bt.text)::BIGINT AS denom
+         |        FROM bt JOIN bstr USING (media_id))
+         |SELECT * FROM (SELECT * FROM img UNION ALL SELECT * FROM byt)
+         |ORDER BY media_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      def ints(media: DataFrame): DataFrame =
+        media.select(col("media_id"), col("payload"))
+          .as[(Long, Array[Byte])]
+          .mapPartitions(rows => rows.map { case (id, payload) =>
+            val (kind, w, h, sr, sg, sb, bins, denom) =
+              Multimodal.decodeToIntFeatures(payload)
+            (id, kind, w.toLong, h.toLong, sr, sg, sb, bins.mkString("-"), denom)
+          })
+          .toDF("media_id", "kind", "width", "height", "sum_r", "sum_g",
+            "sum_b", "bins", "denom")
+      val imgStripe = ints(mediaWsBase(spark, dir, 0)
+        .select(col("media_id"), mediaFrame(0).as("payload")))
+      val byteStripe = ints(Multimodal.asMediaTable(
+        table(spark, dir, "documents").filter(col("doc_id") % 3 === 1)))
+      imgStripe.unionAll(byteStripe)
+        .orderBy("media_id")
+        .limit(1000)
+    },
+
     // Multimodal frame sampling: byte-window signatures — exact oracle via
     // string substr (ASCII corpus: byte and char offsets coincide).
     Q("mm_frame_sample",

@@ -48,14 +48,14 @@ package object queries {
       *                          + fusion over engine state)
       *  - hybrid_search_ann   — same pipeline served from the persisted IVF
       *                          index (adds workspace state)
-      *  - mm_feature_extract  — decode is REAL for JDK codecs
-      *                          (PNG/JPEG/GIF/BMP via javax.imageio; the
-      *                          oracle-exact round-trips live in
-      *                          mm_image_decode/mm_wav_meta) but these
-      *                          features L1-normalize with float division
-      *                          — not bit-replayable in SQL; the corpus
-      *                          payloads also aren't images, so rows here
-      *                          exercise the fallback byte featurizer
+      *  - mm_feature_extract  — ONLY the L1 float normalization remains
+      *                          outside the SQL surface; the integer
+      *                          stage (sniffed path, width/height,
+      *                          mean-RGB numerators, luma/nibble counts)
+      *                          graduated to the exact oracle
+      *                          mm_feature_extract_int in round 9, with
+      *                          the image branch pinned end to end
+      *                          through real PNG encode + ImageIO decode
       *  - q_approx_distinct   — Spark HLL++ ≠ DuckDB approx sketch; the
       *                          estimate is algorithm-specific by design
       *  - stream_ingest       — structured-streaming micro-batch path;
