@@ -73,6 +73,7 @@ object SparkEntry {
     "dedup_containment", "text_word_entropy", "embed_standardize",
     "embed_psi_drift", "ml_confusion_matrix", "ml_ndcg_eval",
     "mm_energy_segments", "q_cohort_retention",
+    "mm_energy_segments_large", "mm_blockhash_large", "dedup_cdc_boundaries_large",
     "curation_pack_report",
     "text_quality_score", "text_langid", "text_lm_perplexity",
     "text_bigram_lift",

@@ -434,6 +434,48 @@ object DedupQueries {
         .limit(500)
     },
 
+    // The CDC boundary rule at ~1 MiB payloads (round-9 task 7): the
+    // full insert-realigning rolling-sum rule (ByteCdcBoundaries, one
+    // O(len) codegen pass) over the six-doc large fixture, pinned by the
+    // boundary-set moments — count, Σj, Σj², first/last — which shift on
+    // ANY divergent position. Content hashing stays pinned at base scale
+    // (dedup_cdc_chunks); hashing 1 MiB chunk contents in the oracle
+    // would be quadratic in DuckDB's code-point substr. Oracle replays
+    // the rolling sum as prefix-sum differences over LINEAR char-list
+    // rows (largeCharRowsSql).
+    Q("dedup_cdc_boundaries_large",
+      s"""WITH big AS ($largeDocsSql),
+         |$largeCharRowsSql,
+         |cpre AS (SELECT doc_id, j, sum(v) OVER (PARTITION BY doc_id ORDER BY j) AS pre FROM cbl),
+         |cws AS (SELECT doc_id, j,
+         |              pre - coalesce(lag(pre, 16) OVER (PARTITION BY doc_id ORDER BY j), 0) AS ws
+         |       FROM cpre),
+         |cbd AS (SELECT doc_id, j FROM cws WHERE j >= 16 AND ws % 64 = 0)
+         |SELECT b.doc_id AS doc_id, coalesce(count(d.j), 0) AS n_bounds,
+         |       coalesce(sum(d.j), 0)::BIGINT AS sum_pos,
+         |       coalesce(sum(d.j * d.j), 0)::BIGINT AS sum_possq,
+         |       coalesce(min(d.j), -1)::BIGINT AS first_bound,
+         |       coalesce(max(d.j), -1)::BIGINT AS last_bound,
+         |       length(b.text)::BIGINT AS n_bytes
+         |FROM big b LEFT JOIN cbd d ON d.doc_id = b.doc_id
+         |GROUP BY b.doc_id, length(b.text)
+         |ORDER BY b.doc_id""".stripMargin) { (spark, dir) =>
+      import graft.functions.BlobFunctions.byteCdcBoundaries
+      largeDocs(spark, dir)
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("bin"))
+        .withColumn("bd", byteCdcBoundaries(col("bin"), 16, 64))
+        .select(col("doc_id"),
+          size(col("bd")).cast("long").as("n_bounds"),
+          expr("aggregate(bd, 0L, (a, x) -> a + x)").as("sum_pos"),
+          // x is array<int>: square in LONG — int*int overflows past
+          // j ≈ 46k, and 1 MiB boundaries reach j ≈ 10^6
+          expr("aggregate(bd, 0L, (a, x) -> a + bigint(x) * bigint(x))").as("sum_possq"),
+          coalesce(array_min(col("bd")), lit(-1)).cast("long").as("first_bound"),
+          coalesce(array_max(col("bd")), lit(-1)).cast("long").as("last_bound"),
+          length(col("bin")).cast("long").as("n_bytes"))
+        .orderBy("doc_id")
+    },
+
     // The CDC savings report — what a storage/transfer layer actually
     // asks of CDC: per source, how many bytes does chunk-level dedup
     // save? total = every occurrence's bytes, unique = one copy per

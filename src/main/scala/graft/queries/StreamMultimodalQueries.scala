@@ -617,6 +617,84 @@ object StreamMultimodalQueries {
         .limit(1000)
     },
 
+    // mm_energy_segments at ~1 MiB payloads (round-9 task 7): the SAME
+    // segmentation semantics over the six-doc large-payload fixture, so
+    // the committed bench artifact measures the ByteWindowSums kernel's
+    // O(len) linearity at real media sizes (~16k windows/payload vs ~12
+    // at base scale) instead of only asserting it in the 1 MB unit spec.
+    // Oracle stays linear too: char-list rows (largeCharRowsSql), block
+    // sums by GROUP BY (j-1)//64 with full-window HAVING.
+    Q("mm_energy_segments_large",
+      s"""WITH big AS ($largeDocsSql),
+         |$largeCharRowsSql,
+         |w AS (SELECT doc_id AS media_id, (j - 1) // 64 AS i, sum(v)::BIGINT AS en
+         |      FROM cbl GROUP BY media_id, i HAVING count(*) = 64),
+         |act AS (SELECT media_id, i, en,
+         |          i - row_number() OVER (PARTITION BY media_id ORDER BY i) AS run
+         |        FROM w WHERE en >= 6050)
+         |SELECT media_id, min(i)::BIGINT AS start_win, count(*) AS n_win,
+         |       sum(en)::BIGINT AS energy_sum
+         |FROM act GROUP BY media_id, run
+         |ORDER BY media_id, start_win LIMIT 1000""".stripMargin) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val wins = largeDocs(spark, dir)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id").as("media_id"),
+          posexplode(graft.functions.BlobFunctions.byteWindowSums(
+            encode(col("text"), "UTF-8"), 64)))
+        .select(col("media_id"), col("pos").cast("long").as("i"),
+          col("col").as("en"))
+      val act = wins.filter(col("en") >= 6050)
+        .withColumn("run", col("i") - row_number().over(
+          Window.partitionBy("media_id").orderBy("i")))
+      act.groupBy(col("media_id"), col("run"))
+        .agg(min(col("i")).as("start_win"), count(lit(1)).as("n_win"),
+          sum(col("en")).as("energy_sum"))
+        .select(col("media_id"), col("start_win"), col("n_win"), col("energy_sum"))
+        .orderBy("media_id", "start_win")
+        .limit(1000)
+    },
+
+    // mm_blockhash's signature path at ~1 MiB payloads (round-9 task 7):
+    // the 60-bit block signature over the first 3840 bytes (identical
+    // rule to mm_blockhash_pairs) PLUS full-payload window stats, so the
+    // bench row pays the whole O(len) ByteWindowSums scan. Prefix blocks
+    // coincide with full-payload blocks i < 60 (non-overlapping windows
+    // at the same offsets), which keeps the oracle one shared block CTE.
+    Q("mm_blockhash_large",
+      s"""WITH big AS ($largeDocsSql),
+         |$largeCharRowsSql,
+         |w64 AS (SELECT doc_id AS media_id, (j - 1) // 64 AS i, sum(v)::BIGINT AS en
+         |        FROM cbl GROUP BY media_id, i HAVING count(*) = 64),
+         |pref AS (SELECT media_id, count(*)::BIGINT AS nwin, sum(en)::BIGINT AS total
+         |         FROM w64 WHERE i < 60 GROUP BY media_id),
+         |sig AS (SELECT w.media_id,
+         |          sum(CASE WHEN w.en * p.nwin > p.total THEN (1::BIGINT << w.i::INT) ELSE 0 END)::BIGINT AS bh
+         |        FROM w64 w JOIN pref p USING (media_id)
+         |        WHERE w.i < 60 GROUP BY w.media_id),
+         |full_s AS (SELECT media_id, count(*)::BIGINT AS n_windows, sum(en)::BIGINT AS byte_sum
+         |           FROM w64 GROUP BY media_id)
+         |SELECT s.media_id, s.bh, f.n_windows, f.byte_sum
+         |FROM sig s JOIN full_s f USING (media_id)
+         |ORDER BY media_id""".stripMargin) { (spark, dir) =>
+      largeDocs(spark, dir)
+        .filter(length(col("text")) >= 64)
+        .select(col("doc_id").as("media_id"), encode(col("text"), "UTF-8").as("payload"))
+        .select(col("media_id"),
+          graft.functions.BlobFunctions.byteWindowSums(
+            expr("substring(payload, 1, 3840)"), 64).as("ws"),
+          graft.functions.BlobFunctions.byteWindowSums(col("payload"), 64).as("aws"))
+        .filter(size(col("ws")) > 0)
+        .withColumn("nwin", size(col("ws")).cast("long"))
+        .withColumn("total", expr("aggregate(ws, 0L, (a, x) -> a + x)"))
+        .withColumn("bh", expr("aggregate(transform(slice(ws, 1, 60), " +
+          "(w, j) -> IF(w * nwin > total, shiftleft(1L, j), 0L)), 0L, (a, x) -> a + x)"))
+        .select(col("media_id"), col("bh"),
+          size(col("aws")).cast("long").as("n_windows"),
+          expr("aggregate(aws, 0L, (a, x) -> a + x)").as("byte_sum"))
+        .orderBy("media_id")
+    },
+
     // Multimodal A/V alignment: every video frame as-of-joined to the
     // latest audio window at-or-before its offset on the same track
     // (media_id div 3 pairs each video with its audio sibling in the

@@ -68,6 +68,39 @@ package object queries {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** ~1 MiB large-payload fixture corpus for the byte-window family's
+    * bench-scale linearity rows (round-9 task 7): six FIXED docs (ids
+    * present at every SF), text repeated to ≥ 1 MiB with the same
+    * integer repeat count in both engines — so the large variants carry
+    * exact oracles, and the committed bench artifact measures O(len)
+    * linearity on real-sized payloads instead of only asserting it in a
+    * unit spec. */
+  def largeDocs(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    table(spark, dir, "documents")
+      .filter(col("doc_id").isin(1L, 98L, 195L, 292L, 389L, 486L))
+      .select(col("doc_id"),
+        expr("repeat(coalesce(text, ''), cast(greatest(1, 1048576 div greatest(length(text), 1)) as int))")
+          .as("text"))
+  }
+
+  /** DuckDB twin of [[largeDocs]] (CTE body for `big(doc_id, text)`). */
+  val largeDocsSql: String =
+    """SELECT doc_id, repeat(coalesce(text, ''),
+      |         greatest(1, 1048576 // greatest(length(text), 1))::INT) AS text
+      |FROM documents WHERE doc_id IN (1, 98, 195, 292, 389, 486)""".stripMargin
+
+  /** DuckDB per-char rows over `big` — LINEAR at 1 MiB payloads: ONE
+    * regexp pass builds the char list ((?s) so newlines survive) and an
+    * indexed lambda attaches 1-based positions; the per-char
+    * `ascii(substr(text, j, 1))` idiom the smaller oracles use is an
+    * O(position) code-point scan and goes quadratic at this size.
+    * Defines CTEs lch and cbl(doc_id, j, v). */
+  val largeCharRowsSql: String =
+    """lch AS (SELECT doc_id, unnest(list_transform(regexp_extract_all(text, '(?s).'),
+      |                 (x, k) -> {'j': k, 'v': ascii(x)})) AS s FROM big),
+      |cbl AS (SELECT doc_id, s.j AS j, s.v AS v FROM lch)""".stripMargin
+
   /** (vec_id, embedding, bucket): the 8-bit sign-LSH signature, computed
     * scan-local against ONE broadcast hyperplane-array row (hyperplanes =
     * corpus vectors 8..15, the ann_lsh_bucketed scheme) — a fold per row,
