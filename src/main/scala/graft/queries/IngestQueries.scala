@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 import graft.embed.{Embedder, HashNgramEmbedder}
@@ -19,9 +20,11 @@ object IngestQueries {
 
   /** DuckDB replay of B2–B6 over corpus-synthesized glyphs — every phase
     * of the layout pipeline in window SQL (see the registration comment
-    * on `b2_b6_line_assembly`). */
-  private val B2B6OracleSql: String =
-    """WITH src AS (
+    * on `b2_b6_line_assembly`). The chain (shared with the B7 breadcrumb
+    * oracle) ends at bk (clean lines + block ids) and bl (per-page
+    * baseline). */
+  private val B2B6ChainSql: String =
+    """src AS (
       |  SELECT source,
       |         substr(regexp_replace(coalesce(text, ''), '[^ -~]', '', 'g'), 1, 160) AS clean,
       |         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pi
@@ -53,9 +56,23 @@ object IngestQueries {
       |         500.0 + t.n * 6 AS gl, 20.0 AS gt, 8.0 AS sz, 400 AS wt
       |  FROM src s CROSS JOIN range(4) t(n)
       |  WHERE t.n < length(s.pi::VARCHAR)),
+      |hdg AS (
+      |  SELECT s.source, s.pi,
+      |         CASE WHEN s.pi % 7 = 1 THEN 'Chapter ' || s.pi || ' intro'
+      |              WHEN s.pi % 7 = 3 THEN s.pi || '.2 methods'
+      |              WHEN s.pi % 7 = 5 THEN s.pi || '.2.1 details'
+      |              WHEN s.pi % 7 = 2 THEN 'notes and errata'
+      |              ELSE '' END AS ht
+      |  FROM src s),
+      |hg AS (
+      |  SELECT source, pi, substr(ht, t.n + 1, 1) AS ch,
+      |         60.0 + t.n * 6 AS gl, 640.0 AS gt, 20.0 AS sz, 700 AS wt
+      |  FROM hdg CROSS JOIN range(20) t(n)
+      |  WHERE t.n < length(ht) AND substr(ht, t.n + 1, 1) > ' '),
       |g AS (SELECT source, pi, ch, gl, gt, gl + 6 AS gr, gt - 10 AS gb, sz, wt FROM g1
       |      UNION ALL SELECT source, pi, ch, gl, gt, gl + 6, gt - 10, sz, wt FROM foot
-      |      UNION ALL SELECT source, pi, ch, gl, gt, gl + 6, gt - 10, sz, wt FROM pnum),
+      |      UNION ALL SELECT source, pi, ch, gl, gt, gl + 6, gt - 10, sz, wt FROM pnum
+      |      UNION ALL SELECT source, pi, ch, gl, gt, gl + 6, gt - 10, sz, wt FROM hg),
       |o AS (SELECT *, lag(gt) OVER (PARTITION BY source, pi ORDER BY gt DESC, gl) AS ptop FROM g),
       |clus AS (SELECT *, sum(CASE WHEN ptop IS NULL OR ptop - gt > 5.0 THEN 1 ELSE 0 END)
       |                OVER (PARTITION BY source, pi ORDER BY gt DESC, gl
@@ -103,13 +120,145 @@ object IngestQueries {
       |        SELECT source, pi, round(font_size)::BIGINT AS szr,
       |               row_number() OVER (PARTITION BY source, pi
       |                 ORDER BY count(*) DESC, round(font_size)::BIGINT ASC) AS rn
-      |        FROM fin GROUP BY source, pi, round(font_size)::BIGINT) WHERE rn = 1)
+      |        FROM fin GROUP BY source, pi, round(font_size)::BIGINT) WHERE rn = 1)""".stripMargin
+
+  private val B2B6OracleSql: String =
+    s"""WITH $B2B6ChainSql
       |SELECT k.source, k.pi::BIGINT AS page_num, k.seq::BIGINT AS seq, k.text,
       |       k.x_left, k.line_top, k.x_right, k.line_bottom, k.font_size,
       |       k.font_weight, k.block_idx::BIGINT AS block_idx, bl.baseline,
       |       (CASE WHEN k.twocol THEN 1 ELSE 0 END)::BIGINT AS two_col
       |FROM bk k JOIN bl USING (source, pi)
       |ORDER BY source, page_num, seq""".stripMargin
+
+  /** DuckDB replay of B7 — heading detection (the three numbering
+    * regexes + the short-block layout heuristics against B6's baseline)
+    * and the Chapter > Section > Subsection breadcrumb fold, expressed
+    * as windows instead of a recursive CTE: the tracker's reset rule
+    * ("a level-n heading clears deeper levels") is exactly "part k is
+    * the latest level-k heading iff it came AFTER every shallower
+    * level's latest heading", so three running-max positions + title
+    * joins replay the fold closed-form. */
+  private val B7OracleSql: String =
+    s"""WITH $B2B6ChainSql,
+      |blk AS (SELECT k.source, k.pi, k.block_idx,
+      |               string_agg(k.text, ' ' ORDER BY k.seq) AS btext,
+      |               count(*) AS n_lines, avg(k.font_size) AS afs,
+      |               avg(k.font_weight) AS aw
+      |        FROM bk k GROUP BY k.source, k.pi, k.block_idx),
+      |hd AS (SELECT blk.*, trim(btext) AS title,
+      |         CASE WHEN trim(btext) = '' THEN NULL
+      |              WHEN regexp_full_match(trim(btext), '(Chapter|CHAPTER|PART|Part)\\s+\\d+.*') THEN 1
+      |              WHEN regexp_full_match(trim(btext), '\\d+\\.\\d+\\.\\d+\\s+.*') THEN 3
+      |              WHEN regexp_full_match(trim(btext), '\\d+\\.\\d+\\s+.*') THEN 2
+      |              WHEN n_lines <= 3 AND length(trim(btext)) <= 120
+      |                   AND afs >= bl.baseline + 6 THEN 1
+      |              WHEN n_lines <= 3 AND length(trim(btext)) <= 120
+      |                   AND (afs >= bl.baseline + 3 OR aw > 600) THEN 2
+      |              ELSE NULL END AS lvl
+      |       FROM blk JOIN bl USING (source, pi)),
+      |pos AS (SELECT *, row_number() OVER (PARTITION BY source
+      |               ORDER BY pi, block_idx) AS pos
+      |        FROM hd),
+      |stt AS (SELECT *,
+      |          max(CASE WHEN lvl = 1 THEN pos END) OVER wf AS p1,
+      |          max(CASE WHEN lvl = 2 THEN pos END) OVER wf AS p2,
+      |          max(CASE WHEN lvl = 3 THEN pos END) OVER wf AS p3
+      |        FROM pos
+      |        WINDOW wf AS (PARTITION BY source ORDER BY pos
+      |                      ROWS UNBOUNDED PRECEDING)),
+      |crumbs AS (SELECT s.source, s.pi, s.block_idx, s.lvl,
+      |             t1.title AS part1,
+      |             CASE WHEN s.p2 > coalesce(s.p1, 0) THEN t2.title END AS part2,
+      |             CASE WHEN s.p3 > coalesce(s.p1, 0) AND s.p3 > coalesce(s.p2, 0)
+      |                  THEN t3.title END AS part3
+      |           FROM stt s
+      |           LEFT JOIN pos t1 ON t1.source = s.source AND t1.pos = s.p1
+      |           LEFT JOIN pos t2 ON t2.source = s.source AND t2.pos = s.p2
+      |           LEFT JOIN pos t3 ON t3.source = s.source AND t3.pos = s.p3)
+      |SELECT source, pi::BIGINT AS page_num, block_idx::BIGINT AS block_idx,
+      |       coalesce(lvl, 0)::BIGINT AS heading_level,
+      |       concat_ws(' > ', part1, part2, part3) AS path,
+      |       (CASE WHEN part3 IS NOT NULL THEN 3 WHEN part2 IS NOT NULL THEN 2
+      |             WHEN part1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS crumb_level
+      |FROM crumbs
+      |ORDER BY source, page_num, block_idx""".stripMargin
+
+  /** The sampled corpus slice the layout fixtures build from — modulus
+    * CO-PRIME to the corpus's source assignment (doc_id % 20): % 5 would
+    * silently restrict the sample to 4 sources at 25 pages each, pinning
+    * the footer-frequency branch permanently above the > 5 threshold. */
+  private def layoutDocs(spark: SparkSession, dir: String)
+      : org.apache.spark.sql.Dataset[(String, Seq[(Long, String)])] = {
+    import spark.implicits._
+    table(spark, dir, "documents")
+      .filter(col("doc_id") % 7 === 0)
+      .groupBy("source")
+      .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
+      .as[(String, Seq[(Long, String)])]
+  }
+
+  /** Per-page heading text for the synthetic layout fixture: three
+    * regex-pattern levels (chapter / section / subsection) plus ONE
+    * layout-only heading whose detected level depends on the page's B6
+    * baseline (size 20 vs mode 10/14/18 → level 1 where baseline ≤ 14,
+    * level 2 via the 700 weight where baseline = 18) — so B7's layout
+    * heuristics are exercised against B6's output, not just the regexes. */
+  private def layoutHeadingText(pi: Int): String =
+    if (pi % 7 == 1) s"Chapter $pi intro"
+    else if (pi % 7 == 3) s"$pi.2 methods"
+    else if (pi % 7 == 5) s"$pi.2.1 details"
+    else if (pi % 7 == 2) "notes and errata"
+    else ""
+
+  /** The deterministic glyph fixture shared by b2_b6_line_assembly and
+    * b7_heading_breadcrumbs (see the registration comment on the former
+    * for the full layout contract; [[B2B6ChainSql]] is its DuckDB twin).
+    * Pages are built through the REAL CharPdfExtractor.assembleLines
+    * fold. */
+  private def syntheticLayoutPages(ds: Seq[(Long, String)])
+      : Seq[graft.ingest.LayoutChunker.Page] = {
+    import graft.ingest.{CharPdfExtractor, LayoutChunker}
+    val ex = CharPdfExtractor()
+    ds.sortBy(_._1).zipWithIndex.map { case ((_, text0), pi0) =>
+      val pi = pi0 + 1
+      val clean = (if (text0 == null) "" else text0)
+        .replaceAll("[^ -~]", "").take(160)
+      val twocol = pi % 3 == 0
+      val body = clean.zipWithIndex.collect { case (ch, i) if ch > ' ' =>
+        val row = i / 40; val c = i % 40
+        val left =
+          if (twocol) { if (c < 20) 60.0 + c * 6 else 320.0 + (c - 20) * 6 }
+          else 72.0 + c * 6
+        // rows >= 2 drop an extra 30 pt — a > 15 pt vertical gap, so
+        // B5's block fold splits on every page with >= 3 body rows
+        val rowDrop = row * 14 + (if (row >= 2) 30 else 0)
+        val top =
+          if (twocol && c >= 20) 593.0 - rowDrop
+          else 600.0 - rowDrop + ((i % 3) - 1) * 1.5
+        (ch, left, top, left + 6, top - 10,
+          10.0 + ((row + pi) % 3) * 4, // page-varying sizes → B6's mode varies
+          if (row == 0) 700 else 400)
+      }.toSeq
+      // the heading row sits at 640 pt — outside the 15% margins (the
+      // repeated-noise rule must never eat it), a 38.5 pt row gap above
+      // the body (own line) and a 28.5 pt block gap (own B5 block);
+      // ≤ 20 chars keeps it inside the left half on two-column pages
+      val heading = layoutHeadingText(pi).zipWithIndex.collect {
+        case (ch, i) if ch > ' ' =>
+          (ch, 60.0 + i * 6, 640.0, 66.0 + i * 6, 630.0, 20.0, 700)
+      }.toSeq
+      val footer = "Confidential Report".zipWithIndex.collect {
+        case (ch, i) if ch > ' ' =>
+          (ch, 72.0 + i * 6, 40.0, 78.0 + i * 6, 30.0, 8.0, 400)
+      }.toSeq
+      val pageNum = pi.toString.zipWithIndex.map { case (ch, i) =>
+        (ch, 500.0 + i * 6, 20.0, 506.0 + i * 6, 10.0, 8.0, 400)
+      }
+      LayoutChunker.Page(pi, 600, 760,
+        ex.assembleGlyphs(heading ++ body ++ footer ++ pageNum, 760))
+    }
+  }
 
   val all: Seq[Q] = Seq(
 
@@ -239,48 +388,9 @@ object IngestQueries {
     // compare is bit-exact.
     Q("b2_b6_line_assembly", B2B6OracleSql) { (spark, dir) =>
       import spark.implicits._
-      import graft.ingest.{CharPdfExtractor, LayoutChunker}
-      // sample modulus CO-PRIME to the corpus's source assignment
-      // (doc_id % 20): % 5 would silently restrict the sample to 4
-      // sources at 25 pages each, pinning the footer-frequency branch
-      // permanently above the > 5 threshold
-      val docs = table(spark, dir, "documents")
-        .filter(col("doc_id") % 7 === 0)
-        .groupBy("source")
-        .agg(collect_list(struct(col("doc_id"), col("text"))).as("docs"))
-        .as[(String, Seq[(Long, String)])]
-      val ex = CharPdfExtractor()
-      docs.flatMap { case (source, ds) =>
-        val pages = ds.sortBy(_._1).zipWithIndex.map { case ((_, text0), pi0) =>
-          val pi = pi0 + 1
-          val clean = (if (text0 == null) "" else text0)
-            .replaceAll("[^ -~]", "").take(160)
-          val twocol = pi % 3 == 0
-          val body = clean.zipWithIndex.collect { case (ch, i) if ch > ' ' =>
-            val row = i / 40; val c = i % 40
-            val left =
-              if (twocol) { if (c < 20) 60.0 + c * 6 else 320.0 + (c - 20) * 6 }
-              else 72.0 + c * 6
-            // rows >= 2 drop an extra 30 pt — a > 15 pt vertical gap, so
-            // B5's block fold splits on every page with >= 3 body rows
-            val rowDrop = row * 14 + (if (row >= 2) 30 else 0)
-            val top =
-              if (twocol && c >= 20) 593.0 - rowDrop
-              else 600.0 - rowDrop + ((i % 3) - 1) * 1.5
-            (ch, left, top, left + 6, top - 10,
-              10.0 + ((row + pi) % 3) * 4, // page-varying sizes → B6's mode varies
-              if (row == 0) 700 else 400)
-          }.toSeq
-          val footer = "Confidential Report".zipWithIndex.collect {
-            case (ch, i) if ch > ' ' =>
-              (ch, 72.0 + i * 6, 40.0, 78.0 + i * 6, 30.0, 8.0, 400)
-          }.toSeq
-          val pageNum = pi.toString.zipWithIndex.map { case (ch, i) =>
-            (ch, 500.0 + i * 6, 20.0, 506.0 + i * 6, 10.0, 8.0, 400)
-          }
-          LayoutChunker.Page(pi, 600, 760,
-            ex.assembleGlyphs(body ++ footer ++ pageNum, 760))
-        }
+      import graft.ingest.LayoutChunker
+      layoutDocs(spark, dir).flatMap { case (source, ds) =>
+        val pages = syntheticLayoutPages(ds)
         val freq = LayoutChunker.headerFooterFrequency(pages)
         pages.flatMap { page =>
           val mid = page.width / 2.0
@@ -308,13 +418,51 @@ object IngestQueries {
         .orderBy("source", "page_num", "seq")
     },
 
+    // B7 — ORACLE-GREEN heading detection + breadcrumb fold (the optional
+    // half of round-9 task 4; anchor pdf_processor.cpp:253-296). Runs the
+    // REAL LayoutChunker.detectHeading + BreadcrumbTracker over the same
+    // glyph fixture as b2_b6_line_assembly — which now carries one
+    // heading row per pattern page: chapter/section/subsection regex
+    // levels plus a LAYOUT-ONLY heading whose level flips with the page's
+    // B6 baseline (level 1 where baseline ≤ 14 via size, level 2 where
+    // baseline = 18 via the bold rule), so the font heuristics are pinned
+    // against B6's output. The oracle replays the stateful tracker
+    // closed-form: part k of the breadcrumb is the latest level-k heading
+    // iff it came after every shallower level's latest heading.
+    Q("b7_heading_breadcrumbs", B7OracleSql) { (spark, dir) =>
+      import spark.implicits._
+      import graft.ingest.LayoutChunker
+      layoutDocs(spark, dir).flatMap { case (source, ds) =>
+        val pages = syntheticLayoutPages(ds)
+        val freq = LayoutChunker.headerFooterFrequency(pages)
+        val crumbs = new LayoutChunker.BreadcrumbTracker
+        val out = Seq.newBuilder[(String, Long, Long, Long, String, Long)]
+        pages.foreach { page =>
+          val ordered = LayoutChunker.reorderColumns(page)
+          val cleanLines = ordered.filterNot(l => LayoutChunker.isNoise(l, page, freq))
+          val blocks = LayoutChunker.assembleBlocks(cleanLines, page.pageNum)
+          val baseline = LayoutChunker.baselineFontSize(blocks)
+          blocks.zipWithIndex.foreach { case (b, bi) =>
+            val h = LayoutChunker.detectHeading(b, baseline)
+            h.foreach(crumbs.update)
+            out += ((source, page.pageNum.toLong, bi.toLong,
+              h.map(_.level.toLong).getOrElse(0L), crumbs.path, crumbs.level.toLong))
+          }
+        }
+        out.result()
+      }.toDF("source", "page_num", "block_idx", "heading_level", "path", "crumb_level")
+        .orderBy("source", "page_num", "block_idx")
+    },
+
     // B2–B8 — layout-aware chunking: synthetic page models built
     // deterministically from the corpus (each source = one document, each
     // doc = one page, lines laid out at 14pt pitch with a heading line per
     // page), run through the full per-document layout pipeline as a flatMap.
     // Rows-only check; LayoutChunkerSpec pins each heuristic. The B2–B6
-    // subset additionally carries an exact oracle (b2_b6_line_assembly
-    // above); the stateful B7 heading fold keeps this row rows-only.
+    // subset and the B7 heading/breadcrumb fold now carry exact oracles
+    // (b2_b6_line_assembly / b7_heading_breadcrumbs above); what keeps
+    // this row rows-only is the prose accumulation + TextChunker
+    // interleave (whose fold is pinned separately by b9_chunk_docs).
     Q.noOracle("b2_b8_layout_chunk") { (spark, dir) =>
       import spark.implicits._
       import graft.ingest.LayoutChunker
