@@ -176,6 +176,20 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(inc.head.lines.exists(_.text == "1 Introduction"))
   }
 
+  test("incremental-save precedence tolerates a bumped generation number (freed + reused object)") {
+    // updates normally keep gen 0 (PDF §7.5.6), but a freed-then-reused
+    // object number comes back at gen 1 — the object scan must not be
+    // gen-0-anchored (the pre-round-9 fontInfos regex was)
+    val base = new String(PdfSampleDoc.bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val upd = base +
+      "\n18 1 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Courier >>\nendobj\n"
+    val pages = CharPdfExtractor().extract("doc.pdf",
+      upd.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    // /F2 resolved through the gen-1 replacement: headings lose boldness
+    val head = pages.head.lines.find(_.text == "1 Introduction").get
+    assert(head.fontWeight == 400, "gen-1 font update was not honored")
+  }
+
   test("predictor unfiltering is exact for every PNG filter type and the TIFF path") {
     val rnd = new scala.util.Random(7)
     val data = Array.fill[Byte](1000)(rnd.nextInt(256).toByte)

@@ -369,6 +369,35 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("large-payload byte-window rows: kernel scan-local below the only exchanges, doc filter pushed to the scan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // (query, byte-kernel expression marker, max shuffles: the final
+      // 6-row sort — plus the media_id islands window for the energy
+      // segmentation)
+      val cases = Seq(
+        ("mm_blockhash_large", "byte_window_sums", 1),
+        ("dedup_cdc_boundaries_large", "byte_cdc_boundaries", 1),
+        ("mm_energy_segments_large", "byte_window_sums", 2))
+      cases.foreach { case (name, kernel, maxShuffles) =>
+        val qe = SparkEntry.queries(name)(spark, sf).queryExecution
+        val p = qe.executedPlan.toString
+        // the six-doc fixture filter reaches the parquet scan
+        assert(p.contains("PushedFilters: [In(doc_id"), s"$name: no pushed IN filter\n$p")
+        val shuffles = qe.executedPlan.collect { case e: ShuffleExchangeExec => e }
+        assert(shuffles.size <= maxShuffles,
+          s"$name: ${shuffles.size} shuffles (cap $maxShuffles) — the O(len) kernel must not shuffle payloads\n$p")
+        // every shuffle sits ABOVE the byte kernel: the 1 MiB payloads
+        // never cross an exchange; only compact derived rows do
+        shuffles.foreach { e =>
+          assert(e.child.exists(_.toString.contains(kernel)),
+            s"$name: byte kernel '$kernel' not below the exchange\n$p")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("token-budget selection: interior bins windowless, the cumsum input filtered to ONE boundary bin") {
     import org.apache.spark.sql.execution.window.WindowExec
     spark.conf.set("spark.sql.adaptive.enabled", "false")
