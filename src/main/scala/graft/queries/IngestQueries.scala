@@ -505,6 +505,47 @@ object IngestQueries {
           round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
         .orderBy("doc_id")
         .limit(1000)
+    },
+
+    // C1's hermetic stand-in, ORACLE-GREEN end to end (round 9): the
+    // deterministic hash-ngram embedder every downstream green query
+    // builds on — tokenization, per-occurrence word + char-trigram
+    // features, the seeded md5 coordinate hash (top 8 bytes big-endian,
+    // h>>>1 mod dim, sign from the low bit), signed accumulation and the
+    // exact L2 normalization op sequence (1/sqrt then multiply, stored
+    // as float32) — replayed coordinate by coordinate in DuckDB and
+    // micro-floored. The HTTP provider boundary itself stays rows-only
+    // (c1_embed_docs); this pins the contract the hermetic tests and
+    // benchmarks actually run on.
+    Q("c1_embed_hash_coords",
+      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text
+        |           FROM documents WHERE doc_id % 37 = 5),
+        |tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM d),
+        |feat AS (SELECT doc_id, 'w:' || tok AS f FROM tk
+        |         UNION ALL
+        |         SELECT doc_id, 'c:' || substr(tok, i::INT + 1, 3) AS f
+        |         FROM tk, unnest(range(greatest(length(tok) - 2, 0))) AS u(i)
+        |         WHERE length(tok) >= 3),
+        |h AS (SELECT doc_id, ('0x' || substr(md5('42:' || f), 1, 16))::UBIGINT AS hu FROM feat),
+        |cs AS (SELECT doc_id, ((hu // 2) % 64)::BIGINT AS idx,
+        |              sum(CASE WHEN hu % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS cnt
+        |       FROM h GROUP BY doc_id, idx),
+        |dense AS (SELECT d.doc_id, t.i AS idx, coalesce(cs.cnt, 0) AS cnt
+        |          FROM d CROSS JOIN range(64) t(i)
+        |          LEFT JOIN cs ON cs.doc_id = d.doc_id AND cs.idx = t.i),
+        |nrm AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS n2 FROM dense GROUP BY doc_id)
+        |SELECT dense.doc_id, dense.idx::BIGINT AS idx,
+        |       floor((CASE WHEN nrm.n2 = 0 THEN 0.0
+        |              ELSE (dense.cnt::DOUBLE * (1.0 / sqrt(nrm.n2::DOUBLE)))::REAL::DOUBLE
+        |              END) * 1000000)::BIGINT AS val_micro
+        |FROM dense JOIN nrm USING (doc_id)
+        |ORDER BY doc_id, idx""".stripMargin) { (spark, dir) =>
+      val docs = table(spark, dir, "documents").filter(col("doc_id") % 37 === 5)
+      Embedder.embedText(docs, "text", HashNgramEmbedder(dim = 64))
+        .select(col("doc_id"), posexplode(col("embedding")))
+        .select(col("doc_id"), col("pos").cast("long").as("idx"),
+          floor(col("col").cast("double") * 1000000).cast("long").as("val_micro"))
+        .orderBy("doc_id", "idx")
     }
   )
 }

@@ -31,7 +31,11 @@ package object queries {
       *                          blocks, baseline font) graduated to the
       *                          exact window-SQL oracle b2_b6_line_assembly
       *                          in round 9
-      *  - c1_embed_docs       — the pluggable embedder model boundary
+      *  - c1_embed_docs       — the pluggable HTTP embedder model
+      *                          boundary; the deterministic hash-ngram
+      *                          stand-in itself graduated to the exact
+      *                          coordinate-level oracle
+      *                          c1_embed_hash_coords in round 9
       *  - c4_summarize_sections — summary model boundary over engine state
       *  - d11_exploration     — needs engine query-HISTORY state (stability
       *                          memo across repeated searches)
