@@ -454,16 +454,20 @@ object IngestQueries {
         .orderBy("source", "page_num", "block_idx")
     },
 
-    // B2–B8 — layout-aware chunking: synthetic page models built
-    // deterministically from the corpus (each source = one document, each
-    // doc = one page, lines laid out at 14pt pitch with a heading line per
-    // page), run through the full per-document layout pipeline as a flatMap.
-    // Rows-only check; LayoutChunkerSpec pins each heuristic. The B2–B6
-    // subset and the B7 heading/breadcrumb fold now carry exact oracles
-    // (b2_b6_line_assembly / b7_heading_breadcrumbs above); what keeps
-    // this row rows-only is the prose accumulation + TextChunker
-    // interleave (whose fold is pinned separately by b9_chunk_docs).
-    Q.noOracle("b2_b8_layout_chunk") { (spark, dir) =>
+    // B2–B8 — the FULL layout-aware chunking pipeline, ORACLE-GREEN
+    // (round 9; previously the last rows-only layout row): synthetic page
+    // models built deterministically from the corpus (each source = one
+    // document, each doc = one page, lines at 14pt pitch, a chapter
+    // heading every 5th page), run through the REAL chunkDocument — B1
+    // frequency noise, block reassembly, baseline font, B7 heading +
+    // breadcrumb state, B8 classification, prose accumulation and the
+    // TextChunker fold — while B2B8OracleSql replays every phase in SQL
+    // (the B9 recursive CTE re-keyed per prose run; see the object's
+    // Scaladoc). The heading-noise branch flips between SFs: at sf0.01
+    // each source has 5 chapter pages (freq = 5, kept), at sf0.1 fifty
+    // (freq > 5 + top margin, dropped — breadcrumbs go empty and prose
+    // runs span whole sources), and both states hash-match.
+    Q("b2_b8_layout_chunk", B2B8OracleSql.sql) { (spark, dir) =>
       import spark.implicits._
       import graft.ingest.LayoutChunker
       val docs = table(spark, dir, "documents")
@@ -484,8 +488,8 @@ object IngestQueries {
           LayoutChunker.Page(pi + 1, 600, 2000, heading ++ body)
         }
         LayoutChunker.chunkDocument(pages).zipWithIndex.map { case (c, i) =>
-          (source, i, c.pageNum, c.headingPath, c.headingLevel, c.chunkType,
-            c.text.length, c.sentenceCount)
+          (source, i.toLong, c.pageNum.toLong, c.headingPath, c.headingLevel.toLong,
+            c.chunkType, c.text.length.toLong, c.sentenceCount.toLong)
         }
       }.toDF("source", "chunk_idx", "page_num", "heading_path", "heading_level",
           "chunk_type", "chunk_len", "sentence_count")
@@ -550,16 +554,163 @@ object IngestQueries {
   )
 }
 
+/** The b2_b8 FULL-pipeline oracle (round 9): B1-B9 replayed end to end —
+  * line synthesis, the header/footer frequency noise pass, gap-fold
+  * blocks, baseline font mode, B7 heading detection + the closed-form
+  * breadcrumb windows, B8 classification (code score / table / lists /
+  * definition / theorem / generic kinds), prose-run delimitation by
+  * trigger blocks (headings and non-text emissions), the TextChunker
+  * fold re-keyed per prose run through [[B9OracleSql.foldCtes]], and the
+  * exact emission interleave (a run's chunks flush BEFORE its trigger's
+  * standalone row; breadcrumbs read the state one block earlier so a
+  * heading's own update never labels the prose it flushed). */
+private object B2B8OracleSql {
+  def sql: String =
+    """WITH RECURSIVE
+    |pg AS (SELECT source, coalesce(text, '') AS text,
+    |              row_number() OVER (PARTITION BY source ORDER BY doc_id) AS pi
+    |       FROM documents),
+    |ln AS (
+    |  SELECT source, pi, 'Chapter ' || ((pi - 1) // 5 + 1) || ' ' || source AS ltext,
+    |         40.0::DOUBLE AS top, 60.0::DOUBLE AS bot, 20.0::DOUBLE AS fs, 700 AS fw, 0 AS lno
+    |  FROM pg WHERE (pi - 1) % 5 = 0
+    |  UNION ALL
+    |  SELECT source, pi, substr(text, (i * 80 + 1)::INT, 80) AS ltext,
+    |         (100.0 + 14 * i)::DOUBLE AS top, (112.0 + 14 * i)::DOUBLE AS bot, 12.0::DOUBLE AS fs, 400 AS fw, (i + 1)::INT AS lno
+    |  FROM pg, unnest(range((length(text) + 79) // 80)) AS u(i)),
+    |lnn AS (SELECT *, trim(regexp_replace(lower(ltext), '[0-9]+', '', 'g')) AS norm FROM ln),
+    |frq AS (SELECT source, norm, count(DISTINCT pi) AS freq
+    |        FROM lnn WHERE norm <> '' GROUP BY source, norm),
+    |kept AS (SELECT *, row_number() OVER (PARTITION BY source, pi ORDER BY lno) - 1 AS seq
+    |         FROM (SELECT l.*,
+    |                 CASE WHEN coalesce(f.freq, 0) > 5 AND
+    |                           (l.top <= 2000 * 0.15 OR l.bot >= 2000 * (1.0 - 0.15)) THEN 1
+    |                      WHEN regexp_full_match(trim(l.ltext), '[0-9]{1,4}') THEN 1
+    |                      ELSE 0 END AS noise
+    |               FROM lnn l LEFT JOIN frq f ON f.source = l.source AND f.norm = l.norm)
+    |         WHERE noise = 0),
+    |bk2 AS (SELECT *, sum(CASE WHEN pbot IS NOT NULL AND top - pbot > 15.0 THEN 1 ELSE 0 END)
+    |               OVER (PARTITION BY source, pi ORDER BY seq ROWS UNBOUNDED PRECEDING) AS bidx
+    |        FROM (SELECT *, lag(bot) OVER (PARTITION BY source, pi ORDER BY seq) AS pbot FROM kept)),
+    |bl2 AS (SELECT source, pi, szr AS baseline FROM (
+    |         SELECT source, pi, round(fs)::BIGINT AS szr,
+    |                row_number() OVER (PARTITION BY source, pi
+    |                  ORDER BY count(*) DESC, round(fs)::BIGINT ASC) AS rn
+    |         FROM bk2 GROUP BY source, pi, round(fs)::BIGINT) WHERE rn = 1),
+    |blk AS (SELECT source, pi, bidx,
+    |               string_agg(ltext, ' ' ORDER BY seq) AS btext,
+    |               count(*) AS n_lines, avg(fs) AS afs, avg(fw) AS aw,
+    |               sum(CASE WHEN ltext LIKE '  %' THEN 1 ELSE 0 END) AS n_indent,
+    |               sum(CASE WHEN regexp_full_match(ltext, '\s*[-•*]\s+.*') THEN 1 ELSE 0 END) AS n_bullet,
+    |               sum(CASE WHEN regexp_full_match(ltext, '\s*\d+[.)]\s+.*') THEN 1 ELSE 0 END) AS n_numbered
+    |        FROM bk2 GROUP BY source, pi, bidx),
+    |hd AS (SELECT blk.*, bl2.baseline, trim(btext) AS t,
+    |         CASE WHEN trim(btext) = '' THEN NULL
+    |              WHEN regexp_full_match(trim(btext), '(Chapter|CHAPTER|PART|Part)\s+\d+.*') THEN 1
+    |              WHEN regexp_full_match(trim(btext), '\d+\.\d+\.\d+\s+.*') THEN 3
+    |              WHEN regexp_full_match(trim(btext), '\d+\.\d+\s+.*') THEN 2
+    |              WHEN n_lines <= 3 AND length(trim(btext)) <= 120 AND afs >= bl2.baseline + 6 THEN 1
+    |              WHEN n_lines <= 3 AND length(trim(btext)) <= 120
+    |                   AND (afs >= bl2.baseline + 3 OR aw > 600) THEN 2
+    |              ELSE NULL END AS hlvl
+    |       FROM blk JOIN bl2 USING (source, pi)),
+    |typ AS (SELECT *,
+    |          (CASE WHEN length(btext) - length(regexp_replace(btext, '[{}()\[\];=<>+*/&|-]', '', 'g')) > 2 * greatest(n_lines, 1) THEN 4 ELSE 0 END +
+    |           CASE WHEN regexp_matches(btext, '\b(def|class|return|import|void|int|for|while|function|var|let|const)\b') THEN 3 ELSE 0 END +
+    |           CASE WHEN n_indent * 2 >= greatest(n_lines, 1) THEN 3 ELSE 0 END) AS code_score,
+    |          length(btext) - length(regexp_replace(btext, '[0-9]', '', 'g')) AS digits,
+    |          length(btext) - length(regexp_replace(btext, '\.', '', 'g')) AS periods,
+    |          greatest(n_lines, 1) AS nl
+    |        FROM hd),
+    |cty AS (SELECT *, CASE
+    |          WHEN hlvl IS NOT NULL THEN 'heading'
+    |          WHEN code_score >= 5 THEN 'code'
+    |          WHEN digits > 3 * nl AND periods < nl THEN 'table'
+    |          WHEN n_bullet * 2 >= nl AND n_bullet >= 2 THEN 'list'
+    |          WHEN n_numbered * 2 >= nl AND n_numbered >= 2 THEN 'list'
+    |          WHEN regexp_full_match(t, '(Definition|DEFINITION)[:.\s].*') THEN 'definition'
+    |          WHEN regexp_full_match(t, '(Theorem|Lemma|Corollary|Proof|THEOREM)[:.\s].*') THEN 'theorem'
+    |          WHEN regexp_full_match(t, '(Definition|Example|Theorem|Summary|Exercise|Corollary|Lemma|Proof)\b.*')
+    |               THEN lower(regexp_extract(t, '^[A-Za-z]+'))
+    |          ELSE 'text' END AS ctyp
+    |        FROM typ),
+    |pos AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY pi, bidx) AS pos FROM cty),
+    |stt AS (SELECT *,
+    |          max(CASE WHEN hlvl = 1 THEN pos END) OVER wf AS p1,
+    |          max(CASE WHEN hlvl = 2 THEN pos END) OVER wf AS p2,
+    |          max(CASE WHEN hlvl = 3 THEN pos END) OVER wf AS p3
+    |        FROM pos WINDOW wf AS (PARTITION BY source ORDER BY pos ROWS UNBOUNDED PRECEDING)),
+    |pthv AS (SELECT source, pos,
+    |           concat_ws(' > ', part1, part2, part3) AS path,
+    |           CASE WHEN part3 IS NOT NULL THEN 3 WHEN part2 IS NOT NULL THEN 2
+    |                WHEN part1 IS NOT NULL THEN 1 ELSE 0 END AS plevel
+    |         FROM (SELECT s.source, s.pos, t1.t AS part1,
+    |                 CASE WHEN s.p2 > coalesce(s.p1, 0) THEN t2.t END AS part2,
+    |                 CASE WHEN s.p3 > coalesce(s.p1, 0) AND s.p3 > coalesce(s.p2, 0) THEN t3.t END AS part3
+    |               FROM stt s
+    |               LEFT JOIN pos t1 ON t1.source = s.source AND t1.pos = s.p1
+    |               LEFT JOIN pos t2 ON t2.source = s.source AND t2.pos = s.p2
+    |               LEFT JOIN pos t3 ON t3.source = s.source AND t3.pos = s.p3)),
+    |trg AS (SELECT source, pos, row_number() OVER (PARTITION BY source ORDER BY pos) AS tno
+    |        FROM pos WHERE hlvl IS NOT NULL OR ctyp <> 'text'),
+    |maxp AS (SELECT source, max(pos) AS mx FROM pos GROUP BY source),
+    |runs0 AS (SELECT *, coalesce(sum(CASE WHEN hlvl IS NOT NULL OR ctyp <> 'text' THEN 1 ELSE 0 END)
+    |                 OVER (PARTITION BY source ORDER BY pos
+    |                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS rid
+    |          FROM pos),
+    |run AS (SELECT source, rid, min(pi) AS start_page, string_agg(btext, ' ' ORDER BY pos) AS rtext
+    |        FROM runs0 WHERE hlvl IS NULL AND ctyp = 'text' GROUP BY source, rid),
+    |rend AS (SELECT r.*, coalesce(tg.pos, mp.mx + 1) AS emit_pos
+    |         FROM run r
+    |         LEFT JOIN trg tg ON tg.source = r.source AND tg.tno = r.rid + 1
+    |         JOIN maxp mp ON mp.source = r.source),
+    |sec AS (SELECT source || chr(2) || rid AS source, rtext AS text
+    |        FROM rend
+    |        WHERE length(trim(rtext, chr(32) || chr(9) || chr(10) || chr(13))) > 3),
+    |""".stripMargin + B9OracleSql.foldCtes + """,
+    |pemit AS (SELECT r.source, r.rid, r.emit_pos, r.start_page,
+    |                 c.chunk_idx, c.chunk_len, c.sentence_count
+    |          FROM rend r JOIN chunks c ON c.source = r.source || chr(2) || r.rid),
+    |semit AS (SELECT source, pos AS emit_pos, pi, ctyp, length(btext) AS clen,
+    |                 greatest(len(list_filter(string_split(regexp_replace(btext, '([.?!])\s+', '\1' || chr(1), 'g'), chr(1)), x -> length(x) > 0)), 1) AS scnt
+    |          FROM pos WHERE hlvl IS NULL AND ctyp <> 'text'),
+    |emits AS (
+    |  SELECT p.source, p.emit_pos, 0 AS kind, p.chunk_idx AS sub, p.start_page AS page_num,
+    |         coalesce(v.path, '') AS path, coalesce(v.plevel, 0) AS plevel,
+    |         'text' AS ctyp, p.chunk_len AS clen, p.sentence_count AS scnt
+    |  FROM pemit p LEFT JOIN pthv v ON v.source = p.source AND v.pos = p.emit_pos - 1
+    |  UNION ALL
+    |  SELECT s.source, s.emit_pos, 1, 0, s.pi, coalesce(v.path, ''), coalesce(v.plevel, 0),
+    |         s.ctyp, s.clen, s.scnt
+    |  FROM semit s LEFT JOIN pthv v ON v.source = s.source AND v.pos = s.emit_pos)
+    |SELECT source,
+    |       row_number() OVER (PARTITION BY source ORDER BY emit_pos, kind, sub) - 1 AS chunk_idx,
+    |       page_num::BIGINT AS page_num, path AS heading_path, plevel::BIGINT AS heading_level,
+    |       ctyp AS chunk_type, clen::BIGINT AS chunk_len, scnt::BIGINT AS sentence_count
+    |FROM emits ORDER BY source, chunk_idx""".stripMargin
+}
+
 /** The b9_chunk_docs oracle: the TextChunker fold replayed as a DuckDB
   * recursive CTE (see the query's comment). Kept in its own object — the
-  * state machine is long, and the SQL is the spec. */
+  * state machine is long, and the SQL is the spec. [[foldCtes]] exposes
+  * the fold over an arbitrary `sec(source, text)` input so the b2_b8
+  * full-pipeline oracle can re-key it per prose run. */
 private object B9OracleSql {
-  val sql: String =
+  def sql: String =
     """WITH RECURSIVE
     |sec AS (
     |  SELECT source, string_agg(text, '. ' ORDER BY doc_id) AS text
     |  FROM documents GROUP BY source),
-    |secl AS (
+    |""".stripMargin + foldCtes + """
+    |SELECT source, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_len, sentence_count
+    |FROM chunks ORDER BY source, chunk_idx""".stripMargin
+
+  /** The TextChunker state machine (target 800 / hard max 1500 / overlap
+    * 160) as CTEs secl → sent → st → terminal → chunks over a preceding
+    * `sec(source, text)` CTE. `chunks` yields (source, chunk_idx,
+    * chunk_len, sentence_count) with per-section 0-based indices. */
+  val foldCtes: String =
+    """secl AS (
     |  SELECT source,
     |         list_filter(string_split(regexp_replace(text, '([.?!])\s+', '\1' || chr(1), 'g'), chr(1)),
     |                     x -> length(x) > 0) AS lst
@@ -632,7 +783,5 @@ private object B9OracleSql {
     |  SELECT source, idx, CAST(length(acc) AS BIGINT), CAST(greatest(naccs, 1) AS BIGINT)
     |  FROM terminal
     |  WHERE fresh AND (length(trim(acc, chr(32) || chr(9) || chr(10) || chr(13))) > 20
-    |                   OR (idx = 0 AND length(trim(acc, chr(32) || chr(9) || chr(10) || chr(13))) > 0)))
-    |SELECT source, CAST(chunk_idx AS BIGINT) AS chunk_idx, chunk_len, sentence_count
-    |FROM chunks ORDER BY source, chunk_idx""".stripMargin
+    |                   OR (idx = 0 AND length(trim(acc, chr(32) || chr(9) || chr(10) || chr(13))) > 0)))""".stripMargin
 }

@@ -19,18 +19,16 @@ package object queries {
 
     /** Register rows-only: the driver checks rows > 0 and the semantics are
       * pinned by specs instead of a DuckDB replay. Every such registration
-      * has a structural reason — the current 16, one line each
+      * has a structural reason — the current 15, one line each
       * (b9_chunk_docs graduated to an exact recursive-CTE oracle in
-      * round 8 — the fold replays in SQL like d10's greedy MMR):
+      * round 8; round 9 graduated the ENTIRE layout family —
+      * b2_b6_line_assembly, b7_heading_breadcrumbs, and b2_b8_layout_chunk
+      * itself via the per-prose-run re-keyed TextChunker CTE — plus the
+      * hash-ngram embedder as c1_embed_hash_coords and the integer stage
+      * of mm_feature_extract):
       *
       *  - a1_pdf_ingest       — consumes PDF BYTES via the in-repo extractor;
       *                          byte-parity pinned by fixture twins
-      *  - b2_b8_layout_chunk  — the FULL layout pipeline incl. the stateful
-      *                          B7 heading fold; the B2–B6 subset (line
-      *                          assembly, column reorder, noise filter,
-      *                          blocks, baseline font) graduated to the
-      *                          exact window-SQL oracle b2_b6_line_assembly
-      *                          in round 9
       *  - c1_embed_docs       — the pluggable HTTP embedder model
       *                          boundary; the deterministic hash-ngram
       *                          stand-in itself graduated to the exact
