@@ -722,7 +722,7 @@ private object B9OracleSql {
     |  SELECT source, 1 AS i, lst[1] AS pend,
     |         '' AS acc, 0 AS naccs, FALSE AS fresh, 0 AS idx,
     |         CAST(NULL AS INT) AS e_idx, CAST(NULL AS BIGINT) AS e_len,
-    |         CAST(NULL AS BIGINT) AS e_scnt, 0 AS step
+    |         CAST(NULL AS BIGINT) AS e_scnt, CAST(NULL AS VARCHAR) AS e_txt, 0 AS step
     |  FROM secl WHERE len(lst) > 0
     |  UNION ALL
     |  SELECT
@@ -746,6 +746,7 @@ private object B9OracleSql {
     |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN q.idx ELSE NULL END AS e_idx,
     |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN CAST(length(q.newacc) AS BIGINT) ELSE NULL END AS e_len,
     |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN CAST(greatest(q.naccs + 1, 1) AS BIGINT) ELSE NULL END AS e_scnt,
+    |    CASE WHEN NOT q.adv AND l.emit_now AND m.emitted THEN q.newacc ELSE NULL END AS e_txt,
     |    q.step + 1 AS step
     |  FROM (
     |    SELECT st.*, ns.s AS ns,
@@ -777,10 +778,11 @@ private object B9OracleSql {
     |    SELECT *, row_number() OVER (PARTITION BY source ORDER BY step DESC) AS rn FROM st) t
     |  WHERE rn = 1),
     |chunks AS (
-    |  SELECT source, e_idx AS chunk_idx, e_len AS chunk_len, e_scnt AS sentence_count
+    |  SELECT source, e_idx AS chunk_idx, e_len AS chunk_len, e_scnt AS sentence_count,
+    |         e_txt AS chunk_text
     |  FROM st WHERE e_idx IS NOT NULL
     |  UNION ALL
-    |  SELECT source, idx, CAST(length(acc) AS BIGINT), CAST(greatest(naccs, 1) AS BIGINT)
+    |  SELECT source, idx, CAST(length(acc) AS BIGINT), CAST(greatest(naccs, 1) AS BIGINT), acc
     |  FROM terminal
     |  WHERE fresh AND (length(trim(acc, chr(32) || chr(9) || chr(10) || chr(13))) > 20
     |                   OR (idx = 0 AND length(trim(acc, chr(32) || chr(9) || chr(10) || chr(13))) > 0)))""".stripMargin

@@ -102,13 +102,38 @@ object PostQueries {
         .orderBy("rank")
     },
 
-    // C4 — section summarization re-indexed as chunk_type='summary' rows
-    // (extractive stand-in model; same pipeline shape as the LLM path).
-    Q.noOracle("c4_summarize_sections") { (spark, dir) =>
+    // C4 — section summarization re-indexed as chunk_type='summary' rows,
+    // ORACLE-GREEN (round 9; previously rows-only for the model
+    // boundary): the extractive stand-in is first-3-sentences over the
+    // per-(doc, heading) section concat capped at 5000 chars, and every
+    // upstream stage is now replayable — the chunk TEXTS come from the
+    // TextChunker recursive CTE (foldCtes gained a chunk_text column),
+    // sections re-join and the b9 sentence-split mirror takes the first
+    // three. The LLM summary boundary itself remains exactly as pluggable
+    // as the reference's; this pins the hermetic path end to end.
+    Q("c4_summarize_sections",
+      """WITH RECURSIVE
+        |sec AS (SELECT doc_id::VARCHAR AS source, coalesce(text, '') AS text FROM documents),
+        |""".stripMargin + graft.queries.B9OracleSql.foldCtes + """,
+        |ch AS (SELECT c.source AS doc_id, d.src AS heading_path, c.chunk_idx, c.chunk_text
+        |       FROM chunks c JOIN (SELECT doc_id::VARCHAR AS id, source AS src FROM documents) d
+        |         ON d.id = c.source
+        |       WHERE length(c.chunk_text) > 5),
+        |secs AS (SELECT doc_id, heading_path,
+        |                string_agg(chunk_text, chr(10) ORDER BY chunk_idx) AS section_text
+        |         FROM ch GROUP BY doc_id, heading_path),
+        |summ AS (SELECT doc_id, heading_path,
+        |           list_filter(string_split(regexp_replace(substr(section_text, 1, 5000),
+        |             '([.?!])\s+', '\1' || chr(1), 'g'), chr(1)), x -> length(x) > 0) AS sl
+        |         FROM secs)
+        |SELECT doc_id, heading_path, 'summary' AS chunk_type, 1 AS heading_level,
+        |       length(array_to_string(sl[1:least(len(sl), 3)], ' ')) AS summary_len,
+        |       64 AS model_dim
+        |FROM summ ORDER BY doc_id, heading_path LIMIT 1000""".stripMargin) { (spark, dir) =>
       val chunks = EngineQueries.chunksFor(spark, dir)
       Summarizer.summaryRows(chunks, ExtractiveSummaryModel(), embedder)
         .select(col("doc_id"), col("heading_path"), col("chunk_type"),
-          col("heading_level"), length(col("summary")).as("summary_len"),
+          col("heading_level"), length(col("summary")).cast("long").as("summary_len"),
           size(col("embedding")).as("model_dim"))
         .orderBy("doc_id", "heading_path")
         .limit(1000)
