@@ -287,8 +287,58 @@ object EngineQueries {
       }.toDF("batch", "idx", "calibrated_micro", "is_frozen", "mean_micro")
     },
 
-    // E5 — greedy single-link semantic clustering of retrieved contexts.
-    Q.noOracle("e5_fact_clustering") { (spark, dir) =>
+    // E5 — greedy single-link semantic clustering of retrieved contexts,
+    // ORACLE-GREEN (round 9): the five-text fixture embeds through the
+    // REAL hash-ngram embedder and clusters via Synthesis.clusterContexts;
+    // DuckDB replays the embedder coordinate-exact (the
+    // c1_embed_hash_coords machinery over a VALUES table), the ordered
+    // double-fold cosine, and the greedy anchor fold as a recursive CTE
+    // (anchors accumulate in index order; a member joins the FIRST anchor
+    // whose cosine clears 0.85 — single-link, not transitive closure).
+    Q("e5_fact_clustering",
+      """WITH RECURSIVE
+        |txts(ctx_idx, text) AS (VALUES (0::BIGINT, 'the merge window hash'), (1, 'the merge window hash!'),
+        |  (2, 'scan sort filter table'), (3, 'scan sort filter tables'), (4, 'completely unrelated payload')),
+        |tk AS (SELECT ctx_idx, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM txts),
+        |feat AS (SELECT ctx_idx, 'w:' || tok AS f FROM tk
+        |         UNION ALL
+        |         SELECT ctx_idx, 'c:' || substr(tok, i::INT + 1, 3)
+        |         FROM tk, unnest(range(greatest(length(tok) - 2, 0))) AS u(i)
+        |         WHERE length(tok) >= 3),
+        |h AS (SELECT ctx_idx, ('0x' || substr(md5('42:' || f), 1, 16))::UBIGINT AS hu FROM feat),
+        |cs AS (SELECT ctx_idx, ((hu // 2) % 64)::BIGINT AS idx,
+        |              sum(CASE WHEN hu % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS cnt
+        |       FROM h GROUP BY ctx_idx, idx),
+        |dense AS (SELECT t.ctx_idx, u.i AS idx, coalesce(cs.cnt, 0) AS cnt
+        |          FROM txts t CROSS JOIN range(64) u(i)
+        |          LEFT JOIN cs ON cs.ctx_idx = t.ctx_idx AND cs.idx = u.i),
+        |nrm AS (SELECT ctx_idx, sum(cnt * cnt)::BIGINT AS n2 FROM dense GROUP BY ctx_idx),
+        |emb AS (SELECT d.ctx_idx,
+        |               list((((d.cnt::DOUBLE * (CASE WHEN n.n2 = 0 THEN 0.0 ELSE 1.0 / sqrt(n.n2::DOUBLE) END))::REAL)::DOUBLE) ORDER BY d.idx) AS v
+        |        FROM dense d JOIN nrm n USING (ctx_idx) GROUP BY d.ctx_idx),
+        |pair AS (SELECT a.ctx_idx AS ai, b.ctx_idx AS bi,
+        |           list_aggregate(list_transform(range(64), i -> a.v[i+1] * b.v[i+1]), 'sum') AS dot,
+        |           list_aggregate(list_transform(range(64), i -> a.v[i+1] * a.v[i+1]), 'sum') AS na,
+        |           list_aggregate(list_transform(range(64), i -> b.v[i+1] * b.v[i+1]), 'sum') AS nb
+        |         FROM emb a JOIN emb b ON b.ctx_idx > a.ctx_idx),
+        |edge AS (SELECT ai, bi FROM pair
+        |         WHERE na <> 0.0 AND nb <> 0.0 AND dot / (sqrt(na) * sqrt(nb)) > 0.85),
+        |greedy AS (
+        |  SELECT 0::BIGINT AS i, [0::BIGINT] AS anchors
+        |  UNION ALL
+        |  SELECT g.i + 1,
+        |         CASE WHEN (SELECT count(*) FROM edge e
+        |                    WHERE e.bi = g.i + 1 AND list_contains(g.anchors, e.ai)) > 0
+        |              THEN g.anchors ELSE list_append(g.anchors, g.i + 1) END
+        |  FROM greedy g WHERE g.i < 4),
+        |fin AS (SELECT anchors FROM greedy WHERE i = 4),
+        |asg AS (SELECT t.ctx_idx, t.text,
+        |          CASE WHEN list_contains(f.anchors, t.ctx_idx)
+        |               THEN list_position(f.anchors, t.ctx_idx) - 1
+        |               ELSE (SELECT min(list_position(f.anchors, e.ai)) - 1
+        |                     FROM edge e WHERE e.bi = t.ctx_idx AND list_contains(f.anchors, e.ai)) END AS cluster
+        |        FROM txts t, fin f)
+        |SELECT ctx_idx, text, cluster::BIGINT AS cluster FROM asg ORDER BY ctx_idx""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val texts = Seq(
         "the merge window hash", "the merge window hash!", // near-identical
@@ -297,7 +347,7 @@ object EngineQueries {
       val embs = texts.map(embedder.embed)
       val clusters = Synthesis.clusterContexts(embs, threshold = 0.85)
       texts.zip(clusters).zipWithIndex
-        .map { case ((t, c), i) => (i, t, c) }
+        .map { case ((t, c), i) => (i.toLong, t, c.toLong) }
         .toDF("ctx_idx", "text", "cluster")
     },
 
