@@ -147,17 +147,98 @@ object EngineQueries {
       "example of a vector batch")
     queries.flatMap { q =>
       engine.search(q, embedder, k = 5).zipWithIndex.map { case (c, i) =>
-        (q, i + 1, c.id, c.docId, c.chunkType,
+        (q, (i + 1).toLong, c.id, c.docId, c.chunkType,
           math.floor(c.score * 1e6).toLong, c.isExploration)
       }
     }.toDF("query", "rank", "chunk_id", "doc_id", "chunk_type", "score_micro", "is_exploration")
   }
 
+
+  /** The FLAGSHIP query's exact DuckDB replay (round 9): the whole
+    * ingest→embed→hybrid-search pipeline — TextChunker chunking (the B9
+    * recursive CTE with chunk texts), chunk identities/types
+    * (ChunkStore.buildChunks), the hash-ngram embedder coordinate-exact
+    * over queries AND every chunk text, the exact-scan cosine ranks, the
+    * posting-equivalent keyword tf ranks, intent-weighted RRF K=60,
+    * sem-gated intent×type boosts and the empty-history stability bias —
+    * per query, to the micro-floored score. The only engine parts NOT on
+    * this path are the explicitly-off options (MMR, exploration, rerank,
+    * caches) and the time-dependent trust column, which the output does
+    * not carry. Intent constants are inlined per query from
+    * Intent.detect/weights; the stability term replays 1.0·mult·0.1 with
+    * the same double op order. */
+  private val E2EOracleSql: String =
+    """WITH RECURSIVE
+        |qmeta(qi, query, semw, kww, factor, btype, bboost, mult) AS (VALUES
+        |  (0, 'what is a merge window',         0.35::DOUBLE, 0.65::DOUBLE, 3, 'definition', 0.5::DOUBLE, 2.0::DOUBLE),
+        |  (1, 'how to hash a partition: steps', 0.35::DOUBLE, 0.65::DOUBLE, 3, 'list',       0.3::DOUBLE, 1.5::DOUBLE),
+        |  (2, 'summary of scan and sort',       0.7::DOUBLE,  0.3::DOUBLE,  6, 'summary',    0.5::DOUBLE, 1.0::DOUBLE),
+        |  (3, 'example of a vector batch',      0.5::DOUBLE,  0.5::DOUBLE,  4, 'example',    0.4::DOUBLE, 0.5::DOUBLE)),
+        |sec AS (SELECT doc_id::VARCHAR AS source, coalesce(text, '') AS text FROM documents),
+        |""".stripMargin + B9OracleSql.foldCtes + """,
+        |cht AS (SELECT c.source::BIGINT * 1000000 + c.chunk_idx AS id,
+        |               c.source AS doc_id, c.chunk_idx, c.chunk_text,
+        |               d.source AS hpath,
+        |               ['text','definition','list','example','summary']
+        |                 [((c.source::BIGINT + c.chunk_idx) % 5 + 1)::INT] AS chunk_type
+        |        FROM chunks c JOIN (SELECT doc_id::VARCHAR AS id, source FROM documents) d
+        |          ON d.id = c.source),
+        |embin AS (SELECT 'q' || qi AS k, query AS txt FROM qmeta
+        |          UNION ALL SELECT 'c' || id AS k, chunk_text FROM cht),
+        |etk AS (SELECT k, unnest(regexp_extract_all(lower(txt), '[a-z0-9]+')) AS tok FROM embin),
+        |efeat AS (SELECT k, 'w:' || tok AS f FROM etk
+        |          UNION ALL
+        |          SELECT k, 'c:' || substr(tok, i::INT + 1, 3)
+        |          FROM etk, unnest(range(greatest(length(tok) - 2, 0))) AS u(i)
+        |          WHERE length(tok) >= 3),
+        |eh AS (SELECT k, ('0x' || substr(md5('42:' || f), 1, 16))::UBIGINT AS hu FROM efeat),
+        |ecs AS (SELECT k, ((hu // 2) % 64)::BIGINT AS idx,
+        |               sum(CASE WHEN hu % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS cnt
+        |        FROM eh GROUP BY k, idx),
+        |edense AS (SELECT e.k, u.i AS idx, coalesce(ecs.cnt, 0) AS cnt
+        |           FROM (SELECT DISTINCT k FROM embin) e CROSS JOIN range(64) u(i)
+        |           LEFT JOIN ecs ON ecs.k = e.k AND ecs.idx = u.i),
+        |enrm AS (SELECT k, sum(cnt * cnt)::BIGINT AS n2 FROM edense GROUP BY k),
+        |emb AS (SELECT d.k,
+        |          list((((d.cnt::DOUBLE * (CASE WHEN n.n2 = 0 THEN 0.0 ELSE 1.0 / sqrt(n.n2::DOUBLE) END))::REAL)::DOUBLE) ORDER BY d.idx) AS v
+        |        FROM edense d JOIN enrm n USING (k) GROUP BY d.k),
+        |semr AS (SELECT q.qi, q.factor, c.id,
+        |           row_number() OVER (PARTITION BY q.qi
+        |             ORDER BY list_cosine_similarity(ce.v, qe.v) DESC, c.id) AS sem_rank
+        |         FROM qmeta q, emb qe, cht c, emb ce
+        |         WHERE qe.k = 'q' || q.qi AND ce.k = 'c' || c.id),
+        |sem AS (SELECT qi, id, sem_rank FROM semr WHERE sem_rank <= factor * 5),
+        |qt AS (SELECT qi, list_distinct(regexp_extract_all(lower(query), '[a-z0-9]+')) AS toks FROM qmeta),
+        |kwr AS (SELECT q.qi, q.factor, c.id,
+        |          len(list_filter(regexp_extract_all(lower(c.hpath || ' ' || c.chunk_text), '[a-z0-9]+'),
+        |              t -> list_contains(qt.toks, t))) AS kw_score
+        |        FROM qmeta q JOIN qt USING (qi) CROSS JOIN cht c),
+        |kw AS (SELECT qi, id, kw_rank FROM (
+        |         SELECT qi, id, factor,
+        |                row_number() OVER (PARTITION BY qi ORDER BY kw_score DESC, id) AS kw_rank
+        |         FROM kwr WHERE kw_score > 0)
+        |       WHERE kw_rank <= factor * 5),
+        |fusedi AS (SELECT coalesce(s.qi, k.qi) AS qi, coalesce(s.id, k.id) AS id, s.sem_rank, k.kw_rank
+        |           FROM sem s FULL OUTER JOIN kw k ON k.qi = s.qi AND k.id = s.id),
+        |scored AS (SELECT f.qi, f.id, c.doc_id, c.chunk_type, m.query,
+        |             coalesce(m.semw / (60.0 + f.sem_rank), 0.0)
+        |               + coalesce(m.kww / (60.0 + f.kw_rank), 0.0)
+        |               + CASE WHEN f.sem_rank IS NOT NULL AND c.chunk_type = m.btype THEN m.bboost ELSE 0.0 END
+        |               + 1.0 * m.mult * 0.1 AS score
+        |           FROM fusedi f JOIN cht c ON c.id = f.id JOIN qmeta m ON m.qi = f.qi)
+        |SELECT query, row_number() OVER (PARTITION BY qi ORDER BY score DESC, id) AS rank,
+        |       id AS chunk_id, doc_id, chunk_type,
+        |       CAST(floor(score * 1000000) AS BIGINT) AS score_micro,
+        |       FALSE AS is_exploration
+        |FROM scored QUALIFY rank <= 5 ORDER BY qi, rank""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // A3+C1+D1–D8+D12 composed: the flagship ingest→index→hybrid-search
-    // pipeline (rows-only: the chunker+embedder are not SQL-expressible).
-    Q.noOracle("hybrid_search_e2e") { (spark, dir) => hybridSearch(spark, dir) },
+    // pipeline — ORACLE-GREEN since round 9 (the driver's smoke-check
+    // query is now hash-exact against a full DuckDB replay; see
+    // E2EOracleSql).
+    Q("hybrid_search_e2e", E2EOracleSql) { (spark, dir) => hybridSearch(spark, dir) },
 
     // D2 scale path LIVE: the same hybrid pipeline with the semantic branch
     // fed by the PERSISTED IVF cell index instead of the exact full scan.
