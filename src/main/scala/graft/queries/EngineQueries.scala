@@ -167,8 +167,8 @@ object EngineQueries {
     * not carry. Intent constants are inlined per query from
     * Intent.detect/weights; the stability term replays 1.0·mult·0.1 with
     * the same double op order. */
-  private val E2EOracleSql: String =
-    """WITH RECURSIVE
+  private val E2EChainSql: String =
+    """
         |qmeta(qi, query, semw, kww, factor, btype, bboost, mult) AS (VALUES
         |  (0, 'what is a merge window',         0.35::DOUBLE, 0.65::DOUBLE, 3, 'definition', 0.5::DOUBLE, 2.0::DOUBLE),
         |  (1, 'how to hash a partition: steps', 0.35::DOUBLE, 0.65::DOUBLE, 3, 'list',       0.3::DOUBLE, 1.5::DOUBLE),
@@ -226,11 +226,29 @@ object EngineQueries {
         |               + CASE WHEN f.sem_rank IS NOT NULL AND c.chunk_type = m.btype THEN m.bboost ELSE 0.0 END
         |               + 1.0 * m.mult * 0.1 AS score
         |           FROM fusedi f JOIN cht c ON c.id = f.id JOIN qmeta m ON m.qi = f.qi)
+        |""".stripMargin.stripSuffix("\n")
+
+  private val E2EOracleSql: String =
+    "WITH RECURSIVE\n" + E2EChainSql + """
         |SELECT query, row_number() OVER (PARTITION BY qi ORDER BY score DESC, id) AS rank,
         |       id AS chunk_id, doc_id, chunk_type,
         |       CAST(floor(score * 1000000) AS BIGINT) AS score_micro,
         |       FALSE AS is_exploration
         |FROM scored QUALIFY rank <= 5 ORDER BY qi, rank""".stripMargin
+
+  /** D14's oracle: the e2e chain finds the Definition query's rank-1 hit,
+    * then the context window is the ±2 chunk_idx slice of its document —
+    * chunk TEXTS included, byte-exact from the fold. */
+  private val D14OracleSql: String =
+    "WITH RECURSIVE\n" + E2EChainSql + """,
+        |top1 AS (SELECT id FROM scored WHERE qi = 0
+        |         QUALIFY row_number() OVER (ORDER BY score DESC, id) = 1),
+        |tgt AS (SELECT c.doc_id AS t_doc, c.chunk_idx AS t_idx
+        |        FROM cht c JOIN top1 ON top1.id = c.id)
+        |SELECT c.id, c.doc_id, c.chunk_idx::BIGINT AS chunk_idx, c.chunk_text AS text_chunk
+        |FROM cht c JOIN tgt ON c.doc_id = tgt.t_doc
+        |  AND c.chunk_idx BETWEEN tgt.t_idx - 2 AND tgt.t_idx + 2
+        |ORDER BY chunk_idx""".stripMargin
 
   val all: Seq[Q] = Seq(
 
@@ -323,11 +341,14 @@ object EngineQueries {
     },
 
     // D14 — context-window expansion around a hit (self-join on
-    // (doc_id, chunk_idx) range; broadcast target).
-    Q.noOracle("d14_context_expand") { (spark, dir) =>
+    // (doc_id, chunk_idx) range; broadcast target). ORACLE-GREEN since
+    // round 9: the live search that anchors it replays through the e2e
+    // chain, and the window slice carries byte-exact chunk texts.
+    Q("d14_context_expand", D14OracleSql) { (spark, dir) =>
       val engine = new HybridEngine(spark, chunksFor(spark, dir))
       val top = engine.search("what is a merge window", embedder, 1)
       engine.context(top.head.id, offset = 2)
+        .withColumn("chunk_idx", col("chunk_idx").cast("long"))
     },
 
     // D15/D16 — exact + semantic query cache (driver-side LRU; output pins
