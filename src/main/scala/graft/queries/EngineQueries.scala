@@ -236,12 +236,28 @@ object EngineQueries {
         |       FALSE AS is_exploration
         |FROM scored QUALIFY rank <= 5 ORDER BY qi, rank""".stripMargin
 
-  /** D14's oracle: the e2e chain finds the Definition query's rank-1 hit,
-    * then the context window is the ±2 chunk_idx slice of its document —
-    * chunk TEXTS included, byte-exact from the fold. */
+  /** D14's oracle: the anchor search runs at k = 1, so its overfetch
+    * depth is factor·1 = 3 — NOT the e2e chain's factor·5 — and the
+    * candidate slices re-cut from the unfiltered rank CTEs (semr/kwr)
+    * accordingly. The rank-1 hit of that depth-3 fusion anchors the ±2
+    * chunk_idx window, chunk TEXTS byte-exact from the fold. */
   private val D14OracleSql: String =
     "WITH RECURSIVE\n" + E2EChainSql + """,
-        |top1 AS (SELECT id FROM scored WHERE qi = 0
+        |sem3 AS (SELECT id, sem_rank FROM semr WHERE qi = 0 AND sem_rank <= 3),
+        |kw3 AS (SELECT id, kw_rank FROM (
+        |          SELECT id, row_number() OVER (ORDER BY kw_score DESC, id) AS kw_rank
+        |          FROM kwr WHERE qi = 0 AND kw_score > 0)
+        |        WHERE kw_rank <= 3),
+        |f3 AS (SELECT coalesce(s.id, k.id) AS id, s.sem_rank, k.kw_rank
+        |       FROM sem3 s FULL OUTER JOIN kw3 k ON k.id = s.id),
+        |sc3 AS (SELECT f.id,
+        |          coalesce(0.35::DOUBLE / (60.0 + f.sem_rank), 0.0)
+        |            + coalesce(0.65::DOUBLE / (60.0 + f.kw_rank), 0.0)
+        |            + CASE WHEN f.sem_rank IS NOT NULL AND c.chunk_type = 'definition'
+        |                   THEN 0.5::DOUBLE ELSE 0.0 END
+        |            + 1.0 * 2.0::DOUBLE * 0.1 AS score
+        |        FROM f3 f JOIN cht c ON c.id = f.id),
+        |top1 AS (SELECT id FROM sc3
         |         QUALIFY row_number() OVER (ORDER BY score DESC, id) = 1),
         |tgt AS (SELECT c.doc_id AS t_doc, c.chunk_idx AS t_idx
         |        FROM cht c JOIN top1 ON top1.id = c.id)
