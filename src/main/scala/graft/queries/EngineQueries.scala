@@ -266,6 +266,77 @@ object EngineQueries {
         |  AND c.chunk_idx BETWEEN tgt.t_idx - 2 AND tgt.t_idx + 2
         |ORDER BY chunk_idx""".stripMargin
 
+
+  /** E8's oracle — the deep-dive orchestration composed from proven
+    * replays: the e2e chain's Definition top-5 (k=5, so the chain's
+    * depth-15 ranks ARE the anchor slate), ±2 context windows joined
+    * byte-exact, the hash-ngram embedder over the five context texts,
+    * Synthesis.cosine as ordered double folds, the greedy single-link
+    * anchor fold as a recursive CTE, lead-sentence claims (b9 split
+    * mirror, 80-char cap) and mean-of-cited-scores confidence with the
+    * member-ordered sum. */
+  private[queries] val E8OracleSql: String =
+    "WITH RECURSIVE\n" + E2EChainSql + """,
+        |top5 AS (SELECT id, score, row_number() OVER (ORDER BY score DESC, id) - 1 AS hidx
+        |         FROM scored WHERE qi = 0 QUALIFY row_number() OVER (ORDER BY score DESC, id) <= 5),
+        |ctx AS (SELECT t.hidx, string_agg(c2.chunk_text, ' ' ORDER BY c2.chunk_idx) AS txt
+        |        FROM top5 t JOIN cht c ON c.id = t.id
+        |        JOIN cht c2 ON c2.doc_id = c.doc_id
+        |          AND c2.chunk_idx BETWEEN c.chunk_idx - 2 AND c.chunk_idx + 2
+        |        GROUP BY t.hidx),
+        |xin AS (SELECT 'x' || hidx AS k, txt FROM ctx),
+        |xtk AS (SELECT k, unnest(regexp_extract_all(lower(txt), '[a-z0-9]+')) AS tok FROM xin),
+        |xfeat AS (SELECT k, 'w:' || tok AS f FROM xtk
+        |          UNION ALL
+        |          SELECT k, 'c:' || substr(tok, i::INT + 1, 3)
+        |          FROM xtk, unnest(range(greatest(length(tok) - 2, 0))) AS u(i)
+        |          WHERE length(tok) >= 3),
+        |xh AS (SELECT k, ('0x' || substr(md5('42:' || f), 1, 16))::UBIGINT AS hu FROM xfeat),
+        |xcs AS (SELECT k, ((hu // 2) % 64)::BIGINT AS idx,
+        |               sum(CASE WHEN hu % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS cnt
+        |        FROM xh GROUP BY k, idx),
+        |xdense AS (SELECT e.k, u.i AS idx, coalesce(x.cnt, 0) AS cnt
+        |           FROM (SELECT DISTINCT k FROM xin) e CROSS JOIN range(64) u(i)
+        |           LEFT JOIN xcs x ON x.k = e.k AND x.idx = u.i),
+        |xnrm AS (SELECT k, sum(cnt * cnt)::BIGINT AS n2 FROM xdense GROUP BY k),
+        |xemb AS (SELECT d.k,
+        |           list((((d.cnt::DOUBLE * (CASE WHEN n.n2 = 0 THEN 0.0 ELSE 1.0 / sqrt(n.n2::DOUBLE) END))::REAL)::DOUBLE) ORDER BY d.idx) AS v
+        |         FROM xdense d JOIN xnrm n USING (k) GROUP BY d.k),
+        |xpair AS (SELECT a.hidx AS ai, b.hidx AS bi,
+        |            list_aggregate(list_transform(range(64), i -> ea.v[i+1] * eb.v[i+1]), 'sum') AS dot,
+        |            list_aggregate(list_transform(range(64), i -> ea.v[i+1] * ea.v[i+1]), 'sum') AS na,
+        |            list_aggregate(list_transform(range(64), i -> eb.v[i+1] * eb.v[i+1]), 'sum') AS nb
+        |          FROM ctx a, ctx b, xemb ea, xemb eb
+        |          WHERE b.hidx > a.hidx AND ea.k = 'x' || a.hidx AND eb.k = 'x' || b.hidx),
+        |xedge AS (SELECT ai, bi FROM xpair
+        |          WHERE na <> 0.0 AND nb <> 0.0 AND dot / (sqrt(na) * sqrt(nb)) > 0.85),
+        |xgreedy AS (
+        |  SELECT 0::BIGINT AS i, [0::BIGINT] AS anchors
+        |  UNION ALL
+        |  SELECT g.i + 1,
+        |         CASE WHEN (SELECT count(*) FROM xedge e
+        |                    WHERE e.bi = g.i + 1 AND list_contains(g.anchors, e.ai)) > 0
+        |              THEN g.anchors ELSE list_append(g.anchors, g.i + 1) END
+        |  FROM xgreedy g WHERE g.i < (SELECT max(hidx) FROM ctx)),
+        |xfin AS (SELECT anchors FROM xgreedy ORDER BY i DESC LIMIT 1),
+        |xasg AS (SELECT c.hidx,
+        |           CASE WHEN list_contains(f.anchors, c.hidx)
+        |                THEN list_position(f.anchors, c.hidx) - 1
+        |                ELSE (SELECT min(list_position(f.anchors, e.ai)) - 1
+        |                      FROM xedge e WHERE e.bi = c.hidx AND list_contains(f.anchors, e.ai)) END AS cl
+        |         FROM ctx c, xfin f),
+        |xclaims AS (SELECT a.cl AS claim_idx,
+        |              list(a.hidx ORDER BY a.hidx) AS members,
+        |              list(t.score ORDER BY a.hidx) AS svals,
+        |              min(a.hidx) AS anchor
+        |            FROM xasg a JOIN top5 t ON t.hidx = a.hidx GROUP BY a.cl)
+        |SELECT c.claim_idx::BIGINT AS claim_idx,
+        |       substr(string_split(regexp_replace(ct.txt, '([.?!])\s+', '\1' || chr(1), 'g'), chr(1))[1], 1, 80) AS statement,
+        |       array_to_string(c.members, ',') AS sources,
+        |       CAST(floor(list_aggregate(c.svals, 'sum') / len(c.svals) * 1000000) AS BIGINT) AS confidence_micro
+        |FROM xclaims c JOIN ctx ct ON ct.hidx = c.anchor
+        |ORDER BY claim_idx""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // A3+C1+D1–D8+D12 composed: the flagship ingest→index→hybrid-search

@@ -140,14 +140,15 @@ object PostQueries {
     },
 
     // E8 — deep-dive orchestration: top-5 → context ±2 → cluster → claims
-    // with validated sources and confidence.
-    Q.noOracle("e8_deep_dive") { (spark, dir) =>
+    // with validated sources and confidence. ORACLE-GREEN since round 9:
+    // every stage replays (see EngineQueries.E8OracleSql).
+    Q("e8_deep_dive", EngineQueries.E8OracleSql) { (spark, dir) =>
       import spark.implicits._
       val chunks = EngineQueries.chunksFor(spark, dir)
       val engine = new HybridEngine(spark, chunks)
       DeepDive.run(engine, "what is a merge window", embedder).zipWithIndex.map {
         case (c, i) =>
-          (i, c.statement.take(80), c.sources.mkString(","),
+          (i.toLong, c.statement.take(80), c.sources.mkString(","),
             math.floor(c.confidence * 1e6).toLong)
       }.toDF("claim_idx", "statement", "sources", "confidence_micro")
     },
