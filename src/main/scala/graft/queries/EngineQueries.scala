@@ -337,6 +337,38 @@ object EngineQueries {
         |FROM xclaims c JOIN ctx ct ON ct.hidx = c.anchor
         |ORDER BY claim_idx""".stripMargin
 
+
+  /** D11's oracle: with deterministic repeats the query's rank history is
+    * all zeros, so stability is EXACTLY 1.0 (≥ the 0.6 gate) and the
+    * trust ≤ 1.0 quarantine is tautological on this corpus (boost = 1,
+    * trust = boost·max(0.5, 1 − age/30d) ≤ 1) — injection reduces to
+    * "first below-cutoff candidate of the Example query's depth·2 slate
+    * with raw cosine > 0.65, spliced at rank 2 behind the top hit".
+    * The slate and cosines replay through the e2e chain. */
+  private val D11OracleSql: String =
+    "WITH RECURSIVE\n" + E2EChainSql + """,
+        |col40 AS (SELECT sc.id, se.sem_rank,
+        |                 row_number() OVER (ORDER BY sc.score DESC, sc.id) AS pos
+        |          FROM (SELECT * FROM scored WHERE qi = 3) sc
+        |          LEFT JOIN sem se ON se.qi = 3 AND se.id = sc.id
+        |          QUALIFY row_number() OVER (ORDER BY sc.score DESC, sc.id) <= 40),
+        |d11p AS (SELECT s.id, s.pos,
+        |           CASE WHEN s.sem_rank IS NOT NULL THEN
+        |             (SELECT list_cosine_similarity(ce.v, qe.v) FROM emb ce, emb qe
+        |              WHERE ce.k = 'c' || s.id AND qe.k = 'q3') ELSE 0.0 END AS sems
+        |         FROM col40 s),
+        |probe AS (SELECT id, pos FROM d11p WHERE pos > 5 AND sems > 0.65 ORDER BY pos LIMIT 1),
+        |outx AS (
+        |  SELECT 1 AS rank, id, FALSE AS is_exploration FROM col40 WHERE pos = 1
+        |  UNION ALL
+        |  SELECT 2, id, TRUE FROM probe
+        |  UNION ALL
+        |  SELECT CASE WHEN EXISTS (SELECT 1 FROM probe) THEN pos + 1 ELSE pos END, id, FALSE
+        |  FROM col40 WHERE pos BETWEEN 2 AND (CASE WHEN EXISTS (SELECT 1 FROM probe) THEN 4 ELSE 5 END))
+        |SELECT rank::BIGINT AS rank, id AS chunk_id, is_exploration,
+        |       1000000::BIGINT AS stability_micro
+        |FROM outx ORDER BY rank""".stripMargin
+
   val all: Seq[Q] = Seq(
 
     // A3+C1+D1–D8+D12 composed: the flagship ingest→index→hybrid-search
@@ -415,7 +447,7 @@ object EngineQueries {
     // probe itself also requires a below-cutoff candidate with raw cosine
     // > 0.65, so whether one appears is corpus-dependent — the
     // EngineEdgeSpec fixture forces it deterministically).
-    Q.noOracle("d11_exploration") { (spark, dir) =>
+    Q("d11_exploration", D11OracleSql) { (spark, dir) =>
       import spark.implicits._
       val engine = new HybridEngine(spark, chunksFor(spark, dir),
         SearchOptions(enableExploration = true))
@@ -423,7 +455,8 @@ object EngineQueries {
       // repeat the query to build a stable history, then observe injection
       (1 to 3).foreach(_ => engine.search(q, embedder, 5))
       engine.search(q, embedder, 5).zipWithIndex.map { case (c, i) =>
-        (i + 1, c.id, c.isExploration, math.floor(engine.stability(q) * 1e6).toLong)
+        ((i + 1).toLong, c.id, c.isExploration,
+          math.floor(engine.stability(q) * 1e6).toLong)
       }.toDF("rank", "chunk_id", "is_exploration", "stability_micro")
     },
 

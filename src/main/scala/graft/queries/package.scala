@@ -19,7 +19,7 @@ package object queries {
 
     /** Register rows-only: the driver checks rows > 0 and the semantics are
       * pinned by specs instead of a DuckDB replay. Every such registration
-      * has a structural reason — the current 10, one line each
+      * has a structural reason — the current 9, one line each
       * (b9_chunk_docs graduated to an exact recursive-CTE oracle in
       * round 8; round 9 graduated the ENTIRE layout family —
       * b2_b6_line_assembly, b7_heading_breadcrumbs, and b2_b8_layout_chunk
@@ -34,8 +34,6 @@ package object queries {
       *                          stand-in itself graduated to the exact
       *                          coordinate-level oracle
       *                          c1_embed_hash_coords in round 9
-      *  - d11_exploration     — needs engine query-HISTORY state (stability
-      *                          memo across repeated searches)
       *  - d15_query_cache     — driver-side LRU/semantic cache semantics,
       *                          an engine-state contract, not a data query
       *  - e1_rerank           — rerank scoring model boundary
