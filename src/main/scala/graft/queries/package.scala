@@ -39,8 +39,15 @@ package object queries {
       *  - e1_rerank           — rerank scoring model boundary
       *  - g4_latency_audit    — reports measured wall-clock latencies
       *                          (nondeterministic by nature)
-      *  - hybrid_search_ann   — same pipeline served from the persisted IVF
-      *                          index (adds workspace state)
+      *  - hybrid_search_ann   — served through the LIVE Engine facade:
+      *                          persisted-index workspace state PLUS the
+      *                          D17 latency coupling (a measured search
+      *                          above the 1500 ms EMA caps the next
+      *                          query's overfetch at 3×, so the output is
+      *                          legitimately machine-speed-dependent — an
+      *                          oracle here would be flaky by design; the
+      *                          index-free pipeline is oracle-exact as
+      *                          hybrid_search_e2e)
       *  - mm_feature_extract  — ONLY the L1 float normalization remains
       *                          outside the SQL surface; the integer
       *                          stage (sniffed path, width/height,
