@@ -45,7 +45,10 @@ object Bench {
     val spread = results.map { case (k, ts) =>
       s""""$k":{"min":${ts.min},"median":${ts(ts.size / 2)},"max":${ts.max},"n":${ts.size}}"""
     }.mkString("{", ",", "}")
-    val total = results.map(_._2.min).sum
+    // Failures carry a -1.0 sentinel; summing them would deflate the
+    // headline total by 1s each AND desync it from the `queries` map
+    // (which excludes them). Failures surface by name in `failed` below.
+    val total = results.filter(_._2.min >= 0).map(_._2.min).sum
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
 
@@ -56,11 +59,22 @@ object Bench {
     // print it early for log redundancy, and make the FINAL line a
     // compact summary (total + failures + the slowest queries + the
     // sidecar path) guaranteed to fit the tail window whole.
-    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/BENCH_last_full.json")
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get(sidecar),
-      (full + "\n").getBytes("UTF-8"))
-    catch { case scala.util.control.NonFatal(_) => () } // unwritable path: stdout copy below still has it
+    // CWD-relative default so the artifact lands next to whatever checkout
+    // is running; a failed write is surfaced (sidecarOk → queries_file:null
+    // in the final line) instead of silently advertising a file that isn't
+    // there. The stdout copy below still carries the full JSON either way.
+    val sidecar = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_last_full.json")
+    val sidecarOk =
+      try {
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(sidecar),
+          (full + "\n").getBytes("UTF-8"))
+        true
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          println(s"""{"warn":"bench sidecar write failed","path":"$sidecar","err":"${e.getClass.getSimpleName}"}""")
+          false
+      }
     println(full)
 
     def r3(d: Double): String = "%.3f".format(d)
@@ -71,7 +85,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"failed":$failed,"queries":$slowest,""" +
-      s""""queries_truncated":true,"queries_file":"$sidecar"}""")
+      s""""queries_truncated":true,"queries_file":${if (sidecarOk) "\"" + sidecar + "\"" else "null"}}""")
     spark.stop()
   }
 }

@@ -998,7 +998,11 @@ final class Engine(
     val kwOnly = decision == latency.KeywordOnly
     val out = engine().search(query, embedder, k,
       maxDepthFactor = depthCap, keywordOnly = kwOnly)
-    latency.record((System.nanoTime() - t0) / 1e6)
+    // D19 benchmark mode (setBenchmarkingMode, vector_store.cpp:576-579):
+    // the EMA stays frozen at its seed, so measured wall-clock can never
+    // change a later query's depth — the facade's output becomes
+    // machine-speed-independent (what the oracle gate requires)
+    if (!opts.benchmarkMode) latency.record((System.nanoTime() - t0) / 1e6)
     out
   }
 

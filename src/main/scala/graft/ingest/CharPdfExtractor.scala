@@ -601,11 +601,37 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     * grow newest-last) while the FIRST occurrence keeps the document
     * position, so page ORDER is unaffected by where the update landed. */
   private[ingest] def objectBodies(raw: String): Seq[(String, String)] = {
+    // Last-wins precedence makes a SPURIOUS `n g obj…endobj` byte pattern
+    // inside compressed/encrypted stream data dangerous: it would REPLACE
+    // the real object's body instead of merely adding noise. A real object
+    // header can never begin inside stream data, so matches starting
+    // inside any stream…endstream payload span are excluded.
+    val inStream = streamDataRanges(raw)
+    def insideStream(pos: Int): Boolean =
+      inStream.exists { case (s, e) => pos >= s && pos < e }
     val ms = """(\d+)\s+\d+\s+obj\b([\s\S]*?)endobj""".r.findAllMatchIn(raw)
+      .filterNot(m => insideStream(m.start))
       .map(m => m.group(1) -> m.group(2)).toSeq
     val lastByNum = ms.toMap // Scala toMap keeps the LAST duplicate key
     val seen = scala.collection.mutable.HashSet.empty[String]
     ms.collect { case (num, _) if seen.add(num) => num -> lastByNum(num) }
+  }
+
+  /** [dataStart, dataEnd) spans of every stream…endstream payload — the
+    * same offset walk [[rawStreams]] performs, offsets only. */
+  private def streamDataRanges(raw: String): Seq[(Int, Int)] = {
+    val out = Seq.newBuilder[(Int, Int)]
+    var from = 0
+    while ({ val s = raw.indexOf("stream", from); s >= 0 && raw.indexOf("endstream", s) >= 0 }) {
+      val s = raw.indexOf("stream", from)
+      val e = raw.indexOf("endstream", s)
+      var dataStart = s + "stream".length
+      if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
+      if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
+      out += ((dataStart, e))
+      from = e + "endstream".length
+    }
+    out.result()
   }
 
   private def mediaBoxes(raw: String): Seq[(Double, Double)] =

@@ -162,4 +162,13 @@ final case class SearchOptions(
     // (fpr ≈ (inserted·k/m)^k per bucket); the exact form is the
     // streaming nearDupStream state
     dedupIngest: Boolean = false,
-    dedupBloomBits: Int = 1 << 22)
+    dedupBloomBits: Int = 1 << 22,
+    // D19 benchmark mode (the reference's setBenchmarkingMode,
+    // vector_store.cpp:576-579): freeze the D17 latency EMA at its
+    // 100 ms seed — measured wall-clock never feeds back into the
+    // policy, so the overfetch depth (and therefore the result set) is
+    // machine-speed-INDEPENDENT. The pipeline itself is already
+    // deterministic (D19); this removes the one coupling through which
+    // a slow machine could change ranked output (EMA > 1500 ms caps the
+    // next query's depth at 3×). Used by measurement/oracle paths.
+    benchmarkMode: Boolean = false)

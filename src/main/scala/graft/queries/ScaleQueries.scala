@@ -47,6 +47,36 @@ object ScaleQueries {
     * catalog — per-JVM anyway — so the files may as well be per-JVM too. */
   private val jvmNonce = java.util.UUID.randomUUID.toString.take(8)
 
+  /** Staging dirs owned by THIS JVM, kept mtime-fresh by a heartbeat:
+    * parquet dir mtime does not advance on reads, so without a heartbeat
+    * a long-lived verify/bench JVM (multi-window bench rounds run for
+    * hours) could have its live staging dir swept by a younger sibling
+    * process the moment it crossed the stale threshold. The daemon
+    * touches each registered dir every 10 min; the sweep threshold (24h)
+    * additionally sits far above any plausible session length, so both
+    * lines of defense must fail before a live dir is deleted. */
+  private val liveStagingDirs =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[java.nio.file.Path]()
+  private lazy val heartbeat: Thread = {
+    val t = new Thread(() => {
+      while (true) {
+        Thread.sleep(10L * 60 * 1000)
+        liveStagingDirs.forEach { p =>
+          try java.nio.file.Files.setLastModifiedTime(
+            p, java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          catch { case scala.util.control.NonFatal(_) => () } // dir gone: nothing to keep alive
+        }
+      }
+    }, "graft-staging-heartbeat")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+  private def registerLiveStagingDir(path: String): Unit = {
+    liveStagingDirs.add(java.nio.file.Paths.get(path))
+    heartbeat // force lazy init
+  }
+
   private def bucketedOrdersCustomer(spark: SparkSession, dir: String): (String, String) = {
     val tag = sfTag(dir)
     val ot = s"graft_bkt_orders_$tag"
@@ -58,14 +88,18 @@ object ScaleQueries {
             .get(sys.props("java.io.tmpdir"), "graft_bucketed")
           // sweep orphans from crashed JVMs (same discipline as the
           // dt-partitioned events helper) — only stale ones: a fresh dir
-          // may belong to a live sibling process
-          val staleMs = 60L * 60 * 1000
+          // may belong to a live sibling process. 24h threshold (far
+          // above any session) + the sibling's own 10-min heartbeat
+          // together guarantee a LIVE JVM's dir is never swept even
+          // though parquet dir mtime does not advance on reads.
+          val staleMs = 24L * 60 * 60 * 1000
           Option(parent.toFile.listFiles()).getOrElse(Array.empty)
             .filter(f => f.getName.startsWith(s"${name}_") &&
               !f.getName.endsWith(jvmNonce) &&
               System.currentTimeMillis() - f.lastModified() > staleMs)
             .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
           val path = parent.resolve(s"${name}_$jvmNonce").toString
+          registerLiveStagingDir(path)
           build.repartition(8, col(key))
             .write.format("parquet")
             .bucketBy(8, key).sortBy(key)
@@ -1300,14 +1334,25 @@ object ScaleQueries {
 
     // Sketch aggregates: HLL distinct-count with its exact reference and
     // relative error (rows-only — the sketch is engine-specific by nature).
-    Q.noOracle("q_approx_distinct") { (spark, dir) =>
+    // Approximate distinct counting — ORACLE-GREEN since round 10 as an
+    // ERROR-ENVELOPE oracle: Spark's HLL++ and DuckDB's sketch are
+    // different algorithms, so hash-matching the estimate is impossible
+    // by design — but the oracle CAN compute the exact distinct count,
+    // and the estimator's 3σ contract (rsd 0.02 → 6%) folds into a
+    // boolean the oracle pins to TRUE. The estimate is deterministic for
+    // fixed input, so the boolean is a fixed value, not a flaky
+    // probabilistic check; an estimator regression past 3σ now FAILS the
+    // gate instead of passing rows-only.
+    Q("q_approx_distinct",
+      """SELECT event_type, count(DISTINCT user_id) AS exact, TRUE AS within_3sigma
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, dir) =>
       events(spark, dir)
         .groupBy("event_type")
         .agg(
           countDistinct(col("user_id")).as("exact"),
           approx_count_distinct(col("user_id"), 0.02).as("approx"))
-        .withColumn("rel_err_pct",
-          round(abs(col("approx") - col("exact")) * 100.0 / col("exact"), 2))
+        .select(col("event_type"), col("exact"),
+          (abs(col("approx") - col("exact")) <= col("exact") * lit(0.06)).as("within_3sigma"))
         .orderBy("event_type")
     },
 

@@ -110,17 +110,30 @@ object StreamMultimodalQueries {
     // Streaming ingest INTO THE WORKSPACE: file-source documents →
     // foreachBatch → chunk store + posting index, via the live Engine
     // facade (the reference's incremental index queue,
-    // mainwindow.cpp:713-761). Rows-only (chunker not in SQL); the
-    // output reads the PERSISTED chunk table the stream fed.
-    Q.noOracle("stream_ingest") { (spark, dir) =>
+    // mainwindow.cpp:713-761; incremental chunk emission
+    // pdf_processor.cpp:396-403). ORACLE-GREEN since round 10 (the
+    // stream_image_decode graduation recipe): the bounded run drains to
+    // completion and the PERSISTED chunk table it fed is hashed against
+    // the SAME TextChunker recursive-CTE fold as the batch pipeline —
+    // chunking is per-document stateless work, so micro-batch boundaries
+    // cannot change the result, and now the oracle proves it.
+    Q("stream_ingest",
+      """WITH RECURSIVE
+        |sec AS (SELECT doc_id::VARCHAR AS source, coalesce(text, '') AS text FROM documents),
+        |""".stripMargin + B9OracleSql.foldCtes + """
+        |SELECT source AS doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+        |       chunk_len AS len, 64::BIGINT AS dim
+        |FROM chunks
+        |ORDER BY source::BIGINT, chunk_idx LIMIT 1000""".stripMargin) { (spark, dir) =>
       val root = graft.util.TempRoot.dir("stream-ws-").toString
       val engine = graft.api.Engine.open(spark, root, "main")
       engine.startStreamingIngest(
         StreamingIngest.stageAsDir(s"$dir/documents.parquet"))
         .awaitTermination()
       engine.workspace.readChunks()
-        .select(col("doc_id"), col("chunk_idx"), length(col("text_chunk")).as("len"),
-          size(col("embedding")).as("dim"))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          length(col("text_chunk")).cast("long").as("len"),
+          size(col("embedding")).cast("long").as("dim"))
         .orderBy(col("doc_id").cast("long"), col("chunk_idx"))
         .limit(1000)
     },
@@ -368,24 +381,67 @@ object StreamMultimodalQueries {
         .orderBy("click_id", "view_id")
     },
 
-    // Multimodal: partition-local feature extraction. Decode is REAL for
-    // JDK codecs (images take the ImageIO pixel path; this corpus's
-    // payloads are text bytes, so rows here exercise the byte-featurizer
-    // fallback — the codec round-trips are pinned by mm_image_decode /
-    // mm_wav_meta and MediaCodecSpec).
-    Q.noOracle("mm_feature_extract") { (spark, dir) =>
-      val media = Multimodal.asMediaTable(table(spark, dir, "documents"))
-      Multimodal.extractFeatures(media)
-        .select(col("media_id"), size(col("features")).as("n_features"),
-          round(expr("aggregate(features, cast(0.0 as double), (a, x) -> a + x)"), 4).as("l1"))
-        .orderBy("media_id")
-        .limit(1000)
+    // Multimodal: partition-local feature extraction — the FLOAT stage,
+    // ORACLE-GREEN since round 10 (the c1_embed_hash_coords recipe applied
+    // to the L1 normalization): the same two stripes as
+    // mm_feature_extract_int run through the REAL Multimodal
+    // .extractFeatures (PNG encode + ImageIO decode on the image stripe,
+    // byte featurizer on the text stripe), and every coordinate replays as
+    // floor(float32(count / denom) · 10⁶) — Long→Float conversion is exact
+    // below 2²⁴ (counts ≤ 97920 here) and IEEE float division is exactly
+    // specified, so the hash compare is bit-exact.
+    Q("mm_feature_extract",
+      s"""WITH ${mediaWsCtes(0)},
+         |${mediaPixelCtes(1)},
+         |lbins AS (SELECT media_id, least(luma * 11 // 256, 10) AS bin, count(*) AS c
+         |          FROM lum GROUP BY media_id, bin),
+         |lfull AS (SELECT ws.media_id, t.b AS bin, coalesce(lb.c, 0) AS c
+         |          FROM ws CROSS JOIN unnest(range(0, 11)) AS t(b)
+         |          LEFT JOIN lbins lb ON lb.media_id = ws.media_id AND lb.bin = t.b),
+         |imgc AS (
+         |  SELECT media_id, 0 AS idx, 24000000::BIGINT AS val_micro FROM ws
+         |  UNION ALL SELECT media_id, 1, 16000000::BIGINT FROM ws
+         |  UNION ALL SELECT media_id, 2, floor((sr::FLOAT / 384::FLOAT)::DOUBLE * 1000000)::BIGINT FROM st
+         |  UNION ALL SELECT media_id, 3, floor((sg::FLOAT / 384::FLOAT)::DOUBLE * 1000000)::BIGINT FROM st
+         |  UNION ALL SELECT media_id, 4, floor((sb::FLOAT / 384::FLOAT)::DOUBLE * 1000000)::BIGINT FROM st
+         |  UNION ALL SELECT media_id, 5 + bin,
+         |    floor((c::FLOAT / 384::FLOAT)::DOUBLE * 1000000)::BIGINT FROM lfull),
+         |bt AS (SELECT doc_id AS media_id, coalesce(text, '') AS text
+         |       FROM documents WHERE doc_id % 3 = 1),
+         |bc AS (SELECT media_id, (ascii(substr(text, i::INT + 1, 1)) // 16) AS bin, count(*) AS c
+         |       FROM bt, unnest(range(0, length(text))) AS u(i) GROUP BY media_id, bin),
+         |bfull AS (SELECT bt.media_id, t.b AS bin, coalesce(bc.c, 0) AS c,
+         |                 length(bt.text) AS denom
+         |          FROM bt CROSS JOIN unnest(range(0, 16)) AS t(b)
+         |          LEFT JOIN bc ON bc.media_id = bt.media_id AND bc.bin = t.b),
+         |bytc AS (SELECT media_id, bin AS idx,
+         |                CASE WHEN denom = 0 THEN 0::BIGINT
+         |                     ELSE floor((c::FLOAT / denom::FLOAT)::DOUBLE * 1000000)::BIGINT END AS val_micro
+         |         FROM bfull)
+         |SELECT media_id, idx::BIGINT AS idx, val_micro
+         |FROM (SELECT * FROM imgc UNION ALL SELECT * FROM bytc)
+         |ORDER BY media_id, idx LIMIT 1600""".stripMargin) { (spark, dir) =>
+      def coords(media: DataFrame): DataFrame =
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), posexplode(col("features")).as(Seq("idx", "v")))
+          .select(col("media_id"), col("idx").cast("long").as("idx"),
+            floor(col("v").cast("double") * 1000000).cast("long").as("val_micro"))
+      val imgStripe = coords(mediaWsBase(spark, dir, 0)
+        .select(col("media_id"), mediaFrame(0).as("payload")))
+      val byteStripe = coords(Multimodal.asMediaTable(
+        table(spark, dir, "documents").filter(col("doc_id") % 3 === 1)))
+      imgStripe.unionAll(byteStripe)
+        .orderBy("media_id", "idx")
+        .limit(1600)
     },
 
     // The INTEGER stage of mm_feature_extract, oracle-green (round-9
     // task 6): only the L1 float normalization is outside the SQL
     // surface — the sniffed path, width/height, mean-RGB numerators,
     // luma-histogram counts and byte-nibble counts all replay exactly.
+    // The byte stripe's ascii()/length() arithmetic assumes the corpus is
+    // pure ASCII (byte == char); StreamMultimodalSpec's "corpus ASCII
+    // invariant" test pins that assumption loudly at all three SFs.
     // Two stripes through the REAL Multimodal.decodeToIntFeatures: the
     // doc%3=0 stripe is PNG-ENCODED through the actual codec (the
     // mm_image_decode pixel synthesis) and decoded back by ImageIO —

@@ -19,13 +19,15 @@ package object queries {
 
     /** Register rows-only: the driver checks rows > 0 and the semantics are
       * pinned by specs instead of a DuckDB replay. Every such registration
-      * has a structural reason — the current 9, one line each
-      * (b9_chunk_docs graduated to an exact recursive-CTE oracle in
-      * round 8; round 9 graduated the ENTIRE layout family —
-      * b2_b6_line_assembly, b7_heading_breadcrumbs, and b2_b8_layout_chunk
-      * itself via the per-prose-run re-keyed TextChunker CTE — plus the
-      * hash-ngram embedder as c1_embed_hash_coords and the integer stage
-      * of mm_feature_extract):
+      * has a structural reason — the current FIVE, one line each. Round 10
+      * graduated the last four that had a path to an oracle:
+      * hybrid_search_ann (D19 benchmark mode froze the D17 EMA coupling →
+      * HybridAnnOracleSql replays the whole IVF serving path),
+      * stream_ingest (bounded run hashed against the batch TextChunker
+      * fold), mm_feature_extract (float L1 stage coordinate-exact via the
+      * c1_embed_hash_coords recipe), and q_approx_distinct (error-envelope
+      * oracle: exact count + a 3σ boolean pinned TRUE). What remains is
+      * genuinely unoracleable:
       *
       *  - a1_pdf_ingest       — consumes PDF BYTES via the in-repo extractor;
       *                          byte-parity pinned by fixture twins
@@ -39,27 +41,6 @@ package object queries {
       *  - e1_rerank           — rerank scoring model boundary
       *  - g4_latency_audit    — reports measured wall-clock latencies
       *                          (nondeterministic by nature)
-      *  - hybrid_search_ann   — served through the LIVE Engine facade:
-      *                          persisted-index workspace state PLUS the
-      *                          D17 latency coupling (a measured search
-      *                          above the 1500 ms EMA caps the next
-      *                          query's overfetch at 3×, so the output is
-      *                          legitimately machine-speed-dependent — an
-      *                          oracle here would be flaky by design; the
-      *                          index-free pipeline is oracle-exact as
-      *                          hybrid_search_e2e)
-      *  - mm_feature_extract  — ONLY the L1 float normalization remains
-      *                          outside the SQL surface; the integer
-      *                          stage (sniffed path, width/height,
-      *                          mean-RGB numerators, luma/nibble counts)
-      *                          graduated to the exact oracle
-      *                          mm_feature_extract_int in round 9, with
-      *                          the image branch pinned end to end
-      *                          through real PNG encode + ImageIO decode
-      *  - q_approx_distinct   — Spark HLL++ ≠ DuckDB approx sketch; the
-      *                          estimate is algorithm-specific by design
-      *  - stream_ingest       — structured-streaming micro-batch path;
-      *                          equivalence pinned by batch-parity specs
       */
     def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
       Q(name, fn, None)

@@ -48,6 +48,33 @@ class EngineFacadeSpec extends AnyFunSuite {
     assert(engine.latencyEmaMs > 0)
   }
 
+  test("D19 benchmark mode: frozen D17 EMA never changes results on a fast machine (live-path parity)") {
+    // setBenchmarkingMode (vector_store.cpp:576-579): benchmark mode pins
+    // the latency EMA at its 100 ms seed so measured wall-clock can never
+    // feed back into the next query's overfetch depth. On a fast machine
+    // the live path also stays in the Normal band (EMA far below the
+    // 1500 ms threshold), so the two modes must return IDENTICAL ranked
+    // results — the flag removes machine-speed dependence, not semantics.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(120)
+    val queries = Seq("what is a merge window", "summary of scan and sort",
+      "example of a vector batch")
+    def run(benchmark: Boolean): (Seq[Seq[(Long, Double)]], Double) = {
+      val root = Files.createTempDirectory("graft-bm-").toString
+      val engine = Engine.open(spark, root, "main",
+        opts = graft.model.SearchOptions(annMode = "ivf", annCells = 4,
+          annProbes = 2, benchmarkMode = benchmark))
+      engine.index(docs)
+      val out = queries.map(q => engine.search(q, k = 5).map(c => (c.id, c.score)))
+      (out, engine.latencyEmaMs)
+    }
+    val (frozen, frozenEma) = run(benchmark = true)
+    val (live, liveEma) = run(benchmark = false)
+    assert(frozen == live, "benchmark mode changed ranked output on a fast machine")
+    // frozen: the EMA never moves off its seed; live: three searches fed it
+    assert(frozenEma == 100.0)
+    assert(liveEma != 100.0)
+  }
+
   test("time travel pins the table; search serves the live corpus (the snapshot/index contract)") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -427,6 +427,26 @@ class StreamMultimodalSpec extends AnyFunSuite {
     assert(charEn.sameElements(byteEn))
   }
 
+  test("corpus ASCII invariant: byte-stripe oracles require octet_length == char_length") {
+    // Several oracles (mm_feature_extract_int byte stripe, the large-payload
+    // char-list CTEs, mm_frame_sample) compare DuckDB code-point ascii()/
+    // char-offset arithmetic against the engine's UTF-8 byte values — exact
+    // ONLY while documents.text is pure ASCII. A non-ASCII corpus would
+    // desync the two sides SILENTLY (hash mismatch with no local failure);
+    // this spec turns that into a loud, attributable break. Checked at all
+    // three SFs the driver gates on.
+    Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01", "/root/testdata/sf0.1")
+      .foreach { dir =>
+        val nonAscii = spark.read.parquet(s"$dir/documents.parquet")
+          .filter(expr("octet_length(text) != char_length(text)"))
+          .count()
+        assert(nonAscii == 0L,
+          s"$dir/documents.parquet has $nonAscii non-ASCII docs; " +
+            "byte-stripe oracles (mm_feature_extract_int, large-payload " +
+            "char lists) assume byte==char offsets")
+      }
+  }
+
   test("resize metadata: aspect preserved, never upscales") {
     val media = Multimodal.asMediaTable(spark.read.parquet(s"$sf/documents.parquet"))
     val resized = Multimodal.resizeMeta(media, 256).collect()

@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Dev-side sf1 synthesizer (round-10 SCALING task): build a 10x sf0.1
+corpus at /tmp/sf1 by unioning 10 key-shifted copies of the driver's
+sf0.1 tables. Used ONLY for the scaling-envelope measurement (the next
+decade of growth for the growing-query set) - never for oracle gates,
+which stay on the driver's own testdata. Dimension tables (nation,
+region) are shared reference data and copy through unshifted.
+
+Key discipline: every copy i shifts each table's primary ids by
+i * STRIDE(table) with strides that keep cross-table joins consistent
+(orders.o_custkey shifts by the CUSTOMER stride, lineitem.l_orderkey by
+the ORDERS stride, ...). Strides are multiples of 2520 = lcm(1..9) so
+doc_id/vec_id modulus stripes (%3, %5, %10, %37 aside) keep their
+population shares. Timestamps are left untouched: the event log keeps
+its 30-day span with 10x the rows per day, which is how a real log
+grows. text/source/props carry a per-copy suffix tag so near-dup
+structure is preserved within a copy but copies don't collapse into
+exact global duplicates.
+"""
+import os
+import sys
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
+COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+os.makedirs(DST, exist_ok=True)
+con = duckdb.connect()
+
+# lcm(1..9)-aligned strides comfortably above each table's max id
+STRIDES = {
+    "documents": 2520 * 2,        # max doc_id 4999
+    "embeddings": 2520,           # max vec_id 1999
+    "events_id": 2520 * 40,       # max event_id 99999
+    "events_user": 2520 * 4,      # user dimension
+    "orders": 2520 * 240,         # max o_orderkey ~600k
+    "customer": 2520 * 6,
+    "supplier": 2520,
+    "part": 2520 * 8,
+}
+
+
+def gen(table, sql):
+    parts = " UNION ALL ".join(sql.format(i=i) for i in range(COPIES))
+    con.execute(
+        f"COPY ({parts}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
+    n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
+    print(f"{table}: {n} rows")
+
+
+gen("documents", f"""
+  SELECT doc_id + {{i}} * {STRIDES['documents']} AS doc_id,
+         CASE WHEN {{i}} = 0 THEN text ELSE text || ' copytag{{i}}' END AS text,
+         lang, source || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS source,
+         n_chars FROM '{SRC}/documents.parquet'""")
+
+gen("embeddings", f"""
+  SELECT vec_id + {{i}} * {STRIDES['embeddings']} AS vec_id, embedding, label
+  FROM '{SRC}/embeddings.parquet'""")
+
+gen("events", f"""
+  SELECT event_id + {{i}} * {STRIDES['events_id']} AS event_id, ts,
+         user_id + {{i}} * {STRIDES['events_user']} AS user_id,
+         event_type, value, props
+  FROM '{SRC}/events.parquet'""")
+
+gen("lineitem", f"""
+  SELECT l_orderkey + {{i}} * {STRIDES['orders']} AS l_orderkey,
+         l_partkey + {{i}} * {STRIDES['part']} AS l_partkey,
+         l_suppkey + {{i}} * {STRIDES['supplier']} AS l_suppkey,
+         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate
+  FROM '{SRC}/lineitem.parquet'""")
+
+gen("orders", f"""
+  SELECT o_orderkey + {{i}} * {STRIDES['orders']} AS o_orderkey,
+         o_custkey + {{i}} * {STRIDES['customer']} AS o_custkey,
+         o_orderstatus, o_totalprice, o_orderdate, o_orderpriority
+  FROM '{SRC}/orders.parquet'""")
+
+gen("customer", f"""
+  SELECT c_custkey + {{i}} * {STRIDES['customer']} AS c_custkey,
+         c_name || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS c_name,
+         c_nationkey, c_acctbal, c_mktsegment
+  FROM '{SRC}/customer.parquet'""")
+
+gen("supplier", f"""
+  SELECT s_suppkey + {{i}} * {STRIDES['supplier']} AS s_suppkey,
+         s_name || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS s_name,
+         s_nationkey, s_acctbal
+  FROM '{SRC}/supplier.parquet'""")
+
+gen("part", f"""
+  SELECT p_partkey + {{i}} * {STRIDES['part']} AS p_partkey,
+         p_name || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS p_name,
+         p_brand, p_type, p_size, p_retailprice
+  FROM '{SRC}/part.parquet'""")
+
+# shared reference dimensions: copy through once, unshifted
+for t in ("nation", "region"):
+    con.execute(
+        f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO '{DST}/{t}.parquet' (FORMAT PARQUET)")
+    print(f"{t}: copied")
+
+print(f"done -> {DST}")
