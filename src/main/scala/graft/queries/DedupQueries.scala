@@ -368,13 +368,18 @@ object DedupQueries {
       val rk = staged(spark, s"$dir#simhash_rk") {
         banded.withColumn("rn", row_number().over(w))
       }
-      val l = rk.select(col("band"), col("bkey"), col("doc_id").as("la"), col("sh").as("sa"), col("rn").as("rna"))
-      val r = rk.select(col("band"), col("bkey"), col("doc_id").as("lb"), col("sh").as("sb"), col("rn").as("rnb"))
-      l.join(r, Seq("band", "bkey"))
-        .filter(col("rnb") > col("rna") && col("rnb") <= col("rna") + DedupPipeline.NeighborWindow)
-        .select(least(col("la"), col("lb")).as("a_id"),
-          greatest(col("la"), col("lb")).as("b_id"),
-          expr("bit_count(sa ^ sb)").cast("long").as("hamming"))
+      // sliding-frame pairs, not a bucket self-join: simhash's 4-bit bkey
+      // gives only 16 buckets per band, so the self-join's pre-filter
+      // cross product is ~n²/16 per band however sorted-neighborhood the
+      // final filter is (the mm_blockhash_pairs sf1-decade finding; same
+      // fix, same output — pairs with the next W rows in bucket order).
+      rk
+        .withColumn("__next", collect_list(struct(col("doc_id").as("nid"), col("sh").as("nh")))
+          .over(w.rowsBetween(1, DedupPipeline.NeighborWindow)))
+        .select(col("doc_id"), col("sh"), explode(col("__next")).as("nb"))
+        .select(least(col("doc_id"), col("nb.nid")).as("a_id"),
+          greatest(col("doc_id"), col("nb.nid")).as("b_id"),
+          expr("bit_count(sh ^ nb.nh)").cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 3)
         .orderBy("hamming", "a_id", "b_id")

@@ -126,6 +126,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!pe.contains("label"), s"dedup_embedding_cosine joins on label again:\n$pe")
   }
 
+  test("windowed pair generation is join-free: sliding frame, never a bucket self-join") {
+    // the sf1-decade finding (round 10): a self-join keyed only on
+    // (band, bkey) materializes Σ|bucket|² rows BEFORE the rn-window
+    // filter — one templated-text mega-bucket made mm_blockhash_pairs
+    // G=60 at 10× data (97 s vs 1.6 s). The sliding-frame collect_list
+    // emits n·W pairs directly; these plans must stay join-free.
+    for (name <- Seq("dedup_simhash_pairs", "mm_blockhash_pairs")) {
+      val p = plan(name)
+      assert(!p.contains("Join"),
+        s"$name pairs via a bucket self-join again (quadratic pre-filter blowup):\n$p")
+      assert(p.contains("Window"), s"$name lost its sliding-frame pair window:\n$p")
+    }
+  }
+
   test("BM25: df and corpus stats broadcast; the only corpus shuffle is the posting groupBy") {
     val p = plan("text_bm25_rank")
     assert("BroadcastExchange".r.findAllIn(p).size >= 2, s"df/stats not broadcast:\n$p")

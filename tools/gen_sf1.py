@@ -13,9 +13,17 @@ the ORDERS stride, ...). Strides are multiples of 2520 = lcm(1..9) so
 doc_id/vec_id modulus stripes (%3, %5, %10, %37 aside) keep their
 population shares. Timestamps are left untouched: the event log keeps
 its 30-day span with 10x the rows per day, which is how a real log
-grows. text/source/props carry a per-copy suffix tag so near-dup
-structure is preserved within a copy but copies don't collapse into
-exact global duplicates.
+grows.
+
+De-duplication of the copies themselves: a per-copy PREFIX tag on text
+(not a suffix - a variable-length prefix shifts every byte offset, so
+byte-window signatures across copies diverge instead of colliding
+1:1), and embeddings ROTATED by i coordinates per copy (preserves
+norms and within-copy pairwise cosines; cross-copy cosines decorrelate).
+Without these, 10 byte-identical copies make every pair-finding query's
+OUTPUT grow ~100x for 10x input (measured: mm_blockhash_pairs G=60,
+curation_embed_decontam G=12 on the naive union) - a corpus artifact,
+not an engine shape; a real 10x corpus is not 10 copies of itself.
 """
 import os
 import sys
@@ -51,12 +59,15 @@ def gen(table, sql):
 
 gen("documents", f"""
   SELECT doc_id + {{i}} * {STRIDES['documents']} AS doc_id,
-         CASE WHEN {{i}} = 0 THEN text ELSE text || ' copytag{{i}}' END AS text,
+         CASE WHEN {{i}} = 0 THEN text ELSE 'copytag{{i}} ' || text END AS text,
          lang, source || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS source,
          n_chars FROM '{SRC}/documents.parquet'""")
 
 gen("embeddings", f"""
-  SELECT vec_id + {{i}} * {STRIDES['embeddings']} AS vec_id, embedding, label
+  SELECT vec_id + {{i}} * {STRIDES['embeddings']} AS vec_id,
+         CASE WHEN {{i}} = 0 THEN embedding
+              ELSE list_concat(embedding[{{i}}+1:], embedding[1:{{i}}])::FLOAT[]
+         END AS embedding, label
   FROM '{SRC}/embeddings.parquet'""")
 
 gen("events", f"""
