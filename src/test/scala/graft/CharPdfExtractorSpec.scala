@@ -190,6 +190,26 @@ class CharPdfExtractorSpec extends AnyFunSuite {
     assert(head.fontWeight == 400, "gen-1 font update was not honored")
   }
 
+  test("spurious obj/endobj byte patterns inside stream data cannot replace real objects") {
+    // last-wins incremental-save precedence makes a fake `n g obj…endobj`
+    // byte sequence inside stream data DANGEROUS: before the round-10
+    // hardening it would REPLACE the real object's body (here: object 18,
+    // the bold /F2 font) instead of merely adding noise. Matches starting
+    // inside stream…endstream payload spans are now excluded.
+    val base = new String(PdfSampleDoc.bytes, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val spurious = base +
+      "\n90 0 obj\n<< /Length 80 >>\nstream\n" +
+      "18 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n" +
+      "endstream\nendobj\n"
+    val pages = CharPdfExtractor().extract("doc.pdf",
+      spurious.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val clean = CharPdfExtractor().extract("doc.pdf", PdfSampleDoc.bytes)
+    val head = pages.head.lines.find(_.text == "1 Introduction").get
+    assert(head.fontWeight == 700,
+      "stream-payload bytes replaced the real /F2 font object (weight lost boldness)")
+    assert(pages == clean, "stream-payload obj/endobj bytes changed the extraction")
+  }
+
   test("predictor unfiltering is exact for every PNG filter type and the TIFF path") {
     val rnd = new scala.util.Random(7)
     val data = Array.fill[Byte](1000)(rnd.nextInt(256).toByte)
