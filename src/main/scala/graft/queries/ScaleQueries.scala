@@ -1332,8 +1332,6 @@ object ScaleQueries {
           |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin)
     },
 
-    // Sketch aggregates: HLL distinct-count with its exact reference and
-    // relative error (rows-only — the sketch is engine-specific by nature).
     // Approximate distinct counting — ORACLE-GREEN since round 10 as an
     // ERROR-ENVELOPE oracle: Spark's HLL++ and DuckDB's sketch are
     // different algorithms, so hash-matching the estimate is impossible
