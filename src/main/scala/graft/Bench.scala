@@ -10,6 +10,7 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
@@ -29,7 +30,13 @@ object Bench {
     // the standard estimator for the time the query takes when it actually
     // gets the cores. The per-query min/median/max/n spread ships in the
     // JSON so round-over-round deltas are adjudicable against the jitter.
-    val results = SparkEntry.benchQueries.map { name =>
+    // Optional dev-only subset (comma-separated names): scaling-ladder
+    // windows time just the growing set instead of all 100 queries. The
+    // driver never sets this → full headline run.
+    val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val benchSet = subset.map(f => SparkEntry.benchQueries.filter(f)).getOrElse(SparkEntry.benchQueries)
+    val results = benchSet.map { name =>
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warm: plan compile + codegen
@@ -41,16 +48,19 @@ object Bench {
         name -> times
       } catch { case _: Throwable => name -> Seq(-1.0) } // broken query: flagged, not timed
     }
-    val qs = results.map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
-    val spread = results.map { case (k, ts) =>
+    // Failures carry a -1.0 sentinel. They are excluded from `total`, `qs`
+    // AND `spread` alike (so summing the sidecar's queries map reproduces
+    // `value` exactly) and surface by name in `failed` in both artifacts.
+    val ok = results.filter(_._2.min >= 0)
+    val qs = ok.map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
+    val spread = ok.map { case (k, ts) =>
       s""""$k":{"min":${ts.min},"median":${ts(ts.size / 2)},"max":${ts.max},"n":${ts.size}}"""
     }.mkString("{", ",", "}")
-    // Failures carry a -1.0 sentinel; summing them would deflate the
-    // headline total by 1s each AND desync it from the `queries` map
-    // (which excludes them). Failures surface by name in `failed` below.
-    val total = results.filter(_._2.min >= 0).map(_._2.min).sum
+    val failed = results.collect { case (k, ts) if ts.min < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = ok.map(_._2.min).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
 
     // The full artifact is ~10 KB for ~100 queries, but the driver keeps
     // only the LAST 2000 chars of stdout — a single long line starts
@@ -78,9 +88,7 @@ object Bench {
     println(full)
 
     def r3(d: Double): String = "%.3f".format(d)
-    val failed = results.collect { case (k, ts) if ts.min < 0 => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val slowest = results.filter(_._2.min >= 0).sortBy(-_._2.min).take(10)
+    val slowest = ok.sortBy(-_._2.min).take(10)
       .map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +

@@ -20,6 +20,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, name, usage, "", "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // Norm-precompute rewrite (SURVEY §4 upgrade 3): resolution-stage on
+    // purpose — see the rule's scaladoc for why the optimizer stage is too
+    // late (ColumnPruning has already dropped unreferenced norm columns).
+    e.injectPostHocResolutionRule(_ => graft.plans.NormPrecomputeRewrite)
     e.injectFunction((FunctionIdentifier("cosine_sim"),
       info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float arrays"),
       (es: Seq[Expression]) => CosineSimilarity(es.head, es(1))))

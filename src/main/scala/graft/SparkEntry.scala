@@ -48,6 +48,10 @@ object SparkEntry {
   def benchQueries: Seq[String] = Seq(
     "d2_knn_topk", "d4_keyword_search", "d4_posting_search", "d7_rrf_fusion",
     "hybrid_search_fused", "d13_context_window",
+    // the engine's signature serving path — deterministic under D19
+    // benchmarkMode since round 10, so now benchable round-over-round
+    "hybrid_search_ann", "hybrid_search_e2e", "sql_interface_hybrid",
+    "stream_ingest", "dedup_simhash_pairs",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_cells", "ann_pq_adc",
     "ann_sq8_topk",

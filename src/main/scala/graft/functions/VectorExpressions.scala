@@ -150,6 +150,69 @@ case class L2Norm(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Cosine similarity when the norms are PRECOMPUTED: dot(a,b)/(na*nb) with
+  * [[CosineSimilarity]]'s exact guard semantics (0.0 on dimension mismatch,
+  * empty input, or zero norm — never NaN). Produced by the
+  * [[graft.plans.NormPrecomputeRewrite]] analyzer rule, never written by
+  * hand: when a stored norm column is in scope the per-row kernel drops
+  * from 3 FMAs/element (dot + both norms) to 1 (dot only). Bit-exact vs
+  * the fused form — L2Norm runs the same accumulation order and the final
+  * `dot / (na * nb)` is the same double op sequence as
+  * `dot / (sqrt(na2) * sqrt(nb2))`. */
+case class NormalizedDot(a: Expression, b: Expression,
+                         normA: Expression, normB: Expression)
+    extends QuaternaryExpression {
+
+  override def first: Expression = a
+  override def second: Expression = b
+  override def third: Expression = normA
+  override def fourth: Expression = normB
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "normalized_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (a.dataType, b.dataType, normA.dataType, normB.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(FloatType, _), DoubleType, DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"normalized_dot expects (array<float>, array<float>, double, double), got $t")
+    }
+
+  override def nullSafeEval(av: Any, bv: Any, nav: Any, nbv: Any): Any = {
+    val x = av.asInstanceOf[ArrayData]
+    val y = bv.asInstanceOf[ArrayData]
+    val na = nav.asInstanceOf[Double]
+    val nb = nbv.asInstanceOf[Double]
+    val n = x.numElements()
+    if (n == 0 || y.numElements() != n || na == 0.0d || nb == 0.0d) 0.0d
+    else {
+      var dot = 0.0d; var i = 0
+      while (i < n) { dot += x.getFloat(i).toDouble * y.getFloat(i).toDouble; i += 1 }
+      dot / (na * nb)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (av, bv, nav, nbv) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val dot = ctx.freshName("dot")
+      s"""
+        |int $n = $av.numElements();
+        |if ($n == 0 || $bv.numElements() != $n || $nav == 0.0 || $nbv == 0.0) {
+        |  ${ev.value} = 0.0;
+        |} else {
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) { $dot += ((double) $av.getFloat($i)) * ((double) $bv.getFloat($i)); }
+        |  ${ev.value} = $dot / ($nav * $nbv);
+        |}
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(a = f, b = s, normA = t, normB = q)
+}
+
 /** Product-quantization encoder: per subspace of `subDim` dims, the index
   * of the nearest codebook entry by MICRO-QUANTIZED squared L2 (floor of
   * 1e6× the double sum — the same integers the DuckDB oracle computes, so
@@ -332,6 +395,16 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(floatArr(a))))
+
+  /** Tag a column as holding the L2 norm of vector column `ofVec` (alias
+    * metadata `graft.normOf`, persisted through parquet schema metadata),
+    * so [[graft.plans.NormPrecomputeRewrite]] can rewrite cosine over
+    * `ofVec` into the 1-FMA/element normalized-dot form. Use on the
+    * l2Norm(...) projection at ingest time, or to re-tag a norm column
+    * after its vector column was renamed. */
+  def normTagged(c: Column, as: String, ofVec: String): Column =
+    c.as(as, new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(graft.plans.NormPrecomputeRewrite.NormOfKey, ofVec).build())
 
   def signLshBuckets(vec: Column, hyperplanes: Column, tables: Int): Column =
     ColumnBridge.column(SignLshBuckets(

@@ -617,19 +617,28 @@ final case class CharPdfExtractor(defaultWidthEm: Double = 0.6,
     ms.collect { case (num, _) if seen.add(num) => num -> lastByNum(num) }
   }
 
-  /** [dataStart, dataEnd) spans of every stream…endstream payload — the
-    * same offset walk [[rawStreams]] performs, offsets only. */
+  /** [dataStart, dataEnd) spans of every stream…endstream payload,
+    * offsets only. Unlike [[rawStreams]]'s permissive walk, the keyword
+    * here is ANCHORED: `stream` must directly follow the stream
+    * dictionary's `>>` (whitespace allowed) and be terminated by an EOL
+    * (ISO 32000-1 §7.3.8.1). These spans EXCLUDE objects from
+    * [[objectBodies]], so a bare-substring match would be worse than a
+    * miss — a literal "stream" in a name/comment/string outside a real
+    * stream would open a bogus span that silently DROPS every real
+    * object inside it. A span missed here merely restores the
+    * pre-hardening noise exposure for that one payload. */
+  private val StreamKeyword =
+    java.util.regex.Pattern.compile(""">>[ \t\r\n\f]*stream(\r\n|\n|\r)""")
   private def streamDataRanges(raw: String): Seq[(Int, Int)] = {
     val out = Seq.newBuilder[(Int, Int)]
+    val m = StreamKeyword.matcher(raw)
     var from = 0
-    while ({ val s = raw.indexOf("stream", from); s >= 0 && raw.indexOf("endstream", s) >= 0 }) {
-      val s = raw.indexOf("stream", from)
-      val e = raw.indexOf("endstream", s)
-      var dataStart = s + "stream".length
-      if (dataStart < raw.length && raw.charAt(dataStart) == '\r') dataStart += 1
-      if (dataStart < raw.length && raw.charAt(dataStart) == '\n') dataStart += 1
-      out += ((dataStart, e))
-      from = e + "endstream".length
+    var done = false
+    while (!done && from <= raw.length - 1 && m.find(from)) {
+      val dataStart = m.end // just past the keyword's EOL
+      val e = raw.indexOf("endstream", dataStart)
+      if (e < 0) done = true
+      else { out += ((dataStart, e)); from = e + "endstream".length }
     }
     out.result()
   }

@@ -460,6 +460,23 @@ object EngineQueries {
     * "first below-cutoff candidate of the Example query's depth·2 slate
     * with raw cosine > 0.65, spliced at rank 2 behind the top hit".
     * The slate and cosines replay through the e2e chain. */
+  /** D15/D16's constant-expectation oracle: the deterministic cache trace
+    * the Spark side must reproduce (see the registration's comment for why
+    * every row is machine-independent). */
+  private val D15CacheOracleSql: String =
+    """SELECT * FROM (VALUES
+      |  (CAST(1 AS BIGINT),  'exact_hit_canonical',  TRUE,  'r_v1'),
+      |  (CAST(2 AS BIGINT),  'exact_miss',           FALSE, ''),
+      |  (CAST(3 AS BIGINT),  'semantic_hit_0951',    TRUE,  'r_v1'),
+      |  (CAST(4 AS BIGINT),  'semantic_miss_0949',   FALSE, ''),
+      |  (CAST(5 AS BIGINT),  'put_time_serve',       TRUE,  'r_v2'),
+      |  (CAST(6 AS BIGINT),  'touch_q1',             TRUE,  'r1'),
+      |  (CAST(7 AS BIGINT),  'evicted_lru_q2',       FALSE, ''),
+      |  (CAST(8 AS BIGINT),  'touched_survives_q1',  TRUE,  'r1'),
+      |  (CAST(9 AS BIGINT),  'newest_present_q4',    TRUE,  'r4'),
+      |  (CAST(10 AS BIGINT), 'size_at_capacity',     TRUE,  '3')
+      |) AS t(step, label, hit, served)""".stripMargin
+
   private val D11OracleSql: String =
     "WITH RECURSIVE\n" + E2EChainSql + """,
         |col40 AS (SELECT sc.id, se.sem_rank,
@@ -594,19 +611,56 @@ object EngineQueries {
         .withColumn("chunk_idx", col("chunk_idx").cast("long"))
     },
 
-    // D15/D16 — exact + semantic query cache (driver-side LRU; output pins
-    // hit/miss semantics).
-    Q.noOracle("d15_query_cache") { (spark, dir) =>
+    // D15/D16 — exact + semantic query cache (driver-side LRU,
+    // vector_store.cpp:281-300). ORACLE-GREEN since round 11 via a
+    // constant-expectation oracle (the q_approx_distinct precedent: the
+    // oracle pins a deterministic contract rather than replaying
+    // internals): the trace below is fully deterministic — exact unit
+    // vectors straddle the 0.95 threshold by ±1e-3 (float32 rounding
+    // ~6e-8, three orders of magnitude inside the margin), LRU eviction
+    // order is fixed by the access sequence, and the served values are
+    // pinned at put() time — so the oracle is the expected trace itself,
+    // and ANY behavioral regression (canonicalization, threshold
+    // strictness, access-order eviction, put-time result pinning, size
+    // accounting) flips a row and fails the hash gate.
+    Q("d15_query_cache", D15CacheOracleSql) { (spark, dir) =>
       import spark.implicits._
-      val cache = new QueryCache[Int](capacity = 3, semanticThreshold = 0.95)
-      val e1 = embedder.embed("merge window hash")
-      cache.put("Merge Window Hash", e1, 1)
-      val rows = Seq(
-        ("exact_hit", cache.getExact("  merge window HASH ").isDefined),
-        ("semantic_hit", cache.getSemantic(embedder.embed("merge window hash")).isDefined),
-        ("semantic_miss", cache.getSemantic(embedder.embed("completely different text")).isDefined),
-        ("exact_miss", cache.getExact("no such query").isDefined))
-      rows.toDF("case", "hit")
+      // unit(c) = (c, sqrt(1-c²), 0, 0): cosine with unit(1.0) is exactly
+      // c up to float32 rounding (same geometry as EngineEdgeSpec).
+      def unit(c: Double): Array[Float] = {
+        val v = new Array[Float](4)
+        v(0) = c.toFloat; v(1) = math.sqrt(1.0 - c * c).toFloat
+        v
+      }
+      def basis(i: Int): Array[Float] = {
+        val v = new Array[Float](4); v(i) = 1.0f; v
+      }
+      val t = Seq.newBuilder[(Long, String, Boolean, String)]
+      def row(step: Long, label: String, got: Option[String]): Unit =
+        t += ((step, label, got.isDefined, got.getOrElse("")))
+
+      // --- canonicalization + threshold straddle + put-time serve
+      val a = new QueryCache[String](capacity = 3, semanticThreshold = 0.95)
+      a.put("Merge Window Hash", unit(1.0), "r_v1")
+      row(1, "exact_hit_canonical", a.getExact("  merge window HASH "))
+      row(2, "exact_miss", a.getExact("no such query"))
+      row(3, "semantic_hit_0951", a.getSemantic(unit(0.951)))
+      row(4, "semantic_miss_0949", a.getSemantic(unit(0.949)))
+      a.put("Merge Window Hash", unit(1.0), "r_v2")
+      row(5, "put_time_serve", a.getSemantic(unit(0.951)))
+
+      // --- LRU eviction at capacity (access-order: touching q1 makes q2
+      // the eldest, so the overflow put of q4 evicts q2, not q1)
+      val b = new QueryCache[String](capacity = 3, semanticThreshold = 0.95)
+      b.put("q1", basis(0), "r1"); b.put("q2", basis(1), "r2")
+      b.put("q3", basis(2), "r3")
+      row(6, "touch_q1", b.getExact("q1"))
+      b.put("q4", basis(3), "r4")
+      row(7, "evicted_lru_q2", b.getExact("q2"))
+      row(8, "touched_survives_q1", b.getExact("q1"))
+      row(9, "newest_present_q4", b.getExact("q4"))
+      t += ((10L, "size_at_capacity", b.size == 3, b.size.toString))
+      t.result().toDF("step", "label", "hit", "served")
     },
 
     // E2/E3 — rerank score calibration (EMA, drift reset, z-reject,

@@ -18,6 +18,48 @@ import graft.ingest.TextChunker
   */
 object IngestQueries {
 
+  /** The hash-ngram embedder replayed coordinate by coordinate in DuckDB
+    * over the %37 doc stripe — tokenization, per-occurrence word +
+    * char-trigram features, the seeded md5 coordinate hash (top 8 bytes
+    * big-endian, h>>>1 mod dim, sign from the low bit), signed
+    * accumulation, and the exact L2 normalization op sequence (1/sqrt then
+    * multiply, stored as float32). Shared by c1_embed_hash_coords (the
+    * hermetic stand-in) and c1_embed_docs (the same values through the
+    * loopback HTTP transport). `dense`/`nrm` expose (doc_id, idx, cnt, n2);
+    * `val` is the float32-rounded coordinate. */
+  private val HashCoordsCtes: String =
+    """WITH d AS (SELECT doc_id, coalesce(text, '') AS text
+      |           FROM documents WHERE doc_id % 37 = 5),
+      |tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM d),
+      |feat AS (SELECT doc_id, 'w:' || tok AS f FROM tk
+      |         UNION ALL
+      |         SELECT doc_id, 'c:' || substr(tok, i::INT + 1, 3) AS f
+      |         FROM tk, unnest(range(greatest(length(tok) - 2, 0))) AS u(i)
+      |         WHERE length(tok) >= 3),
+      |h AS (SELECT doc_id, ('0x' || substr(md5('42:' || f), 1, 16))::UBIGINT AS hu FROM feat),
+      |cs AS (SELECT doc_id, ((hu // 2) % 64)::BIGINT AS idx,
+      |              sum(CASE WHEN hu % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS cnt
+      |       FROM h GROUP BY doc_id, idx),
+      |dense AS (SELECT d.doc_id, t.i AS idx, coalesce(cs.cnt, 0) AS cnt
+      |          FROM d CROSS JOIN range(64) t(i)
+      |          LEFT JOIN cs ON cs.doc_id = d.doc_id AND cs.idx = t.i),
+      |nrm AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS n2 FROM dense GROUP BY doc_id),
+      |coord AS (SELECT dense.doc_id, dense.idx::BIGINT AS idx,
+      |            (CASE WHEN nrm.n2 = 0 THEN 0.0
+      |             ELSE (dense.cnt::DOUBLE * (1.0 / sqrt(nrm.n2::DOUBLE)))::REAL::DOUBLE
+      |             END) AS val
+      |          FROM dense JOIN nrm USING (doc_id))""".stripMargin
+
+  /** c1_embed_docs' oracle: the same coordinate-exact replay, with each
+    * doc's provider pinned by the %3 stripe split the Spark side uses. */
+  private val C1HttpOracleSql: String = HashCoordsCtes + """
+    |SELECT doc_id,
+    |       CASE doc_id % 3 WHEN 0 THEN 'gemini' WHEN 1 THEN 'ollama'
+    |            ELSE 'openai' END AS provider,
+    |       idx, floor(val * 1000000)::BIGINT AS val_micro
+    |FROM coord
+    |ORDER BY doc_id, idx""".stripMargin
+
   /** DuckDB replay of B2–B6 over corpus-synthesized glyphs — every phase
     * of the layout pipeline in window SQL (see the registration comment
     * on `b2_b6_line_assembly`). The chain (shared with the B7 breadcrumb
@@ -496,19 +538,29 @@ object IngestQueries {
         .orderBy("source", "chunk_idx")
     },
 
-    // C1 — embedding boundary: deterministic local embedder (dim 64), the
-    // hermetic stand-in for the reference's HTTP embedders
-    // (gemini_api.cpp:238-273). Rows-only check; unit specs pin values.
-    Q.noOracle("c1_embed_docs") { (spark, dir) =>
-      val emb = HashNgramEmbedder(dim = 64)
-      Embedder.embedText(table(spark, dir, "documents"), "text", emb)
-        .select(
-          col("doc_id"),
-          size(col("embedding")).as("model_dim"),
-          lit(emb.modelSig).as("model_sig"),
-          round(graft.functions.VectorFunctions.l2Norm(col("embedding")), 4).as("norm"))
-        .orderBy("doc_id")
-        .limit(1000)
+    // C1 — the embedding boundary through the REAL HTTP transport,
+    // ORACLE-GREEN since round 11: the %37 doc stripe is split across the
+    // three provider formats (gemini / ollama / openai-style,
+    // gemini_api.cpp:238-273 request shapes, :570-623 reply shapes); each
+    // sub-stripe embeds via HttpEmbedder against the in-process loopback
+    // server, which computes the deterministic hash-ngram embedding
+    // SERVER-side and replies in that provider's response shape — so
+    // request serialization, the socket hop, and all three reply parsers
+    // are on the hashed path, and the oracle is the same coordinate-exact
+    // hash-ngram replay as c1_embed_hash_coords (floats survive the hop
+    // bit-exact: Float.toString is the shortest round-tripping decimal).
+    Q("c1_embed_docs", C1HttpOracleSql) { (spark, dir) =>
+      import graft.embed.{HttpEmbedder, LoopbackProviderServer, LoopbackTransport, ProviderFormats}
+      val transport = LoopbackTransport(LoopbackProviderServer.url("/embed"))
+      val docs = table(spark, dir, "documents").filter(col("doc_id") % 37 === 5)
+      Seq((ProviderFormats.Gemini, 0), (ProviderFormats.Ollama, 1),
+          (ProviderFormats.OpenAiStyle, 2)).map { case (p, m) =>
+        val emb = HttpEmbedder(p, "loopback-hash-ngram-64", 64, transport)
+        Embedder.embedText(docs.filter(col("doc_id") % 3 === m), "text", emb)
+          .select(col("doc_id"), lit(p.name).as("provider"), posexplode(col("embedding")))
+          .select(col("doc_id"), col("provider"), col("pos").cast("long").as("idx"),
+            floor(col("col").cast("double") * 1000000).cast("long").as("val_micro"))
+      }.reduce(_ unionByName _).orderBy("doc_id", "idx")
     },
 
     // C1's hermetic stand-in, ORACLE-GREEN end to end (round 9): the
@@ -518,31 +570,13 @@ object IngestQueries {
     // h>>>1 mod dim, sign from the low bit), signed accumulation and the
     // exact L2 normalization op sequence (1/sqrt then multiply, stored
     // as float32) — replayed coordinate by coordinate in DuckDB and
-    // micro-floored. The HTTP provider boundary itself stays rows-only
-    // (c1_embed_docs); this pins the contract the hermetic tests and
-    // benchmarks actually run on.
-    Q("c1_embed_hash_coords",
-      """WITH d AS (SELECT doc_id, coalesce(text, '') AS text
-        |           FROM documents WHERE doc_id % 37 = 5),
-        |tk AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM d),
-        |feat AS (SELECT doc_id, 'w:' || tok AS f FROM tk
-        |         UNION ALL
-        |         SELECT doc_id, 'c:' || substr(tok, i::INT + 1, 3) AS f
-        |         FROM tk, unnest(range(greatest(length(tok) - 2, 0))) AS u(i)
-        |         WHERE length(tok) >= 3),
-        |h AS (SELECT doc_id, ('0x' || substr(md5('42:' || f), 1, 16))::UBIGINT AS hu FROM feat),
-        |cs AS (SELECT doc_id, ((hu // 2) % 64)::BIGINT AS idx,
-        |              sum(CASE WHEN hu % 2 = 0 THEN 1 ELSE -1 END)::BIGINT AS cnt
-        |       FROM h GROUP BY doc_id, idx),
-        |dense AS (SELECT d.doc_id, t.i AS idx, coalesce(cs.cnt, 0) AS cnt
-        |          FROM d CROSS JOIN range(64) t(i)
-        |          LEFT JOIN cs ON cs.doc_id = d.doc_id AND cs.idx = t.i),
-        |nrm AS (SELECT doc_id, sum(cnt * cnt)::BIGINT AS n2 FROM dense GROUP BY doc_id)
-        |SELECT dense.doc_id, dense.idx::BIGINT AS idx,
-        |       floor((CASE WHEN nrm.n2 = 0 THEN 0.0
-        |              ELSE (dense.cnt::DOUBLE * (1.0 / sqrt(nrm.n2::DOUBLE)))::REAL::DOUBLE
-        |              END) * 1000000)::BIGINT AS val_micro
-        |FROM dense JOIN nrm USING (doc_id)
+    // micro-floored. Since round 11 the HTTP transport variant
+    // (c1_embed_docs above) hashes against the same replay through a real
+    // loopback hop; this one pins the contract the hermetic tests and
+    // benchmarks actually run on, with no network in the loop.
+    Q("c1_embed_hash_coords", HashCoordsCtes + """
+        |SELECT doc_id, idx, floor(val * 1000000)::BIGINT AS val_micro
+        |FROM coord
         |ORDER BY doc_id, idx""".stripMargin) { (spark, dir) =>
       val docs = table(spark, dir, "documents").filter(col("doc_id") % 37 === 5)
       Embedder.embedText(docs, "text", HashNgramEmbedder(dim = 64))

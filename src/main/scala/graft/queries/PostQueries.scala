@@ -4,7 +4,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.embed.HashNgramEmbedder
-import graft.model.SearchOptions
 import graft.post.{DeepDive, ExtractiveSummaryModel, Summarizer}
 import graft.search.HybridEngine
 
@@ -14,19 +13,93 @@ object PostQueries {
 
   private val embedder = HashNgramEmbedder(dim = 64)
 
+  /** The E1/E2 rerank-trace oracle, shared by e1_rerank (HTTP transport)
+    * and e1_rerank_scores (in-process model): candidate slate, lexical
+    * Jaccard, cold-stats calibration, replayed stage by stage in DuckDB. */
+  private val E1TraceOracleSql: String =
+    """WITH cand AS (
+      |  SELECT doc_id, coalesce(text, '') AS text,
+      |         len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
+      |             t -> t IN ('merge', 'window', 'hash', 'partition'))) AS k
+      |  FROM documents),
+      |top AS (SELECT doc_id, text, row_number() OVER (ORDER BY k DESC, doc_id) AS rn
+      |        FROM cand WHERE k > 0 QUALIFY rn <= 10),
+      |raw AS (SELECT doc_id, rn,
+      |          list_distinct(regexp_extract_all(lower(substr(text, 1, 500)), '[a-z0-9]+')) AS tt
+      |        FROM top),
+      |sc AS (SELECT doc_id, rn,
+      |         CASE WHEN len(tt) = 0 THEN 0.0
+      |              ELSE len(list_intersect(tt, ['merge', 'window', 'hash', 'partition']))::DOUBLE
+      |                   / (len(tt) + 4 - len(list_intersect(tt, ['merge', 'window', 'hash', 'partition'])))
+      |         END AS s
+      |       FROM raw),
+      |b AS (SELECT list(s ORDER BY rn) AS vals FROM sc),
+      |ag AS (SELECT vals, list_aggregate(vals, 'sum') / len(vals) AS bmean FROM b),
+      |ag2 AS (SELECT *, greatest(sqrt(list_aggregate(
+      |          list_transform(vals, x -> (x - bmean) * (x - bmean)), 'sum') / len(vals)),
+      |          0.000001) AS bstd FROM ag)
+      |SELECT row_number() OVER (ORDER BY cal DESC, doc_id) AS rank,
+      |       doc_id AS chunk_id,
+      |       CAST(floor(s * 1000000) AS BIGINT) AS raw_micro,
+      |       CAST(floor(cal * 1000000) AS BIGINT) AS calibrated_micro
+      |FROM (SELECT sc.doc_id, sc.s,
+      |        CASE WHEN abs((sc.s - a.bmean) / greatest(a.bstd, 0.000001)) > 5.0 THEN 0.5
+      |             ELSE 1.0 / (1.0 + exp(-greatest(-3.0, least(3.0,
+      |                    (sc.s - a.bmean) / greatest(a.bstd, 0.000001)))))
+      |        END AS cal
+      |      FROM sc, ag2 a)
+      |ORDER BY rank""".stripMargin
+
+  /** The E1 scoring trace: top-10 lexical candidate slate → model.score
+    * (the injected boundary — in-process or an HTTP hop) → Reranker.rerank
+    * from cold Calibration stats. Bounded driver hop by design: the
+    * reference's own rerank batch is ≤ 10 candidates. */
+  private def rerankTrace(spark: org.apache.spark.sql.SparkSession, dir: String,
+                          model: graft.post.RerankModel): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    import graft.functions.F
+    import graft.model.ScoredChunk
+    import graft.post.{Calibration, Reranker}
+    val q = "merge window hash partition"
+    val qTerms = Seq("merge", "window", "hash", "partition")
+    val kscore = size(filter(F.tokens(col("text")), t => t.isin(qTerms: _*)))
+    val cands = table(spark, dir, "documents")
+      .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"), kscore.as("k"))
+      .filter(col("k") > 0)
+      .orderBy(col("k").desc, col("doc_id"))
+      .limit(10)
+      .collect()
+      .map(r => ScoredChunk(r.getLong(0), "", "", "", r.getString(1),
+        0.0, 0.0, 0, 0, 1.0, isExploration = false))
+    val rawById = cands.map(_.id)
+      .zip(model.score(q, cands.map(_.text.take(Reranker.TextCap)).toSeq)).toMap
+    val res = Reranker.rerank(q, cands.toSeq, 10, model, Calibration.initial)
+    require(!res.modelFrozen,
+      "rerank fixture drifted into the frozen-model branch — oracle assumes live scores")
+    res.reranked.zipWithIndex.map { case (c, i) =>
+      ((i + 1).toLong, c.id, math.floor(rawById(c.id) * 1e6).toLong,
+        math.floor(c.score * 1e6).toLong)
+    }.toDF("rank", "chunk_id", "raw_micro", "calibrated_micro")
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(
 
-    // E1 — cross-encoder rerank of the final batch (pluggable model;
-    // deterministic lexical stand-in), calibrated scores (E2), frozen guard
-    // (E3). Rows-only: the scorer runs driver-side on ≤10 rows.
-    Q.noOracle("e1_rerank") { (spark, dir) =>
-      import spark.implicits._
-      val chunks = EngineQueries.chunksFor(spark, dir)
-      val engine = new HybridEngine(spark, chunks, SearchOptions(useRerank = true))
-      val q = "merge window hash partition"
-      engine.search(q, embedder, 5).zipWithIndex.map { case (c, i) =>
-        (q, i + 1, c.id, math.floor(c.score * 1e6).toLong)
-      }.toDF("query", "rank", "chunk_id", "calibrated_micro")
+    // E1 — cross-encoder rerank through the REAL HTTP transport,
+    // ORACLE-GREEN since round 11: the same candidate slate and scoring
+    // trace as e1_rerank_scores, but the scores travel a genuine loopback
+    // HTTP hop — HttpRerankModel builds the generateContent-style request,
+    // LoopbackProviderServer answers with the deterministic
+    // lexical-overlap scores as a JSON score array in the candidate text
+    // (gemini_api.cpp:79-178 parity), and the client parses it exactly as
+    // the reference parses its model reply. Same oracle as the in-process
+    // variant: the transport must be value-preserving, so any
+    // serialization/parse defect flips the hash.
+    Q("e1_rerank", E1TraceOracleSql) { (spark, dir) =>
+      rerankTrace(spark, dir,
+        graft.post.HttpRerankModel(
+          graft.embed.LoopbackTransport(
+            graft.embed.LoopbackProviderServer.url("/rerank"))))
     },
 
     // E1's SCORER + E2's calibration over a corpus-derived batch,
@@ -36,72 +109,12 @@ object PostQueries {
     // through the REAL Reranker.rerank from cold Calibration stats
     // (n=0 → drift-reset to the batch, then z-clamp + sigmoid), and
     // DuckDB replays every stage with ORDERED list folds for the double
-    // sums (the e2_calibration trick). The HTTP cross-encoder boundary
-    // itself stays rows-only (e1_rerank); this pins the stand-in every
-    // hermetic rerank path actually scores with.
-    Q("e1_rerank_scores",
-      """WITH cand AS (
-        |  SELECT doc_id, coalesce(text, '') AS text,
-        |         len(list_filter(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+'),
-        |             t -> t IN ('merge', 'window', 'hash', 'partition'))) AS k
-        |  FROM documents),
-        |top AS (SELECT doc_id, text, row_number() OVER (ORDER BY k DESC, doc_id) AS rn
-        |        FROM cand WHERE k > 0 QUALIFY rn <= 10),
-        |raw AS (SELECT doc_id, rn,
-        |          list_distinct(regexp_extract_all(lower(substr(text, 1, 500)), '[a-z0-9]+')) AS tt
-        |        FROM top),
-        |sc AS (SELECT doc_id, rn,
-        |         CASE WHEN len(tt) = 0 THEN 0.0
-        |              ELSE len(list_intersect(tt, ['merge', 'window', 'hash', 'partition']))::DOUBLE
-        |                   / (len(tt) + 4 - len(list_intersect(tt, ['merge', 'window', 'hash', 'partition'])))
-        |         END AS s
-        |       FROM raw),
-        |b AS (SELECT list(s ORDER BY rn) AS vals FROM sc),
-        |ag AS (SELECT vals, list_aggregate(vals, 'sum') / len(vals) AS bmean FROM b),
-        |ag2 AS (SELECT *, greatest(sqrt(list_aggregate(
-        |          list_transform(vals, x -> (x - bmean) * (x - bmean)), 'sum') / len(vals)),
-        |          0.000001) AS bstd FROM ag)
-        |SELECT row_number() OVER (ORDER BY cal DESC, doc_id) AS rank,
-        |       doc_id AS chunk_id,
-        |       CAST(floor(s * 1000000) AS BIGINT) AS raw_micro,
-        |       CAST(floor(cal * 1000000) AS BIGINT) AS calibrated_micro
-        |FROM (SELECT sc.doc_id, sc.s,
-        |        CASE WHEN abs((sc.s - a.bmean) / greatest(a.bstd, 0.000001)) > 5.0 THEN 0.5
-        |             ELSE 1.0 / (1.0 + exp(-greatest(-3.0, least(3.0,
-        |                    (sc.s - a.bmean) / greatest(a.bstd, 0.000001)))))
-        |        END AS cal
-        |      FROM sc, ag2 a)
-        |ORDER BY rank""".stripMargin) { (spark, dir) =>
-      import spark.implicits._
-      import graft.functions.F
-      import graft.model.ScoredChunk
-      import graft.post.{Calibration, LexicalOverlapModel, Reranker}
-      val q = "merge window hash partition"
-      val qTerms = Seq("merge", "window", "hash", "partition")
-      val kscore = size(filter(F.tokens(col("text")), t => t.isin(qTerms: _*)))
-      // bounded driver hop: the reference's own <= 10-candidate rerank
-      // batch (the scorer is the driver-side model boundary by design)
-      val cands = table(spark, dir, "documents")
-        .select(col("doc_id"), coalesce(col("text"), lit("")).as("text"), kscore.as("k"))
-        .filter(col("k") > 0)
-        .orderBy(col("k").desc, col("doc_id"))
-        .limit(10)
-        .collect()
-        .map(r => ScoredChunk(r.getLong(0), "", "", "", r.getString(1),
-          0.0, 0.0, 0, 0, 1.0, isExploration = false))
-      val model = LexicalOverlapModel()
-      val rawById = cands.map(_.id)
-        .zip(model.score(q, cands.map(_.text.take(Reranker.TextCap)).toSeq)).toMap
-      val res = Reranker.rerank(q, cands.toSeq, 10, model, Calibration.initial)
-      require(!res.modelFrozen,
-        "rerank fixture drifted into the frozen-model branch — oracle assumes live scores")
-      res.reranked.zipWithIndex.map { case (c, i) =>
-        ((i + 1).toLong, c.id, math.floor(rawById(c.id) * 1e6).toLong,
-          math.floor(c.score * 1e6).toLong)
-      }.toDF("rank", "chunk_id", "raw_micro", "calibrated_micro")
-        .orderBy("rank")
+    // sums (the e2_calibration trick). Since round 11 the SAME trace also
+    // runs through the HTTP transport as e1_rerank (same oracle, two
+    // transports — an in-process model call and a loopback HTTP hop).
+    Q("e1_rerank_scores", E1TraceOracleSql) { (spark, dir) =>
+      rerankTrace(spark, dir, graft.post.LexicalOverlapModel())
     },
-
     // C4 — section summarization re-indexed as chunk_type='summary' rows,
     // ORACLE-GREEN (round 9; previously rows-only for the model
     // boundary): the extractive stand-in is first-3-sentences over the

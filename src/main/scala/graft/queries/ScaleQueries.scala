@@ -99,13 +99,17 @@ object ScaleQueries {
               System.currentTimeMillis() - f.lastModified() > staleMs)
             .foreach(org.apache.commons.io.FileUtils.deleteQuietly)
           val path = parent.resolve(s"${name}_$jvmNonce").toString
-          registerLiveStagingDir(path)
           build.repartition(8, col(key))
             .write.format("parquet")
             .bucketBy(8, key).sortBy(key)
             .option("path", path)
             .mode(org.apache.spark.sql.SaveMode.Overwrite)
             .saveAsTable(name)
+          // register only AFTER the write succeeds: a dir registered before
+          // it exists makes every heartbeat tick swallow NoSuchFileException
+          // until the write lands, and a failed write would leave a
+          // never-created path in liveStagingDirs for the JVM's lifetime.
+          registerLiveStagingDir(path)
         }
       }
     ensure(ot, "o_custkey")(
@@ -747,9 +751,12 @@ object ScaleQueries {
         .orderBy("event_type")
     },
 
-    // KNN on precomputed norms: cosine degrades to dot/(norm·qnorm) — the
-    // stored-norm layout cuts the per-row kernel from 3 FMAs/element to 1
-    // (SURVEY §4 item 3). Bit-identical to the fused cosine.
+    // KNN on precomputed norms: the query is written as PLAIN cosine over
+    // norm-tagged columns, and the NormPrecomputeRewrite analyzer rule
+    // (SURVEY §4 upgrade 3, a Catalyst rule since round 11) rewrites it to
+    // normalized_dot — the stored-norm layout cuts the per-row kernel from
+    // 3 FMAs/element to 1. Bit-identical to the fused cosine (plan-pinned
+    // in PlanQualitySpec: normalized_dot present, cosine_sim absent).
     Q("d2b_knn_precomputed_norm",
       """WITH q AS (SELECT embedding AS qv,
         |                  sqrt(list_aggregate(list_transform(embedding::DOUBLE[], x -> x*x), 'sum')) AS qn
@@ -760,14 +767,16 @@ object ScaleQueries {
         |FROM embeddings e CROSS JOIN q
         |WHERE e.vec_id <> 0
         |ORDER BY score DESC, vec_id LIMIT 10""".stripMargin) { (spark, dir) =>
+      import graft.functions.VectorFunctions.{cosineSim, normTagged}
       val e = table(spark, dir, "embeddings")
-        .withColumn("nrm", l2Norm(col("embedding")))
+        .select(col("vec_id"), col("embedding"),
+          normTagged(l2Norm(col("embedding")), "nrm", "embedding"))
       val q = e.filter(col("vec_id") === 0)
-        .select(col("embedding").as("qv"), col("nrm").as("qn"))
+        .select(col("embedding").as("qv"), normTagged(col("nrm"), "qn", "qv"))
       e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
         .select(col("vec_id"),
-          round(dotProduct(col("embedding"), col("qv")) / (col("nrm") * col("qn")), 6).as("score"))
+          round(cosineSim(col("embedding"), col("qv")), 6).as("score"))
         .orderBy(col("score").desc, col("vec_id"))
         .limit(10)
     },

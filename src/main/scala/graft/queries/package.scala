@@ -19,26 +19,18 @@ package object queries {
 
     /** Register rows-only: the driver checks rows > 0 and the semantics are
       * pinned by specs instead of a DuckDB replay. Every such registration
-      * has a structural reason — the current FIVE, one line each. Round 10
-      * graduated the last four that had a path to an oracle:
-      * hybrid_search_ann (D19 benchmark mode froze the D17 EMA coupling →
-      * HybridAnnOracleSql replays the whole IVF serving path),
-      * stream_ingest (bounded run hashed against the batch TextChunker
-      * fold), mm_feature_extract (float L1 stage coordinate-exact via the
-      * c1_embed_hash_coords recipe), and q_approx_distinct (error-envelope
-      * oracle: exact count + a 3σ boolean pinned TRUE). What remains is
-      * genuinely unoracleable:
+      * has a structural reason — the current TWO, one line each. Round 10
+      * graduated hybrid_search_ann / stream_ingest / mm_feature_extract /
+      * q_approx_distinct; round 11 graduated d15_query_cache (a
+      * constant-expectation oracle over its deterministic trace — the
+      * q_approx_distinct precedent) and c1_embed_docs + e1_rerank (the
+      * HTTP transports now drive an in-process loopback server serving
+      * fixture responses in all three provider formats, so the full
+      * request→parse→score path hashes against a constant oracle). What
+      * remains is genuinely unoracleable:
       *
       *  - a1_pdf_ingest       — consumes PDF BYTES via the in-repo extractor;
       *                          byte-parity pinned by fixture twins
-      *  - c1_embed_docs       — the pluggable HTTP embedder model
-      *                          boundary; the deterministic hash-ngram
-      *                          stand-in itself graduated to the exact
-      *                          coordinate-level oracle
-      *                          c1_embed_hash_coords in round 9
-      *  - d15_query_cache     — driver-side LRU/semantic cache semantics,
-      *                          an engine-state contract, not a data query
-      *  - e1_rerank           — rerank scoring model boundary
       *  - g4_latency_audit    — reports measured wall-clock latencies
       *                          (nondeterministic by nature)
       */

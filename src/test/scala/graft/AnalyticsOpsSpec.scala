@@ -15,6 +15,7 @@ class AnalyticsOpsSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -21,6 +21,7 @@ class BucketingSpec extends AnyFunSuite {
     val wh = Files.createTempDirectory("graft-wh-").toString
     SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.warehouse.dir", wh)

@@ -51,4 +51,43 @@ class HttpEmbedderSpec extends AnyFunSuite {
     val wrongDim = HttpEmbedder(Ollama, "fake-model", dim = 16, transport)
     intercept[IllegalStateException](wrongDim.embed("text"))
   }
+
+  // --- round 11: the REAL transport layer over 127.0.0.1 (the loopback
+  // provider server behind the graduated c1_embed_docs / e1_rerank gates)
+
+  test("loopback server: all three provider formats round-trip bit-exact over real HTTP") {
+    import graft.embed.{LoopbackProviderServer, LoopbackTransport}
+    val backing = HashNgramEmbedder(dim = 64)
+    val transport = LoopbackTransport(LoopbackProviderServer.url("/embed"))
+    val text = "merge window hash partition \"quoted\"\nline2\ttabbed"
+    for (p <- Seq(Gemini, Ollama, OpenAiStyle)) {
+      val e = HttpEmbedder(p, "loopback", dim = 64, transport)
+      val got = e.embed(text)
+      val want = backing.embed(text)
+      assert(got.toSeq == want.toSeq,
+        s"provider ${p.name}: HTTP hop must be float32-bit-exact")
+    }
+  }
+
+  test("loopback rerank: HttpRerankModel scores == in-process LexicalOverlapModel over real HTTP") {
+    import graft.embed.{LoopbackProviderServer, LoopbackTransport}
+    import graft.post.{HttpRerankModel, LexicalOverlapModel}
+    val http = HttpRerankModel(LoopbackTransport(LoopbackProviderServer.url("/rerank")))
+    val local = LexicalOverlapModel()
+    val q = "merge window hash"
+    val texts = Seq(
+      "the merge window opens on tuesday",
+      "hash partitioning beats range here",
+      "unrelated text about \"geese\"\nand rivers",
+      "")
+    assert(http.score(q, texts) == local.score(q, texts),
+      "scores must survive the generateContent-style JSON hop exactly")
+    // score count contract: reply array length must match the batch
+    intercept[IllegalStateException] {
+      // a transport that always answers with a 2-score array
+      HttpRerankModel(_ =>
+        """{"candidates":[{"content":{"parts":[{"text":"[0.1,0.2]"}]}}]}""")
+        .score(q, texts)
+    }
+  }
 }

@@ -13,6 +13,7 @@ class PlanQualitySpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[4]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -138,6 +139,40 @@ class PlanQualitySpec extends AnyFunSuite {
         s"$name pairs via a bucket self-join again (quadratic pre-filter blowup):\n$p")
       assert(p.contains("Window"), s"$name lost its sliding-frame pair window:\n$p")
     }
+  }
+
+  test("norm-precompute rule: d2b written as plain cosine plans normalized_dot, not cosine_sim") {
+    // SURVEY §4 upgrade 3 as a Catalyst rule (round 11): the query AUTHORS
+    // cosine_sim over norm-tagged columns; NormPrecomputeRewrite must
+    // rewrite it to the 1-FMA/element normalized_dot form at analysis time.
+    val p = plan("d2b_knn_precomputed_norm")
+    assert(p.contains("normalized_dot"), s"norm-precompute rewrite did not fire:\n$p")
+    assert(!p.contains("cosine_sim"), s"fused cosine survived despite tagged norms:\n$p")
+  }
+
+  test("norm-precompute rule is value-exact, including the zero-vector guard (0.0, never NaN)") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions.{cosineSim, l2Norm, normTagged}
+    val df = Seq(
+      (1L, Array(1.0f, 2.0f, 3.0f)),
+      (2L, Array(0.0f, 0.0f, 0.0f)), // zero norm: fused cosine yields 0.0
+      (3L, Array(-1.5f, 0.25f, 8.0f)),
+      (4L, Array(0.1f, -0.2f, 0.3f))).toDF("id", "v")
+    val q = Seq(Tuple1(Array(0.5f, -1.0f, 2.0f))).toDF("qv")
+    // fused: no tags in scope → rule must NOT touch it
+    val fused = df.crossJoin(q)
+      .select($"id", cosineSim($"v", $"qv").as("s"))
+    assert(fused.queryExecution.executedPlan.toString.contains("cosine_sim"))
+    val fusedRows = fused.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // tagged: both sides carry precomputed norms → rewrite fires
+    val tagged = df.select($"id", $"v", normTagged(l2Norm($"v"), "nv", "v"))
+      .crossJoin(q.select($"qv", normTagged(l2Norm($"qv"), "nq", "qv")))
+      .select($"id", cosineSim($"v", $"qv").as("s"))
+    assert(tagged.queryExecution.executedPlan.toString.contains("normalized_dot"))
+    val taggedRows = tagged.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(taggedRows == fusedRows, // bit-exact double equality, not approx
+      s"rewrite changed values: fused=$fusedRows tagged=$taggedRows")
+    assert(taggedRows(2L) == 0.0, "zero-norm row must stay 0.0 (never NaN)")
   }
 
   test("BM25: df and corpus stats broadcast; the only corpus shuffle is the posting groupBy") {

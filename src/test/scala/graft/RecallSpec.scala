@@ -18,6 +18,7 @@ class RecallSpec extends AnyFunSuite {
 
   private lazy val spark: SparkSession = SparkSession.builder()
     .master("local[8]")
+    .config("spark.sql.extensions", "graft.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "8")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -70,6 +71,178 @@ class RecallSpec extends AnyFunSuite {
     info(s"true pairs co-component: $co/${truth.size}")
     assert(co.toDouble / truth.size >= 0.99,
       s"dedup grouping split true near-dup pairs: $co/${truth.size}")
+  }
+
+  test("adversarial mega-bucket corpus: grouping recall holds and the W-vs-recall tradeoff is measured") {
+    // The round-10 sf1 decade showed the dangerous corpus shape: ONE
+    // templated mega-bucket (thousands of near-identical docs sharing a
+    // band key) plus a Zipf tail of smaller cliques. The sliding-window
+    // pair stage bounds cost at n·W there — this spec pins what that
+    // bound is allowed to COST in recall, on exactly that corpus shape.
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{array_distinct, col}
+    // disjoint token namespaces → cross-clique Jaccard is exactly 0; each
+    // clique doc replaces 3 fixed template positions with doc-unique
+    // tokens → within-clique Jaccard is exactly 117/123 ≈ 0.951 ≥ 0.9
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Int)]
+    var id = 0L
+    def addClique(c: Int, size: Int): Unit = {
+      val tmpl = (0 until 120).map(i => s"c${c}t$i")
+      for (d <- 0 until size) {
+        val t = tmpl.zipWithIndex.map { case (tk, i) =>
+          if (i < 3) s"c${c}d${d}u$i" else tk }
+        buf += ((id, t.mkString(" "), c)); id += 1
+      }
+    }
+    addClique(0, 240)                                   // the mega bucket
+    val tail = Seq(50, 24, 12, 8, 6, 5, 4, 3, 2, 2, 2)  // Zipf-ish tail
+    tail.zipWithIndex.foreach { case (sz, i) => addClique(i + 1, sz) }
+    for (i <- 0 until 100) {                            // singleton noise
+      buf += ((id, (0 until 40).map(j => s"n${i}x$j").mkString(" "), -1)); id += 1
+    }
+    val docs = buf.toSeq.map(t => (t._1, t._2)).toDF("doc_id", "text")
+
+    // exact ground truth, computed (not assumed): all-pairs Jaccard ≥ 0.9
+    // over the same distinct-token sets the pipeline hashes
+    val sets = buf.map(t => t._1 ->
+      t._2.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSet).toMap
+    val ids = buf.map(_._1).sorted
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      sa = sets(ids(i)); sb = sets(ids(j))
+      inter = (sa & sb).size.toDouble
+      if inter / (sa.size + sb.size - inter) >= 0.9
+    } yield (ids(i), ids(j))).toSet
+    val expected = (240 * 239) / 2 + tail.map(s => s * (s - 1) / 2).sum
+    assert(truth.size == expected,
+      s"corpus construction drifted: ${truth.size} true pairs, expected $expected")
+
+    def ccRecall(found: Set[(Long, Long)]): (Double, Double) = {
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+      def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+      found.foreach { case (a, b) => parent(find(a)) = find(b) }
+      val co = truth.count { case (a, b) => find(a) == find(b) }
+      ((truth & found).size.toDouble / truth.size, co.toDouble / truth.size)
+    }
+
+    // W sweep over the SAME band buckets: direct pair recall degrades with
+    // W by design (a k-clique holds k²/2 pairs, the window emits ≤ k·W);
+    // component recall is the contract that must hold
+    val tokenSets = docs.select(col("doc_id"),
+      array_distinct(graft.functions.F.tokens(col("text"))).as("s"))
+    val bands = graft.dedup.DedupPipeline.bandBuckets(tokenSets, "doc_id", "s").cache()
+    val sweep = Seq(4, 8, 16, 32).map { w =>
+      val cand = graft.dedup.DedupPipeline.candidatePairs(bands, "doc_id", window = w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val verified = cand.filter { case (a, b) =>
+        val (sa, sb) = (sets(a), sets(b))
+        val inter = (sa & sb).size.toDouble
+        inter / (sa.size + sb.size - inter) >= 0.9
+      }
+      val (pr, cr) = ccRecall(verified)
+      info(f"W=$w%2d: pair recall $pr%.3f, component recall $cr%.3f (${verified.size} edges)")
+      w -> (pr, cr)
+    }.toMap
+    bands.unpersist()
+    // the committed tradeoff (docs/SCALING.md round-11 addendum):
+    // component recall must be PERFECT at the default W on the adversarial
+    // corpus, and already ≥ 0.99 two halvings below it
+    assert(sweep(32)._2 == 1.0,
+      s"W=32 grouping split a true clique on the mega-bucket corpus: ${sweep(32)}")
+    assert(sweep(8)._2 >= 0.99, s"W=8 component recall collapsed: ${sweep(8)}")
+    // pair recall floor at the default W — window-bounded by design (the
+    // 240-clique holds 28.7k true pairs, the window emits ≤ n·W·bands), so
+    // this is a canary under the measured 0.293, not a completeness claim
+    assert(sweep(32)._1 >= 0.25, s"W=32 direct pair recall collapsed: ${sweep(32)}")
+
+    // and the FULL pipeline (verify join + BSP components) at the default
+    // W must agree with the driver-side closure: every true pair grouped
+    val edges = graft.dedup.DedupPipeline.edges(docs, 0.9, sampleMod = 1)
+      .collect().map(r => (math.min(r.getLong(0), r.getLong(1)),
+        math.max(r.getLong(0), r.getLong(1)))).toSet
+    assert(edges.subsetOf(truth), "verified edges contain a false positive")
+    val (_, fullCc) = ccRecall(edges)
+    assert(fullCc == 1.0, s"pipeline grouping split a true clique: $fullCc")
+  }
+
+  test("simhash window stage on the mega-bucket corpus: recall vs exact hamming truth") {
+    // Same adversarial shape, simhash side: truth = ALL pairs at hamming
+    // <= 3 over the exact 16-bit signatures (computed driver-side with the
+    // same md5 token hash the query uses); found = the banded
+    // sorted-neighborhood stage at the default W. Pigeonhole guarantees a
+    // hamming<=3 pair shares >= 1 of the 4 bands, so the ONLY loss is the
+    // window bound — this pins what that bound costs on the worst corpus.
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    var id = 0L
+    def addClique(c: Int, size: Int): Unit = {
+      val tmpl = (0 until 120).map(i => s"c${c}t$i")
+      for (d <- 0 until size) {
+        val t = tmpl.zipWithIndex.map { case (tk, i) =>
+          if (i < 3) s"c${c}d${d}u$i" else tk }
+        buf += ((id, t.mkString(" "))); id += 1
+      }
+    }
+    addClique(0, 240)
+    Seq(50, 24, 12, 8, 6, 5, 4, 3, 2, 2, 2).zipWithIndex
+      .foreach { case (sz, i) => addClique(i + 1, sz) }
+
+    // exact signatures, driver-side (mirrors F.hash60 = first 15 md5 hex
+    // chars as a long, and the query's sign-of-bit-sum fold)
+    def hash60(tk: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(tk.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(15), 16)
+    }
+    val sigs: Map[Long, Int] = buf.map { case (i, text) =>
+      val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).distinct
+      val sums = new Array[Int](16)
+      toks.foreach { tk =>
+        val h = hash60(tk)
+        for (j <- 0 until 16) sums(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+      }
+      i -> (0 until 16).map(j => if (sums(j) > 0) 1 << j else 0).sum
+    }.toMap
+    val ids = buf.map(_._1)
+    val truth = (for {
+      i <- ids.indices.iterator
+      j <- (i + 1) until ids.length
+      if java.lang.Integer.bitCount(sigs(ids(i)) ^ sigs(ids(j))) <= 3
+    } yield (ids(i), ids(j))).toSet
+    assert(truth.size > 1000, s"fixture too easy: only ${truth.size} hamming<=3 pairs")
+
+    // the windowed banded stage (the dedup_simhash_pairs plan shape)
+    val W = graft.dedup.DedupPipeline.NeighborWindow
+    val sdf = sigs.toSeq.toDF("doc_id", "sh")
+    val banded = sdf.select(col("doc_id"), col("sh"),
+        explode(array((0 until 4).map(b => struct(lit(b).as("band"),
+          shiftright(col("sh"), 4 * b).bitwiseAND(15).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("sh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    val w = Window.partitionBy("band", "bkey").orderBy("sh", "doc_id")
+    val found = banded
+      .withColumn("__next", collect_list(struct(col("doc_id").as("nid"), col("sh").as("nh")))
+        .over(w.rowsBetween(1, W)))
+      .select(col("doc_id"), col("sh"), explode(col("__next")).as("nb"))
+      .select(least(col("doc_id"), col("nb.nid")).as("a"),
+        greatest(col("doc_id"), col("nb.nid")).as("b"),
+        expr("bit_count(sh ^ nb.nh)").as("hm"))
+      .filter(col("hm") <= 3)
+      .select("a", "b").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(found.subsetOf(truth), "window stage emitted a pair beyond hamming<=3")
+    val pairRecall = (truth & found).size.toDouble / truth.size
+    // component closure: grouping must not split the hamming cliques
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i).toSeq: _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    found.foreach { case (a, b) => parent(find(a)) = find(b) }
+    val co = truth.count { case (a, b) => find(a) == find(b) }
+    val ccRecall = co.toDouble / truth.size
+    info(f"simhash W=$W: pair recall $pairRecall%.3f, component recall $ccRecall%.3f over ${truth.size} pairs")
+    assert(ccRecall >= 0.99, f"simhash grouping split hamming cliques: $ccRecall%.3f")
   }
 
   test("sf0.1 recall floors: IVF beats chance, nprobe is monotone, SQ8 two-phase is exact") {

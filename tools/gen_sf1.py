@@ -32,21 +32,44 @@ import duckdb
 SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
 DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1"
 COPIES = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# Stride multiplier for CHAINED decades (sf1 -> sf10): the base strides sit
+# just above sf0.1's max ids; a source that is itself a K-copy union has ids
+# K x higher, so pass K here (the lcm(1..9) alignment survives scaling).
+MULT = int(sys.argv[4]) if len(sys.argv) > 4 else 1
 
 os.makedirs(DST, exist_ok=True)
 con = duckdb.connect()
 
 # lcm(1..9)-aligned strides comfortably above each table's max id
 STRIDES = {
-    "documents": 2520 * 2,        # max doc_id 4999
-    "embeddings": 2520,           # max vec_id 1999
-    "events_id": 2520 * 40,       # max event_id 99999
-    "events_user": 2520 * 4,      # user dimension
-    "orders": 2520 * 240,         # max o_orderkey ~600k
-    "customer": 2520 * 6,
-    "supplier": 2520,
-    "part": 2520 * 8,
+    "documents": 2520 * 2 * MULT,   # max sf0.1 doc_id 4999
+    "embeddings": 2520 * MULT,      # max sf0.1 vec_id 1999
+    "events_id": 2520 * 40 * MULT,  # max sf0.1 event_id 99999
+    "events_user": 2520 * 4 * MULT, # user dimension
+    "orders": 2520 * 240 * MULT,    # max sf0.1 o_orderkey ~600k
+    "customer": 2520 * 6 * MULT,
+    "supplier": 2520 * MULT,
+    "part": 2520 * 8 * MULT,
 }
+
+# Embedding decorrelation per copy. First decade (MULT=1): rotate by i
+# coordinates (norm- and within-copy-cosine-preserving; cross-copy cosines
+# decorrelate). CHAINED decades cannot rotate again - rotation totals
+# collide ((i1,i2) and (i1',i2') with i1+i2 = i1'+i2' yield byte-identical
+# vectors, re-creating the exact-twin corpus artifact the rotation was
+# built to avoid) - so MULT>1 applies a SEEDED PERMUTATION per copy
+# instead: still orthogonal (norms and within-copy pairwise cosines exact),
+# and permutation-compose-rotation collisions across copy pairs do not
+# occur for distinct seeded shuffles.
+import random
+def emb_expr(i):
+    if i == 0:
+        return "embedding"
+    if MULT == 1:
+        return f"list_concat(embedding[{i}+1:], embedding[1:{i}])::FLOAT[]"
+    perm = list(range(1, 65))
+    random.Random(1000 + i).shuffle(perm)
+    return f"list_select(embedding, {perm})::FLOAT[]"
 
 
 def gen(table, sql):
@@ -61,14 +84,21 @@ gen("documents", f"""
   SELECT doc_id + {{i}} * {STRIDES['documents']} AS doc_id,
          CASE WHEN {{i}} = 0 THEN text ELSE 'copytag{{i}} ' || text END AS text,
          lang, source || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS source,
-         n_chars FROM '{SRC}/documents.parquet'""")
+         -- keep n_chars == length(text): the prefix tag adds bytes, and
+         -- queries that weight/bucket by n_chars (curation sampling, length
+         -- histograms) would otherwise measure a slightly wrong work shape
+         n_chars + CASE WHEN {{i}} = 0 THEN 0
+                        ELSE length('copytag{{i}} ') END AS n_chars
+  FROM '{SRC}/documents.parquet'""")
 
-gen("embeddings", f"""
-  SELECT vec_id + {{i}} * {STRIDES['embeddings']} AS vec_id,
-         CASE WHEN {{i}} = 0 THEN embedding
-              ELSE list_concat(embedding[{{i}}+1:], embedding[1:{{i}}])::FLOAT[]
-         END AS embedding, label
-  FROM '{SRC}/embeddings.parquet'""")
+con.execute(
+    "COPY (" + " UNION ALL ".join(
+        f"""SELECT vec_id + {i} * {STRIDES['embeddings']} AS vec_id,
+               {emb_expr(i)} AS embedding, label
+            FROM '{SRC}/embeddings.parquet'""" for i in range(COPIES)) +
+    f") TO '{DST}/embeddings.parquet' (FORMAT PARQUET)")
+print("embeddings:",
+      con.sql(f"SELECT count(*) FROM '{DST}/embeddings.parquet'").fetchone()[0], "rows")
 
 gen("events", f"""
   SELECT event_id + {{i}} * {STRIDES['events_id']} AS event_id, ts,
