@@ -36,11 +36,16 @@ object Bench {
     val subset = sys.env.get("SPARK_GRAFT_BENCH_QUERIES")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val benchSet = subset.map(f => SparkEntry.benchQueries.filter(f)).getOrElse(SparkEntry.benchQueries)
+    // Dev-only timed-run count (default 3; the driver never sets it). The
+    // sf10 scaling-ladder windows use 1: at a 100x-sf0.1 corpus the data
+    // cost dwarfs run-to-run jitter, and a 200 s query cannot afford
+    // 4 executions per window.
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
     val results = benchSet.map { name =>
       val fn = SparkEntry.queries(name)
       try {
         fn(spark, sfDir).count() // warm: plan compile + codegen
-        val times = (1 to 3).map { _ =>
+        val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
           (System.nanoTime() - t0) / 1e9

@@ -38,6 +38,8 @@ object Dev {
           (System.nanoTime() - t0) / 1e9
         }
         println(f"$name min=${ts.min}%.3f runs=[${ts.map(t => f"$t%.3f").mkString(", ")}]")
+      case "dump" :: name :: _ =>
+        SparkEntry.queries(name)(spark, sfDir).toJSON.collect().foreach(println)
       case "oracle" :: name :: _ =>
         println(SparkEntry.oracleSql.getOrElse(name, s"(no oracle for $name)"))
       case "recall-clustered" :: rest =>

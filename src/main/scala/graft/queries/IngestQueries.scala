@@ -307,16 +307,35 @@ object IngestQueries {
     // A1 — real PDF ingest, end to end: the deterministic sample PDF
     // (valid xref, Courier metrics, one Flate-compressed page) is written
     // to a temp dir, scanned via binaryFile, per-char extracted
-    // (CharPdfExtractor) and layout-chunked (B1–B9). Rows-only: the PDF
-    // byte format is outside the oracle's SQL surface; semantics are
-    // pinned line-by-line in CharPdfExtractorSpec.
-    Q.noOracle("a1_pdf_ingest") { (spark, dir) =>
+    // (CharPdfExtractor) and layout-chunked (B1–B9). Graduated in round 11
+    // via the d15/q_approx_distinct precedent: DuckDB cannot parse PDF
+    // bytes, but the fixture output is fully deterministic, so a
+    // constant-expectation oracle pins the ENTIRE byte→chunk pipeline
+    // (both font paths: Courier widths and the Type3 /Differences
+    // glyph-name decode) on the driver gate — doc ids are md5(name +
+    // "_" + bytes.length), so even the fixture byte LENGTHS are pinned.
+    Q("a1_pdf_ingest",
+      """WITH pages(p, h) AS (VALUES
+        |    (1, '1 Introduction'), (2, '2 Methods'), (3, '3 Results'),
+        |    (4, '4 Discussion'), (5, '5 Evaluation'), (6, '6 Related Work'),
+        |    (7, '7 Conclusion')),
+        |  files(doc_id, source_file) AS (VALUES
+        |    ('09b9588a0ccf1aebda011dfa08d65560', 'sample.pdf'),
+        |    ('6bec3238c0ca0a744a178c4f182c7f17', 'type3.pdf'))
+        |SELECT f.doc_id, f.source_file, p.p - 1 AS chunk_idx, p.p AS page_num,
+        |       'This is body text on page ' || p.p ||
+        |       '. It explains the topic in detail. A second line continues the paragraph with more words. kerned gap' AS text_chunk,
+        |       p.h AS heading_path, 1 AS heading_level, 'text' AS chunk_type,
+        |       4 AS sentence_count, '' AS list_type, 0 AS list_length
+        |FROM files f CROSS JOIN pages p
+        |ORDER BY f.doc_id, chunk_idx""".stripMargin) { (spark, dir) =>
       val tmp = graft.util.TempRoot.dir("a1-")
       java.nio.file.Files.write(tmp.resolve("sample.pdf"), graft.ingest.PdfSampleDoc.bytes)
       // the Type3 /Differences twin rides along: same text through the
       // glyph-name decode path, so the chunk output doubles exactly
       java.nio.file.Files.write(tmp.resolve("type3.pdf"), graft.ingest.PdfSampleDoc.bytesType3)
       graft.ingest.PdfSource.extractChunks(spark, tmp.toString)
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // B1 — header/footer frequency pre-pass: normalize a line signature,

@@ -19,18 +19,19 @@ package object queries {
 
     /** Register rows-only: the driver checks rows > 0 and the semantics are
       * pinned by specs instead of a DuckDB replay. Every such registration
-      * has a structural reason — the current TWO, one line each. Round 10
-      * graduated hybrid_search_ann / stream_ingest / mm_feature_extract /
+      * has a structural reason — currently ONE. Round 10 graduated
+      * hybrid_search_ann / stream_ingest / mm_feature_extract /
       * q_approx_distinct; round 11 graduated d15_query_cache (a
       * constant-expectation oracle over its deterministic trace — the
-      * q_approx_distinct precedent) and c1_embed_docs + e1_rerank (the
+      * q_approx_distinct precedent), c1_embed_docs + e1_rerank (the
       * HTTP transports now drive an in-process loopback server serving
       * fixture responses in all three provider formats, so the full
-      * request→parse→score path hashes against a constant oracle). What
-      * remains is genuinely unoracleable:
+      * request→parse→score path hashes against a constant oracle), and
+      * a1_pdf_ingest (same constant-expectation route: the fixture PDFs
+      * are deterministic bytes, so the byte→chunk pipeline output is a
+      * 14-row constant the oracle pins exactly). What remains is
+      * genuinely unoracleable:
       *
-      *  - a1_pdf_ingest       — consumes PDF BYTES via the in-repo extractor;
-      *                          byte-parity pinned by fixture twins
       *  - g4_latency_audit    — reports measured wall-clock latencies
       *                          (nondeterministic by nature)
       */

@@ -73,23 +73,46 @@ def emb_expr(i):
 
 
 def gen(table, sql):
-    parts = " UNION ALL ".join(sql.format(i=i) for i in range(COPIES))
+    parts = " UNION ALL ".join(
+        sql.format(i=i, texpr=text_expr(i)) for i in range(COPIES))
     con.execute(
         f"COPY ({parts}) TO '{DST}/{table}.parquet' (FORMAT PARQUET)")
     n = con.sql(f"SELECT count(*) FROM '{DST}/{table}.parquet'").fetchone()[0]
     print(f"{table}: {n} rows")
 
 
+# Text decorrelation per copy. First decade (MULT=1): a single variable-
+# length PREFIX tag — shifts every byte offset, so byte-window signatures
+# (CDC, blockhash) diverge across copies. CHAINED decades (MULT>1) need
+# more: a prefix leaves token n-grams (n>=2 tokens in) IDENTICAL across
+# copies, so after two decades every 5-gram would carry multiplicity
+# ~COPIES^2 and gram-keyed self-joins (source_overlap, decontaminate)
+# would measure a corpus-duplication artifact (~multiplicity^2 join rows),
+# not an engine shape. So MULT>1 INTERLEAVES the per-copy tag after every
+# 3rd token: every >=4-token window spans a tag, making all 5-gram
+# shingles copy-unique — cross-copy gram multiplicity stays at the
+# PREVIOUS decade's level, which is the real-world shape (a 10x corpus
+# shares n-grams, but not uniformly at 100x multiplicity).
+def text_expr(i):
+    if i == 0:
+        return "text"
+    if MULT == 1:
+        return f"'copytag{i} ' || text"
+    return ("array_to_string(flatten(list_transform(" +
+            "range(0, greatest(len(string_split(text, ' ')), 1), 3), " +
+            f"b -> list_append(string_split(text, ' ')[b+1:b+3], 'ctag{i}'))), ' ')")
+
+
 gen("documents", f"""
-  SELECT doc_id + {{i}} * {STRIDES['documents']} AS doc_id,
-         CASE WHEN {{i}} = 0 THEN text ELSE 'copytag{{i}} ' || text END AS text,
-         lang, source || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS source,
-         -- keep n_chars == length(text): the prefix tag adds bytes, and
-         -- queries that weight/bucket by n_chars (curation sampling, length
+  SELECT doc_id, text, lang, source,
+         -- keep n_chars == length(text): the tag bytes count, and queries
+         -- that weight/bucket by n_chars (curation sampling, length
          -- histograms) would otherwise measure a slightly wrong work shape
-         n_chars + CASE WHEN {{i}} = 0 THEN 0
-                        ELSE length('copytag{{i}} ') END AS n_chars
-  FROM '{SRC}/documents.parquet'""")
+         length(text) AS n_chars
+  FROM (SELECT doc_id + {{i}} * {STRIDES['documents']} AS doc_id,
+               {{texpr}} AS text, lang,
+               source || CASE WHEN {{i}} = 0 THEN '' ELSE '_c{{i}}' END AS source
+        FROM '{SRC}/documents.parquet')""")
 
 con.execute(
     "COPY (" + " UNION ALL ".join(
