@@ -852,19 +852,90 @@ object ScaleQueries {
         |FROM w JOIN events e ON epoch_ms(e.ts) >= w.ws AND epoch_ms(e.ts) < w.ws + 1800000
         |GROUP BY w.window_id
         |ORDER BY n_events DESC, window_id LIMIT 100""".stripMargin) { (spark, dir) =>
+      // Round 11: the sf10 decade ladder caught the bin-join form
+      // materializing Σ_bin |errors|·|events| pairs — on a FIXED 30-day
+      // span both densities grow with the corpus, so 10x data measured
+      // ~100x work (50.2 s at sf10; the r10 simhash lesson at the
+      // interval-count shape). The fix is DENSITY-DERIVED (the
+      // derive-don't-default contract): one span-bounded histogram pass
+      // (span/B rows at ANY corpus size) prices both plans driver-side,
+      // then
+      //  - sparse (pair work ≤ 32 linear passes — the measured per-row
+      //    cost ratio between a codegen'd join-probe row and a
+      //    shuffle+sort window row: at pairWork/total = 28 (sf0.1) the
+      //    two branches tie within noise, at 277 (sf1) the prefix wins
+      //    ~3x and the gap widens with density): the broadcast bin-join,
+      //    cheaper while the pair product stays near-linear, or
+      //  - dense: a prefix-count — n_events(w) = cdf(ws+B) − cdf(ws),
+      //    cdf(t) = #events with ms < t — split into the histogram's
+      //    exclusive prefix (a driver literal, the centroid-array
+      //    pattern) + a per-bin running count (one keyed window, bins
+      //    uniform by construction of time). ZERO joins, work linear in
+      //    events + probes (3.1 s at sf10 vs 50.2). Ties break exactly:
+      //    probes order before events at equal ms, so "< t" is strict
+      //    and the window's own error row at ms = ws stays counted,
+      //    matching the inclusive start. Both branches verified
+      //    hash-identical vs the oracle at three SFs.
       val B = 1800000L
       val ev = events(spark, dir).withColumn("ms", unix_millis(col("ts")))
-      val w = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("window_id"), col("ms").as("ws"))
-        .withColumn("bin", explode(array_distinct(array(
-          floor(col("ws") / B), floor((col("ws") + B - 1) / B)))))
-      val e = ev.select(col("ms"), floor(col("ms") / B).as("bin"))
-      e.join(w, Seq("bin"))
-        .filter(col("ms") >= col("ws") && col("ms") < col("ws") + B)
-        .groupBy(col("window_id"))
-        .agg(count(lit(1)).as("n_events"))
-        .orderBy(col("n_events").desc, col("window_id"))
-        .limit(100)
+      val binCnt = ev.groupBy(floor(col("ms") / B).cast("long").as("bin"))
+        .agg(count(lit(1)).as("cnt"),
+          count(when(col("event_type") === "error", 1)).as("err"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      val total = binCnt.map(_._2).sum
+      val cnts = binCnt.map(t => t._1 -> t._2).toMap
+      val pairWork = binCnt.map { case (b, _, e) =>
+        e * (cnts.getOrElse(b, 0L) + cnts.getOrElse(b + 1, 0L))
+      }.sum
+      if (pairWork <= 32 * total) {
+        val w = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("window_id"), col("ms").as("ws"))
+          .withColumn("bin", explode(array_distinct(array(
+            floor(col("ws") / B), floor((col("ws") + B - 1) / B)))))
+        val e = ev.select(col("ms"), floor(col("ms") / B).as("bin"))
+        e.join(w, Seq("bin"))
+          .filter(col("ms") >= col("ws") && col("ms") < col("ws") + B)
+          .groupBy(col("window_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .orderBy(col("n_events").desc, col("window_id"))
+          .limit(100)
+      } else {
+        val minBin = binCnt.head._1
+        val nBins = (binCnt.last._1 - minBin + 2).toInt // + one-past-the-end
+        val cumBefore = new Array[Long](nBins)
+        locally {
+          var run = 0L
+          var i = 0
+          while (i < nBins) {
+            cumBefore(i) = run; run += cnts.getOrElse(minBin + i, 0L); i += 1
+          }
+        }
+        val eRows = ev.select(col("ms").as("t"), lit(1L).as("w"),
+          lit(null).cast("long").as("window_id"), lit(null).cast("int").as("kind"))
+        val probes = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("window_id"), col("ms").as("ws"))
+          .select(col("window_id"), explode(array(
+            struct(col("ws").as("t"), lit(0).as("kind")),
+            struct((col("ws") + B).as("t"), lit(1).as("kind")))).as("p"))
+          .select(col("p.t").as("t"), lit(0L).as("w"), col("window_id"),
+            col("p.kind").as("kind"))
+        val win = Window.partitionBy("bin").orderBy(col("t"), col("w"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val binC = floor(col("t") / B).cast("long")
+        val idx = least(greatest(binC - minBin, lit(0L)), lit((nBins - 1).toLong))
+        eRows.unionByName(probes)
+          .withColumn("bin", binC)
+          .withColumn("within", sum(col("w")).over(win))
+          .filter(col("window_id").isNotNull)
+          .withColumn("cdf",
+            element_at(typedlit(cumBefore.toSeq), (idx + 1).cast("int")) + col("within"))
+          .groupBy("window_id")
+          .agg((max(when(col("kind") === 1, col("cdf"))) -
+                max(when(col("kind") === 0, col("cdf")))).as("n_events"))
+          .orderBy(col("n_events").desc, col("window_id"))
+          .limit(100)
+      }
     },
 
     // Sessionization: 30-minute-gap session ids via lag + running sum —

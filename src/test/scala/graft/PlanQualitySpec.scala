@@ -141,6 +141,29 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("q_range_join_binned derives its plan from density: bin-join sparse, join-free prefix-count dense") {
+    // the sf10-decade finding (round 11): on a FIXED 30-day span the
+    // bin-join's Σ|errors|·|events| pair product grows ~100x per data
+    // decade (50.2 s at sf10 vs 3.1 s rewritten); the density-derived
+    // switch must plan the prefix-count (ZERO joins) once pair work
+    // clears 32 linear passes, and keep the cheaper broadcast bin-join
+    // on sparse corpora.
+    assert(plan("q_range_join_binned").contains("Join"),
+      "sparse corpus lost the broadcast bin-join")
+    import spark.implicits._
+    val tmp = graft.util.TempRoot.dir("dense-ev-")
+    // one bin, 20k events, 4k errors: pairWork = 4k·20k >> 32·20k
+    (0 until 20000).map(i => (i.toLong,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"),
+        if (i % 5 == 0) "error" else "view", (i % 97).toLong))
+      .toDF("event_id", "ts", "event_type", "user_id")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val p = SparkEntry.queries("q_range_join_binned")(spark, tmp.toString)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"dense corpus still plans the pair join:\n$p")
+    assert(p.contains("Window"), s"dense corpus lost the prefix-count window:\n$p")
+  }
+
   test("norm-precompute rule: d2b written as plain cosine plans normalized_dot, not cosine_sim") {
     // SURVEY §4 upgrade 3 as a Catalyst rule (round 11): the query AUTHORS
     // cosine_sim over norm-tagged columns; NormPrecomputeRewrite must
