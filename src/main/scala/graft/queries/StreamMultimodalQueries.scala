@@ -602,22 +602,57 @@ object StreamMultimodalQueries {
             struct(lit(b).as("band"),
               shiftright(col("bh"), 15 * b).bitwiseAND(32767).as("bkey"))): _*)).as("bb"))
         .select(col("media_id"), col("bh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-      val w = Window.partitionBy("band", "bkey").orderBy("bh", "media_id")
-      // staged: the banded signature pipeline is reused across bench
-      // warm+timed runs (the simhash_rk discipline)
+      // Sorted-neighborhood pairs, PARALLEL even on a degenerate bucket
+      // (round 11). The r10 sliding-frame fix made pair work n·W, but a
+      // Window.partitionBy(band, bkey) still runs each bucket as ONE
+      // task — and blockhash band 3 is structurally degenerate for short
+      // documents: bits 45-59 of bh are zero whenever a doc has < 46
+      // byte-windows (< ~3 KB), so at EVERY SF one bucket holds ~the
+      // whole corpus (sf10 measured: 499,552 of 500k rows in one cell,
+      // wall G = 23.5 from parallelism collapse, not work growth). Fix,
+      // output-identical:
+      //  1. rank in parallel — global range-sort on the window's key,
+      //     per-partition local row_number, plus driver-summed partition
+      //     offsets (a #partitions × #buckets metadata collect);
+      //  2. frame in parallel — rows chunked by rn div C (C=4096 > W);
+      //     the first W rows of each chunk are ECHOED into the previous
+      //     chunk so a chunk-tail row still sees its next-W neighbors;
+      //     the frame emits pairs only for non-echo rows, so every pair
+      //     is produced exactly once and every cell is ≤ C+W rows.
+      val W = graft.dedup.DedupPipeline.NeighborWindow
+      val C = 4096L
       val rk = staged(spark, s"$dir#blockhash_rk") {
-        banded.withColumn("rn", row_number().over(w))
+        val sorted = banded
+          .repartitionByRange(col("band"), col("bkey"), col("bh"), col("media_id"))
+          .sortWithinPartitions("band", "bkey", "bh", "media_id")
+          .withColumn("pid", spark_partition_id())
+        sorted
       }
-      // sorted-neighborhood pairs via a sliding-frame collect_list, NOT a
-      // bucket self-join: the join on (band, bkey) materializes Σ|bucket|²
-      // rows BEFORE the rn-window filter prunes them — one templated-text
-      // mega-bucket makes that quadratic blowup the whole query's cost
-      // (measured at the synthesized sf1 decade: 97 s vs 1.6 s at sf0.1,
-      // G=60; the frame form is the DedupPipeline.candidatePairs shape,
-      // n·W pairs emitted directly). Same pairs, same output.
-      rk
+      val cellCounts = rk.groupBy("pid", "band", "bkey").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      val offRows = cellCounts.groupBy(t => (t._2, t._3)).iterator.flatMap {
+        case (_, cells) =>
+          var run = 0L
+          cells.sortBy(_._1).map { case (pid, band, bkey, c) =>
+            val off = run; run += c; (pid, band, bkey, off)
+          }
+      }.toSeq
+      import spark.implicits._
+      val offDf = offRows.toDF("pid", "band", "bkey", "off")
+      val wLocal = Window.partitionBy("pid", "band", "bkey").orderBy("bh", "media_id")
+      val ranked = rk
+        .withColumn("lrn", row_number().over(wLocal))
+        .join(broadcast(offDf), Seq("pid", "band", "bkey"))
+        .withColumn("rn", col("lrn") + col("off"))
+        .withColumn("ck", ((col("rn") - 1) / C).cast("long"))
+      val main = ranked.withColumn("jc", col("ck")).withColumn("echo", lit(0))
+      val echo = ranked.filter((col("rn") - 1) % C < W)
+        .withColumn("jc", col("ck") - 1).withColumn("echo", lit(1))
+      val wChunk = Window.partitionBy("band", "bkey", "jc").orderBy("rn")
+      main.unionByName(echo)
         .withColumn("__next", collect_list(struct(col("media_id").as("nid"), col("bh").as("nh")))
-          .over(w.rowsBetween(1, graft.dedup.DedupPipeline.NeighborWindow)))
+          .over(wChunk.rowsBetween(1, W)))
+        .filter(col("echo") === 0)
         .select(col("media_id"), col("bh"), explode(col("__next")).as("nb"))
         .select(least(col("media_id"), col("nb.nid")).as("a_id"),
           greatest(col("media_id"), col("nb.nid")).as("b_id"),

@@ -135,8 +135,15 @@ class PlanQualitySpec extends AnyFunSuite {
     // emits n·W pairs directly; these plans must stay join-free.
     for (name <- Seq("dedup_simhash_pairs", "mm_blockhash_pairs")) {
       val p = plan(name)
-      assert(!p.contains("Join"),
+      // round 11: mm_blockhash_pairs gained a BROADCAST join of the
+      // driver-summed rank offsets (#partitions × #buckets metadata rows)
+      // for the parallel sorted-neighborhood — that join is bounded by
+      // construction; the quadratic hazard this pin guards against is a
+      // shuffle SELF-join of the signature rows
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
         s"$name pairs via a bucket self-join again (quadratic pre-filter blowup):\n$p")
+      assert(!p.replace("BroadcastHashJoin", "").contains("Join"),
+        s"$name plans a non-broadcast join:\n$p")
       assert(p.contains("Window"), s"$name lost its sliding-frame pair window:\n$p")
     }
   }
