@@ -42,6 +42,10 @@ object Dev {
         SparkEntry.queries(name)(spark, sfDir).toJSON.collect().foreach(println)
       case "oracle" :: name :: _ =>
         println(SparkEntry.oracleSql.getOrElse(name, s"(no oracle for $name)"))
+      case "snb-probe" :: _ =>
+        // structural fan-out evidence for the parallel sorted-neighborhood
+        // on the degenerate skew corpus (round-12 verdict task 1)
+        println(graft.queries.DedupQueries.snbProbe(spark, sfDir))
       case "recall-clustered" :: rest =>
         val n = rest.headOption.map(_.toInt).getOrElse(2000)
         println(graft.queries.RecallEval.evaluateClustered(spark, n = n, dim = 64).json)

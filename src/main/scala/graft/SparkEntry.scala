@@ -51,6 +51,9 @@ object SparkEntry {
     // the engine's signature serving path — deterministic under D19
     // benchmarkMode since round 10, so now benchable round-over-round
     "hybrid_search_ann", "hybrid_search_e2e", "sql_interface_hybrid",
+    // the build the warm flagship amortizes (fresh workspace per run) and
+    // the degenerate mega-bucket pair stage (round-12 trend rows)
+    "ann_index_build", "dedup_simhash_pairs_skew",
     "stream_ingest", "dedup_simhash_pairs",
     "ann_bruteforce_topk", "ann_lsh_bucketed", "ann_lsh_multitable",
     "ann_ivf_cells", "ann_pq_adc",

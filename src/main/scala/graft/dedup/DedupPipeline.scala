@@ -76,22 +76,25 @@ object DedupPipeline {
 
   /** Distinct candidate pairs (a_id < b_id) from band buckets, windowed:
     * rank each bucket by (sig, id), pair each row with its next
-    * [[NeighborWindow]] rows only. One shuffle of compact signature keys;
-    * per-bucket cost min(n²/2, n·W); distinct() folds pairs sharing
-    * several bands. */
+    * [[NeighborWindow]] rows only — via [[SortedNeighborhood]], so both
+    * the rank and the frame are parallel even on a degenerate
+    * templated-text mega-bucket (the naive bucket window runs each
+    * bucket as one task; see SortedNeighborhood's doc). Per-bucket cost
+    * stays min(n²/2, n·W); distinct() folds pairs sharing several bands.
+    *
+    * `stageKey` keys the materialized range-sort ([[graft.functions
+    * .Staging]]); pass an explicit (dir, kind) tag when the bands plan
+    * contains lambda-bearing expressions (their semantic hash is
+    * unstable across invocations — see DedupQueries.pairStats). */
   def candidatePairs(bands: DataFrame, idCol: String,
-                     window: Int = NeighborWindow): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("bkey")).orderBy(col("sig"), col(idCol))
-    // Pair each bucket row with its next `window` successors DIRECTLY via a
-    // sliding-frame collect_list — n·W pairs are emitted without ever
-    // forming the bucket self-join (which materializes Σ|bucket|² joined
-    // rows BEFORE the rank filter; one degenerate templated-text bucket
-    // makes that quadratic blowup the whole query's cost).
-    bands
-      .withColumn("__next", collect_list(col(idCol)).over(w.rowsBetween(1, window)))
-      .select(col(idCol).as("x"), explode(col("__next")).as("y"))
-      .select(least(col("x"), col("y")).as("a_id"), greatest(col("x"), col("y")).as("b_id"))
+                     window: Int = NeighborWindow,
+                     stageKey: String = ""): DataFrame = {
+    val key = if (stageKey.nonEmpty) stageKey
+      else s"snb_rk#${bands.queryExecution.logical.semanticHash()}"
+    SortedNeighborhood.withNeighbors(bands, Seq("sig", idCol), Seq(idCol), window, key)
+      .select(col(idCol).as("x"), explode(col("__next")).as("nb"))
+      .select(least(col("x"), col(s"nb.$idCol")).as("a_id"),
+        greatest(col("x"), col(s"nb.$idCol")).as("b_id"))
       .distinct()
   }
 
@@ -106,10 +109,11 @@ object DedupPipeline {
     // materialize the token sets once: they feed the signature pipeline
     // plus both sides of the verify join (three tokenize passes
     // otherwise); keyed staging so repeated calls reuse the blocks
-    val d = graft.functions.Staging.staged(docs.sparkSession,
-      s"dedup_edges_sets#${docs.queryExecution.logical.semanticHash()}#$sampleMod")(
+    val setsKey = s"dedup_edges_sets#${docs.queryExecution.logical.semanticHash()}#$sampleMod"
+    val d = graft.functions.Staging.staged(docs.sparkSession, setsKey)(
       tokenSets(docs, sampleMod))
-    val pairs = candidatePairs(bandBuckets(d, "doc_id", "s"), "doc_id")
+    val pairs = candidatePairs(bandBuckets(d, "doc_id", "s"), "doc_id",
+      stageKey = s"$setsKey#rk")
     val sa = d.select(col("doc_id").as("a_id"), col("s").as("sa"))
     val sb = d.select(col("doc_id").as("b_id"), col("s").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")

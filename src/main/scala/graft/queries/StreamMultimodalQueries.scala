@@ -603,60 +603,23 @@ object StreamMultimodalQueries {
               shiftright(col("bh"), 15 * b).bitwiseAND(32767).as("bkey"))): _*)).as("bb"))
         .select(col("media_id"), col("bh"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
       // Sorted-neighborhood pairs, PARALLEL even on a degenerate bucket
-      // (round 11). The r10 sliding-frame fix made pair work n·W, but a
-      // Window.partitionBy(band, bkey) still runs each bucket as ONE
-      // task — and blockhash band 3 is structurally degenerate for short
-      // documents: bits 45-59 of bh are zero whenever a doc has < 46
-      // byte-windows (< ~3 KB), so at EVERY SF one bucket holds ~the
-      // whole corpus (sf10 measured: 499,552 of 500k rows in one cell,
-      // wall G = 23.5 from parallelism collapse, not work growth). Fix,
-      // output-identical:
-      //  1. rank in parallel — global range-sort on the window's key,
-      //     per-partition local row_number, plus driver-summed partition
-      //     offsets (a #partitions × #buckets metadata collect);
-      //  2. frame in parallel — rows chunked by rn div C (C=4096 > W);
-      //     the first W rows of each chunk are ECHOED into the previous
-      //     chunk so a chunk-tail row still sees its next-W neighbors;
-      //     the frame emits pairs only for non-echo rows, so every pair
-      //     is produced exactly once and every cell is ≤ C+W rows.
-      val W = graft.dedup.DedupPipeline.NeighborWindow
-      val C = 4096L
-      val rk = staged(spark, s"$dir#blockhash_rk") {
-        val sorted = banded
-          .repartitionByRange(col("band"), col("bkey"), col("bh"), col("media_id"))
-          .sortWithinPartitions("band", "bkey", "bh", "media_id")
-          .withColumn("pid", spark_partition_id())
-        sorted
-      }
-      val cellCounts = rk.groupBy("pid", "band", "bkey").agg(count(lit(1)).as("c"))
-        .collect().map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3)))
-      val offRows = cellCounts.groupBy(t => (t._2, t._3)).iterator.flatMap {
-        case (_, cells) =>
-          var run = 0L
-          cells.sortBy(_._1).map { case (pid, band, bkey, c) =>
-            val off = run; run += c; (pid, band, bkey, off)
-          }
-      }.toSeq
-      import spark.implicits._
-      val offDf = offRows.toDF("pid", "band", "bkey", "off")
-      val wLocal = Window.partitionBy("pid", "band", "bkey").orderBy("bh", "media_id")
-      val ranked = rk
-        .withColumn("lrn", row_number().over(wLocal))
-        .join(broadcast(offDf), Seq("pid", "band", "bkey"))
-        .withColumn("rn", col("lrn") + col("off"))
-        .withColumn("ck", ((col("rn") - 1) / C).cast("long"))
-      val main = ranked.withColumn("jc", col("ck")).withColumn("echo", lit(0))
-      val echo = ranked.filter((col("rn") - 1) % C < W)
-        .withColumn("jc", col("ck") - 1).withColumn("echo", lit(1))
-      val wChunk = Window.partitionBy("band", "bkey", "jc").orderBy("rn")
-      main.unionByName(echo)
-        .withColumn("__next", collect_list(struct(col("media_id").as("nid"), col("bh").as("nh")))
-          .over(wChunk.rowsBetween(1, W)))
-        .filter(col("echo") === 0)
+      // (round 11; since factored into [[graft.dedup.SortedNeighborhood]]
+      // and shared with the whole text-dedup pair family). Blockhash
+      // band 3 is structurally degenerate for short documents: bits
+      // 45-59 of bh are zero whenever a doc has < 46 byte-windows
+      // (< ~3 KB), so at EVERY SF one bucket holds ~the whole corpus
+      // (sf10 measured: 499,552 of 500k rows in one cell, wall G = 23.5
+      // from parallelism collapse, not work growth). The helper keeps
+      // pair work n·W and fans both the rank and the frame out with
+      // corpus size; its offset collect is bounded by partition-spanning
+      // buckets (~2 × #partitions rows), never #cells.
+      graft.dedup.SortedNeighborhood.withNeighbors(
+          banded, Seq("bh", "media_id"), Seq("media_id", "bh"),
+          graft.dedup.DedupPipeline.NeighborWindow, s"$dir#blockhash_rk")
         .select(col("media_id"), col("bh"), explode(col("__next")).as("nb"))
-        .select(least(col("media_id"), col("nb.nid")).as("a_id"),
-          greatest(col("media_id"), col("nb.nid")).as("b_id"),
-          expr("bit_count(bh ^ nb.nh)").cast("long").as("hamming"))
+        .select(least(col("media_id"), col("nb.media_id")).as("a_id"),
+          greatest(col("media_id"), col("nb.media_id")).as("b_id"),
+          expr("bit_count(bh ^ nb.bh)").cast("long").as("hamming"))
         .distinct()
         .filter(col("hamming") <= 6)
         .orderBy("hamming", "a_id", "b_id")
