@@ -40,7 +40,10 @@ object Bench {
     // sf10 scaling-ladder windows use 1: at a 100x-sf0.1 corpus the data
     // cost dwarfs run-to-run jitter, and a 200 s query cannot afford
     // 4 executions per window.
-    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS").map(_.toInt).getOrElse(3)
+    // toIntOption + max(1): a zero/negative/garbled env value must not
+    // abort a bench window (times.min on an empty seq throws)
+    val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
+      .flatMap(_.toIntOption).map(_.max(1)).getOrElse(3)
     val results = benchSet.map { name =>
       val fn = SparkEntry.queries(name)
       try {

@@ -62,10 +62,10 @@ object AnnQueries {
   // share one training run — re-training for each caller would duplicate
   // the 2-iteration Lloyd job on identical data
   private val cbCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Float]]]
+    new graft.util.SessionCache[(SparkSession, String), Seq[Seq[Float]]](8)
 
   private[graft] def trainedCodebook(spark: SparkSession, dir: String): Seq[Seq[Float]] =
-    cbCache.getOrElseUpdate((spark, dir),
+    cbCache.getOrBuild((spark, dir))(
       graft.ml.KMeans.trainPq(embeddings(spark, dir), "embedding", SubDim,
         standinCodebook(spark, dir), iters = 2))
 
@@ -100,10 +100,10 @@ object AnnQueries {
   // component, so raw-vector codes degenerate exactly where IVF routes
   // queries; residual codes spend all 4 bits on the in-cell offsets.
   private val rcbCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Seq[Seq[Float]]]
+    new graft.util.SessionCache[(SparkSession, String), Seq[Seq[Float]]](8)
 
   private[graft] def residualCodebook(spark: SparkSession, dir: String): Seq[Seq[Float]] =
-    rcbCache.getOrElseUpdate((spark, dir), {
+    rcbCache.getOrBuild((spark, dir)) {
       val rf = assignResiduals(embeddings(spark, dir),
         centArray(ivfCentRows(embeddings(spark, dir)))).localCheckpoint()
       try {
@@ -113,7 +113,7 @@ object AnnQueries {
           .sortBy(_._1).map(_._2).toSeq
         graft.ml.KMeans.trainPq(rf, "rv", SubDim, init, iters = 2)
       } finally graft.functions.Checkpoints.release(rf)
-    })
+    }
 
   /** The per-query ADC lookup table: 8×16 query-to-centroid micro-distances
     * computed ONCE driver-side (the float→double subtract/multiply/left-fold

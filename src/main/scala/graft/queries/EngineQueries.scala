@@ -21,33 +21,41 @@ object EngineQueries {
 
   // one embedded chunk table per (session, sfdir) across all engine
   // queries — Verify runs 7 of them; re-embedding the corpus each time
-  // would 7x the ingest cost for identical data
+  // would 7x the ingest cost for identical data. LRU-bounded + race-safe
+  // ([[graft.util.SessionCache]], docs/PLANS.md "Session caches");
+  // eviction unpersists the cached blocks.
   private val chunkCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.util.SessionCache[(SparkSession, String), DataFrame](
+      8, _.unpersist(false))
 
   private[graft] def chunksFor(spark: SparkSession, dir: String): DataFrame =
-    chunkCache.getOrElseUpdate((spark, dir),
+    chunkCache.getOrBuild((spark, dir))(
       ChunkStore.buildChunks(table(spark, dir, "documents"), embedder).cache())
 
   // one persisted-IVF workspace per (session, sfdir): built on first call,
   // served warm thereafter (the chunkCache discipline applied to the
-  // flagship ANN serving path — see the hybrid_search_ann registration)
+  // flagship ANN serving path — see the hybrid_search_ann registration).
+  // The holder pattern matters most HERE: a racing loser would build a
+  // whole workspace (ingest + IVF train + persist) and leak it. An
+  // evicted engine just drops the reference — its temp workspace is
+  // reclaimed by the TempRoot shutdown hook.
   private val annServeCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), graft.api.Engine]
+    new graft.util.SessionCache[(SparkSession, String), graft.api.Engine](8)
 
   // posting index over the same indexed text as the chunk cache — the e2e
   // queries exercise the live engine's posting-join keyword branch
   private val postingCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    new graft.util.SessionCache[(SparkSession, String), DataFrame](
+      8, _.unpersist(false))
 
   private[graft] def postingsFor(spark: SparkSession, dir: String): DataFrame =
-    postingCache.getOrElseUpdate((spark, dir), {
+    postingCache.getOrBuild((spark, dir)) {
       val chunks = chunksFor(spark, dir)
       TokenIndex.build(
         chunks.select(col("id"), concat_ws(" ",
           coalesce(col("heading_path"), lit("")), col("text_chunk")).as("itext")),
         "id", "itext").cache()
-    })
+    }
 
   private val MmrSlate = 30
   private val MmrK = 10
@@ -527,6 +535,28 @@ object EngineQueries {
     // phase-1 + 4× overfetch, exact rerank, RRF fusion — replays in
     // HybridAnnOracleSql. EngineFacadeSpec pins that the frozen-EMA flag
     // never changes results on a fast machine (live-path parity).
+    // Index-BUILD throughput row (round-12 verdict task 6): the warm
+    // flagship below measures SERVING; this row measures the build it
+    // amortizes — chunk + embed + versioned table write + posting build
+    // + IVF train + persist on a FRESH workspace every call (deliberately
+    // uncached: at 100 TB the build IS the ingest SLA, and a committed
+    // trend for it is what catches an ingest-path regression). Oracle:
+    // the chunk count the build must land on — the TextChunker fold
+    // replayed per document (the foldCtes spec, B9OracleSql).
+    Q("ann_index_build",
+      """WITH RECURSIVE
+        |sec AS (SELECT doc_id::VARCHAR AS source, coalesce(text, '') AS text FROM documents),
+        |""".stripMargin + B9OracleSql.foldCtes + """
+        |SELECT count(*)::BIGINT AS n_chunks FROM chunks""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val root = graft.util.TempRoot.dir("ann-build-").toString
+      val e = graft.api.Engine.open(spark, root, "main",
+        SearchOptions(annMode = "ivf", annCells = 8, annProbes = 3,
+          benchmarkMode = true))
+      val n = e.index(table(spark, dir, "documents"))
+      Seq(n).toDF("n_chunks")
+    },
+
     Q("hybrid_search_ann", HybridAnnOracleSql) { (spark, dir) =>
       import spark.implicits._
       // Index ONCE per (session, corpus), serve on every call — the real
@@ -537,14 +567,14 @@ object EngineQueries {
       // searches exercise the full ANN probe each time: the D15 query
       // cache is disabled under the default deterministic=true
       // (HybridEngine cache `enabled = !opts.deterministic`).
-      val engine = annServeCache.getOrElseUpdate((spark, dir), {
+      val engine = annServeCache.getOrBuild((spark, dir)) {
         val root = graft.util.TempRoot.dir("ann-ws-").toString
         val e = graft.api.Engine.open(spark, root, "main",
           SearchOptions(annMode = "ivf", annCells = 8, annProbes = 3,
             benchmarkMode = true))
         e.index(table(spark, dir, "documents"))
         e
-      })
+      }
       val queries = Seq(
         "what is a merge window",
         "how to hash a partition: steps",

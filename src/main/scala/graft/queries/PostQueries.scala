@@ -224,14 +224,23 @@ object PostQueries {
         .orderBy("user_id")
     },
 
-    // G4 — per-stage latency audit of a live search (engine metrics).
-    Q.noOracle("g4_latency_audit") { (spark, dir) =>
+    // G4 — per-stage latency audit of a live search (engine metrics,
+    // vector_store.h:72-80 SearchAudit). The latencies themselves are
+    // measured wall-clock (unoracleable by nature); what IS constant —
+    // and what the oracle pins (round 12, the d15 constant-expectation
+    // precedent) — is the audit's SHAPE: exactly the three stage rows,
+    // each with a non-negative measured duration. `measured` must use
+    // >= 0, not > 0: a warm sub-millisecond stage legitimately reports 0.
+    Q("g4_latency_audit",
+      """SELECT * FROM (VALUES ('embed', true), ('plan', true), ('exec', true))
+        |       AS t(stage, measured)
+        |ORDER BY stage""".stripMargin) { (spark, dir) =>
       import spark.implicits._
       val chunks = EngineQueries.chunksFor(spark, dir)
       val engine = new HybridEngine(spark, chunks)
       engine.search("what is a merge window", embedder, 5)
       val a = engine.lastAudit
-      Seq(("embed", a.embedMs > 0), ("plan", a.planMs > 0), ("exec", a.execMs > 0))
+      Seq(("embed", a.embedMs >= 0), ("exec", a.execMs >= 0), ("plan", a.planMs >= 0))
         .toDF("stage", "measured")
     }
   )

@@ -49,8 +49,8 @@ object ScaleQueries {
 
   // q_range_join_binned's span-bounded (bin, events, errors) histogram per
   // (session, corpus) — the statistics that price its two physical plans
-  private val rangeBinStats = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), Array[(Long, Long, Long)]]
+  private val rangeBinStats =
+    new graft.util.SessionCache[(SparkSession, String), Array[(Long, Long, Long)]](8)
 
   /** Staging dirs owned by THIS JVM, kept mtime-fresh by a heartbeat:
     * parquet dir mtime does not advance on reads, so without a heartbeat
@@ -883,15 +883,22 @@ object ScaleQueries {
       //    hash-identical vs the oracle at three SFs.
       val B = 1800000L
       val ev = events(spark, dir).withColumn("ms", unix_millis(col("ts")))
-      // span-bounded per-bin statistics, kept per (session, corpus) like
-      // every other derived-stat cache here: a real engine maintains its
-      // table statistics, it does not rescan for them on each query
-      val binCnt = rangeBinStats.getOrElseUpdate((spark, dir),
+      // span-bounded per-bin statistics (span/B rows at ANY corpus size)
+      def binHistogram(): Array[(Long, Long, Long)] =
         ev.groupBy(floor(col("ms") / B).cast("long").as("bin"))
           .agg(count(lit(1)).as("cnt"),
             count(when(col("event_type") === "error", 1)).as("err"))
           .collect()
-          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1))
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      // The CACHED histogram prices the two physical plans, per (session,
+      // corpus) like every other derived-stat cache here — a real engine
+      // maintains table statistics, it does not rescan for them on each
+      // query. It is PRICING-ONLY: stale stats may pick the slower (still
+      // correct) branch, never a wrong result — the dense branch below
+      // recomputes its prefix counts from a LIVE scan (r12 advice: a
+      // result fed by cached counts would silently go wrong if the dir's
+      // data were rewritten in-session).
+      val binCnt = rangeBinStats.getOrBuild((spark, dir))(binHistogram())
       val total = binCnt.map(_._2).sum
       val cnts = binCnt.map(t => t._1 -> t._2).toMap
       val pairWork = binCnt.map { case (b, _, e) =>
@@ -910,14 +917,19 @@ object ScaleQueries {
           .orderBy(col("n_events").desc, col("window_id"))
           .limit(100)
       } else {
-        val minBin = binCnt.head._1
-        val nBins = (binCnt.last._1 - minBin + 2).toInt // + one-past-the-end
+        // LIVE histogram for the result-feeding prefix: one extra
+        // span-bounded aggregation per invocation buys independence from
+        // the stats cache (see its comment above)
+        val liveBin = binHistogram()
+        val liveCnts = liveBin.map(t => t._1 -> t._2).toMap
+        val minBin = liveBin.head._1
+        val nBins = (liveBin.last._1 - minBin + 2).toInt // + one-past-the-end
         val cumBefore = new Array[Long](nBins)
         locally {
           var run = 0L
           var i = 0
           while (i < nBins) {
-            cumBefore(i) = run; run += cnts.getOrElse(minBin + i, 0L); i += 1
+            cumBefore(i) = run; run += liveCnts.getOrElse(minBin + i, 0L); i += 1
           }
         }
         val eRows = ev.select(col("ms").as("t"), lit(1L).as("w"),

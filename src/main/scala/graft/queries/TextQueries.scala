@@ -72,8 +72,8 @@ object TextQueries {
 
   // one BPE training run per (session, sfdir): text_bpe_train,
   // text_bpe_encode, and the replay spec share the 3-round BSP loop
-  private val mergeCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), Seq[(Long, String, String, Long)]]
+  private val mergeCache = new graft.util.SessionCache[
+    (org.apache.spark.sql.SparkSession, String), Seq[(Long, String, String, Long)]](8)
 
   /** Boundary-correct BPE merge apply, one SQL string valid in BOTH
     * engines (concat/replace/trim only). A raw substring replace of
@@ -109,7 +109,7 @@ object TextQueries {
     * pair and applies it scan-local. Returns (step, pair, merged, count). */
   private[graft] def trainMerges(
       spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, String, String, Long)] =
-    mergeCache.getOrElseUpdate((spark, dir), {
+    mergeCache.getOrBuild((spark, dir)) {
       // word-frequency table staged once; every round reads vocab, not corpus
       var cur = table(spark, dir, "documents")
         .select(explode(F.tokens(col("text"))).as("tk"))
@@ -144,7 +144,7 @@ object TextQueries {
       }
       graft.functions.Checkpoints.release(cur)
       merges.result()
-    })
+    }
 
   val all: Seq[Q] = Seq(
 

@@ -19,7 +19,7 @@ package object queries {
 
     /** Register rows-only: the driver checks rows > 0 and the semantics are
       * pinned by specs instead of a DuckDB replay. Every such registration
-      * has a structural reason — currently ONE. Round 10 graduated
+      * has a structural reason — currently NONE. Round 10 graduated
       * hybrid_search_ann / stream_ingest / mm_feature_extract /
       * q_approx_distinct; round 11 graduated d15_query_cache (a
       * constant-expectation oracle over its deterministic trace — the
@@ -29,12 +29,11 @@ package object queries {
       * request→parse→score path hashes against a constant oracle), and
       * a1_pdf_ingest (same constant-expectation route: the fixture PDFs
       * are deterministic bytes, so the byte→chunk pipeline output is a
-      * 14-row constant the oracle pins exactly). What remains is
-      * genuinely unoracleable:
-      *
-      *  - g4_latency_audit    — reports measured wall-clock latencies
-      *                          (nondeterministic by nature)
-      */
+      * 14-row constant the oracle pins exactly). Round 12 graduated the
+      * last one, g4_latency_audit: the wall-clock values stay
+      * nondeterministic, but the audit's SHAPE (three stage rows, each
+      * with a non-negative measured duration) is the constant the oracle
+      * pins. Kept for any future genuinely-unoracleable registration. */
     def noOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
       Q(name, fn, None)
   }
