@@ -305,23 +305,31 @@ object DedupQueries {
     "the quick brown fox jumps over the lazy dog while parsing tokens " +
       "from boilerplate navigation header footer copyright notice"
 
-  /** Templated mega-bucket corpus: 16 near-identical variants per source
-    * document, all sharing [[SkewTemplate]] plus one of 5 tag tokens —
-    * every simhash band key collapses into a handful of mega-buckets
-    * (the RecallSpec adversarial shape at bench scale). */
+  /** Variants per source doc in the skew fixture. 4 keeps the stress
+    * real (the mega band-bucket still holds ~40% of all rows — 2M rows
+    * at sf10, ≫ any bucket-window task) while the pair volume (n·W·bands
+    * ≈ 256M rows at sf10) stays runnable on one 48 GB local JVM; at 16
+    * the sf10 pair stage (~1G rows) out-sized the single-node bench
+    * harness itself. */
+  private val SkewVariants = 4
+
+  /** Templated mega-bucket corpus: [[SkewVariants]] near-identical
+    * variants per source document, all sharing [[SkewTemplate]] plus one
+    * of 5 tag tokens — every simhash band key collapses into a handful
+    * of mega-buckets (the RecallSpec adversarial shape at bench scale). */
   private def skewSets(spark: SparkSession, dir: String): DataFrame =
     table(spark, dir, "documents")
       .select(col("doc_id"),
-        explode(array((0 until 16).map(v => lit(v.toLong)): _*)).as("v"))
-      .select((col("doc_id") * 16 + col("v")).as("doc_id"))
+        explode(array((0 until SkewVariants).map(v => lit(v.toLong)): _*)).as("v"))
+      .select((col("doc_id") * SkewVariants + col("v")).as("doc_id"))
       .select(col("doc_id"),
         array_distinct(F.tokens(concat(lit(SkewTemplate), lit(" tag"),
           pmod(col("doc_id"), lit(5)).cast("string")))).as("toks"))
 
   private val skewSourceSql: String = {
-    val vs = (0 until 16).map(v => s"($v::BIGINT)").mkString(", ")
-    s"""SELECT d.doc_id * 16 + t.v AS doc_id,
-       |       '$SkewTemplate' || ' tag' || ((d.doc_id * 16 + t.v) % 5)::VARCHAR AS text
+    val vs = (0 until SkewVariants).map(v => s"($v::BIGINT)").mkString(", ")
+    s"""SELECT d.doc_id * $SkewVariants + t.v AS doc_id,
+       |       '$SkewTemplate' || ' tag' || ((d.doc_id * $SkewVariants + t.v) % 5)::VARCHAR AS text
        |FROM documents d, (VALUES $vs) AS t(v)""".stripMargin
   }
 
