@@ -150,6 +150,7 @@ class PlanQualitySpec extends AnyFunSuite {
       "doc_id", stageKey = "planspec#minhash_rk")
     val named = Seq(
       "dedup_simhash_pairs" -> plan("dedup_simhash_pairs"),
+      "dedup_simhash_pairs_skew" -> plan("dedup_simhash_pairs_skew"),
       "mm_blockhash_pairs" -> plan("mm_blockhash_pairs"),
       "minhash_candidatePairs" -> minhashPairs.queryExecution.executedPlan.toString)
     for ((name, p) <- named) {
