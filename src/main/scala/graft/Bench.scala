@@ -44,9 +44,36 @@ object Bench {
     // abort a bench window (times.min on an empty seq throws)
     val runs = sys.env.get("SPARK_GRAFT_BENCH_RUNS")
       .flatMap(_.toIntOption).map(_.max(1)).getOrElse(3)
-    val results = benchSet.map { name =>
-      val fn = SparkEntry.queries(name)
+
+    // Per-SEGMENT contention canary: one front-loaded canary cannot certify
+    // a whole window — the r12 driver leg's canary ran fair at position 14
+    // while positions 25+ sat 1.5-7x contended (a mid-leg ramp). Re-time a
+    // fixed cheap parallel kernel every CanaryEvery positions and ship the
+    // (position, sec) series in the artifact, so a min-merge can accept
+    // fair SEGMENTS of an otherwise-contended window instead of discarding
+    // it whole. Fair value ~0.26 at sf0.1 (docs/BENCH_NOTES.md). The canary
+    // runs are excluded from every total; each costs one warm run.
+    val CanaryEvery = 25
+    val canaryName = "ann_bruteforce_topk"
+    // dev-only off-switch (the driver never sets it): at sf10 the canary
+    // itself is a ~linear-cost query, and the decade legs bracket their
+    // windows with an EXTERNAL sf0.1 canary instead (run_decade.sh)
+    val canaryFn = if (sys.env.get("SPARK_GRAFT_BENCH_CANARY").contains("0")) None
+      else SparkEntry.queries.get(canaryName)
+    val canarySeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    def timeCanary(pos: Int): Unit = canaryFn.foreach { fn =>
       try {
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        canarySeries += ((pos, (System.nanoTime() - t0) / 1e9))
+      } catch { case _: Throwable => () } // a broken canary must not kill the leg
+    }
+    canaryFn.foreach(fn => try fn(spark, sfDir).count()
+      catch { case _: Throwable => () }) // warm: compile + codegen, untimed
+    timeCanary(0)
+    val results = benchSet.zipWithIndex.map { case (name, pos) =>
+      val fn = SparkEntry.queries(name)
+      val timed = try {
         fn(spark, sfDir).count() // warm: plan compile + codegen
         val times = (1 to runs).map { _ =>
           val t0 = System.nanoTime()
@@ -55,20 +82,28 @@ object Bench {
         }.sorted
         name -> times
       } catch { case _: Throwable => name -> Seq(-1.0) } // broken query: flagged, not timed
+      if ((pos + 1) % CanaryEvery == 0 && pos + 1 < benchSet.size) timeCanary(pos + 1)
+      timed
     }
+    timeCanary(benchSet.size)
     // Failures carry a -1.0 sentinel. They are excluded from `total`, `qs`
     // AND `spread` alike (so summing the sidecar's queries map reproduces
     // `value` exactly) and surface by name in `failed` in both artifacts.
     val ok = results.filter(_._2.min >= 0)
+    val posOf = benchSet.zipWithIndex.toMap
     val qs = ok.map { case (k, ts) => "\"" + k + "\":" + ts.min }.mkString("{", ",", "}")
+    // `pos` = the query's position in the leg, joinable against the canary
+    // series to decide which contention regime each minimum was taken under
     val spread = ok.map { case (k, ts) =>
-      s""""$k":{"min":${ts.min},"median":${ts(ts.size / 2)},"max":${ts.max},"n":${ts.size}}"""
+      s""""$k":{"min":${ts.min},"median":${ts(ts.size / 2)},"max":${ts.max},"n":${ts.size},"pos":${posOf(k)}}"""
     }.mkString("{", ",", "}")
     val failed = results.collect { case (k, ts) if ts.min < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
+    val canary = s"""{"name":"$canaryName","fair_sf01":0.26,"series":[""" +
+      canarySeries.map { case (p, s) => s"""{"pos":$p,"sec":$s}""" }.mkString(",") + "]}"
     val total = ok.map(_._2.min).sum
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$failed,"canary":$canary,"sf":"$sfDir"}"""
 
     // The full artifact is ~10 KB for ~100 queries, but the driver keeps
     // only the LAST 2000 chars of stdout — a single long line starts
@@ -98,9 +133,12 @@ object Bench {
     def r3(d: Double): String = "%.3f".format(d)
     val slowest = ok.sortBy(-_._2.min).take(10)
       .map { case (k, ts) => "\"" + k + "\":" + r3(ts.min) }.mkString("{", ",", "}")
+    val canaryMinMax = if (canarySeries.isEmpty) "null"
+      else s"[${r3(canarySeries.map(_._2).min)},${r3(canarySeries.map(_._2).max)}]"
     println(
       s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir",""" +
       s""""n_queries":${results.size},"failed":$failed,"queries":$slowest,""" +
+      s""""canary_minmax":$canaryMinMax,""" +
       s""""queries_truncated":true,"queries_file":${if (sidecarOk) "\"" + sidecar + "\"" else "null"}}""")
     spark.stop()
   }

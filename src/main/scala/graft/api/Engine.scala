@@ -1110,6 +1110,29 @@ final class Engine(
   /** E5–E8: deep-dive claim synthesis over the top results. */
   def deepDive(query: String): Seq[DeepDive.DeepDiveClaim] =
     DeepDive.run(engine(), query, embedder, synthesisModel)
+
+  /** Lifecycle end — the reference closes its store on workspace switch
+    * (mainwindow.cpp:120-137); Spark-side the close is what actually frees
+    * executor memory: dropping an Engine REFERENCE frees nothing, because
+    * the pinned chunk cache lives in the session-global block manager
+    * until unpersisted. Drains queued background maintenance, flushes
+    * pending retrieval-log rows (A6) and calibration (E4) through
+    * [[invalidate]], unpersists the raw chunk cache, and stops the
+    * maintenance thread. Terminal: index/search after close is a caller
+    * bug (the maintenance executor is shut down). Idempotent.
+    *
+    * `deleteWorkspace = true` additionally removes the on-disk workspace
+    * root — for THROWAWAY workspaces only (bench/test temp roots whose
+    * sole reader is this engine). */
+  def close(deleteWorkspace: Boolean = false): Unit = {
+    if (!maintExec.isShutdown) {
+      awaitMaintenance()
+      maintExec.shutdown()
+    }
+    invalidate() // flush log + calibration, unpersist the pinned cache
+    if (deleteWorkspace)
+      graft.util.TempRoot.deleteRecursively(java.nio.file.Paths.get(workspace.root))
+  }
 }
 
 object Engine {

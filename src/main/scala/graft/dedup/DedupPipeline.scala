@@ -89,8 +89,22 @@ object DedupPipeline {
   def candidatePairs(bands: DataFrame, idCol: String,
                      window: Int = NeighborWindow,
                      stageKey: String = ""): DataFrame = {
-    val key = if (stageKey.nonEmpty) stageKey
-      else s"snb_rk#${bands.queryExecution.logical.semanticHash()}"
+    val key = if (stageKey.nonEmpty) stageKey else {
+      val plan = bands.queryExecution.logical
+      // the semanticHash fallback is UNSTABLE for lambda-bearing plans
+      // (fresh NamedLambdaVariable ids per invocation): each call would
+      // silently stage a fresh checkpoint, bounded only by Staging's LRU.
+      // bandBuckets plans always carry lambdas (minhash over the set
+      // column), so an omitted stageKey on the normal path is a caller
+      // bug — surface it instead of paying the silent restage.
+      val hasLambda = plan.exists(_.expressions.exists(_.exists(
+        _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.LambdaFunction])))
+      if (hasLambda)
+        System.err.println("[graft] candidatePairs: stageKey omitted on a " +
+          "lambda-bearing bands plan; semanticHash is unstable across calls " +
+          "and each call stages a fresh checkpoint — pass an explicit stageKey")
+      s"snb_rk#${plan.semanticHash()}"
+    }
     SortedNeighborhood.withNeighbors(bands, Seq("sig", idCol), Seq(idCol), window, key)
       .select(col(idCol).as("x"), explode(col("__next")).as("nb"))
       .select(least(col("x"), col(s"nb.$idCol")).as("a_id"),

@@ -36,11 +36,14 @@ object EngineQueries {
   // served warm thereafter (the chunkCache discipline applied to the
   // flagship ANN serving path — see the hybrid_search_ann registration).
   // The holder pattern matters most HERE: a racing loser would build a
-  // whole workspace (ingest + IVF train + persist) and leak it. An
-  // evicted engine just drops the reference — its temp workspace is
-  // reclaimed by the TempRoot shutdown hook.
+  // whole workspace (ingest + IVF train + persist) and leak it. Eviction
+  // CLOSES the engine — flushing its log, unpersisting the pinned chunk
+  // cache (the blocks a dropped reference would otherwise hold until JVM
+  // exit), and deleting its throwaway temp workspace (the shutdown hook
+  // stays as backstop).
   private val annServeCache =
-    new graft.util.SessionCache[(SparkSession, String), graft.api.Engine](8)
+    new graft.util.SessionCache[(SparkSession, String), graft.api.Engine](
+      8, _.close(deleteWorkspace = true))
 
   // posting index over the same indexed text as the chunk cache — the e2e
   // queries exercise the live engine's posting-join keyword branch
@@ -553,8 +556,16 @@ object EngineQueries {
       val e = graft.api.Engine.open(spark, root, "main",
         SearchOptions(annMode = "ivf", annCells = 8, annProbes = 3,
           benchmarkMode = true))
-      val n = e.index(table(spark, dir, "documents"))
-      Seq(n).toDF("n_chunks")
+      // close immediately: the engine is discarded after the count, and a
+      // bench window (runs ≥ 3) plus the gate would otherwise stack
+      // corpus-scale temp workspaces on disk until the shutdown hook
+      try {
+        val n = e.index(table(spark, dir, "documents"))
+        Seq(n).toDF("n_chunks")
+      } finally {
+        e.close() // flush + unpersist the build's pinned blocks
+        graft.util.TempRoot.deleteRecursively(java.nio.file.Paths.get(root))
+      }
     },
 
     Q("hybrid_search_ann", HybridAnnOracleSql) { (spark, dir) =>

@@ -36,6 +36,7 @@ final class SessionCache[K, V](maxEntries: Int, onEvict: V => Unit = (_: V) => (
   private val map = new java.util.LinkedHashMap[K, Memo](16, 0.75f, true)
 
   def getOrBuild(key: K)(build: => V): V = {
+    var evicted = List.empty[V]
     val memo = map.synchronized {
       Option(map.get(key)).getOrElse {
         val m = new Memo(() => build)
@@ -48,13 +49,26 @@ final class SessionCache[K, V](maxEntries: Int, onEvict: V => Unit = (_: V) => (
           // attached; evicting it would orphan the build)
           if ((e.getValue ne m) && e.getValue.evaluated.isDefined) {
             it.remove()
-            e.getValue.evaluated.foreach(onEvict)
+            e.getValue.evaluated.foreach(v => evicted ::= v)
             over -= 1
           }
         }
         m
       }
     }
-    memo.value // evaluated OUTSIDE the map lock (may run Spark jobs)
+    // release hooks run OUTSIDE the map lock — an onEvict that closes a
+    // warm engine (flush + unpersist) runs Spark jobs
+    evicted.foreach(onEvict)
+    try memo.value // evaluated OUTSIDE the map lock (may run Spark jobs)
+    catch {
+      case t: Throwable =>
+        // a failed build must not squat in the map: the dead memo would
+        // occupy an LRU slot, never fire onEvict, and retry the FIRST
+        // caller's captured closure forever. Remove it (the `eq` check
+        // guards a concurrent re-insert) so the next caller builds fresh
+        // with its OWN closure.
+        map.synchronized { if (map.get(key) eq memo) map.remove(key) }
+        throw t
+    }
   }
 }

@@ -411,4 +411,31 @@ class EngineFacadeSpec extends AnyFunSuite {
     val engine2 = Engine.open(spark, root, "ws")
     assert(engine2.loadCalibration("model-x") == stats)
   }
+
+  test("close() releases the pinned cache — no persisted-block growth across builds") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(40)
+    def pinned(): Int = spark.sparkContext.getPersistentRDDs.size
+
+    def cycle(): (Int, Int) = {
+      val root = Files.createTempDirectory("graft-close-").toString
+      val e = Engine.open(spark, root, "main")
+      e.index(docs)
+      e.search("merge window") // pins the raw chunk cache
+      val during = pinned()
+      e.close(deleteWorkspace = true)
+      assert(!Files.exists(java.nio.file.Paths.get(root, "main")),
+        "deleteWorkspace must remove the on-disk workspace root")
+      e.close() // idempotent: second close is a no-op, not a crash
+      (during, pinned())
+    }
+
+    val base = pinned()
+    val (during1, after1) = cycle()
+    assert(during1 > after1, "search must pin blocks that close releases")
+    assert(after1 == base, "close must return the session to its pre-open block count")
+    // the verdict's regression bar: a second build+close cycle may not grow
+    // the persisted-block set (the old ann_index_build leak pattern)
+    val (_, after2) = cycle()
+    assert(after2 == base)
+  }
 }

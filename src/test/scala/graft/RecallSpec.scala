@@ -133,7 +133,8 @@ class RecallSpec extends AnyFunSuite {
       array_distinct(graft.functions.F.tokens(col("text"))).as("s"))
     val bands = graft.dedup.DedupPipeline.bandBuckets(tokenSets, "doc_id", "s").cache()
     val sweep = Seq(4, 8, 16, 32).map { w =>
-      val cand = graft.dedup.DedupPipeline.candidatePairs(bands, "doc_id", window = w)
+      val cand = graft.dedup.DedupPipeline.candidatePairs(bands, "doc_id", window = w,
+          stageKey = s"recallspec#sweep_w$w")
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val verified = cand.filter { case (a, b) =>
         val (sa, sb) = (sets(a), sets(b))
