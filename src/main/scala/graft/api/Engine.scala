@@ -80,6 +80,17 @@ final class Engine(
   /** Block until every queued background maintenance job has finished. */
   private[graft] def awaitMaintenance(): Unit =
     maintExec.submit(new Runnable { def run(): Unit = () }).get()
+
+  // Lifecycle flag (round-14): the reference's store-switch lifecycle
+  // never allows use of a closed store (mainwindow.cpp:120-137); without
+  // this check a post-close index()/search() would surface as a
+  // RejectedExecutionException from deep inside maintenance scheduling —
+  // or worse, silently operate on an unpersisted cache.
+  @volatile private var closed = false
+  private val closeLock = new Object
+  private def ensureOpen(): Unit =
+    if (closed) throw new IllegalStateException(
+      s"engine closed: workspace '${workspace.root}'")
   private var ledger: DataFrame = BoostLedger.emptyLedger(spark)
   private var hybrid: Option[HybridEngine] = None
   private var rawChunks: Option[DataFrame] = None // pinned cache, boost-free
@@ -526,6 +537,7 @@ final class Engine(
     * compaction. The streaming path self-compacts the table without this
     * blocking call via [[backgroundChunkCompact]] (file-count trigger). */
   def compactIndexes(): Unit = maintenance.synchronized {
+    ensureOpen()
     // the full rewrite is the tombstones' physical purge: the new version
     // holds only live rows, so the set resets IN THE SAME atomic metadata
     // move as the pointer flip (a crash can't leave the purged table
@@ -571,6 +583,7 @@ final class Engine(
     * [[compactIndexes]] (purge) → re-ingest, or a full [[index]] call —
     * each step idempotent and crash-safe. */
   def deleteDocuments(docIds: Seq[String]): Long = maintenance.synchronized {
+    ensureOpen()
     if (docIds.isEmpty) 0L
     else {
       import spark.implicits._
@@ -598,6 +611,7 @@ final class Engine(
     * streaming replay can't do this implicitly). No-op for ids that were
     * never tombstoned or whose rows a purge already dropped. */
   def undeleteDocuments(docIds: Seq[String]): Unit = maintenance.synchronized {
+    ensureOpen()
     if (docIds.nonEmpty) {
       import spark.implicits._
       val lifted =
@@ -645,6 +659,7 @@ final class Engine(
     * window), and the maintenance lock serializes it against the
     * streaming ingest path. */
   def index(docs: DataFrame): Long = maintenance.synchronized {
+    ensureOpen()
     // a full index REPLACES the corpus, so the admission filter resets
     // and re-derives from this call's own first-in-wins admissions. The
     // reset is IN-MEMORY first (a zeroed bitmap): the persisted filter
@@ -946,6 +961,7 @@ final class Engine(
     * than that many complete retrain cycles would lose its files). */
   def startStreamingIngest(inputDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    ensureOpen()
     val docs = spark.readStream
       .schema(graft.streaming.StreamingIngest.documentsSchema)
       .parquet(inputDir)
@@ -988,6 +1004,7 @@ final class Engine(
     * a pinned snapshot affects what a training run READS, never what
     * this method retrieves. */
   def search(query: String, k: Int = opts.limit): Seq[ScoredChunk] = {
+    ensureOpen()
     val t0 = System.nanoTime()
     // D17 policy: >1500ms EMA caps overfetch at 3x; >4000ms bypasses the
     // vector branch entirely (FTS-only, flat 0.5) — Summary intent exempt
@@ -1027,6 +1044,7 @@ final class Engine(
     * The tiny engine wrapper is rebuilt per call and discarded, so its
     * un-flushed retrieval-log rows never accrue driver state. */
   def searchAt(version: Int, query: String, k: Int = opts.limit): Seq[ScoredChunk] = {
+    ensureOpen()
     val snap = new HybridEngine(spark, workspace.readChunksAt(version),
       opts.copy(deterministic = true, enableExploration = false, annMode = "exact"))
     snap.search(query, embedder, k)
@@ -1046,6 +1064,7 @@ final class Engine(
     * chunk cache — no cache drop, no table re-read (immutable-store
     * ledger design, incremental like the reference's in-place UPDATE). */
   def recordClick(chunkId: Long, query: String, isExploration: Boolean = false): Unit = {
+    ensureOpen()
     synchronized {
       ledger = BoostLedger.append(ledger, Seq(BoostLedger.Click(chunkId, query, isExploration)))
     }
@@ -1053,8 +1072,10 @@ final class Engine(
   }
 
   /** D13/F3: neighboring chunks of a hit. */
-  def context(chunkId: Long, offset: Int = 1): DataFrame =
+  def context(chunkId: Long, offset: Int = 1): DataFrame = {
+    ensureOpen()
     engine().context(chunkId, offset)
+  }
 
   /** C4: summaries indexed back into the store as summary chunks
     * (mainwindow.cpp:783-802: re-embedded, chunk_type='summary', level 1).
@@ -1062,6 +1083,7 @@ final class Engine(
     * reference's addEntry (vector_store.cpp:80), so fresh summaries carry
     * recency ≈ 1.0 rather than decaying from a pinned epoch. */
   def summarizeSections(): Long = maintenance.synchronized {
+    ensureOpen()
     import org.apache.spark.sql.functions._
     if (workspace.getMeta("summaries_indexed").contains("true")) return 0L
     // summaries never feed summaries (a second pass over an already-
@@ -1108,8 +1130,10 @@ final class Engine(
   }
 
   /** E5–E8: deep-dive claim synthesis over the top results. */
-  def deepDive(query: String): Seq[DeepDive.DeepDiveClaim] =
+  def deepDive(query: String): Seq[DeepDive.DeepDiveClaim] = {
+    ensureOpen()
     DeepDive.run(engine(), query, embedder, synthesisModel)
+  }
 
   /** Lifecycle end — the reference closes its store on workspace switch
     * (mainwindow.cpp:120-137); Spark-side the close is what actually frees
@@ -1124,14 +1148,30 @@ final class Engine(
     * `deleteWorkspace = true` additionally removes the on-disk workspace
     * root — for THROWAWAY workspaces only (bench/test temp roots whose
     * sole reader is this engine). */
-  def close(deleteWorkspace: Boolean = false): Unit = {
-    if (!maintExec.isShutdown) {
-      awaitMaintenance()
+  def close(deleteWorkspace: Boolean = false): Unit = closeLock.synchronized {
+    // closeLock serializes concurrent closers (a bare isShutdown check
+    // let two callers race into submit-after-shutdown); the flag makes
+    // the second caller a no-op.
+    if (!closed) {
+      closed = true // public entry points fail fast from here on
+      // Quiesce, not just drain: the retrain rerun handshake re-enqueues
+      // from the job's `finally` — a single drain marker can complete
+      // with a freshly queued retrain BEHIND it, and invalidate/delete
+      // below would then race a live maintenance task (workspace files
+      // recreated after the delete, blocks re-pinned after unpersist).
+      // Loop until a drain completes with every job flag clear; the
+      // cascade terminates because `closed` stops new work arriving.
+      var quiescent = false
+      while (!quiescent) {
+        awaitMaintenance()
+        quiescent = !(annRetrainQueued.get() || annRetrainRerun.get() ||
+          chunkCompactQueued.get())
+      }
       maintExec.shutdown()
+      invalidate() // flush log + calibration, unpersist the pinned cache
+      if (deleteWorkspace)
+        graft.util.TempRoot.deleteRecursively(java.nio.file.Paths.get(workspace.root))
     }
-    invalidate() // flush log + calibration, unpersist the pinned cache
-    if (deleteWorkspace)
-      graft.util.TempRoot.deleteRecursively(java.nio.file.Paths.get(workspace.root))
   }
 }
 

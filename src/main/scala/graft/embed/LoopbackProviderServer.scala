@@ -51,6 +51,7 @@ object LoopbackProviderServer {
     s.setExecutor(pool)
     s.createContext("/embed", handler(embedResponse))
     s.createContext("/rerank", handler(rerankResponse))
+    s.createContext("/ocr", handler(ocrResponse))
     // start() from a short-lived DAEMON thread: the JDK's HTTP-Dispatcher
     // thread inherits daemon status from its creator, and a non-daemon
     // dispatcher would pin the JVM open after Verify/Bench mains return
@@ -114,6 +115,45 @@ object LoopbackProviderServer {
             embedder.embed(t))}}]}"""
       case _ =>
         """{"error": "unrecognized embed request shape"}"""
+    }
+  }
+
+  /** Cloud-OCR stand-in (A2, round-14 graduation of the last untested
+    * transport path): accepts the reference's EXACT PDF-extraction request
+    * — generateContent with an `inline_data` part (base64 payload +
+    * mime_type) followed by the extraction-prompt text part
+    * (gemini_api.cpp:281-307) — and replies generateContent-style with
+    * the "extracted" text (parsed by the client exactly as
+    * gemini_api.cpp:637-648 parses it). Model behavior is the
+    * deterministic stand-in (no egress): the text is derived from the
+    * DECODED payload's md5 + length, so a green oracle row proves the
+    * base64 round trip preserved every byte and both JSON shapes match
+    * the reference's. Form-feed separates pages, mirroring how a
+    * multi-page extraction reads back through TextPageExtractor. */
+  private def ocrResponse(body: String): String = {
+    val j = JsonMethods.parse(body)
+    val parts = (j \ "contents") match {
+      case JArray(first :: _) =>
+        (first \ "parts") match { case JArray(ps) => ps; case _ => Nil }
+      case _ => Nil
+    }
+    val b64 = parts.flatMap(p => str(p \ "inline_data" \ "data")).headOption
+    val mime = parts.flatMap(p => str(p \ "inline_data" \ "mime_type")).headOption
+    val prompt = parts.flatMap(p => str(p \ "text")).headOption
+    (b64, mime, prompt) match {
+      case (Some(data), Some("application/pdf"), Some(p)) if p.nonEmpty =>
+        val bytes = java.util.Base64.getDecoder.decode(data)
+        val md5 = java.security.MessageDigest.getInstance("MD5")
+          .digest(bytes).map("%02x".format(_)).mkString
+        val text =
+          s"1 Scan Digest\nThe scanned payload decodes to ${bytes.length} bytes. " +
+            s"Its md5 digest is $md5. Every byte survived the base64 round trip.\f" +
+            "2 Scan Verification\nA second page confirms pagination. " +
+            "The extraction prompt and mime type matched the reference shapes."
+        JsonMethods.compact(JsonMethods.render(
+          JObject("candidates" -> JArray(List(JObject("content" ->
+            JObject("parts" -> JArray(List(JObject("text" -> JString(text)))))))))))
+      case _ => """{"error": "unrecognized ocr request shape"}"""
     }
   }
 

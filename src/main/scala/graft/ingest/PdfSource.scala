@@ -73,6 +73,45 @@ final case class CloudOcrExtractor(
       .extract(path, transport(content).getBytes(java.nio.charset.StandardCharsets.UTF_8))
 }
 
+/** A2 client side: the reference's cloud PDF-extraction call, re-expressed
+  * as a [[CloudOcrExtractor]] transport. Builds the EXACT request shape —
+  * `contents[0].parts = [{inline_data: {mime_type: "application/pdf",
+  * data: base64(payload)}}, {text: <extraction prompt>}]`
+  * (gemini_api.cpp:281-307) — and parses
+  * `candidates[0].content.parts[0].text` from the reply
+  * (gemini_api.cpp:637-648). The URL is injected: production points at a
+  * real generateContent endpoint; the gate points at the in-process
+  * loopback server's /ocr (the C1/E1 precedent), which closes socket +
+  * serialization + both parses while model behavior stays the
+  * deterministic stand-in. */
+object CloudOcr {
+  /** gemini_api.cpp:303 — byte-for-byte the reference's prompt. */
+  val ExtractPrompt = "Extract all text from this PDF exactly as it is."
+
+  def geminiTransport(url: String): Array[Byte] => String = { payload =>
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val req = JsonMethods.compact(JsonMethods.render(JObject(
+      "contents" -> JArray(List(JObject("parts" -> JArray(List(
+        JObject("inline_data" -> JObject(
+          "mime_type" -> JString("application/pdf"),
+          "data" -> JString(java.util.Base64.getEncoder.encodeToString(payload)))),
+        JObject("text" -> JString(ExtractPrompt))))))))))
+    val reply = graft.embed.LoopbackTransport(url)(req)
+    JsonMethods.parse(reply) \ "candidates" match {
+      case JArray(first :: _) =>
+        (first \ "content" \ "parts") match {
+          case JArray(p :: _) => p \ "text" match {
+            case JString(s) => s
+            case _          => ""
+          }
+          case _ => ""
+        }
+      case _ => "" // the reference surfaces empty extraction as an error row
+    }
+  }
+}
+
 /** Doc identity (SURVEY §2 B10): md5(filename + "_" + filesize),
   * pdf_processor.cpp:409-416. */
 object DocId {

@@ -41,6 +41,18 @@ object EngineQueries {
   // cache (the blocks a dropped reference would otherwise hold until JVM
   // exit), and deleting its throwaway temp workspace (the shutdown hook
   // stays as backstop).
+  //
+  // CONCURRENCY CONTRACT (r13 advice): getOrBuild hands out raw engine
+  // references with no refcount, so an engine evicted while another
+  // thread is mid-search would have its cache unpersisted and workspace
+  // deleted under the active query. That interleaving requires (a) > 8
+  // concurrently-live corpora (cap 8 vs <= 3 in any gate/bench lifecycle
+  // — docs/PLANS.md) AND (b) concurrent callers, and every driver
+  // surface (Verify, Bench, Dev) runs queries SEQUENTIALLY on one
+  // thread. A future parallel driver must either raise the cap above
+  // its live-corpus count or add refcounted release before relying on
+  // eviction. Post-eviction use now fails fast (engine closed-flag,
+  // round 14) instead of corrupting silently.
   private val annServeCache =
     new graft.util.SessionCache[(SparkSession, String), graft.api.Engine](
       8, _.close(deleteWorkspace = true))

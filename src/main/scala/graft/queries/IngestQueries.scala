@@ -338,6 +338,32 @@ object IngestQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // A2 — cloud-OCR extraction over the loopback /ocr endpoint: a
+    // deterministic 256-byte "scanned" payload (no local text layer)
+    // rides the reference's exact generateContent inline_data request
+    // (gemini_api.cpp:281-307) and reply parse (:637-648); the server
+    // derives the text from the DECODED payload (md5 + length), so this
+    // row going green proves the base64 round trip, both JSON shapes,
+    // and the OCR-text re-entry into the layout pipeline. Oracle =
+    // constant expectation (the a1 route).
+    Q("a2_pdf_cloud",
+      """SELECT * FROM (VALUES
+        |  ('c2cb6c9db4e94d487931f128b8994ecb', 'scan.pdf', 0, 1,
+        |   '1 Scan Digest The scanned payload decodes to 256 bytes. Its md5 digest is e2c865db4162bed963bfaa9ef6ac18f0. Every byte survived the base64 round trip. 2 Scan Verification A second page confirms pagination. The extraction prompt and mime type matched the reference shapes.',
+        |   '', 0, 'text', 5, '', 0))
+        |AS t(doc_id, source_file, chunk_idx, page_num, text_chunk,
+        |     heading_path, heading_level, chunk_type, sentence_count,
+        |     list_type, list_length)""".stripMargin) { (spark, dir) =>
+      val tmp = graft.util.TempRoot.dir("a2-")
+      java.nio.file.Files.write(tmp.resolve("scan.pdf"),
+        Array.tabulate[Byte](256)(_.toByte))
+      graft.ingest.PdfSource.extractChunks(spark, tmp.toString, "*",
+        graft.ingest.CloudOcrExtractor(
+          graft.ingest.CloudOcr.geminiTransport(
+            graft.embed.LoopbackProviderServer.url("/ocr"))))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // B1 — header/footer frequency pre-pass: normalize a line signature,
     // count corpus-wide, keep the >5-occurrences candidates
     // (pdf_processor.cpp:33-64). Distributed as the classic 2-phase

@@ -27,9 +27,20 @@ final class SessionCache[K, V](maxEntries: Int, onEvict: V => Unit = (_: V) => (
   require(maxEntries > 0)
 
   private final class Memo(build: () => V) {
-    @volatile private var built: Option[V] = None
-    lazy val value: V = { val v = build(); built = Some(v); v }
-    def evaluated: Option[V] = built
+    @volatile private var done: Option[scala.util.Try[V]] = None
+    // memoized as a Try: a bare `lazy val v: V` whose initializer throws
+    // RE-RUNS the initializer on the next access (Scala lazy-val retry
+    // semantics) — so a second caller blocked on a failed first build
+    // would re-run the FIRST caller's closure after the failure, and a
+    // late success would live outside the map (its slot already vacated)
+    // and never reach onEvict. Try(…) never throws in the initializer,
+    // so evaluation happens exactly once and every holder of a failed
+    // memo rethrows the ORIGINAL failure instead of rebuilding.
+    lazy val result: scala.util.Try[V] = {
+      val r = scala.util.Try(build()); done = Some(r); r
+    }
+    def evaluated: Option[V] = done.flatMap(_.toOption) // non-forcing
+    def failed: Boolean = done.exists(_.isFailure)      // non-forcing
   }
 
   // access-order LinkedHashMap = LRU; structural access synchronized
@@ -38,7 +49,11 @@ final class SessionCache[K, V](maxEntries: Int, onEvict: V => Unit = (_: V) => (
   def getOrBuild(key: K)(build: => V): V = {
     var evicted = List.empty[V]
     val memo = map.synchronized {
-      Option(map.get(key)).getOrElse {
+      // a terminally-failed memo found in the map (failure recorded but
+      // not yet removed by its builder's catch, or re-observed by a
+      // caller that raced the removal) is replaced under the lock with a
+      // fresh memo built from THIS caller's closure
+      Option(map.get(key)).filterNot(_.failed).getOrElse {
         val m = new Memo(() => build)
         map.put(key, m)
         var over = map.size - maxEntries
@@ -59,14 +74,16 @@ final class SessionCache[K, V](maxEntries: Int, onEvict: V => Unit = (_: V) => (
     // release hooks run OUTSIDE the map lock — an onEvict that closes a
     // warm engine (flush + unpersist) runs Spark jobs
     evicted.foreach(onEvict)
-    try memo.value // evaluated OUTSIDE the map lock (may run Spark jobs)
-    catch {
-      case t: Throwable =>
+    // evaluated OUTSIDE the map lock (may run Spark jobs)
+    memo.result match {
+      case scala.util.Success(v) => v
+      case scala.util.Failure(t) =>
         // a failed build must not squat in the map: the dead memo would
-        // occupy an LRU slot, never fire onEvict, and retry the FIRST
-        // caller's captured closure forever. Remove it (the `eq` check
-        // guards a concurrent re-insert) so the next caller builds fresh
-        // with its OWN closure.
+        // occupy an LRU slot and never fire onEvict. Remove it (the `eq`
+        // check guards a concurrent re-insert) so the next caller builds
+        // fresh with its OWN closure; concurrent holders of THIS memo
+        // rethrow the memoized failure (never re-running the closure —
+        // see Memo.result).
         map.synchronized { if (map.get(key) eq memo) map.remove(key) }
         throw t
     }

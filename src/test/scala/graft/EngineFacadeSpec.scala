@@ -438,4 +438,48 @@ class EngineFacadeSpec extends AnyFunSuite {
     val (_, after2) = cycle()
     assert(after2 == base)
   }
+
+  test("use-after-close fails fast with a clear error (not a deep RejectedExecutionException)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val root = Files.createTempDirectory("graft-closed-").toString
+    val e = Engine.open(spark, root, "main")
+    e.index(docs)
+    assert(e.search("merge window").nonEmpty)
+    e.close(deleteWorkspace = true)
+    // the reference never allows use of a closed store either
+    // (mainwindow.cpp:120-137): every public entry point must throw a
+    // clear IllegalStateException, not surface a maintenance-executor
+    // rejection or operate on the unpersisted cache
+    val ex = intercept[IllegalStateException] { e.search("merge window") }
+    assert(ex.getMessage.contains("engine closed"))
+    intercept[IllegalStateException] { e.index(docs) }
+    intercept[IllegalStateException] { e.deepDive("merge window") }
+    intercept[IllegalStateException] { e.context(0L) }
+    intercept[IllegalStateException] { e.recordClick(0L, "q") }
+    intercept[IllegalStateException] { e.compactIndexes() }
+    intercept[IllegalStateException] { e.summarizeSections() }
+    intercept[IllegalStateException] { e.deleteDocuments(Seq("d")) }
+    intercept[IllegalStateException] { e.searchAt(0, "q") }
+    e.close() // close itself stays idempotent after the fail-fast flag
+  }
+
+  test("concurrent close() calls are safe: one closer does the work, the rest no-op") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    val root = Files.createTempDirectory("graft-closed2-").toString
+    val e = Engine.open(spark, root, "main")
+    e.index(docs)
+    e.search("merge window")
+    // pre-fix this raced into submit-after-shutdown (awaitMaintenance on a
+    // shut-down executor → RejectedExecutionException from a second closer)
+    val outcomes = Await.result(
+      Future.sequence((1 to 4).map(_ => Future {
+        scala.util.Try(e.close(deleteWorkspace = true))
+      })), 60.seconds)
+    assert(outcomes.forall(_.isSuccess),
+      s"every concurrent close must succeed: $outcomes")
+    assert(!Files.exists(java.nio.file.Paths.get(root, "main")))
+  }
 }

@@ -64,4 +64,30 @@ class SessionCacheSpec extends AnyFunSuite {
     assert(results.forall(_ == 5))
     assert(builds.get == 1)
   }
+
+  test("concurrent holders of a FAILED build rethrow the original failure; the closure never re-runs") {
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    // round-14 advice: a bare lazy val retries a thrown initializer, so a
+    // second caller blocked on the same memo would RE-RUN the first
+    // caller's closure — and a late success would live outside the map,
+    // never reaching onEvict. The Try-memoized result pins: one run, all
+    // holders see the same failure.
+    var evicted = List.empty[Int]
+    val cache = new SessionCache[String, Int](4, v => evicted ::= v)
+    val runs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val outcomes = Await.result(
+      Future.sequence((1 to 8).map(_ => Future {
+        scala.util.Try(cache.getOrBuild("k") {
+          Thread.sleep(20); runs.incrementAndGet(); throw new RuntimeException("boom")
+        })
+      })), 30.seconds)
+    assert(outcomes.forall(_.isFailure))
+    assert(outcomes.forall(_.failed.get.getMessage == "boom"))
+    assert(runs.get == 1, "the failed closure must evaluate exactly once")
+    assert(evicted.isEmpty, "no value ever existed, so onEvict must not fire")
+    // the key is vacated: a fresh caller's own closure builds clean
+    assert(cache.getOrBuild("k") { 9 } == 9)
+  }
 }

@@ -56,9 +56,13 @@ for name in sorted(oracle):
     rec["schema_match"] = list(g.columns) == list(w.columns)
     rec["rows_match"] = len(g) == len(w)
     if not rec["schema_match"]:
-        fails.append((name, f"columns differ: spark={list(g.columns)} duckdb={list(w.columns)}")); continue
+        # err mirrors the fails message (r13 advice: the committed JSON
+        # replica must carry the diagnostic, not just the console list)
+        rec["err"] = f"columns differ: spark={list(g.columns)} duckdb={list(w.columns)}"
+        fails.append((name, rec["err"])); continue
     if not rec["rows_match"]:
-        fails.append((name, f"row count: spark={len(g)} duckdb={len(w)}")); continue
+        rec["err"] = f"row count: spark={len(g)} duckdb={len(w)}"
+        fails.append((name, rec["err"])); continue
     gs = g.astype(str); ws = w.astype(str)
     if not gs.equals(ws):
         diff = (gs != ws).any(axis=1)
