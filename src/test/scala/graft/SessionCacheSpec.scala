@@ -66,25 +66,48 @@ class SessionCacheSpec extends AnyFunSuite {
   }
 
   test("concurrent holders of a FAILED build rethrow the original failure; the closure never re-runs") {
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.duration._
-    import scala.concurrent.ExecutionContext.Implicits.global
     // round-14 advice: a bare lazy val retries a thrown initializer, so a
     // second caller blocked on the same memo would RE-RUN the first
     // caller's closure — and a late success would live outside the map,
     // never reaching onEvict. The Try-memoized result pins: one run, all
-    // holders see the same failure.
+    // holders of THAT memo see the same failure. (A caller arriving AFTER
+    // the failure vacated the slot legitimately builds fresh — the first
+    // test above — so this one latches both holders onto the memo BEFORE
+    // letting it fail, making the run count deterministic.)
     var evicted = List.empty[Int]
     val cache = new SessionCache[String, Int](4, v => evicted ::= v)
     val runs = new java.util.concurrent.atomic.AtomicInteger(0)
-    val outcomes = Await.result(
-      Future.sequence((1 to 8).map(_ => Future {
-        scala.util.Try(cache.getOrBuild("k") {
-          Thread.sleep(20); runs.incrementAndGet(); throw new RuntimeException("boom")
-        })
-      })), 30.seconds)
-    assert(outcomes.forall(_.isFailure))
-    assert(outcomes.forall(_.failed.get.getMessage == "boom"))
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val build: () => Int = () => {
+      runs.incrementAndGet()
+      started.countDown()
+      release.await()
+      throw new RuntimeException("boom")
+    }
+    val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[scala.util.Try[Int]]
+    val a = new Thread(() => outcomes.add(scala.util.Try(cache.getOrBuild("k")(build()))))
+    a.start()
+    started.await() // A is inside the build: the memo is in the map, un-failed
+    val b = new Thread(() => outcomes.add(scala.util.Try(cache.getOrBuild("k")(build()))))
+    b.start()
+    // B must fetch A's memo (it is present and not failed) and block on
+    // its single evaluation (the memo's lazy-val monitor, held by A for
+    // as long as `release` stays closed). Require the blocked state to
+    // PERSIST across consecutive samples: a transient block on the
+    // (uncontended, instantly-released) map lock cannot, so a stable
+    // block proves B is parked on the memo itself.
+    var stable = 0
+    while (stable < 5) {
+      val s = b.getState
+      if (s == Thread.State.BLOCKED || s == Thread.State.WAITING) stable += 1
+      else stable = 0
+      Thread.sleep(2)
+    }
+    release.countDown()
+    a.join(30000); b.join(30000)
+    assert(outcomes.size == 2)
+    assert(outcomes.stream.allMatch(o => o.isFailure && o.failed.get.getMessage == "boom"))
     assert(runs.get == 1, "the failed closure must evaluate exactly once")
     assert(evicted.isEmpty, "no value ever existed, so onEvict must not fire")
     // the key is vacated: a fresh caller's own closure builds clean
