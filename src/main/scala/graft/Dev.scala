@@ -42,6 +42,58 @@ object Dev {
         SparkEntry.queries(name)(spark, sfDir).toJSON.collect().foreach(println)
       case "oracle" :: name :: _ =>
         println(SparkEntry.oracleSql.getOrElse(name, s"(no oracle for $name)"))
+      case "profile-index" :: _ =>
+        // phase decomposition of the ann_index_build lifecycle (round-14
+        // optimization measurement; mirrors Engine.index's phase order).
+        // A listener counts jobs/tasks + sums task time per phase so the
+        // wall numbers can be split into cluster work vs driver overhead.
+        import graft.queries.table
+        import org.apache.spark.sql.functions._
+        val jobs = new java.util.concurrent.atomic.AtomicInteger
+        val tasks = new java.util.concurrent.atomic.AtomicInteger
+        val taskNanos = new java.util.concurrent.atomic.AtomicLong
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            tasks.incrementAndGet()
+            Option(t.taskMetrics).foreach(m => taskNanos.addAndGet(m.executorRunTime * 1000000L))
+          }
+        })
+        def t[A](label: String)(f: => A): A = {
+          val (j0, k0, n0) = (jobs.get, tasks.get, taskNanos.get)
+          val t0 = System.nanoTime(); val r = f
+          val wall = (System.nanoTime() - t0) / 1e9
+          println(f"[profile] $label%-28s $wall%7.3f s  jobs=${jobs.get - j0}%3d tasks=${tasks.get - k0}%4d taskTime=${(taskNanos.get - n0) / 1e9}%7.3f s")
+          r
+        }
+        (1 to 3).foreach { round =>
+          println(s"-- round $round --")
+          val root = graft.util.TempRoot.dir("profile-idx-").toString
+          val ws = new graft.store.Workspace(spark, root)
+          val docs = table(spark, sfDir, "documents")
+          val embedder = graft.embed.HashNgramEmbedder(dim = 64)
+          t("chunk+embed (count only)") {
+            graft.store.ChunkStore.buildChunks(docs, embedder).count()
+          }
+          t("buildChunks+writeChunks") {
+            ws.writeChunks(graft.store.ChunkStore.buildChunks(docs, embedder))
+          }
+          t("postings build+write") {
+            val chunks = ws.readLiveChunks()
+            ws.writePostings(graft.store.TokenIndex.build(
+              chunks.select(col("id"), concat_ws(" ",
+                coalesce(col("heading_path"), lit("")), col("text_chunk")).as("itext")),
+              "id", "itext"))
+          }
+          val trained = t("ann train") {
+            graft.search.AnnIndex.build(ws.readLiveChunks(), "id", "embedding", 8)
+          }
+          t("ann quantize+write") { ws.writeAnn(trained._1, trained._2, None) }
+          t("count") { ws.count() }
+          graft.util.TempRoot.deleteRecursively(java.nio.file.Paths.get(root))
+        }
+
       case "snb-probe" :: _ =>
         // structural fan-out evidence for the parallel sorted-neighborhood
         // on the degenerate skew corpus (round-12 verdict task 1)

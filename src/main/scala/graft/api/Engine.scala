@@ -699,8 +699,29 @@ final class Engine(
         recordAdmittedBuckets(positions)
       }
       filterCommitted = true
-      rebuildPostings()
-      rebuildAnn()
+      // the two index rebuilds read the SAME committed chunk table and
+      // write to independent versioned dirs (postings/ vs ann/, metadata
+      // keys under the workspace meta lock) — overlap them so the posting
+      // build's tail no longer serializes ahead of the IVF train
+      // (optimization guide §2.6 "overlap independent jobs"; round 14).
+      // Failures propagate exactly as before: the first throw aborts
+      // index() with indexes stale vs the new table — the documented
+      // pre-existing failure mode, repaired by re-running index().
+      if (opts.annMode == "ivf") {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+        try {
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+          val p = Future(rebuildPostings())
+          val a = Future(rebuildAnn())
+          Await.result(p, Duration.Inf)
+          Await.result(a, Duration.Inf)
+        } finally pool.shutdown()
+      } else {
+        rebuildPostings()
+        rebuildAnn()
+      }
       workspace.setMeta("summaries_indexed", "false")
       invalidate()
       workspace.count()

@@ -112,9 +112,11 @@ object DedupPipeline {
       .distinct()
   }
 
-  /** Distinct-token sets for sampled docs (the signature input). */
+  /** Distinct-token sets for sampled docs (the signature input). The
+    * tokenize + downstream minhash are scan-local CPU-heavy work; fan a
+    * 1-split input out first (round-14; identity on parallel inputs). */
   private def tokenSets(docs: DataFrame, sampleMod: Int): DataFrame =
-    docs.filter(col("doc_id") % sampleMod === 0)
+    F.fanout(docs.filter(col("doc_id") % sampleMod === 0))
       .select(col("doc_id"), array_distinct(F.tokens(col("text"))).as("s"))
 
   /** Verified near-dup edges (symmetric): LSH-bucket candidates with

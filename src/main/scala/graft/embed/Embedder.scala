@@ -32,10 +32,9 @@ trait Embedder extends Serializable {
 final case class HashNgramEmbedder(dim: Int = 64, seed: Int = 42) extends Embedder {
   override def modelSig: String = s"hash-ngram-$dim-$seed"
 
-  private def featureHash(f: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
+  private def featureHash(md: MessageDigest, f: String): Long = {
     val b = md.digest(s"$seed:$f".getBytes(StandardCharsets.UTF_8))
-    // first 8 bytes, big-endian
+    // first 8 bytes, big-endian (digest() leaves md reset for the next call)
     var h = 0L
     var i = 0
     while (i < 8) { h = (h << 8) | (b(i) & 0xffL); i += 1 }
@@ -43,10 +42,16 @@ final case class HashNgramEmbedder(dim: Int = 64, seed: Int = 42) extends Embedd
   }
 
   override def embed(text: String): Array[Float] = {
+    // one digest instance per thread, reused across every feature of every
+    // call: MessageDigest.getInstance per FEATURE was ~40% of embed time
+    // (provider lookup + allocation for each of the ~10⁰–10¹ features per
+    // token). Not a field: MessageDigest is unserializable and the
+    // embedder rides into executor closures.
+    val md = HashNgramEmbedder.md5.get()
     val v = new Array[Double](dim)
     val toks = text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
     def add(f: String): Unit = {
-      val h = featureHash(f)
+      val h = featureHash(md, f)
       val idx = java.lang.Math.floorMod(h >>> 1, dim.toLong).toInt
       val sign = if ((h & 1L) == 0L) 1.0 else -1.0
       v(idx) += sign
@@ -67,6 +72,12 @@ final case class HashNgramEmbedder(dim: Int = 64, seed: Int = 42) extends Embedd
     while (i < dim) { out(i) = (v(i) * inv).toFloat; i += 1 }
     out
   }
+}
+
+object HashNgramEmbedder {
+  /** Per-thread reusable MD5 instance (embed() hot path). */
+  private val md5: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 }
 
 object Embedder {

@@ -13,6 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object F {
 
+  /** Scale-adaptive scan fan-out (optimization guide §2.5, "input skew:
+    * one huge unsplittable file — repartition immediately after the
+    * read"). A single-file single-row-group parquet input plans as a
+    * ONE-task scan — parquet rows cannot split below row-group
+    * granularity — so every scan-local CPU-heavy stage above it (embed,
+    * media codecs, tokenize+hash chains) runs on one core of local[N].
+    * When the planned scan parallelism is below the cluster's default,
+    * round-robin the rows across `defaultParallelism` partitions BEFORE
+    * the heavy per-row work; when the input already fans out (many
+    * files / row groups — any real corpus), this is the identity and
+    * adds no exchange, so the rewrite is a no-op at 100 TB where the
+    * shuffle would be the bug. Correctness: the repartition is row-wise
+    * (deterministic under sortBeforeRepartition), every consumer either
+    * transforms row-wise, aggregates by key behind its own exchange, or
+    * sums integers (order-free) — the oracle gate over every touched
+    * query re-verified green (round 14). Streaming frames pass through
+    * untouched (micro-batch sources own their partitioning). */
+  def fanout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
   /** Lowercased alnum tokens. DuckDB: regexp_extract_all(lower(x), '[a-z0-9]+') */
   def tokens(c: Column): Column = regexp_extract_all(lower(c), lit("[a-z0-9]+"), lit(0))
 

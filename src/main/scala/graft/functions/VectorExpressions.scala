@@ -308,6 +308,189 @@ case class SignLshBuckets(vec: Expression, hyperplanes: Expression, tables: Int)
     copy(vec = newLeft, hyperplanes = newRight)
 }
 
+/** Squared-L2 distance from one `array<float>` vector to EVERY centroid of
+  * an `array<array<double>>` codebook, in one codegen pass (round-14
+  * optimization: the `transform(cents, c -> aggregate(zip_with(...)))`
+  * higher-order form this replaces is CodegenFallback — interpreted lambda
+  * dispatch per element, measured ~10× slower on the KMeans train path).
+  *
+  * Arithmetic is BIT-IDENTICAL to the replaced form and to the DuckDB
+  * replays (ivLloydIterSql / pqIterSql): per centroid a left-fold
+  * s := s + ((double)v[i] − c[i])² starting at 0.0 in index order —
+  * the same IEEE op sequence as aggregate(zip_with(v, c, (x,y) →
+  * (x−y)·(x−y)), 0.0, s+v). With `micro = true` each cell yields
+  * (long) floor(s·10⁶) (the train-time metric); otherwise the raw double
+  * (the serve/assign metric). Pinned against the HOF form in
+  * VectorExprSpec. */
+case class L2CellDistances(vec: Expression, cents: Expression, micro: Boolean)
+    extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = cents
+  override def dataType: DataType =
+    ArrayType(if (micro) LongType else DoubleType, containsNull = false)
+  override def prettyName: String = if (micro) "l2_cell_micro" else "l2_cell_d2"
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, cents.dataType) match {
+    case (ArrayType(FloatType, _), ArrayType(ArrayType(DoubleType, _), _)) =>
+      TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"${prettyName} expects (array<float>, array<array<double>>), got (${vec.dataType.sql}, ${cents.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val cb = b.asInstanceOf[ArrayData]
+    val k = cb.numElements()
+    val n = v.numElements()
+    if (micro) {
+      val out = new Array[Long](k)
+      var j = 0
+      while (j < k) {
+        val cj = cb.getArray(j)
+        var s = 0.0d; var i = 0
+        while (i < n) { val d = v.getFloat(i).toDouble - cj.getDouble(i); s += d * d; i += 1 }
+        out(j) = math.floor(s * 1000000.0).toLong
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    } else {
+      val out = new Array[Double](k)
+      var j = 0
+      while (j < k) {
+        val cj = cb.getArray(j)
+        var s = 0.0d; var i = 0
+        while (i < n) { val d = v.getFloat(i).toDouble - cj.getDouble(i); s += d * d; i += 1 }
+        out(j) = s
+        j += 1
+      }
+      org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val k = ctx.freshName("k"); val n = ctx.freshName("n"); val j = ctx.freshName("j")
+      val i = ctx.freshName("i"); val s = ctx.freshName("s"); val d = ctx.freshName("d")
+      val cj = ctx.freshName("cj"); val out = ctx.freshName("out")
+      val elemType = if (micro) "long" else "double"
+      val store =
+        if (micro) s"$out[$j] = (long) java.lang.Math.floor($s * 1000000.0);"
+        else s"$out[$j] = $s;"
+      s"""
+        |int $k = $b.numElements();
+        |int $n = $a.numElements();
+        |$elemType[] $out = new $elemType[$k];
+        |for (int $j = 0; $j < $k; $j++) {
+        |  org.apache.spark.sql.catalyst.util.ArrayData $cj = $b.getArray($j);
+        |  double $s = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    double $d = ((double) $a.getFloat($i)) - $cj.getDouble($i);
+        |    $s += $d * $d;
+        |  }
+        |  $store
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, cents = r)
+}
+
+/** max(|x|) over an `array<float>` vector with double accumulation — the
+  * SQ8 scale denominator, replacing the interpreted
+  * `array_max(transform(emb, abs))` pair (round-14). Exact same values:
+  * |(double) f| per element, maximum in index order (no NaN/null elements
+  * in embedding arrays by construction). */
+case class MaxAbs(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_abs"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"max_abs expects array<float>, got ${t.sql}")
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    var m = 0.0d; var i = 0
+    val n = x.numElements()
+    while (i < n) {
+      val v = math.abs(x.getFloat(i).toDouble); if (v > m) m = v; i += 1
+    }
+    m
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val m = ctx.freshName("m"); val v = ctx.freshName("v")
+      s"""
+        |int $n = $a.numElements();
+        |double $m = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $v = java.lang.Math.abs((double) $a.getFloat($i));
+        |  if ($v > $m) $m = $v;
+        |}
+        |${ev.value} = $m;
+      """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** SQ8 byte codes: floor((double)x · scale) per element, cast to byte with
+  * long-truncation semantics — bit-identical to the replaced
+  * `transform(emb, x -> floor(x·scale).cast("tinyint"))` chain (Spark's
+  * floor(double) is a long; long→tinyint truncates low bits; values are in
+  * [−127, 127] by the scale construction so the truncation is the
+  * identity). Codegen replaces interpreted per-element lambda dispatch
+  * (round-14). */
+case class Sq8Code(vec: Expression, scale: Expression) extends BinaryExpression {
+
+  override def left: Expression = vec
+  override def right: Expression = scale
+  override def dataType: DataType = ArrayType(ByteType, containsNull = false)
+  override def prettyName: String = "sq8_code"
+
+  override def checkInputDataTypes(): TypeCheckResult = (vec.dataType, scale.dataType) match {
+    case (ArrayType(FloatType, _), DoubleType) => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"sq8_code expects (array<float>, double), got (${vec.dataType.sql}, ${scale.dataType.sql})")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val sc = b.asInstanceOf[Double]
+    val n = v.numElements()
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((math.floor(v.getFloat(i).toDouble * sc).toLong) & 0xffL).toByte
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n"); val i = ctx.freshName("i"); val out = ctx.freshName("out")
+      s"""
+        |int $n = $a.numElements();
+        |byte[] $out = new byte[$n];
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $out[$i] = (byte) ((long) java.lang.Math.floor(((double) $a.getFloat($i)) * $b));
+        |}
+        |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+      """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(vec = l, scale = r)
+}
+
 case class PqEncode(vec: Expression, codebook: Expression, subDim: Int)
     extends BinaryExpression {
 
@@ -395,6 +578,24 @@ object VectorFunctions {
 
   def l2Norm(a: Column): Column =
     ColumnBridge.column(L2Norm(ColumnBridge.expression(floatArr(a))))
+
+  /** Distance vector to every centroid of a literal codebook — codegen
+    * twin of `transform(typedlit(cents), c => d2(vec, c))` (KMeans). */
+  def l2CellDistances(vec: Column, cents: Seq[Seq[Double]], micro: Boolean): Column = {
+    import org.apache.spark.sql.functions.typedlit
+    ColumnBridge.column(L2CellDistances(
+      ColumnBridge.expression(floatArr(vec)),
+      ColumnBridge.expression(typedlit(cents.map(_.toSeq))
+        .cast(ArrayType(ArrayType(DoubleType)))), micro))
+  }
+
+  def maxAbs(a: Column): Column =
+    ColumnBridge.column(MaxAbs(ColumnBridge.expression(floatArr(a))))
+
+  def sq8Code(vec: Column, scale: Column): Column =
+    ColumnBridge.column(Sq8Code(
+      ColumnBridge.expression(floatArr(vec)),
+      ColumnBridge.expression(scale.cast(DoubleType))))
 
   /** Tag a column as holding the L2 norm of vector column `ofVec` (alias
     * metadata `graft.normOf`, persisted through parquet schema metadata),

@@ -18,18 +18,14 @@ import org.apache.spark.sql.functions._
   */
 object KMeans {
 
-  /** Squared-L2 between the row's vector and one centroid array entry. */
-  private def d2(vec: Column, cent: Column): Column =
-    aggregate(
-      zip_with(vec, cent, (x, y) =>
-        (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
-      lit(0.0), (s, v) => s + v)
-
   /** Distance vector to every centroid: argmin = first index achieving
     * the array_min (ties → lowest index, since the literal is in index
-    * order). */
+    * order). Codegen expression (round-14); the replaced higher-order
+    * `transform(cents, c => aggregate(zip_with(...)))` form was
+    * interpreted per element — arithmetic is bit-identical (left-fold
+    * s + ((double)x − y)² in index order, VectorExprSpec pins it). */
   private def distances(vec: Column, cents: Seq[Seq[Double]]): Column =
-    transform(typedlit(cents), c => d2(vec, c))
+    graft.functions.VectorFunctions.l2CellDistances(vec, cents, micro = false)
 
   final case class Result(centroids: Seq[Seq[Double]], inertia: Seq[Double])
 
@@ -100,8 +96,7 @@ object KMeans {
     * comparisons and the DuckDB oracle replay are bit-identical (the same
     * discipline [[trainPq]] and ml_kmeans_step use). */
   def microDistances(vec: Column, cents: Seq[Seq[Double]]): Column =
-    transform(typedlit(cents), c =>
-      floor(d2(vec, c) * 1000000).cast("long"))
+    graft.functions.VectorFunctions.l2CellDistances(vec, cents, micro = true)
 
   /** Scan-local cluster assignment by MICRO-FLOORED L2 argmin, first-match
     * (= lowest cid) tie-break — assignment against [[train]]ed centroids

@@ -302,7 +302,7 @@ object CurationQueries {
         |FROM c JOIN ev ON ev.g = c.g
         |GROUP BY c.doc_id
         |ORDER BY n_shared DESC, doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val t = table(spark, dir, "documents")
+      val t = F.fanout(table(spark, dir, "documents"))
         .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 5)).as("grams"))
       val ev = t.filter(col("doc_id") % 97 === 0)
         .select(explode(col("grams")).as("g")).distinct()
@@ -350,7 +350,9 @@ object CurationQueries {
          |SELECT t.doc_id, len(t.grams)::BIGINT AS n_grams, fl.n_flagged
          |FROM t JOIN fl ON fl.doc_id = t.doc_id
          |ORDER BY n_flagged DESC, t.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val t = table(spark, dir, "documents")
+      // F.fanout: shingle + md5 + 4-probe work per gram is the heaviest
+      // per-row chain in the curation family, all scan-local (round-14)
+      val t = F.fanout(table(spark, dir, "documents"))
         .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 5)).as("grams"))
       // BloomBits = 2¹⁶, so each 4-hex-char slice of ONE md5 digest IS a
       // probe position (partitioned hashing, Kirsch–Mitzenmacher style) —
@@ -368,6 +370,13 @@ object CurationQueries {
       def hit(h: Column): Column = probes(h)
         .map(p => element_at(bloomLit, p.cast("int") + 1))
         .reduce(_ && _)
+      // materialization barrier (round-14): without it the optimizer
+      // pushes the `n_flagged > 0` filter BELOW the fan-out exchange —
+      // the whole shingle+md5+probe chain then runs on the 1-task scan
+      // (and is evaluated a second time in the projection above). The
+      // localCheckpoint pins the heavy chain exactly once per row, above
+      // the exchange, in parallel; the materialized frame is 3 longs per
+      // doc (scale-safe) and is rebuilt per call (no cross-run reuse).
       t.filter(col("doc_id") % 97 =!= 0)
         .select(col("doc_id"),
           size(col("grams")).cast("long").as("n_grams"),
@@ -375,6 +384,7 @@ object CurationQueries {
           // bodies get no common-subexpression elimination in codegen)
           size(filter(transform(col("grams"), g => md5(g)), hit _))
             .cast("long").as("n_flagged"))
+        .localCheckpoint()
         .filter(col("n_flagged") > 0)
         .orderBy(col("n_flagged").desc, col("doc_id"))
         .limit(1000)

@@ -22,9 +22,11 @@ object DedupQueries {
 
   import DedupPipeline.{Bands, NumHashes}
 
-  /** doc_id + distinct-token set, the input of the signature ops. */
+  /** doc_id + distinct-token set, the input of the signature ops.
+    * F.fanout: the tokenize + signature work above this frame is
+    * scan-local and CPU-heavy; spread a 1-split input first (round-14). */
   private def tokenSets(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    F.fanout(table(spark, dir, "documents"))
       .select(col("doc_id"), array_distinct(F.tokens(col("text"))).as("toks"))
 
   private[queries] val tokenSetsSql =
@@ -32,7 +34,7 @@ object DedupQueries {
 
   /** doc_id + distinct word-bigram shingle set (the n-gram verify input). */
   private def shingleSets(spark: SparkSession, dir: String): DataFrame =
-    table(spark, dir, "documents")
+    F.fanout(table(spark, dir, "documents"))
       .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 2)).as("toks"))
 
   private val shingleSetsSql =
@@ -1080,7 +1082,7 @@ object DedupQueries {
         |SELECT doc_id, n_spans, n_dup,
         |       CAST(floor(n_dup * 1000000.0 / n_spans) AS BIGINT) AS dup_ppm
         |FROM d ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val s = table(spark, dir, "documents")
+      val s = F.fanout(table(spark, dir, "documents"))
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 10)
         .select(col("doc_id"), explode(transform(
@@ -1121,7 +1123,7 @@ object DedupQueries {
         |       ((max(len) - 1) * 5 + 10)::BIGINT AS max_run_tokens
         |FROM g GROUP BY doc_id ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val s = table(spark, dir, "documents")
+      val s = F.fanout(table(spark, dir, "documents"))
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
         .filter(size(col("toks")) >= 10)
         .select(col("doc_id"), posexplode(transform(

@@ -162,6 +162,25 @@ object EngineQueries {
        |ORDER BY batch, idx""".stripMargin
   }
 
+  /** Run independent per-query searches CONCURRENTLY from a small driver
+    * pool (optimization guide §2.6 "overlap independent jobs": each search
+    * is several short single-digit-task Spark jobs, so sequential
+    * submission leaves the cluster idle between actions; concurrent
+    * submission back-fills it). Results keep the caller's query order.
+    * ONLY sound when searches share no cross-search state — the callers
+    * guard on MMR/exploration/rerank off (those paths thread entropy-EMA /
+    * calibration state through the search SEQUENCE, where order matters). */
+  private[queries] def searchAll[A](queries: Seq[String])(one: String => A): Seq[A] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(queries.size)
+    try {
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val futs = queries.map(q => Future(one(q)))
+      futs.map(Await.result(_, Duration.Inf))
+    } finally pool.shutdown()
+  }
+
   /** Full pipeline: chunk + embed + hybrid search, fixed query set. */
   def hybridSearch(spark: SparkSession, dir: String,
                    mmr: Boolean = false, exploration: Boolean = false): DataFrame = {
@@ -174,8 +193,13 @@ object EngineQueries {
       "how to hash a partition: steps",
       "summary of scan and sort",
       "example of a vector batch")
-    queries.flatMap { q =>
-      engine.search(q, embedder, k = 5).zipWithIndex.map { case (c, i) =>
+    // cross-search state (entropy EMA under MMR, exploration history)
+    // must observe the sequence order → keep those variants sequential
+    val perQuery: Seq[Seq[graft.model.ScoredChunk]] =
+      if (mmr || exploration) queries.map(engine.search(_, embedder, k = 5))
+      else searchAll(queries)(engine.search(_, embedder, k = 5))
+    queries.zip(perQuery).flatMap { case (q, res) =>
+      res.zipWithIndex.map { case (c, i) =>
         (q, (i + 1).toLong, c.id, c.docId, c.chunkType,
           math.floor(c.score * 1e6).toLong, c.isExploration)
       }
@@ -603,8 +627,11 @@ object EngineQueries {
         "how to hash a partition: steps",
         "summary of scan and sort",
         "example of a vector batch")
-      queries.flatMap { q =>
-        engine.search(q, k = 5).zipWithIndex.map { case (c, i) =>
+      // concurrent independent searches (§2.6; see searchAll): sound here
+      // because benchmarkMode freezes the D17 EMA (no cross-search state),
+      // MMR/exploration/rerank are off, and engine() init is synchronized
+      queries.zip(searchAll(queries)(engine.search(_, k = 5))).flatMap { case (q, res) =>
+        res.zipWithIndex.map { case (c, i) =>
           (q, (i + 1).toLong, c.id, c.docId, c.chunkType, math.floor(c.score * 1e6).toLong)
         }
       }.toDF("query", "rank", "chunk_id", "doc_id", "chunk_type", "score_micro")

@@ -23,7 +23,10 @@ object StreamMultimodalQueries {
     * documents-shaped frame — batch scan or stream — since the whole
     * rule is stateless per-row work. */
   private def mediaWsFrom(docs: DataFrame, mod: Int): DataFrame =
-    docs
+    // real codec work (PNG encode/decode, resample) rides scan-local above
+    // this frame — fan a 1-task input out first (F.fanout is the identity
+    // on streams and on any already-parallel scan)
+    graft.functions.F.fanout(docs)
       .filter(col("doc_id") % 3 === mod && length(col("text")) >= 16)
       .select(col("doc_id").as("media_id"),
         graft.functions.BlobFunctions.byteWindowSums(

@@ -222,14 +222,17 @@ object AnnIndex {
   def withSq8(vectors: DataFrame, vecCol: String = "embedding"): DataFrame =
     if (IvfGenerator.Sq8Columns.forall(vectors.columns.contains)) vectors
     else {
-      val emb = col(vecCol).cast("array<double>")
-      val scale = lit(127.0) / greatest(
-        array_max(transform(emb, x => abs(x))), lit(1e-12))
+      // codegen expressions (round-14): bit-identical to the replaced
+      // higher-order forms — scale = 127/max|x| with (double) casts per
+      // element, codes floor(x·s) with long→tinyint truncation, norm the
+      // same left-fold Σx² — but compiled instead of interpreted lambda
+      // dispatch per element (VectorExprSpec pins the equality).
+      import graft.functions.VectorFunctions.{maxAbs, sq8Code, l2Norm}
+      val scale = lit(127.0) / greatest(maxAbs(col(vecCol)), lit(1e-12))
       vectors
         .withColumn("sq_scale", scale)
-        .withColumn("sq_code", transform(emb, x => floor(x * scale).cast("tinyint")))
-        .withColumn("sq_norm",
-          sqrt(aggregate(zip_with(emb, emb, (a, b) => a * b), lit(0.0), (s, v) => s + v)))
+        .withColumn("sq_code", sq8Code(col(vecCol), col("sq_scale")))
+        .withColumn("sq_norm", l2Norm(col(vecCol)))
     }
 
   /** PQ subspace count for the persisted serving codes: 4-bit codes × 8

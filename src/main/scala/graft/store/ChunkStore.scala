@@ -43,8 +43,11 @@ object ChunkStore {
     val spark = docs.sparkSession
     import spark.implicits._
     val emb = embedder
-    val chunked = docs
-      .select(col("doc_id").cast("string"), col("text"), col("source"))
+    // chunk+embed is the heaviest scan-local work in the engine; spread a
+    // deficient-parallelism input (single-row-group parquet → 1-task scan)
+    // across the cluster first. Identity on any real multi-split corpus.
+    val chunked = graft.functions.F.fanout(docs
+      .select(col("doc_id").cast("string"), col("text"), col("source")))
       .as[(String, String, String)]
       .flatMap { case (docId, text, source) =>
         // id = docKey·10⁶ + idx: collision-free for numeric ids up to
