@@ -104,7 +104,12 @@ final class Engine(
     // click-ledger boost is a broadcast join ON TOP of the cache, so
     // ledger changes never drop or re-read the cached corpus
     val raw = rawChunks.getOrElse {
-      val r = workspace.readChunks().drop("boost_factor").cache()
+      // fan the (32-small-file) chunk-table scan out BEFORE pinning: the
+      // cached blocks otherwise inherit the packed 1–2-split layout and
+      // every search's exact-scan/metadata-join stage runs near-serial.
+      // Identity on a multi-split corpus (round-14; F.fanout).
+      val r = graft.functions.F.fanout(
+        workspace.readChunks().drop("boost_factor")).cache()
       rawChunks = Some(r)
       r
     }

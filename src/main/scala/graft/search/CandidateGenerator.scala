@@ -77,9 +77,12 @@ final class IvfGenerator(
   private[graft] def approxByCode(qv: Array[Float], depth: Int): DataFrame = {
     val q = qv.map(_.toDouble).toSeq
     val qnorm = math.sqrt(q.map(x => x * x).sum)
-    val dot = aggregate(
-      zip_with(col("sq_code").cast("array<double>"), typedlit(q), (x, y) => x * y),
-      lit(0.0), (s, v) => s + v)
+    // codegen dot (round-14), replacing the interpreted zip_with/aggregate
+    // fold: bit-identical — tinyint→float→double widening is exact for
+    // |code| ≤ 127, the query literal's float→double round-trips the same
+    // doubles, and DotProduct accumulates the identical index-order fold.
+    val dot = graft.functions.VectorFunctions.dotProduct(
+      col("sq_code"), typedlit(qv.toSeq))
     val approx =
       if (qnorm == 0.0) lit(-1.0)
       else when(col("sq_norm") > 0,
