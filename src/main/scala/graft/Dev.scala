@@ -42,6 +42,47 @@ object Dev {
         SparkEntry.queries(name)(spark, sfDir).toJSON.collect().foreach(println)
       case "oracle" :: name :: _ =>
         println(SparkEntry.oracleSql.getOrElse(name, s"(no oracle for $name)"))
+      case "jobs" :: name :: _ =>
+        // per-JOB wall breakdown of one query execution (round-15
+        // measurement): warm run first, then one timed run with a
+        // listener printing every job's duration, task count and summed
+        // task time — splits a multi-action query (checkpoint loops,
+        // streaming foreachBatch, broadcast subjobs) into its jobs so
+        // the driver-overhead vs cluster-work split is visible.
+        val fn = SparkEntry.queries(name)
+        fn(spark, sfDir).count() // warm: plan compile + codegen + staging
+        val t0 = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
+        val taskN = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+        val taskNanos = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.atomic.AtomicLong]()
+        val stageJob = new java.util.concurrent.ConcurrentHashMap[Int, Int]()
+        spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+            val desc = Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.job.description"))).getOrElse("")
+            t0.put(j.jobId, (System.nanoTime(), desc))
+            j.stageIds.foreach(s => stageJob.put(s, j.jobId))
+          }
+          override def onTaskEnd(t: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val jid = stageJob.getOrDefault(t.stageId, -1)
+            taskN.computeIfAbsent(jid, _ => new java.util.concurrent.atomic.AtomicLong).incrementAndGet()
+            Option(t.taskMetrics).foreach(m =>
+              taskNanos.computeIfAbsent(jid, _ => new java.util.concurrent.atomic.AtomicLong)
+                .addAndGet(m.executorRunTime * 1000000L))
+          }
+          override def onJobEnd(j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+            Option(t0.get(j.jobId)).foreach { case (s, desc) =>
+              val wall = (System.nanoTime() - s) / 1e9
+              val n = Option(taskN.get(j.jobId)).map(_.get).getOrElse(0L)
+              val tt = Option(taskNanos.get(j.jobId)).map(_.get).getOrElse(0L) / 1e9
+              println(f"[job] id=${j.jobId}%4d wall=$wall%7.3f s tasks=$n%4d taskTime=$tt%7.3f s  $desc")
+            }
+          }
+        })
+        val s0 = System.nanoTime()
+        fn(spark, sfDir).count()
+        println(f"[jobs-total] $name ${(System.nanoTime() - s0) / 1e9}%.3f s")
+        Thread.sleep(500) // let late listener events drain before stop
+
       case "profile-index" :: _ =>
         // phase decomposition of the ann_index_build lifecycle (round-14
         // optimization measurement; mirrors Engine.index's phase order).

@@ -720,8 +720,14 @@ final class Engine(
           implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
           val p = Future(rebuildPostings())
           val a = Future(rebuildAnn())
-          Await.result(p, Duration.Inf)
-          Await.result(a, Duration.Inf)
+          // await BOTH before rethrowing (round-15, verdict item 4): a
+          // rethrow on the first failure would return control while the
+          // sibling rebuild is still writing into a workspace the caller
+          // now believes failed-and-stale (pool.shutdown() doesn't await)
+          val pr = scala.util.Try(Await.result(p, Duration.Inf))
+          val ar = scala.util.Try(Await.result(a, Duration.Inf))
+          pr.get
+          ar.get
         } finally pool.shutdown()
       } else {
         rebuildPostings()

