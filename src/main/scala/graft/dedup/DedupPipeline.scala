@@ -134,7 +134,17 @@ object DedupPipeline {
     val sb = d.select(col("doc_id").as("b_id"), col("s").as("sb"))
     val inter = size(array_intersect(col("sa"), col("sb"))).cast("double")
     val jac = inter / (size(col("sa")) + size(col("sb")) - inter)
-    val verified = pairs.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
+    // pinned-width exchange of the COMPACT (a_id, b_id) pairs before the
+    // verify join (round-15): the pairs arrive on the distinct's
+    // AQE-coalesced output (1-2 partitions at bench SF — bytes are tiny,
+    // but the per-pair set-intersection above is CPU-heavy), so the
+    // verify stage serialized. Re-keying by a_id is ALSO the verify
+    // join's own clustering requirement, so at corpus scale (where the
+    // set sides stop broadcasting and the join becomes shuffled) this
+    // exchange replaces the one the join would plan anyway.
+    val wide = pairs.repartition(
+      SortedNeighborhood.pinnedWidth(pairs), col("a_id"))
+    val verified = wide.join(sa, Seq("a_id")).join(sb, Seq("b_id"))
       .filter(jac >= threshold)
       .select(col("a_id").as("a"), col("b_id").as("b"))
     verified.union(verified.select(col("b").as("a"), col("a").as("b")))

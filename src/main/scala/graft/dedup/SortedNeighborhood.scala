@@ -46,15 +46,37 @@ object SortedNeighborhood {
     * neighbor window (W ≤ 32 everywhere) and far below executor memory. */
   val ChunkRows = 4096L
 
+  /** Pinned shuffle width for the rank/frame stages (round-15): the band
+    * rows are byte-light but the work ABOVE each exchange is CPU-heavy
+    * and EXPANSIVE (W-struct collect_list frames, ×W pair explode,
+    * set-intersection verify), so AQE's byte-based partition coalescing
+    * (advisory 64 MB) mis-sizes them — at sf0.1 it folded every stage of
+    * the pair family to 1-2 tasks and serialized the whole chain
+    * (measured: graph_pagerank_step's frame+verify job ran 2 tasks /
+    * 1.56 s task time on local[32]). Pinning the exchange width to
+    * max(defaultParallelism, spark.sql.shuffle.partitions) restores the
+    * cluster's configured width; at 100 TB the same expression equals
+    * the production shuffle.partitions, i.e. exactly what the
+    * ENSURE_REQUIREMENTS exchange used before coalescing — nothing is
+    * lost at scale, and the per-bucket cost bounds are unchanged. */
+  private[graft] def pinnedWidth(df: DataFrame): Int =
+    math.max(df.sparkSession.sparkContext.defaultParallelism,
+      df.sparkSession.sessionState.conf.numShufflePartitions)
+
   /** The materialized parallel-rank input: `banded` range-sorted on
     * (band, bkey, orderCols) with its physical partition id. Exposed
-    * private[graft] for the plan/parallelism specs. */
+    * private[graft] for the plan/parallelism specs.
+    *
+    * The range partition count is pinned ([[pinnedWidth]]): the staged
+    * checkpoint FREEZES whatever layout it was built with for the whole
+    * session, so letting AQE coalesce it to 1-2 partitions at bench SF
+    * starved every downstream rank/frame/verify stage of parallelism. */
   private[graft] def sortedStage(banded: DataFrame, orderCols: Seq[String],
                                  stageKey: String): DataFrame = {
     val keyCols = (Seq("band", "bkey") ++ orderCols).map(col)
     graft.functions.Staging.staged(banded.sparkSession, stageKey) {
       banded
-        .repartitionByRange(keyCols: _*)
+        .repartitionByRange(pinnedWidth(banded), keyCols: _*)
         .sortWithinPartitions(keyCols: _*)
         .withColumn("__pid", spark_partition_id())
     }
@@ -110,6 +132,12 @@ object SortedNeighborhood {
       .withColumn("__jc", col("__ck") - 1).withColumn("__echo", lit(1))
     val wChunk = Window.partitionBy("band", "bkey", "__jc").orderBy("__rn")
     main.unionByName(echo)
+      // explicit exchange at pinned width (round-15): the implicit
+      // ENSURE_REQUIREMENTS exchange under the frame window carries few
+      // bytes and AQE coalesced it to 1-2 tasks, serializing the
+      // collect_list frames AND the ×W pair explode/verify stages above
+      // them; same keys, same shuffle, width pinned (see pinnedWidth)
+      .repartition(pinnedWidth(banded), col("band"), col("bkey"), col("__jc"))
       .withColumn("__next",
         collect_list(struct(carryCols.map(col): _*)).over(wChunk.rowsBetween(1, w)))
       .filter(col("__echo") === 0)

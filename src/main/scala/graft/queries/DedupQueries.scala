@@ -179,7 +179,12 @@ object DedupQueries {
       stageKey = s"dedup_pair_rk#$key")
     val ta = sets.select(col("doc_id").as("a_id"), col("toks").as("ta"))
     val tb = sets.select(col("doc_id").as("b_id"), col("toks").as("tb"))
-    pairs.join(ta, Seq("a_id")).join(tb, Seq("b_id"))
+    // pinned-width pair exchange before the verify join — same rationale
+    // as DedupPipeline.edges: the per-pair intersect is CPU-heavy while
+    // the pair rows are byte-light, and a_id is the join's own
+    // clustering key (see SortedNeighborhood.pinnedWidth)
+    pairs.repartition(graft.dedup.SortedNeighborhood.pinnedWidth(pairs), col("a_id"))
+      .join(ta, Seq("a_id")).join(tb, Seq("b_id"))
       .select(col("a_id"), col("b_id"),
         size(array_intersect(col("ta"), col("tb"))).cast("long").as("inter"),
         size(col("ta")).cast("long").as("na"),
@@ -846,33 +851,61 @@ object DedupQueries {
          |ORDER BY r3.doc_id""".stripMargin
     }) { (spark, dir) =>
       val docs = table(spark, dir, "documents")
-      // edge list + degrees materialized once; every round re-reads them
+      // STATIC frames materialized once per call: edge list, degrees and
+      // the node set feed every round — the checkpoints cut the LSH
+      // chain out of the per-round plans (plan depth stays constant
+      // across rounds)
       val e = DedupPipeline.edges(docs, 0.9, sampleMod = 4).localCheckpoint()
       val nodes = docs.filter(col("doc_id") % 4 === 0).select(col("doc_id"))
         .localCheckpoint()
-      val n = nodes.agg(count(lit(1)).as("n"))
       val od = e.groupBy("a").agg(count(lit(1)).as("deg")).localCheckpoint()
-      val r0 = nodes.crossJoin(broadcast(n))
-        .select(col("doc_id"), expr("1000000000000L div n").as("rp"))
+      // n as ONE driver scalar (round-15): the old broadcast-crossJoined
+      // one-row aggregate re-ran as its own broadcast-exchange job in r0
+      // and in EVERY round (4 extra jobs per call); a count of the
+      // checkpointed node frame is metadata-scale at any corpus size and
+      // the integer arithmetic below is unchanged (same div, same
+      // operands). The teleport and dangling terms keep n as exact
+      // literals.
+      // max(…, 1): an empty node set yields an empty output through the
+      // joins either way — the guard only keeps the literal division
+      // total (the old SQL div returned NULL there, never reached)
+      val nVal = math.max(nodes.count(), 1L)
+      // static per-edge out-degree join, materialized once: every round
+      // re-planned (and re-shuffled) e ⋈ od before attaching the rank
+      // frame — the degree never changes between rounds
+      val ed = e.join(od, Seq("a")).select(col("a"), col("b"), col("deg"))
+        .localCheckpoint()
+      val r0 = nodes.select(col("doc_id"), lit(1000000000000L / nVal).as("rp"))
       def iter(r: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-        val dang = r.join(od, r("doc_id") === od("a"), "left_anti")
-          .agg(coalesce(sum(col("rp")), lit(0L)).as("d"))
-        val contrib = e.join(od, Seq("a"))
+        // the round's dangling mass is ONE bounded scalar (Σ rp over
+        // nodes without out-edges, ≤ 1e12 by construction); pulling it
+        // as a driver literal from the (checkpointed) previous ranks
+        // collapses the old broadcast-agg crossJoin chain — one small
+        // job instead of an exchange + broadcast materialization per
+        // round. Long arithmetic below floors exactly like the SQL div
+        // on the same operands (positives), so ranks stay bit-identical.
+        val d = r.join(od, r("doc_id") === od("a"), "left_anti")
+          .agg(coalesce(sum(col("rp")), lit(0L)).as("d")).head().getLong(0)
+        val base = 150000000000L / nVal + (850L * d) / (1000L * nVal)
+        val contrib = ed
           .join(r.select(col("doc_id").as("a"), col("rp")), Seq("a"))
           .select(col("b").as("doc_id"), expr("(850 * rp) div (1000 * deg)").as("c"))
           .groupBy("doc_id").agg(sum(col("c")).as("cm"))
         nodes.join(contrib, Seq("doc_id"), "left")
-          .crossJoin(broadcast(n)).crossJoin(broadcast(dang))
           .select(col("doc_id"),
-            (expr("150000000000L div n") + expr("(850 * d) div (1000 * n)") +
-              coalesce(col("cm"), lit(0L))).as("rp"))
+            (lit(base) + coalesce(col("cm"), lit(0L))).as("rp"))
       }
-      // each iterate is pinned (localCheckpoint) so round i+1's plan and
-      // the final delta read materialized ranks, not a re-derivation —
-      // the iterate-by-refeeding loop a driver program runs
+      // r1/r2 stay CHECKPOINTED so plan depth is constant across rounds
+      // (each round consumes its predecessor 2-3× — dang branch, contrib
+      // branch, final delta — so lazy chaining regrows the plan
+      // exponentially: measured 1961 plan lines for 3 lazy rounds vs a
+      // constant ~190 per checkpointed round). r3 is consumed exactly
+      // once by the output join and stays LAZY — one eager job fewer,
+      // same constant depth. Combined with the n-literal above this cut
+      // the call from 63 jobs to ~20.
       val r1 = iter(r0).localCheckpoint()
       val r2 = iter(r1).localCheckpoint()
-      val r3 = iter(r2).localCheckpoint()
+      val r3 = iter(r2)
       r3.join(r2.select(col("doc_id"), col("rp").as("rp_prev")), Seq("doc_id"))
         .select(col("doc_id"), col("rp").as("rank_pico"),
           abs(col("rp") - col("rp_prev")).as("delta_pico"))
@@ -976,6 +1009,14 @@ object DedupQueries {
           .filter(struct(col("src_deg"), col("u")) < struct(col("dst_deg"), col("v")))
           .select(col("u").as("src"), col("v").as("dst"),
             struct(col("dst_deg").as("deg"), col("v").as("id")).as("dst_ord"))
+          // pinned-width src clustering BEFORE the checkpoint (round-15):
+          // the staged table freezes its layout for the session, and AQE
+          // coalesced these byte-light edge rows to 2 partitions — the
+          // CPU-heavy wedge self-join and closing join then ran 2 tasks
+          // on local[32] (measured 2.24 s task time in one 2-task job).
+          // src is the wedge join's own clustering key, so at corpus
+          // scale this exchange replaces the one the self-join plans.
+          .repartition(graft.dedup.SortedNeighborhood.pinnedWidth(ed), col("src"))
       }
       val verts = ed.select(col("a").as("u")).union(ed.select(col("b")))
         .distinct()

@@ -717,8 +717,6 @@ object TextQueries {
         F.fanout(table(spark, dir, "documents"))
           .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
       }
-      val nv = tok.agg(count(lit(1)).as("n"), countDistinct(col("tk")).as("v"))
-      val cnt = tok.groupBy("tk").agg(count(lit(1)).as("c"))
       // Aggregate-before-join (round 11): joining token INSTANCES on tk
       // puts a Zipf-hot token's every occurrence in one shuffle partition
       // (the sf10 band probe measured G = 14.2 on a corpus with 10
@@ -729,6 +727,14 @@ object TextQueries {
       // integer-EXACT the same sum (floor runs before the weighting, so
       // summing an identical term ct times equals ct × term).
       val dt = tok.groupBy("doc_id", "tk").agg(count(lit(1)).as("ct"))
+      // ONE pass over token instances (round-15): the corpus vocab `cnt`
+      // and the global (n, v) row previously re-aggregated `tok` twice
+      // more; both are exact integer derivations of the per-doc type
+      // counts (c = Σ ct over docs; n = Σ c; v = |vocab|), so derive
+      // them from `dt` — the two extra shuffles now carry TYPE rows,
+      // never instances.
+      val cnt = dt.groupBy("tk").agg(sum(col("ct")).as("c"))
+      val nv = cnt.agg(sum(col("c")).as("n"), count(lit(1)).as("v"))
       val sc = dt.join(cnt, "tk").crossJoin(broadcast(nv))
         .select(col("doc_id"), col("ct"),
           (col("ct") *
