@@ -42,6 +42,25 @@ object Dev {
         SparkEntry.queries(name)(spark, sfDir).toJSON.collect().foreach(println)
       case "oracle" :: name :: _ =>
         println(SparkEntry.oracleSql.getOrElse(name, s"(no oracle for $name)"))
+      case "times" :: list :: _ =>
+        // one-JVM multi-query timing (round-15 text-family evidence):
+        // same warm + min-of-3 methodology as `time`, all queries in one
+        // session so a before/after pair compares inside one window
+        list.split(",").map(_.trim).filter(_.nonEmpty).foreach { name =>
+          val fn = SparkEntry.queries(name)
+          try {
+            fn(spark, sfDir).count()
+            val ts = (1 to 3).map { _ =>
+              val t0 = System.nanoTime()
+              fn(spark, sfDir).count()
+              (System.nanoTime() - t0) / 1e9
+            }
+            println(f"$name min=${ts.min}%.3f runs=[${ts.map(t => f"$t%.3f").mkString(", ")}]")
+          } catch { case e: Throwable =>
+            println(s"$name FAILED ${e.getClass.getSimpleName}")
+          }
+        }
+
       case "jobs" :: name :: _ =>
         // per-JOB wall breakdown of one query execution (round-15
         // measurement): warm run first, then one timed run with a

@@ -30,11 +30,37 @@ object F {
     * sums integers (order-free) — the oracle gate over every touched
     * query re-verified green (round 14). Streaming frames pass through
     * untouched (micro-batch sources own their partitioning). */
+  /** Dev-only kill-switch for A/B measurement legs (round-15 text-family
+    * evidence): lets one compiled binary time fanout-on vs fanout-off in
+    * alternating same-window legs. The driver never sets it. */
+  private val fanoutDisabled = sys.env.contains("SPARK_GRAFT_NO_FANOUT")
+
   def fanout(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
-    if (df.isStreaming) df
+    if (fanoutDisabled || df.isStreaming) df
     else {
       val target = df.sparkSession.sparkContext.defaultParallelism
       if (plannedPartitions(df) < target) df.repartition(target) else df
+    }
+
+  /** Size-gated fan-out for MODERATE per-row chains (round-15): a plain
+    * tokenize/regexp chain is ~20-50 MB/s/core, so below a few MB of
+    * input the round-robin exchange costs more than the single-core work
+    * it parallelizes (measured: the 19 text-family fan-outs were a
+    * uniform +48% at sf0.1's 0.6 MB corpus, while the heavy word-entropy
+    * and LM chains won 2.4× at sf1's 5.8 MB). Gate on the optimizer's
+    * size estimate: fan out only when the input carries at least
+    * `spark.sql.files.openCostInBytes` (default 4 MB) — if the whole
+    * input is smaller than the scheduler's own per-file open-cost
+    * charge, an exchange cannot pay for itself. Heavy per-row chains
+    * (embed model boundary, media codecs, minhash/md5 pipelines) keep
+    * the ungated [[fanout]]: they win at ANY input size (round-14
+    * measured 3-7× at 0.6 MB). */
+  def fanoutScaled(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    if (df.isStreaming) df
+    else {
+      val minBytes = df.sparkSession.sessionState.conf.filesOpenCostInBytes
+      if (df.queryExecution.optimizedPlan.stats.sizeInBytes >= minBytes) fanout(df)
+      else df
     }
 
   /** The planned partition count of `df`, memoized per (session,

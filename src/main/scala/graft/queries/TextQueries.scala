@@ -111,7 +111,7 @@ object TextQueries {
       spark: org.apache.spark.sql.SparkSession, dir: String): Seq[(Long, String, String, Long)] =
     mergeCache.getOrBuild((spark, dir)) {
       // word-frequency table staged once; every round reads vocab, not corpus
-      var cur = F.fanout(table(spark, dir, "documents"))
+      var cur = table(spark, dir, "documents")
         .select(explode(F.tokens(col("text"))).as("tk"))
         .groupBy("tk").agg(count(lit(1)).as("freq"))
         .select(concat_ws(" ",
@@ -158,7 +158,7 @@ object TextQueries {
          |            WHEN sc_de >= sc_es THEN 'de' ELSE 'es' END AS predicted
          |FROM s ORDER BY doc_id LIMIT 1000""".stripMargin
     }) { (spark, dir) =>
-      val t = F.fanout(table(spark, dir, "documents"))
+      val t = table(spark, dir, "documents")
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
       val s = langStopwords.foldLeft(t) { case (df, (l, ws)) =>
         df.withColumn(s"sc_$l", stopScore(col("toks"), ws).cast("long"))
@@ -192,7 +192,7 @@ object TextQueries {
         "en" -> Seq("the", "ing", "and"),
         "de" -> Seq("der", "sch", "ein"),
         "es" -> Seq("que", "cio", "ado"))
-      val s = profiles.foldLeft(F.fanout(table(spark, dir, "documents"))) { case (df, (l, gs)) =>
+      val s = profiles.foldLeft(table(spark, dir, "documents")) { case (df, (l, gs)) =>
         df.withColumn(s"ng_$l",
           size(regexp_extract_all(lower(col("text")), lit(s"(${gs.mkString("|")})"), lit(0))).cast("long"))
       }
@@ -220,7 +220,7 @@ object TextQueries {
          |       CAST(floor((0.3 * least(n_tokens / 100.0, 1.0) + 0.3 * (1.0 - punct_ratio)
          |             + 0.2 * least(stop_ratio * 5.0, 1.0) + 0.2 * least(avg_tok_len / 8.0, 1.0)) * 1000000) AS BIGINT) AS quality_micro
          |FROM m ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .select(col("doc_id"), col("text"), F.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           qualityMicro(col("text"), col("toks")).as("quality_micro"))
@@ -259,7 +259,7 @@ object TextQueries {
          |FROM g JOIN hc ON hc.h = g.h
          |GROUP BY g.source ORDER BY g.source""".stripMargin
     }) { (spark, dir) =>
-      val t = F.fanout(table(spark, dir, "documents"))
+      val t = table(spark, dir, "documents")
         .select(col("doc_id"), col("source"), col("text"), F.tokens(col("text")).as("toks"))
       val f0 = t.select(col("doc_id"), col("source"), md5(col("text")).as("h"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -311,7 +311,7 @@ object TextQueries {
          |                  AND alpha_ratio > 0.8 AND stop_hits >= 2
          |                  AND top_ratio < 0.2 AND sym_ratio < 0.1 THEN 1 ELSE 0 END)::BIGINT AS pass
          |FROM m ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val t = F.fanout(table(spark, dir, "documents"))
+      val t = table(spark, dir, "documents")
         .select(col("doc_id"), col("text"), F.tokens(col("text")).as("toks"))
       val nWords = size(col("toks"))
       val denom = greatest(nWords, lit(1))
@@ -349,7 +349,7 @@ object TextQueries {
          |       len(list_distinct(toks)) AS n_distinct,
          |       list_aggregate(list_transform(toks, x -> (length(x) + 3) // 4), 'sum')::BIGINT AS n_subwords
          |FROM t ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .select(col("doc_id"), F.tokens(col("text")).as("toks"))
         .select(col("doc_id"),
           size(col("toks")).cast("long").as("n_tokens"),
@@ -421,7 +421,7 @@ object TextQueries {
       val appliedExpr = merges.foldLeft("concat_ws(' ', regexp_extract_all(tk, '.', 0))") {
         case (inner, (pr, m)) => applyMergeSql(inner, s"'$pr'", s"'$m'")
       }
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
         .select(col("doc_id"), length(col("tk")).cast("long").as("n_chars"),
           expr(s"size(split($appliedExpr, ' '))").cast("long").as("n_sym"))
@@ -438,7 +438,7 @@ object TextQueries {
       """SELECT t AS token, count(*) AS n
         |FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t FROM documents)
         |GROUP BY t ORDER BY n DESC, token LIMIT 30""".stripMargin) { (spark, dir) =>
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .select(explode(F.tokens(col("text"))).as("token"))
         .groupBy("token")
         .agg(count(lit(1)).as("n"))
@@ -472,7 +472,7 @@ object TextQueries {
         |FROM j CROSS JOIN nn
         |ORDER BY lift_micro DESC, bigram LIMIT 30""".stripMargin) { (spark, dir) =>
       val t = staged(spark, s"$dir#bigram_toks")(
-        F.fanout(table(spark, dir, "documents")).select(F.tokens(col("text")).as("ts")))
+        table(spark, dir, "documents").select(F.tokens(col("text")).as("ts")))
       val uni = t.select(explode(col("ts")).as("tk"))
         .groupBy("tk").agg(count(lit(1)).as("c"))
       val bi = t.select(explode(F.shingles(col("ts"), 2)).as("g"))
@@ -497,7 +497,7 @@ object TextQueries {
     Q("text_length_histogram",
       """SELECT (n_chars // 100) * 100 AS bucket, count(*) AS n
         |FROM documents GROUP BY bucket ORDER BY bucket""".stripMargin) { (spark, dir) =>
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .groupBy((floor(col("n_chars") / 100) * 100).as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
@@ -512,7 +512,7 @@ object TextQueries {
         |            THEN 'train' ELSE 'val' END AS split,
         |       count(*) AS n
         |FROM documents GROUP BY lang, split ORDER BY lang, split""".stripMargin) { (spark, dir) =>
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .withColumn("split",
           when(pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":split"))), lit(100)) < 90, "train")
             .otherwise("val"))
@@ -578,7 +578,7 @@ object TextQueries {
       // this ASCII corpus (CollapseProject keeps the non-cheap,
       // twice-referenced alias from inlining into the lambda; the
       // 256 KB-doc linearity spec pins the O(len) wall-time shape).
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .select(col("doc_id"), encode(lower(col("text")), "UTF-8").as("payload"))
         .select(col("doc_id"),
           expr("array_min(transform(sequence(1, greatest(length(payload) - 7, 1), 4), i -> md5(substr(payload, i, 8))))").as("fingerprint"))
@@ -601,7 +601,7 @@ object TextQueries {
         |       md5(array_to_string(list(line ORDER BY i), '. ')) AS kept_md5
         |FROM k GROUP BY doc_id
         |ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val l = F.fanout(table(spark, dir, "documents"))
+      val l = table(spark, dir, "documents")
         .select(col("doc_id"), posexplode(split(col("text"), "\\. ")).as(Seq("i", "line")))
       val cnt = l.groupBy("line").agg(count(lit(1)).as("cnt"))
       l.join(cnt, Seq("line")).filter(col("cnt") < 3)
@@ -626,7 +626,7 @@ object TextQueries {
     // parallelism ∝ buckets, ids globally unique to ~10¹² seqs/bucket.
     Q("text_seq_pack", seqPackSql) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val t = F.fanout(table(spark, dir, "documents"))
+      val t = table(spark, dir, "documents")
         .select(col("doc_id"),
           size(F.tokens(col("text"))).cast("long").as("n_tokens"),
           pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))),
@@ -668,7 +668,7 @@ object TextQueries {
          |FROM c GROUP BY bucket ORDER BY bucket""".stripMargin
     }) { (spark, dir) =>
       import org.apache.spark.sql.expressions.Window
-      val t = F.fanout(table(spark, dir, "documents"))
+      val t = table(spark, dir, "documents")
         .select(col("doc_id"),
           size(F.tokens(col("text"))).cast("long").as("n_tokens"),
           pmod(F.hash60(concat(col("doc_id").cast("string"), lit(":pack"))),
@@ -713,8 +713,13 @@ object TextQueries {
          |            WHEN total_micro::DOUBLE / n_tokens > 1.02 * mean_bits THEN 'tail'
          |            ELSE 'middle' END AS bucket
          |FROM d CROSS JOIN g ORDER BY doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
+      // fanoutScaled (round-15): this tokenize+explode chain is heavy
+      // enough to win 2.4× from a fan-out once the input carries real
+      // bytes (measured at sf1), but the exchange is a net loss on a
+      // sub-4MB input (measured +107% at sf0.1) — so the fan-out is
+      // size-gated, not unconditional
       val tok = staged(spark, s"$dir#lm_tok") {
-        F.fanout(table(spark, dir, "documents"))
+        F.fanoutScaled(table(spark, dir, "documents"))
           .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
       }
       // Aggregate-before-join (round 11): joining token INSTANCES on tk
@@ -775,7 +780,9 @@ object TextQueries {
          |FROM t JOIN n ON n.doc_id = t.doc_id
          |GROUP BY t.doc_id, n.n_tokens
          |ORDER BY t.doc_id LIMIT 1000""".stripMargin) { (spark, dir) =>
-      val tok = F.fanout(table(spark, dir, "documents"))
+      // size-gated fan-out, same evidence as text_lm_perplexity: 2.4×
+      // win at sf1, net loss below the openCost gate at sf0.1
+      val tok = F.fanoutScaled(table(spark, dir, "documents"))
         .select(col("doc_id"), explode(F.tokens(col("text"))).as("tk"))
       // ONE tokenize pass (round-15): the old shape fed `tok` to two
       // aggregates (n_tokens and per-term counts), and the optimizer
@@ -833,7 +840,7 @@ object TextQueries {
         lit("@mail.example.com call 555-"),
         lpad(((col("doc_id") * 7) % 10000).cast("string"), 4, "0"),
         lit(" ip 10.0."), (col("doc_id") % 256).cast("string"), lit(".1 end"))
-      F.fanout(table(spark, dir, "documents"))
+      table(spark, dir, "documents")
         .select(col("doc_id"), pii.as("pii"))
         .select(col("doc_id"),
           size(regexp_extract_all(col("pii"), lit(email), lit(0))).cast("long").as("n_email"),
